@@ -1,13 +1,470 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{IO, PanelCols}
+import graft.ops._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry (+ DuckDB `oracleSql` where the op
+  * is SQL-expressible) per implemented operator from SURVEY.md §2.
+  *
+  * Float-parity discipline (so hashes match the DuckDB oracle):
+  *  - big global sums go through exact DECIMAL arithmetic, cast back to
+  *    double once (order-independent, engine-independent);
+  *  - small per-series float aggregates are rounded to 6 decimals on both
+  *    sides (window-frame summation order differs between engines by ~1
+  *    ulp; magnitudes here make 6 decimals safe);
+  *  - timestamps are µs-precision NTZ end-to-end (see [[graft.core.IO]]).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Events panel: series = user, time = event ts, target = value.
+    * event_id tie-breaks duplicate timestamps so row order is total. */
+  implicit private val PC: PanelCols =
+    PanelCols("user_id", "ts", "value", tieBreak = Seq("event_id"))
+
+  private val W = "PARTITION BY user_id ORDER BY ts, event_id"
+
+  private def dec(c: String): Column = col(c).cast("decimal(18,2)")
+  private def r6(c: Column): Column = round(c, 6)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── relational spine ────────────────────────────────────────────────
+    "q1_agg" -> ((s, dir) =>
+      IO.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec("l_quantity")).cast("double").as("sum_qty"),
+          sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+          sum(dec("l_extendedprice") * (lit(1).cast("decimal(3,2)") - dec("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          sum(dec("l_extendedprice") * (lit(1).cast("decimal(3,2)") - dec("l_discount"))
+            * (lit(1).cast("decimal(3,2)") + dec("l_tax")))
+            .cast("double").as("sum_charge"),
+          (sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(dec("l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
+          (sum(dec("l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    "q3_topk" -> ((s, dir) =>
+      IO.lineitem(s, dir)
+        .join(IO.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp_ntz") &&
+          col("l_shipdate") > lit("1995-03-15").cast("timestamp_ntz"))
+        .groupBy("l_orderkey")
+        .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(3,2)") - dec("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)),
+
+    // ── feature engineering (L1, pure window exprs) ─────────────────────
+    "ts_lag_features" -> ((s, dir) =>
+      Features.lagFeatures(IO.events(s, dir), Seq(1, 7))
+        .select("user_id", "event_id", "ts", "value", "value_lag_1", "value_lag_7")),
+
+    "ts_rolling_features" -> ((s, dir) =>
+      Features.rollingFeatures(IO.events(s, dir), Seq(7), Seq("mean", "std", "min", "max"))
+        .select(col("user_id"), col("event_id"),
+          r6(col("value_rolling_mean_7")).as("roll_mean_7"),
+          r6(col("value_rolling_std_7")).as("roll_std_7"),
+          col("value_rolling_min_7").as("roll_min_7"),
+          col("value_rolling_max_7").as("roll_max_7"))),
+
+    "ts_calendar_features" -> ((s, dir) =>
+      Features.calendarFeatures(IO.events(s, dir),
+        Seq("day_of_week", "day_of_month", "day_of_year", "week", "month",
+          "quarter", "year", "hour", "is_weekend"))
+        .select(col("event_id"),
+          col("day_of_week").cast("int").as("day_of_week"),
+          col("day_of_month").cast("int").as("day_of_month"),
+          col("day_of_year").cast("int").as("day_of_year"),
+          col("week").cast("int").as("week"),
+          col("month").cast("int").as("month"),
+          col("quarter").cast("int").as("quarter"),
+          col("year").cast("int").as("year"),
+          col("hour").cast("int").as("hour"),
+          col("is_weekend").cast("int").as("is_weekend"))),
+
+    "ts_fourier_features" -> ((s, dir) =>
+      Features.fourierFeatures(IO.events(s, dir), 24.0, 2)
+        .select(col("user_id"), col("event_id"),
+          r6(col("fourier_sin_24_1")).as("fsin_1"), r6(col("fourier_cos_24_1")).as("fcos_1"),
+          r6(col("fourier_sin_24_2")).as("fsin_2"), r6(col("fourier_cos_24_2")).as("fcos_2"))),
+
+    "ts_target_encode" -> ((s, dir) =>
+      Features.targetEncode(IO.events(s, dir), "event_type", smoothing = 10.0)
+        .select(col("event_type"), col("event_type_encoded")).distinct()
+        .select(col("event_type"), r6(col("event_type_encoded")).as("encoded"))),
+
+    // ── preprocessing ───────────────────────────────────────────────────
+    "ts_impute_ffill" -> ((s, dir) =>
+      Impute.impute(withSynthNulls(IO.events(s, dir)), "forward_fill")
+        .select("user_id", "event_id", "ts", "value")),
+
+    "ts_impute_linear" -> ((s, dir) =>
+      Impute.impute(withSynthNulls(IO.events(s, dir)), "linear")
+        .select(col("user_id"), col("event_id"), col("ts"), r6(col("value")).as("value"))),
+
+    "ts_impute_mean" -> ((s, dir) =>
+      Impute.impute(withSynthNulls(IO.events(s, dir)), "mean")
+        .select(col("user_id"), col("event_id"), r6(col("value")).as("value"))),
+
+    "ts_outlier_zscore" -> ((s, dir) =>
+      Outliers.detect(IO.events(s, dir), "zscore", 3.0)
+        .select("user_id", "event_id", "value", "is_outlier")),
+
+    "ts_outlier_iqr_clip" -> ((s, dir) =>
+      Outliers.treat(Outliers.detect(IO.events(s, dir), "iqr"), "clip")
+        .select(col("user_id"), col("event_id"), r6(col("value")).as("value"))),
+
+    "ts_resample_hour" -> ((s, dir) =>
+      Resample.downsample(IO.events(s, dir), "hour", "mean")
+        .select(col("user_id"), col("ts"), r6(col("value")).as("value"))),
+
+    "ts_cusum" -> ((s, dir) =>
+      Changepoint.cusum(IO.events(s, dir))
+        .select(col("user_id"), col("event_id"), r6(col("cusum")).as("cusum"))),
+
+    // ── trend / stats kernels ───────────────────────────────────────────
+    "ts_mann_kendall" -> ((s, dir) =>
+      Changepoint.mannKendall(IO.events(s, dir))
+        .select(col("user_id"), r6(col("mann_kendall")).as("mann_kendall"))),
+
+    "ts_sens_slope" -> ((s, dir) =>
+      Changepoint.sensSlope(IO.events(s, dir))
+        .select(col("user_id"), r6(col("sens_slope")).as("sens_slope"))),
+
+    "ts_pelt" -> ((s, dir) =>
+      Changepoint.pelt(IO.events(s, dir), "mean")),
+
+    "ts_bocpd" -> ((s, dir) =>
+      Changepoint.bocpd(IO.events(s, dir), hazardRate = 200.0)
+        .select(col("user_id"), col("ts"), col("run_length"),
+          r6(col("changepoint_prob")).as("changepoint_prob"))),
+
+    // ── forecasting ─────────────────────────────────────────────────────
+    "ts_naive_fc" -> ((s, dir) =>
+      ForecastBaselines.naive(IO.events(s, dir), h = 7)),
+
+    "ts_seasonal_naive_fc" -> ((s, dir) =>
+      ForecastBaselines.seasonalNaive(IO.events(s, dir), h = 7, seasonLength = 24)),
+
+    "ts_moving_average_fc" -> ((s, dir) =>
+      ForecastBaselines.movingAverage(IO.events(s, dir), h = 7, window = 12)
+        .select(col("user_id"), col("step"), col("ts"), r6(col("y_hat")).as("y_hat"))),
+
+    "ts_ses_fc" -> ((s, dir) =>
+      ForecastBaselines.ses(IO.events(s, dir), h = 7, alpha = 0.3)
+        .select(col("user_id"), col("step"), col("ts"), r6(col("y_hat")).as("y_hat"))),
+
+    "ts_metrics_persistence" -> ((s, dir) => {
+      val withPred = IO.events(s, dir)
+        .withColumn("y_hat", lag(col("value"), 1).over(PC.w))
+        .filter(col("y_hat").isNotNull)
+      Metrics.grouped(withPred, "value", "y_hat")
+        .select(col("user_id"), r6(col("mae")).as("mae"), r6(col("rmse")).as("rmse"),
+          r6(col("mape")).as("mape"), r6(col("smape")).as("smape"))
+    }),
+
+    // ── training-data pipeline ops ──────────────────────────────────────
+    "doc_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(IO.documents(s, dir))
+        .select("doc_id", "dup_count", "is_duplicate")),
+
+    "doc_quality" -> ((s, dir) =>
+      TextOps.qualityMetrics(IO.documents(s, dir).drop("n_chars"))
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+          r6(col("mean_word_len")).as("mean_word_len"),
+          r6(col("punct_ratio")).as("punct_ratio"),
+          r6(col("digit_ratio")).as("digit_ratio"),
+          col("quality_score"))),
+
+    "doc_lang_id" -> ((s, dir) =>
+      TextOps.languageId(IO.documents(s, dir))
+        .select("doc_id", "lang_pred")),
+
+    "doc_simhash" -> ((s, dir) =>
+      Dedup.simhash(IO.documents(s, dir))
+        .select("doc_id", "simhash")),
+
+    "emb_knn_brute" -> ((s, dir) => {
+      val emb = IO.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 3)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"),
+          col("rank"))
+    }),
+
+    "emb_knn_lsh" -> ((s, dir) => {
+      val emb = IO.embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), k = 3, dim = 64, bits = 6)
+    }),
+  )
+
+  /** Deterministic synthetic nulls so imputation has something to fill
+    * (the events table has no missing values). */
+  private def withSynthNulls(df: DataFrame): DataFrame =
+    df.withColumn("value", when(pmod(col("event_id"), lit(7)) === 0, lit(null))
+      .otherwise(col("value")))
+
+  private val synthNullSql =
+    "CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END"
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty,
+         |  (sum(l_extendedprice::DECIMAL(18,2)))::DOUBLE AS sum_base_price,
+         |  (sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(3,2) - l_discount::DECIMAL(18,2))))::DOUBLE AS sum_disc_price,
+         |  (sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(3,2) - l_discount::DECIMAL(18,2)) * (1::DECIMAL(3,2) + l_tax::DECIMAL(18,2))))::DOUBLE AS sum_charge,
+         |  (sum(l_quantity::DECIMAL(18,2)))::DOUBLE / count(*) AS avg_qty,
+         |  (sum(l_extendedprice::DECIMAL(18,2)))::DOUBLE / count(*) AS avg_price,
+         |  (sum(l_discount::DECIMAL(18,2)))::DOUBLE / count(*) AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_topk" ->
+      s"""SELECT l_orderkey,
+         |  (sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(3,2) - l_discount::DECIMAL(18,2))))::DOUBLE AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderdate < TIMESTAMP '1995-03-15 00:00:00' AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+         |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "ts_lag_features" ->
+      s"""SELECT user_id, event_id, ts, value,
+         |  lag(value, 1) OVER ($W) AS value_lag_1,
+         |  lag(value, 7) OVER ($W) AS value_lag_7
+         |FROM events""".stripMargin,
+
+    "ts_rolling_features" ->
+      s"""WITH f AS (SELECT user_id, event_id, value,
+         |  count(value) OVER w AS c,
+         |  avg(value) OVER w AS m, stddev_samp(value) OVER w AS sd,
+         |  min(value) OVER w AS mn, max(value) OVER w AS mx
+         |FROM events WINDOW w AS ($W ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         |SELECT user_id, event_id,
+         |  round(CASE WHEN c >= 7 THEN m END, 6) AS roll_mean_7,
+         |  round(CASE WHEN c >= 7 THEN sd END, 6) AS roll_std_7,
+         |  CASE WHEN c >= 7 THEN mn END AS roll_min_7,
+         |  CASE WHEN c >= 7 THEN mx END AS roll_max_7
+         |FROM f""".stripMargin,
+
+    "ts_calendar_features" ->
+      """SELECT event_id,
+        |  isodow(ts)::INT AS day_of_week, day(ts)::INT AS day_of_month,
+        |  dayofyear(ts)::INT AS day_of_year, weekofyear(ts)::INT AS week,
+        |  month(ts)::INT AS month, quarter(ts)::INT AS quarter,
+        |  year(ts)::INT AS year, hour(ts)::INT AS hour,
+        |  (isodow(ts) >= 6)::INT AS is_weekend
+        |FROM events""".stripMargin,
+
+    "ts_fourier_features" ->
+      s"""WITH t AS (SELECT user_id, event_id,
+         |  (row_number() OVER ($W) - 1)::DOUBLE AS tt FROM events)
+         |SELECT user_id, event_id,
+         |  round(sin(2*pi()*1*tt/24.0), 6) AS fsin_1, round(cos(2*pi()*1*tt/24.0), 6) AS fcos_1,
+         |  round(sin(2*pi()*2*tt/24.0), 6) AS fsin_2, round(cos(2*pi()*2*tt/24.0), 6) AS fcos_2
+         |FROM t""".stripMargin,
+
+    "ts_target_encode" ->
+      """WITH stats AS (SELECT event_type, avg(value) AS m, count(value) AS n
+        |  FROM events GROUP BY event_type),
+        |g AS (SELECT avg(value) AS gm FROM events)
+        |SELECT event_type, round((n * m + 10.0 * gm) / (n + 10.0), 6) AS encoded
+        |FROM stats, g""".stripMargin,
+
+    "ts_impute_ffill" ->
+      s"""SELECT user_id, event_id, ts,
+         |  coalesce($synthNullSql,
+         |    last_value($synthNullSql IGNORE NULLS) OVER
+         |      ($W ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS value
+         |FROM events""".stripMargin,
+
+    "ts_impute_linear" ->
+      s"""WITH base AS (SELECT user_id, event_id, ts, $synthNullSql AS v,
+         |  (row_number() OVER ($W))::DOUBLE AS rn FROM events),
+         |f AS (SELECT *,
+         |  last_value(v IGNORE NULLS) OVER wb AS pv,
+         |  last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wb AS pi,
+         |  last_value(v IGNORE NULLS) OVER wf AS nv,
+         |  last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wf AS ni
+         |FROM base WINDOW
+         |  wb AS ($W ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  wf AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT user_id, event_id, ts,
+         |  round(CASE WHEN v IS NOT NULL THEN v
+         |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN pv + (nv - pv) * (rn - pi) / (ni - pi)
+         |    ELSE coalesce(pv, nv) END, 6) AS value
+         |FROM f""".stripMargin,
+
+    "ts_impute_mean" ->
+      s"""SELECT user_id, event_id,
+         |  round(coalesce($synthNullSql,
+         |    avg($synthNullSql) OVER (PARTITION BY user_id)), 6) AS value
+         |FROM events""".stripMargin,
+
+    "ts_outlier_zscore" ->
+      """WITH s AS (SELECT user_id, event_id, value,
+        |  avg(value) OVER (PARTITION BY user_id) AS mu,
+        |  stddev_samp(value) OVER (PARTITION BY user_id) AS sd
+        |FROM events)
+        |SELECT user_id, event_id, value,
+        |  (value IS NOT NULL AND (value < mu - 3.0 * sd OR value > mu + 3.0 * sd)) AS is_outlier
+        |FROM s""".stripMargin,
+
+    "ts_outlier_iqr_clip" ->
+      """WITH s AS (SELECT user_id, event_id, value,
+        |  quantile_cont(value, 0.25) OVER (PARTITION BY user_id) AS q1,
+        |  quantile_cont(value, 0.75) OVER (PARTITION BY user_id) AS q3
+        |FROM events),
+        |fences AS (SELECT *, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM s)
+        |SELECT user_id, event_id,
+        |  round(CASE WHEN value < lo OR value > hi
+        |    THEN least(greatest(value, lo), hi) ELSE value END, 6) AS value
+        |FROM fences""".stripMargin,
+
+    "ts_resample_hour" ->
+      """SELECT user_id, date_trunc('hour', ts) AS ts, round(avg(value), 6) AS value
+        |FROM events GROUP BY user_id, date_trunc('hour', ts)""".stripMargin,
+
+    "ts_cusum" ->
+      s"""WITH z AS (SELECT user_id, event_id, ts, value,
+         |  avg(value) OVER (PARTITION BY user_id) AS mu,
+         |  stddev_samp(value) OVER (PARTITION BY user_id) AS sd
+         |FROM events)
+         |SELECT user_id, event_id,
+         |  round(sum(CASE WHEN sd <> 0 THEN (value - mu) / sd ELSE 0.0 END) OVER
+         |    ($W ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cusum
+         |FROM z""".stripMargin,
+
+    "ts_mann_kendall" ->
+      s"""WITH t AS (SELECT user_id, value, row_number() OVER ($W) AS rn,
+         |  count(*) OVER (PARTITION BY user_id) AS n FROM events)
+         |SELECT a.user_id,
+         |  round(sum(sign(b.value - a.value)) / (0.5 * max(a.n) * (max(a.n) - 1.0)), 6) AS mann_kendall
+         |FROM t a JOIN t b ON a.user_id = b.user_id AND a.rn < b.rn
+         |GROUP BY a.user_id""".stripMargin,
+
+    "ts_sens_slope" ->
+      s"""WITH t AS (SELECT user_id, value, row_number() OVER ($W) AS rn FROM events)
+         |SELECT a.user_id,
+         |  round(median((b.value - a.value) / (b.rn - a.rn)), 6) AS sens_slope
+         |FROM t a JOIN t b ON a.user_id = b.user_id AND a.rn < b.rn
+         |GROUP BY a.user_id""".stripMargin,
+
+    "ts_naive_fc" ->
+      s"""WITH o AS (SELECT user_id, value, epoch_us(ts) AS us,
+         |  row_number() OVER ($W) AS rn,
+         |  count(*) OVER (PARTITION BY user_id) AS n FROM events),
+         |lastv AS (SELECT user_id, us, value FROM o WHERE rn = n),
+         |d AS (SELECT user_id, min(us - lus) AS freq FROM
+         |  (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS lus FROM o)
+         |  WHERE lus IS NOT NULL GROUP BY user_id)
+         |SELECT l.user_id, s.step, make_timestamp(l.us + s.step * d.freq) AS ts,
+         |  l.value AS y_hat
+         |FROM lastv l JOIN d USING (user_id)
+         |CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS step) s""".stripMargin,
+
+    "ts_seasonal_naive_fc" ->
+      s"""WITH o AS (SELECT user_id, value, epoch_us(ts) AS us,
+         |  row_number() OVER ($W) AS rn,
+         |  count(*) OVER (PARTITION BY user_id) AS n FROM events),
+         |season AS (SELECT user_id, list(value ORDER BY rn) AS vs, count(*) AS m
+         |  FROM o WHERE rn > n - 24 GROUP BY user_id),
+         |lastt AS (SELECT user_id, max(us) AS us FROM o GROUP BY user_id),
+         |d AS (SELECT user_id, min(us - lus) AS freq FROM
+         |  (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS lus FROM o)
+         |  WHERE lus IS NOT NULL GROUP BY user_id)
+         |SELECT se.user_id, s.step, make_timestamp(l.us + s.step * d.freq) AS ts,
+         |  se.vs[((s.step - 1) % se.m)::INT + 1] AS y_hat
+         |FROM season se JOIN lastt l USING (user_id) JOIN d USING (user_id)
+         |CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS step) s""".stripMargin,
+
+    "ts_moving_average_fc" ->
+      s"""WITH o AS (SELECT user_id, value, epoch_us(ts) AS us,
+         |  row_number() OVER ($W) AS rn,
+         |  count(*) OVER (PARTITION BY user_id) AS n FROM events),
+         |tail AS (SELECT user_id, list(value ORDER BY rn) AS vs
+         |  FROM o WHERE rn > n - 12 GROUP BY user_id),
+         |avgv AS (SELECT user_id, list_reduce(vs, (acc, v) -> acc + v) / len(vs) AS y_hat FROM tail),
+         |lastt AS (SELECT user_id, max(us) AS us FROM o GROUP BY user_id),
+         |d AS (SELECT user_id, min(us - lus) AS freq FROM
+         |  (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS lus FROM o)
+         |  WHERE lus IS NOT NULL GROUP BY user_id)
+         |SELECT a.user_id, s.step, make_timestamp(l.us + s.step * d.freq) AS ts,
+         |  round(a.y_hat, 6) AS y_hat
+         |FROM avgv a JOIN lastt l USING (user_id) JOIN d USING (user_id)
+         |CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS step) s""".stripMargin,
+
+    "ts_ses_fc" ->
+      s"""WITH o AS (SELECT user_id, value, epoch_us(ts) AS us,
+         |  row_number() OVER ($W) AS rn FROM events),
+         |lvl AS (SELECT user_id,
+         |  list_reduce(list(value ORDER BY rn), (acc, v) -> 0.3 * v + (1.0 - 0.3) * acc) AS level
+         |  FROM o GROUP BY user_id),
+         |lastt AS (SELECT user_id, max(us) AS us FROM o GROUP BY user_id),
+         |d AS (SELECT user_id, min(us - lus) AS freq FROM
+         |  (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS lus FROM o)
+         |  WHERE lus IS NOT NULL GROUP BY user_id)
+         |SELECT v.user_id, s.step, make_timestamp(l.us + s.step * d.freq) AS ts,
+         |  round(v.level, 6) AS y_hat
+         |FROM lvl v JOIN lastt l USING (user_id) JOIN d USING (user_id)
+         |CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS step) s""".stripMargin,
+
+    "ts_metrics_persistence" ->
+      s"""WITH p AS (SELECT user_id, value AS y,
+         |  lag(value, 1) OVER ($W) AS yhat FROM events)
+         |SELECT user_id,
+         |  round(avg(abs(y - yhat)), 6) AS mae,
+         |  round(sqrt(avg((y - yhat) * (y - yhat))), 6) AS rmse,
+         |  round(avg(CASE WHEN y <> 0 THEN abs((y - yhat) / y) END), 6) AS mape,
+         |  round(avg(CASE WHEN abs(y) + abs(yhat) <> 0
+         |    THEN 2.0 * abs(y - yhat) / (abs(y) + abs(yhat)) ELSE 0.0 END), 6) AS smape
+         |FROM p WHERE yhat IS NOT NULL GROUP BY user_id""".stripMargin,
+
+    "doc_dedup_exact" ->
+      """WITH norm AS (SELECT doc_id,
+        |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+        |g AS (SELECT t, min(doc_id) AS keep, count(*) AS c FROM norm GROUP BY t)
+        |SELECT n.doc_id, g.c AS dup_count, n.doc_id <> g.keep AS is_duplicate
+        |FROM norm n JOIN g ON n.t = g.t""".stripMargin,
+
+    "doc_quality" ->
+      """WITH m AS (SELECT doc_id, text,
+        |  length(text) AS n,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+        |  length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct,
+        |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+        |  length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS uppers,
+        |  length(text) - length(regexp_replace(text, '\s', '', 'g')) AS spaces
+        |FROM documents)
+        |SELECT doc_id, n::BIGINT AS n_chars, toks::BIGINT AS n_tokens,
+        |  round(CASE WHEN toks > 0 THEN (n - spaces)::DOUBLE / toks ELSE 0.0 END, 6) AS mean_word_len,
+        |  round(CASE WHEN n > 0 THEN punct::DOUBLE / n ELSE 0.0 END, 6) AS punct_ratio,
+        |  round(CASE WHEN n > 0 THEN digits::DOUBLE / n ELSE 0.0 END, 6) AS digit_ratio,
+        |  round(greatest(0.0, least(1.0, 1.0
+        |    - CASE WHEN toks < 5 THEN 0.5 ELSE 0.0 END
+        |    - CASE WHEN n > 0 AND punct::DOUBLE / n > 0.3 THEN 0.3 ELSE 0.0 END
+        |    - CASE WHEN n > 0 AND digits::DOUBLE / n > 0.3 THEN 0.2 ELSE 0.0 END
+        |    - CASE WHEN n > 0 AND uppers::DOUBLE / n > 0.3 THEN 0.2 ELSE 0.0 END)), 6) AS quality_score
+        |FROM m""".stripMargin,
+
+    "emb_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 20),
+        |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |  list_cosine_similarity(q.qv, c.embedding::DOUBLE[]) AS cosine
+        |  FROM q JOIN embeddings c ON c.vec_id <> q.query_id),
+        |ranked AS (SELECT *, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+        |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+  )
 }

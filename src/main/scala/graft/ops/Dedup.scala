@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard.
+  *
+  * Scale design: every method reduces to hash → groupBy/join on compact
+  * keys. Exact dedup groups on a 64-bit fingerprint (never on the raw
+  * text — 100 TB of document bodies must not shuffle). MinHash-LSH
+  * shuffles only (band-hash, doc_id) pairs; candidate verification joins
+  * signatures, not documents.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized-text fingerprint: keeps the lowest-id doc
+    * per group, appends `dup_count` (group size) and `is_duplicate`. */
+  def exact(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val fp = TextOps.fingerprint(col(textCol))
+    val withFp = df.withColumn("__fp", fp)
+    val groups = withFp.groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("__keep"), count(lit(1)).as("dup_count"))
+    withFp.join(groups, Seq("__fp"))
+      .withColumn("is_duplicate", col(idCol) =!= col("__keep"))
+      .drop("__fp", "__keep")
+  }
+
+  /** Character shingles (n-gram set) of normalized text. */
+  def shingles(text: Column, n: Int = 5): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    array_distinct(transform(
+      sequence(lit(0), greatest(length(norm) - n, lit(0))),
+      i => norm.substr(i + lit(1), lit(n))))
+  }
+
+  /** MinHash signature of a shingle set: k independent permutations via the
+    * classic (a·x + b) mod p universal hash over the shingle's xxhash64. */
+  def minhashSignature(shingleCol: Column, k: Int = 64, seed: Int = 42): Column = {
+    val rng = new scala.util.Random(seed)
+    val p = 2305843009213693951L // 2^61 - 1, Mersenne prime
+    val hashes = (0 until k).map { _ =>
+      val a = (rng.nextLong().abs % (p - 1)) + 1
+      val b = rng.nextLong().abs % p
+      array_min(transform(shingleCol,
+        s => pmod(lit(a) * pmod(xxhash64(s), lit(p)) + lit(b), lit(p))))
+    }
+    array(hashes: _*)
+  }
+
+  /** MinHash-LSH near-dup candidate pairs: signatures banded into
+    * `bands` groups of `rowsPerBand`; docs sharing any band hash become
+    * candidates; candidates verified by estimated Jaccard
+    * (signature agreement) >= threshold. Output: [id_a, id_b, jaccard_est]
+    * with id_a < id_b. */
+  def minhashLsh(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      shingleN: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = df.select(col(idCol).as("__id"),
+        minhashSignature(shingles(col(textCol), shingleN), k).as("__sig"))
+      .cache()
+    val banded = sigs.select(col("__id"), posexplode(
+      array((0 until bands).map(b =>
+        xxhash64(slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
+      .as(Seq("__band", "__bandhash")))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.__band") === col("b.__band") &&
+        col("a.__bandhash") === col("b.__bandhash") &&
+        col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b")).distinct()
+    val verified = pairs
+      .join(sigs.withColumnRenamed("__sig", "__sig_a"), col("id_a") === col("__id")).drop("__id")
+      .join(sigs.withColumnRenamed("__sig", "__sig_b"), col("id_b") === col("__id")).drop("__id")
+      .withColumn("jaccard_est",
+        size(filter(zip_with(col("__sig_a"), col("__sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / lit(k.toDouble))
+      .filter(col("jaccard_est") >= threshold)
+    verified.select(col("id_a"), col("id_b"), col("jaccard_est"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: sign-sum of per-token xxhash64
+    * bits. Near-dups = pairs within `maxHamming` bit flips. */
+  def simhash(df: DataFrame, textCol: String = "text", outCol: String = "simhash"): DataFrame = {
+    val toks = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    val hashes = transform(toks, t => xxhash64(t))
+    // for each of 64 bits: sum(+1 if bit set else -1) > 0 → bit set
+    val bits = (0 until 64).map { b =>
+      val votes = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(votes > 0, lit(1L << b)).otherwise(0L)
+    }
+    df.withColumn(outCol, bits.reduce((a, b) => a.bitwiseOR(b)))
+  }
+
+  /** Exact word-n-gram Jaccard similarity for candidate pairs — the
+    * quadratic verifier; run it on LSH candidates, never the full corpus. */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3): DataFrame = {
+    val words = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    val grams = df2Grams(words, n)
+    val g = docs.select(col(idCol).as("__id"), grams.as("__grams"))
+    pairs
+      .join(g.withColumnRenamed("__grams", "__ga"), col("id_a") === col("__id")).drop("__id")
+      .join(g.withColumnRenamed("__grams", "__gb"), col("id_b") === col("__id")).drop("__id")
+      .withColumn("jaccard",
+        size(array_intersect(col("__ga"), col("__gb"))).cast("double") /
+          size(array_union(col("__ga"), col("__gb"))).cast("double"))
+      .drop("__ga", "__gb")
+  }
+
+  private def df2Grams(words: Column, n: Int): Column =
+    array_distinct(filter(
+      transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => concat_ws(" ", slice(words, i + lit(1), lit(n)))),
+      g => length(g) > 0))
+}

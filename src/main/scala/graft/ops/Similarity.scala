@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (`Array[Float]`).
+  *
+  * Scale design: brute-force is the correctness baseline — broadcast the
+  * (small) query set and stream the corpus once; top-k via per-query
+  * window rank. The LSH variant (random-hyperplane signatures) buckets the
+  * corpus so each query only scans its bucket — the 100 TB path: bucket
+  * cardinality ~ corpus/2^bits, and the shuffle moves signatures, not
+  * vectors.
+  */
+object Similarity {
+
+  /** Cosine similarity between two double array columns (index-aligned
+    * fold — deterministic summation order, so results are reproducible
+    * and oracle-comparable). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), _ + _))
+    when(na =!= 0.0 && nb =!= 0.0, dot / (na * nb)).otherwise(0.0)
+  }
+
+  /** Brute-force cosine top-k: for each query vector, the k most similar
+    * corpus vectors (excluding self). Queries are broadcast — the corpus
+    * never shuffles; the only wide op is the per-query top-k rank over
+    * |queries| × k rows. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Random-hyperplane LSH bucket id: sign-bit signature of `bits`
+    * Gaussian projections (seeded, deterministic). */
+  def hyperplaneBucket(vec: Column, dim: Int, bits: Int = 12, seed: Long = 42L): Column = {
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(bits, dim)(rng.nextGaussian())
+    val bitCols = planes.zipWithIndex.map { case (plane, b) =>
+      val dot = aggregate(
+        zip_with(vec, typedLit(plane.toSeq), (x, p) => x * p), lit(0.0), _ + _)
+      when(dot >= 0.0, lit(1L << b)).otherwise(0L)
+    }
+    bitCols.reduce((a, c) => a.bitwiseOR(c))
+  }
+
+  /** LSH-bucketed ANN: queries only compare against corpus vectors landing
+    * in the same hyperplane bucket (multi-probe via `probes` extra buckets
+    * flipping one bit would be the next refinement). Recall-bounded but
+    * each query touches ~corpus/2^bits vectors. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      bits: Int = 8, seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val bucket = (v: Column) => hyperplaneBucket(v, dim, bits, seed)
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__bucket", bucket(col("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("__bucket", bucket(col("__cv")))
+    c.join(broadcast(q), Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+}

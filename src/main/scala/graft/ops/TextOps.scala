@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID heuristics, and rolling-hash
+  * document fingerprints. All are single-pass column expressions (no UDFs
+  * except the fingerprint, which is a cheap per-row hash) — they scan,
+  * compute, and never shuffle, so they stream through 100 TB of documents
+  * at parquet-scan speed.
+  */
+object TextOps {
+
+  /** Whitespace token count (split on runs of whitespace). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword proxy: words + digits + punctuation as separate tokens. */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(text, "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"),
+      t => length(t) > 0 && t =!= " "))
+
+  /** Character-class ratio helpers. */
+  def ratio(matchedLen: Column, total: Column): Column =
+    when(total > 0, matchedLen.cast("double") / total.cast("double")).otherwise(0.0)
+
+  private def countMatches(text: Column, regex: String): Column =
+    length(text) - length(regexp_replace(text, regex, ""))
+
+  /** Heuristic quality metrics per document: length, token count, mean word
+    * length, punctuation / digit / uppercase / whitespace ratios, and a
+    * composite [0,1] quality score (penalizes too-short docs, symbol soup,
+    * and shouting — the usual pre-training filters). */
+  def qualityMetrics(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val n = length(t)
+    val toks = tokenCount(t)
+    val punct = countMatches(t, "[\\p{Punct}]")
+    val digits = countMatches(t, "[0-9]")
+    val uppers = countMatches(t, "[A-Z]")
+    val spaces = countMatches(t, "\\s")
+    df.withColumn("n_chars", n.cast("long"))
+      .withColumn("n_tokens", toks.cast("long"))
+      .withColumn("mean_word_len",
+        when(toks > 0, (n - spaces).cast("double") / toks).otherwise(0.0))
+      .withColumn("punct_ratio", ratio(punct, n))
+      .withColumn("digit_ratio", ratio(digits, n))
+      .withColumn("upper_ratio", ratio(uppers, n))
+      .withColumn("quality_score",
+        round(greatest(lit(0.0), least(lit(1.0),
+          lit(1.0)
+            - when(toks < 5, 0.5).otherwise(0.0)
+            - when(ratio(punct, n) > 0.3, 0.3).otherwise(0.0)
+            - when(ratio(digits, n) > 0.3, 0.2).otherwise(0.0)
+            - when(ratio(uppers, n) > 0.3, 0.2).otherwise(0.0))), 6))
+  }
+
+  /** Stopword-frequency language ID over a small built-in lexicon — the
+    * classic n-gram/stopword heuristic. Returns the language whose marker
+    * words hit most often, 'und' (undetermined) when nothing matches. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "with"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "que"),
+    "es" -> Seq("el", "los", "las", "es", "una", "que", "para"))
+
+  def languageId(df: DataFrame, textCol: String = "text",
+      outCol: String = "lang_pred"): DataFrame = {
+    val words = split(lower(col(textCol)), "[^\\p{L}]+")
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val hits = size(filter(words, w => markers.map(lit(_) === w).reduce(_ || _)))
+      struct(hits.as("hits"), lit(lang).as("lang"))
+    }
+    // array_max on (hits, lang) structs → lexicographic max = most hits,
+    // ties broken by language code; 'und' when zero hits.
+    val best = array_max(array(scored: _*))
+    df.withColumn(outCol,
+      when(best.getField("hits") > 0, best.getField("lang")).otherwise("und"))
+  }
+
+  /** 64-bit FNV-1a rolling fingerprint of normalized text (lowercased,
+    * whitespace collapsed) — a deterministic cheap document identity for
+    * exact-dup detection across shards. */
+  def fingerprint(text: Column): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    fnv64Udf(norm)
+  }
+
+  private[ops] val fnv64 = (s: String) => {
+    var h = 0xcbf29ce484222325L
+    if (s != null) { var i = 0
+      while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 } }
+    h
+  }
+  private val fnv64Udf = udf(fnv64)
+}
