@@ -314,6 +314,143 @@ object SparkEntry {
 
     "ts_pairwise_sbd" -> ((s, dir) =>
       Distances.pairwise(IO.events(s, dir), "sbd")),
+
+    // ── clustering (distributed distances → driver cores → label table) ─
+    "ts_kmedoids" -> ((s, dir) =>
+      Clustering.kmedoids(IO.events(s, dir), k = 3, metric = "sbd")),
+
+    "ts_dbscan" -> ((s, dir) =>
+      Clustering.dbscanCluster(IO.events(s, dir), eps = 0.35, minPts = 3, metric = "sbd")),
+
+    "ts_agglomerative" -> ((s, dir) =>
+      Clustering.agglomerativeCluster(IO.events(s, dir), k = 3, metric = "sbd")),
+
+    "ts_cluster_eval" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+      Clustering.evaluate(ev, Clustering.kmedoids(ev, k = 3, metric = "sbd"), metric = "sbd")
+    }),
+
+    // ── advanced kernels ────────────────────────────────────────────────
+    "ts_rocket" -> ((s, dir) =>
+      Advanced.rocketFeatures(IO.events(s, dir), nKernels = 20, inputLen = 64)),
+
+    "ts_minirocket" -> ((s, dir) =>
+      Advanced.miniRocketFeatures(IO.events(s, dir))),
+
+    "ts_garch" -> ((s, dir) =>
+      Advanced.garchForecast(IO.events(s, dir), h = 5)),
+
+    "ts_regime" -> ((s, dir) =>
+      Advanced.regimeDetect(IO.events(s, dir), k = 2)),
+
+    "ts_kalman" -> ((s, dir) => {
+      val u = udf((ys: Seq[Double]) => {
+        val (f, sm) = graft.kernels.Kalman.filterSmooth(ys.toArray)
+        f.zip(sm).map { case (a, b) => (a, b) }
+      })
+      graft.core.Panel.grouped(IO.events(s, dir))(PC)
+        .select(col("user_id"), col("ts").as("__ts"), u(col("ys")).as("__r"))
+        .select(col("user_id"), posexplode(col("__r")).as(Seq("__i", "__s")), col("__ts"))
+        .select(col("user_id"), expr("__ts[__i]").as("ts"),
+          col("__s._1").as("filtered"), col("__s._2").as("smoothed"))
+    }),
+
+    // ── multivariate / hierarchical ─────────────────────────────────────
+    "ts_var_fc" -> ((s, dir) => {
+      val wide = IO.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("ts"))
+        .pivot("event_type").agg(avg("value"))
+        .na.drop()
+      val cols = wide.columns.filter(_ != "ts").sorted.take(3).toSeq
+      VarModels.forecast(wide, cols, p = 2, h = 5)(PanelCols(time = "ts"))
+    }),
+
+    "ts_granger" -> ((s, dir) => {
+      val wide = IO.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("ts"))
+        .pivot("event_type").agg(avg("value"))
+        .na.drop()
+      val cols = wide.columns.filter(_ != "ts").sorted.take(2)
+      val (f, p) = VarModels.granger(wide, cols(0), cols(1), p = 2)(PanelCols(time = "ts"))
+      import s.implicits._
+      Seq((f, p)).toDF("f_stat", "p_value")
+    }),
+
+    "ts_reconcile_bu" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+      val fc = ForecastBaselines.naive(ev, 7)
+        .select(col("user_id").cast("string").as("unique_id"), col("ts"), col("y_hat"))
+      val users = ev.select(col("user_id")).distinct().collect()
+        .map(_.getLong(0)).sorted
+      val edges = Seq("g0", "g1", "g2").map(g => ("total", g)) ++
+        users.map(u => (s"g${u % 3}", u.toString))
+      Reconciliation.bottomUp(fc, edges)(PanelCols(id = "unique_id", time = "ts"))
+        .select(col("unique_id"), col("ts"), r6(col("y_hat")).as("y_hat"))
+    }),
+
+    "ts_reconcile_mint" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+      val users = ev.select(col("user_id")).distinct().collect()
+        .map(_.getLong(0)).sorted
+      val edges = Seq("g0", "g1", "g2").map(g => ("total", g)) ++
+        users.map(u => (s"g${u % 3}", u.toString))
+      val base = ForecastBaselines.naive(ev, 7)(PC)
+        .select(col("user_id").cast("string").as("unique_id"), col("ts"), col("y_hat"))
+      val hpc: PanelCols = PanelCols(id = "unique_id", time = "ts")
+      val all = Reconciliation.bottomUp(base, edges)(hpc)
+      Reconciliation.minTraceOls(all, edges)(hpc)
+    }),
+
+    // ── pipeline / backtest / streaming ─────────────────────────────────
+    "ts_ridge_fc" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+      val model = Pipeline.fitGlobalRidge(ev, lags = 3)
+      Pipeline.recursiveForecast(ev, model, h = 5)
+    }),
+
+    "ts_backtest_naive" -> ((s, dir) =>
+      Pipeline.backtest(IO.events(s, dir),
+        (train, h) => ForecastBaselines.naive(train, h), folds = 2, horizon = 12)),
+
+    "ts_streaming_ets" -> ((s, dir) =>
+      graft.streaming.StreamingOps.etsBatch(s, IO.events(s, dir),
+        "user_id", "ts", "value")),
+
+    // ── near-dup detection over synthetic near-duplicates ───────────────
+    "doc_minhash_lsh" -> ((s, dir) => {
+      val docs = IO.documents(s, dir).select("doc_id", "text")
+      val dups = docs.withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(col("text"), lit(" near duplicate suffix")))
+      Dedup.minhashLsh(docs.unionByName(dups), threshold = 0.5)
+    }),
+
+    "doc_ngram_jaccard" -> ((s, dir) => {
+      val docs = IO.documents(s, dir).select("doc_id", "text")
+      val dups = docs.withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(col("text"), lit(" near duplicate suffix")))
+      val corpus = docs.unionByName(dups)
+      val pairs = docs.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 100000).as("id_b")).limit(200)
+      Dedup.ngramJaccard(pairs, corpus)
+        .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
+    }),
+
+    // ── multimodal plumbing (decode step stubbed — see Multimodal) ──────
+    "mm_features" -> ((s, dir) => {
+      val bin = IO.documents(s, dir)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      Multimodal.extractFeatures(Multimodal.withMediaMetadata(bin, "payload"), "payload")
+        .select(col("doc_id"), col("payload_size_bytes"), col("payload_sha1"),
+          round(element_at(col("media_features"), 1), 6).as("f0"))
+    }),
+
+    "mm_frame_sample" -> ((s, dir) => {
+      val bin = IO.documents(s, dir)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      Multimodal.sampleFrames(bin, "payload", frameSize = 100, stride = 2)
+        .select(col("doc_id"), col("frame_index").cast("long").as("frame_index"),
+          col("byte_offset"))
+    }),
   )
 
   /** Persistence forecast with synthetic quantile bands — shared input for
@@ -721,6 +858,32 @@ object SparkEntry {
          |  round(l.value * 0.5 + ma.mav * 0.5, 6) AS y_hat
          |FROM lastv l JOIN d USING (user_id) JOIN ma USING (user_id)
          |CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS step) s""".stripMargin,
+
+    "ts_reconcile_bu" ->
+      s"""WITH o AS (SELECT user_id, value, epoch_us(ts) AS us,
+         |  row_number() OVER ($W) AS rn,
+         |  count(*) OVER (PARTITION BY user_id) AS n FROM events),
+         |lastv AS (SELECT user_id, us, value FROM o WHERE rn = n),
+         |d AS (SELECT user_id, min(us - lus) AS freq FROM
+         |  (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS lus FROM o)
+         |  WHERE lus IS NOT NULL GROUP BY user_id),
+         |fc AS (SELECT l.user_id, make_timestamp(l.us + s.step * d.freq) AS ts,
+         |  l.value AS y_hat FROM lastv l JOIN d USING (user_id)
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS step) s)
+         |SELECT user_id::VARCHAR AS unique_id, ts, round(y_hat, 6) AS y_hat FROM fc
+         |UNION ALL
+         |SELECT 'g' || (user_id % 3)::VARCHAR, ts, round(sum(y_hat), 6)
+         |  FROM fc GROUP BY user_id % 3, ts
+         |UNION ALL
+         |SELECT 'total', ts, round(sum(y_hat), 6) FROM fc GROUP BY ts""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH b AS (SELECT doc_id, octet_length(text::BLOB) AS len FROM documents),
+        |n AS (SELECT doc_id, (len // 100)::INT AS nf FROM b)
+        |SELECT doc_id,
+        |  unnest(generate_series(0, greatest(nf - 1, 0), 2)) AS frame_index,
+        |  unnest(generate_series(0, greatest(nf - 1, 0), 2)) * 100 AS byte_offset
+        |FROM n""".stripMargin,
 
     "emb_knn_classify" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

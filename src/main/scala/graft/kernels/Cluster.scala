@@ -1,0 +1,236 @@
+package graft.kernels
+
+import scala.collection.mutable
+import scala.util.Random
+
+/** Distance-matrix clustering cores (reference polars_ts/clustering/).
+  *
+  * These run on the driver over the n×n series-distance matrix — n is the
+  * number of SERIES (not rows), small by construction (reference operates
+  * the same way single-node; SURVEY §2.12). The distance matrix itself is
+  * computed distributed by [[graft.ops.Distances]]; only the O(n²) label
+  * assignment runs here. Documented limit n ≲ 2·10⁴ (3.2 GB doubles).
+  */
+object Cluster {
+
+  /** PAM k-medoids: greedy best-swap loop from seeded random init
+    * (reference clustering/kmedoids.py:134-253, src/kmedoids.rs:19-160).
+    * Returns (labels, medoid indices). Deterministic for a given seed. */
+  def pam(dist: Array[Array[Double]], k: Int, seed: Long = 42L,
+      maxIter: Int = 100): (Array[Int], Array[Int]) = {
+    val n = dist.length
+    require(k >= 1 && k <= n, s"k=$k out of range for n=$n")
+    val rng = new Random(seed)
+    var medoids = rng.shuffle((0 until n).toVector).take(k).toArray.sorted
+    def assignAll(): Array[Int] = Array.tabulate(n) { i =>
+      var best = 0; var bd = Double.MaxValue
+      var c = 0
+      while (c < k) { val d = dist(i)(medoids(c)); if (d < bd) { bd = d; best = c }; c += 1 }
+      best
+    }
+    def totalCost(ms: Array[Int]): Double = {
+      var s = 0.0; var i = 0
+      while (i < n) {
+        var bd = Double.MaxValue; var c = 0
+        while (c < k) { val d = dist(i)(ms(c)); if (d < bd) bd = d; c += 1 }
+        s += bd; i += 1
+      }
+      s
+    }
+    var cost = totalCost(medoids)
+    var improved = true
+    var iter = 0
+    while (improved && iter < maxIter) {
+      improved = false
+      var c = 0
+      while (c < k) {
+        var cand = 0
+        while (cand < n) {
+          if (!medoids.contains(cand)) {
+            val trial = medoids.clone(); trial(c) = cand
+            val tc = totalCost(trial)
+            if (tc + 1e-12 < cost) { medoids = trial; cost = tc; improved = true }
+          }
+          cand += 1
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    (assignAll(), medoids)
+  }
+
+  /** CLARA: PAM on `samples` random subsets, keep the medoid set with the
+    * best full-data cost (reference clustering/scalable.py:26-120). */
+  def clara(dist: Array[Array[Double]], k: Int, sampleSize: Int,
+      samples: Int = 5, seed: Long = 42L): (Array[Int], Array[Int]) = {
+    val n = dist.length
+    val rng = new Random(seed)
+    var bestCost = Double.MaxValue
+    var bestMedoids: Array[Int] = null
+    (0 until samples).foreach { _ =>
+      val idx = rng.shuffle((0 until n).toVector).take(math.min(sampleSize, n)).toArray
+      val sub = Array.tabulate(idx.length, idx.length)((a, b) => dist(idx(a))(idx(b)))
+      val (_, subMed) = pam(sub, k, rng.nextLong())
+      val medoids = subMed.map(idx)
+      var cost = 0.0
+      var i = 0
+      while (i < n) {
+        var bd = Double.MaxValue; var c = 0
+        while (c < k) { val d = dist(i)(medoids(c)); if (d < bd) bd = d; c += 1 }
+        cost += bd; i += 1
+      }
+      if (cost < bestCost) { bestCost = cost; bestMedoids = medoids.sorted }
+    }
+    val labels = Array.tabulate(n) { i =>
+      var best = 0; var bd = Double.MaxValue
+      var c = 0
+      while (c < k) { val d = dist(i)(bestMedoids(c)); if (d < bd) { bd = d; best = c }; c += 1 }
+      best
+    }
+    (labels, bestMedoids)
+  }
+
+  /** DBSCAN on a precomputed distance matrix (reference
+    * clustering/density.py:90-156, metric="precomputed"). Noise = -1. */
+  def dbscan(dist: Array[Array[Double]], eps: Double, minPts: Int): Array[Int] = {
+    val n = dist.length
+    val labels = Array.fill(n)(-2) // -2 unvisited, -1 noise
+    var cluster = -1
+    def neighbors(i: Int): mutable.ArrayBuffer[Int] = {
+      val out = mutable.ArrayBuffer.empty[Int]
+      var j = 0
+      while (j < n) { if (dist(i)(j) <= eps) out += j; j += 1 }
+      out
+    }
+    var i = 0
+    while (i < n) {
+      if (labels(i) == -2) {
+        val ns = neighbors(i)
+        if (ns.length < minPts) labels(i) = -1
+        else {
+          cluster += 1
+          labels(i) = cluster
+          val queue = mutable.Queue(ns.toSeq: _*)
+          while (queue.nonEmpty) {
+            val q = queue.dequeue()
+            if (labels(q) == -1) labels(q) = cluster
+            else if (labels(q) == -2) {
+              labels(q) = cluster
+              val qn = neighbors(q)
+              if (qn.length >= minPts) queue.enqueueAll(qn)
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    labels
+  }
+
+  /** Agglomerative clustering with single/complete/average linkage, cut at
+    * k clusters (reference clustering/hierarchical.py:23-150). */
+  def agglomerative(dist: Array[Array[Double]], k: Int,
+      linkage: String = "average"): Array[Int] = {
+    val n = dist.length
+    val active = mutable.Set((0 until n): _*)
+    val members = mutable.Map((0 until n).map(i => i -> mutable.ArrayBuffer(i)): _*)
+    val d = mutable.Map.empty[(Int, Int), Double]
+    for (i <- 0 until n; j <- i + 1 until n) d((i, j)) = dist(i)(j)
+    def key(a: Int, b: Int): (Int, Int) = if (a < b) (a, b) else (b, a)
+    while (active.size > k) {
+      // closest active pair (ties → smallest indices, deterministic)
+      var best: (Int, Int) = null
+      var bd = Double.MaxValue
+      val sorted = active.toSeq.sorted
+      for (ai <- sorted.indices; bi <- ai + 1 until sorted.length) {
+        val p = (sorted(ai), sorted(bi))
+        val dd = d(p)
+        if (dd < bd) { bd = dd; best = p }
+      }
+      val (a, b) = best
+      // merge b into a
+      active -= b
+      for (c <- active if c != a) {
+        val combined = linkage match {
+          case "single" => math.min(d(key(a, c)), d(key(b, c)))
+          case "complete" => math.max(d(key(a, c)), d(key(b, c)))
+          case "average" =>
+            val na = members(a).length.toDouble; val nb = members(b).length.toDouble
+            (d(key(a, c)) * na + d(key(b, c)) * nb) / (na + nb)
+          case other => throw new IllegalArgumentException(s"Unknown linkage '$other'")
+        }
+        d(key(a, c)) = combined
+      }
+      members(a) ++= members(b)
+      members -= b
+    }
+    val labels = new Array[Int](n)
+    active.toSeq.sorted.zipWithIndex.foreach { case (root, c) =>
+      members(root).foreach(i => labels(i) = c)
+    }
+    labels
+  }
+
+  /** Mean silhouette score from the distance matrix
+    * (clustering/evaluation.py:12-120). */
+  def silhouette(dist: Array[Array[Double]], labels: Array[Int]): Double = {
+    val n = dist.length
+    val clusters = labels.distinct.filter(_ >= 0)
+    if (clusters.length < 2) return 0.0
+    var total = 0.0; var counted = 0
+    var i = 0
+    while (i < n) {
+      if (labels(i) >= 0) {
+        val own = labels(i)
+        var a = 0.0; var na = 0
+        val bByCluster = mutable.Map.empty[Int, (Double, Int)]
+        var j = 0
+        while (j < n) {
+          if (j != i && labels(j) >= 0) {
+            if (labels(j) == own) { a += dist(i)(j); na += 1 }
+            else {
+              val (s, c) = bByCluster.getOrElse(labels(j), (0.0, 0))
+              bByCluster(labels(j)) = (s + dist(i)(j), c + 1)
+            }
+          }
+          j += 1
+        }
+        if (na > 0 && bByCluster.nonEmpty) {
+          val ai = a / na
+          val bi = bByCluster.values.map { case (s, c) => s / c }.min
+          total += (bi - ai) / math.max(ai, bi)
+          counted += 1
+        }
+      }
+      i += 1
+    }
+    if (counted == 0) 0.0 else total / counted
+  }
+
+  /** Davies-Bouldin index with medoid "centroids" over the distance matrix
+    * (clustering/evaluation.py:180-260). Lower is better. */
+  def daviesBouldin(dist: Array[Array[Double]], labels: Array[Int]): Double = {
+    val clusters = labels.distinct.filter(_ >= 0).sorted
+    if (clusters.length < 2) return 0.0
+    val byC = clusters.map(c => labels.indices.filter(labels(_) == c).toArray)
+    // medoid = member minimizing summed in-cluster distance
+    val medoids = byC.map { m =>
+      m.minBy(i => m.map(j => dist(i)(j)).sum)
+    }
+    val scatter = byC.zip(medoids).map { case (m, med) =>
+      m.map(i => dist(i)(med)).sum / m.length
+    }
+    val k = clusters.length
+    var sum = 0.0
+    for (a <- 0 until k) {
+      var worst = 0.0
+      for (b <- 0 until k if b != a) {
+        val sep = dist(medoids(a))(medoids(b))
+        if (sep > 0) worst = math.max(worst, (scatter(a) + scatter(b)) / sep)
+      }
+      sum += worst
+    }
+    sum / k
+  }
+}

@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.core.{Panel, PanelCols}
+import graft.kernels.{Garch, Hmm, Rocket}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Kernel-backed advanced operators: ROCKET features, GARCH volatility,
+  * HMM regimes. Grouped-array form → broadcast kernel state → per-series
+  * execution in tasks.
+  */
+object Advanced {
+
+  /** ROCKET features `rocket_0..rocket_{2n-1}` per series (reference
+    * features/rocket.py:22-133): one row per series, PPV+max per kernel.
+    * The seeded kernel bank is generated once on the driver and broadcast
+    * (identical kernels on every executor). */
+  def rocketFeatures(df: DataFrame, nKernels: Int = 100, inputLen: Int = 64,
+      seed: Long = 42L)(implicit pc: PanelCols): DataFrame = {
+    val spark = df.sparkSession
+    val bank = spark.sparkContext.broadcast(Rocket.randomKernels(nKernels, inputLen, seed))
+    val u = udf((ys: Seq[Double]) => Rocket.transform(ys.toArray, bank.value))
+    val g = Panel.grouped(df).select(pc.idCol, u(col("ys")).as("__f"))
+    (0 until nKernels * 2).foldLeft(g)((d, i) =>
+      d.withColumn(s"rocket_$i", element_at(col("__f"), i + 1))).drop("__f")
+  }
+
+  /** MiniRocket PPV features `minirocket_0..83` (rocket.py:141-258). */
+  def miniRocketFeatures(df: DataFrame)(implicit pc: PanelCols): DataFrame = {
+    val u = udf((ys: Seq[Double]) => Rocket.miniRocketTransform(ys.toArray))
+    val g = Panel.grouped(df).select(pc.idCol, u(col("ys")).as("__f"))
+    (0 until 84).foldLeft(g)((d, i) =>
+      d.withColumn(s"minirocket_$i", element_at(col("__f"), i + 1))).drop("__f")
+  }
+
+  /** GARCH(1,1) fit + h-step volatility forecast per series:
+    * `[id, omega, alpha, beta, step, sigma]` (volatility.py:25-174).
+    * Input series is converted to returns (diff) inside the op. */
+  def garchForecast(df: DataFrame, h: Int)(implicit pc: PanelCols): DataFrame = {
+    val u = udf((ys: Seq[Double]) => {
+      val arr = ys.toArray
+      val returns = arr.indices.drop(1).map(i => arr(i) - arr(i - 1)).toArray
+      val (params, fc) = Garch.fitForecast(returns, h)
+      (params(0), params(1), params(2), fc)
+    })
+    Panel.grouped(df)
+      .select(pc.idCol, u(col("ys")).as("__r"))
+      .select(pc.idCol, col("__r._1").as("omega"), col("__r._2").as("alpha"),
+        col("__r._3").as("beta"), posexplode(col("__r._4")).as(Seq("__i", "sigma")))
+      .withColumn("step", col("__i") + 1)
+      .select(pc.idCol, col("omega"), col("alpha"), col("beta"), col("step"), col("sigma"))
+  }
+
+  /** Gaussian-HMM regimes per row: `[.., regime, regime_prob]`
+    * (changepoint/regime.py:9-157). */
+  def regimeDetect(df: DataFrame, k: Int = 2)(implicit pc: PanelCols): DataFrame = {
+    val u = udf((ys: Seq[Double]) => Hmm.fit(ys.toArray, k).map { case (r, p) => (r, p) })
+    Panel.grouped(df)
+      .select(pc.idCol, col("ts").as("__ts"), u(col("ys")).as("__r"))
+      .select(pc.idCol, posexplode(col("__r")).as(Seq("__i", "__s")), col("__ts"))
+      .select(pc.idCol, expr("__ts[__i]").as(pc.time),
+        col("__s._1").as("regime"), col("__s._2").as("regime_prob"))
+  }
+}

@@ -38,7 +38,8 @@ object Dedup {
     * classic (a·x + b) mod p universal hash over the shingle's xxhash64. */
   def minhashSignature(shingleCol: Column, k: Int = 64, seed: Int = 42): Column = {
     val rng = new scala.util.Random(seed)
-    val p = 2305843009213693951L // 2^61 - 1, Mersenne prime
+    // 2^31-1 keeps a·x + b < 2^62 — no 64-bit overflow under ANSI mode
+    val p = 2147483647L
     val hashes = (0 until k).map { _ =>
       val a = (rng.nextLong().abs % (p - 1)) + 1
       val b = rng.nextLong().abs % p
