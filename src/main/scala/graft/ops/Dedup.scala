@@ -35,19 +35,26 @@ object Dedup {
   }
 
   /** MinHash signature of a shingle set: k independent permutations via the
-    * classic (a·x + b) mod p universal hash over the shingle's xxhash64. */
-  def minhashSignature(shingleCol: Column, k: Int = 64, seed: Int = 42): Column = {
+    * classic (a·x + b) mod p universal hash. The expensive string work
+    * (shingling + base xxhash64) must be materialized ONCE into a long
+    * array — passing raw shingles here would re-run it k times, since
+    * Catalyst does not factor common subexpressions across projections. */
+  def minhashSignature(hashedShingles: Column, k: Int = 64, seed: Int = 42): Column = {
     val rng = new scala.util.Random(seed)
     // 2^31-1 keeps a·x + b < 2^62 — no 64-bit overflow under ANSI mode
     val p = 2147483647L
-    val hashes = (0 until k).map { _ =>
+    val perms = (0 until k).map { _ =>
       val a = (rng.nextLong().abs % (p - 1)) + 1
       val b = rng.nextLong().abs % p
-      array_min(transform(shingleCol,
-        s => pmod(lit(a) * pmod(xxhash64(s), lit(p)) + lit(b), lit(p))))
+      array_min(transform(hashedShingles,
+        h => pmod(lit(a) * h + lit(b), lit(p))))
     }
-    array(hashes: _*)
+    array(perms: _*)
   }
+
+  /** Shingle set → base hashes in [0, 2^31-1): the one string pass. */
+  def hashedShingles(text: Column, n: Int = 5): Column =
+    array_distinct(transform(shingles(text, n), s => pmod(xxhash64(s), lit(2147483647L))))
 
   /** MinHash-LSH near-dup candidate pairs: signatures banded into
     * `bands` groups of `rowsPerBand`; docs sharing any band hash become
@@ -58,8 +65,10 @@ object Dedup {
       shingleN: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.7): DataFrame = {
     val k = bands * rowsPerBand
-    val sigs = df.select(col(idCol).as("__id"),
-        minhashSignature(shingles(col(textCol), shingleN), k).as("__sig"))
+    val sigs = df
+      .select(col(idCol).as("__id"),
+        hashedShingles(col(textCol), shingleN).as("__h"))
+      .select(col("__id"), minhashSignature(col("__h"), k).as("__sig"))
       .cache()
     val banded = sigs.select(col("__id"), posexplode(
       array((0 until bands).map(b =>
