@@ -435,6 +435,107 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
     }),
 
+    // ── batch D: breadth completion ─────────────────────────────────────
+    "ts_impute_bfill" -> ((s, dir) =>
+      Impute.impute(withSynthNulls(IO.events(s, dir)), "backward_fill")
+        .select("user_id", "event_id", "value")),
+
+    "ts_impute_median" -> ((s, dir) =>
+      Impute.impute(withSynthNulls(IO.events(s, dir)), "median")
+        .select(col("user_id"), col("event_id"), r6(col("value")).as("value"))),
+
+    "ts_outlier_hampel" -> ((s, dir) =>
+      Outliers.detect(IO.events(s, dir), "hampel", threshold = 3.0, window = 21)
+        .select("user_id", "event_id", "value", "is_outlier")),
+
+    "ts_outlier_rolling_z" -> ((s, dir) =>
+      Outliers.detect(IO.events(s, dir), "rolling_zscore", threshold = 3.0, window = 21)
+        .select("user_id", "event_id", "value", "is_outlier")),
+
+    "ts_outlier_treat_median" -> ((s, dir) =>
+      Outliers.treat(Outliers.detect(IO.events(s, dir), "zscore", 2.0), "median")
+        .select(col("user_id"), col("event_id"), r6(col("value")).as("value"))),
+
+    "ts_outlier_treat_interp" -> ((s, dir) =>
+      Outliers.treat(Outliers.detect(IO.events(s, dir), "zscore", 2.0), "interpolate")
+        .select(col("user_id"), col("event_id"), r6(col("value")).as("value"))),
+
+    "ts_upsample_30m" -> ((s, dir) =>
+      Resample.upsample(Resample.downsample(IO.events(s, dir), "hour", "mean"),
+        stepUs = 1800000000L)(PC.copy(tieBreak = Nil))
+        .select(col("user_id"), col("ts"), r6(col("value")).as("value"))),
+
+    "ts_time_embeddings" -> ((s, dir) =>
+      Features.timeEmbeddings(IO.events(s, dir), Seq("hour", "day_of_week"))
+        .select(col("event_id"),
+          r6(col("hour_sin")).as("hour_sin"), r6(col("hour_cos")).as("hour_cos"),
+          r6(col("day_of_week_sin")).as("dow_sin"), r6(col("day_of_week_cos")).as("dow_cos"))),
+
+    "ts_holiday" -> ((s, dir) =>
+      Features.holidayFeatures(IO.events(s, dir),
+        Seq(java.sql.Date.valueOf("2024-01-01"), java.sql.Date.valueOf("2024-12-25")))
+        .select("event_id", "is_holiday")),
+
+    "ts_mase" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+      val fc = ev.withColumn("y_hat", lag(col("value"), 1).over(PC.w))
+        .filter(col("y_hat").isNotNull)
+        .select("user_id", "ts", "y_hat")
+      Metrics.mase(ev, fc, "y_hat", seasonLength = 24)
+        .select(col("user_id"), r6(col("mase")).as("mase"))
+    }),
+
+    "ts_reconcile_td" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+      val users = ev.select(col("user_id")).distinct().collect()
+        .map(_.getLong(0)).sorted
+      val edges = users.map(u => ("total", u.toString)).toSeq
+      val hpc: PanelCols = PanelCols(id = "unique_id", time = "ts", target = "value")
+      val bottoms = ForecastBaselines.naive(ev, 7)(PC)
+        .select(col("user_id").cast("string").as("unique_id"), col("ts"), col("y_hat"))
+      val rootFc = Reconciliation.bottomUp(bottoms, edges)(hpc)
+        .filter(col("unique_id") === "total")
+      val hist = ev.select(col("user_id").cast("string").as("unique_id"),
+        col("ts"), col("value"))
+      Reconciliation.topDown(rootFc, hist, "total", edges)(hpc)
+        .select(col("unique_id"), col("ts"), r6(col("y_hat")).as("y_hat"))
+    }),
+
+    "ts_clara" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+      val (ids, m) = Clustering.collectMatrix(Distances.pairwise(ev, "sbd")(PC), "sbd")
+      val (labels, _) = graft.kernels.Cluster.clara(m, k = 3, sampleSize = 40)
+      import s.implicits._
+      ids.zip(labels).toSeq.toDF("unique_id", "cluster")
+    }),
+
+    "ts_cv_sliding" -> ((s, dir) =>
+      Validation.slidingWindowCv(IO.events(s, dir), folds = 3, horizon = 24, window = 100)
+        .groupBy(col("fold"), col("split")).agg(count(lit(1)).as("n_rows"))),
+
+    "ts_pairwise_msm" -> ((s, dir) =>
+      Distances.pairwise(IO.events(s, dir), "msm")),
+    "ts_pairwise_erp" -> ((s, dir) =>
+      Distances.pairwise(IO.events(s, dir), "erp")),
+    "ts_pairwise_twe" -> ((s, dir) =>
+      Distances.pairwise(IO.events(s, dir), "twe")),
+    "ts_pairwise_lcss" -> ((s, dir) =>
+      Distances.pairwise(IO.events(s, dir), "lcss")),
+    "ts_pairwise_edr" -> ((s, dir) =>
+      Distances.pairwise(IO.events(s, dir), "edr")),
+    "ts_pairwise_frechet" -> ((s, dir) =>
+      Distances.pairwise(IO.events(s, dir), "frechet")),
+    "ts_pairwise_wdtw" -> ((s, dir) =>
+      Distances.pairwise(IO.events(s, dir), "wdtw")),
+    "ts_pairwise_ddtw" -> ((s, dir) =>
+      Distances.pairwise(IO.events(s, dir), "ddtw")),
+    "ts_pairwise_fastdtw" -> ((s, dir) =>
+      Distances.pairwise(IO.events(s, dir), "dtw", Map("radius" -> 5.0))),
+    "ts_pairwise_dtw_multi" -> ((s, dir) =>
+      Distances.pairwiseMulti(
+        IO.events(s, dir).withColumn("value2", col("value") * 0.5 + 1.0),
+        Seq("value", "value2"), "dtw_multi")),
+
     // ── multimodal plumbing (decode step stubbed — see Multimodal) ──────
     "mm_features" -> ((s, dir) => {
       val bin = IO.documents(s, dir)
@@ -876,6 +977,118 @@ object SparkEntry {
          |  FROM fc GROUP BY user_id % 3, ts
          |UNION ALL
          |SELECT 'total', ts, round(sum(y_hat), 6) FROM fc GROUP BY ts""".stripMargin,
+
+    "ts_impute_bfill" ->
+      s"""SELECT user_id, event_id,
+         |  coalesce($synthNullSql,
+         |    last_value($synthNullSql IGNORE NULLS) OVER
+         |      (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS value
+         |FROM events""".stripMargin,
+
+    "ts_impute_median" ->
+      s"""SELECT user_id, event_id,
+         |  round(coalesce($synthNullSql,
+         |    quantile_cont($synthNullSql, 0.5) OVER (PARTITION BY user_id)), 6) AS value
+         |FROM events""".stripMargin,
+
+    "ts_outlier_hampel" ->
+      s"""WITH m AS (SELECT user_id, event_id, ts, value,
+         |  quantile_cont(value, 0.5) OVER ($W ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING) AS med
+         |FROM events),
+         |mm AS (SELECT *, quantile_cont(abs(value - med), 0.5) OVER
+         |  ($W ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING) AS mad FROM m)
+         |SELECT user_id, event_id, value,
+         |  (value IS NOT NULL AND
+         |   (value < med - (1.4826 * 3) * mad OR value > med + (1.4826 * 3) * mad)) AS is_outlier
+         |FROM mm""".stripMargin,
+
+    "ts_outlier_rolling_z" ->
+      s"""WITH f AS (SELECT user_id, event_id, value,
+         |  avg(value) OVER w AS mu, stddev_samp(value) OVER w AS sd
+         |FROM events WINDOW w AS ($W ROWS BETWEEN 20 PRECEDING AND CURRENT ROW))
+         |SELECT user_id, event_id, value,
+         |  (value IS NOT NULL AND (value < mu - 3.0 * sd OR value > mu + 3.0 * sd)) AS is_outlier
+         |FROM f""".stripMargin,
+
+    "ts_outlier_treat_median" ->
+      """WITH s AS (SELECT user_id, event_id, value,
+        |  avg(value) OVER (PARTITION BY user_id) AS mu,
+        |  stddev_samp(value) OVER (PARTITION BY user_id) AS sd
+        |FROM events),
+        |f AS (SELECT *, (value < mu - 2.0 * sd OR value > mu + 2.0 * sd) AS o FROM s)
+        |SELECT user_id, event_id,
+        |  round(CASE WHEN o THEN quantile_cont(CASE WHEN NOT o THEN value END, 0.5)
+        |    OVER (PARTITION BY user_id) ELSE value END, 6) AS value
+        |FROM f""".stripMargin,
+
+    "ts_upsample_30m" ->
+      """WITH down AS (SELECT user_id, date_trunc('hour', ts) AS ts, avg(value) AS value
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (SELECT user_id, epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi
+        |  FROM down GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |  make_timestamp(unnest(generate_series(lo, hi, 1800000000))) AS ts FROM rng),
+        |j AS (SELECT g.user_id, g.ts, d.value FROM grid g
+        |  LEFT JOIN down d ON d.user_id = g.user_id AND d.ts = g.ts)
+        |SELECT user_id, ts, round(coalesce(value,
+        |  last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS value
+        |FROM j""".stripMargin,
+
+    "ts_time_embeddings" ->
+      """SELECT event_id,
+        |  round(sin(2 * pi() * hour(ts) / 24.0), 6) AS hour_sin,
+        |  round(cos(2 * pi() * hour(ts) / 24.0), 6) AS hour_cos,
+        |  round(sin(2 * pi() * (isodow(ts) - 1) / 7.0), 6) AS dow_sin,
+        |  round(cos(2 * pi() * (isodow(ts) - 1) / 7.0), 6) AS dow_cos
+        |FROM events""".stripMargin,
+
+    "ts_holiday" ->
+      """SELECT event_id,
+        |  (CASE WHEN strftime(ts, '%Y-%m-%d') IN ('2024-01-01', '2024-12-25')
+        |    THEN 1 ELSE 0 END)::TINYINT AS is_holiday
+        |FROM events""".stripMargin,
+
+    "ts_mase" ->
+      s"""WITH t AS (SELECT user_id, value,
+         |  lag(value, 1) OVER ($W) AS l1,
+         |  lag(value, 24) OVER ($W) AS l24 FROM events)
+         |SELECT user_id,
+         |  round(avg(abs(value - l1)) / avg(abs(value - l24)), 6) AS mase
+         |FROM t GROUP BY user_id""".stripMargin,
+
+    "ts_reconcile_td" ->
+      s"""WITH o AS (SELECT user_id, value, epoch_us(ts) AS us,
+         |  row_number() OVER ($W) AS rn,
+         |  count(*) OVER (PARTITION BY user_id) AS n FROM events),
+         |lastv AS (SELECT user_id, us, value FROM o WHERE rn = n),
+         |d AS (SELECT user_id, min(us - lus) AS freq FROM
+         |  (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS lus FROM o)
+         |  WHERE lus IS NOT NULL GROUP BY user_id),
+         |fc AS (SELECT l.user_id, make_timestamp(l.us + s.step * d.freq) AS ts,
+         |  l.value AS y_hat FROM lastv l JOIN d USING (user_id)
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS step) s),
+         |tot AS (SELECT ts, sum(y_hat) AS y FROM fc GROUP BY ts),
+         |h AS (SELECT user_id, sum(value) AS t FROM events GROUP BY user_id),
+         |ha AS (SELECT sum(t) AS a FROM h),
+         |props AS (SELECT user_id, t / a AS p FROM h, ha)
+         |SELECT p.user_id::VARCHAR AS unique_id, t2.ts, round(t2.y * p.p, 6) AS y_hat
+         |FROM tot t2 CROSS JOIN props p""".stripMargin,
+
+    "ts_cv_sliding" ->
+      """WITH tm AS (SELECT ts, row_number() OVER (ORDER BY ts) AS tidx
+        |  FROM (SELECT DISTINCT ts FROM events)),
+        |nt AS (SELECT max(tidx) AS nt FROM tm),
+        |r AS (SELECT t.tidx, f.fold, n.nt FROM events e
+        |  JOIN tm t ON e.ts = t.ts CROSS JOIN nt n
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 2))::INT AS fold) f),
+        |marked AS (SELECT fold,
+        |  CASE WHEN tidx <= nt - (3 - fold) * 24 AND tidx > nt - (3 - fold) * 24 - 100 THEN 'train'
+        |    WHEN tidx > nt - (3 - fold) * 24 AND tidx <= nt - (3 - fold) * 24 + 24 THEN 'test'
+        |  END AS split FROM r)
+        |SELECT fold, split, count(*) AS n_rows FROM marked
+        |WHERE split IS NOT NULL GROUP BY fold, split""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH b AS (SELECT doc_id, octet_length(text::BLOB) AS len FROM documents),

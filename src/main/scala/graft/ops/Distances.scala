@@ -59,6 +59,34 @@ object Distances {
         dist(col("a.ys"), col("b.ys")).as(metric))
   }
 
+  /** Multivariate pairwise distances (`dtw_multi` manhattan/euclidean,
+    * `msm_multi` dependent-cost — reference src/dtw_multi.rs, msm_multi.rs)
+    * over `channels` value columns: grouped wide form
+    * `Array[Array[Double]]` (time-major), same join shape as univariate. */
+  def pairwiseMulti(df: DataFrame, channels: Seq[String], metric: String,
+      params: Map[String, Double] = Map.empty)(implicit pc: PanelCols): DataFrame = {
+    val kernel: (Array[Array[Double]], Array[Array[Double]]) => Double = metric match {
+      case "dtw_multi" =>
+        val euclid = params.get("euclidean").exists(_ != 0.0)
+        (a, b) => Elastic.dtwMulti(a, b, euclid)
+      case "msm_multi" =>
+        val c = params.getOrElse("c", 1.0)
+        (a, b) => Elastic.msmMulti(a, b, c)
+      case other => throw new IllegalArgumentException(s"Unknown multivariate metric '$other'")
+    }
+    val dist = udf((a: Seq[Seq[Double]], b: Seq[Seq[Double]]) =>
+      kernel(a.map(_.toArray).toArray, b.map(_.toArray).toArray))
+    val fields = (pc.timeCol.as("__t") +: pc.tieBreak.zipWithIndex.map {
+      case (c, i) => col(c).as(s"__tb$i")
+    }) :+ array(channels.map(c => col(c).cast("double")): _*).as("__v")
+    val g = df.groupBy(pc.idCol)
+      .agg(sort_array(collect_list(struct(fields: _*))).as("__pts"))
+      .select(pc.idCol, col("__pts.__v").as("vs"))
+    g.as("a").join(broadcast(g).as("b"), col(s"a.${pc.id}") < col(s"b.${pc.id}"))
+      .select(col(s"a.${pc.id}").as("id_1"), col(s"b.${pc.id}").as("id_2"),
+        dist(col("a.vs"), col("b.vs")).as(metric))
+  }
+
   /** Cross-panel pairwise (train vs test), all pairs:
     * `[id_1 (left), id_2 (right), <metric>]`; optional per-left top-k
     * neighbor pruning — the scale valve the reference lacks. */
