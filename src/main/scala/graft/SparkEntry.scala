@@ -358,18 +358,18 @@ object SparkEntry {
     // ── multivariate / hierarchical ─────────────────────────────────────
     "ts_var_fc" -> ((s, dir) => {
       val wide = IO.events(s, dir)
-        .groupBy(date_trunc("hour", col("ts")).as("ts"))
+        .groupBy(date_trunc("day", col("ts")).as("ts"))
         .pivot("event_type").agg(avg("value"))
-        .na.drop()
+        .na.fill(0.0)
       val cols = wide.columns.filter(_ != "ts").sorted.take(3).toSeq
       VarModels.forecast(wide, cols, p = 2, h = 5)(PanelCols(time = "ts"))
     }),
 
     "ts_granger" -> ((s, dir) => {
       val wide = IO.events(s, dir)
-        .groupBy(date_trunc("hour", col("ts")).as("ts"))
+        .groupBy(date_trunc("day", col("ts")).as("ts"))
         .pivot("event_type").agg(avg("value"))
-        .na.drop()
+        .na.fill(0.0)
       val cols = wide.columns.filter(_ != "ts").sorted.take(2)
       val (f, p) = VarModels.granger(wide, cols(0), cols(1), p = 2)(PanelCols(time = "ts"))
       import s.implicits._

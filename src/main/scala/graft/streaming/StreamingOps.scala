@@ -30,6 +30,7 @@ object StreamingOps {
           val out = rows.toSeq.sortBy(_.ts.getTime).map { o =>
             s =
               if (s.n == 0L) EtsState(o.y, 0.0, 1L)
+              else if (s.n == 1L) EtsState(o.y, o.y - s.level, 2L) // two-point init, matches Ets.holt
               else {
                 val prevLevel = s.level
                 val level = alpha * o.y + (1.0 - alpha) * (s.level + s.trend)
@@ -84,6 +85,7 @@ object StreamingOps {
       rows.toSeq.sortBy(_.ts.getTime).map { o =>
         s =
           if (s.n == 0L) EtsState(o.y, 0.0, 1L)
+          else if (s.n == 1L) EtsState(o.y, o.y - s.level, 2L) // two-point init, matches Ets.holt
           else {
             val prevLevel = s.level
             val level = alpha * o.y + (1.0 - alpha) * (s.level + s.trend)
