@@ -536,6 +536,122 @@ object SparkEntry {
         IO.events(s, dir).withColumn("value2", col("value") * 0.5 + 1.0),
         Seq("value", "value2"), "dtw_multi")),
 
+    // ── batch E: imaging, kshape, arima-lite, importance, kaboudan ──────
+    "ts_impute_seasonal" -> ((s, dir) =>
+      Impute.impute(withSynthNulls(IO.events(s, dir)), "seasonal", period = 24)
+        .select("user_id", "event_id", "value")),
+
+    "ts_imaging_rqa" -> ((s, dir) => {
+      val u = udf((ys: Seq[Double]) => {
+        val arr = ys.toArray
+        val z = graft.kernels.Cluster.zNorm(arr)
+        val (rr, det) = graft.kernels.Imaging.rqa(z, 0.2)
+        val g = graft.kernels.Imaging.gasf(arr)
+        val m = graft.kernels.Imaging.mtf(arr, 8)
+        val trace = (0 until g.length).map(i => g(i)(i)).sum / g.length
+        val mtfMean = m.map(_.sum).sum / (m.length.toDouble * m.length)
+        (rr, det, trace, mtfMean)
+      })
+      graft.core.Panel.grouped(IO.events(s, dir))(PC)
+        .select(col("user_id"), u(col("ys")).as("__r"))
+        .select(col("user_id"), col("__r._1").as("recurrence_rate"),
+          col("__r._2").as("determinism"), col("__r._3").as("gasf_trace_mean"),
+          col("__r._4").as("mtf_mean"))
+    }),
+
+    "ts_arima_fc" -> ((s, dir) => {
+      val u = udf((ys: Seq[Double]) =>
+        graft.kernels.ArimaLite.forecast(ys.toArray, p = 2, d = 1, h = 5))
+      graft.core.Panel.grouped(IO.events(s, dir))(PC)
+        .select(col("user_id"), posexplode(u(col("ys"))).as(Seq("__i", "y_hat")))
+        .withColumn("step", col("__i") + 1)
+        .select("user_id", "step", "y_hat")
+    }),
+
+    "ts_kshape" -> ((s, dir) => {
+      val g = graft.core.Panel.grouped(IO.events(s, dir))(PC)
+        .select(col("user_id"), col("ys")).collect()
+      val minLen = g.map(_.getSeq[Double](1).length).min
+      val ids = g.map(_.getLong(0))
+      val series = g.map(_.getSeq[Double](1).take(minLen).toArray)
+      val labels = graft.kernels.Cluster.kShape(series, k = 3)
+      import s.implicits._
+      ids.zip(labels).toSeq.toDF("user_id", "cluster")
+    }),
+
+    "ts_auto_cluster" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+      val (ids, m) = Clustering.collectMatrix(Distances.pairwise(ev, "sbd")(PC), "sbd")
+      val results = for {
+        k <- Seq(2, 3, 4)
+        (method, labels) <- Seq(
+          "kmedoids" -> graft.kernels.Cluster.pam(m, k)._1,
+          "agglomerative" -> graft.kernels.Cluster.agglomerative(m, k))
+      } yield (method, k, graft.kernels.Cluster.silhouette(m, labels))
+      import s.implicits._
+      val df = results.toDF("method", "k", "silhouette")
+      val best = results.maxBy(_._3)
+      df.withColumn("is_best",
+        col("method") === best._1 && col("k") === best._2)
+    }),
+
+    "ts_kaboudan" -> ((s, dir) => {
+      // block-shuffle-by-id backtest metric: eta = 1 - sse_orig/sse_shuffled
+      // (reference metrics/kaboudan.py:21-216), persistence as the model,
+      // deterministic block permutation via xxhash64 of the block index.
+      val ev = IO.events(s, dir)
+      val blockSize = 8
+      val withBlock = ev
+        .withColumn("__rn", row_number().over(PC.w))
+        .withColumn("__block", ((col("__rn") - 1) / blockSize).cast("long"))
+      val shuffled = withBlock
+        .withColumn("__border", xxhash64(col("user_id"), col("__block")))
+        .withColumn("__srn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+            .orderBy(col("__border"), col("__rn"))))
+        .select(col("user_id"), col("__srn").as("__rn"), col("value").as("__shuf"))
+      val rnW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("__rn"))
+      val joined = withBlock.join(shuffled, Seq("user_id", "__rn"))
+        .withColumn("__eo", pow(col("value") - lag(col("value"), 1).over(rnW), 2))
+        .withColumn("__es", pow(col("__shuf") - lag(col("__shuf"), 1).over(rnW), 2))
+      joined.groupBy(col("user_id"))
+        .agg(sum(col("__eo")).as("__so"), sum(col("__es")).as("__ss"))
+        .select(col("user_id"),
+          (lit(1.0) - col("__so") / col("__ss")).as("kaboudan_eta"))
+    }),
+
+    "ts_perm_importance" -> ((s, dir) => {
+      // permutation importance of lag-1 feature for persistence MAE
+      // (reference importance.py:11-100): deterministic hash shuffle.
+      val ev = IO.events(s, dir)
+        .withColumn("y_hat", lag(col("value"), 1).over(PC.w))
+        .filter(col("y_hat").isNotNull)
+      val base = Metrics.grouped(ev, "value", "y_hat").select(col("user_id"), col("mae"))
+      val n = ev.withColumn("__rn", row_number().over(PC.w))
+      val perm = n.withColumn("__srn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+            .orderBy(xxhash64(col("event_id")))))
+        .select(col("user_id"), col("__srn").as("__rn"), col("y_hat").as("__ph"))
+      val shuffledMae = n.drop("y_hat").join(perm, Seq("user_id", "__rn"))
+        .groupBy(col("user_id")).agg(avg(abs(col("value") - col("__ph"))).as("mae_shuffled"))
+      base.join(shuffledMae, Seq("user_id"))
+        .select(col("user_id"), (col("mae_shuffled") - col("mae")).as("importance"))
+    }),
+
+    "ts_knn_classify_dtw" -> ((s, dir) => {
+      // classify held-out series by DTW-nearest neighbors' synthetic label
+      val ev = IO.events(s, dir)
+      val test = ev.filter(col("user_id") < 5)
+      val train = ev.filter(col("user_id") >= 5)
+      val pairs = Distances.pairwiseCross(test, train, "dtw", topK = 5)(PC)
+        .select(col("id_1").as("query_id"), col("id_2").as("neighbor_id"),
+          col("dtw").as("score"))
+      val labels = train.select(col("user_id").as("vec_id")).distinct()
+        .withColumn("label", pmod(col("vec_id"), lit(3)).cast("int"))
+      Evaluation.knnClassify(pairs, labels, k = 5)
+    }),
+
     // ── multimodal plumbing (decode step stubbed — see Multimodal) ──────
     "mm_features" -> ((s, dir) => {
       val bin = IO.documents(s, dir)
@@ -977,6 +1093,17 @@ object SparkEntry {
          |  FROM fc GROUP BY user_id % 3, ts
          |UNION ALL
          |SELECT 'total', ts, round(sum(y_hat), 6) FROM fc GROUP BY ts""".stripMargin,
+
+    "ts_impute_seasonal" ->
+      s"""WITH b AS (SELECT user_id, event_id, $synthNullSql AS v,
+         |  (row_number() OVER ($W) - 1) % 24 AS phase,
+         |  row_number() OVER ($W) AS rn FROM events)
+         |SELECT user_id, event_id, coalesce(v,
+         |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id, phase ORDER BY rn
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id, phase ORDER BY rn DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS value
+         |FROM b""".stripMargin,
 
     "ts_impute_bfill" ->
       s"""SELECT user_id, event_id,

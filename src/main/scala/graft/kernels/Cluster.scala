@@ -172,6 +172,99 @@ object Cluster {
     labels
   }
 
+  /** z-normalize a series (constant → zeros). */
+  def zNorm(x: Array[Double]): Array[Double] = {
+    val n = x.length
+    val mu = x.sum / n
+    val sd = math.sqrt(x.map(v => (v - mu) * (v - mu)).sum / n)
+    if (sd == 0.0) Array.fill(n)(0.0) else x.map(v => (v - mu) / sd)
+  }
+
+  /** Best-alignment shift of `x` against `ref` by cross-correlation. */
+  private def alignTo(ref: Array[Double], x: Array[Double]): Array[Double] = {
+    val n = math.min(ref.length, x.length)
+    var bestShift = 0; var bestCc = Double.NegativeInfinity
+    var s = -(n - 1)
+    while (s < n) {
+      var cc = 0.0
+      var i = math.max(0, s)
+      val end = math.min(n - 1, n - 1 + s)
+      while (i <= end) { cc += ref(i) * x(i - s); i += 1 }
+      if (cc > bestCc) { bestCc = cc; bestShift = s }
+      s += 1
+    }
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val j = i - bestShift
+      out(i) = if (j >= 0 && j < n) x(j) else 0.0
+      i += 1
+    }
+    out
+  }
+
+  /** k-Shape clustering (reference clustering/kshape.py:9-160): z-norm,
+    * SBD assignment, centroid = dominant eigenvector of the aligned
+    * member matrix (power iteration). Series must share one length. */
+  def kShape(series: Array[Array[Double]], k: Int, seed: Long = 42L,
+      maxIter: Int = 20): Array[Int] = {
+    val n = series.length
+    require(n >= k, s"need at least k=$k series")
+    val len = series.map(_.length).min
+    val z = series.map(s => zNorm(s.take(len)))
+    val rng = new Random(seed)
+    var centroids = rng.shuffle(z.indices.toVector).take(k).map(i => z(i).clone()).toArray
+    var labels = Array.fill(n)(0)
+    var it = 0
+    var changed = true
+    while (it < maxIter && changed) {
+      changed = false
+      // assignment by SBD
+      var i = 0
+      while (i < n) {
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val d = Elastic.sbd(z(i), centroids(c))
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        if (labels(i) != best) { labels(i) = best; changed = true }
+        i += 1
+      }
+      // centroid update: power iteration on M = Σ aligned·alignedᵀ
+      for (c <- 0 until k) {
+        val members = z.indices.filter(labels(_) == c)
+        if (members.nonEmpty) {
+          val aligned = members.map(m => alignTo(centroids(c), z(m)))
+          var v = centroids(c).clone()
+          if (v.forall(_ == 0.0)) v = Array.tabulate(len)(i => 1.0 / math.sqrt(len))
+          var p = 0
+          while (p < 15) {
+            val mv = new Array[Double](len)
+            aligned.foreach { a =>
+              var dot = 0.0
+              var j = 0
+              while (j < len) { dot += a(j) * v(j); j += 1 }
+              j = 0
+              while (j < len) { mv(j) += dot * a(j); j += 1 }
+            }
+            val norm = math.sqrt(mv.map(x => x * x).sum)
+            if (norm > 0) { var j = 0; while (j < len) { v(j) = mv(j) / norm; j += 1 } }
+            p += 1
+          }
+          // sign convention: positive correlation with cluster mean
+          val mean = new Array[Double](len)
+          aligned.foreach { a => var j = 0; while (j < len) { mean(j) += a(j); j += 1 } }
+          val dot = v.zip(mean).map { case (a, b) => a * b }.sum
+          centroids(c) = if (dot < 0) v.map(-_) else v
+        }
+      }
+      it += 1
+    }
+    labels
+  }
+
   /** Mean silhouette score from the distance matrix
     * (clustering/evaluation.py:12-120). */
   def silhouette(dist: Array[Array[Double]], labels: Array[Int]): Double = {

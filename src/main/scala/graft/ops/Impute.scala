@@ -22,7 +22,7 @@ object Impute {
 
   /** Impute `target` with the chosen method; optional `{y}_imputed` flag. */
   def impute(df: DataFrame, method: String = "forward_fill",
-      addIndicator: Boolean = false)(implicit pc: PanelCols): DataFrame = {
+      addIndicator: Boolean = false, period: Int = 7)(implicit pc: PanelCols): DataFrame = {
     val y = pc.targetCol
     val out = method match {
       case "forward_fill" =>
@@ -34,12 +34,30 @@ object Impute {
       case "median" =>
         df.withColumn(pc.target, coalesce(y, percentile(y, lit(0.5)).over(pc.wAll)))
       case "linear" => linear(df)
+      case "seasonal" => seasonal(df, period)
       case other => throw new IllegalArgumentException(
-        s"Unknown method '$other'. Choose from [forward_fill, backward_fill, linear, mean, median]")
+        s"Unknown method '$other'. Choose from [forward_fill, backward_fill, linear, mean, median, seasonal]")
     }
     if (addIndicator)
       out.withColumn(s"${pc.target}_imputed", y.isNull && col(pc.target).isNotNull)
     else out
+  }
+
+  /** Seasonal: fill from the nearest non-null observation at the SAME
+    * seasonal phase (previous preferred, then next — reference
+    * imputation.py seasonal mode). Windows over (id, phase). */
+  private def seasonal(df: DataFrame, period: Int)(implicit pc: PanelCols): DataFrame = {
+    val y = pc.targetCol
+    val withPhase = df.withColumn("__phase",
+      pmod(row_number().over(pc.w) - 1, lit(period)))
+    val back = Window.partitionBy(pc.idCol, col("__phase"))
+      .orderBy(pc.orderCols: _*).rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = Window.partitionBy(pc.idCol, col("__phase"))
+      .orderBy(pc.orderCols.map(_.desc): _*).rowsBetween(Window.unboundedPreceding, 0)
+    withPhase.withColumn(pc.target,
+      coalesce(y, last(y, ignoreNulls = true).over(back),
+        last(y, ignoreNulls = true).over(fwd)))
+      .drop("__phase")
   }
 
   /** Linear interpolation between nearest non-null neighbors; endpoints

@@ -1,0 +1,48 @@
+package graft.tools
+
+import graft.core.{IO, PanelCols}
+import graft.ops._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audit: prints `explain(formatted)` extracts for the
+  * engine's core plan shapes so shuffle-count / pushdown / broadcast
+  * regressions are visible. Run: sbt "runMain graft.tools.PlanAudit". */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    implicit val pc: PanelCols = PanelCols("user_id", "ts", "value", Seq("event_id"))
+
+    def audit(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val plan = df.queryExecution.executedPlan.toString()
+      val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+      val scans = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+      val broadcasts = plan.linesIterator.count(_.contains("Broadcast"))
+      val codegen = plan.linesIterator.count(_.contains("WholeStageCodegen"))
+      println(s"\n===== $name =====")
+      println(s"exchanges=$exchanges broadcasts=$broadcasts wholestage_spans=$codegen")
+      println(scans.take(2000))
+    }
+
+    val ev = IO.events(spark, dir)
+    audit("window_feature_pipeline (expect 1 exchange, pruned scan)",
+      Features.rollingFeatures(Features.lagFeatures(ev, Seq(1, 7)), Seq(7))
+        .select("user_id", "ts", "value_lag_1", "value_rolling_mean_7"))
+    audit("q1_agg (expect partial agg before exchange)",
+      graft.SparkEntry.queries("q1_agg")(spark, dir))
+    audit("lag only 2 cols (expect 3-col ReadSchema)",
+      ev.select(col("user_id"), col("ts"),
+        lag(col("value"), 1).over(pc.w).as("l1")))
+    audit("emb_knn (expect broadcast join)",
+      graft.SparkEntry.queries("emb_knn_brute")(spark, dir))
+    audit("pairwise dtw (expect 1 shuffle + broadcast self-join)",
+      Distances.pairwise(ev, "dtw"))
+    audit("naive forecast (expect reused shuffle on user_id)",
+      ForecastBaselines.naive(ev, 7))
+    spark.stop()
+  }
+}
