@@ -41,20 +41,56 @@ object Dedup {
     * Catalyst does not factor common subexpressions across projections. */
   def minhashSignature(hashedShingles: Column, k: Int = 64, seed: Int = 42): Column = {
     val rng = new scala.util.Random(seed)
-    // 2^31-1 keeps a·x + b < 2^62 — no 64-bit overflow under ANSI mode
     val p = 2147483647L
-    val perms = (0 until k).map { _ =>
-      val a = (rng.nextLong().abs % (p - 1)) + 1
-      val b = rng.nextLong().abs % p
-      array_min(transform(hashedShingles,
-        h => pmod(lit(a) * h + lit(b), lit(p))))
-    }
-    array(perms: _*)
+    val as = Array.fill(k)((rng.nextLong().abs % (p - 1)) + 1)
+    val bs = Array.fill(k)(rng.nextLong().abs % p)
+    // one pass over the shingle hashes updating all k minima — k separate
+    // array_min(transform(...)) expressions would rescan the array k times
+    val u = udf((hs: Seq[Long]) => {
+      val mins = Array.fill(k)(Long.MaxValue)
+      val it = hs.iterator
+      while (it.hasNext) {
+        val h = it.next()
+        var i = 0
+        while (i < k) {
+          val v = (as(i) * h + bs(i)) % p
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+      }
+      mins
+    })
+    u(hashedShingles)
   }
 
-  /** Shingle set → base hashes in [0, 2^31-1): the one string pass. */
+  /** Shingle set → distinct base hashes in [0, 2^31-1): ONE string pass as
+    * a rolling-hash UDF. The expression form (transform+substr per
+    * position + array_distinct) allocates a string per shingle and is
+    * ~10× slower on multi-KB documents. */
+  private val hashedShinglesUdf = udf((text: String, n: Int) => {
+    if (text == null) Array.empty[Long]
+    else {
+      val norm = text.trim.toLowerCase.replaceAll("\\s+", " ")
+      val p = 2147483647L
+      val seen = new java.util.HashSet[Long]()
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var i = 0
+      val last = math.max(norm.length - n, 0)
+      while (i <= last) {
+        var h = 1469598103934665603L // FNV-1a over the n-gram
+        var j = i
+        val end = math.min(i + n, norm.length)
+        while (j < end) { h ^= norm.charAt(j); h *= 1099511628211L; j += 1 }
+        val m = ((h % p) + p) % p
+        if (seen.add(m)) out += m
+        i += 1
+      }
+      out.toArray
+    }
+  })
+
   def hashedShingles(text: Column, n: Int = 5): Column =
-    array_distinct(transform(shingles(text, n), s => pmod(xxhash64(s), lit(2147483647L))))
+    hashedShinglesUdf(text, lit(n))
 
   /** MinHash-LSH near-dup candidate pairs: signatures banded into
     * `bands` groups of `rowsPerBand`; docs sharing any band hash become
