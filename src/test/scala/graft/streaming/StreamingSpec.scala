@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.streaming.StreamingOps.Obs
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Drives the stateful streaming operators through a real streaming source
+  * (MemoryStream → flatMapGroupsWithState → memory sink), including state
+  * persistence across triggers — the path a Kafka deployment would take. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def obs(id: String, h: Int, y: Double) =
+    Obs(id, new Timestamp(1704067200000L + h * 3600000L), y)
+
+  test("streaming ETS maintains per-series state across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Obs]
+    val out = StreamingOps.streamingEts(source.toDS(), alpha = 0.3, beta = 0.1)
+    val query = out.writeStream.format("memory").queryName("ets_out")
+      .outputMode("append").start()
+    try {
+      source.addData((0 until 5).map(i => obs("a", i, 10.0 + i)): _*)
+      query.processAllAvailable()
+      source.addData((5 until 10).map(i => obs("a", i, 10.0 + i)): _*)
+      source.addData((0 until 3).map(i => obs("b", i, 100.0)): _*)
+      query.processAllAvailable()
+      val rows = spark.table("ets_out").as[StreamingOps.EtsOutput].collect()
+      assert(rows.count(_.uniqueId == "a") == 10)
+      assert(rows.count(_.uniqueId == "b") == 3)
+      // state carried across the trigger boundary: the batch-fold level at
+      // t=9 must match a single-shot fold over all 10 points
+      val ys = (0 until 10).map(i => 10.0 + i).toArray
+      val expected = graft.kernels.Ets.holt(ys, 0.3, 0.1, 1)(0)
+      val lastA = rows.filter(_.uniqueId == "a").maxBy(_.ts.getTime)
+      assert(math.abs(lastA.forecastNext - expected) < 1e-9,
+        s"streamed ${lastA.forecastNext} vs batch $expected")
+      // constant series: level is the constant, trend 0
+      val lastB = rows.filter(_.uniqueId == "b").maxBy(_.ts.getTime)
+      assert(math.abs(lastB.level - 100.0) < 1e-9)
+      assert(math.abs(lastB.trend) < 1e-9)
+    } finally query.stop()
+  }
+
+  test("streaming Kalman converges toward the observation level") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Obs]
+    val out = StreamingOps.streamingKalman(source.toDS(), q = 0.01, r = 1.0)
+    val query = out.writeStream.format("memory").queryName("kalman_out")
+      .outputMode("append").start()
+    try {
+      source.addData((0 until 30).map(i => obs("s", i, 7.0)): _*)
+      query.processAllAvailable()
+      val rows = spark.table("kalman_out").as[StreamingOps.KalmanOutput].collect()
+      assert(rows.length == 30)
+      val last = rows.maxBy(_.ts.getTime)
+      assert(math.abs(last.filtered - 7.0) < 0.1)
+      assert(last.variance < 1.0)
+    } finally query.stop()
+  }
+}
