@@ -652,6 +652,33 @@ object SparkEntry {
       Evaluation.knnClassify(pairs, labels, k = 5)
     }),
 
+    // ── batch F ─────────────────────────────────────────────────────────
+    "ts_fourier_decomp" -> ((s, dir) =>
+      Decomposition.fourier(IO.events(s, dir), period = 24.0, k = 2)
+        .select(col("user_id"), col("event_id"), r6(col("trend")).as("trend"),
+          r6(col("seasonal")).as("seasonal"), r6(col("resid")).as("resid"))),
+
+    "ts_spectral" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+      val (ids, m) = Clustering.collectMatrix(Distances.pairwise(ev, "sbd")(PC), "sbd")
+      val labels = graft.kernels.Cluster.spectral(m, k = 3)
+      import s.implicits._
+      ids.zip(labels).toSeq.toDF("unique_id", "cluster")
+    }),
+
+    "ts_direct_fc" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+      val models = Pipeline.fitDirectRidge(ev, lags = 3, h = 3)
+      Pipeline.directForecast(ev, models, h = 3)
+    }),
+
+    "ts_compare_models" -> ((s, dir) =>
+      Pipeline.compareModels(IO.events(s, dir), Seq(
+        "naive" -> ((train, h) => ForecastBaselines.naive(train, h)),
+        "moving_average" -> ((train, h) => ForecastBaselines.movingAverage(train, h, 12)),
+        "ses" -> ((train, h) => ForecastBaselines.ses(train, h))),
+        folds = 2, horizon = 12)),
+
     // ── multimodal plumbing (decode step stubbed — see Multimodal) ──────
     "mm_features" -> ((s, dir) => {
       val bin = IO.documents(s, dir)

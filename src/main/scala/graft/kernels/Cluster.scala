@@ -172,6 +172,63 @@ object Cluster {
     labels
   }
 
+  /** Spectral clustering (reference clustering/spectral.py:52-150):
+    * Gaussian affinity → normalized Laplacian → k smallest eigenvectors →
+    * Lloyd k-means on the embedding rows. Driver-side breeze eig. */
+  def spectral(dist: Array[Array[Double]], k: Int, sigma: Double = 0.0,
+      seed: Long = 42L): Array[Int] = {
+    import breeze.linalg.{eigSym, DenseMatrix}
+    val n = dist.length
+    val s = if (sigma > 0) sigma else {
+      val ds = for (i <- 0 until n; j <- i + 1 until n) yield dist(i)(j)
+      val sorted = ds.sorted
+      math.max(sorted(sorted.length / 2), 1e-12) // median distance
+    }
+    val a = DenseMatrix.tabulate(n, n)((i, j) =>
+      if (i == j) 0.0 else math.exp(-dist(i)(j) * dist(i)(j) / (2.0 * s * s)))
+    val deg = Array.tabulate(n)(i => (0 until n).map(a(i, _)).sum)
+    val lsym = DenseMatrix.tabulate(n, n)((i, j) => {
+      val id = if (i == j) 1.0 else 0.0
+      id - a(i, j) / math.sqrt(math.max(deg(i) * deg(j), 1e-12))
+    })
+    val es = eigSym(lsym)
+    // k smallest eigenvalues → embedding rows, row-normalized
+    val order = es.eigenvalues.toArray.zipWithIndex.sortBy(_._1).map(_._2).take(k)
+    val emb = Array.tabulate(n, k)((i, c) => es.eigenvectors(i, order(c)))
+    for (i <- 0 until n) {
+      val norm = math.sqrt(emb(i).map(v => v * v).sum)
+      if (norm > 0) for (c <- 0 until k) emb(i)(c) /= norm
+    }
+    lloyd(emb, k, seed)
+  }
+
+  /** Plain Lloyd k-means on embedded points (seeded init, 50 iters). */
+  private def lloyd(x: Array[Array[Double]], k: Int, seed: Long): Array[Int] = {
+    val n = x.length; val d = x(0).length
+    val rng = new Random(seed)
+    var centers = rng.shuffle(x.indices.toVector).take(k).map(i => x(i).clone()).toArray
+    val labels = Array.fill(n)(0)
+    for (_ <- 0 until 50) {
+      for (i <- 0 until n) {
+        var best = 0; var bd = Double.MaxValue
+        for (c <- 0 until k) {
+          var dd = 0.0
+          for (j <- 0 until d) { val t = x(i)(j) - centers(c)(j); dd += t * t }
+          if (dd < bd) { bd = dd; best = c }
+        }
+        labels(i) = best
+      }
+      val sums = Array.fill(k, d)(0.0); val cnt = Array.fill(k)(0)
+      for (i <- 0 until n) {
+        cnt(labels(i)) += 1
+        for (j <- 0 until d) sums(labels(i))(j) += x(i)(j)
+      }
+      for (c <- 0 until k if cnt(c) > 0; j <- 0 until d)
+        centers(c)(j) = sums(c)(j) / cnt(c)
+    }
+    labels
+  }
+
   /** z-normalize a series (constant → zeros). */
   def zNorm(x: Array[Double]): Array[Double] = {
     val n = x.length

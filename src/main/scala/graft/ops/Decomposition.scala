@@ -47,6 +47,62 @@ object Decomposition {
     else out
   }
 
+  /** Fourier decomposition (reference
+    * decomposition/fourier_decomposition.py:13-149): trend = centered MA;
+    * seasonal = PER-SERIES ridge fit of the detrended signal on sin/cos
+    * harmonics. Fully distributed: the per-series normal equations are a
+    * groupBy aggregation of XᵀX / Xᵀy sums; the small (2k+1)² solve runs
+    * in a UDF per series — no driver loop, no collect. */
+  def fourier(df: DataFrame, period: Double, k: Int, l2: Double = 1e-3)(
+      implicit pc: PanelCols): DataFrame = {
+    require(period > 0 && k > 0)
+    val y = pc.targetCol
+    val half = (period.toInt - 1) / 2
+    val frame = pc.w.rowsBetween(-half, period.toInt / 2)
+    val cnt = count(y).over(frame)
+    val d = 2 * k + 1 // sin/cos pairs + intercept
+    val withT = df
+      .withColumn("__t", (row_number().over(pc.w) - 1).cast("double"))
+      .withColumn("trend", when(cnt >= period.toInt, avg(y).over(frame)))
+      .withColumn("__detr", y - col("trend"))
+    val feats: Seq[org.apache.spark.sql.Column] =
+      (1 to k).flatMap { kk =>
+        val ang = lit(2.0 * math.Pi * kk) * col("__t") / lit(period)
+        Seq(sin(ang), cos(ang))
+      } :+ lit(1.0)
+    val withX = feats.zipWithIndex.foldLeft(withT) { case (acc, (f, i)) =>
+      acc.withColumn(s"__x$i", f)
+    }
+    // per-series Gram sums over non-null detrended rows
+    val gramCols =
+      (for (i <- 0 until d; j <- i until d) yield
+        sum(when(col("__detr").isNotNull, col(s"__x$i") * col(s"__x$j")))
+          .as(s"__g_${i}_$j")) ++
+      (0 until d).map(i =>
+        sum(when(col("__detr").isNotNull, col(s"__x$i") * col("__detr")))
+          .as(s"__b_$i"))
+    val gram = withX.groupBy(pc.idCol).agg(gramCols.head, gramCols.tail: _*)
+    val solveUdf = udf((g: Seq[Double], b: Seq[Double]) => {
+      val a = Array.ofDim[Double](d, d)
+      var idx = 0
+      for (i <- 0 until d; j <- i until d) {
+        a(i)(j) = g(idx); a(j)(i) = g(idx); idx += 1
+      }
+      for (i <- 0 until d - 1) a(i)(i) += l2 // intercept unpenalized
+      graft.kernels.ArimaLite.solve(a, b.toArray)
+    })
+    val coefs = gram.select(pc.idCol,
+      solveUdf(
+        array((for (i <- 0 until d; j <- i until d) yield col(s"__g_${i}_$j")): _*),
+        array((0 until d).map(i => col(s"__b_$i")): _*)).as("__coef"))
+    val fitted = (0 until d).map(i =>
+      element_at(col("__coef"), i + 1) * col(s"__x$i")).reduce(_ + _)
+    withX.join(coefs, Seq(pc.id))
+      .withColumn("seasonal", fitted)
+      .withColumn("resid", col("__detr") - col("seasonal"))
+      .drop("__coef" +: "__t" +: "__detr" +: (0 until d).map(i => s"__x$i"): _*)
+  }
+
   /** Per-series `trend_strength`, `seasonal_strength`, `resid_var`
     * (seasonal_decompose_features.py 'simple' mode):
     * strength = max(0, 1 − var(resid)/var(component + resid)). */

@@ -76,6 +76,58 @@ object Pipeline {
       .select(pc.idCol, col("step"), pc.timeCol, col("y_hat"))
   }
 
+  /** Direct multi-step forecasting (reference models/multistep.py:255-450):
+    * one ridge per horizon step s, each fit on y_{t+s-1} ~ lags at t — no
+    * recursion, h independent distributed fits. */
+  def fitDirectRidge(df: DataFrame, lags: Int, h: Int, l2: Double = 1e-3)(
+      implicit pc: PanelCols): Seq[RidgeModel] =
+    (1 to h).map { s =>
+      val shifted = df.withColumn(pc.target,
+        lead(pc.targetCol, s - 1).over(pc.w))
+      fitGlobalRidge(shifted, lags, l2)
+    }
+
+  /** `[id, step, ds, y_hat]` from per-step direct models: every step
+    * predicts straight from the last observed lag vector. */
+  def directForecast(df: DataFrame, models: Seq[RidgeModel], h: Int)(
+      implicit pc: PanelCols): DataFrame = {
+    require(models.size == h)
+    val lags = models.head.lags
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(models.map(_.coef).toArray)
+    val u = udf((tail: Seq[Double]) => {
+      val cs = bc.value
+      (0 until h).map { s =>
+        val x = (1 to lags).map(k => tail(tail.length - k)) :+ 1.0
+        x.zip(cs(s)).map { case (a, w) => a * w }.sum
+      }.toArray
+    })
+    val tails = df.groupBy(pc.idCol)
+      .agg(slice(sort_array(collect_list(struct(
+        pc.orderCols :+ pc.targetCol.cast("double").as("__v"): _*))),
+        -lags, lags).as("__tail"))
+      .select(pc.idCol, u(col("__tail.__v")).as("__fc"))
+    graft.core.Panel.futureDates(df, h).join(tails, Seq(pc.id))
+      .withColumn("y_hat", element_at(col("__fc"), col("step").cast("int")))
+      .select(pc.idCol, col("step"), pc.timeCol, col("y_hat"))
+  }
+
+  /** Backtest several named forecasters and rank by mean MAE (reference
+    * backtesting/backtest.py:301-387). */
+  def compareModels(df: DataFrame,
+      models: Seq[(String, (DataFrame, Int) => DataFrame)],
+      folds: Int, horizon: Int)(implicit pc: PanelCols): DataFrame = {
+    val results = models.map { case (name, fn) =>
+      backtest(df, fn, folds, horizon)
+        .agg(avg(col("mae")).as("mae"), avg(col("rmse")).as("rmse"))
+        .withColumn("model", lit(name))
+    }
+    val all = results.reduce(_ unionByName _)
+    all.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("mae"))))
+      .select(col("rank"), col("model"), col("mae"), col("rmse"))
+  }
+
   /** Backtest a forecasting function over expanding-window CV folds:
     * per-fold MAE/RMSE + overall mean (reference
     * backtesting/backtest.py:126-300). The fold loop is a driver loop over
