@@ -679,6 +679,23 @@ object SparkEntry {
         "ses" -> ((train, h) => ForecastBaselines.ses(train, h))),
         folds = 2, horizon = 12)),
 
+    "ts_enbpi" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+        .withColumn("y_hat", lag(col("value"), 1).over(PC.w))
+        .filter(col("y_hat").isNotNull)
+      Conformal.enbpi(ev, ev, "value", "y_hat", b = 5, alpha = 0.1)
+        .select(col("user_id"), col("event_id"),
+          r6(col("y_hat_lower")).as("y_hat_lower"),
+          r6(col("y_hat_upper")).as("y_hat_upper"))
+    }),
+
+    "doc_simhash_pairs" -> ((s, dir) => {
+      val docs = IO.documents(s, dir).select("doc_id", "text")
+      val dups = docs.withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(col("text"), lit(" tail")))
+      Dedup.simhashPairs(docs.unionByName(dups), maxHamming = 16)
+    }),
+
     // ── multimodal plumbing (decode step stubbed — see Multimodal) ──────
     "mm_features" -> ((s, dir) => {
       val bin = IO.documents(s, dir)

@@ -41,4 +41,28 @@ object Conformal {
       .withColumn("y_hat_upper", col(yhatCol) + col("qhat"))
       .drop("qhat")
   }
+
+  /** EnbPI-style bootstrap ensemble intervals (reference
+    * probabilistic/conformal.py:190-416, simplified): B deterministic
+    * block-bootstrap resamples of the calibration residuals → pooled
+    * residual quantiles widen the point forecast. The B resamples are one
+    * DataFrame (residuals × explode(b)) with per-(series, b) hash
+    * re-ordering — distributed, not a driver loop over B models. */
+  def enbpi(cal: DataFrame, pred: DataFrame, yCol: String, yhatCol: String,
+      b: Int = 5, alpha: Double = 0.1)(implicit pc: PanelCols): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val resid = cal.select(pc.idCol, (col(yCol) - col(yhatCol)).as("__r"))
+    val boots = resid
+      .withColumn("__b", explode(sequence(lit(1), lit(b))))
+      .withColumn("__keep", pmod(xxhash64(pc.idCol, col("__b"), col("__r")), lit(4)) =!= 0)
+      .filter(col("__keep")) // ~75% subsample per replicate
+    val q = boots.groupBy(pc.idCol)
+      .agg(
+        percentile(col("__r"), lit(alpha / 2)).as("__lo"),
+        percentile(col("__r"), lit(1.0 - alpha / 2)).as("__hi"))
+    pred.join(q, Seq(pc.id))
+      .withColumn("y_hat_lower", col(yhatCol) + col("__lo"))
+      .withColumn("y_hat_upper", col(yhatCol) + col("__hi"))
+      .drop("__lo", "__hi")
+  }
 }

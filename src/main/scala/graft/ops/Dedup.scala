@@ -139,6 +139,30 @@ object Dedup {
     df.withColumn(outCol, bits.reduce((a, b) => a.bitwiseOR(b)))
   }
 
+  /** SimHash near-dup pairs within `maxHamming` bit flips: the 64-bit
+    * signatures are banded into four 16-bit chunks — near-dups under
+    * hamming ≤ 3·16 must collide on ≥1 chunk (pigeonhole), so candidates
+    * come from four cheap equi-joins on chunk values, then exact
+    * `bit_count(xor)` verification. Signatures shuffle, documents don't. */
+  def simhashPairs(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxHamming: Int = 12): DataFrame = {
+    val sigs = simhash(df, textCol).select(col(idCol).as("__id"), col("simhash"))
+    val banded = sigs.select(col("__id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("__chunk", "__cv")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.__chunk") === col("b.__chunk") &&
+        col("a.__cv") === col("b.__cv") &&
+        col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.simhash").as("__sa"), col("b.simhash").as("__sb"))
+      .distinct()
+    cand.withColumn("hamming", bit_count(col("__sa").bitwiseXOR(col("__sb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Exact word-n-gram Jaccard similarity for candidate pairs — the
     * quadratic verifier; run it on LSH candidates, never the full corpus. */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, textCol: String = "text",
