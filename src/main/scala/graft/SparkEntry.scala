@@ -689,6 +689,19 @@ object SparkEntry {
           r6(col("y_hat_upper")).as("y_hat_upper"))
     }),
 
+    "emb_knn_ivf" -> ((s, dir) => {
+      val emb = IO.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 3)
+    }),
+
+    "emb_near_dup" -> ((s, dir) => {
+      val emb = IO.embeddings(s, dir).select("vec_id", "embedding")
+      // inject exact duplicates so the near-dup path has hits
+      val dups = emb.filter(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 100000)
+      Similarity.cosineNearDup(emb.unionByName(dups), threshold = 0.9)
+    }),
+
     "doc_simhash_pairs" -> ((s, dir) => {
       val docs = IO.documents(s, dir).select("doc_id", "text")
       val dups = docs.withColumn("doc_id", col("doc_id") + 100000)

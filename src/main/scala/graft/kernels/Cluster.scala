@@ -202,8 +202,10 @@ object Cluster {
     lloyd(emb, k, seed)
   }
 
-  /** Plain Lloyd k-means on embedded points (seeded init, 50 iters). */
-  private def lloyd(x: Array[Array[Double]], k: Int, seed: Long): Array[Int] = {
+  /** Plain Lloyd k-means on points (seeded init, 50 iters); also the IVF
+    * coarse quantizer's trainer. Returns labels; [[lloydCenters]] returns
+    * the centroids. */
+  def lloyd(x: Array[Array[Double]], k: Int, seed: Long): Array[Int] = {
     val n = x.length; val d = x(0).length
     val rng = new Random(seed)
     var centers = rng.shuffle(x.indices.toVector).take(k).map(i => x(i).clone()).toArray
@@ -227,6 +229,19 @@ object Cluster {
         centers(c)(j) = sums(c)(j) / cnt(c)
     }
     labels
+  }
+
+  /** Lloyd centroids for IVF training (same loop, returns centers). */
+  def lloydCenters(x: Array[Array[Double]], k: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val labels = lloyd(x, k, seed)
+    val d = x(0).length
+    val sums = Array.fill(k, d)(0.0); val cnt = Array.fill(k)(0)
+    for (i <- x.indices) {
+      cnt(labels(i)) += 1
+      for (j <- 0 until d) sums(labels(i))(j) += x(i)(j)
+    }
+    Array.tabulate(k, d)((c, j) =>
+      if (cnt(c) > 0) sums(c)(j) / cnt(c) else 0.0)
   }
 
   /** z-normalize a series (constant → zeros). */

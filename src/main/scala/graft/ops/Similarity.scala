@@ -69,6 +69,74 @@ object Similarity {
     bitCols.reduce((a, c) => a.bitwiseOR(c))
   }
 
+  /** IVF (inverted-file) ANN: a small sampled Lloyd k-means trains the
+    * coarse quantizer on the driver; the corpus is assigned to its nearest
+    * centroid cell ONCE (broadcast centroids, one scan), and each query
+    * only scans its `nprobe` nearest cells. The 100 TB shape: cells
+    * partition the corpus, the assignment is a narrow map, and the probe
+    * join fans each query to nprobe cells instead of the full corpus. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int = 16,
+      nprobe: Int = 4, sampleSize: Int = 1000, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val sample = corpus.select(col(vecCol).cast("array<double>"))
+      .limit(sampleSize).collect().map(_.getSeq[Double](0).toArray)
+    val centers = graft.kernels.Cluster.lloydCenters(sample, nCells, seed)
+    val bc = spark.sparkContext.broadcast(centers)
+    val nearestCell = udf((v: Seq[Double]) => {
+      val cs = bc.value
+      var best = 0; var bd = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var dd = 0.0; var j = 0
+        val cv = cs(c)
+        while (j < cv.length && j < v.length) { val t = v(j) - cv(j); dd += t * t; j += 1 }
+        if (dd < bd) { bd = dd; best = c }
+        c += 1
+      }
+      best
+    })
+    val probeCells = udf((v: Seq[Double]) => {
+      val cs = bc.value
+      cs.indices.map { c =>
+        var dd = 0.0; var j = 0
+        val cv = cs(c)
+        while (j < cv.length && j < v.length) { val t = v(j) - cv(j); dd += t * t; j += 1 }
+        (dd, c)
+      }.sortBy(_._1).take(nprobe).map(_._2).toArray
+    })
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("__cell", nearestCell(col("__cv")))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__cell", explode(probeCells(col("__qv"))))
+    c.join(broadcast(q), Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate join
+    * (id_a < id_b within a hyperplane bucket) verified by exact cosine ≥
+    * threshold — the vector analogue of MinHash near-dup detection. */
+  def cosineNearDup(df: DataFrame, threshold: Double = 0.95, bits: Int = 8,
+      dim: Int = 64, seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = df.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__bucket", hyperplaneBucket(col("__v"), dim, bits, seed))
+    v.as("a").join(v.as("b"),
+        col("a.__bucket") === col("b.__bucket") && col("a.__id") < col("b.__id"))
+      .withColumn("cosine", cosine(col("a.__v"), col("b.__v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"), col("cosine"))
+  }
+
   /** LSH-bucketed ANN: queries only compare against corpus vectors landing
     * in the same hyperplane bucket (multi-probe via `probes` extra buckets
     * flipping one bit would be the next refinement). Recall-bounded but
