@@ -27,6 +27,11 @@ object SparkEntry {
 
   private def dec(c: String): Column = col(c).cast("decimal(18,2)")
   private def r6(c: Column): Column = round(c, 6)
+  // +1e-9 tie-nudge before rounding: values landing on exact .5e-6 boundaries
+  // round differently across engines (Spark HALF_UP on double vs DuckDB);
+  // the nudge pushes both engines to the same side (same trick as
+  // ts_seasonal_decomp). Apply the identical nudge in the oracle SQL.
+  private def r6n(c: Column): Column = round(c + 1e-9, 6)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -93,8 +98,8 @@ object SparkEntry {
     "ts_fourier_features" -> ((s, dir) =>
       Features.fourierFeatures(IO.events(s, dir), 24.0, 2)
         .select(col("user_id"), col("event_id"),
-          r6(col("fourier_sin_24_1")).as("fsin_1"), r6(col("fourier_cos_24_1")).as("fcos_1"),
-          r6(col("fourier_sin_24_2")).as("fsin_2"), r6(col("fourier_cos_24_2")).as("fcos_2"))),
+          r6n(col("fourier_sin_24_1")).as("fsin_1"), r6n(col("fourier_cos_24_1")).as("fcos_1"),
+          r6n(col("fourier_sin_24_2")).as("fsin_2"), r6n(col("fourier_cos_24_2")).as("fcos_2"))),
 
     "ts_target_encode" -> ((s, dir) =>
       Features.targetEncode(IO.events(s, dir), "event_type", smoothing = 10.0)
@@ -128,7 +133,7 @@ object SparkEntry {
 
     "ts_cusum" -> ((s, dir) =>
       Changepoint.cusum(IO.events(s, dir))
-        .select(col("user_id"), col("event_id"), r6(col("cusum")).as("cusum"))),
+        .select(col("user_id"), col("event_id"), r6n(col("cusum")).as("cusum"))),
 
     // ── trend / stats kernels ───────────────────────────────────────────
     "ts_mann_kendall" -> ((s, dir) =>
@@ -233,7 +238,10 @@ object SparkEntry {
           round(col("resid") + 1e-9, 6).as("resid"))),
 
     "ts_strength_features" -> ((s, dir) =>
-      Decomposition.strengthFeatures(IO.events(s, dir), freq = 24)),
+      Decomposition.strengthFeatures(IO.events(s, dir), freq = 24)
+        .select(col("user_id"), r6n(col("trend_strength")).as("trend_strength"),
+          r6n(col("seasonal_strength")).as("seasonal_strength"),
+          r6n(col("resid_var")).as("resid_var"))),
 
     // ── conformal / diagnostics / validation ────────────────────────────
     "ts_conformal" -> ((s, dir) => {
@@ -254,7 +262,9 @@ object SparkEntry {
           r6(col("acf")).as("acf"), r6(col("ci_upper")).as("ci_upper"))),
 
     "ts_pacf" -> ((s, dir) =>
-      Diagnostics.pacf(IO.events(s, dir), maxLag = 5)),
+      Diagnostics.pacf(IO.events(s, dir), maxLag = 5)
+        .select(col("user_id"), col("lag").cast("long").as("lag"),
+          r6n(col("pacf")).as("pacf"))),
 
     "ts_ljung_box" -> ((s, dir) =>
       Diagnostics.ljungBox(IO.events(s, dir), maxLag = 5)
@@ -301,10 +311,12 @@ object SparkEntry {
 
     // ── kernel forecasts & pairwise distances (rows-only checks) ────────
     "ts_holt_fc" -> ((s, dir) =>
-      ForecastBaselines.holt(IO.events(s, dir), h = 7)),
+      ForecastBaselines.holt(IO.events(s, dir), h = 7)
+        .select(col("user_id"), col("step"), col("ts"), r6(col("y_hat")).as("y_hat"))),
 
     "ts_hw_fc" -> ((s, dir) =>
-      ForecastBaselines.holtWinters(IO.events(s, dir), h = 7, m = 24)),
+      ForecastBaselines.holtWinters(IO.events(s, dir), h = 7, m = 24)
+        .select(col("user_id"), col("step"), col("ts"), r6(col("y_hat")).as("y_hat"))),
 
     "ts_fft_fc" -> ((s, dir) =>
       ForecastBaselines.fft(IO.events(s, dir), h = 7)),
@@ -352,7 +364,7 @@ object SparkEntry {
         .select(col("user_id"), col("ts").as("__ts"), u(col("ys")).as("__r"))
         .select(col("user_id"), posexplode(col("__r")).as(Seq("__i", "__s")), col("__ts"))
         .select(col("user_id"), expr("__ts[__i]").as("ts"),
-          col("__s._1").as("filtered"), col("__s._2").as("smoothed"))
+          r6n(col("__s._1")).as("filtered"), r6n(col("__s._2")).as("smoothed"))
     }),
 
     // ── multivariate / hierarchical ─────────────────────────────────────
@@ -410,7 +422,9 @@ object SparkEntry {
 
     "ts_backtest_naive" -> ((s, dir) =>
       Pipeline.backtest(IO.events(s, dir),
-        (train, h) => ForecastBaselines.naive(train, h), folds = 2, horizon = 12)),
+        (train, h) => ForecastBaselines.naive(train, h), folds = 2, horizon = 12)
+        .select(col("fold"), r6(col("mae")).as("mae"), r6(col("rmse")).as("rmse"),
+          col("n"))),
 
     "ts_streaming_ets" -> ((s, dir) =>
       graft.streaming.StreamingOps.etsBatch(s, IO.events(s, dir),
@@ -429,8 +443,9 @@ object SparkEntry {
       val dups = docs.withColumn("doc_id", col("doc_id") + 100000)
         .withColumn("text", concat(col("text"), lit(" near duplicate suffix")))
       val corpus = docs.unionByName(dups)
-      val pairs = docs.select(col("doc_id").as("id_a"),
-        (col("doc_id") + 100000).as("id_b")).limit(200)
+      // deterministic candidate set (a bare limit() is scan-order-dependent)
+      val pairs = docs.filter(col("doc_id") < 200).select(col("doc_id").as("id_a"),
+        (col("doc_id") + 100000).as("id_b"))
       Dedup.ngramJaccard(pairs, corpus)
         .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
     }),
@@ -468,8 +483,8 @@ object SparkEntry {
     "ts_time_embeddings" -> ((s, dir) =>
       Features.timeEmbeddings(IO.events(s, dir), Seq("hour", "day_of_week"))
         .select(col("event_id"),
-          r6(col("hour_sin")).as("hour_sin"), r6(col("hour_cos")).as("hour_cos"),
-          r6(col("day_of_week_sin")).as("dow_sin"), r6(col("day_of_week_cos")).as("dow_cos"))),
+          r6n(col("hour_sin")).as("hour_sin"), r6n(col("hour_cos")).as("hour_cos"),
+          r6n(col("day_of_week_sin")).as("dow_sin"), r6n(col("day_of_week_cos")).as("dow_cos"))),
 
     "ts_holiday" -> ((s, dir) =>
       Features.holidayFeatures(IO.events(s, dir),
@@ -706,7 +721,8 @@ object SparkEntry {
       val docs = IO.documents(s, dir).select("doc_id", "text")
       val dups = docs.withColumn("doc_id", col("doc_id") + 100000)
         .withColumn("text", concat(col("text"), lit(" tail")))
-      Dedup.simhashPairs(docs.unionByName(dups), maxHamming = 16)
+      // maxHamming=7 → 8 chunks of 8 bits; recall guaranteed by pigeonhole
+      Dedup.simhashPairs(docs.unionByName(dups), maxHamming = 7)
     }),
 
     // ── multimodal plumbing (decode step stubbed — see Multimodal) ──────
@@ -745,6 +761,54 @@ object SparkEntry {
 
   private val synthNullSql =
     "CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END"
+
+  // ── oracle-SQL building blocks ────────────────────────────────────────
+  // FNV-1a 64-bit over token chars with HUGEINT wrap-around arithmetic —
+  // mirrors TextOps.fnv64 (Long multiply wraps mod 2^64) bit-for-bit, then
+  // the per-bit sign votes and signature assembly of Dedup.simhash.
+  private def simhashOracleCtes(corpus: String): String =
+    s"""toks AS (SELECT doc_id,
+       |  unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+       |  FROM $corpus),
+       |th AS (SELECT doc_id, list_reduce(
+       |  list_prepend(14695981039346656037::HUGEINT,
+       |    list_transform(list_filter(split(tok, ''), ch -> ch <> ''),
+       |      ch -> unicode(ch)::HUGEINT)),
+       |  (acc, ch) -> (xor(acc, ch) * 1099511628211::HUGEINT)
+       |    % 18446744073709551616::HUGEINT) AS hu FROM toks),
+       |hs AS (SELECT doc_id, (CASE WHEN hu >= 9223372036854775808::HUGEINT
+       |  THEN hu - 18446744073709551616::HUGEINT ELSE hu END)::BIGINT AS h FROM th),
+       |votes AS (SELECT doc_id, bs.b,
+       |  sum(CASE WHEN ((h >> bs.b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bs
+       |  GROUP BY doc_id, bs.b),
+       |sig AS (SELECT doc_id, bit_or(CASE WHEN v > 0 THEN
+       |    (CASE WHEN b = 63 THEN (-9223372036854775807 - 1)
+       |     ELSE (1::BIGINT << b::INT) END) ELSE 0 END) AS simhash
+       |  FROM votes GROUP BY doc_id)""".stripMargin
+
+  // Holt level/trend fold step (Ets.holt): state [level, trend], input [v, _].
+  private val holtL = "0.3 * x[1] + (1.0::DOUBLE - 0.3) * (acc[1] + acc[2])"
+
+  // Holt-Winters additive fold step (Ets.holtWinters): state
+  // [level, trend, s1..s24], input [v, t] with t the 0-based time index.
+  private val hwIdx = "((x[2]::INT % 24) + 3)"
+  private val hwL =
+    s"(0.3 * (x[1] - acc[$hwIdx]) + (1.0::DOUBLE - 0.3) * (acc[1] + acc[2]))"
+  private val hwT = s"(0.1 * ($hwL - acc[1]) + (1.0::DOUBLE - 0.1) * acc[2])"
+  private val hwS = s"(0.1 * (x[1] - $hwL) + (1.0::DOUBLE - 0.1) * acc[$hwIdx])"
+  private val hwAcc =
+    s"""list_concat(list_concat(list_concat([$hwL, $hwT],
+       | acc[3:($hwIdx - 1)]), [$hwS]), acc[($hwIdx + 1):])""".stripMargin.replace("\n", "")
+
+  // Kalman forward fold step (Kalman.filterSmooth, q=1e-3, r=1.0): state
+  // [x, p, (xf pf xp pp)×t]; appends this step's records.
+  private val kfPp = "(acc[2] + 0.001)"
+  private val kfK = s"($kfPp / ($kfPp + 1.0))"
+  private val kfX = s"(acc[1] + $kfK * (x[1] - acc[1]))"
+  private val kfP = s"((1.0::DOUBLE - $kfK) * $kfPp)"
+  private val kfAcc =
+    s"list_concat(list_concat([$kfX, $kfP], acc[3:]), [$kfX, $kfP, acc[1], $kfPp])"
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -799,8 +863,8 @@ object SparkEntry {
       s"""WITH t AS (SELECT user_id, event_id,
          |  (row_number() OVER ($W) - 1)::DOUBLE AS tt FROM events)
          |SELECT user_id, event_id,
-         |  round(sin(2*pi()*1*tt/24.0), 6) AS fsin_1, round(cos(2*pi()*1*tt/24.0), 6) AS fcos_1,
-         |  round(sin(2*pi()*2*tt/24.0), 6) AS fsin_2, round(cos(2*pi()*2*tt/24.0), 6) AS fcos_2
+         |  round(sin(2*pi()*1*tt/24.0) + 1e-9, 6) AS fsin_1, round(cos(2*pi()*1*tt/24.0) + 1e-9, 6) AS fcos_1,
+         |  round(sin(2*pi()*2*tt/24.0) + 1e-9, 6) AS fsin_2, round(cos(2*pi()*2*tt/24.0) + 1e-9, 6) AS fcos_2
          |FROM t""".stripMargin,
 
     "ts_target_encode" ->
@@ -872,7 +936,7 @@ object SparkEntry {
          |FROM events)
          |SELECT user_id, event_id,
          |  round(sum(CASE WHEN sd <> 0 THEN (value - mu) / sd ELSE 0.0 END) OVER
-         |    ($W ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cusum
+         |    ($W ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 6) AS cusum
          |FROM z""".stripMargin,
 
     "ts_mann_kendall" ->
@@ -1222,10 +1286,10 @@ object SparkEntry {
 
     "ts_time_embeddings" ->
       """SELECT event_id,
-        |  round(sin(2 * pi() * hour(ts) / 24.0), 6) AS hour_sin,
-        |  round(cos(2 * pi() * hour(ts) / 24.0), 6) AS hour_cos,
-        |  round(sin(2 * pi() * (isodow(ts) - 1) / 7.0), 6) AS dow_sin,
-        |  round(cos(2 * pi() * (isodow(ts) - 1) / 7.0), 6) AS dow_cos
+        |  round(sin(2 * pi() * hour(ts) / 24.0) + 1e-9, 6) AS hour_sin,
+        |  round(cos(2 * pi() * hour(ts) / 24.0) + 1e-9, 6) AS hour_cos,
+        |  round(sin(2 * pi() * (isodow(ts) - 1) / 7.0) + 1e-9, 6) AS dow_sin,
+        |  round(cos(2 * pi() * (isodow(ts) - 1) / 7.0) + 1e-9, 6) AS dow_cos
         |FROM events""".stripMargin,
 
     "ts_holiday" ->
@@ -1295,5 +1359,212 @@ object SparkEntry {
         |w AS (SELECT *, row_number() OVER
         |  (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS wr FROM v)
         |SELECT query_id, label AS predicted_label, votes FROM w WHERE wr = 1""".stripMargin,
+
+    // ── round-2 oracle additions ────────────────────────────────────────
+    "doc_lang_id" ->
+      """WITH w AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(text), '[^\p{L}]+')) AS wd FROM documents),
+        |h AS (SELECT doc_id,
+        |  count(*) FILTER (WHERE wd IN ('the','and','of','to','is','that','with'))::INT AS en,
+        |  count(*) FILTER (WHERE wd IN ('der','die','und','das','nicht','ist','ein'))::INT AS de,
+        |  count(*) FILTER (WHERE wd IN ('le','la','les','et','est','une','que'))::INT AS fr,
+        |  count(*) FILTER (WHERE wd IN ('el','los','las','es','una','que','para'))::INT AS es
+        |FROM w GROUP BY doc_id),
+        |b AS (SELECT doc_id, list_sort([
+        |    struct_pack(h := de, l := 'de'), struct_pack(h := en, l := 'en'),
+        |    struct_pack(h := es, l := 'es'), struct_pack(h := fr, l := 'fr')])[4] AS m FROM h)
+        |SELECT d.doc_id, CASE WHEN m.h > 0 THEN m.l ELSE 'und' END AS lang_pred
+        |FROM documents d LEFT JOIN b USING (doc_id)""".stripMargin,
+
+    "doc_simhash" ->
+      s"""WITH ${simhashOracleCtes("documents")}
+         |SELECT doc_id, simhash FROM sig""".stripMargin,
+
+    "doc_simhash_pairs" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000 AS doc_id, text || ' tail' AS text FROM documents),
+         |${simhashOracleCtes("corpus")},
+         |banded AS (SELECT doc_id, simhash, cs.c, (simhash >> (cs.c * 8)) & 255 AS cv
+         |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS c) cs),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.simhash AS sa, b.simhash AS sb
+         |  FROM banded a JOIN banded b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 7""".stripMargin,
+
+    "doc_ngram_jaccard" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000 AS doc_id,
+        |    text || ' near duplicate suffix' AS text FROM documents),
+        |w AS (SELECT doc_id,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM corpus),
+        |g AS (SELECT doc_id, list_distinct(list_filter(
+        |    list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+        |      i -> array_to_string(ws[i:i+2], ' ')), x -> len(x) > 0)) AS grams FROM w),
+        |p AS (SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents WHERE doc_id < 200)
+        |SELECT p.id_a, p.id_b,
+        |  round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |        len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE, 6) AS jaccard
+        |FROM p JOIN g a ON a.doc_id = p.id_a JOIN g b ON b.doc_id = p.id_b""".stripMargin,
+
+    "ts_outlier_treat_interp" ->
+      s"""WITH st AS (SELECT user_id, event_id, ts, value,
+         |  avg(value) OVER (PARTITION BY user_id) AS mu,
+         |  stddev_samp(value) OVER (PARTITION BY user_id) AS sd FROM events),
+         |base AS (SELECT user_id, event_id, ts,
+         |  CASE WHEN value IS NOT NULL AND (value < mu - 2.0 * sd OR value > mu + 2.0 * sd)
+         |    THEN NULL ELSE value END AS v,
+         |  (row_number() OVER ($W))::DOUBLE AS rn FROM st),
+         |f AS (SELECT *,
+         |  last_value(v IGNORE NULLS) OVER wb AS pv,
+         |  last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wb AS pi,
+         |  last_value(v IGNORE NULLS) OVER wf AS nv,
+         |  last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wf AS ni
+         |FROM base WINDOW
+         |  wb AS ($W ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  wf AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT user_id, event_id,
+         |  round(CASE WHEN v IS NOT NULL THEN v
+         |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN pv + (nv - pv) * (rn - pi) / (ni - pi)
+         |    ELSE coalesce(pv, nv) END, 6) AS value
+         |FROM f""".stripMargin,
+
+    "ts_strength_features" ->
+      s"""WITH b AS (SELECT user_id, event_id, value,
+         |  (row_number() OVER ($W) - 1) % 24 AS phase,
+         |  CASE WHEN count(value) OVER wf >= 24 THEN avg(value) OVER wf END AS trend
+         |FROM events WINDOW wf AS ($W ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
+         |det AS (SELECT *, value - trend AS detr FROM b),
+         |pm AS (SELECT user_id, phase, avg(detr) AS pmean FROM det GROUP BY user_id, phase),
+         |ctr AS (SELECT user_id, phase,
+         |  pmean - avg(pmean) OVER (PARTITION BY user_id) AS seasonal FROM pm),
+         |j AS (SELECT d.user_id, d.trend, c.seasonal, d.detr - c.seasonal AS resid
+         |  FROM det d JOIN ctr c ON d.user_id = c.user_id AND d.phase = c.phase)
+         |SELECT user_id,
+         |  round(greatest(0.0, 1.0 - var_samp(resid) / var_samp(trend + resid)) + 1e-9, 6) AS trend_strength,
+         |  round(greatest(0.0, 1.0 - var_samp(resid) / var_samp(seasonal + resid)) + 1e-9, 6) AS seasonal_strength,
+         |  round(var_samp(resid) + 1e-9, 6) AS resid_var
+         |FROM j WHERE trend IS NOT NULL AND resid IS NOT NULL GROUP BY user_id""".stripMargin,
+
+    // Durbin-Levinson recursion unrolled for maxLag=5 (AcfKernels.pacf);
+    // subtractions kept sequential to mirror the kernel's float order.
+    "ts_pacf" ->
+      s"""WITH s AS (SELECT user_id, value, row_number() OVER ($W) AS rn FROM events),
+         |m AS (SELECT user_id, avg(value) AS mu FROM events GROUP BY user_id),
+         |den AS (SELECT s.user_id, sum((s.value - m.mu) * (s.value - m.mu)) AS den
+         |  FROM s JOIN m USING (user_id) GROUP BY s.user_id),
+         |pr AS (SELECT a.user_id, ks.k, sum((a.value - m.mu) * (b.value - m.mu)) AS num
+         |  FROM s a CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS k) ks
+         |  JOIN s b ON b.user_id = a.user_id AND b.rn = a.rn + ks.k
+         |  JOIN m ON m.user_id = a.user_id GROUP BY a.user_id, ks.k),
+         |r AS (SELECT p.user_id,
+         |  max(CASE WHEN k = 1 THEN num END) / max(d.den) AS r1,
+         |  max(CASE WHEN k = 2 THEN num END) / max(d.den) AS r2,
+         |  max(CASE WHEN k = 3 THEN num END) / max(d.den) AS r3,
+         |  max(CASE WHEN k = 4 THEN num END) / max(d.den) AS r4,
+         |  max(CASE WHEN k = 5 THEN num END) / max(d.den) AS r5
+         |  FROM pr p JOIN den d ON p.user_id = d.user_id GROUP BY p.user_id),
+         |d1 AS (SELECT *, r1 AS p1 FROM r),
+         |d2 AS (SELECT *, (r2 - p1 * r1) / (1.0 - p1 * r1) AS p2 FROM d1),
+         |d2b AS (SELECT *, p1 - p2 * p1 AS q21 FROM d2),
+         |d3 AS (SELECT *, ((r3 - q21 * r2) - p2 * r1) / ((1.0 - q21 * r1) - p2 * r2) AS p3 FROM d2b),
+         |d3b AS (SELECT *, q21 - p3 * p2 AS q31, p2 - p3 * q21 AS q32 FROM d3),
+         |d4 AS (SELECT *, (((r4 - q31 * r3) - q32 * r2) - p3 * r1) /
+         |  (((1.0 - q31 * r1) - q32 * r2) - p3 * r3) AS p4 FROM d3b),
+         |d4b AS (SELECT *, q31 - p4 * p3 AS q41, q32 - p4 * q32 AS q42, p3 - p4 * q31 AS q43 FROM d4),
+         |d5 AS (SELECT *, ((((r5 - q41 * r4) - q42 * r3) - q43 * r2) - p4 * r1) /
+         |  ((((1.0 - q41 * r1) - q42 * r2) - q43 * r3) - p4 * r4) AS p5 FROM d4b)
+         |SELECT user_id, l.lag,
+         |  round(CASE l.lag WHEN 0 THEN 1.0 WHEN 1 THEN p1 WHEN 2 THEN p2
+         |    WHEN 3 THEN p3 WHEN 4 THEN p4 ELSE p5 END + 1e-9, 6) AS pacf
+         |FROM d5 CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS lag) l""".stripMargin,
+
+    // Ets.holt as a sequential list fold — bit-identical to the kernel.
+    "ts_holt_fc" ->
+      s"""WITH o AS (SELECT user_id, value, epoch_us(ts) AS us,
+         |  row_number() OVER ($W) AS rn FROM events),
+         |v AS (SELECT user_id, list(value ORDER BY rn) AS vs FROM o GROUP BY user_id),
+         |st AS (SELECT user_id, list_reduce(
+         |  list_prepend([vs[1], vs[2] - vs[1]], list_transform(vs[2:], w -> [w, 0.0::DOUBLE])),
+         |  (acc, x) -> [$holtL,
+         |    0.1 * (($holtL) - acc[1]) + (1.0::DOUBLE - 0.1) * acc[2]]) AS st FROM v),
+         |lastt AS (SELECT user_id, max(us) AS us FROM o GROUP BY user_id),
+         |d AS (SELECT user_id, min(us - lus) AS freq FROM
+         |  (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS lus FROM o)
+         |  WHERE lus IS NOT NULL GROUP BY user_id)
+         |SELECT t.user_id, s.step, make_timestamp(l.us + s.step * d.freq) AS ts,
+         |  round(t.st[1] + s.step * t.st[2], 6) AS y_hat
+         |FROM st t JOIN lastt l USING (user_id) JOIN d USING (user_id)
+         |CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS step) s""".stripMargin,
+
+    // Ets.holtWinters additive (m=24) as a sequential list fold.
+    "ts_hw_fc" ->
+      s"""WITH o AS (SELECT user_id, value, epoch_us(ts) AS us,
+         |  row_number() OVER ($W) AS rn FROM events),
+         |v AS (SELECT user_id, list(value ORDER BY rn) AS vs, count(*)::INT AS n
+         |  FROM o GROUP BY user_id),
+         |ini AS (SELECT user_id, vs, n,
+         |  list_reduce(vs[1:24], (a, b) -> a + b) / 24 AS avg1,
+         |  list_reduce(vs[25:48], (a, b) -> a + b) / 24 AS avg2 FROM v),
+         |st AS (SELECT user_id, n, list_reduce(
+         |  list_prepend(
+         |    list_concat([avg1, (avg2 - avg1) / 24], list_transform(vs[1:24], w -> w - avg1)),
+         |    list_transform(generate_series(25, n), i -> [vs[i], (i - 1)::DOUBLE])),
+         |  (acc, x) -> $hwAcc) AS st FROM ini),
+         |lastt AS (SELECT user_id, max(us) AS us FROM o GROUP BY user_id),
+         |d AS (SELECT user_id, min(us - lus) AS freq FROM
+         |  (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS lus FROM o)
+         |  WHERE lus IS NOT NULL GROUP BY user_id)
+         |SELECT t.user_id, s.step, make_timestamp(l.us + s.step * d.freq) AS ts,
+         |  round(t.st[1] + s.step * t.st[2] + t.st[((t.n - 1 + s.step) % 24) + 3], 6) AS y_hat
+         |FROM st t JOIN lastt l USING (user_id) JOIN d USING (user_id)
+         |CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS step) s""".stripMargin,
+
+    // Kalman forward filter + RTS smoother as two sequential folds.
+    "ts_kalman" ->
+      s"""WITH o AS (SELECT user_id, value, ts, row_number() OVER ($W) AS rn FROM events),
+         |g AS (SELECT user_id, list(value ORDER BY rn) AS vs, count(*)::INT AS n
+         |  FROM o GROUP BY user_id),
+         |fwd AS (SELECT user_id, n, list_reduce(
+         |  list_prepend([vs[1], 1.0::DOUBLE], list_transform(vs, w -> [w, 0.0::DOUBLE])),
+         |  (acc, x) -> $kfAcc) AS f FROM g),
+         |bwd AS (SELECT user_id, n, f, list_reduce(
+         |  list_prepend([f[4 * n - 1]],
+         |    list_transform(generate_series(n - 1, 1, -1), t -> [t::DOUBLE])),
+         |  (acc, x) -> list_prepend(
+         |    f[4 * (x[1]::INT) - 1] + (f[4 * (x[1]::INT)] / f[4 * (x[1]::INT) + 6]) *
+         |      (acc[1] - f[4 * (x[1]::INT) + 5]), acc)) AS sm FROM fwd)
+         |SELECT o.user_id, o.ts,
+         |  round(b.f[4 * o.rn - 1] + 1e-9, 6) AS filtered,
+         |  round(b.sm[o.rn] + 1e-9, 6) AS smoothed
+         |FROM o JOIN bwd b USING (user_id)""".stripMargin,
+
+    // Expanding-window backtest of the naive forecaster (folds=2, h=12).
+    "ts_backtest_naive" ->
+      """WITH tm AS (SELECT ts, row_number() OVER (ORDER BY ts) AS tidx
+        |  FROM (SELECT DISTINCT ts FROM events)),
+        |nt AS (SELECT max(tidx) AS nt FROM tm),
+        |e AS (SELECT ev.user_id, ev.event_id, ev.ts, ev.value, t.tidx, n.nt
+        |  FROM events ev JOIN tm t ON ev.ts = t.ts CROSS JOIN nt n),
+        |marked AS (SELECT e.*, f.fold,
+        |  CASE WHEN tidx <= nt - (2 - fold) * 12 THEN 'train'
+        |       WHEN tidx > nt - (2 - fold) * 12 AND tidx <= nt - (2 - fold) * 12 + 12
+        |       THEN 'test' END AS split
+        |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 1))::INT AS fold) f),
+        |tr AS (SELECT fold, user_id, value, row_number() OVER
+        |  (PARTITION BY fold, user_id ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM marked WHERE split = 'train'),
+        |fc AS (SELECT fold, user_id, value AS y_hat FROM tr WHERE rk = 1),
+        |te AS (SELECT fold, user_id, value, row_number() OVER
+        |  (PARTITION BY fold, user_id ORDER BY ts, event_id) AS step
+        |  FROM marked WHERE split = 'test'),
+        |j AS (SELECT te.fold, te.value, fc.y_hat FROM te
+        |  JOIN fc ON te.fold = fc.fold AND te.user_id = fc.user_id WHERE te.step <= 12)
+        |SELECT fold, round(avg(abs(value - y_hat)), 6) AS mae,
+        |  round(sqrt(avg((value - y_hat) * (value - y_hat))), 6) AS rmse,
+        |  count(*) AS n
+        |FROM j GROUP BY fold""".stripMargin,
   )
 }

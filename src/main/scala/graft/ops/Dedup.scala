@@ -125,31 +125,57 @@ object Dedup {
     verified.select(col("id_a"), col("id_b"), col("jaccard_est"))
   }
 
-  /** 64-bit SimHash over whitespace tokens: sign-sum of per-token xxhash64
-    * bits. Near-dups = pairs within `maxHamming` bit flips. */
-  def simhash(df: DataFrame, textCol: String = "text", outCol: String = "simhash"): DataFrame = {
-    val toks = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
-    val hashes = transform(toks, t => xxhash64(t))
-    // for each of 64 bits: sum(+1 if bit set else -1) > 0 → bit set
-    val bits = (0 until 64).map { b =>
-      val votes = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(votes > 0, lit(1L << b)).otherwise(0L)
-    }
-    df.withColumn(outCol, bits.reduce((a, b) => a.bitwiseOR(b)))
-  }
+  /** 64-bit SimHash over whitespace tokens of normalized text: sign-sum of
+    * per-token FNV-64 bits. FNV-1a (not xxhash64) so independent engines
+    * can reproduce signatures bit-for-bit — the DuckDB oracle mirrors the
+    * same fold. One pass per document updating 64 vote counters (faster
+    * than a 64-expression vote tree, and the votes never materialize). */
+  def simhash(df: DataFrame, textCol: String = "text", outCol: String = "simhash"): DataFrame =
+    df.withColumn(outCol, simhashUdf(col(textCol)))
 
-  /** SimHash near-dup pairs within `maxHamming` bit flips: the 64-bit
-    * signatures are banded into four 16-bit chunks — near-dups under
-    * hamming ≤ 3·16 must collide on ≥1 chunk (pigeonhole), so candidates
-    * come from four cheap equi-joins on chunk values, then exact
-    * `bit_count(xor)` verification. Signatures shuffle, documents don't. */
+  private val simhashUdf = udf((text: String) => {
+    val norm = if (text == null) "" else text.trim.toLowerCase.replaceAll("\\s+", " ")
+    val toks = norm.split(" ", -1)
+    val votes = new Array[Int](64)
+    var ti = 0
+    while (ti < toks.length) {
+      val h = TextOps.fnv64(toks(ti))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      ti += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  })
+
+  /** SimHash near-dup pairs within `maxHamming` bit flips. The 64-bit
+    * signatures are banded into `maxHamming + 1` chunks: a pair with at
+    * most `maxHamming` flipped bits must agree exactly on ≥1 chunk
+    * (pigeonhole — recall is guaranteed, not approximate), so candidates
+    * come from cheap equi-joins on chunk values, then exact
+    * `bit_count(xor)` verification. Signatures shuffle, documents don't.
+    * Larger `maxHamming` → narrower chunks → denser candidate buckets:
+    * keep it ≤ ~7 at corpus scale (the default 3 gives 16-bit chunks). */
   def simhashPairs(df: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", maxHamming: Int = 12): DataFrame = {
+      idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming must be in [0, 31], got $maxHamming")
+    val nChunks = maxHamming + 1
+    val base = 64 / nChunks
+    val rem = 64 % nChunks
+    // first `rem` chunks are one bit wider; offsets partition [0, 64)
+    val widths = Array.tabulate(nChunks)(c => if (c < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
     val sigs = simhash(df, textCol).select(col(idCol).as("__id"), col("simhash"))
     val banded = sigs.select(col("__id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
+      posexplode(array((0 until nChunks).map(c =>
+        shiftrightunsigned(col("simhash"), offsets(c))
+          .bitwiseAND(lit((1L << widths(c)) - 1L))): _*))
         .as(Seq("__chunk", "__cv")))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.__chunk") === col("b.__chunk") &&
