@@ -90,9 +90,12 @@ object Bench {
       "pelt_panel_1000x1000" -> (() => mat(
         Changepoint.pelt(synthPanel(spark, 1000, 1000), "mean"))),
       "ets_panel_1000x1000" -> (() => mat({
+        // both ETS models from ONE grouped pass: a single shuffle of the
+        // 1M-row panel instead of 2 scans × (groupBy + futureDates window)
         val p = synthPanel(spark, 1000, 1000)
-        ForecastBaselines.ses(p, h = 12)
-          .unionByName(ForecastBaselines.holtWinters(p, h = 12, m = 12))
+        ForecastBaselines.multiForecast(p, h = 12, Seq(
+          "ses" -> (ys => graft.kernels.Ets.ses(ys, 0.3, 12)),
+          "hw" -> (ys => graft.kernels.Ets.holtWinters(ys, 0.3, 0.1, 0.1, 12, true, 12))))
       })),
       "mann_kendall_panel" -> (() => mat(
         Changepoint.mannKendall(synthPanel(spark, 1000, 1000)))))

@@ -583,16 +583,10 @@ object SparkEntry {
         .select("user_id", "step", "y_hat")
     }),
 
-    "ts_kshape" -> ((s, dir) => {
-      val g = graft.core.Panel.grouped(IO.events(s, dir))(PC)
-        .select(col("user_id"), col("ys")).collect()
-      val minLen = g.map(_.getSeq[Double](1).length).min
-      val ids = g.map(_.getLong(0))
-      val series = g.map(_.getSeq[Double](1).take(minLen).toArray)
-      val labels = graft.kernels.Cluster.kShape(series, k = 3)
-      import s.implicits._
-      ids.zip(labels).toSeq.toDF("user_id", "cluster")
-    }),
+    // distributed k-shape: raw series stay on executors; only k len×len
+    // Gram matrices reach the driver (was: collect() of every series).
+    "ts_kshape" -> ((s, dir) =>
+      Clustering.kshapeCluster(IO.events(s, dir), k = 3)),
 
     "ts_auto_cluster" -> ((s, dir) => {
       val ev = IO.events(s, dir)
@@ -707,6 +701,24 @@ object SparkEntry {
     "emb_knn_ivf" -> ((s, dir) => {
       val emb = IO.embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 3)
+    }),
+
+    // quantified ANN honesty: recall@k of the approximate indexes against
+    // the brute-force ground truth on the same query set.
+    "emb_knn_recall" -> ((s, dir) => {
+      val emb = IO.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 20)
+      val brute = Similarity.bruteForceTopK(emb, q, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val truth = brute.count().toDouble
+      def recall(approx: DataFrame, name: String): DataFrame =
+        approx.select(col("query_id"), col("neighbor_id"))
+          .join(brute, Seq("query_id", "neighbor_id"))
+          .agg(round(count(lit(1)) / lit(truth), 6).as("recall"))
+          .withColumn("method", lit(name))
+      recall(Similarity.lshTopK(emb, q, k = 3, dim = 64, bits = 3, probes = 4), "lsh")
+        .unionByName(recall(Similarity.ivfTopK(emb, q, k = 3, nCells = 16, nprobe = 8), "ivf"))
+        .select(col("method"), col("recall"))
     }),
 
     "emb_near_dup" -> ((s, dir) => {

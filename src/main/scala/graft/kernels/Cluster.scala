@@ -253,7 +253,7 @@ object Cluster {
   }
 
   /** Best-alignment shift of `x` against `ref` by cross-correlation. */
-  private def alignTo(ref: Array[Double], x: Array[Double]): Array[Double] = {
+  def alignTo(ref: Array[Double], x: Array[Double]): Array[Double] = {
     val n = math.min(ref.length, x.length)
     var bestShift = 0; var bestCc = Double.NegativeInfinity
     var s = -(n - 1)

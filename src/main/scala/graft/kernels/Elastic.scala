@@ -579,4 +579,47 @@ object Elastic {
     }
     prev(m - 1)
   }
+
+  /** Sakoe-Chiba envelope of half-width `w`: per position the running
+    * max/min of the band — the classic LB_Keogh envelope (Keogh &
+    * Ratanamahatana 2005). Returned flat as [U.. , L..] so it can live in
+    * one array column. */
+  def envelope(b: Array[Double], w: Int): Array[Double] = {
+    val m = b.length
+    val out = new Array[Double](2 * m)
+    var i = 0
+    while (i < m) {
+      var hi = Double.NegativeInfinity
+      var lo = Double.PositiveInfinity
+      var j = math.max(0, i - w)
+      val end = math.min(m - 1, i + w)
+      while (j <= end) {
+        val v = b(j)
+        if (v > hi) hi = v
+        if (v < lo) lo = v
+        j += 1
+      }
+      out(i) = hi; out(m + i) = lo
+      i += 1
+    }
+    out
+  }
+
+  /** LB_Keogh lower bound of band-constrained DTW with L1 point cost
+    * (matches [[dtwSakoeChiba]]'s cost): Σ max(0, a_i − U_i, L_i − a_i)
+    * over the aligned prefix. Cheap O(n) reject test before the O(n·w)
+    * DP — sound for equal-length series within the same band width. */
+  def lbKeogh(a: Array[Double], env: Array[Double]): Double = {
+    val m = env.length / 2
+    val n = math.min(a.length, m)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val v = a(i)
+      if (v > env(i)) s += v - env(i)
+      else if (v < env(m + i)) s += env(m + i) - v
+      i += 1
+    }
+    s
+  }
 }

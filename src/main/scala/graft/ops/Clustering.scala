@@ -62,6 +62,120 @@ object Clustering {
     labelFrame(df, ids, Cluster.agglomerative(m, k, linkage))
   }
 
+  /** Distributed k-Shape (reference clustering/kshape.py:9-160): z-norm,
+    * SBD assignment and alignment run on executors; only the k per-cluster
+    * len×len Gram matrices (for the dominant-eigenvector centroid) ever
+    * reach the driver — the raw series never do, so the algorithm scales
+    * with the number of series, bounded by len², not n·len.
+    *
+    * Per iteration: broadcast k centroids → assignment UDF → one
+    * treeAggregate of Σ alignedᵢ·alignedᵢᵀ + Σ alignedᵢ per cluster →
+    * driver power-iteration on the k small matrices. Deterministic init:
+    * the first k series by id. */
+  def kshapeCluster(df: DataFrame, k: Int, maxIter: Int = 20)(
+      implicit pc: PanelCols): DataFrame = {
+    val spark = df.sparkSession
+    val g = graft.core.Panel.grouped(df).select(pc.idCol.as("__id"), col("ys"))
+    val minLen = g.agg(min(size(col("ys")))).head().getInt(0)
+    val zUdf = udf((ys: Seq[Double]) => Cluster.zNorm(ys.toArray.take(minLen)))
+    val z = g.select(col("__id"), zUdf(col("ys")).as("__z")).cache()
+    var centroids = z.orderBy(col("__id")).limit(k).collect()
+      .map(_.getSeq[Double](1).toArray)
+    var labels: DataFrame = null
+    var it = 0
+    var changed = true
+    while (it < maxIter && changed) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assignUdf = udf((zs: Seq[Double]) => {
+        val arr = zs.toArray
+        val cs = bc.value
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          val d = graft.kernels.Elastic.sbd(arr, cs(c))
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        best
+      })
+      val newLabels = z.withColumn("cluster", assignUdf(col("__z"))).cache()
+      newLabels.count() // materialize before comparing / aggregating
+      changed = labels == null ||
+        newLabels.as("a").join(labels.as("b"), "__id")
+          .filter(col("a.cluster") =!= col("b.cluster")).limit(1).count() > 0
+      if (labels != null) labels.unpersist()
+      labels = newLabels
+      if (changed) {
+        val len = minLen
+        val kk = k
+        // per-cluster Gram (len²) + mean (len) + count, combined map-side:
+        // the shuffle is k·(len²+len) doubles per partition, never a series
+        val zero = (Array.ofDim[Double](kk, len * len),
+          Array.ofDim[Double](kk, len), new Array[Long](kk))
+        val (gram, sums, counts) = newLabels.select(col("cluster"), col("__z"))
+          .rdd.treeAggregate(zero)(
+            { case ((m, s, cnt), row) =>
+              val c = row.getInt(0)
+              val a = Cluster.alignTo(bc.value(c), row.getSeq[Double](1).toArray)
+              var i = 0
+              while (i < len) {
+                val ai = a(i); val base = i * len
+                var j = 0
+                while (j < len) { m(c)(base + j) += ai * a(j); j += 1 }
+                s(c)(i) += ai
+                i += 1
+              }
+              cnt(c) += 1
+              (m, s, cnt)
+            },
+            { case ((m1, s1, c1), (m2, s2, c2)) =>
+              var c = 0
+              while (c < kk) {
+                var i = 0
+                while (i < len * len) { m1(c)(i) += m2(c)(i); i += 1 }
+                i = 0
+                while (i < len) { s1(c)(i) += s2(c)(i); i += 1 }
+                c1(c) += c2(c)
+                c += 1
+              }
+              (m1, s1, c1)
+            })
+        centroids = Array.tabulate(kk) { c =>
+          if (counts(c) == 0) centroids(c)
+          else {
+            val m = gram(c)
+            var v = centroids(c).clone()
+            if (v.forall(_ == 0.0)) v = Array.fill(len)(1.0 / math.sqrt(len.toDouble))
+            var p = 0
+            while (p < 15) {
+              val mv = new Array[Double](len)
+              var i = 0
+              while (i < len) {
+                var dot = 0.0; val base = i * len
+                var j = 0
+                while (j < len) { dot += m(base + j) * v(j); j += 1 }
+                mv(i) = dot
+                i += 1
+              }
+              val norm = math.sqrt(mv.map(x => x * x).sum)
+              if (norm > 0) { var j = 0; while (j < len) { v(j) = mv(j) / norm; j += 1 } }
+              p += 1
+            }
+            // sign convention: positive correlation with the cluster mean
+            var dot = 0.0
+            var j = 0
+            while (j < len) { dot += v(j) * sums(c)(j); j += 1 }
+            if (dot < 0) v.map(-_) else v
+          }
+        }
+      }
+      it += 1
+    }
+    val out = labels.select(col("__id").as(pc.id), col("cluster"))
+    z.unpersist()
+    out
+  }
+
   /** Clustering quality summary `[method, k, silhouette, davies_bouldin]`
     * for a fitted labeling (reference clustering/evaluation.py). */
   def evaluate(df: DataFrame, labelsDf: DataFrame, metric: String = "dtw",

@@ -42,21 +42,60 @@ object Distances {
     "frechet" -> ((a, b, _) => Elastic.frechet(a, b)),
     "edr" -> ((a, b, p) => Elastic.edr(a, b, p.getOrElse("epsilon", 0.1))))
 
+  /** Series count above which the grouped panel is no longer broadcast in
+    * [[pairwise]] (10⁴ series × multi-KB arrays ≈ the 8 GB broadcast
+    * ceiling; beyond it the self-join falls back to a shuffle join). */
+  val BroadcastSeriesLimit = 10000
+
   /** Pairwise distances within one panel: `[id_1, id_2, <metric>]`,
-    * upper triangle only. */
+    * upper triangle only.
+    *
+    * Scale valves:
+    *  - `broadcastRight = None` (default) counts the series and broadcasts
+    *    only below [[BroadcastSeriesLimit]]; `Some(b)` forces the choice.
+    *  - `maxDist` drops pairs whose distance exceeds the cutoff — and for
+    *    banded DTW first rejects on the O(n) LB_Keogh envelope bound, so
+    *    most far pairs never run the O(n·w) DP at all.
+    *  - `topK` keeps only each left series' k nearest partners. */
   def pairwise(df: DataFrame, metric: String,
       params: Map[String, Double] = Map.empty,
-      broadcastRight: Boolean = true)(implicit pc: PanelCols): DataFrame = {
+      broadcastRight: Option[Boolean] = None,
+      maxDist: Option[Double] = None,
+      topK: Int = 0)(implicit pc: PanelCols): DataFrame = {
     val kernel = univariate.getOrElse(metric,
       throw new IllegalArgumentException(
         s"Unknown metric '$metric'. Choose from ${univariate.keys.toSeq.sorted.mkString(", ")}"))
     val dist = udf((a: Seq[Double], b: Seq[Double]) =>
       kernel(a.toArray, b.toArray, params))
-    val g = Panel.grouped(df).select(pc.idCol, col("ys"))
-    val right = if (broadcastRight) broadcast(g) else g
-    g.as("a").join(right.as("b"), col(s"a.${pc.id}") < col(s"b.${pc.id}"))
+    val g0 = Panel.grouped(df).select(pc.idCol, col("ys"))
+    // LB_Keogh prefilter is sound for the Sakoe-Chiba DTW kernel (L1 cost)
+    val lbWindow = if (metric == "dtw") params.get("window").map(_.toInt) else None
+    val useLb = maxDist.isDefined && lbWindow.isDefined
+    val g = if (useLb) {
+      val w = lbWindow.get
+      val envUdf = udf((ys: Seq[Double]) => Elastic.envelope(ys.toArray, w))
+      g0.withColumn("__env", envUdf(col("ys")))
+    } else g0
+    val doBroadcast = broadcastRight.getOrElse {
+      df.select(pc.idCol).distinct().limit(BroadcastSeriesLimit + 1).count() <=
+        BroadcastSeriesLimit
+    }
+    val right = if (doBroadcast) broadcast(g) else g
+    val joined = g.as("a").join(right.as("b"), col(s"a.${pc.id}") < col(s"b.${pc.id}"))
+    val pruned = if (useLb) {
+      val lbUdf = udf((a: Seq[Double], env: Seq[Double]) =>
+        Elastic.lbKeogh(a.toArray, env.toArray))
+      joined.filter(lbUdf(col("a.ys"), col("b.__env")) <= maxDist.get)
+    } else joined
+    val withD = pruned
       .select(col(s"a.${pc.id}").as("id_1"), col(s"b.${pc.id}").as("id_2"),
         dist(col("a.ys"), col("b.ys")).as(metric))
+    val cut = maxDist.map(t => withD.filter(col(metric) <= t)).getOrElse(withD)
+    if (topK > 0)
+      cut.withColumn("__rk", row_number().over(
+          Window.partitionBy(col("id_1")).orderBy(col(metric).asc, col("id_2"))))
+        .filter(col("__rk") <= topK).drop("__rk")
+    else cut
   }
 
   /** Multivariate pairwise distances (`dtw_multi` manhattan/euclidean,

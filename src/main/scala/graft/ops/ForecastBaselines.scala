@@ -59,14 +59,47 @@ object ForecastBaselines {
 
   import graft.kernels.{Ets, FftForecast}
 
-  private def kernelForecast(df: DataFrame, h: Int,
-      fc: Array[Double] => Array[Double])(implicit pc: PanelCols): DataFrame = {
-    val fcUdf = udf((ys: Seq[Double]) => fc(ys.toArray))
-    val g = Panel.grouped(df).select(pc.idCol, fcUdf(col("ys")).as("__fc"))
-    Panel.futureDates(df, h).join(g, Seq(pc.id))
-      .withColumn("y_hat", element_at(col("__fc"), col("step").cast("int")))
-      .select(pc.idCol, col("step"), pc.timeCol, col("y_hat"))
+  /** Run several named forecast kernels from ONE grouped pass over the
+    * panel — a single shuffle produces every model's h-step forecast plus
+    * the future-timestamp scaffold (last ts and min-delta frequency come
+    * from the already-sorted ts array, not a second window+groupBy scan).
+    * Output: `[id, model, step, ds, y_hat]`. */
+  def multiForecast(df: DataFrame, h: Int,
+      kernels: Seq[(String, Array[Double] => Array[Double])])(
+      implicit pc: PanelCols): DataFrame = {
+    val fns = kernels.map(_._2)
+    val fcUdf = udf((ys: Seq[Double]) => {
+      val arr = ys.toArray
+      fns.map(f => f(arr))
+    })
+    val nameArr = array(kernels.map(k => lit(k._1)): _*)
+    Panel.grouped(df)
+      .withColumn("__us", transform(col("ts"), t => unix_micros(t.cast("timestamp"))))
+      .select(pc.idCol,
+        fcUdf(col("ys")).as("__fcs"),
+        element_at(col("__us"), -1).as("__last_us"),
+        // min successive delta: us is time-sorted, so pairwise diffs of the
+        // array replicate seriesMeta's lag-window min (zip_with pads the
+        // tail with null, which array_min ignores)
+        array_min(zip_with(
+          slice(col("__us"), lit(2), greatest(size(col("__us")) - 1, lit(0))),
+          col("__us"), (a, b) => a - b)).as("__freq"))
+      .select(pc.idCol, posexplode(col("__fcs")).as(Seq("__m", "__fc")),
+        col("__last_us"), col("__freq"))
+      .select(pc.idCol, element_at(nameArr, col("__m") + 1).as("model"),
+        col("__fc"), col("__last_us"), col("__freq"),
+        explode(sequence(lit(1L), lit(h.toLong))).as("step"))
+      .withColumn(pc.time,
+        timestamp_micros(col("__last_us") + col("step") * col("__freq"))
+          .cast("timestamp_ntz"))
+      .select(pc.idCol, col("model"), col("step"), pc.timeCol,
+        element_at(col("__fc"), col("step").cast("int")).as("y_hat"))
   }
+
+  private def kernelForecast(df: DataFrame, h: Int,
+      fc: Array[Double] => Array[Double])(implicit pc: PanelCols): DataFrame =
+    multiForecast(df, h, Seq("" -> fc))
+      .select(pc.idCol, col("step"), pc.timeCol, col("y_hat"))
 
   /** Simple exponential smoothing → flat forecast (src/ets.rs:12-18). */
   def ses(df: DataFrame, h: Int, alpha: Double = 0.3)(

@@ -79,8 +79,17 @@ object Similarity {
       nprobe: Int = 4, sampleSize: Int = 1000, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
-    val sample = corpus.select(col(vecCol).cast("array<double>"))
-      .limit(sampleSize).collect().map(_.getSeq[Double](0).toArray)
+    // uniform seeded sample for the quantizer — limit() alone would take
+    // the first parquet rows, biasing centroids on sorted/sharded corpora.
+    // The 3× oversample + hash-order + limit is deterministic and unbiased.
+    val total = corpus.count()
+    val frac = if (total == 0) 1.0 else math.min(1.0, 3.0 * sampleSize / total)
+    val sample = corpus
+      .select(col(idCol).as("__sid"), col(vecCol).cast("array<double>").as("__sv"))
+      .sample(withReplacement = false, frac, seed)
+      .orderBy(xxhash64(col("__sid").cast("string"), lit(seed)))
+      .limit(sampleSize)
+      .collect().map(_.getSeq[Double](1).toArray)
     val centers = graft.kernels.Cluster.lloydCenters(sample, nCells, seed)
     val bc = spark.sparkContext.broadcast(centers)
     val nearestCell = udf((v: Seq[Double]) => {
@@ -138,16 +147,36 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: queries only compare against corpus vectors landing
-    * in the same hyperplane bucket (multi-probe via `probes` extra buckets
-    * flipping one bit would be the next refinement). Recall-bounded but
-    * each query touches ~corpus/2^bits vectors. */
+    * in the same hyperplane bucket. Multi-probe: each query additionally
+    * probes the `probes` buckets reached by flipping the hyperplane with
+    * the smallest |margin| — the standard recall lever that costs
+    * probes× query fan-out instead of a bigger corpus scan. Each query
+    * touches ~(1+probes)·corpus/2^bits vectors. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-      bits: Int = 8, seed: Long = 42L, idCol: String = "vec_id",
+      bits: Int = 8, seed: Long = 42L, probes: Int = 0, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val bucket = (v: Column) => hyperplaneBucket(v, dim, bits, seed)
+    // same plane sequence as hyperplaneBucket (same rng seed + fill order)
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(bits, dim)(rng.nextGaussian())
+    val qBucketsUdf = udf((v: Seq[Double]) => {
+      val arr = v.toArray
+      val dots = planes.map { p =>
+        var d = 0.0; var i = 0
+        val n = math.min(p.length, arr.length)
+        while (i < n) { d += p(i) * arr(i); i += 1 }
+        d
+      }
+      var b = 0L
+      var i = 0
+      while (i < dots.length) { if (dots(i) >= 0.0) b |= 1L << i; i += 1 }
+      val flips = dots.zipWithIndex.sortBy { case (d, _) => math.abs(d) }
+        .take(probes).map(_._2)
+      (b +: flips.map(f => b ^ (1L << f))).distinct
+    })
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"))
-      .withColumn("__bucket", bucket(col("__qv")))
+      .withColumn("__bucket", explode(qBucketsUdf(col("__qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("__cv"))
       .withColumn("__bucket", bucket(col("__cv")))
