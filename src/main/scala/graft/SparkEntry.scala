@@ -352,6 +352,16 @@ object SparkEntry {
     "ts_garch" -> ((s, dir) =>
       Advanced.garchForecast(IO.events(s, dir), h = 5)),
 
+    "ts_arma_fc" -> ((s, dir) =>
+      Advanced.arimaForecast(IO.events(s, dir), p = 1, d = 0, q = 1, h = 7)),
+
+    "ts_auto_arima" -> ((s, dir) =>
+      Advanced.autoArima(IO.events(s, dir), h = 7, maxP = 2, maxQ = 2)),
+
+    "ts_auto_arima_orders" -> ((s, dir) =>
+      Advanced.autoArimaOrders(IO.events(s, dir))
+        .select(col("user_id"), col("p"), col("d"), col("q"))),
+
     "ts_regime" -> ((s, dir) =>
       Advanced.regimeDetect(IO.events(s, dir), k = 2)),
 

@@ -51,6 +51,38 @@ object Advanced {
       .select(pc.idCol, col("omega"), col("alpha"), col("beta"), col("step"), col("sigma"))
   }
 
+  /** ARIMA(p,d,q) forecast per series (reference models/arima.py:95-182):
+    * `[id, step, ds, y_hat]`, CSS-estimated ARMA on the d-differenced
+    * series. One grouped pass via multiForecast. */
+  def arimaForecast(df: DataFrame, p: Int, d: Int, q: Int, h: Int)(
+      implicit pc: PanelCols): DataFrame =
+    ForecastBaselines.multiForecast(df, h, Seq(
+      "arima" -> (ys => graft.kernels.Arima.forecast(ys, p, d, q, h))))
+      .select(pc.idCol, col("step"), pc.timeCol, col("y_hat"))
+
+  /** auto-ARIMA forecast per series (reference models/arima.py:23-91):
+    * KPSS-selected d + AICc grid over (p,q) ≤ (3,3), executed entirely on
+    * executors — the order search is per-series-local, so the panel stays
+    * one grouped pass. Output `[id, step, ds, y_hat]`. */
+  def autoArima(df: DataFrame, h: Int, maxP: Int = 3, maxQ: Int = 3)(
+      implicit pc: PanelCols): DataFrame =
+    ForecastBaselines.multiForecast(df, h, Seq(
+      "auto_arima" -> (ys => graft.kernels.Arima.autoForecast(ys, h, maxP, maxQ))))
+      .select(pc.idCol, col("step"), pc.timeCol, col("y_hat"))
+
+  /** Per-series selected auto-ARIMA orders `[id, p, d, q, aicc]` —
+    * the diagnostic companion of [[autoArima]]. */
+  def autoArimaOrders(df: DataFrame)(implicit pc: PanelCols): DataFrame = {
+    val u = udf((ys: Seq[Double]) => {
+      val (p, d, q, fit) = graft.kernels.Arima.autoFit(ys.toArray)
+      (p, d, q, fit.aicc)
+    })
+    Panel.grouped(df)
+      .select(pc.idCol, u(col("ys")).as("__r"))
+      .select(pc.idCol, col("__r._1").as("p"), col("__r._2").as("d"),
+        col("__r._3").as("q"), col("__r._4").as("aicc"))
+  }
+
   /** Gaussian-HMM regimes per row: `[.., regime, regime_prob]`
     * (changepoint/regime.py:9-157). */
   def regimeDetect(df: DataFrame, k: Int = 2)(implicit pc: PanelCols): DataFrame = {
