@@ -436,6 +436,31 @@ object SparkEntry {
         .select(col("fold"), r6(col("mae")).as("mae"), r6(col("rmse")).as("rmse"),
           col("n"))),
 
+    "ts_quantile_fc" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+      val model = Probabilistic.fitQuantileRidge(ev, lags = 3,
+        quantiles = Seq(0.1, 0.5, 0.9))
+      Probabilistic.quantileForecast(ev, model, h = 5)
+        .select(col("user_id"), col("step"), col("ts"),
+          r6(col("q_0_1")).as("q_10"), r6(col("q_0_5")).as("q_50"),
+          r6(col("q_0_9")).as("q_90"))
+    }),
+
+    "ts_stacking" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+      val bases: Seq[(DataFrame, Int) => DataFrame] = Seq(
+        (t, h) => ForecastBaselines.naive(t, h),
+        (t, h) => ForecastBaselines.movingAverage(t, h, 12),
+        (t, h) => ForecastBaselines.ses(t, h))
+      val oof = bases.map(b => Pipeline.oofForecast(ev, b, folds = 2, horizon = 12))
+      val coef = Probabilistic.stackingFit(oof, ev)
+      val future = Seq(ForecastBaselines.naive(ev, 7),
+        ForecastBaselines.movingAverage(ev, 7, 12),
+        ForecastBaselines.ses(ev, 7))
+      Probabilistic.stackingCombine(future, coef)
+        .select(col("user_id"), col("step"), col("ts"), r6(col("y_hat")).as("y_hat"))
+    }),
+
     "ts_streaming_ets" -> ((s, dir) =>
       graft.streaming.StreamingOps.etsBatch(s, IO.events(s, dir),
         "user_id", "ts", "value")),

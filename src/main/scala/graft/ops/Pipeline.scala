@@ -128,6 +128,26 @@ object Pipeline {
       .select(col("rank"), col("model"), col("mae"), col("rmse"))
   }
 
+  /** Out-of-fold forecasts of one model across expanding-window CV folds:
+    * `[id, ds, y_hat]` over every fold's test rows — the stacking
+    * meta-learner's training input (reference ensemble/stacking.py fit
+    * contract; fold test windows are disjoint by construction). */
+  def oofForecast(df: DataFrame, forecaster: (DataFrame, Int) => DataFrame,
+      folds: Int, horizon: Int)(implicit pc: PanelCols): DataFrame = {
+    val marked = Validation.expandingWindowCv(df, folds, horizon).cache()
+    val parts = (0 until folds).map { f =>
+      val train = marked.filter(col("fold") === f && col("split") === "train")
+        .drop("fold", "split")
+      val test = marked.filter(col("fold") === f && col("split") === "test")
+        .drop("fold", "split")
+      val fc = forecaster(train, horizon)
+      test.withColumn("step", row_number().over(pc.w).cast("long"))
+        .join(fc.select(pc.idCol, col("step"), col("y_hat")), Seq(pc.id, "step"))
+        .select(pc.idCol, pc.timeCol, col("y_hat"))
+    }
+    parts.reduce(_ unionByName _)
+  }
+
   /** Backtest a forecasting function over expanding-window CV folds:
     * per-fold MAE/RMSE + overall mean (reference
     * backtesting/backtest.py:126-300). The fold loop is a driver loop over
