@@ -623,6 +623,12 @@ object SparkEntry {
     "ts_kshape" -> ((s, dir) =>
       Clustering.kshapeCluster(IO.events(s, dir), k = 3)),
 
+    "ts_kmeans_dba" -> ((s, dir) =>
+      Clustering.kmeansDba(IO.events(s, dir), k = 3, maxIter = 5)),
+
+    "ts_kasba" -> ((s, dir) =>
+      Clustering.kasbaCluster(IO.events(s, dir), k = 3, maxIter = 5)),
+
     "ts_auto_cluster" -> ((s, dir) => {
       val ev = IO.events(s, dir)
       val (ids, m) = Clustering.collectMatrix(Distances.pairwise(ev, "sbd")(PC), "sbd")

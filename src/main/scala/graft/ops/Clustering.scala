@@ -176,6 +176,229 @@ object Clustering {
     out
   }
 
+  private def fixedLenSeries(df: DataFrame)(implicit pc: PanelCols) = {
+    val g = graft.core.Panel.grouped(df).select(pc.idCol.as("__id"), col("ys"))
+    val minLen = g.agg(min(size(col("ys")))).head().getInt(0)
+    val cut = udf((ys: Seq[Double]) => ys.toArray.take(minLen))
+    (g.select(col("__id"), cut(col("ys")).as("__z")).cache(), minLen)
+  }
+
+  /** Elastic k-means++ seeding (reference src/kasba init.rs), distance-
+    * generic: next center sampled ∝ min distance to chosen centers via the
+    * exponential-race trick (argmin of −ln(u)/d with seeded per-id u) —
+    * one distributed pass per center, no driver-side cumsum. */
+  private def elasticKppInit(z: DataFrame, k: Int, seed: Long,
+      dist: (Array[Double], Array[Double]) => Double): Array[Array[Double]] = {
+    val spark = z.sparkSession
+    val first = z.orderBy(xxhash64(col("__id").cast("string"), lit(seed)))
+      .limit(1).collect()(0).getSeq[Double](1).toArray
+    var centers = Array(first)
+    for (round <- 1 until k) {
+      val bc = spark.sparkContext.broadcast(centers)
+      val minD = udf((zs: Seq[Double]) => {
+        val arr = zs.toArray
+        var bd = Double.MaxValue
+        var i = 0
+        while (i < bc.value.length) {
+          val d = dist(arr, bc.value(i))
+          if (d < bd) bd = d
+          i += 1
+        }
+        bd
+      })
+      val u = (pmod(xxhash64(col("__id").cast("string"), lit(seed + round)),
+        lit(1000000L)).cast("double") + 0.5) / 1000000.0
+      val next = z.withColumn("__d", minD(col("__z")))
+        .withColumn("__key",
+          when(col("__d") > 0.0, -log(u) / col("__d")).otherwise(lit(Double.MaxValue)))
+        .orderBy(col("__key")).limit(1).collect()(0)
+        .getSeq[Double](1).toArray
+      centers = centers :+ next
+    }
+    centers
+  }
+
+  /** Distributed time-series k-means with DBA centroids (reference
+    * clustering/kmeans.py:19-160 + dba.py): DTW assignment on executors
+    * (broadcast centroids); each DBA refinement is ONE treeAggregate of
+    * per-centroid-position (sum, count) path contributions — k·len doubles
+    * per partition reach the driver, never a series. `dbaIters` refinement
+    * sweeps run per k-means iteration (the reference runs its full 30-pass
+    * DBA per update; at cluster scale each sweep is a panel pass, so the
+    * count is a dial). */
+  def kmeansDba(df: DataFrame, k: Int, maxIter: Int = 10, dbaIters: Int = 3,
+      seed: Long = 42L)(implicit pc: PanelCols): DataFrame = {
+    val spark = df.sparkSession
+    val (z, minLen) = fixedLenSeries(df)
+    var centroids = elasticKppInit(z, k, seed, (a, b) => graft.kernels.Elastic.dtw(a, b))
+    var labels: DataFrame = null
+    var it = 0
+    var changed = true
+    while (it < maxIter && changed) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assign = udf((zs: Seq[Double]) => {
+        val arr = zs.toArray
+        val cs = bc.value
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          val d = graft.kernels.Elastic.dtw(arr, cs(c))
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        best
+      })
+      val newLabels = z.withColumn("cluster", assign(col("__z"))).cache()
+      newLabels.count()
+      changed = labels == null ||
+        newLabels.as("a").join(labels.as("b"), "__id")
+          .filter(col("a.cluster") =!= col("b.cluster")).limit(1).count() > 0
+      if (labels != null) labels.unpersist()
+      labels = newLabels
+      if (changed) {
+        val len = minLen
+        val kk = k
+        for (_ <- 0 until dbaIters) {
+          val bcC = spark.sparkContext.broadcast(centroids)
+          val zero = (Array.ofDim[Double](kk, len), Array.ofDim[Double](kk, len))
+          val (tot, cnt) = newLabels.select(col("cluster"), col("__z"))
+            .rdd.treeAggregate(zero)(
+              { case ((t, n), row) =>
+                val c = row.getInt(0)
+                val s = row.getSeq[Double](1).toArray
+                val path = graft.kernels.Barycenter.dtwPathSq(bcC.value(c), s)
+                var p = 0
+                while (p < path.length) {
+                  val (ci, si) = path(p)
+                  t(c)(ci) += s(si); n(c)(ci) += 1.0
+                  p += 1
+                }
+                (t, n)
+              },
+              { case ((t1, n1), (t2, n2)) =>
+                var c = 0
+                while (c < kk) {
+                  var i = 0
+                  while (i < len) { t1(c)(i) += t2(c)(i); n1(c)(i) += n2(c)(i); i += 1 }
+                  c += 1
+                }
+                (t1, n1)
+              })
+          centroids = Array.tabulate(kk)(c =>
+            Array.tabulate(len)(i => if (cnt(c)(i) > 0) tot(c)(i) / cnt(c)(i) else 0.0))
+          bcC.destroy()
+        }
+      }
+      it += 1
+    }
+    val out = labels.select(col("__id").as(pc.id), col("cluster"))
+    z.unpersist()
+    out
+  }
+
+  /** KASBA clustering (reference clustering/kasba.py:16-120 + the
+    * src/kasba rust core): MSM metric, elastic k-means++ init, triangle-
+    * inequality-pruned assignment, stochastic-subgradient barycenters.
+    *
+    * Spark split: init + assignment run on executors (centroids and the
+    * k×k centroid-distance matrix broadcast; Elkan bound skips most MSM
+    * evaluations); the SSG barycenter refinement is inherently sequential,
+    * so it runs on the driver over each cluster's stochastic subset — the
+    * subset (≤ `subsetCap` series per cluster, the algorithm's own
+    * ba_subset_size sampling) is the only series data the driver touches.
+    * k-means++ seeding samples ∝ distance in one distributed pass via the
+    * exponential-race trick (argmin of −ln(u)/d with seeded per-id u). */
+  def kasbaCluster(df: DataFrame, k: Int, c: Double = 1.0, maxIter: Int = 10,
+      baSubsetSize: Double = 0.5, initialStepSize: Double = 0.05,
+      decayRate: Double = 0.1, subsetCap: Int = 512, seed: Long = 42L)(
+      implicit pc: PanelCols): DataFrame = {
+    val spark = df.sparkSession
+    val (z, _) = fixedLenSeries(df)
+    val rng = new scala.util.Random(seed)
+
+    // ── elastic k-means++ (init.rs): weighted by min MSM distance ──────
+    var centers = elasticKppInit(z, k, seed,
+      (a, b) => graft.kernels.Elastic.msm(a, b, c))
+
+    var labels: DataFrame = null
+    var it = 0
+    var changed = true
+    while (it < maxIter && changed) {
+      // ── assignment with Elkan pruning (assign.rs:fast_assign) ─────────
+      val ccd = Array.tabulate(k, k)((i, j) =>
+        if (i == j) 0.0 else graft.kernels.Elastic.msm(centers(i), centers(j), c))
+      val bcC = spark.sparkContext.broadcast(centers)
+      val bcD = spark.sparkContext.broadcast(ccd)
+      val assign = udf((zs: Seq[Double], prevLabel: Int, prevDist: Double) => {
+        val arr = zs.toArray
+        val cs = bcC.value
+        val dd = bcD.value
+        var closest = if (prevLabel >= 0) prevLabel else 0
+        var minDist =
+          if (prevLabel >= 0) prevDist
+          else graft.kernels.Elastic.msm(arr, cs(0), c)
+        var j = 0
+        while (j < cs.length) {
+          val skip = (prevLabel >= 0 && j == closest) ||
+            minDist < dd(j)(closest) / 2.0
+          if (!skip) {
+            val d = graft.kernels.Elastic.msm(arr, cs(j), c)
+            if (d < minDist) { minDist = d; closest = j }
+          }
+          j += 1
+        }
+        (closest, minDist)
+      })
+      val prev = if (labels == null)
+        z.withColumn("__pl", lit(-1)).withColumn("__pd", lit(0.0))
+      else z.join(labels.select(col("__id"), col("cluster").as("__pl"),
+        col("__dist").as("__pd")), "__id")
+      val newLabels = prev
+        .withColumn("__a", assign(col("__z"), col("__pl"), col("__pd")))
+        .select(col("__id"), col("__z"), col("__a._1").as("cluster"),
+          col("__a._2").as("__dist"))
+        .cache()
+      newLabels.count()
+      changed = labels == null ||
+        newLabels.as("a").join(labels.as("b"), "__id")
+          .filter(col("a.cluster") =!= col("b.cluster")).limit(1).count() > 0
+      if (labels != null) labels.unpersist()
+      labels = newLabels
+      if (changed) {
+        // ── SSG barycenter per cluster over its stochastic subset ───────
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster"))
+          .orderBy(xxhash64(col("__id").cast("string"), lit(seed + 100 + it)))
+        val sampled = newLabels
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= subsetCap)
+          .select(col("cluster"), col("__z"), col("__dist"))
+          .collect()
+        val byCluster = sampled.groupBy(_.getInt(0))
+        centers = Array.tabulate(k) { ci =>
+          byCluster.get(ci) match {
+            case Some(rows) if rows.nonEmpty =>
+              val members = rows.map(_.getSeq[Double](1).toArray).toIndexedSeq
+              val prevCost = rows.map(_.getDouble(2)).sum
+              graft.kernels.Barycenter.kasbaAverage(members, centers(ci),
+                prevCost, baSubsetSize = baSubsetSize,
+                initialStepSize = initialStepSize, decayRate = decayRate,
+                c = c, rng = rng)
+            case _ =>
+              // empty-cluster recovery (empty_cluster.rs): re-seed from the
+              // globally furthest series
+              newLabels.orderBy(col("__dist").desc).limit(1)
+                .collect()(0).getSeq[Double](1).toArray
+          }
+        }
+      }
+      it += 1
+    }
+    val out = labels.select(col("__id").as(pc.id), col("cluster"))
+    z.unpersist()
+    out
+  }
+
   /** Clustering quality summary `[method, k, silhouette, davies_bouldin]`
     * for a fitted labeling (reference clustering/evaluation.py). */
   def evaluate(df: DataFrame, labelsDf: DataFrame, metric: String = "dtw",
