@@ -436,6 +436,92 @@ object SparkEntry {
         .select(col("fold"), r6(col("mae")).as("mae"), r6(col("rmse")).as("rmse"),
           col("n"))),
 
+    // ── round-2 small completions ───────────────────────────────────────
+    "ts_cv_rolling" -> ((s, dir) =>
+      Validation.rollingOriginCv(IO.events(s, dir), nSplits = 3, horizon = 24,
+        step = 24)
+        .groupBy(col("fold"), col("split")).agg(count(lit(1)).as("n_rows"))),
+
+    "ts_reconcile_mo" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+      val users = ev.select(col("user_id")).distinct().collect()
+        .map(_.getLong(0)).sorted
+      val edges = Seq("g0", "g1", "g2").map(g => ("total", g)) ++
+        users.map(u => (s"g${u % 3}", u.toString))
+      val hpc: PanelCols = PanelCols(id = "unique_id", time = "ts")
+      val base = ForecastBaselines.naive(ev, 7)(PC)
+        .select(col("user_id").cast("string").as("unique_id"), col("ts"), col("y_hat"))
+      val all = Reconciliation.bottomUp(base, edges)(hpc)
+      Reconciliation.middleOut(all, edges, Seq("g0", "g1", "g2"))(hpc)
+        .select(col("unique_id"), col("ts"), r6(col("y_hat")).as("y_hat"))
+    }),
+
+    "ts_reconcile_permbu" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+      val users = ev.select(col("user_id")).distinct().collect()
+        .map(_.getLong(0)).sorted
+      val edges = Seq("g0", "g1", "g2").map(g => ("total", g)) ++
+        users.map(u => (s"g${u % 3}", u.toString))
+      val hpc: PanelCols = PanelCols(id = "unique_id", time = "ts")
+      val base = ForecastBaselines.naive(ev, 7)(PC)
+        .select(col("user_id").cast("string").as("unique_id"), col("ts"), col("y_hat"))
+      val all = Reconciliation.bottomUp(base, edges)(hpc)
+      // persistence residuals of daily per-node history
+      val daily = ev.groupBy(col("user_id").cast("string").as("unique_id"),
+        date_trunc("day", col("ts")).as("ts")).agg(sum("value").as("y_hat"))
+      val nodeHist = Reconciliation.bottomUp(daily, edges)(hpc)
+      val resid = nodeHist.withColumn("residual",
+        col("y_hat") - lag(col("y_hat"), 1).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("unique_id"))
+            .orderBy(col("ts"))))
+        .filter(col("residual").isNotNull)
+        .select(col("unique_id"), col("ts"), col("residual"))
+      Reconciliation.permbu(all, edges, resid)(hpc)
+        .select(col("unique_id"), col("ts"), r6(col("y_hat")).as("y_hat"))
+    }),
+
+    "ts_reconcile_mintcv" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+      val users = ev.select(col("user_id")).distinct().collect()
+        .map(_.getLong(0)).sorted
+      val edges = Seq("g0", "g1", "g2").map(g => ("total", g)) ++
+        users.map(u => (s"g${u % 3}", u.toString))
+      val hpc: PanelCols = PanelCols(id = "unique_id", time = "ts", target = "y_hat")
+      val base = ForecastBaselines.naive(ev, 7)(PC)
+        .select(col("user_id").cast("string").as("unique_id"), col("ts"), col("y_hat"))
+      val all = Reconciliation.bottomUp(base, edges)(hpc)
+      val daily = ev.groupBy(col("user_id").cast("string").as("unique_id"),
+        date_trunc("day", col("ts")).as("ts")).agg(sum("value").as("y_hat"))
+      val nodeHist = Reconciliation.bottomUp(daily, edges)(hpc)
+      Reconciliation.minTraceCv(all, edges, nodeHist, nFolds = 3)(hpc)
+        .select(col("unique_id"), col("ts"), r6(col("y_hat")).as("y_hat"))
+    }),
+
+    "ts_pit_hist" -> ((s, dir) =>
+      Evaluation.pitHistogram(persistenceQuantiles(s, dir), "value",
+        Seq("q_10", "q_50", "q_90"), nBins = 10)
+        .select(r6(col("bin_lower")).as("bin_lower"), r6(col("bin_upper")).as("bin_upper"),
+          col("count"), r6(col("density")).as("density"))),
+
+    "ts_reliability" -> ((s, dir) =>
+      Evaluation.reliabilityDiagram(persistenceQuantiles(s, dir), "value",
+        Map("q_10" -> 0.1, "q_50" -> 0.5, "q_90" -> 0.9))
+        .select(col("expected"), r6(col("observed")).as("observed"))),
+
+    "ts_silhouette_samples" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+      val labels = Clustering.kmedoids(ev, k = 3, metric = "sbd")
+      Clustering.silhouetteSamples(ev, labels, metric = "sbd")
+        .select(col("user_id"), col("cluster"), r6(col("silhouette")).as("silhouette"))
+    }),
+
+    "ts_calinski" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+      val labels = Clustering.kmedoids(ev, k = 3, metric = "sbd")
+      Clustering.calinskiHarabasz(ev, labels, metric = "sbd")
+        .select(r6(col("calinski_harabasz")).as("calinski_harabasz"))
+    }),
+
     "ts_quantile_fc" -> ((s, dir) => {
       val ev = IO.events(s, dir)
       val model = Probabilistic.fitQuantileRidge(ev, lags = 3,
@@ -1619,5 +1705,47 @@ object SparkEntry {
         |  round(sqrt(avg((value - y_hat) * (value - y_hat))), 6) AS rmse,
         |  count(*) AS n
         |FROM j GROUP BY fold""".stripMargin,
+
+    // rolling-origin CV: nSplits=3, horizon=24, step=24, gap=0, expanding
+    "ts_cv_rolling" ->
+      """WITH tm AS (SELECT ts, row_number() OVER (ORDER BY ts) AS tidx
+        |  FROM (SELECT DISTINCT ts FROM events)),
+        |nt AS (SELECT max(tidx) AS nt FROM tm),
+        |r AS (SELECT t.tidx, f.fold, n.nt FROM events e
+        |  JOIN tm t ON e.ts = t.ts CROSS JOIN nt n
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 2))::INT AS fold) f),
+        |marked AS (SELECT fold,
+        |  CASE WHEN tidx <= (nt - 72) + fold * 24 THEN 'train'
+        |    WHEN tidx > (nt - 72) + fold * 24 AND tidx <= (nt - 72) + fold * 24 + 24
+        |    THEN 'test' END AS split FROM r)
+        |SELECT fold, split, count(*) AS n_rows FROM marked
+        |WHERE split IS NOT NULL GROUP BY fold, split""".stripMargin,
+
+    "ts_pit_hist" ->
+      s"""WITH p AS (SELECT value AS y, lag(value, 1) OVER ($W) AS yhat FROM events),
+         |q AS (SELECT y, yhat * 0.9 AS q1, yhat AS q2, yhat * 1.1 AS q3
+         |  FROM p WHERE yhat IS NOT NULL),
+         |pit AS (SELECT ((CASE WHEN q1 <= y THEN 1.0 ELSE 0.0 END) +
+         |  (CASE WHEN q2 <= y THEN 1.0 ELSE 0.0 END) +
+         |  (CASE WHEN q3 <= y THEN 1.0 ELSE 0.0 END)) / 3.0 AS v FROM q),
+         |b AS (SELECT least(floor(v * 10), 9)::BIGINT AS bin FROM pit),
+         |cnt AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+         |tot AS (SELECT count(*) AS t FROM pit)
+         |SELECT round((g.bin / 10.0), 6) AS bin_lower,
+         |  round(((g.bin + 1) / 10.0), 6) AS bin_upper,
+         |  coalesce(c.c, 0)::DOUBLE AS count,
+         |  round(coalesce(c.c, 0) / greatest(t.t, 1)::DOUBLE, 6) AS density
+         |FROM (SELECT unnest(generate_series(0, 9)) AS bin) g
+         |LEFT JOIN cnt c ON c.bin = g.bin CROSS JOIN tot t""".stripMargin,
+
+    "ts_reliability" ->
+      s"""WITH p AS (SELECT value AS y, lag(value, 1) OVER ($W) AS yhat FROM events),
+         |q AS (SELECT y, yhat * 0.9 AS q1, yhat AS q2, yhat * 1.1 AS q3
+         |  FROM p WHERE yhat IS NOT NULL)
+         |SELECT 0.1 AS expected, round(avg(CASE WHEN y <= q1 THEN 1.0 ELSE 0.0 END), 6) AS observed FROM q
+         |UNION ALL
+         |SELECT 0.5, round(avg(CASE WHEN y <= q2 THEN 1.0 ELSE 0.0 END), 6) FROM q
+         |UNION ALL
+         |SELECT 0.9, round(avg(CASE WHEN y <= q3 THEN 1.0 ELSE 0.0 END), 6) FROM q""".stripMargin,
   )
 }

@@ -373,6 +373,66 @@ object Cluster {
     if (counted == 0) 0.0 else total / counted
   }
 
+  /** Per-sample silhouette values (clustering/evaluation.py:108-178):
+    * s_i = (b_i − a_i)/max(a_i, b_i); 0 for singleton clusters and when
+    * fewer than two clusters exist. */
+  def silhouetteSamples(dist: Array[Array[Double]], labels: Array[Int]): Array[Double] = {
+    val n = dist.length
+    val clusters = labels.distinct.filter(_ >= 0)
+    val out = new Array[Double](n)
+    if (clusters.length < 2 || n <= 1) return out
+    var i = 0
+    while (i < n) {
+      if (labels(i) >= 0) {
+        val own = labels(i)
+        var a = 0.0; var na = 0
+        val bByCluster = mutable.Map.empty[Int, (Double, Int)]
+        var j = 0
+        while (j < n) {
+          if (j != i && labels(j) >= 0) {
+            if (labels(j) == own) { a += dist(i)(j); na += 1 }
+            else {
+              val (s, c) = bByCluster.getOrElse(labels(j), (0.0, 0))
+              bByCluster(labels(j)) = (s + dist(i)(j), c + 1)
+            }
+          }
+          j += 1
+        }
+        val ai = if (na > 0) a / na else 0.0
+        if (bByCluster.nonEmpty) {
+          val bi = bByCluster.values.map { case (s, c) => s / c }.min
+          val denom = math.max(ai, bi)
+          out(i) = if (denom > 0) (bi - ai) / denom else 0.0
+        }
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Medoid-based Calinski-Harabasz index
+    * (clustering/evaluation.py:251-326): between-cluster dispersion over
+    * within-cluster dispersion, both measured via medoids on the distance
+    * matrix. Higher is better; 0 for degenerate clusterings. */
+  def calinskiHarabasz(dist: Array[Array[Double]], labels: Array[Int]): Double = {
+    val n = dist.length
+    val clusters = labels.distinct.filter(_ >= 0).sorted
+    val k = clusters.length
+    if (k <= 1 || n <= k) return 0.0
+    val byC = clusters.map(c => labels.indices.filter(labels(_) == c).toArray)
+    val medoids = byC.map(m => m.minBy(i => m.map(j => dist(i)(j)).sum))
+    val globalMedoid = (0 until n).minBy(i => (0 until n).map(j => dist(i)(j)).sum)
+    var wk = 0.0
+    byC.zip(medoids).foreach { case (m, med) =>
+      m.foreach { i => val d = dist(i)(med); wk += d * d }
+    }
+    var bk = 0.0
+    byC.zip(medoids).foreach { case (m, med) =>
+      val d = dist(med)(globalMedoid); bk += m.length * d * d
+    }
+    if (wk == 0.0) 0.0 else (bk / (k - 1)) / (wk / (n - k))
+  }
+
   /** Davies-Bouldin index with medoid "centroids" over the distance matrix
     * (clustering/evaluation.py:180-260). Lower is better. */
   def daviesBouldin(dist: Array[Array[Double]], labels: Array[Int]): Double = {

@@ -412,4 +412,35 @@ object Clustering {
     Seq((Cluster.silhouette(m, labels), Cluster.daviesBouldin(m, labels)))
       .toDF("silhouette", "davies_bouldin")
   }
+
+  /** Per-sample silhouette `[id, cluster, silhouette]` (reference
+    * clustering/evaluation.py:108-178). */
+  def silhouetteSamples(df: DataFrame, labelsDf: DataFrame, metric: String = "dtw",
+      params: Map[String, Double] = Map.empty)(implicit pc: PanelCols): DataFrame = {
+    val (ids, m) = collectMatrix(Distances.pairwise(df, metric, params), metric)
+    val lmap = labelsDf.select(pc.idCol.cast("string"), col("cluster"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val labels = ids.map(lmap.getOrElse(_, -1))
+    val sil = Cluster.silhouetteSamples(m, labels)
+    val spark = df.sparkSession
+    import spark.implicits._
+    ids.indices.map(i => (ids(i), labels(i), sil(i))).toSeq
+      .toDF("__id_str", "cluster", "silhouette")
+      .join(df.select(pc.idCol).distinct()
+        .withColumn("__id_str", pc.idCol.cast("string")), Seq("__id_str"))
+      .select(pc.idCol, col("cluster"), col("silhouette"))
+  }
+
+  /** Medoid-based Calinski-Harabasz index as a 1-row frame
+    * (reference clustering/evaluation.py:251-326). */
+  def calinskiHarabasz(df: DataFrame, labelsDf: DataFrame, metric: String = "dtw",
+      params: Map[String, Double] = Map.empty)(implicit pc: PanelCols): DataFrame = {
+    val (ids, m) = collectMatrix(Distances.pairwise(df, metric, params), metric)
+    val lmap = labelsDf.select(pc.idCol.cast("string"), col("cluster"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val labels = ids.map(lmap.getOrElse(_, -1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq(Cluster.calinskiHarabasz(m, labels)).toDF("calinski_harabasz")
+  }
 }

@@ -43,6 +43,37 @@ object Evaluation {
     rows.reduce(_ unionByName _)
   }
 
+  /** PIT histogram (reference calibration.py:51-105): per row, the PIT
+    * value is the fraction of quantile forecasts ≤ actual; binned into
+    * `nBins` equal bins over [0,1] (last bin right-inclusive). Output:
+    * `[bin_lower, bin_upper, count, density]` including empty bins. */
+  def pitHistogram(df: DataFrame, yCol: String, quantileCols: Seq[String],
+      nBins: Int = 10): DataFrame = {
+    require(quantileCols.nonEmpty, "need at least one quantile column")
+    val spark = df.sparkSession
+    val pit = quantileCols.map(q =>
+      when(col(q) <= col(yCol), 1.0).otherwise(0.0)).reduce(_ + _) /
+      lit(quantileCols.size.toDouble)
+    val binned = df.withColumn("__bin",
+        least(floor(pit * nBins), lit(nBins - 1)).cast("long"))
+      .groupBy(col("__bin")).agg(count(lit(1)).as("__c"))
+    val total = df.count().toDouble
+    spark.range(nBins.toLong).select(col("id").as("__bin"))
+      .join(binned, Seq("__bin"), "left")
+      .select(
+        (col("__bin") / nBins).cast("double").as("bin_lower"),
+        ((col("__bin") + 1) / nBins).cast("double").as("bin_upper"),
+        coalesce(col("__c"), lit(0L)).cast("double").as("count"),
+        (coalesce(col("__c"), lit(0L)) / lit(math.max(total, 1.0))).as("density"))
+  }
+
+  /** Reliability diagram data (reference calibration.py:107-138):
+    * `[expected, observed]` — the calibration table reshaped for plotting. */
+  def reliabilityDiagram(df: DataFrame, yCol: String,
+      quantileCols: Map[String, Double]): DataFrame =
+    calibrationTable(df, yCol, quantileCols)
+      .select(col("nominal").as("expected"), col("empirical").as("observed"))
+
   /** Combine k forecast frames on (id, time): equal or explicit weights
     * (reference ensemble/weighted.py:12-165). Each frame contributes its
     * `yhatCol`; output replaces it with the weighted combination. */

@@ -35,6 +35,38 @@ object Validation {
       .drop("__tidx", "__nt", "__cut")
   }
 
+  /** General rolling-origin folds (reference validation/splits.py:108-233):
+    * fold f trains on time points (splitEnd−trainSize, splitEnd] (expanding
+    * from 0 when `fixedTrainSize` is None) and tests on
+    * (splitEnd+gap, splitEnd+gap+horizon], where splitEnd = initial + f·step
+    * and initial defaults to nt − (k−1)·step − gap − horizon. Output:
+    * input columns + `fold` + `split`, fully distributed (fold boundaries
+    * are plan expressions — no driver time-point collect). */
+  def rollingOriginCv(df: DataFrame, nSplits: Int, horizon: Int = 1,
+      step: Int = 1, gap: Int = 0, fixedTrainSize: Option[Int] = None,
+      initialTrainSize: Option[Int] = None)(implicit pc: PanelCols): DataFrame = {
+    require(nSplits >= 1 && horizon >= 1 && step >= 1 && gap >= 0)
+    fixedTrainSize.foreach(f => require(f >= 1, "fixedTrainSize must be >= 1"))
+    val times = df.select(pc.timeCol).distinct()
+      .withColumn("__tidx", row_number().over(Window.orderBy(pc.timeCol)))
+    val n = times.select(max(col("__tidx")).as("__nt"))
+    val indexed = df.join(times, Seq(pc.time)).crossJoin(broadcast(n))
+      .crossJoin(broadcast(
+        df.sparkSession.range(nSplits.toLong).select(col("id").cast("int").as("fold"))))
+    val auto = col("__nt") - lit((nSplits - 1) * step + gap + horizon)
+    val initial = initialTrainSize.map(v => lit(v): org.apache.spark.sql.Column)
+      .getOrElse(fixedTrainSize.map(f => greatest(auto, lit(f))).getOrElse(auto))
+    val splitEnd = initial + col("fold") * step
+    val trainStart = fixedTrainSize.map(f => splitEnd - f).getOrElse(lit(0))
+    indexed
+      .withColumn("split",
+        when(col("__tidx") > trainStart && col("__tidx") <= splitEnd, "train")
+          .when(col("__tidx") > splitEnd + gap &&
+            col("__tidx") <= splitEnd + gap + horizon, "test"))
+      .filter(col("split").isNotNull)
+      .drop("__tidx", "__nt")
+  }
+
   /** Sliding-window folds: same test windows, train = the `window` time
     * points immediately before the gap. */
   def slidingWindowCv(df: DataFrame, folds: Int, horizon: Int, window: Int,

@@ -24,6 +24,21 @@ class AdvancedKernelsSpec extends AnyFunSuite {
     assert(medoids.length == 2)
   }
 
+  test("silhouetteSamples: separated blobs score near 1, mean matches silhouette") {
+    val labels = Array(0, 0, 0, 1, 1, 1)
+    val s = Cluster.silhouetteSamples(twoBlobs, labels)
+    assert(s.forall(v => v > 0.8))
+    val mean = s.sum / s.length
+    assert(math.abs(mean - Cluster.silhouette(twoBlobs, labels)) < 1e-12)
+  }
+
+  test("calinskiHarabasz: correct clustering beats a shuffled one") {
+    val good = Cluster.calinskiHarabasz(twoBlobs, Array(0, 0, 0, 1, 1, 1))
+    val bad = Cluster.calinskiHarabasz(twoBlobs, Array(0, 1, 0, 1, 0, 1))
+    assert(good > bad, s"$good vs $bad")
+    assert(Cluster.calinskiHarabasz(twoBlobs, Array(0, 0, 0, 0, 0, 0)) == 0.0)
+  }
+
   test("pam is deterministic for a fixed seed") {
     val a = Cluster.pam(twoBlobs, 2, seed = 7L)._1.toSeq
     val b = Cluster.pam(twoBlobs, 2, seed = 7L)._1.toSeq

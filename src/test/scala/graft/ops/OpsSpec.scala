@@ -58,6 +58,43 @@ class OpsSpec extends AnyFunSuite {
     assert(err < 1e-9)
   }
 
+  test("middle-out keeps middle forecasts and yields a coherent hierarchy") {
+    import spark.implicits._
+    val edges = Seq(("total", "m1"), ("total", "m2"),
+      ("m1", "a"), ("m1", "b"), ("m2", "c"))
+    val fc = ForecastBaselines.naive(panel(
+      (0 until 10).flatMap(i => Seq(
+        ("a", i, 10.0 + i), ("b", i, 20.0 + i), ("c", i, 5.0 + i)))), h = 2)
+      .select(col("unique_id"), col("ds"), col("y_hat"))
+    val all = Reconciliation.bottomUp(fc, edges)
+    val rec = Reconciliation.middleOut(all, edges, Seq("m1", "m2"))
+    // middle kept verbatim
+    val keptErr = rec.filter(col("unique_id").isin("m1", "m2"))
+      .withColumnRenamed("y_hat", "r")
+      .join(all.filter(col("unique_id").isin("m1", "m2")), Seq("unique_id", "ds"))
+      .agg(max(abs(col("r") - col("y_hat")))).collect()(0).getDouble(0)
+    assert(keptErr < 1e-9)
+    // total = m1 + m2 after reconciliation
+    val totals = rec.filter(col("unique_id") === "total")
+      .select(col("ds"), col("y_hat").as("t"))
+    val mids = rec.filter(col("unique_id").isin("m1", "m2"))
+      .groupBy("ds").agg(sum("y_hat").as("s"))
+    val cohErr = totals.join(mids, "ds")
+      .agg(max(abs(col("t") - col("s")))).collect()(0).getDouble(0)
+    assert(cohErr < 1e-9)
+  }
+
+  test("rolling-origin CV produces disjoint ordered folds") {
+    val folds = Validation.rollingOriginCv(twoSeries, nSplits = 3, horizon = 4,
+      step = 4)
+    val counts = folds.groupBy("fold", "split").count().collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert((0 until 3).forall(f => counts.getOrElse((f, "test"), 0L) == 8L))
+    // expanding: train grows by step×2 rows (2 series) per fold
+    val trains = (0 until 3).map(f => counts((f, "train")))
+    assert(trains(1) - trains(0) == 8L && trains(2) - trains(1) == 8L)
+  }
+
   test("minTrace OLS projection leaves coherent forecasts unchanged") {
     val fc = ForecastBaselines.naive(twoSeries, h = 2)
       .select(col("unique_id"), col("ds"), col("y_hat"))
