@@ -817,10 +817,10 @@ object SparkEntry {
 
     "ts_enbpi" -> ((s, dir) => {
       val ev = IO.events(s, dir)
-        .withColumn("y_hat", lag(col("value"), 1).over(PC.w))
-        .filter(col("y_hat").isNotNull)
-      Conformal.enbpi(ev, ev, "value", "y_hat", b = 5, alpha = 0.1)
-        .select(col("user_id"), col("event_id"),
+      val model = Conformal.enbpiFit(ev, lags = 3, b = 10)
+      Conformal.enbpiPredict(ev, model, h = 5)
+        .select(col("user_id"), col("step"), col("ts"),
+          r6(col("y_hat")).as("y_hat"),
           r6(col("y_hat_lower")).as("y_hat_lower"),
           r6(col("y_hat_upper")).as("y_hat_upper"))
     }),

@@ -42,27 +42,166 @@ object Conformal {
       .drop("qhat")
   }
 
-  /** EnbPI-style bootstrap ensemble intervals (reference
-    * probabilistic/conformal.py:190-416, simplified): B deterministic
-    * block-bootstrap resamples of the calibration residuals → pooled
-    * residual quantiles widen the point forecast. The B resamples are one
-    * DataFrame (residuals × explode(b)) with per-(series, b) hash
-    * re-ordering — distributed, not a driver loop over B models. */
-  def enbpi(cal: DataFrame, pred: DataFrame, yCol: String, yhatCol: String,
-      b: Int = 5, alpha: Double = 0.1)(implicit pc: PanelCols): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val resid = cal.select(pc.idCol, (col(yCol) - col(yhatCol)).as("__r"))
-    val boots = resid
-      .withColumn("__b", explode(sequence(lit(1), lit(b))))
-      .withColumn("__keep", pmod(xxhash64(pc.idCol, col("__b"), col("__r")), lit(4)) =!= 0)
-      .filter(col("__keep")) // ~75% subsample per replicate
-    val q = boots.groupBy(pc.idCol)
-      .agg(
-        percentile(col("__r"), lit(alpha / 2)).as("__lo"),
-        percentile(col("__r"), lit(1.0 - alpha / 2)).as("__hi"))
-    pred.join(q, Seq(pc.id))
-      .withColumn("y_hat_lower", col(yhatCol) + col("__lo"))
-      .withColumn("y_hat_upper", col(yhatCol) + col("__hi"))
-      .drop("__lo", "__hi")
+  /** Deterministic Poisson(1) bootstrap multiplicity for (rowKey, b):
+    * the distributed-bootstrap standard — each row's multiplicity in
+    * resample b is Poisson(1) (Knuth, seeded by the row hash), so no
+    * resampled dataset is ever materialized and membership is
+    * recomputable in any later pass. */
+  private[ops] val poissonWeight = (key: Long, b: Int) => {
+    // splitmix64 of (key, b) → uniform stream for Knuth's algorithm
+    var s = key ^ (0x9e3779b97f4a7c15L * (b + 1))
+    def next(): Double = {
+      s += 0x9e3779b97f4a7c15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      ((z >>> 11).toDouble / (1L << 53).toDouble)
+    }
+    val limit = math.exp(-1.0)
+    var k = 0
+    var p = next()
+    while (p > limit) { k += 1; p *= next() }
+    k
+  }
+
+  /** Fitted EnbPI ensemble: B ridge coefficient vectors over lag features
+    * + per-series out-of-bag residual pool (kept distributed). */
+  case class EnbPIModel(coefs: Array[Array[Double]], lags: Int,
+      coverage: Double, residuals: DataFrame)
+
+  /** EnbPI fit (reference probabilistic/conformal.py:190-318): B bootstrap
+    * ridge autoregressions on the pooled lag matrix + out-of-bag
+    * residuals. Spark shape: the B bootstrap Gram matrices accumulate in
+    * ONE pass over the feature frame (row multiplicities are deterministic
+    * Poisson(1) weights, the distributed bootstrap standard — the
+    * reference draws one exact multinomial per model instead); the B
+    * small solves run on the driver; the OOB pass recomputes each row's
+    * membership from its hash, so residuals never leave executors. */
+  def enbpiFit(df: DataFrame, lags: Int = 3, b: Int = 25,
+      coverage: Double = 0.9, l2: Double = 1e-3, seed: Long = 42L)(
+      implicit pc: PanelCols): EnbPIModel = {
+    require(coverage > 0 && coverage < 1, "coverage must be in (0, 1)")
+    require(b >= 1, "n_bootstraps must be >= 1")
+    val y = pc.targetCol.cast("double")
+    val feats = (1 to lags).map(k => lag(y, k).over(pc.w)) :+ lit(1.0)
+    val p = feats.length
+    val withF = df.select((pc.idCol +: y.as("__y") +:
+        xxhash64(pc.idCol.cast("string"), pc.timeCol.cast("string"), lit(seed)).as("__key") +:
+        feats.zipWithIndex.map { case (c, i) => c.as(s"__x$i") }): _*)
+      .na.drop().cache()
+    try {
+      val wUdf = udf(poissonWeight)
+      // all B weighted Gram systems in one aggregate pass
+      val prods = (0 until b).flatMap { bi =>
+        val w = wUdf(col("__key"), lit(bi)).cast("double")
+        (for (i <- 0 until p; j <- i until p)
+          yield sum(w * col(s"__x$i") * col(s"__x$j")).as(s"__g_${bi}_${i}_$j")) ++
+        (0 until p).map(i => sum(w * col(s"__x$i") * col("__y")).as(s"__b_${bi}_$i"))
+      }
+      val row = withF.agg(prods.head, prods.tail: _*).collect()(0)
+      var idx = 0
+      val coefs = Array.tabulate(b) { _ =>
+        val g = Array.fill(p, p)(0.0)
+        val rhs = new Array[Double](p)
+        for (i <- 0 until p; j <- i until p) {
+          g(i)(j) = row.getDouble(idx); g(j)(i) = g(i)(j); idx += 1
+        }
+        for (i <- 0 until p) { rhs(i) = row.getDouble(idx); idx += 1 }
+        for (i <- 0 until p - 1) g(i)(i) += l2
+        graft.kernels.ArimaLite.solve(g, rhs)
+      }
+      // OOB residuals: |y − mean over models where this row's weight is 0|
+      val bcC = df.sparkSession.sparkContext.broadcast(coefs)
+      val oobUdf = udf((key: Long, xs: Seq[Double], yv: Double) => {
+        val cs = bcC.value
+        var s = 0.0; var n = 0
+        var bi = 0
+        while (bi < cs.length) {
+          if (poissonWeight(key, bi) == 0) {
+            var pred = 0.0
+            var i = 0
+            while (i < xs.length) { pred += xs(i) * cs(bi)(i); i += 1 }
+            s += pred; n += 1
+          }
+          bi += 1
+        }
+        if (n == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(math.abs(yv - s / n))
+      })
+      val residuals = withF.select(pc.idCol,
+          oobUdf(col("__key"),
+            array((0 until p).map(i => col(s"__x$i")): _*), col("__y")).as("__resid"))
+        .filter(col("__resid").isNotNull)
+        .select(pc.idCol, col("__resid").cast("double"))
+      EnbPIModel(coefs, lags, coverage, residuals.cache())
+    } finally withF.unpersist()
+  }
+
+  private def quantileFromResiduals(residuals: DataFrame, coverage: Double)(
+      implicit pc: PanelCols): DataFrame =
+    residuals.groupBy(pc.idCol)
+      .agg(count(lit(1)).as("__n"),
+        sort_array(collect_list(col("__resid"))).as("__r"))
+      .withColumn("__level",
+        least(lit(1.0), ceil((col("__n") + 1) * lit(coverage)) / col("__n")))
+      .withColumn("__pos", (col("__n") - 1) * col("__level"))
+      .withColumn("__lo", floor(col("__pos")).cast("int"))
+      .withColumn("__frac", col("__pos") - col("__lo"))
+      .withColumn("qhat",
+        element_at(col("__r"), col("__lo") + 1) * (lit(1.0) - col("__frac")) +
+          element_at(col("__r"), least(col("__lo") + 2, size(col("__r")))) * col("__frac"))
+      .select(pc.idCol, col("qhat"))
+
+  /** EnbPI h-step intervals (conformal.py:320-387): recursive ensemble-
+    * mean forecast per series (each step every model predicts from the
+    * shared buffer), widened by the series' OOB conformal quantile.
+    * Output: `[id, step, ds, y_hat, y_hat_lower, y_hat_upper]`. */
+  def enbpiPredict(df: DataFrame, model: EnbPIModel, h: Int)(
+      implicit pc: PanelCols): DataFrame = {
+    val spark = df.sparkSession
+    val bcC = spark.sparkContext.broadcast(model.coefs)
+    val lags = model.lags
+    val u = udf((tail: Seq[Double]) => {
+      val cs = bcC.value
+      val buf = scala.collection.mutable.ArrayBuffer(tail: _*)
+      (1 to h).map { _ =>
+        val x = (1 to lags).map(k => buf(buf.length - k)).toArray :+ 1.0
+        var s = 0.0
+        var bi = 0
+        while (bi < cs.length) {
+          var pred = 0.0
+          var i = 0
+          while (i < x.length) { pred += x(i) * cs(bi)(i); i += 1 }
+          s += pred
+          bi += 1
+        }
+        val yhat = s / cs.length
+        buf += yhat
+        yhat
+      }.toArray
+    })
+    val tails = df.groupBy(pc.idCol)
+      .agg(slice(sort_array(collect_list(struct(
+        pc.orderCols :+ pc.targetCol.cast("double").as("__v"): _*))),
+        -lags, lags).as("__tail"))
+      .select(pc.idCol, u(col("__tail.__v")).as("__fc"))
+    val q = quantileFromResiduals(model.residuals, model.coverage)
+    graft.core.Panel.futureDates(df, h).join(tails, Seq(pc.id))
+      .join(q, Seq(pc.id), "left")
+      .withColumn("y_hat", element_at(col("__fc"), col("step").cast("int")))
+      .withColumn("qhat", coalesce(col("qhat"), lit(0.0)))
+      .select(pc.idCol, col("step"), pc.timeCol, col("y_hat"),
+        (col("y_hat") - col("qhat")).as("y_hat_lower"),
+        (col("y_hat") + col("qhat")).as("y_hat_upper"))
+  }
+
+  /** Online update (conformal.py:389-416): append |y − y_hat| residuals
+    * from newly observed rows — intervals adapt on the next predict. */
+  def enbpiUpdate(model: EnbPIModel, newObs: DataFrame, yCol: String,
+      yhatCol: String)(implicit pc: PanelCols): EnbPIModel = {
+    val newResid = newObs.select(pc.idCol,
+      abs(col(yCol) - col(yhatCol)).cast("double").as("__resid"))
+    model.copy(residuals = model.residuals.unionByName(newResid))
   }
 }

@@ -45,6 +45,34 @@ class ProbabilisticSpec extends AnyFunSuite {
     assert(cov > 0.8 && cov <= 1.0, s"coverage $cov")
   }
 
+  test("EnbPI: bootstrap ensemble intervals bracket the forecast and adapt on update") {
+    val df = panel(80)
+    val model = Conformal.enbpiFit(df, lags = 2, b = 8)
+    assert(model.coefs.length == 8)
+    // bootstrap models differ (different resamples) but all fit the same AR
+    assert(model.coefs.map(_.toSeq).distinct.length > 1)
+    val fc = Conformal.enbpiPredict(df, model, h = 3)
+    assert(fc.count() == 9)
+    val bad = fc.filter(col("y_hat_lower") > col("y_hat") ||
+      col("y_hat") > col("y_hat_upper")).count()
+    assert(bad == 0)
+    val width0 = fc.agg(avg(col("y_hat_upper") - col("y_hat_lower")))
+      .collect()(0).getDouble(0)
+    assert(width0 > 0.0, "zero-width intervals")
+    // update with large-error observations → wider intervals
+    import spark.implicits._
+    val obs = Seq(("a", 0, 100.0, 0.0), ("a", 1, 100.0, 0.0))
+      .toDF("unique_id", "__h", "y", "y_hat")
+      .withColumn("ds", timestamp_micros(col("__h") * 3600000000L)).drop("__h")
+    val updated = Conformal.enbpiUpdate(model, obs, "y", "y_hat")
+    val fc2 = Conformal.enbpiPredict(df, updated, h = 3)
+    val widthA = fc2.filter(col("unique_id") === "a")
+      .agg(avg(col("y_hat_upper") - col("y_hat_lower"))).collect()(0).getDouble(0)
+    val width0A = fc.filter(col("unique_id") === "a")
+      .agg(avg(col("y_hat_upper") - col("y_hat_lower"))).collect()(0).getDouble(0)
+    assert(widthA > width0A, s"update did not widen: $widthA vs $width0A")
+  }
+
   test("stacking recovers weights of a synthetic linear blend") {
     import spark.implicits._
     // target = 0.7*m0 + 0.3*m1 exactly; meta ridge should find the blend
