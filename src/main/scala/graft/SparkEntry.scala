@@ -522,6 +522,15 @@ object SparkEntry {
         .select(r6(col("calinski_harabasz")).as("calinski_harabasz"))
     }),
 
+    "ts_iforest" -> ((s, dir) => {
+      val ev = Features.lagFeatures(IO.events(s, dir), Seq(1, 2))
+      Outliers.isolationForestDetect(ev,
+        Seq("value", "value_lag_1", "value_lag_2"), contamination = 0.05)
+        .groupBy(col("user_id"))
+        .agg(count(when(col("is_anomaly"), 1)).as("n_anomalies"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     "ts_quantile_fc" -> ((s, dir) => {
       val ev = IO.events(s, dir)
       val model = Probabilistic.fitQuantileRidge(ev, lags = 3,

@@ -53,6 +53,45 @@ object Outliers {
       .withColumn("is_outlier", y.isNotNull && (y < lo || y > hi))
   }
 
+  /** Isolation-forest anomaly detection over engineered feature columns
+    * (reference anomaly_forest.py:10-104, global_model mode). Appends
+    * `anomaly_score` (lower = more anomalous, mirroring sklearn's
+    * decision_function orientation) and `is_anomaly` (the `contamination`
+    * fraction with the lowest scores).
+    *
+    * Scale shape: the forest trains on a seeded hash-ordered uniform
+    * sample (ψ-subsample per tree, Liu et al.'s design — isolation forests
+    * are defined on subsamples, so a bounded driver sample IS the
+    * algorithm); the trained trees broadcast and scoring is a narrow map.
+    * The only wide op is the exact contamination-quantile threshold. */
+  def isolationForestDetect(df: DataFrame, featureCols: Seq[String],
+      contamination: Double = 0.05, nTrees: Int = 100, psi: Int = 256,
+      sampleSize: Int = 4096, seed: Long = 42L): DataFrame = {
+    require(featureCols.nonEmpty, "featureCols must be non-empty")
+    require(contamination > 0 && contamination < 1, "contamination must be in (0, 1)")
+    val spark = df.sparkSession
+    val clean = df.na.drop(featureCols)
+    val total = clean.count()
+    val frac = if (total == 0) 1.0 else math.min(1.0, 3.0 * sampleSize / total)
+    val featArr = array(featureCols.map(c => col(c).cast("double")): _*)
+    val sample = clean.select(featArr.as("__f"))
+      .sample(withReplacement = false, frac, seed)
+      .orderBy(xxhash64(col("__f").cast("string"), lit(seed)))
+      .limit(sampleSize)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val trees = graft.kernels.IsolationForest.fit(sample, nTrees, psi, seed)
+    val bc = spark.sparkContext.broadcast(trees)
+    val effPsi = math.min(psi, sample.length)
+    val scoreUdf = udf((xs: Seq[Double]) =>
+      -graft.kernels.IsolationForest.score(xs.toArray, bc.value, effPsi))
+    val scored = clean.withColumn("anomaly_score", scoreUdf(featArr))
+    val thr = scored.agg(
+      percentile(col("anomaly_score"), lit(contamination)).as("__t"))
+    scored.crossJoin(broadcast(thr))
+      .withColumn("is_anomaly", col("anomaly_score") < col("__t"))
+      .drop("__t")
+  }
+
   /** Replace detected outliers: clip to fences, per-series median, null, or
     * linear interpolation (reference outliers.py:101-181). Consumes the
     * columns produced by [[detect]] and drops them. */

@@ -73,6 +73,24 @@ class ProbabilisticSpec extends AnyFunSuite {
     assert(widthA > width0A, s"update did not widen: $widthA vs $width0A")
   }
 
+  test("isolation forest flags injected outliers") {
+    import spark.implicits._
+    val rng = new scala.util.Random(8L)
+    val rows = (0 until 400).map { i =>
+      val v = if (i % 97 == 0) 500.0 + rng.nextGaussian() else rng.nextGaussian() * 3.0
+      ("s", i, v)
+    }
+    val df = rows.toDF("unique_id", "__h", "y")
+      .withColumn("ds", timestamp_micros(col("__h") * 3600000000L)).drop("__h")
+    val out = Outliers.isolationForestDetect(df, Seq("y"), contamination = 0.05)
+    val flaggedBig = out.filter(col("y") > 400 && col("is_anomaly")).count()
+    val totalBig = out.filter(col("y") > 400).count()
+    assert(flaggedBig == totalBig, s"missed ${totalBig - flaggedBig} planted outliers")
+    // flags roughly the contamination fraction
+    val flagged = out.filter(col("is_anomaly")).count().toDouble / out.count()
+    assert(flagged < 0.1, s"flagged fraction $flagged")
+  }
+
   test("stacking recovers weights of a synthetic linear blend") {
     import spark.implicits._
     // target = 0.7*m0 + 0.3*m1 exactly; meta ridge should find the blend
