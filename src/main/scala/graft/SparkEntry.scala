@@ -436,6 +436,72 @@ object SparkEntry {
         .select(col("fold"), r6(col("mae")).as("mae"), r6(col("rmse")).as("rmse"),
           col("n"))),
 
+    // ── bayesian tier ───────────────────────────────────────────────────
+    "ts_ukf" -> ((s, dir) =>
+      BayesianOps.ukf(IO.events(s, dir))
+        .select(col("user_id"), col("ts"),
+          r6n(col("filtered")).as("filtered"),
+          r6n(col("filtered_var")).as("filtered_var"))),
+
+    "ts_enkf" -> ((s, dir) =>
+      BayesianOps.enkf(IO.events(s, dir), nEnsemble = 30)
+        .select(col("user_id"), col("ts"), r6(col("filtered")).as("filtered"))),
+
+    "ts_particle" -> ((s, dir) =>
+      BayesianOps.particleFilter(IO.events(s, dir), nParticles = 200,
+        sigmaLevel = 0.5, sigmaObs = 1.0)
+        .select(col("user_id"), col("ts"), r6(col("filtered")).as("filtered"),
+          r6(col("ess")).as("ess"))),
+
+    "ts_bsts_decomp" -> ((s, dir) =>
+      BayesianOps.bstsDecompose(IO.events(s, dir), seasonal = Some(24))
+        .select(col("user_id"), col("ts"), r6(col("level")).as("level"),
+          r6(col("trend")).as("trend"), r6(col("seasonal")).as("seasonal"))),
+
+    "ts_bsts_fc" -> ((s, dir) =>
+      BayesianOps.bstsForecast(IO.events(s, dir), h = 7, seasonal = Some(24))
+        .select(col("user_id"), col("step"), col("ts"),
+          r6(col("y_hat")).as("y_hat"), r6(col("y_hat_var")).as("y_hat_var"))),
+
+    "ts_mcmc_fc" -> ((s, dir) =>
+      BayesianOps.mcmcForecast(IO.events(s, dir), h = 5, p = 2,
+        nSamples = 200, burnIn = 100)
+        .select(col("user_id"), col("step"), col("ts"),
+          r6(col("y_hat")).as("y_hat"),
+          r6(col("y_hat_lower")).as("y_hat_lower"),
+          r6(col("y_hat_upper")).as("y_hat_upper"))),
+
+    "ts_gp_fc" -> ((s, dir) =>
+      BayesianOps.gpForecast(IO.events(s, dir), h = 5)
+        .select(col("user_id"), col("step"), col("ts"),
+          r6(col("y_hat")).as("y_hat"),
+          r6(col("y_hat_lower")).as("y_hat_lower"),
+          r6(col("y_hat_upper")).as("y_hat_upper"))),
+
+    "ts_bayes_anomaly" -> ((s, dir) =>
+      BayesianOps.bayesianAnomaly(IO.events(s, dir), threshold = 0.01)
+        .select(col("user_id"), col("ts"), r6(col("p_value")).as("p_value"),
+          col("is_anomaly"))),
+
+    "ts_bayesian_ets" -> ((s, dir) =>
+      BayesianOps.bayesianEts(IO.events(s, dir), h = 5, nSamples = 100)
+        .select(col("user_id"), col("step"), col("ts"),
+          r6(col("y_hat")).as("y_hat"),
+          r6(col("y_hat_lower")).as("y_hat_lower"),
+          r6(col("y_hat_upper")).as("y_hat_upper"))),
+
+    "ts_bvar_fc" -> ((s, dir) => {
+      val wide = IO.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("ts"))
+        .pivot("event_type").agg(avg("value"))
+        .na.fill(0.0)
+      val cols = wide.columns.filter(_ != "ts").sorted.take(3).toSeq
+      BayesianOps.bvarForecast(wide, cols, p = 2, h = 5)(PanelCols(time = "ts"))
+        .select(col("step"), col("variable"), r6(col("y_hat")).as("y_hat"),
+          r6(col("y_hat_lower")).as("y_hat_lower"),
+          r6(col("y_hat_upper")).as("y_hat_upper"))
+    }),
+
     // ── round-2 small completions ───────────────────────────────────────
     "ts_cv_rolling" -> ((s, dir) =>
       Validation.rollingOriginCv(IO.events(s, dir), nSplits = 3, horizon = 24,

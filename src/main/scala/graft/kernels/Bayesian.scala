@@ -1,0 +1,628 @@
+package graft.kernels
+
+import breeze.linalg.{cholesky, inv, DenseMatrix, DenseVector}
+
+/** Bayesian state-space kernels (reference polars_ts/bayesian/): matrix
+  * Kalman filter/smoother, BSTS, UKF, EnKF, particle filter, MH-MCMC
+  * forecaster, Normal-Inverse-Gamma online anomaly scoring, and GP
+  * regression. All are per-series cores executed inside grouped-panel
+  * UDFs — the panel parallelism is across series, each kernel is O(series)
+  * local work. */
+object Bayesian {
+
+  /** splitmix64-based deterministic RNG (seedable, serializable-free). */
+  final class Rng(seed: Long) {
+    private var s = seed
+    def nextDouble(): Double = {
+      s += 0x9e3779b97f4a7c15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (z >>> 11).toDouble / (1L << 53).toDouble
+    }
+    /** Box-Muller standard normal. */
+    def nextGaussian(): Double = {
+      var u1 = nextDouble()
+      if (u1 < 1e-300) u1 = 1e-300
+      math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * nextDouble())
+    }
+  }
+
+  // ── matrix Kalman filter + RTS smoother (bayesian/kalman.py) ───────────
+
+  case class KalmanOut(filtered: Array[DenseVector[Double]],
+      filteredCov: Array[DenseMatrix[Double]],
+      predicted: Array[DenseVector[Double]],
+      predictedCov: Array[DenseMatrix[Double]],
+      smoothed: Array[DenseVector[Double]],
+      logLik: Double)
+
+  /** Linear-Gaussian filter + RTS smoother for scalar observations.
+    * NaN observations are treated as missing (predict-only step). */
+  def kalmanSmooth(y: Array[Double], f: DenseMatrix[Double],
+      h: DenseMatrix[Double], q: DenseMatrix[Double], r: Double,
+      x0: DenseVector[Double], p0: DenseMatrix[Double]): KalmanOut = {
+    val t = y.length
+    val n = x0.length
+    val xf = new Array[DenseVector[Double]](t)
+    val pf = new Array[DenseMatrix[Double]](t)
+    val xp = new Array[DenseVector[Double]](t)
+    val pp = new Array[DenseMatrix[Double]](t)
+    var x = x0.copy
+    var p = p0.copy
+    var ll = 0.0
+    var i = 0
+    while (i < t) {
+      val xPred = f * x
+      val pPred = f * p * f.t + q
+      xp(i) = xPred; pp(i) = pPred
+      if (y(i).isNaN) { x = xPred; p = pPred }
+      else {
+        val hx = h * xPred
+        val yPred = hx(0)
+        val hph = h * pPred * h.t
+        val s = hph(0, 0) + r
+        val k = (pPred * h.t) / s
+        val innov = y(i) - yPred
+        x = xPred + k(::, 0) * innov
+        p = pPred - k * h * pPred
+        ll += -0.5 * (math.log(2 * math.Pi * s) + innov * innov / s)
+      }
+      xf(i) = x.copy; pf(i) = p.copy
+      i += 1
+    }
+    // RTS smoother
+    val xs = new Array[DenseVector[Double]](t)
+    if (t > 0) {
+      xs(t - 1) = xf(t - 1)
+      var j = t - 2
+      while (j >= 0) {
+        val c = pf(j) * f.t * breeze.linalg.pinv(pp(j + 1))
+        xs(j) = xf(j) + c * (xs(j + 1) - xp(j + 1))
+        j -= 1
+      }
+    }
+    KalmanOut(xf, pf, xp, pp, xs, ll)
+  }
+
+  // ── BSTS (bayesian/bsts.py:59-260) ──────────────────────────────────────
+
+  /** Assemble (F, H, Q, r) for trend ∈ {level, local_linear} + optional
+    * dummy-seasonal block (sum-to-zero constraint). */
+  def bstsSystem(trend: String, seasonal: Option[Int], sigmaObs: Double,
+      sigmaLevel: Double, sigmaTrend: Double, sigmaSeasonal: Double)
+      : (DenseMatrix[Double], DenseMatrix[Double], DenseMatrix[Double], Double) = {
+    val (ft, ht, qt) = trend match {
+      case "level" =>
+        (DenseMatrix((1.0)), DenseMatrix((1.0)), DenseMatrix((sigmaLevel * sigmaLevel)))
+      case "local_linear" =>
+        (DenseMatrix((1.0, 1.0), (0.0, 1.0)), DenseMatrix((1.0, 0.0)),
+          breeze.linalg.diag(DenseVector(sigmaLevel * sigmaLevel, sigmaTrend * sigmaTrend)))
+      case other => throw new IllegalArgumentException(s"Unknown trend '$other'")
+    }
+    seasonal match {
+      case None => (ft, ht, qt, sigmaObs * sigmaObs)
+      case Some(m) =>
+        val s = m - 1
+        val fs = DenseMatrix.zeros[Double](s, s)
+        for (j <- 0 until s) fs(0, j) = -1.0
+        for (j <- 0 until s - 1) fs(j + 1, j) = 1.0
+        val hs = DenseMatrix.zeros[Double](1, s); hs(0, 0) = 1.0
+        val qs = DenseMatrix.zeros[Double](s, s); qs(0, 0) = sigmaSeasonal * sigmaSeasonal
+        val nt = ft.rows
+        val n = nt + s
+        val ff = DenseMatrix.zeros[Double](n, n)
+        ff(0 until nt, 0 until nt) := ft
+        ff(nt until n, nt until n) := fs
+        val qq = DenseMatrix.zeros[Double](n, n)
+        qq(0 until nt, 0 until nt) := qt
+        qq(nt until n, nt until n) := qs
+        val hh = DenseMatrix.zeros[Double](1, n)
+        hh(0, 0 until nt) := ht(0, ::).t.t
+        hh(0, nt until n) := hs(0, ::).t.t
+        (ff, hh, qq, sigmaObs * sigmaObs)
+    }
+  }
+
+  /** BSTS fit + forecast: returns per-row (level, trend?, seasonal?) from
+    * the smoother plus (forecast, forecastVar) for h future steps. */
+  def bstsFitForecast(y: Array[Double], h: Int, trend: String = "local_linear",
+      seasonal: Option[Int] = None, sigmaObs: Double = 1.0,
+      sigmaLevel: Double = 0.1, sigmaTrend: Double = 0.01,
+      sigmaSeasonal: Double = 0.01)
+      : (Array[Double], Array[Double], Array[Double], Array[Double], Array[Double]) = {
+    val (f, hm, q, r) = bstsSystem(trend, seasonal, sigmaObs, sigmaLevel,
+      sigmaTrend, sigmaSeasonal)
+    val n = f.rows
+    val x0 = DenseVector.zeros[Double](n)
+    if (y.nonEmpty) x0(0) = y(0)
+    val p0 = DenseMatrix.eye[Double](n) * 10.0
+    val kr = kalmanSmooth(y, f, hm, q, r, x0, p0)
+    val level = kr.smoothed.map(_(0))
+    val trendC =
+      if (trend == "local_linear") kr.smoothed.map(_(1)) else Array.empty[Double]
+    val seasIdx = if (trend == "local_linear") 2 else 1
+    val seasC = seasonal.map(_ => kr.smoothed.map(_(seasIdx))).getOrElse(Array.empty[Double])
+    // forward propagate
+    var x = kr.filtered.last.copy
+    var p = kr.filteredCov.last.copy
+    val fc = new Array[Double](h)
+    val fv = new Array[Double](h)
+    var s = 0
+    while (s < h) {
+      x = f * x
+      p = f * p * f.t + q
+      val hx = hm * x
+      fc(s) = hx(0)
+      val hph = hm * p * hm.t
+      fv(s) = hph(0, 0) + r
+      s += 1
+    }
+    (level, trendC, seasC, fc, fv)
+  }
+
+  // ── UKF (bayesian/ukf.py:21-188), scalar observation ────────────────────
+
+  /** Sigma points + weights (Julier & Uhlmann); jitter keeps cholesky PD. */
+  private def sigmaPoints(x: DenseVector[Double], p: DenseMatrix[Double],
+      alpha: Double, beta: Double, kappa: Double)
+      : (Array[DenseVector[Double]], Array[Double], Array[Double]) = {
+    val n = x.length
+    val lam = alpha * alpha * (n + kappa) - n
+    var c = n + lam
+    if (c <= 0) c = 1e-6
+    var m = (p + p.t) * (0.5 * c)
+    val eig = breeze.linalg.eigSym(m).eigenvalues
+    val minEv = breeze.linalg.min(eig)
+    if (minEv < 1e-10) m = m + DenseMatrix.eye[Double](n) * (1e-10 - minEv)
+    val l = cholesky(m)
+    val pts = new Array[DenseVector[Double]](2 * n + 1)
+    pts(0) = x.copy
+    for (i <- 0 until n) {
+      pts(i + 1) = x + l(::, i)
+      pts(n + i + 1) = x - l(::, i)
+    }
+    val wm = Array.fill(2 * n + 1)(1.0 / (2.0 * c))
+    val wc = wm.clone()
+    wm(0) = lam / c
+    wc(0) = lam / c + (1.0 - alpha * alpha + beta)
+    (pts, wm, wc)
+  }
+
+  /** UKF forward pass with scalar observations; NaN = missing. Returns
+    * (filteredMeans[state0], filteredVars[state0]). */
+  def ukfFilter(y: Array[Double], f: DenseVector[Double] => DenseVector[Double],
+      h: DenseVector[Double] => Double, q: DenseMatrix[Double], r: Double,
+      x0: DenseVector[Double], p0: DenseMatrix[Double], alpha: Double = 1e-3,
+      beta: Double = 2.0, kappa: Double = 0.0): (Array[Double], Array[Double]) = {
+    val t = y.length
+    val n = x0.length
+    var x = x0.copy
+    var p = p0.copy
+    val outM = new Array[Double](t)
+    val outV = new Array[Double](t)
+    var ti = 0
+    while (ti < t) {
+      val (pts, wm, wc) = sigmaPoints(x, p, alpha, beta, kappa)
+      val prop = pts.map(f)
+      val xPred = DenseVector.zeros[Double](n)
+      for (i <- prop.indices) xPred += prop(i) * wm(i)
+      var pPred = q.copy
+      for (i <- prop.indices) {
+        val dx = prop(i) - xPred
+        pPred = pPred + (dx * dx.t) * wc(i)
+      }
+      if (y(ti).isNaN) { x = xPred; p = pPred }
+      else {
+        val (pts2, wm2, wc2) = sigmaPoints(xPred, pPred, alpha, beta, kappa)
+        val ys = pts2.map(h)
+        var yPred = 0.0
+        for (i <- ys.indices) yPred += wm2(i) * ys(i)
+        var s = r
+        val pxy = DenseVector.zeros[Double](n)
+        for (i <- ys.indices) {
+          val dy = ys(i) - yPred
+          s += wc2(i) * dy * dy
+          pxy += (pts2(i) - xPred) * (wc2(i) * dy)
+        }
+        val k = pxy / s
+        x = xPred + k * (y(ti) - yPred)
+        p = pPred - (k * k.t) * s
+        p = (p + p.t) * 0.5 + DenseMatrix.eye[Double](n) * 1e-10
+      }
+      outM(ti) = x(0)
+      outV(ti) = p(0, 0)
+      ti += 1
+    }
+    (outM, outV)
+  }
+
+  // ── EnKF (bayesian/enkf.py:21-153), scalar observation ──────────────────
+
+  def enkfFilter(y: Array[Double], f: DenseVector[Double] => DenseVector[Double],
+      h: DenseVector[Double] => Double, q: DenseMatrix[Double], r: Double,
+      x0: DenseVector[Double], p0: DenseMatrix[Double], nEnsemble: Int = 50,
+      seed: Long = 42L): (Array[Double], Array[Double]) = {
+    val rng = new Rng(seed)
+    val n = x0.length
+    val lp = cholesky((p0 + p0.t) * 0.5 + DenseMatrix.eye[Double](n) * 1e-10)
+    val lq = cholesky((q + q.t) * 0.5 + DenseMatrix.eye[Double](n) * 1e-10)
+    var ens = Array.fill(nEnsemble) {
+      val z = DenseVector.fill(n)(rng.nextGaussian())
+      x0 + lp * z
+    }
+    val t = y.length
+    val outM = new Array[Double](t)
+    val outV = new Array[Double](t)
+    var ti = 0
+    while (ti < t) {
+      // propagate with process noise
+      ens = ens.map { e =>
+        val z = DenseVector.fill(n)(rng.nextGaussian())
+        f(e) + lq * z
+      }
+      if (!y(ti).isNaN) {
+        val hx = ens.map(h)
+        val hMean = hx.sum / nEnsemble
+        val xMean = DenseVector.zeros[Double](n)
+        ens.foreach(e => xMean += e)
+        xMean :/= nEnsemble.toDouble
+        var pyy = r
+        val pxy = DenseVector.zeros[Double](n)
+        for (i <- ens.indices) {
+          val dy = hx(i) - hMean
+          pyy += dy * dy / (nEnsemble - 1.0)
+          pxy += (ens(i) - xMean) * (dy / (nEnsemble - 1.0))
+        }
+        val k = pxy / pyy
+        ens = ens.indices.toArray.map { i =>
+          val pert = y(ti) + math.sqrt(r) * rng.nextGaussian()
+          ens(i) + k * (pert - hx(i))
+        }
+      }
+      val m0 = ens.map(_(0)).sum / nEnsemble
+      val v0 = ens.map(e => (e(0) - m0) * (e(0) - m0)).sum / (nEnsemble - 1.0)
+      outM(ti) = m0
+      outV(ti) = v0
+      ti += 1
+    }
+    (outM, outV)
+  }
+
+  // ── Particle filter (bayesian/particle_filter.py:149-290) ────────────────
+
+  /** Local-level bootstrap particle filter with systematic resampling.
+    * Returns (filteredMean, filteredVar, ess). */
+  def particleFilterLocalLevel(y: Array[Double], nParticles: Int = 500,
+      sigmaLevel: Double = 1.0, sigmaObs: Double = 1.0,
+      resampleThreshold: Double = 0.5, seed: Long = 42L)
+      : (Array[Double], Array[Double], Array[Double]) = {
+    val rng = new Rng(seed)
+    val t = y.length
+    val np = nParticles
+    var particles = Array.fill(np)(y.headOption.getOrElse(0.0) + rng.nextGaussian())
+    var weights = Array.fill(np)(1.0 / np)
+    val outM = new Array[Double](t)
+    val outV = new Array[Double](t)
+    val outEss = new Array[Double](t)
+    val logNorm = -0.5 * math.log(2 * math.Pi * sigmaObs * sigmaObs)
+    var ti = 0
+    while (ti < t) {
+      if (ti > 0) particles = particles.map(_ + sigmaLevel * rng.nextGaussian())
+      val logW = particles.map { p =>
+        val d = (y(ti) - p) / sigmaObs
+        logNorm - 0.5 * d * d
+      }
+      val maxW = logW.max
+      val w = logW.map(lw => math.exp(lw - maxW))
+      val wSum = w.sum
+      weights =
+        if (wSum > 0) w.map(_ / wSum)
+        else Array.fill(np)(1.0 / np)
+      var m = 0.0
+      for (i <- 0 until np) m += particles(i) * weights(i)
+      var v = 0.0
+      for (i <- 0 until np) { val d = particles(i) - m; v += d * d * weights(i) }
+      val ess = 1.0 / weights.map(x => x * x).sum
+      outM(ti) = m; outV(ti) = v; outEss(ti) = ess
+      if (ess < resampleThreshold * np) {
+        // systematic resample
+        val positions = Array.tabulate(np)(i => (i + rng.nextDouble()) / np)
+        val cums = weights.scanLeft(0.0)(_ + _).tail
+        val next = new Array[Double](np)
+        var i = 0; var j = 0
+        while (i < np) {
+          while (j < np - 1 && cums(j) < positions(i)) j += 1
+          next(i) = particles(j)
+          i += 1
+        }
+        particles = next
+        weights = Array.fill(np)(1.0 / np)
+      }
+      ti += 1
+    }
+    (outM, outV, outEss)
+  }
+
+  // ── MH-MCMC forecaster (bayesian/mcmc.py + samplers + forecast) ─────────
+
+  /** Metropolis-Hastings with per-dimension 2% proposal scale
+    * (mcmc_samplers.py:104-135). Returns post-burn-in samples. */
+  def mhSample(logpost: Array[Double] => Double, x0: Array[Double],
+      nSamples: Int, burnIn: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new Rng(seed)
+    val d = x0.length
+    val scale = x0.map(v => math.max(math.abs(v) * 0.02, 1e-4))
+    var theta = x0.clone()
+    var lp = logpost(theta)
+    val out = new Array[Array[Double]](nSamples)
+    var i = 0
+    val total = nSamples + burnIn
+    var it = 0
+    while (it < total) {
+      val prop = Array.tabulate(d)(j => theta(j) + scale(j) * rng.nextGaussian())
+      val lpProp = logpost(prop)
+      val ratio = lpProp - lp
+      if (!ratio.isNaN && math.log(rng.nextDouble()) < ratio) {
+        theta = prop; lp = lpProp
+      }
+      if (it >= burnIn) { out(i) = theta.clone(); i += 1 }
+      it += 1
+    }
+    out
+  }
+
+  /** AR(p) log-posterior (mcmc_samplers.py:39-64). */
+  def arLogpost(params: Array[Double], y: Array[Double], p: Int): Double = {
+    val sigma = params(0); val mu = params(1)
+    if (sigma <= 0) return Double.NegativeInfinity
+    val logNorm = -0.5 * math.log(2 * math.Pi * sigma * sigma)
+    val invS = 1.0 / sigma
+    var ll = 0.0
+    var t = p
+    while (t < y.length) {
+      var pred = mu
+      var j = 0
+      while (j < p) { pred += params(2 + j) * (y(t - j - 1) - mu); j += 1 }
+      val d = (y(t) - pred) * invS
+      ll += logNorm - 0.5 * d * d
+      t += 1
+    }
+    var lp = -0.5 * math.pow(sigma / 10.0, 2) - 0.5 * math.pow(mu / 100.0, 2)
+    var j = 0
+    while (j < p) { lp += -0.5 * params(2 + j) * params(2 + j); j += 1 }
+    ll + lp
+  }
+
+  /** Posterior-predictive AR(p) forecast paths (mcmc_forecast.py:30-50):
+    * one recursive noisy path per posterior sample → (nSamples × h). */
+  def arForecastPaths(y: Array[Double], samples: Array[Array[Double]], h: Int,
+      p: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new Rng(seed)
+    samples.map { s =>
+      val sigma = math.abs(s(0)); val mu = s(1)
+      val hist = scala.collection.mutable.ArrayBuffer(y.takeRight(p): _*)
+      Array.tabulate(h) { _ =>
+        var pred = mu
+        var j = 0
+        while (j < p) { pred += s(2 + j) * (hist(hist.length - 1 - j) - mu); j += 1 }
+        pred += sigma * rng.nextGaussian()
+        hist += pred
+        pred
+      }
+    }
+  }
+
+  // ── NIG online anomaly scoring (bayesian/anomaly.py:51-200) ─────────────
+
+  /** Student-t CDF via the regularized incomplete beta. */
+  def tCdf(x: Double, df: Double): Double = {
+    val ib = graft.ops.VarModels.incompleteBeta(df / (df + x * x), df / 2.0, 0.5)
+    if (x >= 0) 1.0 - 0.5 * ib else 0.5 * ib
+  }
+
+  /** Per-row two-sided posterior-predictive p-values from an online
+    * Normal-Inverse-Gamma model; first `warmup` rows only update. */
+  def nigPValues(y: Array[Double], priorMu: Option[Double] = None,
+      priorKappa: Double = 1.0, priorAlpha: Double = 2.0,
+      priorBeta: Double = 1.0, warmup: Int = 10): Array[Double] = {
+    var mu = priorMu.getOrElse(y.headOption.getOrElse(0.0))
+    var kappa = priorKappa
+    var alpha = priorAlpha
+    var beta = priorBeta
+    val out = new Array[Double](y.length)
+    var t = 0
+    while (t < y.length) {
+      val v = y(t)
+      if (t < warmup) out(t) = 1.0
+      else {
+        val scale = math.sqrt(beta * (kappa + 1) / (alpha * kappa))
+        out(t) =
+          if (scale <= 0) 1.0
+          else {
+            val ts = (v - mu) / scale
+            val pl = tCdf(ts, 2.0 * alpha)
+            2.0 * math.min(pl, 1.0 - pl)
+          }
+      }
+      val kappaNew = kappa + 1
+      val muNew = (kappa * mu + v) / kappaNew
+      alpha += 0.5
+      beta += 0.5 * kappa * (v - mu) * (v - mu) / kappaNew
+      mu = muNew; kappa = kappaNew
+      t += 1
+    }
+    out
+  }
+
+  // ── GP regression (bayesian/gp.py, RBF kernel) ──────────────────────────
+
+  private def rbf(x1: Double, x2: Double, lengthscale: Double, variance: Double): Double = {
+    val d = (x1 - x2) / lengthscale
+    variance * math.exp(-0.5 * d * d)
+  }
+
+  /** GP fit on t=0..n−1 (normalized y) + h-step forecast with variance.
+    * Hyperparameters (log lengthscale, log variance, log noise) optimized
+    * by Nelder-Mead on the log marginal likelihood when `optimize`. */
+  def gpForecast(y: Array[Double], h: Int, optimize: Boolean = true,
+      noiseVar0: Double = 0.1): (Array[Double], Array[Double]) = {
+    val n = y.length
+    val mean = y.sum / n
+    var std = math.sqrt(y.map(v => (v - mean) * (v - mean)).sum / n)
+    if (std < 1e-10) std = 1.0
+    val yn = y.map(v => (v - mean) / std)
+    def negLml(lp: Array[Double]): Double = {
+      val ls = math.exp(lp(0)); val vv = math.exp(lp(1)); val nv = math.exp(lp(2))
+      if (!ls.isFinite || !vv.isFinite || !nv.isFinite) return 1e100
+      val k = DenseMatrix.tabulate(n, n)((i, j) =>
+        rbf(i, j, ls, vv) + (if (i == j) nv else 0.0))
+      try {
+        val l = cholesky((k + k.t) * 0.5 + DenseMatrix.eye[Double](n) * 1e-10)
+        val yv = DenseVector(yn)
+        val a = l \ yv
+        val quad = a.t * a
+        var logDet = 0.0
+        for (i <- 0 until n) logDet += math.log(l(i, i))
+        0.5 * quad + logDet + 0.5 * n * math.log(2 * math.Pi)
+      } catch { case _: Exception => 1e100 }
+    }
+    val init = Array(math.log(math.max(n / 10.0, 1.0)), 0.0, math.log(noiseVar0))
+    val best = if (optimize) Garch.nelderMead(negLml, init, step = 0.5, maxIter = 120) else init
+    val ls = math.exp(best(0)); val vv = math.exp(best(1)); val nv = math.exp(best(2))
+    val k = DenseMatrix.tabulate(n, n)((i, j) =>
+      rbf(i, j, ls, vv) + (if (i == j) nv else 0.0))
+    val l = cholesky((k + k.t) * 0.5 + DenseMatrix.eye[Double](n) * 1e-10)
+    val alphaV = l.t \ (l \ DenseVector(yn))
+    val fc = new Array[Double](h)
+    val fv = new Array[Double](h)
+    for (s <- 0 until h) {
+      val xs = (n + s).toDouble
+      val ks = DenseVector.tabulate(n)(i => rbf(i, xs, ls, vv))
+      val m = ks.t * alphaV
+      val vvec = l \ ks
+      val varS = math.max(vv + nv - (vvec.t * vvec), 1e-12)
+      fc(s) = m * std + mean
+      fv(s) = varS * std * std
+    }
+    (fc, fv)
+  }
+
+  // ── Bayesian ETS (models/bayesian_ets): MAP SES with log-post ───────────
+
+  /** SES Gaussian log-likelihood over one-step errors
+    * (bayesian_ets/inference.py:19-33). params = (logitAlpha, level0, logSigma). */
+  def sesLogpost(params: Array[Double], y: Array[Double]): Double = {
+    val alpha = 1.0 / (1.0 + math.exp(-params(0)))
+    val level0 = params(1)
+    val sigma = math.exp(params(2))
+    if (sigma <= 0) return Double.NegativeInfinity
+    var level = level0
+    var ll = 0.0
+    val logNorm = -0.5 * math.log(2 * math.Pi * sigma * sigma)
+    var t = 0
+    while (t < y.length) {
+      val d = (y(t) - level) / sigma
+      ll += logNorm - 0.5 * d * d
+      level = alpha * y(t) + (1 - alpha) * level
+      t += 1
+    }
+    // weak priors: alpha ~ flat on (0,1), level0 ~ N(y0, 100), log sigma ~ N(0, 10)
+    ll - 0.5 * math.pow((level0 - y.headOption.getOrElse(0.0)) / 100.0, 2) -
+      0.5 * math.pow(params(2) / 10.0, 2)
+  }
+
+  /** MAP SES fit + h-step forecast with posterior-predictive intervals
+    * sampled over MH draws around the MAP. Returns (yHat, lower, upper)
+    * arrays of length h at `coverage`. */
+  def bayesianEtsForecast(y: Array[Double], h: Int, coverage: Double = 0.9,
+      nSamples: Int = 200, seed: Long = 42L)
+      : (Array[Double], Array[Double], Array[Double]) = {
+    val x0 = Array(0.0, y.headOption.getOrElse(0.0),
+      math.log(math.max(breeze.stats.stddev(DenseVector(y)), 1e-3)))
+    val map = Garch.nelderMead(p => -sesLogpost(p, y), x0, step = 0.2, maxIter = 300)
+    val samples = mhSample(p => sesLogpost(p, y), map, nSamples, nSamples / 2, seed)
+    val rng = new Rng(seed + 1)
+    val paths = samples.map { s =>
+      val alpha = 1.0 / (1.0 + math.exp(-s(0)))
+      val sigma = math.exp(s(2))
+      var level = s(1)
+      var t = 0
+      while (t < y.length) { level = alpha * y(t) + (1 - alpha) * level; t += 1 }
+      Array.tabulate(h) { _ =>
+        level += 0.0 // SES: flat forecast, noise only from observation
+        level + sigma * rng.nextGaussian()
+      }
+    }
+    val lo = (1 - coverage) / 2
+    val yHat = new Array[Double](h)
+    val lower = new Array[Double](h)
+    val upper = new Array[Double](h)
+    for (s <- 0 until h) {
+      val col = paths.map(_(s)).sorted
+      yHat(s) = col.sum / col.length
+      lower(s) = col(math.max(0, (lo * (col.length - 1)).round.toInt))
+      upper(s) = col(math.min(col.length - 1, ((1 - lo) * (col.length - 1)).round.toInt))
+    }
+    (yHat, lower, upper)
+  }
+
+  // ── Bayesian VAR (bayesian_var/, analytical conjugate posterior) ─────────
+
+  /** Analytical BVAR(p): ridge-Gaussian prior (Minnesota-style diagonal
+    * precision λ) conjugate update B = (XᵀX + λI)⁻¹XᵀY; recursive h-step
+    * forecast; intervals from per-equation residual sd (grows with step
+    * via the companion recursion's first-order term only — matching the
+    * reference's analytical mode). Data: (n × k) time-major. */
+  def bvarForecast(data: Array[Array[Double]], p: Int, h: Int,
+      lambda: Double = 0.1, coverage: Double = 0.9)
+      : (Array[Array[Double]], Array[Array[Double]], Array[Array[Double]]) = {
+    val n = data.length
+    val k = data(0).length
+    require(n > p + 1, "series too short for BVAR")
+    val rows = n - p
+    val dim = k * p + 1
+    val x = DenseMatrix.zeros[Double](rows, dim)
+    val yM = DenseMatrix.zeros[Double](rows, k)
+    for (i <- 0 until rows) {
+      var c = 0
+      for (l <- 1 to p; j <- 0 until k) { x(i, c) = data(p + i - l)(j); c += 1 }
+      x(i, dim - 1) = 1.0
+      for (j <- 0 until k) yM(i, j) = data(p + i)(j)
+    }
+    val b = inv(x.t * x + DenseMatrix.eye[Double](dim) * lambda) * (x.t * yM)
+    val resid = yM - x * b
+    val sd = Array.tabulate(k)(j =>
+      math.sqrt(breeze.linalg.sum(resid(::, j).map(v => v * v)) /
+        math.max(rows - dim, 1).toDouble))
+    val z = math.sqrt(2.0) * inverseErf(coverage) // two-sided coverage z-score
+    val hist = scala.collection.mutable.ArrayBuffer(data.map(_.clone()): _*)
+    val fc = Array.ofDim[Double](h, k)
+    val loB = Array.ofDim[Double](h, k)
+    val hiB = Array.ofDim[Double](h, k)
+    for (s <- 0 until h) {
+      val xr = DenseVector.zeros[Double](dim)
+      var c = 0
+      for (l <- 1 to p; j <- 0 until k) { xr(c) = hist(hist.length - l)(j); c += 1 }
+      xr(dim - 1) = 1.0
+      val pred = (b.t * xr).toArray
+      fc(s) = pred
+      val width = math.sqrt(s + 1.0)
+      for (j <- 0 until k) {
+        loB(s)(j) = pred(j) - z * sd(j) * width
+        hiB(s)(j) = pred(j) + z * sd(j) * width
+      }
+      hist += pred
+    }
+    (fc, loB, hiB)
+  }
+
+  /** Inverse error function (Winitzki approximation) for interval z-scores. */
+  def inverseErf(x: Double): Double = {
+    val a = 0.147
+    val ln = math.log(1 - x * x)
+    val t1 = 2.0 / (math.Pi * a) + ln / 2.0
+    math.signum(x) * math.sqrt(math.sqrt(t1 * t1 - ln / a) - t1)
+  }
+}
