@@ -502,6 +502,37 @@ object SparkEntry {
           r6(col("y_hat_upper")).as("y_hat_upper"))
     }),
 
+    // ── causal tier ─────────────────────────────────────────────────────
+    "ts_causal_impact" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+      // intervention at the 80% timestamp of the panel
+      val cut = ev.selectExpr("percentile(unix_micros(cast(ts as timestamp)), 0.8) as c")
+        .head().getDouble(0).toLong
+      Causal.causalImpact(ev, new java.sql.Timestamp(cut / 1000L), seasonal = Some(24))
+        .select(col("user_id"), col("ts"), r6(col("observed")).as("observed"),
+          r6(col("counterfactual")).as("counterfactual"),
+          r6(col("point_effect")).as("point_effect"),
+          r6(col("cum_effect")).as("cum_effect"))
+    }),
+
+    "ts_synthetic_control" -> ((s, dir) => {
+      val daily = IO.events(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("ts"))
+        .agg(avg("value").as("value"))
+        .filter(col("user_id") < 20)
+      // SC needs a common time grid: keep days observed by every unit
+      val full = daily.groupBy(col("ts")).agg(countDistinct(col("user_id")).as("__n"))
+        .filter(col("__n") === 20).select("ts")
+      val ev = daily.join(broadcast(full), Seq("ts"))
+      val cut = ev.selectExpr("percentile(unix_micros(cast(ts as timestamp)), 0.8) as c")
+        .head().getDouble(0).toLong
+      val (frame, _) = Causal.syntheticControl(ev, "0",
+        new java.sql.Timestamp(cut / 1000L))(PC.copy(tieBreak = Nil))
+      frame.select(col("ts"), r6(col("observed")).as("observed"),
+        r6(col("counterfactual")).as("counterfactual"),
+        r6(col("effect")).as("effect"), col("period"))
+    }),
+
     // ── round-2 small completions ───────────────────────────────────────
     "ts_cv_rolling" -> ((s, dir) =>
       Validation.rollingOriginCv(IO.events(s, dir), nSplits = 3, horizon = 24,
