@@ -502,6 +502,32 @@ object SparkEntry {
           r6(col("y_hat_upper")).as("y_hat_upper"))
     }),
 
+    // ── clustering / classification completions ─────────────────────────
+    "ts_hdbscan" -> ((s, dir) =>
+      Clustering.hdbscanCluster(IO.events(s, dir), minClusterSize = 5,
+        metric = "sbd")),
+
+    "ts_clarans" -> ((s, dir) =>
+      Clustering.claransCluster(IO.events(s, dir), k = 3, metric = "sbd")),
+
+    "ts_shapelet" -> ((s, dir) =>
+      Clustering.shapeletCluster(IO.events(s, dir), k = 3)),
+
+    "ts_kshape_classify" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+      val labels = ev.select(col("user_id")).distinct()
+        .withColumn("label", pmod(col("user_id"), lit(3)).cast("string"))
+      Classification.kshapeClassify(ev, labels, ev.filter(col("user_id") < 30))
+    }),
+
+    "ts_rocket_classify" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+      val labels = ev.select(col("user_id")).distinct()
+        .withColumn("label", pmod(col("user_id"), lit(3)).cast("string"))
+      Classification.rocketClassify(ev, labels, ev.filter(col("user_id") < 30),
+        nKernels = 20)
+    }),
+
     // ── causal tier ─────────────────────────────────────────────────────
     "ts_causal_impact" -> ((s, dir) => {
       val ev = IO.events(s, dir)

@@ -458,4 +458,205 @@ object Cluster {
     }
     sum / k
   }
+
+  /** HDBSCAN over a precomputed distance matrix (reference
+    * clustering/density.py:31-84, which delegates to sklearn; native
+    * re-implementation of Campello-Moulavi-Sander): mutual-reachability
+    * distances → Prim MST → single-linkage hierarchy → condensed tree at
+    * `minClusterSize` → excess-of-mass cluster selection. Noise = −1. */
+  def hdbscan(dist: Array[Array[Double]], minClusterSize: Int = 5,
+      minSamplesOpt: Option[Int] = None): Array[Int] = {
+    val n = dist.length
+    if (n == 0) return Array.empty
+    val minSamples = minSamplesOpt.getOrElse(minClusterSize)
+    // core distance = distance to the minSamples-th nearest neighbor
+    val core = Array.tabulate(n) { i =>
+      val ds = dist(i).clone().sorted
+      ds(math.min(minSamples, n - 1))
+    }
+    def mreach(i: Int, j: Int): Double =
+      math.max(dist(i)(j), math.max(core(i), core(j)))
+    // Prim MST over the mutual-reachability graph
+    val inTree = new Array[Boolean](n)
+    val minEdge = Array.fill(n)(Double.MaxValue)
+    val minFrom = new Array[Int](n)
+    val edges = scala.collection.mutable.ArrayBuffer.empty[(Double, Int, Int)]
+    inTree(0) = true
+    for (j <- 1 until n) { minEdge(j) = mreach(0, j); minFrom(j) = 0 }
+    for (_ <- 1 until n) {
+      var best = -1
+      for (j <- 0 until n if !inTree(j))
+        if (best < 0 || minEdge(j) < minEdge(best)) best = j
+      inTree(best) = true
+      edges += ((minEdge(best), minFrom(best), best))
+      for (j <- 0 until n if !inTree(j)) {
+        val d = mreach(best, j)
+        if (d < minEdge(j)) { minEdge(j) = d; minFrom(j) = best }
+      }
+    }
+    // single-linkage hierarchy: merge edges ascending; nodes n..2n-2
+    val sortedEdges = edges.toArray.sortBy(_._1)
+    val parent = Array.tabulate(2 * n - 1)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    val childL = new Array[Int](n - 1)
+    val childR = new Array[Int](n - 1)
+    val mergeDist = new Array[Double](n - 1)
+    val sizeOf = Array.fill(2 * n - 1)(1)
+    var next = n
+    sortedEdges.foreach { case (w, a, b) =>
+      val ra = find(a); val rb = find(b)
+      childL(next - n) = ra; childR(next - n) = rb
+      mergeDist(next - n) = w
+      sizeOf(next) = sizeOf(ra) + sizeOf(rb)
+      parent(ra) = next; parent(rb) = next
+      next += 1
+    }
+    // condensed tree: walk top-down; a child spawns a new cluster only if
+    // both sides have ≥ minClusterSize, else points fall out of the parent
+    // at lambda = 1/mergeDist. Track per-cluster stability.
+    val root = 2 * n - 2
+    val stability = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val birthLambda = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val clusterChildren = scala.collection.mutable.ArrayBuffer.empty[List[Int]]
+    val clusterParent = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def newCluster(birth: Double, par: Int): Int = {
+      stability += 0.0
+      birthLambda += birth
+      clusterChildren += Nil
+      clusterParent += par
+      stability.length - 1
+    }
+    val rootCluster = newCluster(0.0, -1)
+    // BFS from root
+    val stack = scala.collection.mutable.Stack[(Int, Int)]((root, rootCluster))
+    val memberLambda = Array.fill(n)(0.0)
+    val memberCluster = Array.fill(n)(rootCluster)
+    while (stack.nonEmpty) {
+      val (node, cl) = stack.pop()
+      if (node < n) { memberCluster(node) = cl; memberLambda(node) = Double.MaxValue }
+      else {
+        val idx = node - n
+        val l = childL(idx); val r = childR(idx)
+        val lam = if (mergeDist(idx) > 0) 1.0 / mergeDist(idx) else Double.MaxValue
+        val bigL = sizeOf(l) >= minClusterSize
+        val bigR = sizeOf(r) >= minClusterSize
+        if (bigL && bigR) {
+          // true split: two new clusters born at lam
+          val cl1 = newCluster(lam, cl)
+          val cl2 = newCluster(lam, cl)
+          clusterChildren(cl) = cl1 :: cl2 :: clusterChildren(cl)
+          stack.push((l, cl1)); stack.push((r, cl2))
+        } else {
+          // points of small side(s) fall out of cl at lam
+          def fallOut(sub: Int): Unit = {
+            val s2 = scala.collection.mutable.Stack[Int](sub)
+            while (s2.nonEmpty) {
+              val m = s2.pop()
+              if (m < n) {
+                memberCluster(m) = cl
+                memberLambda(m) = lam
+                stability(cl) += lam - birthLambda(cl)
+              } else { s2.push(childL(m - n)); s2.push(childR(m - n)) }
+            }
+          }
+          if (!bigL && !bigR) { fallOut(l); fallOut(r) }
+          else if (!bigL) { fallOut(l); stack.push((r, cl)) }
+          else { fallOut(r); stack.push((l, cl)) }
+        }
+      }
+    }
+    // leaf members that never fell out contribute at their cluster's death
+    // (handled above via Double.MaxValue → cap at the cluster subtree's
+    // max lambda: use birth of children or their own merge lambda). For
+    // selection, excess-of-mass: a cluster is selected if its stability
+    // exceeds the summed stability of its (selected) children.
+    val nC = stability.length
+    val selected = new Array[Boolean](nC)
+    val subtreeStab = new Array[Double](nC)
+    def unselectSubtree(k: Int): Unit = {
+      selected(k) = false
+      clusterChildren(k).foreach(unselectSubtree)
+    }
+    // process clusters in reverse creation order (children were created
+    // after parents, so reverse order is bottom-up)
+    for (c <- nC - 1 to 0 by -1) {
+      val kids = clusterChildren(c)
+      if (kids.isEmpty) { subtreeStab(c) = stability(c); selected(c) = true }
+      else {
+        val kidSum = kids.map(subtreeStab).sum
+        if (stability(c) >= kidSum && c != rootCluster) {
+          selected(c) = true
+          kids.foreach(unselectSubtree)
+          subtreeStab(c) = stability(c)
+        } else subtreeStab(c) = math.max(kidSum, stability(c))
+      }
+    }
+    selected(rootCluster) = false
+    // label: walk up from each member's cluster to the nearest selected
+    val labelOfCluster = Array.fill(nC)(-2)
+    def resolve(c: Int): Int = {
+      if (c < 0) -1
+      else if (labelOfCluster(c) != -2) labelOfCluster(c)
+      else {
+        val r = if (selected(c)) c else resolve(clusterParent(c))
+        labelOfCluster(c) = r
+        r
+      }
+    }
+    val chosen = (0 until nC).filter(c => resolve(c) == c && selected(c))
+    val relabel = chosen.zipWithIndex.toMap
+    Array.tabulate(n) { i =>
+      val r = resolve(memberCluster(i))
+      if (r >= 0 && relabel.contains(r)) relabel(r) else -1
+    }
+  }
+
+  /** CLARANS randomized medoid search on a distance matrix (reference
+    * clustering/scalable.py:153-233): `numLocal` seeded restarts, up to
+    * `maxNeighbor` random single-medoid swaps each; keeps the best cost. */
+  def clarans(dist: Array[Array[Double]], k: Int, numLocal: Int = 2,
+      maxNeighbor: Int = 10, seed: Long = 42L): Array[Int] = {
+    val n = dist.length
+    require(k >= 1 && k <= n, s"k must be in [1, $n]")
+    val rng = new Random(seed)
+    def assign(medoids: Array[Int]): Array[Int] =
+      Array.tabulate(n)(i => medoids.indices.minBy(c => dist(i)(medoids(c))))
+    def cost(medoids: Array[Int], asg: Array[Int]): Double = {
+      var s = 0.0
+      for (i <- 0 until n) s += dist(i)(medoids(asg(i)))
+      s
+    }
+    var bestAsg: Array[Int] = null
+    var bestCost = Double.MaxValue
+    for (li <- 0 until numLocal) {
+      val localRng = new Random(seed + li)
+      var medoids = localRng.shuffle((0 until n).toVector).take(k).toArray
+      var asg = assign(medoids)
+      var cur = cost(medoids, asg)
+      var neighbor = 0
+      while (neighbor < maxNeighbor) {
+        val swapIdx = rng.nextInt(k)
+        val candidates = (0 until n).filterNot(medoids.contains)
+        if (candidates.nonEmpty) {
+          val cand = candidates(rng.nextInt(candidates.length))
+          val trial = medoids.clone()
+          trial(swapIdx) = cand
+          val tAsg = assign(trial)
+          val tCost = cost(trial, tAsg)
+          if (tCost < cur) {
+            medoids = trial; asg = tAsg; cur = tCost
+            neighbor = 0
+          } else neighbor += 1
+        } else neighbor += 1
+      }
+      if (cur < bestCost) { bestCost = cur; bestAsg = asg }
+    }
+    bestAsg
+  }
 }

@@ -413,6 +413,116 @@ object Clustering {
       .toDF("silhouette", "davies_bouldin")
   }
 
+  /** HDBSCAN labels (−1 = noise) over any pairwise metric (reference
+    * clustering/density.py:31-84). */
+  def hdbscanCluster(df: DataFrame, minClusterSize: Int = 5,
+      minSamples: Option[Int] = None, metric: String = "dtw",
+      params: Map[String, Double] = Map.empty)(implicit pc: PanelCols): DataFrame = {
+    val (ids, m) = collectMatrix(Distances.pairwise(df, metric, params), metric)
+    labelFrame(df, ids, Cluster.hdbscan(m, minClusterSize, minSamples))
+  }
+
+  /** CLARANS labels (reference clustering/scalable.py:153-233). */
+  def claransCluster(df: DataFrame, k: Int, numLocal: Int = 2,
+      maxNeighbor: Int = 10, metric: String = "dtw",
+      params: Map[String, Double] = Map.empty, seed: Long = 42L)(
+      implicit pc: PanelCols): DataFrame = {
+    val (ids, m) = collectMatrix(Distances.pairwise(df, metric, params), metric)
+    labelFrame(df, ids, Cluster.clarans(m, k, numLocal, maxNeighbor, seed))
+  }
+
+  /** U-shapelet clustering (reference clustering/shapelets.py:21-236):
+    * seeded random shapelet candidates from a bounded series sample,
+    * gap-statistic scoring with the per-series min-subsequence distances
+    * computed DISTRIBUTED (candidates broadcast, one panel pass); only the
+    * n×n_candidates distance matrix reaches the driver for the final
+    * 1-d k-means in shapelet-distance space. */
+  def shapeletCluster(df: DataFrame, k: Int, shapeletLengths: Seq[Int] = Seq(8, 16),
+      nCandidates: Int = 30, nShapelets: Int = 5, seed: Long = 42L)(
+      implicit pc: PanelCols): DataFrame = {
+    val spark = df.sparkSession
+    val (z, minLen) = fixedLenSeries(df)
+    val rng = new scala.util.Random(seed)
+    // candidates from a bounded hash-ordered sample of series
+    val sample = z.orderBy(xxhash64(col("__id").cast("string"), lit(seed)))
+      .limit(64).collect().map(_.getSeq[Double](1).toArray)
+    val candidates = Array.fill(nCandidates) {
+      val sl = math.min(shapeletLengths(rng.nextInt(shapeletLengths.length)), minLen)
+      val series = sample(rng.nextInt(sample.length))
+      val start = rng.nextInt(math.max(1, series.length - sl + 1))
+      series.slice(start, start + sl)
+    }
+    val bc = spark.sparkContext.broadcast(candidates)
+    val distUdf = udf((zs: Seq[Double]) => {
+      val arr = zs.toArray
+      bc.value.map(c => subseqDist(c, arr))
+    })
+    val rows = z.select(col("__id").cast("string"), distUdf(col("__z")).as("__d"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val ids = rows.map(_._1)
+    val dmat = rows.map(_._2) // n × nCandidates
+    // gap-statistic score per candidate over its sorted distance column
+    val scores = candidates.indices.map { ci =>
+      val colD = dmat.map(_(ci)).sorted
+      val gap = if (colD.length < 2) 0.0
+        else colD.sliding(2).map(p => p(1) - p(0)).max
+      ci -> gap
+    }.sortBy(-_._2)
+    val chosen = scores.take(math.min(nShapelets, candidates.length)).map(_._1)
+    val feat = dmat.map(row => chosen.map(row).toArray)
+    // 1-d k-means on the shapelet-distance features (driver, tiny)
+    val kk = math.min(k, feat.length)
+    var centroids = rng.shuffle(feat.indices.toVector).take(kk).map(feat).toArray
+    var labels = new Array[Int](feat.length)
+    var it = 0
+    var changed = true
+    while (it < 100 && changed) {
+      changed = false
+      for (i <- feat.indices) {
+        val best = centroids.indices.minBy { c =>
+          var s = 0.0
+          for (j <- feat(i).indices) { val d = feat(i)(j) - centroids(c)(j); s += d * d }
+          s
+        }
+        if (labels(i) != best) { labels(i) = best; changed = true }
+      }
+      for (c <- centroids.indices) {
+        val mem = feat.indices.filter(labels(_) == c)
+        if (mem.nonEmpty) {
+          val nc = new Array[Double](feat(0).length)
+          mem.foreach(i => for (j <- nc.indices) nc(j) += feat(i)(j))
+          centroids(c) = nc.map(_ / mem.length)
+        }
+      }
+      it += 1
+    }
+    val out = labelFrame(df, ids, labels)
+    z.unpersist()
+    out
+  }
+
+  /** Min sliding-window euclidean distance shapelet→series
+    * (shapelets.py:44-61, with the same early-abandon). */
+  private[ops] def subseqDist(shapelet: Array[Double], series: Array[Double]): Double = {
+    val sLen = shapelet.length
+    val tLen = series.length
+    if (sLen > tLen) return Double.PositiveInfinity
+    var best = Double.MaxValue
+    var i = 0
+    while (i <= tLen - sLen) {
+      var d = 0.0
+      var j = 0
+      while (j < sLen && d < best) {
+        val diff = shapelet(j) - series(i + j)
+        d += diff * diff
+        j += 1
+      }
+      if (d < best) best = d
+      i += 1
+    }
+    math.sqrt(best)
+  }
+
   /** Per-sample silhouette `[id, cluster, silhouette]` (reference
     * clustering/evaluation.py:108-178). */
   def silhouetteSamples(df: DataFrame, labelsDf: DataFrame, metric: String = "dtw",

@@ -51,6 +51,67 @@ class BarycenterClusteringSpec extends AnyFunSuite {
     assert(purity(labels), s"labels $labels")
   }
 
+  test("hdbscan finds dense groups and flags scattered noise") {
+    // two tight groups of 6 + 3 far-flung noise points
+    val n = 15
+    val m = Array.fill(n, n)(0.0)
+    def d(i: Int, j: Int, v: Double): Unit = { m(i)(j) = v; m(j)(i) = v }
+    for (i <- 0 until 6; j <- i + 1 until 6) d(i, j, 1.0)
+    for (i <- 6 until 12; j <- i + 1 until 12) d(i, j, 1.0)
+    for (i <- 0 until 6; j <- 6 until 12) d(i, j, 50.0)
+    for (i <- 12 until n; j <- 0 until n if j != i) d(i, j, 100.0 + i + j)
+    val labels = graft.kernels.Cluster.hdbscan(m, minClusterSize = 4,
+      minSamplesOpt = Some(3))
+    assert(labels.slice(0, 6).distinct.length == 1, labels.mkString(","))
+    assert(labels.slice(6, 12).distinct.length == 1, labels.mkString(","))
+    assert(labels(0) != labels(6) && labels(0) >= 0 && labels(6) >= 0,
+      labels.mkString(","))
+    assert(labels.slice(12, 15).forall(_ == -1), labels.mkString(","))
+  }
+
+  test("clarans recovers separated blobs") {
+    val n = 12
+    val m = Array.fill(n, n)(0.0)
+    def d(i: Int, j: Int, v: Double): Unit = { m(i)(j) = v; m(j)(i) = v }
+    for (i <- 0 until 6; j <- i + 1 until 6) d(i, j, 1.0)
+    for (i <- 6 until 12; j <- i + 1 until 12) d(i, j, 1.0)
+    for (i <- 0 until 6; j <- 6 until 12) d(i, j, 40.0)
+    val labels = graft.kernels.Cluster.clarans(m, k = 2, maxNeighbor = 20)
+    assert(labels.slice(0, 6).distinct.length == 1)
+    assert(labels.slice(6, 12).distinct.length == 1)
+    assert(labels(0) != labels(6))
+  }
+
+  test("shapelet clustering separates shapes; classifiers label held-out series") {
+    // shape-distinct groups (a z-normalizing classifier can't use level):
+    // sine, ramp, square wave
+    import spark.implicits._
+    val rng2 = new scala.util.Random(7L)
+    val rows = for {
+      (g, shape) <- Seq(
+        "g0" -> ((i: Int) => math.sin(i / 3.0) * 10.0),
+        "g1" -> ((i: Int) => i.toDouble),
+        "g2" -> ((i: Int) => if (i % 8 < 4) 10.0 else -10.0))
+      s <- 0 until 5
+      i <- 0 until 24
+    } yield (s"${g}_$s", i, shape(i) + rng2.nextGaussian() * 0.3)
+    val df = rows.toDF("unique_id", "__h", "y")
+      .withColumn("ds", timestamp_micros(col("__h") * 3600000000L))
+      .drop("__h")
+    val labels = Clustering.shapeletCluster(df, k = 3)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(labels.size == 15)
+    val lab = labels.keys.map(id => (id, id.split("_")(0))).toSeq.toDF("unique_id", "label")
+    val predK = Classification.kshapeClassify(df, lab, df)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(predK.forall { case (id, p) => p == id.split("_")(0) },
+      s"kshape mispredictions: ${predK.filter { case (id, p) => p != id.split("_")(0) }}")
+    val predR = Classification.rocketClassify(df, lab, df, nKernels = 30)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val accR = predR.count { case (id, p) => p == id.split("_")(0) }.toDouble / predR.size
+    assert(accR >= 0.8, s"rocket accuracy $accR")
+  }
+
   test("dba barycenter of shifted copies stays near the shared shape") {
     val base = Array.tabulate(30)(i => math.sin(i / 4.0) * 10.0)
     val members = Array(
