@@ -679,6 +679,15 @@ object SparkEntry {
         .select(col("user_id"), col("step"), col("ts"), r6(col("y_hat")).as("y_hat"))
     }),
 
+    "ts_streaming_ridge" -> ((s, dir) => {
+      val coef = graft.streaming.StreamingOps.globalRidgeBatch(s,
+        IO.events(s, dir), "user_id", "ts", "value", Seq(1, 2, 3))
+      import s.implicits._
+      coef.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+        .toDF("coef_idx", "coef")
+        .select(col("coef_idx"), round(col("coef"), 6).as("coef"))
+    }),
+
     "ts_streaming_ets" -> ((s, dir) =>
       graft.streaming.StreamingOps.etsBatch(s, IO.events(s, dir),
         "user_id", "ts", "value")),

@@ -70,6 +70,123 @@ object StreamingOps {
         })
   }
 
+  case class WindowState(values: Array[Double], lastTs: Long)
+  case class WindowOutput(uniqueId: String, ts: Timestamp, window: Array[Double],
+      windowLen: Int)
+
+  /** Sliding-window state manager (reference streaming/window.py:10-56):
+    * per-key bounded tail buffer maintained in `flatMapGroupsWithState`;
+    * each arriving observation emits the refreshed window. The reference's
+    * in-process dict-of-deques becomes fault-tolerant keyed state. */
+  def slidingWindow(input: Dataset[Obs], windowSize: Int): Dataset[WindowOutput] = {
+    require(windowSize > 0, "windowSize must be positive")
+    import input.sparkSession.implicits._
+    input.groupByKey(_.uniqueId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (id: String, rows: Iterator[Obs], state: GroupState[WindowState]) => {
+          var s = state.getOption.getOrElse(WindowState(Array.empty, Long.MinValue))
+          val out = rows.toSeq.sortBy(_.ts.getTime).map { o =>
+            val appended = s.values :+ o.y
+            val kept =
+              if (appended.length > windowSize) appended.takeRight(windowSize)
+              else appended
+            s = WindowState(kept, o.ts.getTime)
+            WindowOutput(id, o.ts, kept, kept.length)
+          }
+          state.update(s)
+          out.iterator
+        })
+  }
+
+  case class FeatureRow(uniqueId: String, ts: Timestamp, y: Double,
+      features: Array[Double])
+
+  /** Streaming global forecaster, fit side (reference
+    * streaming/global_model.py:16-200): per-key window state emits a lag
+    * feature row per arrival; a downstream streaming aggregation over
+    * `gramColumns` maintains the pooled ridge normal equations — the
+    * incremental `partial_fit` becomes an incrementally-maintained Gram,
+    * which is EXACT (not SGD-approximate) and merges across partitions.
+    * Solve with [[solveRidgeFromGram]] whenever a forecast is needed. */
+  def streamingLagFeatures(input: Dataset[Obs], lags: Seq[Int],
+      windowSize: Int = 100): Dataset[FeatureRow] = {
+    require(lags.nonEmpty && lags.forall(_ > 0), "lags must be positive")
+    import input.sparkSession.implicits._
+    val maxLag = lags.max
+    val keep = math.max(windowSize, maxLag + 1)
+    input.groupByKey(_.uniqueId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (id: String, rows: Iterator[Obs], state: GroupState[WindowState]) => {
+          var s = state.getOption.getOrElse(WindowState(Array.empty, Long.MinValue))
+          val out = rows.toSeq.sortBy(_.ts.getTime).flatMap { o =>
+            val buf = s.values
+            val row =
+              if (buf.length >= maxLag)
+                Some(FeatureRow(id, o.ts, o.y,
+                  lags.map(k => buf(buf.length - k)).toArray :+ 1.0))
+              else None
+            val appended = buf :+ o.y
+            s = WindowState(
+              if (appended.length > keep) appended.takeRight(keep) else appended,
+              o.ts.getTime)
+            row
+          }
+          state.update(s)
+          out.iterator
+        })
+  }
+
+  /** Gram-sum aggregate columns for [[streamingLagFeatures]] output: run
+    * under a streaming aggregation (update/complete mode) to maintain the
+    * ridge normal equations incrementally. */
+  def gramColumns(p: Int): Seq[org.apache.spark.sql.Column] =
+    (for (i <- 0 until p; j <- i until p) yield
+      sum(element_at(col("features"), i + 1) * element_at(col("features"), j + 1))
+        .as(s"g_${i}_$j")) ++
+    (0 until p).map(i =>
+      sum(element_at(col("features"), i + 1) * col("y")).as(s"b_$i")) :+
+    count(lit(1)).as("n")
+
+  /** Solve the ridge coefficients from one collected Gram row. */
+  def solveRidgeFromGram(row: org.apache.spark.sql.Row, p: Int,
+      l2: Double = 1e-3): Array[Double] = {
+    val g = Array.fill(p, p)(0.0)
+    val b = new Array[Double](p)
+    var idx = 0
+    for (i <- 0 until p; j <- i until p) {
+      g(i)(j) = row.getDouble(idx); g(j)(i) = g(i)(j); idx += 1
+    }
+    for (i <- 0 until p) { b(i) = row.getDouble(idx); idx += 1 }
+    for (i <- 0 until p - 1) g(i)(i) += l2
+    graft.kernels.ArimaLite.solve(g, b)
+  }
+
+  /** Batch-mode replica of the streaming global fit (tests + query
+    * contract): same per-key fold, same Gram aggregation, one batch. */
+  def globalRidgeBatch(spark: SparkSession, df: DataFrame, idCol: String,
+      tsCol: String, yCol: String, lags: Seq[Int]): Array[Double] = {
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("string").as("uniqueId"),
+      col(tsCol).cast("timestamp").as("ts"), col(yCol).cast("double").as("y"))
+      .as[Obs]
+    val p = lags.length + 1
+    val feats = ds.groupByKey(_.uniqueId).flatMapGroups { (id, rows) =>
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
+      sorted.flatMap { o =>
+        val row =
+          if (buf.length >= lags.max)
+            Some(FeatureRow(id, o.ts, o.y,
+              lags.map(k => buf(buf.length - k)).toArray :+ 1.0))
+          else None
+        buf += o.y
+        row
+      }.iterator
+    }
+    val gramRow = feats.toDF().agg(gramColumns(p).head, gramColumns(p).tail: _*).head()
+    solveRidgeFromGram(gramRow, p)
+  }
+
   /** Convenience: run a batch panel through the same update equations (the
     * reference's incremental-batch mode) — used by tests and the query
     * contract, where no streaming source exists. */

@@ -46,6 +46,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("sliding window keeps a bounded tail across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Obs]
+    val out = StreamingOps.slidingWindow(source.toDS(), windowSize = 4)
+    val query = out.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      source.addData((0 until 3).map(i => obs("w", i, i.toDouble)): _*)
+      query.processAllAvailable()
+      source.addData((3 until 7).map(i => obs("w", i, i.toDouble)): _*)
+      query.processAllAvailable()
+      val rows = spark.table("win_out").as[StreamingOps.WindowOutput].collect()
+      assert(rows.length == 7)
+      val last = rows.maxBy(_.ts.getTime)
+      assert(last.window.toSeq == Seq(3.0, 4.0, 5.0, 6.0), last.window.toSeq)
+      assert(rows.forall(_.windowLen <= 4))
+    } finally query.stop()
+  }
+
+  test("streaming global ridge: incremental Gram equals the batch fit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lags = Seq(1, 2)
+    val p = lags.length + 1
+    val source = MemoryStream[Obs]
+    val feats = StreamingOps.streamingLagFeatures(source.toDS(), lags)
+    val query = feats.writeStream.format("memory").queryName("feat_out")
+      .outputMode("append").start()
+    val rng = new scala.util.Random(3L)
+    val data = for {
+      id <- Seq("a", "b")
+      i <- 0 until 40
+    } yield obs(id, i, 5.0 + 0.8 * i + rng.nextGaussian() * 0.1)
+    try {
+      source.addData(data.take(30): _*)
+      query.processAllAvailable()
+      source.addData(data.drop(30): _*)
+      query.processAllAvailable()
+      val gramRow = spark.table("feat_out")
+        .agg(StreamingOps.gramColumns(p).head, StreamingOps.gramColumns(p).tail: _*)
+        .head()
+      val streamed = StreamingOps.solveRidgeFromGram(gramRow, p)
+      val df = data.toDF()
+      val batch = StreamingOps.globalRidgeBatch(spark, df,
+        "uniqueId", "ts", "y", lags)
+      for (i <- 0 until p)
+        assert(math.abs(streamed(i) - batch(i)) < 1e-6,
+          s"coef $i: ${streamed(i)} vs ${batch(i)}")
+    } finally query.stop()
+  }
+
   test("streaming Kalman converges toward the observation level") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
