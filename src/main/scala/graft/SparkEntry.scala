@@ -502,6 +502,48 @@ object SparkEntry {
           r6(col("y_hat_upper")).as("y_hat_upper"))
     }),
 
+    // ── imaging completions / agents ────────────────────────────────────
+    "ts_spectrogram" -> ((s, dir) => {
+      val u = udf((ys: Seq[Double]) => {
+        val sp = graft.kernels.Imaging.spectrogram(ys.toArray, npersegIn = 32)
+        val flat = sp.flatten
+        (sp.length, sp(0).length, flat.sum / flat.length, flat.max)
+      })
+      graft.core.Panel.grouped(IO.events(s, dir))(PC)
+        .select(col("user_id"), u(col("ys")).as("__r"))
+        .select(col("user_id"), col("__r._1").as("n_freq"),
+          col("__r._2").as("n_frames"), r6(col("__r._3")).as("mean_mag"),
+          r6(col("__r._4")).as("max_mag"))
+    }),
+
+    "ts_scalogram" -> ((s, dir) => {
+      val u = udf((ys: Seq[Double]) => {
+        val sc = graft.kernels.Imaging.scalogram(ys.toArray, nScales = 8)
+        val flat = sc.flatten
+        (sc.length, flat.sum / flat.length, flat.max)
+      })
+      graft.core.Panel.grouped(IO.events(s, dir))(PC)
+        .select(col("user_id"), u(col("ys")).as("__r"))
+        .select(col("user_id"), col("__r._1").as("n_scales"),
+          r6(col("__r._2")).as("mean_mag"), r6(col("__r._3")).as("max_mag"))
+    }),
+
+    "ts_path_signature" -> ((s, dir) => {
+      val u = udf((ys: Seq[Double]) =>
+        graft.kernels.Imaging.pathSignature(ys.toArray, depth = 2))
+      val g = graft.core.Panel.grouped(IO.events(s, dir))(PC)
+        .select(col("user_id"), u(col("ys")).as("__sig"))
+      (0 until 6).foldLeft(g)((d, i) =>
+        d.withColumn(s"sig_$i", r6(element_at(col("__sig"), i + 1)))).drop("__sig")
+    }),
+
+    "ts_scientist" -> ((s, dir) => {
+      val (fc, rep) = Agents.scientist(IO.events(s, dir), horizon = 7)
+      fc.select(col("user_id"), col("step"), col("ts"),
+        r6(col("y_hat")).as("y_hat"))
+        .withColumn("best_model", lit(rep.bestModel))
+    }),
+
     // ── clustering / classification completions ─────────────────────────
     "ts_hdbscan" -> ((s, dir) =>
       Clustering.hdbscanCluster(IO.events(s, dir), minClusterSize = 5,

@@ -73,6 +73,133 @@ object Imaging {
     val total = n.toLong * n - n
     (recur.toDouble / total, if (recur == 0) 0.0 else diag.toDouble / recur)
   }
+
+  /** STFT spectrogram magnitude (reference imaging/spectral.py:15-38):
+    * Hann-windowed segments with `noverlap` overlap, zero-extended ends,
+    * one-sided DFT; optional log1p. Output (nperseg/2+1) × nFrames,
+    * row-major flat with dims prepended [nFreq, nFrames, data...]. */
+  def spectrogram(x: Array[Double], npersegIn: Int = 64,
+      noverlapIn: Int = -1, logScale: Boolean = true): Array[Array[Double]] = {
+    val nperseg = math.min(npersegIn, x.length)
+    val noverlap = math.min(if (noverlapIn < 0) nperseg / 2 else noverlapIn,
+      nperseg - 1)
+    val hop = nperseg - noverlap
+    // zero-extend by nperseg/2 on both ends (scipy stft boundary/padding)
+    val pad = nperseg / 2
+    val ext = new Array[Double](x.length + 2 * pad)
+    System.arraycopy(x, 0, ext, pad, x.length)
+    val window = Array.tabulate(nperseg)(i =>
+      0.5 - 0.5 * math.cos(2.0 * math.Pi * i / nperseg))
+    val nFreq = nperseg / 2 + 1
+    val frames = (0 to ext.length - nperseg by hop).toArray
+    val out = Array.ofDim[Double](nFreq, frames.length)
+    for ((start, f) <- frames.zipWithIndex) {
+      for (k <- 0 until nFreq) {
+        var re = 0.0; var im = 0.0
+        var i = 0
+        while (i < nperseg) {
+          val v = ext(start + i) * window(i)
+          val ang = -2.0 * math.Pi * k * i / nperseg
+          re += v * math.cos(ang); im += v * math.sin(ang)
+          i += 1
+        }
+        val mag = math.sqrt(re * re + im * im)
+        out(k)(f) = if (logScale) math.log1p(mag) else mag
+      }
+    }
+    out
+  }
+
+  /** CWT scalogram magnitude (spectral.py:41-111): Morlet (complex) or
+    * Ricker wavelet, 'same'-mode convolution per scale. Output
+    * nScales × n. Scales default to log-spaced 1..n/4. */
+  def scalogram(x: Array[Double], wavelet: String = "morlet",
+      scalesIn: Array[Double] = Array.empty, nScales: Int = 16): Array[Array[Double]] = {
+    val n = x.length
+    val scales =
+      if (scalesIn.nonEmpty) scalesIn
+      else {
+        val hi = math.max(n / 4.0, 2.0)
+        Array.tabulate(nScales)(i =>
+          math.exp(math.log(1.0) + (math.log(hi) - math.log(1.0)) * i /
+            math.max(nScales - 1, 1)))
+      }
+    val out = Array.ofDim[Double](scales.length, n)
+    for ((scale, si) <- scales.zipWithIndex) {
+      val m = math.max(math.min(10 * math.ceil(scale).toInt, n), 1)
+      // wavelet support [-m/2, m/2]
+      val ts = Array.tabulate(m + 1)(i => (i - m / 2).toDouble)
+      val (wRe, wIm) = wavelet match {
+        case "morlet" | "morl" =>
+          val norm = math.pow(math.Pi, -0.25)
+          (ts.map(t => norm * math.cos(5.0 * t / scale) * math.exp(-0.5 * (t / scale) * (t / scale))),
+            ts.map(t => norm * math.sin(5.0 * t / scale) * math.exp(-0.5 * (t / scale) * (t / scale))))
+        case "ricker" | "mexh" =>
+          val norm = 2.0 / (math.sqrt(3 * scale) * math.pow(math.Pi, 0.25))
+          (ts.map { t0 => val t = t0 / scale; norm * (1 - t * t) * math.exp(-0.5 * t * t) },
+            Array.fill(ts.length)(0.0))
+        case other => throw new IllegalArgumentException(
+          s"Unknown wavelet '$other'. Supported: morlet, ricker")
+      }
+      // 'same' convolution with the conjugate-reversed wavelet
+      val half = wRe.length / 2
+      var t = 0
+      while (t < n) {
+        var re = 0.0; var im = 0.0
+        var j = 0
+        while (j < wRe.length) {
+          val idx = t + j - half
+          if (idx >= 0 && idx < n) {
+            re += x(idx) * wRe(j)
+            im -= x(idx) * wIm(j) // conjugate
+          }
+          j += 1
+        }
+        out(si)(t) = math.sqrt(re * re + im * im)
+        t += 1
+      }
+    }
+    out
+  }
+
+  /** Truncated path signature with time augmentation (reference
+    * imaging/signature.py:20-120, depth ≤ 3): iterated integrals over the
+    * (t, x) path. Returns d + d² (+ d³) features, d = 2. */
+  def pathSignature(x: Array[Double], depth: Int = 3): Array[Double] = {
+    require(depth >= 1 && depth <= 3, "depth must be in [1, 3]")
+    val n = x.length
+    val d = 2
+    // path = [(t_i, x_i)], increments
+    val inc = Array.tabulate(math.max(n - 1, 0), d) { (i, c) =>
+      if (c == 0) 1.0 / math.max(n - 1, 1) else x(i + 1) - x(i)
+    }
+    val m = inc.length
+    val terms = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val s1 = Array.tabulate(d)(c => inc.map(_(c)).sum)
+    terms ++= s1
+    if (depth >= 2) {
+      val cumsum = Array.ofDim[Double](m, d)
+      for (t <- 0 until m; c <- 0 until d)
+        cumsum(t)(c) = (if (t > 0) cumsum(t - 1)(c) else 0.0) + inc(t)(c)
+      for (i <- 0 until d; j <- 0 until d) {
+        var v = 0.0
+        for (t <- 1 until m) v += cumsum(t - 1)(i) * inc(t)(j)
+        terms += v
+      }
+    }
+    if (depth >= 3) {
+      for (i <- 0 until d; j <- 0 until d; k <- 0 until d) {
+        var v = 0.0; var cumI = 0.0; var cumIj = 0.0
+        for (t <- 0 until m) {
+          cumIj += cumI * inc(t)(j)
+          v += cumIj * inc(t)(k)
+          cumI += inc(t)(i)
+        }
+        terms += v
+      }
+    }
+    terms.toArray
+  }
 }
 
 /** ARIMA-lite: ARIMA(p, d, 0) per series — d-fold differencing + AR(p)
