@@ -430,6 +430,23 @@ object SparkEntry {
       Pipeline.recursiveForecast(ev, model, h = 5)
     }),
 
+    "ts_pipeline_fc" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+      val model = Pipeline.fitPipeline(ev, lags = Seq(1, 2, 3),
+        rollingWindows = Seq(12), calendar = Seq("hour", "day_of_week"),
+        fourier = Seq((24.0, 2)), encodeId = true)
+      Pipeline.pipelineForecast(ev, model, h = 5)
+        .select(col("user_id"), col("step"), col("ts"), r6(col("y_hat")).as("y_hat"))
+    }),
+
+    "ts_pipeline_boxcox_fc" -> ((s, dir) => {
+      val ev = IO.events(s, dir).withColumn("value", abs(col("value")) + 1.0)
+      val model = Pipeline.fitPipeline(ev, lags = Seq(1, 2),
+        targetTransform = Some("boxcox"), lam = 0.5, encodeId = true)
+      Pipeline.pipelineForecast(ev, model, h = 5)
+        .select(col("user_id"), col("step"), col("ts"), r6(col("y_hat")).as("y_hat"))
+    }),
+
     "ts_backtest_naive" -> ((s, dir) =>
       Pipeline.backtest(IO.events(s, dir),
         (train, h) => ForecastBaselines.naive(train, h), folds = 2, horizon = 12)

@@ -112,6 +112,157 @@ object Pipeline {
       .select(pc.idCol, col("step"), pc.timeCol, col("y_hat"))
   }
 
+  /** Full feature-pipeline model (reference pipeline.py:209-462 +
+    * global_model.py:25-382): lag + rolling-mean + calendar + Fourier
+    * features and a per-series mean-encoding of the id, over an optionally
+    * transformed target. */
+  case class PipelineModel(coef: Array[Double], lags: Seq[Int],
+      rollingWindows: Seq[Int], calendar: Seq[String],
+      fourier: Seq[(Double, Int)], targetTransform: Option[String],
+      lam: Double, encodeId: Boolean)
+
+  private def calendarFeature(name: String, us: Long): Double = {
+    val dt = java.time.LocalDateTime.ofEpochSecond(us / 1000000L,
+      ((us % 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+    name match {
+      case "day_of_week" => dt.getDayOfWeek.getValue.toDouble // Monday-first 1..7
+      case "day_of_month" => dt.getDayOfMonth.toDouble
+      case "month" => dt.getMonthValue.toDouble
+      case "hour" => dt.getHour.toDouble
+      case other => throw new IllegalArgumentException(s"Unknown calendar feature '$other'")
+    }
+  }
+
+  /** Fit the pipeline: transform target → engineer features (everything a
+    * window expression; the id encoding is a broadcast-joined per-series
+    * mean) → ONE distributed Gram aggregation → driver ridge solve. The
+    * design matrix never materializes on the driver. */
+  def fitPipeline(df: DataFrame, lags: Seq[Int] = Seq(1, 2, 3),
+      rollingWindows: Seq[Int] = Nil, calendar: Seq[String] = Nil,
+      fourier: Seq[(Double, Int)] = Nil, targetTransform: Option[String] = None,
+      lam: Double = 0.5, encodeId: Boolean = false, l2: Double = 1e-3)(
+      implicit pc: PanelCols): PipelineModel = {
+    require(lags.nonEmpty, "pipeline needs at least lag features")
+    val transformed = applyTransform(df, targetTransform, lam)
+    val y = pc.targetCol.cast("double")
+    val t = (row_number().over(pc.w) - 1).cast("double")
+    val calUdf = udf((name: String, us: Long) => calendarFeature(name, us))
+    val feats: Seq[(String, org.apache.spark.sql.Column)] =
+      lags.map(k => s"lag_$k" -> lag(y, k).over(pc.w)) ++
+      rollingWindows.map(w => s"rollmean_$w" ->
+        avg(y).over(pc.w.rowsBetween(-w, -1))) ++
+      calendar.map(c => s"cal_$c" ->
+        calUdf(lit(c), unix_micros(pc.timeCol.cast("timestamp")))) ++
+      fourier.flatMap { case (period, k) => (1 to k).flatMap { kk =>
+        val ang = lit(2.0 * math.Pi * kk) / lit(period)
+        Seq(s"fsin_${period}_$kk" -> sin(ang * t),
+          s"fcos_${period}_$kk" -> cos(ang * t))
+      }} ++
+      (if (encodeId) Seq("id_mean" -> avg(y).over(pc.wAll)) else Nil) :+
+      ("intercept" -> lit(1.0))
+    val p = feats.length
+    val withF = transformed.select((y.as("__y") +: feats.zipWithIndex.map {
+      case ((_, c), i) => c.as(s"__x$i")
+    }): _*).na.drop()
+    val prods =
+      (for (i <- 0 until p; j <- i until p)
+        yield sum(col(s"__x$i") * col(s"__x$j")).as(s"__g_${i}_$j")) ++
+      (0 until p).map(i => sum(col(s"__x$i") * col("__y")).as(s"__b_$i"))
+    val row = withF.agg(prods.head, prods.tail: _*).collect()(0)
+    val g = Array.fill(p, p)(0.0)
+    val b = new Array[Double](p)
+    var idx = 0
+    for (i <- 0 until p; j <- i until p) {
+      g(i)(j) = row.getDouble(idx); g(j)(i) = g(i)(j); idx += 1
+    }
+    for (i <- 0 until p) { b(i) = row.getDouble(idx); idx += 1 }
+    for (i <- 0 until p - 1) g(i)(i) += l2
+    PipelineModel(graft.kernels.ArimaLite.solve(g, b), lags, rollingWindows,
+      calendar, fourier, targetTransform, lam, encodeId)
+  }
+
+  private def applyTransform(df: DataFrame, transform: Option[String],
+      lam: Double)(implicit pc: PanelCols): DataFrame = transform match {
+    case None => df
+    case Some("log") => Transforms.logTransform(df)
+    case Some("boxcox") => Transforms.boxcoxTransform(df, lam)
+    case Some("difference") => Transforms.difference(df, d = 1, m = 1)
+    case Some(other) => throw new IllegalArgumentException(
+      s"Unknown transform '$other'. Choose from [log, boxcox, difference]")
+  }
+
+  /** Recursive h-step pipeline forecast: per-series tail state (transformed
+    * target buffer, last value for difference-integration, id mean, time
+    * scaffold) broadcasts nothing but the coefficient vector; every step
+    * rebuilds the feature vector in training order, predicts, appends.
+    * Output `[id, step, ds, y_hat]` on the ORIGINAL scale. */
+  def pipelineForecast(df: DataFrame, model: PipelineModel, h: Int)(
+      implicit pc: PanelCols): DataFrame = {
+    val spark = df.sparkSession
+    val transformed = applyTransform(df, model.targetTransform, model.lam)
+    val keep = math.max(model.lags.max,
+      (model.rollingWindows :+ 1).max)
+    val bc = spark.sparkContext.broadcast(model)
+    val u = udf((tail: Seq[Double], n: Long, lastUs: Long, freq: Long,
+        idMean: Double, lastOrig: Double) => {
+      val m = bc.value
+      val buf = scala.collection.mutable.ArrayBuffer(tail: _*)
+      var integ = lastOrig
+      (1 to h).map { s =>
+        val t = (n + s - 1).toDouble
+        val us = lastUs + s * freq
+        val x = scala.collection.mutable.ArrayBuffer.empty[Double]
+        m.lags.foreach(k => x += buf(buf.length - k))
+        m.rollingWindows.foreach { w =>
+          val window = buf.takeRight(w)
+          x += window.sum / window.length
+        }
+        m.calendar.foreach(c => x += calendarFeature(c, us))
+        m.fourier.foreach { case (period, k) => (1 to k).foreach { kk =>
+          val ang = 2.0 * math.Pi * kk * t / period
+          x += math.sin(ang); x += math.cos(ang)
+        }}
+        if (m.encodeId) x += idMean
+        x += 1.0
+        var pred = 0.0
+        var i = 0
+        while (i < x.length) { pred += x(i) * m.coef(i); i += 1 }
+        buf += pred
+        // inverse transform back to the original scale
+        m.targetTransform match {
+          case None => pred
+          case Some("log") => math.exp(pred) - 1.0
+          case Some("boxcox") =>
+            if (m.lam == 0.0) math.exp(pred)
+            else math.pow(pred * m.lam + 1.0, 1.0 / m.lam)
+          case Some("difference") => { integ += pred; integ }
+          case _ => pred
+        }
+      }.toArray
+    })
+    val y = pc.targetCol.cast("double")
+    val tails = transformed.groupBy(pc.idCol)
+      .agg(
+        slice(sort_array(collect_list(struct(
+          pc.orderCols :+ y.as("__v"): _*))), -keep, keep).as("__tail"),
+        count(y).as("__n"),
+        avg(y).as("__idmean"))
+      .select(pc.idCol, col("__tail.__v").as("__tv"), col("__n"), col("__idmean"))
+    val lastOrig = df.groupBy(pc.idCol)
+      .agg(max_by(pc.targetCol.cast("double"), struct(pc.orderCols: _*)).as("__last"))
+    graft.core.Panel.seriesMeta(df)
+      .join(tails, Seq(pc.id)).join(lastOrig, Seq(pc.id))
+      .withColumn("__fc", u(col("__tv"), col("__n"), col("last_us"),
+        col("freq_us"), col("__idmean"), col("__last")))
+      .select(pc.idCol, col("last_us"), col("freq_us"), col("__fc"),
+        explode(sequence(lit(1L), lit(h.toLong))).as("step"))
+      .withColumn(pc.time,
+        timestamp_micros(col("last_us") + col("step") * col("freq_us"))
+          .cast("timestamp_ntz"))
+      .withColumn("y_hat", element_at(col("__fc"), col("step").cast("int")))
+      .select(pc.idCol, col("step"), pc.timeCol, col("y_hat"))
+  }
+
   /** Backtest several named forecasters and rank by mean MAE (reference
     * backtesting/backtest.py:301-387). */
   def compareModels(df: DataFrame,

@@ -73,6 +73,46 @@ class ProbabilisticSpec extends AnyFunSuite {
     assert(widthA > width0A, s"update did not widen: $widthA vs $width0A")
   }
 
+  test("pipeline forecast tracks a trending-seasonal panel") {
+    import spark.implicits._
+    val rng = new scala.util.Random(21L)
+    val rows = for {
+      id <- Seq("a", "b"); i <- 0 until 96
+    } yield (id, i, 100.0 + 0.5 * i + 10 * math.sin(2 * math.Pi * i / 24.0)
+      + rng.nextGaussian() * 0.5)
+    val df = rows.toDF("unique_id", "__h", "y")
+      .withColumn("ds", timestamp_micros(col("__h") * 3600000000L)).drop("__h")
+    val model = Pipeline.fitPipeline(df, lags = Seq(1, 2, 24),
+      rollingWindows = Seq(12), fourier = Seq((24.0, 2)), encodeId = true)
+    val fc = Pipeline.pipelineForecast(df, model, h = 6).collect()
+    assert(fc.length == 12)
+    // predictions continue the pattern: compare against the true process
+    val errs = fc.map { r =>
+      val step = r.getLong(1).toInt
+      val i = 96 + step - 1
+      val truth = 100.0 + 0.5 * i + 10 * math.sin(2 * math.Pi * i / 24.0)
+      math.abs(r.getDouble(3) - truth)
+    }
+    assert(errs.max < 5.0, s"max err ${errs.max}")
+  }
+
+  test("pipeline difference transform integrates back to the original scale") {
+    import spark.implicits._
+    val rows = for { i <- 0 until 80 } yield ("s", i, 10.0 + 2.0 * i)
+    val df = rows.toDF("unique_id", "__h", "y")
+      .withColumn("ds", timestamp_micros(col("__h") * 3600000000L)).drop("__h")
+    val model = Pipeline.fitPipeline(df, lags = Seq(1, 2),
+      targetTransform = Some("difference"))
+    val fc = Pipeline.pipelineForecast(df, model, h = 4).collect()
+      .sortBy(_.getLong(1))
+    // linear trend: diffs constant 2 → forecasts continue the line
+    fc.zipWithIndex.foreach { case (r, i) =>
+      val truth = 10.0 + 2.0 * (80 + i)
+      assert(math.abs(r.getDouble(3) - truth) < 1.0,
+        s"step ${i + 1}: ${r.getDouble(3)} vs $truth")
+    }
+  }
+
   test("isolation forest flags injected outliers") {
     import spark.implicits._
     val rng = new scala.util.Random(8L)
