@@ -606,8 +606,9 @@ object SparkEntry {
         .agg(avg("value").as("value"))
         .filter(col("user_id") < 20)
       // SC needs a common time grid: keep days observed by every unit
+      val nUnits = daily.select(col("user_id")).distinct().count()
       val full = daily.groupBy(col("ts")).agg(countDistinct(col("user_id")).as("__n"))
-        .filter(col("__n") === 20).select("ts")
+        .filter(col("__n") === nUnits).select("ts")
       val ev = daily.join(broadcast(full), Seq("ts"))
       val cut = ev.selectExpr("percentile(unix_micros(cast(ts as timestamp)), 0.8) as c")
         .head().getDouble(0).toLong
