@@ -1907,6 +1907,55 @@ object SparkEntry {
         |  count(*) AS n
         |FROM j GROUP BY fold""".stripMargin,
 
+    // MinHash-LSH: FNV shingle hashes (HUGEINT fold per 5-gram row), the
+    // SAME (a, b) permutation constants as the Spark kernel (generated by
+    // the shared Dedup.minhashParams), band join on raw signature slices.
+    "doc_minhash_lsh" -> {
+      val k = 64; val bands = 16; val rpb = 4
+      val (as, bs) = Dedup.minhashParams(k)
+      val sigMins = (0 until k).map(i =>
+        s"min((${as(i)} * h + ${bs(i)}) % 2147483647) AS s$i").mkString(",\n|  ")
+      // band table: band index + its 4 slice values v1..v4
+      val bandSelect = (0 until bands).map { b =>
+        val vs = (0 until rpb).map(r => s"s${b * rpb + r} AS v${r + 1}").mkString(", ")
+        s"SELECT doc_id, $b AS band, $vs FROM sig"
+      }.mkString("\n|  UNION ALL ")
+      val eqCount = (0 until k).map(i =>
+        s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000 AS doc_id,
+         |    text || ' near duplicate suffix' AS text FROM documents),
+         |norm AS (SELECT doc_id,
+         |  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM corpus),
+         |pos AS (SELECT doc_id, t,
+         |  unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i FROM norm),
+         |grams AS (SELECT doc_id, substr(t, i::INT, 5) AS gram FROM pos),
+         |gh AS (SELECT DISTINCT doc_id,
+         |  (CASE WHEN hu >= 9223372036854775808::HUGEINT
+         |    THEN hu - 18446744073709551616::HUGEINT ELSE hu END)::BIGINT AS hs
+         |  FROM (SELECT doc_id, list_reduce(
+         |    list_prepend(14695981039346656037::HUGEINT,
+         |      list_transform(list_filter(split(gram, ''), ch -> ch <> ''),
+         |        ch -> unicode(ch)::HUGEINT)),
+         |    (acc, ch) -> (xor(acc, ch) * 1099511628211::HUGEINT)
+         |      % 18446744073709551616::HUGEINT) AS hu FROM grams)),
+         |hm AS (SELECT doc_id, ((hs % 2147483647) + 2147483647) % 2147483647 AS h FROM gh),
+         |hd AS (SELECT DISTINCT doc_id, h FROM hm),
+         |sig AS (SELECT doc_id,
+         |  $sigMins
+         |FROM hd GROUP BY doc_id),
+         |banded AS ($bandSelect),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band
+         |    AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.v3 = b.v3 AND a.v4 = b.v4
+         |    AND a.doc_id < b.doc_id),
+         |est AS (SELECT c.id_a, c.id_b,
+         |  ($eqCount)::DOUBLE / 64.0 AS jaccard_est
+         |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+         |  JOIN sig sb ON sb.doc_id = c.id_b)
+         |SELECT id_a, id_b, jaccard_est FROM est WHERE jaccard_est >= 0.5""".stripMargin
+    },
+
     // rolling-origin CV: nSplits=3, horizon=24, step=24, gap=0, expanding
     "ts_cv_rolling" ->
       """WITH tm AS (SELECT ts, row_number() OVER (ORDER BY ts) AS tidx

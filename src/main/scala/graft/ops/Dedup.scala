@@ -39,11 +39,19 @@ object Dedup {
     * (shingling + base xxhash64) must be materialized ONCE into a long
     * array — passing raw shingles here would re-run it k times, since
     * Catalyst does not factor common subexpressions across projections. */
-  def minhashSignature(hashedShingles: Column, k: Int = 64, seed: Int = 42): Column = {
+  /** The (a, b) universal-hash parameters behind [[minhashSignature]] for
+    * a given (k, seed) — exposed so independent engines (the DuckDB
+    * oracle) can reproduce signatures exactly. */
+  def minhashParams(k: Int, seed: Int = 42): (Array[Long], Array[Long]) = {
     val rng = new scala.util.Random(seed)
     val p = 2147483647L
-    val as = Array.fill(k)((rng.nextLong().abs % (p - 1)) + 1)
-    val bs = Array.fill(k)(rng.nextLong().abs % p)
+    (Array.fill(k)((rng.nextLong().abs % (p - 1)) + 1),
+      Array.fill(k)(rng.nextLong().abs % p))
+  }
+
+  def minhashSignature(hashedShingles: Column, k: Int = 64, seed: Int = 42): Column = {
+    val p = 2147483647L
+    val (as, bs) = minhashParams(k, seed)
     // one pass over the shingle hashes updating all k minima — k separate
     // array_min(transform(...)) expressions would rescan the array k times
     val u = udf((hs: Seq[Long]) => {
@@ -77,7 +85,7 @@ object Dedup {
       var i = 0
       val last = math.max(norm.length - n, 0)
       while (i <= last) {
-        var h = 1469598103934665603L // FNV-1a over the n-gram
+        var h = 0xcbf29ce484222325L // FNV-1a offset basis (matches TextOps.fnv64)
         var j = i
         val end = math.min(i + n, norm.length)
         while (j < end) { h ^= norm.charAt(j); h *= 1099511628211L; j += 1 }
@@ -106,13 +114,16 @@ object Dedup {
         hashedShingles(col(textCol), shingleN).as("__h"))
       .select(col("__id"), minhashSignature(col("__h"), k).as("__sig"))
       .cache()
+    // the band key is the signature slice itself (no engine-specific band
+    // hash): candidates join on (band index, 4 longs) — reproducible by
+    // any engine, and barely wider than a hashed key on the shuffle
     val banded = sigs.select(col("__id"), posexplode(
       array((0 until bands).map(b =>
-        xxhash64(slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
-      .as(Seq("__band", "__bandhash")))
+        slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand)): _*))
+      .as(Seq("__band", "__bandvals")))
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.__band") === col("b.__band") &&
-        col("a.__bandhash") === col("b.__bandhash") &&
+        col("a.__bandvals") === col("b.__bandvals") &&
         col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b")).distinct()
     val verified = pairs
