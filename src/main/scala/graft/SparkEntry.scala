@@ -319,7 +319,8 @@ object SparkEntry {
         .select(col("user_id"), col("step"), col("ts"), r6(col("y_hat")).as("y_hat"))),
 
     "ts_fft_fc" -> ((s, dir) =>
-      ForecastBaselines.fft(IO.events(s, dir), h = 7)),
+      ForecastBaselines.fft(IO.events(s, dir), h = 7)
+        .select(col("user_id"), col("step"), col("ts"), r6n(col("y_hat")).as("y_hat"))),
 
     "ts_pairwise_dtw" -> ((s, dir) =>
       Distances.pairwise(IO.events(s, dir), "dtw")),
@@ -636,7 +637,7 @@ object SparkEntry {
         .select(col("user_id").cast("string").as("unique_id"), col("ts"), col("y_hat"))
       val all = Reconciliation.bottomUp(base, edges)(hpc)
       Reconciliation.middleOut(all, edges, Seq("g0", "g1", "g2"))(hpc)
-        .select(col("unique_id"), col("ts"), r6(col("y_hat")).as("y_hat"))
+        .select(col("unique_id"), col("ts"), r6n(col("y_hat")).as("y_hat"))
     }),
 
     "ts_reconcile_permbu" -> ((s, dir) => {
@@ -942,7 +943,8 @@ object SparkEntry {
         .withColumn("__rn", row_number().over(PC.w))
         .withColumn("__block", ((col("__rn") - 1) / blockSize).cast("long"))
       val shuffled = withBlock
-        .withColumn("__border", xxhash64(col("user_id"), col("__block")))
+        .withColumn("__border", TextOps.fnvHash(
+          concat_ws("_", col("user_id"), col("__block"))))
         .withColumn("__srn", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
             .orderBy(col("__border"), col("__rn"))))
@@ -955,7 +957,7 @@ object SparkEntry {
       joined.groupBy(col("user_id"))
         .agg(sum(col("__eo")).as("__so"), sum(col("__es")).as("__ss"))
         .select(col("user_id"),
-          (lit(1.0) - col("__so") / col("__ss")).as("kaboudan_eta"))
+          r6n(lit(1.0) - col("__so") / col("__ss")).as("kaboudan_eta"))
     }),
 
     "ts_perm_importance" -> ((s, dir) => {
@@ -968,12 +970,12 @@ object SparkEntry {
       val n = ev.withColumn("__rn", row_number().over(PC.w))
       val perm = n.withColumn("__srn", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
-            .orderBy(xxhash64(col("event_id")))))
+            .orderBy(TextOps.fnvHash(col("event_id")))))
         .select(col("user_id"), col("__srn").as("__rn"), col("y_hat").as("__ph"))
       val shuffledMae = n.drop("y_hat").join(perm, Seq("user_id", "__rn"))
         .groupBy(col("user_id")).agg(avg(abs(col("value") - col("__ph"))).as("mae_shuffled"))
       base.join(shuffledMae, Seq("user_id"))
-        .select(col("user_id"), (col("mae_shuffled") - col("mae")).as("importance"))
+        .select(col("user_id"), r6n(col("mae_shuffled") - col("mae")).as("importance"))
     }),
 
     "ts_knn_classify_dtw" -> ((s, dir) => {
@@ -1126,6 +1128,18 @@ object SparkEntry {
        |    (CASE WHEN b = 63 THEN (-9223372036854775807 - 1)
        |     ELSE (1::BIGINT << b::INT) END) ELSE 0 END) AS simhash
        |  FROM votes GROUP BY doc_id)""".stripMargin
+
+  /** Inline DuckDB expression: signed FNV-1a 64-bit of a VARCHAR
+    * expression (mirrors TextOps.fnvHash via HUGEINT wrap arithmetic). */
+  private def fnvSql(expr: String): String =
+    s"""(SELECT (CASE WHEN hu >= 9223372036854775808::HUGEINT
+       | THEN hu - 18446744073709551616::HUGEINT ELSE hu END)::BIGINT
+       | FROM (SELECT list_reduce(
+       |  list_prepend(14695981039346656037::HUGEINT,
+       |    list_transform(list_filter(split($expr, ''), ch -> ch <> ''),
+       |      ch -> unicode(ch)::HUGEINT)),
+       |  (acc, ch) -> (xor(acc, ch) * 1099511628211::HUGEINT)
+       |    % 18446744073709551616::HUGEINT) AS hu))""".stripMargin.replace("\n", "")
 
   // Holt level/trend fold step (Ets.holt): state [level, trend], input [v, _].
   private val holtL = "0.3 * x[1] + (1.0::DOUBLE - 0.3) * (acc[1] + acc[2])"
@@ -1955,6 +1969,99 @@ object SparkEntry {
          |  JOIN sig sb ON sb.doc_id = c.id_b)
          |SELECT id_a, id_b, jaccard_est FROM est WHERE jaccard_est >= 0.5""".stripMargin
     },
+
+    // O(n²) DFT per series, top-5 harmonics extrapolated (FftForecast)
+    "ts_fft_fc" ->
+      s"""WITH o AS (SELECT user_id, value, epoch_us(ts) AS us,
+         |  row_number() OVER ($W) AS rn,
+         |  count(*) OVER (PARTITION BY user_id) AS n FROM events),
+         |freqs AS (SELECT user_id, n, unnest(generate_series(0, n // 2)) AS k
+         |  FROM (SELECT DISTINCT user_id, n FROM o)),
+         |dft AS (SELECT f.user_id, f.k, f.n,
+         |  sum(o.value * cos(-2 * pi() * f.k * (o.rn - 1) / f.n)) AS re,
+         |  sum(o.value * sin(-2 * pi() * f.k * (o.rn - 1) / f.n)) AS im
+         |  FROM freqs f JOIN o ON o.user_id = f.user_id
+         |  GROUP BY f.user_id, f.k, f.n),
+         |dc AS (SELECT user_id, re / n AS dc FROM dft WHERE k = 0),
+         |top AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY sqrt(re * re + im * im) DESC, k DESC) AS rk
+         |  FROM dft WHERE k >= 1),
+         |lastt AS (SELECT user_id, max(us) AS us FROM o GROUP BY user_id),
+         |d AS (SELECT user_id, min(us - lus) AS freq FROM
+         |  (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS lus FROM o)
+         |  WHERE lus IS NOT NULL GROUP BY user_id),
+         |steps AS (SELECT unnest(generate_series(1, 7)) AS step),
+         |fc AS (SELECT t.user_id, s.step,
+         |  sum(2.0 * sqrt(re * re + im * im) / n *
+         |      cos(2 * pi() * (k::DOUBLE / n) * (n + s.step - 1) + atan2(im, re))) AS harm
+         |  FROM top t CROSS JOIN steps s WHERE t.rk <= 5
+         |  GROUP BY t.user_id, s.step)
+         |SELECT f.user_id, f.step, make_timestamp(l.us + f.step * d.freq) AS ts,
+         |  round(c.dc + f.harm + 1e-9, 6) AS y_hat
+         |FROM fc f JOIN dc c USING (user_id) JOIN lastt l USING (user_id)
+         |JOIN d USING (user_id)""".stripMargin,
+
+    // middle-out reconciliation over the naive bottom-up hierarchy
+    "ts_reconcile_mo" ->
+      s"""WITH o AS (SELECT user_id, value, epoch_us(ts) AS us,
+         |  row_number() OVER ($W) AS rn,
+         |  count(*) OVER (PARTITION BY user_id) AS n FROM events),
+         |lastv AS (SELECT user_id, us, value FROM o WHERE rn = n),
+         |d AS (SELECT user_id, min(us - lus) AS freq FROM
+         |  (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS lus FROM o)
+         |  WHERE lus IS NOT NULL GROUP BY user_id),
+         |fc AS (SELECT l.user_id, make_timestamp(l.us + s.step * d.freq) AS ts,
+         |  l.value AS y_hat FROM lastv l JOIN d USING (user_id)
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS step) s),
+         |g AS (SELECT user_id % 3 AS grp, ts, sum(y_hat) AS gy
+         |  FROM fc GROUP BY user_id % 3, ts),
+         |ratio AS (SELECT f.user_id, f.user_id % 3 AS grp, f.ts,
+         |  f.y_hat / g.gy AS r FROM fc f
+         |  JOIN g ON g.grp = f.user_id % 3 AND g.ts = f.ts),
+         |prop AS (SELECT user_id, grp, avg(r) AS p FROM ratio GROUP BY user_id, grp),
+         |bot AS (SELECT p.user_id, g.ts, g.gy * p.p AS y_hat
+         |  FROM g JOIN prop p ON p.grp = g.grp)
+         |SELECT 'g' || grp::VARCHAR AS unique_id, ts, round(gy + 1e-9, 6) AS y_hat FROM g
+         |UNION ALL
+         |SELECT user_id::VARCHAR, ts, round(y_hat + 1e-9, 6) FROM bot
+         |UNION ALL
+         |SELECT 'total', ts, round(sum(y_hat) + 1e-9, 6) FROM bot GROUP BY ts""".stripMargin,
+
+    // permutation importance of the lag-1 feature: the deterministic
+    // shuffle key is engine-reproducible FNV of event_id
+    "ts_perm_importance" ->
+      s"""WITH e AS (SELECT user_id, event_id, ts, value,
+         |  lag(value, 1) OVER ($W) AS yhat FROM events),
+         |f AS (SELECT user_id, event_id, value, yhat,
+         |  row_number() OVER ($W) AS rn FROM e WHERE yhat IS NOT NULL),
+         |base AS (SELECT user_id, avg(abs(value - yhat)) AS mae FROM f GROUP BY user_id),
+         |h AS (SELECT user_id, rn, value, yhat,
+         |  ${fnvSql("event_id::VARCHAR")} AS hv FROM f),
+         |perm AS (SELECT user_id,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY hv) AS srn,
+         |  yhat AS ph FROM h),
+         |sh AS (SELECT a.user_id, avg(abs(a.value - p.ph)) AS ms
+         |  FROM f a JOIN perm p ON p.user_id = a.user_id AND p.srn = a.rn
+         |  GROUP BY a.user_id)
+         |SELECT b.user_id, round(s.ms - b.mae + 1e-9, 6) AS importance
+         |FROM base b JOIN sh s USING (user_id)""".stripMargin,
+
+    // Kaboudan eta with deterministic FNV block shuffle (blockSize=8)
+    "ts_kaboudan" ->
+      s"""WITH w AS (SELECT user_id, value, row_number() OVER ($W) AS rn FROM events),
+         |b AS (SELECT *, ((rn - 1) // 8)::BIGINT AS blk FROM w),
+         |h AS (SELECT *,
+         |  ${fnvSql("user_id::VARCHAR || '_' || blk::VARCHAR")} AS hv FROM b),
+         |s AS (SELECT user_id,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY hv, rn) AS srn,
+         |  value AS shuf FROM h),
+         |j AS (SELECT a.user_id, a.rn, a.value, s.shuf FROM b a
+         |  JOIN s ON s.user_id = a.user_id AND s.srn = a.rn),
+         |l AS (SELECT user_id,
+         |  pow(value - lag(value) OVER (PARTITION BY user_id ORDER BY rn), 2) AS eo,
+         |  pow(shuf - lag(shuf) OVER (PARTITION BY user_id ORDER BY rn), 2) AS es FROM j)
+         |SELECT user_id, round(1.0 - sum(eo) / sum(es) + 1e-9, 6) AS kaboudan_eta
+         |FROM l GROUP BY user_id""".stripMargin,
 
     // rolling-origin CV: nSplits=3, horizon=24, step=24, gap=0, expanding
     "ts_cv_rolling" ->

@@ -95,4 +95,9 @@ object TextOps {
     h
   }
   private val fnv64Udf = udf(fnv64)
+
+  /** Engine-reproducible 64-bit hash of any column (FNV-1a of its string
+    * form) — the deterministic-shuffle key used where the oracle must
+    * replay the permutation (xxhash64 would be Spark-only). */
+  def fnvHash(c: Column): Column = fnv64Udf(c.cast("string"))
 }
