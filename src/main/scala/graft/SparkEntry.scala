@@ -751,7 +751,11 @@ object SparkEntry {
 
     "ts_streaming_ets" -> ((s, dir) =>
       graft.streaming.StreamingOps.etsBatch(s, IO.events(s, dir),
-        "user_id", "ts", "value")),
+        "user_id", "ts", "value")
+        .select(col("uniqueId").as("unique_id"),
+          col("ts").cast("timestamp_ntz").as("ts"), col("y"),
+          r6n(col("level")).as("level"), r6n(col("trend")).as("trend"),
+          r6n(col("forecastNext")).as("forecast_next"))),
 
     // ── near-dup detection over synthetic near-duplicates ───────────────
     "doc_minhash_lsh" -> ((s, dir) => {
@@ -1154,6 +1158,21 @@ object SparkEntry {
   private val hwAcc =
     s"""list_concat(list_concat(list_concat([$hwL, $hwT],
        | acc[3:($hwIdx - 1)]), [$hwS]), acc[($hwIdx + 1):])""".stripMargin.replace("\n", "")
+
+  // Streaming-ETS (Holt) fold step with per-row history: state
+  // [level, trend, n, (level trend)×t], input [v, _, _]; init/two-point
+  // cases mirror StreamingOps.etsBatch.
+  private val setsL =
+    """(CASE WHEN acc[3] < 2.0 THEN x[1]
+      | ELSE 0.3 * x[1] + (1.0::DOUBLE - 0.3) * (acc[1] + acc[2]) END)"""
+      .stripMargin.replace("\n", "")
+  private val setsT =
+    s"""(CASE WHEN acc[3] = 0.0 THEN 0.0::DOUBLE
+       | WHEN acc[3] = 1.0 THEN x[1] - acc[1]
+       | ELSE 0.1 * ($setsL - acc[1]) + (1.0::DOUBLE - 0.1) * acc[2] END)"""
+      .stripMargin.replace("\n", "")
+  private val setsAcc =
+    s"list_concat(list_concat([$setsL, $setsT, acc[3] + 1.0], acc[4:]), [$setsL, $setsT])"
 
   // Kalman forward fold step (Kalman.filterSmooth, q=1e-3, r=1.0): state
   // [x, p, (xf pf xp pp)×t]; appends this step's records.
@@ -2062,6 +2081,21 @@ object SparkEntry {
          |  pow(shuf - lag(shuf) OVER (PARTITION BY user_id ORDER BY rn), 2) AS es FROM j)
          |SELECT user_id, round(1.0 - sum(eo) / sum(es) + 1e-9, 6) AS kaboudan_eta
          |FROM l GROUP BY user_id""".stripMargin,
+
+    // streaming Holt fold replayed with per-row (level, trend) history
+    "ts_streaming_ets" ->
+      s"""WITH o AS (SELECT user_id::VARCHAR AS unique_id, ts, value,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM events),
+         |g AS (SELECT unique_id, list(value ORDER BY rn) AS vs FROM o GROUP BY unique_id),
+         |st AS (SELECT unique_id, list_reduce(
+         |  list_prepend([0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE],
+         |    list_transform(vs, v -> [v, 0.0::DOUBLE, 0.0::DOUBLE])),
+         |  (acc, x) -> $setsAcc) AS f FROM g)
+         |SELECT o.unique_id, o.ts, o.value AS y,
+         |  round(st.f[2 * o.rn + 2] + 1e-9, 6) AS level,
+         |  round(st.f[2 * o.rn + 3] + 1e-9, 6) AS trend,
+         |  round(st.f[2 * o.rn + 2] + st.f[2 * o.rn + 3] + 1e-9, 6) AS forecast_next
+         |FROM o JOIN st USING (unique_id)""".stripMargin,
 
     // rolling-origin CV: nSplits=3, horizon=24, step=24, gap=0, expanding
     "ts_cv_rolling" ->
