@@ -1,0 +1,84 @@
+package graft
+
+import graft.core.PanelCols
+import graft.ops._
+import org.apache.spark.sql.DataFrame
+
+/** The reference's `df.pts.*` namespace (polars-ts registers a Polars
+  * plugin namespace; Spark-side the same UX is an implicit enrichment):
+  *
+  * {{{
+  * import graft.syntax._
+  * implicit val pc: PanelCols = PanelCols()
+  * df.pts.lagFeatures(Seq(1, 2, 7)).pts.rollingFeatures(Seq(24))
+  * }}}
+  *
+  * Every method delegates to the corresponding operator object — this is
+  * sugar, not a second implementation. */
+object syntax {
+
+  implicit class PtsDataFrame(private val df: DataFrame) extends AnyVal {
+    def pts(implicit pc: PanelCols): Pts = new Pts(df, pc)
+  }
+
+  final class Pts(df: DataFrame, pc: PanelCols) {
+    private implicit def pcols: PanelCols = pc
+
+    // preprocessing
+    def impute(method: String = "forward_fill"): DataFrame = Impute.impute(df, method)
+    def detectOutliers(method: String = "zscore", threshold: Double = 3.0,
+        window: Int = 21): DataFrame = Outliers.detect(df, method, threshold, window)
+    def treatOutliers(method: String = "clip"): DataFrame = Outliers.treat(df, method)
+    def downsample(unit: String, agg: String = "mean"): DataFrame =
+      Resample.downsample(df, unit, agg)
+    def logTransform(): DataFrame = Transforms.logTransform(df)
+    def boxcox(lambda: Double): DataFrame = Transforms.boxcoxTransform(df, lambda)
+    def difference(d: Int = 1, m: Int = 1): DataFrame = Transforms.difference(df, d, m)
+
+    // features
+    def lagFeatures(lags: Seq[Int]): DataFrame = Features.lagFeatures(df, lags)
+    def rollingFeatures(windows: Seq[Int],
+        aggs: Seq[String] = Seq("mean", "std", "min", "max")): DataFrame =
+      Features.rollingFeatures(df, windows, aggs)
+    def calendarFeatures(): DataFrame = Features.calendarFeatures(df)
+    def fourierFeatures(period: Double, k: Int): DataFrame =
+      Features.fourierFeatures(df, period, k)
+    def timeEmbeddings(components: Seq[String] = Seq("hour", "day_of_week", "month")): DataFrame =
+      Features.timeEmbeddings(df, components)
+    def targetEncode(catCol: String, smoothing: Double = 10.0): DataFrame =
+      Features.targetEncode(df, catCol, smoothing)
+
+    // decomposition & diagnostics
+    def seasonalDecompose(freq: Int, model: String = "additive"): DataFrame =
+      Decomposition.seasonal(df, freq, model)
+    def strengthFeatures(freq: Int): DataFrame = Decomposition.strengthFeatures(df, freq)
+    def acf(maxLag: Int): DataFrame = Diagnostics.acf(df, maxLag)
+    def pacf(maxLag: Int): DataFrame = Diagnostics.pacf(df, maxLag)
+    def ljungBox(maxLag: Int): DataFrame = Diagnostics.ljungBox(df, maxLag)
+    def cusum(): DataFrame = Changepoint.cusum(df)
+    def pelt(cost: String = "mean"): DataFrame = Changepoint.pelt(df, cost)
+    def mannKendall(): DataFrame = Changepoint.mannKendall(df)
+
+    // forecasting
+    def naive(h: Int): DataFrame = ForecastBaselines.naive(df, h)
+    def seasonalNaive(h: Int, seasonLength: Int): DataFrame =
+      ForecastBaselines.seasonalNaive(df, h, seasonLength)
+    def ses(h: Int, alpha: Double = 0.3): DataFrame = ForecastBaselines.ses(df, h, alpha)
+    def holt(h: Int): DataFrame = ForecastBaselines.holt(df, h)
+    def holtWinters(h: Int, m: Int): DataFrame = ForecastBaselines.holtWinters(df, h, m)
+    def autoArima(h: Int): DataFrame = Advanced.autoArima(df, h)
+    def arima(p: Int, d: Int, q: Int, h: Int): DataFrame =
+      Advanced.arimaForecast(df, p, d, q, h)
+
+    // validation & clustering
+    def expandingWindowCv(folds: Int, horizon: Int): DataFrame =
+      Validation.expandingWindowCv(df, folds, horizon)
+    def rollingOriginCv(nSplits: Int, horizon: Int = 1): DataFrame =
+      Validation.rollingOriginCv(df, nSplits, horizon)
+    def pairwise(metric: String, params: Map[String, Double] = Map.empty): DataFrame =
+      Distances.pairwise(df, metric, params)
+    def kmedoids(k: Int, metric: String = "dtw"): DataFrame =
+      Clustering.kmedoids(df, k, metric)
+    def kshape(k: Int): DataFrame = Clustering.kshapeCluster(df, k)
+  }
+}

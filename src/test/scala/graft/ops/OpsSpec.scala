@@ -58,6 +58,16 @@ class OpsSpec extends AnyFunSuite {
     assert(err < 1e-9)
   }
 
+  test("df.pts namespace chains and matches the operator objects") {
+    import graft.syntax._
+    val viaNs = twoSeries.pts.lagFeatures(Seq(1)).pts.rollingFeatures(Seq(3), Seq("mean"))
+    val direct = Features.rollingFeatures(
+      Features.lagFeatures(twoSeries, Seq(1)), Seq(3), Seq("mean"))
+    assert(viaNs.columns.toSeq == direct.columns.toSeq)
+    assert(viaNs.exceptAll(direct).count() == 0)
+    assert(twoSeries.pts.naive(2).count() == 4)
+  }
+
   test("middle-out keeps middle forecasts and yields a coherent hierarchy") {
     import spark.implicits._
     val edges = Seq(("total", "m1"), ("total", "m2"),
