@@ -429,6 +429,7 @@ object SparkEntry {
       val ev = IO.events(s, dir)
       val model = Pipeline.fitGlobalRidge(ev, lags = 3)
       Pipeline.recursiveForecast(ev, model, h = 5)
+        .select(col("user_id"), col("step"), col("ts"), r6n(col("y_hat")).as("y_hat"))
     }),
 
     "ts_pipeline_fc" -> ((s, dir) => {
@@ -1013,6 +1014,7 @@ object SparkEntry {
       val ev = IO.events(s, dir)
       val models = Pipeline.fitDirectRidge(ev, lags = 3, h = 3)
       Pipeline.directForecast(ev, models, h = 3)
+        .select(col("user_id"), col("step"), col("ts"), r6n(col("y_hat")).as("y_hat"))
     }),
 
     "ts_compare_models" -> ((s, dir) =>
@@ -1020,7 +1022,9 @@ object SparkEntry {
         "naive" -> ((train, h) => ForecastBaselines.naive(train, h)),
         "moving_average" -> ((train, h) => ForecastBaselines.movingAverage(train, h, 12)),
         "ses" -> ((train, h) => ForecastBaselines.ses(train, h))),
-        folds = 2, horizon = 12)),
+        folds = 2, horizon = 12)
+        .select(col("rank"), col("model"), r6n(col("mae")).as("mae"),
+          r6n(col("rmse")).as("rmse"))),
 
     "ts_enbpi" -> ((s, dir) => {
       val ev = IO.events(s, dir)
@@ -1132,6 +1136,19 @@ object SparkEntry {
        |    (CASE WHEN b = 63 THEN (-9223372036854775807 - 1)
        |     ELSE (1::BIGINT << b::INT) END) ELSE 0 END) AS simhash
        |  FROM votes GROUP BY doc_id)""".stripMargin
+
+  /** Cofactor-expansion determinant as a SQL expression over entry names —
+    * lets the oracle solve small normal-equation systems via Cramer's rule
+    * (the Spark side uses an LU solve; agreement is to float precision,
+    * within the round-6 + nudge tolerance). */
+  private def detSql(m: Array[Array[String]]): String =
+    if (m.length == 1) m(0)(0)
+    else (0 until m.length).map { j =>
+      val minor = Array.tabulate(m.length - 1, m.length - 1)(
+        (r, c) => m(r + 1)(if (c < j) c else c + 1))
+      val sign = if (j % 2 == 0) "" else "-"
+      s"$sign ${m(0)(j)} * (${detSql(minor)})"
+    }.mkString(" + ").replace("+ -", "- ")
 
   /** Inline DuckDB expression: signed FNV-1a 64-bit of a VARCHAR
     * expression (mirrors TextOps.fnvHash via HUGEINT wrap arithmetic). */
@@ -2081,6 +2098,159 @@ object SparkEntry {
          |  pow(shuf - lag(shuf) OVER (PARTITION BY user_id ORDER BY rn), 2) AS es FROM j)
          |SELECT user_id, round(1.0 - sum(eo) / sum(es) + 1e-9, 6) AS kaboudan_eta
          |FROM l GROUP BY user_id""".stripMargin,
+
+    // pooled ridge AR(3): Gram aggregates → Cramer solve → unrolled
+    // 5-step recursion per series
+    "ts_ridge_fc" -> {
+      val p = 4
+      val gName = Array.tabulate(p, p)((i, j) =>
+        if (i <= j) s"g_${i}_$j" else s"g_${j}_$i")
+      val withL2 = Array.tabulate(p, p)((i, j) =>
+        if (i == j && i < p - 1) s"(${gName(i)(j)} + 0.001)" else gName(i)(j))
+      val detA = detSql(withL2)
+      val coefExprs = (0 until p).map { ci =>
+        val rep = Array.tabulate(p, p)((i, j) => if (j == ci) s"b_$i" else withL2(i)(j))
+        s"(${detSql(rep)}) / ($detA) AS c$ci"
+      }.mkString(",\n|  ")
+      // recursion: v1 = last, v2, v3 older; steps via lateral aliases
+      val steps = Seq(
+        "c0 * v1 + c1 * v2 + c2 * v3 + c3 AS s1",
+        "c0 * s1 + c1 * v1 + c2 * v2 + c3 AS s2",
+        "c0 * s2 + c1 * s1 + c2 * v1 + c3 AS s3",
+        "c0 * s3 + c1 * s2 + c2 * s1 + c3 AS s4",
+        "c0 * s4 + c1 * s3 + c2 * s2 + c3 AS s5").mkString(",\n|  ")
+      s"""WITH f AS (SELECT value AS y,
+         |  lag(value, 1) OVER ($W) AS x0, lag(value, 2) OVER ($W) AS x1,
+         |  lag(value, 3) OVER ($W) AS x2, 1.0::DOUBLE AS x3 FROM events),
+         |fc AS (SELECT * FROM f WHERE x0 IS NOT NULL AND x1 IS NOT NULL AND x2 IS NOT NULL),
+         |gram AS (SELECT
+         |  sum(x0*x0) AS g_0_0, sum(x0*x1) AS g_0_1, sum(x0*x2) AS g_0_2, sum(x0*x3) AS g_0_3,
+         |  sum(x1*x1) AS g_1_1, sum(x1*x2) AS g_1_2, sum(x1*x3) AS g_1_3,
+         |  sum(x2*x2) AS g_2_2, sum(x2*x3) AS g_2_3, sum(x3*x3) AS g_3_3,
+         |  sum(x0*y) AS b_0, sum(x1*y) AS b_1, sum(x2*y) AS b_2, sum(x3*y) AS b_3
+         |FROM fc),
+         |coef AS (SELECT
+         |  $coefExprs
+         |FROM gram),
+         |o AS (SELECT user_id, value, epoch_us(ts) AS us,
+         |  row_number() OVER ($W) AS rn,
+         |  count(*) OVER (PARTITION BY user_id) AS n FROM events),
+         |tails AS (SELECT user_id,
+         |  max(CASE WHEN rn = n THEN value END) AS v1,
+         |  max(CASE WHEN rn = n - 1 THEN value END) AS v2,
+         |  max(CASE WHEN rn = n - 2 THEN value END) AS v3
+         |  FROM o GROUP BY user_id),
+         |lastt AS (SELECT user_id, max(us) AS us FROM o GROUP BY user_id),
+         |d AS (SELECT user_id, min(us - lus) AS freq FROM
+         |  (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS lus FROM o)
+         |  WHERE lus IS NOT NULL GROUP BY user_id),
+         |rec AS (SELECT t.user_id,
+         |  $steps
+         |FROM tails t CROSS JOIN coef)
+         |SELECT r.user_id, s.step, make_timestamp(l.us + s.step * d.freq) AS ts,
+         |  round(CASE s.step WHEN 1 THEN s1 WHEN 2 THEN s2 WHEN 3 THEN s3
+         |    WHEN 4 THEN s4 ELSE s5 END + 1e-9, 6) AS y_hat
+         |FROM rec r JOIN lastt l USING (user_id) JOIN d USING (user_id)
+         |CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS step) s""".stripMargin
+    },
+
+    // direct multi-step: one Cramer-solved ridge per horizon step over the
+    // lead-shifted target; every step predicts from the last lag vector
+    "ts_direct_fc" -> {
+      val p = 4
+      val gName = Array.tabulate(p, p)((i, j) =>
+        if (i <= j) s"g_${i}_$j" else s"g_${j}_$i")
+      val withL2 = Array.tabulate(p, p)((i, j) =>
+        if (i == j && i < p - 1) s"(${gName(i)(j)} + 0.001)" else gName(i)(j))
+      val detA = detSql(withL2)
+      val coefExprs = (0 until p).map { ci =>
+        val rep = Array.tabulate(p, p)((i, j) => if (j == ci) s"b_$i" else withL2(i)(j))
+        s"(${detSql(rep)}) / ($detA) AS c$ci"
+      }.mkString(", ")
+      val perStep = (1 to 3).map { st =>
+        s"""sh$st AS (SELECT user_id, ts, event_id,
+           |  lead(value, ${st - 1}) OVER ($W) AS yy FROM events),
+           |f$st AS (SELECT yy AS y,
+           |  lag(yy, 1) OVER ($W) AS x0, lag(yy, 2) OVER ($W) AS x1,
+           |  lag(yy, 3) OVER ($W) AS x2, 1.0::DOUBLE AS x3 FROM sh$st),
+           |fc$st AS (SELECT * FROM f$st WHERE y IS NOT NULL AND x0 IS NOT NULL
+           |  AND x1 IS NOT NULL AND x2 IS NOT NULL),
+           |g$st AS (SELECT
+           |  sum(x0*x0) AS g_0_0, sum(x0*x1) AS g_0_1, sum(x0*x2) AS g_0_2, sum(x0*x3) AS g_0_3,
+           |  sum(x1*x1) AS g_1_1, sum(x1*x2) AS g_1_2, sum(x1*x3) AS g_1_3,
+           |  sum(x2*x2) AS g_2_2, sum(x2*x3) AS g_2_3, sum(x3*x3) AS g_3_3,
+           |  sum(x0*y) AS b_0, sum(x1*y) AS b_1, sum(x2*y) AS b_2, sum(x3*y) AS b_3
+           |FROM fc$st),
+           |c$st AS (SELECT $coefExprs FROM g$st)""".stripMargin
+      }.mkString(",\n|")
+      val preds = (1 to 3).map(st =>
+        s"c$st.c0 * v1 + c$st.c1 * v2 + c$st.c2 * v3 + c$st.c3 AS s$st").mkString(",\n|  ")
+      s"""WITH $perStep,
+         |o AS (SELECT user_id, value, epoch_us(ts) AS us,
+         |  row_number() OVER ($W) AS rn,
+         |  count(*) OVER (PARTITION BY user_id) AS n FROM events),
+         |tails AS (SELECT user_id,
+         |  max(CASE WHEN rn = n THEN value END) AS v1,
+         |  max(CASE WHEN rn = n - 1 THEN value END) AS v2,
+         |  max(CASE WHEN rn = n - 2 THEN value END) AS v3
+         |  FROM o GROUP BY user_id),
+         |lastt AS (SELECT user_id, max(us) AS us FROM o GROUP BY user_id),
+         |d AS (SELECT user_id, min(us - lus) AS freq FROM
+         |  (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS lus FROM o)
+         |  WHERE lus IS NOT NULL GROUP BY user_id),
+         |rec AS (SELECT t.user_id,
+         |  $preds
+         |FROM tails t CROSS JOIN c1 CROSS JOIN c2 CROSS JOIN c3)
+         |SELECT r.user_id, s.step, make_timestamp(l.us + s.step * d.freq) AS ts,
+         |  round(CASE s.step WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END + 1e-9, 6) AS y_hat
+         |FROM rec r JOIN lastt l USING (user_id) JOIN d USING (user_id)
+         |CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS step) s""".stripMargin
+    },
+
+    // backtest-compare naive / moving_average(12) / ses(0.3), ranked by MAE
+    "ts_compare_models" ->
+      """WITH tm AS (SELECT ts, row_number() OVER (ORDER BY ts) AS tidx
+        |  FROM (SELECT DISTINCT ts FROM events)),
+        |nt AS (SELECT max(tidx) AS nt FROM tm),
+        |e AS (SELECT ev.user_id, ev.event_id, ev.ts, ev.value, t.tidx, n.nt
+        |  FROM events ev JOIN tm t ON ev.ts = t.ts CROSS JOIN nt n),
+        |marked AS (SELECT e.*, f.fold,
+        |  CASE WHEN tidx <= nt - (2 - fold) * 12 THEN 'train'
+        |       WHEN tidx > nt - (2 - fold) * 12 AND tidx <= nt - (2 - fold) * 12 + 12
+        |       THEN 'test' END AS split
+        |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 1))::INT AS fold) f),
+        |trn AS (SELECT fold, user_id, value,
+        |  row_number() OVER (PARTITION BY fold, user_id ORDER BY ts, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY fold, user_id) AS n
+        |  FROM marked WHERE split = 'train'),
+        |naive_fc AS (SELECT fold, user_id, value AS y_hat FROM trn WHERE rn = n),
+        |ma_fc AS (SELECT fold, user_id, avg(value) AS y_hat FROM trn
+        |  WHERE rn > n - 12 GROUP BY fold, user_id),
+        |ses_fc AS (SELECT fold, user_id, list_reduce(list(value ORDER BY rn),
+        |  (acc, v) -> 0.3 * v + (1.0::DOUBLE - 0.3) * acc) AS y_hat
+        |  FROM trn GROUP BY fold, user_id),
+        |te AS (SELECT fold, user_id, value, row_number() OVER
+        |  (PARTITION BY fold, user_id ORDER BY ts, event_id) AS step
+        |  FROM marked WHERE split = 'test'),
+        |m AS (
+        |  SELECT 'naive' AS model, t.fold, avg(abs(t.value - f.y_hat)) AS mae,
+        |    sqrt(avg(pow(t.value - f.y_hat, 2))) AS rmse
+        |  FROM te t JOIN naive_fc f ON f.fold = t.fold AND f.user_id = t.user_id
+        |  WHERE t.step <= 12 GROUP BY t.fold
+        |  UNION ALL
+        |  SELECT 'moving_average', t.fold, avg(abs(t.value - f.y_hat)),
+        |    sqrt(avg(pow(t.value - f.y_hat, 2)))
+        |  FROM te t JOIN ma_fc f ON f.fold = t.fold AND f.user_id = t.user_id
+        |  WHERE t.step <= 12 GROUP BY t.fold
+        |  UNION ALL
+        |  SELECT 'ses', t.fold, avg(abs(t.value - f.y_hat)),
+        |    sqrt(avg(pow(t.value - f.y_hat, 2)))
+        |  FROM te t JOIN ses_fc f ON f.fold = t.fold AND f.user_id = t.user_id
+        |  WHERE t.step <= 12 GROUP BY t.fold),
+        |agg AS (SELECT model, avg(mae) AS mae, avg(rmse) AS rmse FROM m GROUP BY model)
+        |SELECT row_number() OVER (ORDER BY mae) AS rank, model,
+        |  round(mae + 1e-9, 6) AS mae, round(rmse + 1e-9, 6) AS rmse
+        |FROM agg""".stripMargin,
 
     // streaming Holt fold replayed with per-row (level, trend) history
     "ts_streaming_ets" ->
