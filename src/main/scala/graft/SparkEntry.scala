@@ -1080,8 +1080,8 @@ object SparkEntry {
       val bin = IO.documents(s, dir)
         .withColumn("payload", encode(col("text"), "UTF-8"))
       Multimodal.extractFeatures(Multimodal.withMediaMetadata(bin, "payload"), "payload")
-        .select(col("doc_id"), col("payload_size_bytes"), col("payload_sha1"),
-          round(element_at(col("media_features"), 1), 6).as("f0"))
+        .select(col("doc_id"), col("payload_size_bytes"), col("payload_sha256"),
+          round(element_at(col("media_features"), 1) + 1e-9, 6).as("f0"))
     }),
 
     "mm_frame_sample" -> ((s, dir) => {
@@ -2206,6 +2206,31 @@ object SparkEntry {
          |FROM rec r JOIN lastt l USING (user_id) JOIN d USING (user_id)
          |CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS step) s""".stripMargin
     },
+
+    // multimodal metadata + fake-decode f0: FNV byte fold with exact
+    // integer f0 accumulation (×1000), sha256 of the UTF-8 payload
+    "mm_features" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  octet_length(text::BLOB)::BIGINT AS payload_size_bytes FROM documents),
+        |f AS (SELECT doc_id, payload_size_bytes, sha256(text) AS payload_sha256,
+        |  list_reduce(
+        |    list_prepend([1469598103934665603::HUGEINT, 0::HUGEINT, 0::HUGEINT],
+        |      list_transform(list_filter(split(text, ''), ch -> ch <> ''),
+        |        ch -> [unicode(ch)::HUGEINT, 0::HUGEINT, 0::HUGEINT])),
+        |    (acc, x) -> [
+        |      (xor(acc[1], x[1]) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT,
+        |      acc[2] + (CASE WHEN acc[3] % 16 = 0 THEN
+        |        (CASE WHEN (xor(acc[1], x[1]) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |              >= 9223372036854775808::HUGEINT
+        |         THEN ((xor(acc[1], x[1]) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |               - 18446744073709551616::HUGEINT) % 1000
+        |         ELSE ((xor(acc[1], x[1]) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) % 1000
+        |        END) ELSE 0 END),
+        |      acc[3] + 1]) AS st
+        |  FROM b)
+        |SELECT doc_id, payload_size_bytes, payload_sha256,
+        |  round(st[2]::DOUBLE / 1000.0 + 1e-9, 6) AS f0
+        |FROM f""".stripMargin,
 
     // backtest-compare naive / moving_average(12) / ses(0.3), ranked by MAE
     "ts_compare_models" ->

@@ -34,10 +34,12 @@ object Multimodal {
     out
   }
 
-  /** Attach typed metadata columns for a binary payload column. */
+  /** Attach typed metadata columns for a binary payload column. SHA-256
+    * (not SHA-1) as the content fingerprint — stronger, and reproducible
+    * by the oracle engine. */
   def withMediaMetadata(df: DataFrame, binCol: String): DataFrame =
     df.withColumn(s"${binCol}_size_bytes", length(col(binCol)).cast("long"))
-      .withColumn(s"${binCol}_sha1", sha1(col(binCol)))
+      .withColumn(s"${binCol}_sha256", sha2(col(binCol), 256))
       .withColumn(s"${binCol}_is_empty",
         col(binCol).isNull || length(col(binCol)) === 0)
 
