@@ -738,7 +738,7 @@ object SparkEntry {
         ForecastBaselines.movingAverage(ev, 7, 12),
         ForecastBaselines.ses(ev, 7))
       Probabilistic.stackingCombine(future, coef)
-        .select(col("user_id"), col("step"), col("ts"), r6(col("y_hat")).as("y_hat"))
+        .select(col("user_id"), col("step"), col("ts"), r6n(col("y_hat")).as("y_hat"))
     }),
 
     "ts_streaming_ridge" -> ((s, dir) => {
@@ -999,8 +999,8 @@ object SparkEntry {
     // ── batch F ─────────────────────────────────────────────────────────
     "ts_fourier_decomp" -> ((s, dir) =>
       Decomposition.fourier(IO.events(s, dir), period = 24.0, k = 2)
-        .select(col("user_id"), col("event_id"), r6(col("trend")).as("trend"),
-          r6(col("seasonal")).as("seasonal"), r6(col("resid")).as("resid"))),
+        .select(col("user_id"), col("event_id"), r6n(col("trend")).as("trend"),
+          r6n(col("seasonal")).as("seasonal"), r6n(col("resid")).as("resid"))),
 
     "ts_spectral" -> ((s, dir) => {
       val ev = IO.events(s, dir)
@@ -2231,6 +2231,116 @@ object SparkEntry {
         |SELECT doc_id, payload_size_bytes, payload_sha256,
         |  round(st[2]::DOUBLE / 1000.0 + 1e-9, 6) AS f0
         |FROM f""".stripMargin,
+
+    // per-series Fourier-ridge decomposition: 5×5 Cramer per user over
+    // grouped Gram aggregates (trend = centered MA, as seasonal_decomp)
+    "ts_fourier_decomp" -> {
+      val d = 5
+      val gName = Array.tabulate(d, d)((i, j) =>
+        if (i <= j) s"g_${i}_$j" else s"g_${j}_$i")
+      val withL2 = Array.tabulate(d, d)((i, j) =>
+        if (i == j && i < d - 1) s"(${gName(i)(j)} + 0.001)" else gName(i)(j))
+      val detA = detSql(withL2)
+      val coefExprs = (0 until d).map { ci =>
+        val rep = Array.tabulate(d, d)((i, j) => if (j == ci) s"b_$i" else withL2(i)(j))
+        s"(${detSql(rep)}) / ($detA) AS c$ci"
+      }.mkString(",\n|  ")
+      val gramSums = (for (i <- 0 until d; j <- i until d) yield
+        s"sum(CASE WHEN detr IS NOT NULL THEN x$i*x$j END) AS g_${i}_$j").mkString(",\n|  ")
+      val bSums = (0 until d).map(i =>
+        s"sum(CASE WHEN detr IS NOT NULL THEN x$i*detr END) AS b_$i").mkString(",\n|  ")
+      val fitted = "c0*x0 + c1*x1 + c2*x2 + c3*x3 + c4*x4"
+      s"""WITH b AS (SELECT user_id, event_id, value,
+         |  (row_number() OVER ($W) - 1)::DOUBLE AS t,
+         |  CASE WHEN count(value) OVER wf >= 24 THEN avg(value) OVER wf END AS trend
+         |FROM events WINDOW wf AS ($W ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
+         |f AS (SELECT *, value - trend AS detr,
+         |  sin(2*pi()*1*t/24.0) AS x0, cos(2*pi()*1*t/24.0) AS x1,
+         |  sin(2*pi()*2*t/24.0) AS x2, cos(2*pi()*2*t/24.0) AS x3,
+         |  1.0::DOUBLE AS x4 FROM b),
+         |g AS (SELECT user_id,
+         |  $gramSums,
+         |  $bSums
+         |FROM f GROUP BY user_id),
+         |c AS (SELECT user_id,
+         |  $coefExprs
+         |FROM g)
+         |SELECT f.user_id, f.event_id, round(f.trend + 1e-9, 6) AS trend,
+         |  round($fitted + 1e-9, 6) AS seasonal,
+         |  round(f.detr - ($fitted) + 1e-9, 6) AS resid
+         |FROM f JOIN c USING (user_id)""".stripMargin
+    },
+
+    // stacking: meta-ridge (Cramer 4×4) over OOF naive/MA/SES predictions,
+    // applied to the h=7 future forecasts of the same base models
+    "ts_stacking" -> {
+      val p = 4
+      val gName = Array.tabulate(p, p)((i, j) =>
+        if (i <= j) s"g_${i}_$j" else s"g_${j}_$i")
+      val withL2 = Array.tabulate(p, p)((i, j) =>
+        if (i == j && i < p - 1) s"(${gName(i)(j)} + 0.001)" else gName(i)(j))
+      val detA = detSql(withL2)
+      val coefExprs = (0 until p).map { ci =>
+        val rep = Array.tabulate(p, p)((i, j) => if (j == ci) s"b_$i" else withL2(i)(j))
+        s"(${detSql(rep)}) / ($detA) AS w$ci"
+      }.mkString(",\n|  ")
+      s"""WITH tm AS (SELECT ts, row_number() OVER (ORDER BY ts) AS tidx
+         |  FROM (SELECT DISTINCT ts FROM events)),
+         |nt AS (SELECT max(tidx) AS nt FROM tm),
+         |e AS (SELECT ev.user_id, ev.event_id, ev.ts, ev.value, t.tidx, n.nt
+         |  FROM events ev JOIN tm t ON ev.ts = t.ts CROSS JOIN nt n),
+         |marked AS (SELECT e.*, f.fold,
+         |  CASE WHEN tidx <= nt - (2 - fold) * 12 THEN 'train'
+         |       WHEN tidx > nt - (2 - fold) * 12 AND tidx <= nt - (2 - fold) * 12 + 12
+         |       THEN 'test' END AS split
+         |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 1))::INT AS fold) f),
+         |trn AS (SELECT fold, user_id, value,
+         |  row_number() OVER (PARTITION BY fold, user_id ORDER BY ts, event_id) AS rn,
+         |  count(*) OVER (PARTITION BY fold, user_id) AS n
+         |  FROM marked WHERE split = 'train'),
+         |naive_fc AS (SELECT fold, user_id, value AS m0 FROM trn WHERE rn = n),
+         |ma_fc AS (SELECT fold, user_id, avg(value) AS m1 FROM trn
+         |  WHERE rn > n - 12 GROUP BY fold, user_id),
+         |ses_fc AS (SELECT fold, user_id, list_reduce(list(value ORDER BY rn),
+         |  (acc, v) -> 0.3 * v + (1.0::DOUBLE - 0.3) * acc) AS m2
+         |  FROM trn GROUP BY fold, user_id),
+         |te AS (SELECT fold, user_id, ts, value, row_number() OVER
+         |  (PARTITION BY fold, user_id ORDER BY ts, event_id) AS step
+         |  FROM marked WHERE split = 'test'),
+         |oof AS (SELECT t.value AS y, n0.m0, m1.m1, s2.m2, 1.0::DOUBLE AS x3
+         |  FROM te t
+         |  JOIN naive_fc n0 ON n0.fold = t.fold AND n0.user_id = t.user_id
+         |  JOIN ma_fc m1 ON m1.fold = t.fold AND m1.user_id = t.user_id
+         |  JOIN ses_fc s2 ON s2.fold = t.fold AND s2.user_id = t.user_id
+         |  WHERE t.step <= 12),
+         |g AS (SELECT
+         |  sum(m0*m0) AS g_0_0, sum(m0*m1) AS g_0_1, sum(m0*m2) AS g_0_2, sum(m0*x3) AS g_0_3,
+         |  sum(m1*m1) AS g_1_1, sum(m1*m2) AS g_1_2, sum(m1*x3) AS g_1_3,
+         |  sum(m2*m2) AS g_2_2, sum(m2*x3) AS g_2_3, sum(x3*x3) AS g_3_3,
+         |  sum(m0*y) AS b_0, sum(m1*y) AS b_1, sum(m2*y) AS b_2, sum(x3*y) AS b_3
+         |FROM oof),
+         |coef AS (SELECT
+         |  $coefExprs
+         |FROM g),
+         |o AS (SELECT user_id, value, epoch_us(ts) AS us,
+         |  row_number() OVER ($W) AS rn,
+         |  count(*) OVER (PARTITION BY user_id) AS n FROM events),
+         |fut_naive AS (SELECT user_id, value AS m0 FROM o WHERE rn = n),
+         |fut_ma AS (SELECT user_id, avg(value) AS m1 FROM o WHERE rn > n - 12 GROUP BY user_id),
+         |fut_ses AS (SELECT user_id, list_reduce(list(value ORDER BY rn),
+         |  (acc, v) -> 0.3 * v + (1.0::DOUBLE - 0.3) * acc) AS m2 FROM o GROUP BY user_id),
+         |lastt AS (SELECT user_id, max(us) AS us FROM o GROUP BY user_id),
+         |d AS (SELECT user_id, min(us - lus) AS freq FROM
+         |  (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS lus FROM o)
+         |  WHERE lus IS NOT NULL GROUP BY user_id)
+         |SELECT fn.user_id, s.step, make_timestamp(l.us + s.step * d.freq) AS ts,
+         |  round(fn.m0 * c.w0 + fm.m1 * c.w1 + fs.m2 * c.w2 + c.w3 + 1e-9, 6) AS y_hat
+         |FROM fut_naive fn JOIN fut_ma fm USING (user_id)
+         |JOIN fut_ses fs USING (user_id)
+         |JOIN lastt l USING (user_id) JOIN d USING (user_id)
+         |CROSS JOIN coef c
+         |CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS step) s""".stripMargin
+    },
 
     // backtest-compare naive / moving_average(12) / ses(0.3), ranked by MAE
     "ts_compare_models" ->
