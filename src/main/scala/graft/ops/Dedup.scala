@@ -105,9 +105,14 @@ object Dedup {
     * candidates; candidates verified by estimated Jaccard
     * (signature agreement) >= threshold. Output: [id_a, id_b, jaccard_est]
     * with id_a < id_b. */
+  /** @param maxBucketSize optional skew valve: band buckets larger than
+    *   this are dropped before the candidate self-join — a degenerate
+    *   bucket of B identical docs otherwise costs B² pairs (near-identical
+    *   floods are exact dups, which [[exact]] catches at hash cost).
+    *   None (default) keeps full recall. */
   def minhashLsh(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       shingleN: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, maxBucketSize: Option[Int] = None): DataFrame = {
     val k = bands * rowsPerBand
     val sigs = df
       .select(col(idCol).as("__id"),
@@ -117,10 +122,18 @@ object Dedup {
     // the band key is the signature slice itself (no engine-specific band
     // hash): candidates join on (band index, 4 longs) — reproducible by
     // any engine, and barely wider than a hashed key on the shuffle
-    val banded = sigs.select(col("__id"), posexplode(
+    val banded0 = sigs.select(col("__id"), posexplode(
       array((0 until bands).map(b =>
         slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand)): _*))
       .as(Seq("__band", "__bandvals")))
+    val banded = maxBucketSize match {
+      case None => banded0
+      case Some(cap) =>
+        banded0.withColumn("__bsz", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("__band"), col("__bandvals"))))
+          .filter(col("__bsz") <= cap).drop("__bsz")
+    }
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.__band") === col("b.__band") &&
         col("a.__bandvals") === col("b.__bandvals") &&

@@ -48,11 +48,12 @@ class Registry(root: String) {
     val p = Paths.get(root, experiment, run, "metrics.json")
     if (!Files.exists(p)) Map.empty
     else {
-      val s = Files.readString(p).trim.stripPrefix("{").stripSuffix("}")
-      if (s.isEmpty) Map.empty
-      else s.split(",").map { kv =>
-        val Array(k, v) = kv.split(":", 2)
-        k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble
+      // quote-aware flat-object parse: metric names may contain ',' ':'
+      // or escaped quotes — a naive split corrupts them
+      val s = Files.readString(p)
+      val pair = """"((?:[^"\\]|\\.)*)"\s*:\s*(-?[0-9.eE+]+)""".r
+      pair.findAllMatchIn(s).map { m =>
+        m.group(1).replace("\\\"", "\"").replace("\\\\", "\\") -> m.group(2).toDouble
       }.toMap
     }
   }

@@ -43,6 +43,17 @@ object PlanAudit {
       Distances.pairwise(ev, "dtw"))
     audit("naive forecast (expect reused shuffle on user_id)",
       ForecastBaselines.naive(ev, 7))
+    audit("multiForecast ses+hw (expect ONE exchange for both models)",
+      ForecastBaselines.multiForecast(ev, 12, Seq(
+        "ses" -> (ys => graft.kernels.Ets.ses(ys, 0.3, 12)),
+        "hw" -> (ys => graft.kernels.Ets.holtWinters(ys, 0.3, 0.1, 0.1, 24, true, 12)))))
+    audit("auto_arima (expect ONE exchange, grouped kernel)",
+      Advanced.autoArima(ev, h = 5, maxP = 1, maxQ = 1))
+    audit("pipeline forecast (expect grouped tails + seriesMeta, no driver matrix)",
+      Pipeline.pipelineForecast(ev,
+        Pipeline.fitPipeline(ev, lags = Seq(1, 2)), h = 3))
+    audit("enbpi predict (expect broadcast coefs + grouped tails)",
+      Conformal.enbpiPredict(ev, Conformal.enbpiFit(ev, lags = 2, b = 3), h = 2))
     spark.stop()
   }
 }
