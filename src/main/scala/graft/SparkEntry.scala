@@ -363,6 +363,26 @@ object SparkEntry {
       Advanced.autoArimaOrders(IO.events(s, dir))
         .select(col("user_id"), col("p"), col("d"), col("q"))),
 
+    "ts_theta_fc" -> ((s, dir) =>
+      ForecastBaselines.multiForecast(IO.events(s, dir), 7, Seq(
+        "theta" -> (ys => graft.kernels.Arima.thetaForecast(ys, 7))))
+        .select(col("user_id"), col("step"), col("ts"), r6(col("y_hat")).as("y_hat"))),
+
+    "ts_auto_ets_fc" -> ((s, dir) =>
+      ForecastBaselines.multiForecast(IO.events(s, dir), 7, Seq(
+        "auto_ets" -> (ys => graft.kernels.Arima.autoEtsForecast(ys, 7, m = 24))))
+        .select(col("user_id"), col("step"), col("ts"), r6(col("y_hat")).as("y_hat"))),
+
+    "ts_damped_fc" -> ((s, dir) =>
+      ForecastBaselines.multiForecast(IO.events(s, dir), 7, Seq(
+        "damped" -> (ys => graft.kernels.Arima.dampedHoltForecast(ys, 7))))
+        .select(col("user_id"), col("step"), col("ts"), r6(col("y_hat")).as("y_hat"))),
+
+    "ts_scum_fc" -> ((s, dir) =>
+      ForecastBaselines.multiForecast(IO.events(s, dir), 5, Seq(
+        "scum" -> (ys => graft.kernels.Arima.scumForecast(ys, 5, m = 24))))
+        .select(col("user_id"), col("step"), col("ts"), r6(col("y_hat")).as("y_hat"))),
+
     "ts_regime" -> ((s, dir) =>
       Advanced.regimeDetect(IO.events(s, dir), k = 2)),
 

@@ -228,6 +228,193 @@ object Arima {
     integrate(forecastArma(cur, fitArma(cur, p, q), h), lastVals)
   }
 
+  /** Standard Theta method (θ=2, Assimakopoulos & Nikolopoulos 2000;
+    * reference SCUM's DynamicOptimizedTheta sub-model family): OLS trend
+    * line + SES (optimized α) on the θ=2 line 2y − line; forecast =
+    * average of the SES flat forecast and the line extrapolation. */
+  def thetaForecast(y: Array[Double], h: Int): Array[Double] = {
+    val n = y.length
+    require(n >= 3, "theta needs at least 3 observations")
+    // OLS line a + b t
+    val tMean = (n - 1) / 2.0
+    val yMean = y.sum / n
+    var num = 0.0; var den = 0.0
+    var t = 0
+    while (t < n) {
+      num += (t - tMean) * (y(t) - yMean)
+      den += (t - tMean) * (t - tMean)
+      t += 1
+    }
+    val b = if (den > 0) num / den else 0.0
+    val a = yMean - b * tMean
+    val theta2 = Array.tabulate(n)(i => 2.0 * y(i) - (a + b * i))
+    val alpha = optimizeSesAlpha(theta2)
+    var level = theta2(0)
+    var i = 1
+    while (i < n) { level = alpha * theta2(i) + (1.0 - alpha) * level; i += 1 }
+    Array.tabulate(h) { s =>
+      val line = a + b * (n + s)
+      0.5 * (level + line)
+    }
+  }
+
+  /** One-step-SSE-optimal SES α by golden-section search on [0.01, 0.99]. */
+  def optimizeSesAlpha(y: Array[Double]): Double = {
+    def sse(alpha: Double): Double = {
+      var level = y(0)
+      var s = 0.0
+      var i = 1
+      while (i < y.length) {
+        val e = y(i) - level
+        s += e * e
+        level = alpha * y(i) + (1.0 - alpha) * level
+        i += 1
+      }
+      s
+    }
+    goldenMin(sse, 0.01, 0.99)
+  }
+
+  private def goldenMin(f: Double => Double, lo0: Double, hi0: Double,
+      iters: Int = 40): Double = {
+    val phi = (math.sqrt(5.0) - 1.0) / 2.0
+    var lo = lo0; var hi = hi0
+    var c = hi - phi * (hi - lo)
+    var d = lo + phi * (hi - lo)
+    var fc = f(c); var fd = f(d)
+    var i = 0
+    while (i < iters) {
+      if (fc < fd) { hi = d; d = c; fd = fc; c = hi - phi * (hi - lo); fc = f(c) }
+      else { lo = c; c = d; fc = fd; d = lo + phi * (hi - lo); fd = f(d) }
+      i += 1
+    }
+    (lo + hi) / 2.0
+  }
+
+  /** Damped-trend Holt (Gardner-McKenzie): fixed φ, Nelder-Mead (α, β) on
+    * one-step SSE. Forecast: level + (φ + φ² + … + φ^s)·trend. */
+  def dampedHoltForecast(y: Array[Double], h: Int, phi: Double = 0.9): Array[Double] = {
+    require(y.length >= 3, "damped holt needs at least 3 observations")
+    def sse(params: Array[Double]): Double = {
+      val alpha = 1.0 / (1.0 + math.exp(-params(0)))
+      val beta = 1.0 / (1.0 + math.exp(-params(1)))
+      var level = y(0)
+      var trend = y(1) - y(0)
+      var s = 0.0
+      var i = 1
+      while (i < y.length) {
+        val pred = level + phi * trend
+        val e = y(i) - pred
+        s += e * e
+        val prevLevel = level
+        level = alpha * y(i) + (1.0 - alpha) * (level + phi * trend)
+        trend = beta * (level - prevLevel) + (1.0 - beta) * phi * trend
+        i += 1
+      }
+      s
+    }
+    val best = Garch.nelderMead(sse, Array(0.0, -2.0), step = 0.5, maxIter = 150)
+    val alpha = 1.0 / (1.0 + math.exp(-best(0)))
+    val beta = 1.0 / (1.0 + math.exp(-best(1)))
+    var level = y(0)
+    var trend = y(1) - y(0)
+    var i = 1
+    while (i < y.length) {
+      val prevLevel = level
+      level = alpha * y(i) + (1.0 - alpha) * (level + phi * trend)
+      trend = beta * (level - prevLevel) + (1.0 - beta) * phi * trend
+      i += 1
+    }
+    Array.tabulate(h) { s =>
+      var damp = 0.0
+      var j = 1
+      while (j <= s + 1) { damp += math.pow(phi, j); j += 1 }
+      level + damp * trend
+    }
+  }
+
+  /** auto-ETS lite (reference SCUM's AutoETS sub-model): optimize SES,
+    * Holt and (when ≥ 2 seasons) additive Holt-Winters on one-step SSE,
+    * select by AICc, forecast with the winner. */
+  def autoEtsForecast(y: Array[Double], h: Int, m: Int = 1): Array[Double] = {
+    val n = y.length
+    case class Cand(k: Int, sse: Double, fc: () => Array[Double])
+    val cands = scala.collection.mutable.ArrayBuffer.empty[Cand]
+    // SES
+    val alphaS = optimizeSesAlpha(y)
+    var level = y(0); var s = 0.0
+    for (i <- 1 until n) { val e = y(i) - level; s += e * e
+      level = alphaS * y(i) + (1.0 - alphaS) * level }
+    cands += Cand(2, s, () => Ets.ses(y, alphaS, h))
+    if (n >= 3) {
+      // Holt via NM on (alpha, beta)
+      def holtSse(p: Array[Double]): Double = {
+        val a = 1.0 / (1.0 + math.exp(-p(0)))
+        val b = 1.0 / (1.0 + math.exp(-p(1)))
+        var l = y(0); var t = y(1) - y(0); var acc = 0.0
+        for (i <- 1 until n) {
+          val e = y(i) - (l + t); acc += e * e
+          val pl = l
+          l = a * y(i) + (1.0 - a) * (l + t)
+          t = b * (l - pl) + (1.0 - b) * t
+        }
+        acc
+      }
+      val bh = Garch.nelderMead(holtSse, Array(0.0, -2.0), step = 0.5, maxIter = 150)
+      val ah = 1.0 / (1.0 + math.exp(-bh(0)))
+      val bb = 1.0 / (1.0 + math.exp(-bh(1)))
+      cands += Cand(4, holtSse(bh), () => Ets.holt(y, ah, bb, h))
+    }
+    if (m >= 2 && n >= 2 * m + 3) {
+      def hwSse(p: Array[Double]): Double = {
+        val a = 1.0 / (1.0 + math.exp(-p(0)))
+        val b = 1.0 / (1.0 + math.exp(-p(1)))
+        val g = 1.0 / (1.0 + math.exp(-p(2)))
+        var acc = 0.0
+        var sum1 = 0.0; var sum2 = 0.0
+        for (i <- 0 until m) sum1 += y(i)
+        for (i <- m until 2 * m) sum2 += y(i)
+        var l = sum1 / m
+        var t = (sum2 / m - sum1 / m) / m
+        val sea = Array.tabulate(m)(i => y(i) - sum1 / m)
+        for (ti <- m until n) {
+          val si = ti % m
+          val e = y(ti) - (l + t + sea(si)); acc += e * e
+          val pl = l
+          l = a * (y(ti) - sea(si)) + (1.0 - a) * (l + t)
+          t = b * (l - pl) + (1.0 - b) * t
+          sea(si) = g * (y(ti) - l) + (1.0 - g) * sea(si)
+        }
+        acc
+      }
+      val bw = Garch.nelderMead(hwSse, Array(0.0, -2.0, -2.0), step = 0.5, maxIter = 200)
+      val aw = 1.0 / (1.0 + math.exp(-bw(0)))
+      val bwb = 1.0 / (1.0 + math.exp(-bw(1)))
+      val gw = 1.0 / (1.0 + math.exp(-bw(2)))
+      cands += Cand(5 + m, hwSse(bw), () => Ets.holtWinters(y, aw, bwb, gw, m, true, h))
+    }
+    def aicc(c: Cand): Double = {
+      val nEff = n - 1
+      val base = nEff * math.log(math.max(c.sse / nEff, 1e-300)) + 2.0 * c.k
+      if (nEff - c.k - 1 > 0) base + 2.0 * c.k * (c.k + 1) / (nEff - c.k - 1.0)
+      else Double.PositiveInfinity
+    }
+    cands.minBy(aicc).fc()
+  }
+
+  /** SCUM ensemble (reference models/scum.py:10-68): elementwise mean of
+    * the auto sub-model forecasts — auto-ARIMA, auto-ETS, Theta, damped
+    * Holt (the reference's AutoCES has no JVM equivalent; damped-trend
+    * stands in as the fourth diverse family, documented deviation). */
+  def scumForecast(y: Array[Double], h: Int, m: Int = 1): Array[Double] = {
+    val subs = Array(
+      autoForecast(y, h, maxP = 2, maxQ = 2),
+      autoEtsForecast(y, h, m),
+      thetaForecast(y, h),
+      dampedHoltForecast(y, h))
+    Array.tabulate(h)(s => subs.map(_(s)).sum / subs.length)
+  }
+
   /** auto-ARIMA forecast (order selection + fit + integrate). */
   def autoForecast(y: Array[Double], h: Int, maxP: Int = 3, maxQ: Int = 3): Array[Double] = {
     val (_, d, _, fit) = autoFit(y, maxP, maxQ)

@@ -55,6 +55,52 @@ class ArimaSpec extends AnyFunSuite {
       assert(math.abs(fc(s) - (2.0 * (120 + s) + 5.0)) < 1.0, s"fc=${fc.toSeq}")
   }
 
+  test("theta method: known SES-with-half-drift behavior on a pure line") {
+    val y = Array.tabulate(100)(t => 3.0 + 1.5 * t)
+    val fc = Arima.thetaForecast(y, 4)
+    // classic theta ≈ SES + drift/2: per-step increment is b/2
+    val incs = fc.sliding(2).map(p => p(1) - p(0)).toArray
+    incs.foreach(inc => assert(math.abs(inc - 0.75) < 1e-6, s"inc $inc"))
+    // first step stays near the last observation
+    assert(math.abs(fc(0) - y.last) < 3.0, s"fc0=${fc(0)} vs ${y.last}")
+  }
+
+  test("damped holt flattens out at long horizons") {
+    val rng = new scala.util.Random(5L)
+    val y = Array.tabulate(80)(t => 2.0 * t + rng.nextGaussian() * 0.1)
+    val fc = Arima.dampedHoltForecast(y, 100, phi = 0.9)
+    // damping: increments shrink geometrically
+    val early = fc(1) - fc(0)
+    val late = fc(99) - fc(98)
+    assert(late < early * 0.1, s"early=$early late=$late")
+  }
+
+  test("autoEts picks seasonality when present") {
+    val m = 12
+    val y = Array.tabulate(96)(t => 10.0 + 5.0 * math.sin(2 * math.Pi * t / m))
+    val fc = Arima.autoEtsForecast(y, m, m)
+    // one full future season should reproduce the sine pattern, not a flat line
+    val truth = Array.tabulate(m)(s => 10.0 + 5.0 * math.sin(2 * math.Pi * (96 + s) / m))
+    val err = fc.zip(truth).map { case (a, b) => math.abs(a - b) }.max
+    assert(err < 2.0, s"max err $err")
+  }
+
+  test("scum averages the sub-model forecasts") {
+    val rng = new scala.util.Random(2L)
+    val y = Array.tabulate(120)(t => 50.0 + 0.3 * t + rng.nextGaussian())
+    val fc = Arima.scumForecast(y, 3)
+    val subs = Array(
+      Arima.autoForecast(y, 3, 2, 2),
+      Arima.autoEtsForecast(y, 3, 1),
+      Arima.thetaForecast(y, 3),
+      Arima.dampedHoltForecast(y, 3))
+    for (s <- 0 until 3) {
+      val mean = subs.map(_(s)).sum / 4
+      assert(math.abs(fc(s) - mean) < 1e-9)
+      assert(math.abs(fc(s) - (50.0 + 0.3 * (120 + s))) < 3.0)
+    }
+  }
+
   test("arima forecast of stationary AR(1) reverts toward the mean") {
     val y = ar1(400, phi = 0.7, c = 3.0) // mean = 10
     val fc = Arima.forecast(y, p = 1, d = 0, q = 0, h = 50)
