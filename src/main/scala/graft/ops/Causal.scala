@@ -130,7 +130,13 @@ object Causal {
       implicit pc: PanelCols): (DataFrame, Map[String, Double]) = {
     val spark = df.sparkSession
     import spark.implicits._
-    val g = Panel.grouped(df)
+    // collect only the units in play: treated + donor pool (the whole
+    // panel may be arbitrarily wider than the SC donor set)
+    val scoped =
+      if (donorIds.nonEmpty)
+        df.filter(pc.idCol.cast("string").isin((donorIds :+ treatedId).distinct: _*))
+      else df
+    val g = Panel.grouped(scoped)
       .select(pc.idCol.cast("string").as("__id"), col("ys"),
         transform(col("ts"), t => unix_micros(t.cast("timestamp"))).as("__us"))
       .collect()

@@ -85,8 +85,11 @@ object Outliers {
     val scoreUdf = udf((xs: Seq[Double]) =>
       -graft.kernels.IsolationForest.score(xs.toArray, bc.value, effPsi))
     val scored = clean.withColumn("anomaly_score", scoreUdf(featArr))
+    // approx threshold: an exact global percentile sorts the full column on
+    // one reducer — at corpus scale the 10⁻⁴-accuracy sketch is the only
+    // shape that survives, and the flag boundary is approximate anyway
     val thr = scored.agg(
-      percentile(col("anomaly_score"), lit(contamination)).as("__t"))
+      approx_percentile(col("anomaly_score"), lit(contamination), lit(10000)).as("__t"))
     scored.crossJoin(broadcast(thr))
       .withColumn("is_anomaly", col("anomaly_score") < col("__t"))
       .drop("__t")
