@@ -164,6 +164,8 @@ object Conformal {
     val lags = model.lags
     val u = udf((tail: Seq[Double]) => {
       val cs = bcC.value
+      require(tail.length >= lags,
+        s"series too short to predict: ${tail.length} observations < lags=$lags")
       val buf = scala.collection.mutable.ArrayBuffer(tail: _*)
       (1 to h).map { _ =>
         val x = (1 to lags).map(k => buf(buf.length - k)).toArray :+ 1.0

@@ -58,6 +58,8 @@ object Pipeline {
     val bc = spark.sparkContext.broadcast(model)
     val u = udf((tail: Seq[Double]) => {
       val m = bc.value
+      require(tail.length >= m.lags,
+        s"series too short to predict: ${tail.length} observations < lags=${m.lags}")
       val buf = scala.collection.mutable.ArrayBuffer(tail: _*)
       (1 to h).map { _ =>
         val x = (1 to m.lags).map(k => buf(buf.length - k)) :+ 1.0
@@ -97,6 +99,8 @@ object Pipeline {
     val bc = spark.sparkContext.broadcast(models.map(_.coef).toArray)
     val u = udf((tail: Seq[Double]) => {
       val cs = bc.value
+      require(tail.length >= lags,
+        s"series too short to predict: ${tail.length} observations < lags=$lags")
       (0 until h).map { s =>
         val x = (1 to lags).map(k => tail(tail.length - k)) :+ 1.0
         x.zip(cs(s)).map { case (a, w) => a * w }.sum

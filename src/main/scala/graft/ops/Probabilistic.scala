@@ -78,6 +78,8 @@ object Probabilistic {
     val bc = spark.sparkContext.broadcast(model)
     val u = udf((tail: Seq[Double]) => {
       val m = bc.value
+      require(tail.length >= m.lags,
+        s"series too short to predict: ${tail.length} observations < lags=${m.lags}")
       val medianQ = m.quantiles.minBy(q => math.abs(q - 0.5))
       val med = m.coef(medianQ)
       val buf = scala.collection.mutable.ArrayBuffer(tail: _*)
