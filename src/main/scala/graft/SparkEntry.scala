@@ -727,6 +727,12 @@ object SparkEntry {
         .select(r6(col("calinski_harabasz")).as("calinski_harabasz"))
     }),
 
+    "ts_consensus_anomaly" -> ((s, dir) =>
+      Outliers.consensusAnomaly(IO.events(s, dir), windowSize = 20)
+        .select(col("user_id"), col("event_id"),
+          r6n(col("z_score")).as("z_score"), r6n(col("std_score")).as("std_score"),
+          r6n(col("mad_score")).as("mad_score"), col("decision"))),
+
     "ts_iforest" -> ((s, dir) => {
       val ev = Features.lagFeatures(IO.events(s, dir), Seq(1, 2))
       Outliers.isolationForestDetect(ev,
@@ -2118,6 +2124,30 @@ object SparkEntry {
          |  pow(shuf - lag(shuf) OVER (PARTITION BY user_id ORDER BY rn), 2) AS es FROM j)
          |SELECT user_id, round(1.0 - sum(eo) / sum(es) + 1e-9, 6) AS kaboudan_eta
          |FROM l GROUP BY user_id""".stripMargin,
+
+    // multi-agent consensus anomaly: z + median-deviation + MAD agents over
+    // the trailing 19-value context, majority vote
+    "ts_consensus_anomaly" ->
+      s"""WITH c AS (SELECT user_id, event_id, value,
+         |  count(value) OVER ctx AS nctx,
+         |  avg(value) OVER ctx AS mu,
+         |  stddev_pop(value) OVER ctx + 1e-10 AS sd,
+         |  list(value) OVER ctx AS ctxl
+         |FROM events WINDOW ctx AS ($W ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING)),
+         |m AS (SELECT *, list_sort(ctxl) AS sl FROM c WHERE nctx = 19),
+         |m2 AS (SELECT *, CASE WHEN len(sl) % 2 = 1 THEN sl[len(sl) // 2 + 1]
+         |  ELSE (sl[len(sl) // 2] + sl[len(sl) // 2 + 1]) / 2.0 END AS med FROM m),
+         |m3 AS (SELECT *, list_sort(list_transform(sl, v -> abs(v - med))) AS dl FROM m2),
+         |m4 AS (SELECT *, (CASE WHEN len(dl) % 2 = 1 THEN dl[len(dl) // 2 + 1]
+         |  ELSE (dl[len(dl) // 2] + dl[len(dl) // 2 + 1]) / 2.0 END) + 1e-10 AS mad FROM m3)
+         |SELECT user_id, event_id,
+         |  round(abs(value - mu) / sd + 1e-9, 6) AS z_score,
+         |  round(abs(value - med) / sd + 1e-9, 6) AS std_score,
+         |  round(0.6745 * abs(value - med) / mad + 1e-9, 6) AS mad_score,
+         |  ((CASE WHEN abs(value - mu) / sd > 3.0 THEN 1 ELSE 0 END) +
+         |   (CASE WHEN abs(value - med) / sd > 3.0 THEN 1 ELSE 0 END) +
+         |   (CASE WHEN 0.6745 * abs(value - med) / mad > 3.5 THEN 1 ELSE 0 END)) > 1.5 AS decision
+         |FROM m4""".stripMargin,
 
     // pooled ridge AR(3): Gram aggregates → Cramer solve → unrolled
     // 5-step recursion per series

@@ -95,6 +95,62 @@ object Outliers {
       .drop("__t")
   }
 
+  /** Multi-agent consensus anomaly detection (reference
+    * polars_ts/anomaly_agents/: ZScoreAgent + RollingStdAgent + MADAgent
+    * over a trailing window, aggregated by ConsensusAgent). The reference
+    * steps an env one observation at a time; here every agent is a window
+    * expression over the trailing `windowSize−1` context, so the whole
+    * multi-agent loop is one shuffle-free pass. Rows without a full
+    * context are dropped (the env starts once its window fills).
+    * Output: `[.., z_score, std_score, mad_score, decision]`. */
+  def consensusAnomaly(df: DataFrame, windowSize: Int = 20,
+      method: String = "majority", zThreshold: Double = 3.0,
+      stdThreshold: Double = 3.0, madThreshold: Double = 3.5)(
+      implicit pc: PanelCols): DataFrame = {
+    require(windowSize >= 3, "windowSize must be >= 3")
+    val y = pc.targetCol
+    val ctx = pc.w.rowsBetween(-(windowSize - 1), -1)
+    val mu = avg(y).over(ctx)
+    val sd = stddev_pop(y).over(ctx) + 1e-10 // np.std is population std
+    // median and MAD need the CURRENT row's context median applied to all
+    // context values — a windowed percentile of per-row medians would
+    // drift; the context array is bounded (windowSize) so an exact kernel
+    // over collect_list is both correct and cheap
+    val medMadUdf = udf((xs: Seq[Double]) => {
+      val arr = xs.toArray.sorted
+      def med(a: Array[Double]): Double = {
+        val n = a.length
+        if (n == 0) 0.0
+        else if (n % 2 == 1) a(n / 2)
+        else (a(n / 2 - 1) + a(n / 2)) / 2.0
+      }
+      val m = med(arr)
+      val madV = med(arr.map(v => math.abs(v - m)).sorted)
+      (m, madV)
+    })
+    val scored = df
+      .withColumn("__n_ctx", count(y).over(ctx))
+      .withColumn("__mm", medMadUdf(collect_list(y).over(ctx)))
+      .withColumn("__med", col("__mm._1"))
+      .withColumn("__mad", col("__mm._2") + 1e-10)
+      .withColumn("z_score", abs(y - mu) / sd)
+      .withColumn("std_score", abs(y - col("__med")) / sd)
+      .withColumn("mad_score", lit(0.6745) * abs(y - col("__med")) / col("__mad"))
+      .filter(col("__n_ctx") === (windowSize - 1))
+      .drop("__mm", "__mad")
+    val zF = col("z_score") > zThreshold
+    val sF = col("std_score") > stdThreshold
+    val mF = col("mad_score") > madThreshold
+    val votes = zF.cast("int") + sF.cast("int") + mF.cast("int")
+    val decision = method match {
+      case "majority" => votes > lit(1.5)
+      case "any" => zF || sF || mF
+      case other => throw new IllegalArgumentException(
+        s"Unknown consensus method '$other'. Choose from [majority, any]")
+    }
+    scored.withColumn("decision", decision).drop("__med", "__n_ctx")
+  }
+
   /** Replace detected outliers: clip to fences, per-series median, null, or
     * linear interpolation (reference outliers.py:101-181). Consumes the
     * columns produced by [[detect]] and drops them. */

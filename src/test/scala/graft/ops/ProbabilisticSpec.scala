@@ -113,6 +113,22 @@ class ProbabilisticSpec extends AnyFunSuite {
     }
   }
 
+  test("consensus anomaly agents agree on a planted spike") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17L)
+    val rows = (0 until 120).map(i =>
+      ("s", i, if (i == 80) 50.0 else rng.nextGaussian()))
+    val df = rows.toDF("unique_id", "__h", "y")
+      .withColumn("ds", timestamp_micros(col("__h") * 3600000000L)).drop("__h")
+    val out = Outliers.consensusAnomaly(df, windowSize = 20)
+    val spike = out.filter(col("ds") === timestamp_micros(lit(80L * 3600000000L)))
+      .collect()(0)
+    assert(spike.getAs[Boolean]("decision"), "spike not flagged")
+    val falsePos = out.filter(col("decision") &&
+      col("ds") =!= timestamp_micros(lit(80L * 3600000000L))).count()
+    assert(falsePos <= 3, s"$falsePos false positives")
+  }
+
   test("isolation forest flags injected outliers") {
     import spark.implicits._
     val rng = new scala.util.Random(8L)
