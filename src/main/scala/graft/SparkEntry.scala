@@ -727,6 +727,33 @@ object SparkEntry {
         .select(r6(col("calinski_harabasz")).as("calinski_harabasz"))
     }),
 
+    // supply-chain pack: naive forecast → promo lift → inventory policy
+    "ts_inventory_plan" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+        .withColumn("promo", pmod(col("event_id"), lit(11)) === 0)
+      val fc = ForecastBaselines.naive(ev, h = 7)
+        .withColumn("sched", (col("step") <= 2).cast("double"))
+      val lifted = DomainAgents.promotionAdjust(
+        ev.withColumn("promo", col("promo").cast("int")), "promo", fc, "sched")
+      val onHand = ev.groupBy(col("user_id"))
+        .agg((avg(col("value")) * 2).as("on_hand"))
+      DomainAgents.inventoryReorder(lifted, onHand, leadTime = 3)
+        .select(col("user_id"), r6n(col("order_up_to")).as("order_up_to"),
+          r6n(col("safety_stock")).as("safety_stock"),
+          r6n(col("order_qty")).as("order_qty"), col("stockout_risk"))
+    }),
+
+    // MARL portfolio pack: risk/return/allocation over event_type "assets"
+    "ts_portfolio_weights" -> ((s, dir) => {
+      val rets = IO.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("ts"), col("event_type").as("asset"))
+        .agg(avg("value").as("ret"))
+      DomainAgents.portfolioWeights(rets, window = 5)(PanelCols(time = "ts"))
+        .select(col("ts"), col("asset"), r6n(col("risk")).as("risk"),
+          r6n(col("expected_return")).as("expected_return"),
+          r6n(col("weight")).as("weight"))
+    }),
+
     "ts_consensus_anomaly" -> ((s, dir) =>
       Outliers.consensusAnomaly(IO.events(s, dir), windowSize = 20)
         .select(col("user_id"), col("event_id"),
