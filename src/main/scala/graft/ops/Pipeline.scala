@@ -123,7 +123,9 @@ object Pipeline {
   case class PipelineModel(coef: Array[Double], lags: Seq[Int],
       rollingWindows: Seq[Int], calendar: Seq[String],
       fourier: Seq[(Double, Int)], targetTransform: Option[String],
-      lam: Double, encodeId: Boolean)
+      lam: Double, encodeId: Boolean,
+      pastCovariates: Seq[String] = Nil, covLags: Seq[Int] = Nil,
+      futureCovariates: Seq[String] = Nil)
 
   private def calendarFeature(name: String, us: Long): Double = {
     val dt = java.time.LocalDateTime.ofEpochSecond(us / 1000000L,
@@ -144,9 +146,12 @@ object Pipeline {
   def fitPipeline(df: DataFrame, lags: Seq[Int] = Seq(1, 2, 3),
       rollingWindows: Seq[Int] = Nil, calendar: Seq[String] = Nil,
       fourier: Seq[(Double, Int)] = Nil, targetTransform: Option[String] = None,
-      lam: Double = 0.5, encodeId: Boolean = false, l2: Double = 1e-3)(
+      lam: Double = 0.5, encodeId: Boolean = false, l2: Double = 1e-3,
+      pastCovariates: Seq[String] = Nil, pastCovariateLags: Seq[Int] = Nil,
+      futureCovariates: Seq[String] = Nil)(
       implicit pc: PanelCols): PipelineModel = {
     require(lags.nonEmpty, "pipeline needs at least lag features")
+    val covLags = if (pastCovariateLags.nonEmpty) pastCovariateLags else lags
     val transformed = applyTransform(df, targetTransform, lam)
     val y = pc.targetCol.cast("double")
     val t = (row_number().over(pc.w) - 1).cast("double")
@@ -162,6 +167,10 @@ object Pipeline {
         Seq(s"fsin_${period}_$kk" -> sin(ang * t),
           s"fcos_${period}_$kk" -> cos(ang * t))
       }} ++
+      pastCovariates.flatMap(c =>
+        covLags.map(k => s"pcov_${c}_lag_$k" ->
+          lag(col(c).cast("double"), k).over(pc.w))) ++
+      futureCovariates.map(c => s"fcov_$c" -> col(c).cast("double")) ++
       (if (encodeId) Seq("id_mean" -> avg(y).over(pc.wAll)) else Nil) :+
       ("intercept" -> lit(1.0))
     val p = feats.length
@@ -182,7 +191,8 @@ object Pipeline {
     for (i <- 0 until p) { b(i) = row.getDouble(idx); idx += 1 }
     for (i <- 0 until p - 1) g(i)(i) += l2
     PipelineModel(graft.kernels.ArimaLite.solve(g, b), lags, rollingWindows,
-      calendar, fourier, targetTransform, lam, encodeId)
+      calendar, fourier, targetTransform, lam, encodeId,
+      pastCovariates, covLags, futureCovariates)
   }
 
   private def applyTransform(df: DataFrame, transform: Option[String],
@@ -200,15 +210,20 @@ object Pipeline {
     * scaffold) broadcasts nothing but the coefficient vector; every step
     * rebuilds the feature vector in training order, predicts, appends.
     * Output `[id, step, ds, y_hat]` on the ORIGINAL scale. */
-  def pipelineForecast(df: DataFrame, model: PipelineModel, h: Int)(
+  def pipelineForecast(df: DataFrame, model: PipelineModel, h: Int,
+      futureDf: Option[DataFrame] = None)(
       implicit pc: PanelCols): DataFrame = {
+    require(model.futureCovariates.isEmpty || futureDf.isDefined,
+      "futureDf is required when future_covariates are configured")
     val spark = df.sparkSession
     val transformed = applyTransform(df, model.targetTransform, model.lam)
     val keep = math.max(model.lags.max,
       (model.rollingWindows :+ 1).max)
+    val covKeep = (model.covLags :+ 1).max
     val bc = spark.sparkContext.broadcast(model)
     val u = udf((tail: Seq[Double], n: Long, lastUs: Long, freq: Long,
-        idMean: Double, lastOrig: Double) => {
+        idMean: Double, lastOrig: Double,
+        pcovTails: Seq[Seq[Double]], fcovSteps: Seq[Seq[Double]]) => {
       val m = bc.value
       val buf = scala.collection.mutable.ArrayBuffer(tail: _*)
       var integ = lastOrig
@@ -226,6 +241,19 @@ object Pipeline {
           val ang = 2.0 * math.Pi * kk * t / period
           x += math.sin(ang); x += math.cos(ang)
         }}
+        // past covariates: the tail buffer stays frozen during recursion —
+        // their future values are unknown (reference pipeline.py predict)
+        m.pastCovariates.indices.foreach { ci =>
+          val ct = pcovTails(ci)
+          m.covLags.foreach { k =>
+            x += (if (ct.length >= k) ct(ct.length - k) else 0.0)
+          }
+        }
+        // future covariates: supplied per step (0.0 where missing)
+        m.futureCovariates.indices.foreach { ci =>
+          val fs = fcovSteps(ci)
+          x += (if (s - 1 < fs.length) fs(s - 1) else 0.0)
+        }
         if (m.encodeId) x += idMean
         x += 1.0
         var pred = 0.0
@@ -245,19 +273,44 @@ object Pipeline {
       }.toArray
     })
     val y = pc.targetCol.cast("double")
+    val pcovAgg = model.pastCovariates.map(c =>
+      slice(sort_array(collect_list(struct(
+        pc.orderCols :+ col(c).cast("double").as("__cv"): _*))),
+        -covKeep, covKeep).getField("__cv").as(s"__pcov_$c"))
     val tails = transformed.groupBy(pc.idCol)
       .agg(
         slice(sort_array(collect_list(struct(
           pc.orderCols :+ y.as("__v"): _*))), -keep, keep).as("__tail"),
-        count(y).as("__n"),
-        avg(y).as("__idmean"))
-      .select(pc.idCol, col("__tail.__v").as("__tv"), col("__n"), col("__idmean"))
+        (count(y).as("__n") +: avg(y).as("__idmean") +: pcovAgg): _*)
+      .select((pc.idCol +: col("__tail.__v").as("__tv") +: col("__n") +:
+        col("__idmean") +: model.pastCovariates.map(c => col(s"__pcov_$c"))): _*)
     val lastOrig = df.groupBy(pc.idCol)
       .agg(max_by(pc.targetCol.cast("double"), struct(pc.orderCols: _*)).as("__last"))
-    graft.core.Panel.seriesMeta(df)
-      .join(tails, Seq(pc.id)).join(lastOrig, Seq(pc.id))
+    val fcovArr =
+      if (model.futureCovariates.isEmpty)
+        typedLit(Seq.empty[Seq[Double]])
+      else null
+    val withFcov = futureDf match {
+      case Some(fd) if model.futureCovariates.nonEmpty =>
+        val agg = fd.groupBy(pc.idCol).agg(
+          array(model.futureCovariates.map(c =>
+            sort_array(collect_list(struct(col("step"),
+              col(c).cast("double").as("__fv")))).getField("__fv")): _*)
+            .as("__fcov"))
+        (d: DataFrame) => d.join(agg, Seq(pc.id), "left")
+          .withColumn("__fcov", coalesce(col("__fcov"),
+            typedLit(Seq.empty[Seq[Double]])))
+      case _ =>
+        (d: DataFrame) => d.withColumn("__fcov", fcovArr)
+    }
+    val pcovCol =
+      if (model.pastCovariates.isEmpty) typedLit(Seq.empty[Seq[Double]])
+      else array(model.pastCovariates.map(c => col(s"__pcov_$c")): _*)
+    withFcov(graft.core.Panel.seriesMeta(df)
+      .join(tails, Seq(pc.id)).join(lastOrig, Seq(pc.id)))
       .withColumn("__fc", u(col("__tv"), col("__n"), col("last_us"),
-        col("freq_us"), col("__idmean"), col("__last")))
+        col("freq_us"), col("__idmean"), col("__last"),
+        pcovCol, col("__fcov")))
       .select(pc.idCol, col("last_us"), col("freq_us"), col("__fc"),
         explode(sequence(lit(1L), lit(h.toLong))).as("step"))
       .withColumn(pc.time,

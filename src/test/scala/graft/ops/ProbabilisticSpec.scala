@@ -96,6 +96,36 @@ class ProbabilisticSpec extends AnyFunSuite {
     assert(errs.max < 5.0, s"max err ${errs.max}")
   }
 
+  test("pipeline covariates: future covariate drives the forecast; adapter roundtrips") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31L)
+    // y = 5*promo + noise — the future covariate carries all the signal
+    val rows = (0 until 120).map { i =>
+      val promo = if (i % 3 == 0) 1.0 else 0.0
+      ("s", i, 10.0 + 5.0 * promo + rng.nextGaussian() * 0.1, promo)
+    }
+    val df = rows.toDF("unique_id", "__h", "y", "promo")
+      .withColumn("ds", timestamp_micros(col("__h") * 3600000000L)).drop("__h")
+    val model = Pipeline.fitPipeline(df, lags = Seq(1),
+      futureCovariates = Seq("promo"))
+    val future = Seq(("s", 1L, 1.0), ("s", 2L, 0.0), ("s", 3L, 1.0))
+      .toDF("unique_id", "step", "promo")
+    val fc = Pipeline.pipelineForecast(df, model, h = 3, Some(future))
+      .orderBy("step").collect()
+    val p1 = fc(0).getDouble(3); val p2 = fc(1).getDouble(3); val p3 = fc(2).getDouble(3)
+    assert(p1 - p2 > 3.0, s"promo lift not learned: $p1 vs $p2")
+    assert(p3 - p2 > 3.0, s"promo lift not learned: $p3 vs $p2")
+    // adapter roundtrip preserves the panel
+    val nested = Adapters.toSeriesDataset(df)
+    assert(nested.count() == 1)
+    val back = Adapters.fromSeriesDataset(nested)
+    assert(back.count() == 120)
+    val err = back.join(df.select(col("unique_id").cast("string").as("unique_id"),
+        col("ds"), col("y").as("orig")), Seq("unique_id", "ds"))
+      .agg(max(abs(col("y") - col("orig")))).collect()(0).getDouble(0)
+    assert(err < 1e-9)
+  }
+
   test("pipeline difference transform integrates back to the original scale") {
     import spark.implicits._
     val rows = for { i <- 0 until 80 } yield ("s", i, 10.0 + 2.0 * i)
