@@ -743,6 +743,32 @@ object SparkEntry {
           r6n(col("order_qty")).as("order_qty"), col("stockout_risk"))
     }),
 
+    // healthcare triage pack over synthesized vitals
+    "ts_health_triage" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+        .withColumn("hr", lit(60.0) + pmod(col("value") * 7, lit(80)))
+        .withColumn("sbp", lit(85.0) + pmod(col("value") * 11, lit(70)))
+        .withColumn("rr", lit(8.0) + pmod(col("value") * 3, lit(20)))
+        .withColumn("temp", lit(35.0) + pmod(col("value"), lit(5)))
+        .withColumn("spo2", lit(90.0) + pmod(col("value") * 5, lit(10)))
+      DomainAgents.healthTriage(ev)
+        .select(col("user_id"), col("event_id"),
+          col("sepsis_score"), col("sepsis_flag"),
+          col("n_deranged"), col("news_score"), col("tier"))
+    }),
+
+    // IIoT condition-monitoring pack: health index + RUL over a degrading
+    // synthetic amplitude
+    "ts_condition_rul" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+        .withColumn("value",
+          abs(col("value")) * (lit(1.0) +
+            (row_number().over(PC.w).cast("double") / 40.0)))
+      DomainAgents.conditionMonitor(ev, window = 8, warmup = 5)
+        .select(col("user_id"), col("event_id"), r6n(col("rms")).as("rms"),
+          r6n(col("health")).as("health"), r6n(col("rul")).as("rul"))
+    }),
+
     // MARL portfolio pack: risk/return/allocation over event_type "assets"
     "ts_portfolio_weights" -> ((s, dir) => {
       val rets = IO.events(s, dir)
@@ -2151,6 +2177,81 @@ object SparkEntry {
          |  pow(shuf - lag(shuf) OVER (PARTITION BY user_id ORDER BY rn), 2) AS es FROM j)
          |SELECT user_id, round(1.0 - sum(eo) / sum(es) + 1e-9, 6) AS kaboudan_eta
          |FROM l GROUP BY user_id""".stripMargin,
+
+    // healthcare triage chain over synthesized vitals (pure expressions)
+    "ts_health_triage" ->
+      s"""WITH v AS (SELECT user_id, event_id,
+         |  60.0 + ((value * 7) % 80 + 80) % 80 AS hr,
+         |  85.0 + ((value * 11) % 70 + 70) % 70 AS sbp,
+         |  8.0 + ((value * 3) % 20 + 20) % 20 AS rr,
+         |  35.0 + ((value) % 5 + 5) % 5 AS temp,
+         |  90.0 + ((value * 5) % 10 + 10) % 10 AS spo2
+         |FROM events),
+         |s AS (SELECT *,
+         |  ((CASE WHEN rr >= 22.0 THEN 1 ELSE 0 END) +
+         |   (CASE WHEN sbp <= 100.0 THEN 1 ELSE 0 END) +
+         |   (CASE WHEN temp > 38.0 OR temp < 36.0 THEN 1 ELSE 0 END) +
+         |   (CASE WHEN hr > 90.0 THEN 1 ELSE 0 END) +
+         |   (CASE WHEN rr > 20.0 THEN 1 ELSE 0 END))::DOUBLE AS sepsis_score,
+         |  ((CASE WHEN hr < 60.0 OR hr > 100.0 THEN 1 ELSE 0 END) +
+         |   (CASE WHEN sbp < 100.0 OR sbp > 140.0 THEN 1 ELSE 0 END) +
+         |   (CASE WHEN rr < 12.0 OR rr > 20.0 THEN 1 ELSE 0 END) +
+         |   (CASE WHEN temp < 36.0 OR temp > 38.0 THEN 1 ELSE 0 END) +
+         |   (CASE WHEN spo2 < 94.0 OR spo2 > 100.0 THEN 1 ELSE 0 END))::DOUBLE AS n_deranged,
+         |  ((CASE WHEN rr <= 8 OR rr >= 25 THEN 3 WHEN rr >= 21 THEN 2
+         |     WHEN rr <= 11 THEN 1 ELSE 0 END) +
+         |   (CASE WHEN spo2 <= 91 THEN 3 WHEN spo2 <= 93 THEN 2
+         |     WHEN spo2 <= 95 THEN 1 ELSE 0 END) +
+         |   (CASE WHEN sbp <= 90 OR sbp >= 220 THEN 3 WHEN sbp <= 100 THEN 2
+         |     WHEN sbp <= 110 THEN 1 ELSE 0 END) +
+         |   (CASE WHEN hr <= 40 OR hr >= 131 THEN 3 WHEN hr >= 111 THEN 2
+         |     WHEN hr >= 91 OR hr <= 50 THEN 1 ELSE 0 END) +
+         |   (CASE WHEN temp <= 35 THEN 3 WHEN temp >= 39.1 THEN 2
+         |     WHEN temp >= 38.1 OR temp <= 36 THEN 1 ELSE 0 END)) AS news_score
+         |FROM v),
+         |t AS (SELECT *,
+         |  greatest(CASE WHEN news_score >= 7 THEN 3 WHEN news_score >= 5 THEN 2
+         |    WHEN news_score >= 1 THEN 1 ELSE 0 END,
+         |    CASE WHEN sepsis_score >= 2 THEN 2 ELSE 0 END) AS tier0
+         |FROM s)
+         |SELECT user_id, event_id, sepsis_score, sepsis_score >= 2 AS sepsis_flag,
+         |  n_deranged, news_score,
+         |  least(CASE WHEN n_deranged >= 3 THEN least(tier0 + 1, 3) ELSE tier0 END, 3) AS tier
+         |FROM t""".stripMargin,
+
+    // IIoT condition monitoring: RMS health index + OLS-trend RUL
+    "ts_condition_rul" ->
+      s"""WITH w0 AS (SELECT user_id, event_id, ts,
+         |  abs(value) * (1.0 + (row_number() OVER ($W))::DOUBLE / 40.0) AS v
+         |FROM events),
+         |r AS (SELECT user_id, event_id, v,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         |  sqrt(avg(v * v) OVER wt) AS rms
+         |FROM w0 WINDOW wt AS (PARTITION BY user_id ORDER BY ts, event_id
+         |  ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)),
+         |b AS (SELECT user_id, sqrt(avg(v * v)) + 1e-12 AS baseline
+         |  FROM r WHERE rn <= 5 GROUP BY user_id),
+         |h AS (SELECT r.user_id, r.event_id, r.rn, r.rms,
+         |  greatest(0.0, least(1.0, 1.0 - greatest(0.0,
+         |    least((r.rms / b.baseline - 1.0) / 2.0, 1.0)))) AS health
+         |FROM r JOIN b USING (user_id)),
+         |o AS (SELECT *,
+         |  count(health) OVER hw AS n,
+         |  avg(rn::DOUBLE) OVER hw AS mt,
+         |  avg(health) OVER hw AS mh,
+         |  avg(rn::DOUBLE * health) OVER hw AS mth,
+         |  avg(rn::DOUBLE * rn::DOUBLE) OVER hw AS mtt
+         |FROM h WINDOW hw AS (PARTITION BY user_id ORDER BY rn
+         |  ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)),
+         |sl AS (SELECT *, (mth - mt * mh) / (mtt - mt * mt) AS slope FROM o),
+         |cur AS (SELECT *, (mh - slope * mt) + slope * rn::DOUBLE AS current FROM sl)
+         |SELECT user_id, event_id, round(rms + 1e-9, 6) AS rms,
+         |  round(health + 1e-9, 6) AS health,
+         |  round(CASE WHEN n < 3 THEN NULL
+         |    WHEN current <= 0.2 THEN 0.0
+         |    WHEN slope >= -1e-9 THEN NULL
+         |    ELSE (current - 0.2) / (-slope) END + 1e-9, 6) AS rul
+         |FROM cur""".stripMargin,
 
     // multi-agent consensus anomaly: z + median-deviation + MAD agents over
     // the trailing 19-value context, majority vote

@@ -64,7 +64,80 @@ object DomainAgents {
         col("order_qty"), col("stockout_risk"))
   }
 
+  /** EchelonCoordinatorAgent.coordinate per series: exponential smoothing
+    * cascaded up `nEchelons` echelons + the bullwhip variance ratio.
+    * Per-series kernel over the grouped panel (the smoothing chain is
+    * sequential per series, parallel across series). Output:
+    * `[id, echelon (0 = demand), ds, orders]` plus a per-series
+    * `bullwhip_ratio` on every row. */
+  def echelonCoordinate(df: DataFrame, nEchelons: Int = 2,
+      smoothing: Double = 0.5)(implicit pc: PanelCols): DataFrame = {
+    require(nEchelons >= 1, "n_echelons must be >= 1")
+    require(smoothing > 0.0 && smoothing <= 1.0, "smoothing must be in (0, 1]")
+    val u = udf((ys: Seq[Double]) => {
+      val demand = ys.toArray
+      def smooth(s: Array[Double]): Array[Double] = {
+        var level = s(0)
+        s.map { v => level = smoothing * v + (1.0 - smoothing) * level; level }
+      }
+      val orders = scala.collection.mutable.ArrayBuffer(demand)
+      for (_ <- 0 until nEchelons) orders += smooth(orders.last)
+      def popVar(a: Array[Double]): Double = {
+        val m = a.sum / a.length
+        a.map(v => (v - m) * (v - m)).sum / a.length
+      }
+      val bullwhip = popVar(orders.last) / (popVar(demand) + 1e-12)
+      (orders.map(_.toSeq).toSeq, bullwhip)
+    })
+    graft.core.Panel.grouped(df)
+      .select(pc.idCol, col("ts").as("__ts"), u(col("ys")).as("__r"))
+      .select(pc.idCol, col("__ts"), col("__r._2").as("bullwhip_ratio"),
+        posexplode(col("__r._1")).as(Seq("echelon", "__orders")))
+      .select(pc.idCol, col("echelon"), col("bullwhip_ratio"),
+        posexplode(arrays_zip(col("__ts"), col("__orders"))).as(Seq("__i", "__s")))
+      .select(pc.idCol, col("echelon"), col("__s.__ts").as(pc.time),
+        col("__s.__orders").as("orders"), col("bullwhip_ratio"))
+  }
+
   // ── energy (energy_agents/agents.py) ───────────────────────────────────
+
+  /** DemandResponseAgent.optimize per series: peak energy above `capacity`
+    * is shed and water-filled into the lowest periods (stable order),
+    * preserving total energy; infeasible profiles flatten to their mean.
+    * Output per row: `[.., shifted, energy_shifted]`. */
+  def demandResponse(df: DataFrame, capacity: Double)(
+      implicit pc: PanelCols): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val u = udf((ys: Seq[Double]) => {
+      val prof = ys.toArray.clone()
+      val n = prof.length
+      val shed = prof.map(v => math.max(v - capacity, 0.0)).sum
+      if (shed == 0.0) (prof.toSeq, 0.0)
+      else {
+        val total = prof.sum
+        if (total <= capacity * n) {
+          val clipped = prof.map(math.min(_, capacity))
+          var deficit = shed
+          // stable ascending order (np.argsort kind="stable")
+          val order = clipped.zipWithIndex.sortBy(_._1).map(_._2)
+          for (i <- order if deficit > 1e-12) {
+            val add = math.min(capacity - clipped(i), deficit)
+            clipped(i) += add
+            deficit -= add
+          }
+          (clipped.toSeq, shed)
+        } else (Array.fill(n)(total / n).toSeq, shed)
+      }
+    })
+    graft.core.Panel.grouped(df)
+      .select(pc.idCol, col("ts").as("__ts"), u(col("ys")).as("__r"))
+      .select(pc.idCol, col("__ts"), col("__r._1").as("__shift"),
+        col("__r._2").as("energy_shifted"))
+      .select(pc.idCol, col("energy_shifted"),
+        posexplode(arrays_zip(col("__ts"), col("__shift"))).as(Seq("__i", "__s")))
+      .select(pc.idCol, col("__s.__ts").as(pc.time),
+        col("__s.__shift").as("shifted"), col("energy_shifted"))
+  }
 
   /** WeatherContextAgent.adjust: base + cooling·(T−comfort)⁺ +
     * heating·(comfort−T)⁺, column-wise over a forecast frame carrying a
@@ -84,6 +157,137 @@ object DomainAgents {
     val net = col(demandCol) - col(generationCol)
     df.withColumn("net_demand",
       if (curtail) greatest(net, lit(0.0)) else net)
+  }
+
+  // ── healthcare triage (healthcare_agents/agents.py) ────────────────────
+
+  /** Sepsis (qSOFA+SIRS) + vital-range monitoring + NEWS-style escalation
+    * per row — the full triage chain as pure column expressions:
+    * `[.., sepsis_score, sepsis_flag, n_deranged, news_score, tier]`. */
+  def healthTriage(df: DataFrame, hr: String = "hr", sbp: String = "sbp",
+      rr: String = "rr", temp: String = "temp", spo2: String = "spo2",
+      sepsisThreshold: Int = 2, nTiers: Int = 4): DataFrame = {
+    def b(c: Column): Column = c.cast("int")
+    val qsofa = b(col(rr) >= 22.0) + b(col(sbp) <= 100.0)
+    val sirs = b(col(temp) > 38.0 || col(temp) < 36.0) +
+      b(col(hr) > 90.0) + b(col(rr) > 20.0)
+    val sepsisScore = (qsofa + sirs).cast("double")
+    val deranged =
+      b(col(hr) < 60.0 || col(hr) > 100.0) +
+      b(col(sbp) < 100.0 || col(sbp) > 140.0) +
+      b(col(rr) < 12.0 || col(rr) > 20.0) +
+      b(col(temp) < 36.0 || col(temp) > 38.0) +
+      b(col(spo2) < 94.0 || col(spo2) > 100.0)
+    val news =
+      when(col(rr) <= 8 || col(rr) >= 25, 3).when(col(rr) >= 21, 2)
+        .when(col(rr) <= 11, 1).otherwise(0) +
+      when(col(spo2) <= 91, 3).when(col(spo2) <= 93, 2)
+        .when(col(spo2) <= 95, 1).otherwise(0) +
+      when(col(sbp) <= 90 || col(sbp) >= 220, 3).when(col(sbp) <= 100, 2)
+        .when(col(sbp) <= 110, 1).otherwise(0) +
+      when(col(hr) <= 40 || col(hr) >= 131, 3).when(col(hr) >= 111, 2)
+        .when(col(hr) >= 91 || col(hr) <= 50, 1).otherwise(0) +
+      when(col(temp) <= 35, 3).when(col(temp) >= 39.1, 2)
+        .when(col(temp) >= 38.1 || col(temp) <= 36, 1).otherwise(0)
+    val scored = df
+      .withColumn("sepsis_score", sepsisScore)
+      .withColumn("sepsis_flag", sepsisScore >= sepsisThreshold)
+      .withColumn("n_deranged", deranged.cast("double"))
+      .withColumn("news_score", news)
+    val baseTier = when(col("news_score") >= 7, 3)
+      .when(col("news_score") >= 5, 2)
+      .when(col("news_score") >= 1, 1).otherwise(0)
+    scored.withColumn("tier",
+      least(
+        when(col("n_deranged") >= 3,
+          least(greatest(baseTier, when(col("sepsis_flag"), 2).otherwise(0)) + 1,
+            lit(nTiers - 1)))
+          .otherwise(greatest(baseTier, when(col("sepsis_flag"), 2).otherwise(0))),
+        lit(nTiers - 1)))
+  }
+
+  // ── IIoT condition monitoring (iiot_agents/agents.py) ──────────────────
+
+  /** HealthIndexAgent + RULEstimator per series: trailing-window RMS vs the
+    * first-`warmup`-rows baseline → health index in [0,1]; RUL from the
+    * OLS slope of the trailing health history (∞ when stable → null).
+    * Output per row: `[.., rms, health, rul]`. */
+  def conditionMonitor(df: DataFrame, window: Int = 8, warmup: Int = 5,
+      failRatio: Double = 3.0, failureThreshold: Double = 0.2,
+      rulHistory: Int = 12)(implicit pc: PanelCols): DataFrame = {
+    val y = pc.targetCol.cast("double")
+    val wTrail = pc.w.rowsBetween(-(window - 1), 0)
+    val rms = sqrt(avg(y * y).over(wTrail))
+    val rn = row_number().over(pc.w)
+    val withRms = df.withColumn("__rn", rn).withColumn("rms", rms)
+    val baseline = withRms.filter(col("__rn") <= warmup)
+      .groupBy(pc.idCol)
+      .agg((sqrt(avg(y * y)) + 1e-12).as("__baseline"))
+    val health = withRms.join(broadcast(baseline), Seq(pc.id))
+      .withColumn("__ratio", col("rms") / col("__baseline"))
+      .withColumn("health",
+        greatest(lit(0.0), least(lit(1.0),
+          lit(1.0) - greatest(lit(0.0),
+            least((col("__ratio") - 1.0) / lit(failRatio - 1.0), lit(1.0))))))
+    // RUL: OLS of health on t over the trailing history window
+    val hw = pc.w.rowsBetween(-(rulHistory - 1), 0)
+    val n = count(col("health")).over(hw).cast("double")
+    val t = col("__rn").cast("double")
+    val mT = avg(t).over(hw)
+    val mH = avg(col("health")).over(hw)
+    val slope = (avg(t * col("health")).over(hw) - mT * mH) /
+      (avg(t * t).over(hw) - mT * mT)
+    val intercept = mH - slope * mT
+    val current = intercept + slope * t
+    health
+      .withColumn("rul",
+        when(n < 3, lit(null))
+          .when(current <= failureThreshold, 0.0)
+          .when(slope >= -1e-9, lit(null)) // stable or improving → ∞
+          .otherwise((current - failureThreshold) / -slope))
+      .drop("__rn", "__baseline", "__ratio")
+  }
+
+  /** SpectralFeatureAgent.extract per series row: RMS + band-energy
+    * fractions of the trailing window's centered rFFT (bounded window →
+    * exact kernel). Output `[.., spectral (array: rms, band fracs...)]`. */
+  def spectralFeatures(df: DataFrame, window: Int = 16, nBands: Int = 3)(
+      implicit pc: PanelCols): DataFrame = {
+    val u = udf((xs: Seq[Double]) => {
+      val w = xs.toArray
+      val rmsV = math.sqrt(w.map(v => v * v).sum / w.length)
+      val mean = w.sum / w.length
+      val c = w.map(_ - mean)
+      val nF = c.length / 2 + 1
+      val spec = new Array[Double](nF)
+      var k = 0
+      while (k < nF) {
+        var re = 0.0; var im = 0.0
+        var t = 0
+        while (t < c.length) {
+          val ang = -2.0 * math.Pi * k * t / c.length
+          re += c(t) * math.cos(ang); im += c(t) * math.sin(ang)
+          t += 1
+        }
+        spec(k) = re * re + im * im
+        k += 1
+      }
+      val total = spec.sum + 1e-12
+      // np.array_split: first (nF % nBands) bands get one extra element
+      val base = nF / nBands
+      val rem = nF % nBands
+      val sizes = Array.tabulate(nBands)(i => if (i < rem) base + 1 else base)
+      val fracs = new Array[Double](nBands)
+      var off = 0
+      for (b <- 0 until nBands) {
+        fracs(b) = spec.slice(off, off + sizes(b)).sum / total
+        off += sizes(b)
+      }
+      rmsV +: fracs
+    })
+    df.withColumn("spectral",
+      u(collect_list(pc.targetCol.cast("double")).over(
+        pc.w.rowsBetween(-(window - 1), 0))))
   }
 
   // ── MARL portfolio (marl/agents.py) ────────────────────────────────────

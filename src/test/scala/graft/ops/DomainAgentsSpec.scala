@@ -59,6 +59,49 @@ class DomainAgentsSpec extends AnyFunSuite {
     assert(nd == 0.0)
   }
 
+  test("health triage escalates a critical vitals row and rests a normal one") {
+    import spark.implicits._
+    val df = Seq(
+      ("p1", 75.0, 120.0, 16.0, 37.0, 98.0),   // normal
+      ("p2", 125.0, 85.0, 26.0, 39.5, 90.0))   // critical
+      .toDF("unique_id", "hr", "sbp", "rr", "temp", "spo2")
+    val out = DomainAgents.healthTriage(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("p1").getAs[Int]("tier") == 0)
+    assert(!out("p1").getAs[Boolean]("sepsis_flag"))
+    assert(out("p2").getAs[Int]("tier") == 3)
+    assert(out("p2").getAs[Boolean]("sepsis_flag"))
+  }
+
+  test("condition monitor: health degrades and RUL shrinks on growing amplitude") {
+    import spark.implicits._
+    val rows = (0 until 60).map(i => ("m", i, (1.0 + i / 15.0) * math.sin(i.toDouble)))
+    val df = rows.toDF("unique_id", "__h", "y")
+      .withColumn("ds", timestamp_micros(col("__h") * 3600000000L)).drop("__h")
+    val out = DomainAgents.conditionMonitor(df, window = 8, warmup = 5)
+      .orderBy("ds").collect()
+    val healths = out.map(_.getAs[Double]("health"))
+    assert(healths.take(5).forall(_ > 0.8))
+    assert(healths.last < healths(10), "health did not degrade")
+  }
+
+  test("echelon smoothing reduces bullwhip; demand response preserves energy") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5L)
+    val rows = (0 until 50).map(i => ("s", i, 10.0 + rng.nextGaussian() * 3.0))
+    val df = rows.toDF("unique_id", "__h", "y")
+      .withColumn("ds", timestamp_micros(col("__h") * 3600000000L)).drop("__h")
+    val ech = DomainAgents.echelonCoordinate(df, nEchelons = 2, smoothing = 0.3)
+    val bw = ech.select("bullwhip_ratio").head().getDouble(0)
+    assert(bw < 1.0, s"smoothing should damp variance: $bw")
+    assert(ech.count() == 150) // 3 echelons × 50 rows
+    val dr = DomainAgents.demandResponse(df, capacity = 12.0)
+    val sums = dr.agg(sum("shifted")).head().getDouble(0)
+    val orig = df.agg(sum("y")).head().getDouble(0)
+    assert(math.abs(sums - orig) < 1e-6, "energy not preserved")
+    assert(dr.agg(max("shifted")).head().getDouble(0) <= 12.0 + 1e-9)
+  }
+
   test("portfolio weights sum to 1 and favor the high-sharpe asset") {
     import spark.implicits._
     val rng = new scala.util.Random(3L)
