@@ -2044,10 +2044,12 @@ object SparkEntry {
       val (as, bs) = Dedup.minhashParams(k)
       val sigMins = (0 until k).map(i =>
         s"min((${as(i)} * h + ${bs(i)}) % 2147483647) AS s$i").mkString(",\n|  ")
-      // band table: band index + its 4 slice values v1..v4
+      // band table: band index + packed pair keys (v·2³¹ + w)
       val bandSelect = (0 until bands).map { b =>
-        val vs = (0 until rpb).map(r => s"s${b * rpb + r} AS v${r + 1}").mkString(", ")
-        s"SELECT doc_id, $b AS band, $vs FROM sig"
+        val ks = (0 until rpb / 2).map(p =>
+          s"s${b * rpb + 2 * p} * 2147483648 + s${b * rpb + 2 * p + 1} AS k${p + 1}")
+          .mkString(", ")
+        s"SELECT doc_id, $b AS band, $ks FROM sig"
       }.mkString("\n|  UNION ALL ")
       val eqCount = (0 until k).map(i =>
         s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)").mkString(" + ")
@@ -2076,7 +2078,7 @@ object SparkEntry {
          |banded AS ($bandSelect),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM banded a JOIN banded b ON a.band = b.band
-         |    AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.v3 = b.v3 AND a.v4 = b.v4
+         |    AND a.k1 = b.k1 AND a.k2 = b.k2
          |    AND a.doc_id < b.doc_id),
          |est AS (SELECT c.id_a, c.id_b,
          |  ($eqCount)::DOUBLE / 64.0 AS jaccard_est

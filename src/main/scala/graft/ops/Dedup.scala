@@ -119,24 +119,30 @@ object Dedup {
         hashedShingles(col(textCol), shingleN).as("__h"))
       .select(col("__id"), minhashSignature(col("__h"), k).as("__sig"))
       .cache()
-    // the band key is the signature slice itself (no engine-specific band
-    // hash): candidates join on (band index, 4 longs) — reproducible by
-    // any engine, and barely wider than a hashed key on the shuffle
+    // band key: signature minima are < 2³¹, so each PAIR of band values
+    // packs losslessly into one long (v·2³¹ + w) — engine-reproducible
+    // (the oracle computes the same arithmetic) and as cheap to shuffle
+    // as a hashed key, with zero collision risk
+    require(rowsPerBand % 2 == 0, "rowsPerBand must be even for key packing")
+    def packed(b: Int, pair: Int): org.apache.spark.sql.Column =
+      element_at(col("__sig"), b * rowsPerBand + 2 * pair + 1) * lit(2147483648L) +
+        element_at(col("__sig"), b * rowsPerBand + 2 * pair + 2)
     val banded0 = sigs.select(col("__id"), posexplode(
       array((0 until bands).map(b =>
-        slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand)): _*))
-      .as(Seq("__band", "__bandvals")))
+        struct((0 until rowsPerBand / 2).map(p =>
+          packed(b, p).as(s"k$p")): _*)): _*))
+      .as(Seq("__band", "__bk")))
     val banded = maxBucketSize match {
       case None => banded0
       case Some(cap) =>
         banded0.withColumn("__bsz", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window
-              .partitionBy(col("__band"), col("__bandvals"))))
+              .partitionBy(col("__band"), col("__bk"))))
           .filter(col("__bsz") <= cap).drop("__bsz")
     }
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.__band") === col("b.__band") &&
-        col("a.__bandvals") === col("b.__bandvals") &&
+        col("a.__bk") === col("b.__bk") &&
         col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b")).distinct()
     val verified = pairs
