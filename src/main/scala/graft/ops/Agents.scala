@@ -43,6 +43,10 @@ object Agents {
     }
     if (trendS > 0.3) {
       candidates += "holt" -> ((d, h) => ForecastBaselines.holt(d, h))
+      candidates += "theta" -> ((d, h) =>
+        ForecastBaselines.multiForecast(d, h, Seq(
+          "theta" -> (ys => graft.kernels.Arima.thetaForecast(ys, h))))
+          .drop("model"))
       log += f"planner: trend strength $trendS%.2f → trend candidates"
     }
     candidates += "ses" -> ((d, h) => ForecastBaselines.ses(d, h))
