@@ -125,7 +125,7 @@ object Pipeline {
       fourier: Seq[(Double, Int)], targetTransform: Option[String],
       lam: Double, encodeId: Boolean,
       pastCovariates: Seq[String] = Nil, covLags: Seq[Int] = Nil,
-      futureCovariates: Seq[String] = Nil)
+      futureCovariates: Seq[String] = Nil, staticFeatures: Seq[String] = Nil)
 
   private def calendarFeature(name: String, us: Long): Double = {
     val dt = java.time.LocalDateTime.ofEpochSecond(us / 1000000L,
@@ -148,7 +148,7 @@ object Pipeline {
       fourier: Seq[(Double, Int)] = Nil, targetTransform: Option[String] = None,
       lam: Double = 0.5, encodeId: Boolean = false, l2: Double = 1e-3,
       pastCovariates: Seq[String] = Nil, pastCovariateLags: Seq[Int] = Nil,
-      futureCovariates: Seq[String] = Nil)(
+      futureCovariates: Seq[String] = Nil, staticFeatures: Seq[String] = Nil)(
       implicit pc: PanelCols): PipelineModel = {
     require(lags.nonEmpty, "pipeline needs at least lag features")
     val covLags = if (pastCovariateLags.nonEmpty) pastCovariateLags else lags
@@ -171,6 +171,10 @@ object Pipeline {
         covLags.map(k => s"pcov_${c}_lag_$k" ->
           lag(col(c).cast("double"), k).over(pc.w))) ++
       futureCovariates.map(c => s"fcov_$c" -> col(c).cast("double")) ++
+      // static per-series exogenous features (global_model.py
+      // static_features): constant per series, max() picks it deterministically
+      staticFeatures.map(c => s"static_$c" ->
+        max(col(c).cast("double")).over(pc.wAll)) ++
       (if (encodeId) Seq("id_mean" -> avg(y).over(pc.wAll)) else Nil) :+
       ("intercept" -> lit(1.0))
     val p = feats.length
@@ -192,7 +196,7 @@ object Pipeline {
     for (i <- 0 until p - 1) g(i)(i) += l2
     PipelineModel(graft.kernels.ArimaLite.solve(g, b), lags, rollingWindows,
       calendar, fourier, targetTransform, lam, encodeId,
-      pastCovariates, covLags, futureCovariates)
+      pastCovariates, covLags, futureCovariates, staticFeatures)
   }
 
   private def applyTransform(df: DataFrame, transform: Option[String],
@@ -223,7 +227,8 @@ object Pipeline {
     val bc = spark.sparkContext.broadcast(model)
     val u = udf((tail: Seq[Double], n: Long, lastUs: Long, freq: Long,
         idMean: Double, lastOrig: Double,
-        pcovTails: Seq[Seq[Double]], fcovSteps: Seq[Seq[Double]]) => {
+        pcovTails: Seq[Seq[Double]], fcovSteps: Seq[Seq[Double]],
+        staticVals: Seq[Double]) => {
       val m = bc.value
       val buf = scala.collection.mutable.ArrayBuffer(tail: _*)
       var integ = lastOrig
@@ -254,6 +259,7 @@ object Pipeline {
           val fs = fcovSteps(ci)
           x += (if (s - 1 < fs.length) fs(s - 1) else 0.0)
         }
+        staticVals.foreach(x += _)
         if (m.encodeId) x += idMean
         x += 1.0
         var pred = 0.0
@@ -273,6 +279,8 @@ object Pipeline {
       }.toArray
     })
     val y = pc.targetCol.cast("double")
+    val staticAgg = model.staticFeatures.map(c =>
+      max(col(c).cast("double")).as(s"__static_$c"))
     val pcovAgg = model.pastCovariates.map(c =>
       slice(sort_array(collect_list(struct(
         pc.orderCols :+ col(c).cast("double").as("__cv"): _*))),
@@ -281,9 +289,10 @@ object Pipeline {
       .agg(
         slice(sort_array(collect_list(struct(
           pc.orderCols :+ y.as("__v"): _*))), -keep, keep).as("__tail"),
-        (count(y).as("__n") +: avg(y).as("__idmean") +: pcovAgg): _*)
+        (count(y).as("__n") +: avg(y).as("__idmean") +: (pcovAgg ++ staticAgg)): _*)
       .select((pc.idCol +: col("__tail.__v").as("__tv") +: col("__n") +:
-        col("__idmean") +: model.pastCovariates.map(c => col(s"__pcov_$c"))): _*)
+        col("__idmean") +: (model.pastCovariates.map(c => col(s"__pcov_$c")) ++
+          model.staticFeatures.map(c => col(s"__static_$c")))): _*)
     val lastOrig = df.groupBy(pc.idCol)
       .agg(max_by(pc.targetCol.cast("double"), struct(pc.orderCols: _*)).as("__last"))
     val fcovArr =
@@ -310,7 +319,9 @@ object Pipeline {
       .join(tails, Seq(pc.id)).join(lastOrig, Seq(pc.id)))
       .withColumn("__fc", u(col("__tv"), col("__n"), col("last_us"),
         col("freq_us"), col("__idmean"), col("__last"),
-        pcovCol, col("__fcov")))
+        pcovCol, col("__fcov"),
+        (if (model.staticFeatures.isEmpty) typedLit(Seq.empty[Double])
+         else array(model.staticFeatures.map(c => col(s"__static_$c")): _*))))
       .select(pc.idCol, col("last_us"), col("freq_us"), col("__fc"),
         explode(sequence(lit(1L), lit(h.toLong))).as("step"))
       .withColumn(pc.time,

@@ -115,6 +115,12 @@ class ProbabilisticSpec extends AnyFunSuite {
     val p1 = fc(0).getDouble(3); val p2 = fc(1).getDouble(3); val p3 = fc(2).getDouble(3)
     assert(p1 - p2 > 3.0, s"promo lift not learned: $p1 vs $p2")
     assert(p3 - p2 > 3.0, s"promo lift not learned: $p3 vs $p2")
+    // static per-series features enter the design matrix
+    val withStatic = df.withColumn("store_type", lit(2.0))
+    val m2 = Pipeline.fitPipeline(withStatic, lags = Seq(1),
+      staticFeatures = Seq("store_type"))
+    val fc2 = Pipeline.pipelineForecast(withStatic, m2, h = 2)
+    assert(fc2.count() == 2)
     // adapter roundtrip preserves the panel
     val nested = Adapters.toSeriesDataset(df)
     assert(nested.count() == 1)
