@@ -295,22 +295,18 @@ object Pipeline {
           model.staticFeatures.map(c => col(s"__static_$c")))): _*)
     val lastOrig = df.groupBy(pc.idCol)
       .agg(max_by(pc.targetCol.cast("double"), struct(pc.orderCols: _*)).as("__last"))
-    val fcovArr =
-      if (model.futureCovariates.isEmpty)
-        typedLit(Seq.empty[Seq[Double]])
-      else null
-    val withFcov = futureDf match {
+    val withFcov: DataFrame => DataFrame = futureDf match {
       case Some(fd) if model.futureCovariates.nonEmpty =>
         val agg = fd.groupBy(pc.idCol).agg(
           array(model.futureCovariates.map(c =>
             sort_array(collect_list(struct(col("step"),
               col(c).cast("double").as("__fv")))).getField("__fv")): _*)
             .as("__fcov"))
-        (d: DataFrame) => d.join(agg, Seq(pc.id), "left")
+        d => d.join(agg, Seq(pc.id), "left")
           .withColumn("__fcov", coalesce(col("__fcov"),
             typedLit(Seq.empty[Seq[Double]])))
       case _ =>
-        (d: DataFrame) => d.withColumn("__fcov", fcovArr)
+        d => d.withColumn("__fcov", typedLit(Seq.empty[Seq[Double]]))
     }
     val pcovCol =
       if (model.pastCovariates.isEmpty) typedLit(Seq.empty[Seq[Double]])
