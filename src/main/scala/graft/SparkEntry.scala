@@ -826,7 +826,7 @@ object SparkEntry {
       import s.implicits._
       coef.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
         .toDF("coef_idx", "coef")
-        .select(col("coef_idx"), round(col("coef"), 6).as("coef"))
+        .select(col("coef_idx"), r6n(col("coef")).as("coef"))
     }),
 
     "ts_streaming_ets" -> ((s, dir) =>
@@ -2566,6 +2566,36 @@ object SparkEntry {
         |SELECT row_number() OVER (ORDER BY mae) AS rank, model,
         |  round(mae + 1e-9, 6) AS mae, round(rmse + 1e-9, 6) AS rmse
         |FROM agg""".stripMargin,
+
+    // streaming global ridge: the incremental Gram equals a batch Gram
+    // over lag features (ts-only ordering, as the keyed state folds)
+    "ts_streaming_ridge" -> {
+      val p = 4
+      val gName = Array.tabulate(p, p)((i, j) =>
+        if (i <= j) s"g_${i}_$j" else s"g_${j}_$i")
+      val withL2 = Array.tabulate(p, p)((i, j) =>
+        if (i == j && i < p - 1) s"(${gName(i)(j)} + 0.001)" else gName(i)(j))
+      val detA = detSql(withL2)
+      val coefCase = (0 until p).map { ci =>
+        val rep = Array.tabulate(p, p)((i, j) => if (j == ci) s"b_$i" else withL2(i)(j))
+        s"WHEN $ci THEN (${detSql(rep)}) / ($detA)"
+      }.mkString(" ")
+      s"""WITH f AS (SELECT value AS y,
+         |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS x0,
+         |  lag(value, 2) OVER (PARTITION BY user_id ORDER BY ts) AS x1,
+         |  lag(value, 3) OVER (PARTITION BY user_id ORDER BY ts) AS x2,
+         |  1.0::DOUBLE AS x3 FROM events),
+         |fc AS (SELECT * FROM f WHERE x0 IS NOT NULL AND x1 IS NOT NULL AND x2 IS NOT NULL),
+         |gram AS (SELECT
+         |  sum(x0*x0) AS g_0_0, sum(x0*x1) AS g_0_1, sum(x0*x2) AS g_0_2, sum(x0*x3) AS g_0_3,
+         |  sum(x1*x1) AS g_1_1, sum(x1*x2) AS g_1_2, sum(x1*x3) AS g_1_3,
+         |  sum(x2*x2) AS g_2_2, sum(x2*x3) AS g_2_3, sum(x3*x3) AS g_3_3,
+         |  sum(x0*y) AS b_0, sum(x1*y) AS b_1, sum(x2*y) AS b_2, sum(x3*y) AS b_3
+         |FROM fc)
+         |SELECT i.coef_idx,
+         |  round((CASE i.coef_idx $coefCase END) + 1e-9, 6) AS coef
+         |FROM gram CROSS JOIN (SELECT unnest(generate_series(0, 3))::INT AS coef_idx) i""".stripMargin
+    },
 
     // streaming Holt fold replayed with per-row (level, trend) history
     "ts_streaming_ets" ->
