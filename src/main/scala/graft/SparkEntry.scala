@@ -323,10 +323,10 @@ object SparkEntry {
         .select(col("user_id"), col("step"), col("ts"), r6n(col("y_hat")).as("y_hat"))),
 
     "ts_pairwise_dtw" -> ((s, dir) =>
-      Distances.pairwise(IO.events(s, dir), "dtw")),
+      pairwiseOracle(s, dir, "dtw")),
 
     "ts_pairwise_sbd" -> ((s, dir) =>
-      Distances.pairwise(IO.events(s, dir), "sbd")),
+      pairwiseOracle(s, dir, "sbd")),
 
     // ── clustering (distributed distances → driver cores → label table) ─
     "ts_kmedoids" -> ((s, dir) =>
@@ -935,28 +935,22 @@ object SparkEntry {
       Validation.slidingWindowCv(IO.events(s, dir), folds = 3, horizon = 24, window = 100)
         .groupBy(col("fold"), col("split")).agg(count(lit(1)).as("n_rows"))),
 
-    "ts_pairwise_msm" -> ((s, dir) =>
-      Distances.pairwise(IO.events(s, dir), "msm")),
-    "ts_pairwise_erp" -> ((s, dir) =>
-      Distances.pairwise(IO.events(s, dir), "erp")),
-    "ts_pairwise_twe" -> ((s, dir) =>
-      Distances.pairwise(IO.events(s, dir), "twe")),
-    "ts_pairwise_lcss" -> ((s, dir) =>
-      Distances.pairwise(IO.events(s, dir), "lcss")),
-    "ts_pairwise_edr" -> ((s, dir) =>
-      Distances.pairwise(IO.events(s, dir), "edr")),
-    "ts_pairwise_frechet" -> ((s, dir) =>
-      Distances.pairwise(IO.events(s, dir), "frechet")),
-    "ts_pairwise_wdtw" -> ((s, dir) =>
-      Distances.pairwise(IO.events(s, dir), "wdtw")),
-    "ts_pairwise_ddtw" -> ((s, dir) =>
-      Distances.pairwise(IO.events(s, dir), "ddtw")),
+    "ts_pairwise_msm" -> ((s, dir) => pairwiseOracle(s, dir, "msm")),
+    "ts_pairwise_erp" -> ((s, dir) => pairwiseOracle(s, dir, "erp")),
+    "ts_pairwise_twe" -> ((s, dir) => pairwiseOracle(s, dir, "twe")),
+    "ts_pairwise_lcss" -> ((s, dir) => pairwiseOracle(s, dir, "lcss")),
+    "ts_pairwise_edr" -> ((s, dir) => pairwiseOracle(s, dir, "edr")),
+    "ts_pairwise_frechet" -> ((s, dir) => pairwiseOracle(s, dir, "frechet")),
+    "ts_pairwise_wdtw" -> ((s, dir) => pairwiseOracle(s, dir, "wdtw")),
+    "ts_pairwise_ddtw" -> ((s, dir) => pairwiseOracle(s, dir, "ddtw")),
     "ts_pairwise_fastdtw" -> ((s, dir) =>
       Distances.pairwise(IO.events(s, dir), "dtw", Map("radius" -> 5.0))),
     "ts_pairwise_dtw_multi" -> ((s, dir) =>
       Distances.pairwiseMulti(
-        IO.events(s, dir).withColumn("value2", col("value") * 0.5 + 1.0),
-        Seq("value", "value2"), "dtw_multi")),
+        IO.events(s, dir).filter(expr(ElasticOracle.SeriesFilter))
+          .withColumn("value2", col("value") * 0.5 + 1.0),
+        Seq("value", "value2"), "dtw_multi")
+        .select(col("id_1"), col("id_2"), r6n(col("dtw_multi")).as("dtw_multi"))),
 
     // ── batch E: imaging, kshape, arima-lite, importance, kaboudan ──────
     "ts_impute_seasonal" -> ((s, dir) =>
@@ -1174,6 +1168,14 @@ object SparkEntry {
 
   /** Persistence forecast with synthetic quantile bands — shared input for
     * the calibration/CRPS queries. */
+  /** Oracle-checked pairwise elastic distance: 60-series subset (so the
+    * DuckDB nested-fold DP replay stays ~6 s per metric at sf0.01) and
+    * the shared 6-dp tie-nudged rounding on both engines. */
+  private def pairwiseOracle(s: SparkSession, dir: String, metric: String): DataFrame =
+    Distances.pairwise(
+      IO.events(s, dir).filter(expr(ElasticOracle.SeriesFilter)), metric)
+      .select(col("id_1"), col("id_2"), r6n(col(metric)).as(metric))
+
   private def persistenceQuantiles(s: SparkSession, dir: String): DataFrame =
     IO.events(s, dir)
       .withColumn("y_hat", lag(col("value"), 1).over(PC.w))
@@ -1279,7 +1281,13 @@ object SparkEntry {
   private val kfAcc =
     s"list_concat(list_concat([$kfX, $kfP], acc[3:]), [$kfX, $kfP, acc[1], $kfPp])"
 
-  def oracleSql: Map[String, String] = Map(
+  /** Nested-fold DP replays of the elastic kernels (see ElasticOracle). */
+  private val elasticOracles: Map[String, String] =
+    Seq("dtw", "ddtw", "wdtw", "msm", "erp", "lcss", "twe", "sbd",
+      "frechet", "edr", "dtw_multi")
+      .map(m => s"ts_pairwise_$m" -> ElasticOracle.sql(m)).toMap
+
+  def oracleSql: Map[String, String] = elasticOracles ++ Map(
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty,
