@@ -144,8 +144,10 @@ object SparkEntry {
       Changepoint.sensSlope(IO.events(s, dir))
         .select(col("user_id"), r6(col("sens_slope")).as("sens_slope"))),
 
+    // unpruned = exact optimal partitioning, replayable in the oracle;
+    // the pruned PELT path stays the production default (see Pelt.detect)
     "ts_pelt" -> ((s, dir) =>
-      Changepoint.pelt(IO.events(s, dir), "mean")),
+      Changepoint.pelt(IO.events(s, dir), "mean", prune = false)),
 
     "ts_bocpd" -> ((s, dir) =>
       Changepoint.bocpd(IO.events(s, dir), hazardRate = 200.0)
@@ -366,7 +368,7 @@ object SparkEntry {
     "ts_theta_fc" -> ((s, dir) =>
       ForecastBaselines.multiForecast(IO.events(s, dir), 7, Seq(
         "theta" -> (ys => graft.kernels.Arima.thetaForecast(ys, 7))))
-        .select(col("user_id"), col("step"), col("ts"), r6(col("y_hat")).as("y_hat"))),
+        .select(col("user_id"), col("step"), col("ts"), r6n(col("y_hat")).as("y_hat"))),
 
     "ts_auto_ets_fc" -> ((s, dir) =>
       ForecastBaselines.multiForecast(IO.events(s, dir), 7, Seq(
@@ -573,7 +575,7 @@ object SparkEntry {
       val g = graft.core.Panel.grouped(IO.events(s, dir))(PC)
         .select(col("user_id"), u(col("ys")).as("__sig"))
       (0 until 6).foldLeft(g)((d, i) =>
-        d.withColumn(s"sig_$i", r6(element_at(col("__sig"), i + 1)))).drop("__sig")
+        d.withColumn(s"sig_$i", r6n(element_at(col("__sig"), i + 1)))).drop("__sig")
     }),
 
     "ts_scientist" -> ((s, dir) => {
@@ -1288,6 +1290,9 @@ object SparkEntry {
       .map(m => s"ts_pairwise_$m" -> ElasticOracle.sql(m)).toMap
 
   def oracleSql: Map[String, String] = elasticOracles ++ Map(
+    "ts_theta_fc" -> ForecastOracle.thetaSql,
+    "ts_pelt" -> ForecastOracle.peltSql,
+    "ts_path_signature" -> ForecastOracle.pathSignatureSql,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty,

@@ -161,8 +161,15 @@ object Pelt {
   }
 
   /** Changepoint indices (1-based segment starts) for one series. */
+  /** `prune = false` disables PELT candidate pruning: exact optimal
+    * partitioning by full O(n²) scan. With `minSize > 1` the prune rule
+    * can drop a candidate that is unavailable-for-domination at the next
+    * `minSize - 1` steps (the dominating candidate t can't be used until
+    * t + minSize), so pruned and unpruned chains may legitimately differ;
+    * the oracle-checked query runs unpruned, the pruned path is the
+    * production/bench default. */
   def detect(data: Array[Double], costModel: Cost, penalty: Double,
-      minSize: Int = 2): Array[Long] = {
+      minSize: Int = 2, prune: Boolean = true): Array[Long] = {
     val n = data.length
     if (n < 2 * minSize) return Array.empty
     val cumsum = new Array[Double](n + 1)
@@ -220,7 +227,8 @@ object Pelt {
       }
       f(t) = bestCost
       lastCp(t) = bestS
-      candidates = candidates.filter(s => f(s) + segCost(s, t) <= f(t))
+      if (prune)
+        candidates = candidates.filter(s => f(s) + segCost(s, t) <= f(t))
       candidates += t
       t += 1
     }

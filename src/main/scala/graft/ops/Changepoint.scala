@@ -32,12 +32,12 @@ object Changepoint {
     * 0-based positions into the time-sorted series, matching the
     * reference's segment-start convention). Default penalty 2·ln n. */
   def pelt(df: DataFrame, cost: String = "mean", penalty: Option[Double] = None,
-      minSize: Int = 2)(implicit pc: PanelCols): DataFrame = {
+      minSize: Int = 2, prune: Boolean = true)(implicit pc: PanelCols): DataFrame = {
     val costModel = Pelt.cost(cost)
     val detectUdf = udf((ys: Seq[Double]) => {
       val arr = ys.toArray
       val pen = penalty.getOrElse(2.0 * math.log(arr.length.toDouble))
-      Pelt.detect(arr, costModel, pen, minSize)
+      Pelt.detect(arr, costModel, pen, minSize, prune)
     })
     Panel.grouped(df)
       .select(pc.idCol, col("ts").as("__ts"), detectUdf(col("ys")).as("__cps"))
