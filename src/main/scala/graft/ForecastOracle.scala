@@ -167,4 +167,167 @@ object ForecastOracle {
        |  round(list_reduce(list_prepend(0.0::DOUBLE,
        |    list_transform(generate_series(2, m), t -> cx[(t)::INT] * dx[(t)::INT])), (x, y) -> x + y) + 1e-9, 6) AS sig_5
        |FROM cum""".stripMargin
+
+  // ── STFT spectrogram summary (nperseg=32, hann, log1p, one-sided) ───
+  // Per (freq, frame) cell one constant-size [re, im] fold replays the
+  // Scala DFT accumulation order; the flat k-major list then reproduces
+  // `flatten.sum` addition order for the mean. The fold is written twice
+  // ([1] and [2]) because SQL has no let-binding — identical
+  // deterministic evaluation, just 2× work at sf0.01 scale.
+  private val specFold =
+    s"""list_reduce(list_prepend([0.0::DOUBLE, 0.0::DOUBLE],
+       |          list_transform(generate_series(0, 31), i -> [i::DOUBLE])),
+       |          (a, xi) -> [
+       |            a[1] + ext[(f*16 + xi[1])::INT + 1]*win[(xi[1])::INT + 1]*cos(-2.0*pi()*k*(xi[1])/32),
+       |            a[2] + ext[(f*16 + xi[1])::INT + 1]*win[(xi[1])::INT + 1]*sin(-2.0*pi()*k*(xi[1])/32)])""".stripMargin
+
+  val spectrogramSql: String =
+    s"""WITH v AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs, count(*)::INT AS n
+       |  FROM events GROUP BY user_id),
+       |e AS (SELECT user_id, n,
+       |  list_concat(list_concat(list_transform(generate_series(1, 16), i -> 0.0::DOUBLE), vs),
+       |              list_transform(generate_series(1, 16), i -> 0.0::DOUBLE)) AS ext,
+       |  list_transform(generate_series(0, 31), i -> 0.5 - 0.5*cos(2.0*pi()*i/32)) AS win,
+       |  n//16 + 1 AS nframes
+       |  FROM v),
+       |m AS (SELECT user_id, n, nframes,
+       |  flatten(list_transform(generate_series(0, 16), k ->
+       |    list_transform(generate_series(0, nframes - 1), f ->
+       |      ln(1.0::DOUBLE + sqrt(
+       |        ($specFold)[1]
+       |        **2 +
+       |        ($specFold)[2]
+       |        **2))
+       |    ))) AS flat
+       |  FROM e)
+       |SELECT user_id, 17 AS n_freq, nframes AS n_frames,
+       |  round(list_reduce(flat, (x, y) -> x + y) / len(flat) + 1e-9, 6) AS mean_mag,
+       |  round(list_max(flat) + 1e-9, 6) AS max_mag
+       |FROM m""".stripMargin
+
+  // ── Morlet CWT scalogram summary (8 log-spaced scales) ──────────────
+  private val scalFold =
+    s"""list_reduce(list_prepend([0.0::DOUBLE, 0.0::DOUBLE],
+       |          list_transform(generate_series(0, ms[si::INT]), j -> [j::DOUBLE])),
+       |          (a, xj) -> [
+       |            a[1] + CASE WHEN t0 + (xj[1])::INT - hs[si::INT] >= 0 AND t0 + (xj[1])::INT - hs[si::INT] < n THEN vs[(t0 + (xj[1])::INT - hs[si::INT])::INT + 1] * wre[si::INT][(xj[1])::INT + 1] ELSE 0.0::DOUBLE END,
+       |            a[2] - CASE WHEN t0 + (xj[1])::INT - hs[si::INT] >= 0 AND t0 + (xj[1])::INT - hs[si::INT] < n THEN vs[(t0 + (xj[1])::INT - hs[si::INT])::INT + 1] * wim[si::INT][(xj[1])::INT + 1] ELSE 0.0::DOUBLE END])""".stripMargin
+
+  val scalogramSql: String =
+    s"""WITH v AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs, count(*)::INT AS n
+       |  FROM events GROUP BY user_id),
+       |sc AS (SELECT user_id, vs, n,
+       |  list_transform(generate_series(0, 7), i ->
+       |    exp(0.0::DOUBLE + (ln(greatest(n/4.0, 2.0)) - 0.0::DOUBLE) * i / 7)) AS scales
+       |  FROM v),
+       |w AS (SELECT user_id, vs, n, scales,
+       |  list_transform(scales, s -> greatest(least((10*ceil(s))::INT, n), 1)) AS ms
+       |  FROM sc),
+       |wv AS (SELECT user_id, vs, n, scales, ms,
+       |  list_transform(generate_series(1, 8), si ->
+       |    list_transform(generate_series(0, ms[si::INT]), j ->
+       |      pow(pi(), -0.25) * cos(5.0*(j - ms[si::INT]//2)/scales[si::INT])
+       |        * exp(-0.5*((j - ms[si::INT]//2)/scales[si::INT])*((j - ms[si::INT]//2)/scales[si::INT])))) AS wre,
+       |  list_transform(generate_series(1, 8), si ->
+       |    list_transform(generate_series(0, ms[si::INT]), j ->
+       |      pow(pi(), -0.25) * sin(5.0*(j - ms[si::INT]//2)/scales[si::INT])
+       |        * exp(-0.5*((j - ms[si::INT]//2)/scales[si::INT])*((j - ms[si::INT]//2)/scales[si::INT])))) AS wim,
+       |  list_transform(generate_series(1, 8), si -> (ms[si::INT] + 1)//2) AS hs
+       |  FROM w),
+       |m AS (SELECT user_id, n,
+       |  flatten(list_transform(generate_series(1, 8), si ->
+       |    list_transform(generate_series(0, n - 1), t0 ->
+       |      sqrt(
+       |        ($scalFold)[1]**2 +
+       |        ($scalFold)[2]**2)
+       |    ))) AS flat
+       |  FROM wv)
+       |SELECT user_id, 8 AS n_scales,
+       |  round(list_reduce(flat, (x, y) -> x + y) / len(flat) + 1e-9, 6) AS mean_mag,
+       |  round(list_max(flat) + 1e-9, 6) AS max_mag
+       |FROM m""".stripMargin
+
+  // ── RQA + GASF trace + MTF mean over the z-normed / raw series ──────
+  // recurrence_rate and determinism are exact integer ratios; the GASF
+  // trace and MTF mean replay the Scala accumulation orders (row-major
+  // folds), with bins via the monotone-threshold count equivalence of
+  // the reference's while-loop binning. NOTE: lambda bodies inside CASE
+  // branches must stay single-line (DuckDB 1.0 parser quirk).
+  private def rqaRec(i: String, j: String): String =
+    s"(CASE WHEN abs(z[$i] - z[$j]) <= 0.2::DOUBLE THEN 1 ELSE 0 END)"
+
+  val rqaSql: String = {
+    val rec = rqaRec("i::INT", "j::INT")
+    val recD1 = rqaRec("i::INT - 1", "j::INT - 1")
+    val recD2 = rqaRec("i::INT + 1", "j::INT + 1")
+    val binExpr = (1 to 7).map(b =>
+      s"(CASE WHEN w > srt[(floor($b.0/8.0*(n-1)))::INT + 1] THEN 1 ELSE 0 END)")
+      .mkString(" +\n    ")
+    s"""WITH v AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs, count(*)::INT AS n
+       |  FROM events GROUP BY user_id),
+       |zz AS (SELECT user_id, vs, n,
+       |  list_reduce(vs, (x, y) -> x + y) / n AS mu
+       |  FROM v),
+       |z2 AS (SELECT user_id, vs, n,
+       |  sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(vs, w -> (w - mu)*(w - mu))),
+       |    (x, y) -> x + y) / n) AS sd, mu
+       |  FROM zz),
+       |z3 AS (SELECT user_id, vs, n,
+       |  CASE WHEN sd = 0.0 THEN list_transform(vs, w -> 0.0::DOUBLE)
+       |       ELSE list_transform(vs, w -> (w - mu)/sd) END AS z
+       |  FROM z2),
+       |cnt AS (SELECT user_id, vs, n, z,
+       |  list_sum(flatten(list_transform(generate_series(1, n), i ->
+       |    list_transform(generate_series(1, n), j ->
+       |      CASE WHEN i <> j AND $rec = 1 THEN 1 ELSE 0 END))))::BIGINT AS recur,
+       |  list_sum(flatten(list_transform(generate_series(1, n), i ->
+       |    list_transform(generate_series(1, n), j ->
+       |      CASE WHEN i <> j AND $rec = 1
+       |        AND ((i > 1 AND j > 1 AND $recD1 = 1)
+       |          OR (i < n AND j < n AND $recD2 = 1))
+       |      THEN 1 ELSE 0 END))))::BIGINT AS diag
+       |  FROM z3),
+       |tr AS (SELECT user_id, vs, n, recur, diag,
+       |  list_min(vs) AS mn, list_max(vs) AS mx FROM cnt),
+       |tr2 AS (SELECT user_id, vs, n, recur, diag,
+       |  list_reduce(list_prepend(0.0::DOUBLE,
+       |    CASE WHEN mx = mn THEN list_transform(vs, w -> cos(acos(0.0::DOUBLE) + acos(0.0::DOUBLE)))
+       |    ELSE list_transform(vs, w -> cos(acos(greatest(-1.0::DOUBLE, least(1.0::DOUBLE, 2.0*(w - mn)/(mx - mn) - 1.0))) + acos(greatest(-1.0::DOUBLE, least(1.0::DOUBLE, 2.0*(w - mn)/(mx - mn) - 1.0))))) END),
+       |    (x, y) -> x + y) / n AS trace,
+       |  mn, mx
+       |  FROM tr),
+       |b1 AS (SELECT user_id, vs, n, recur, diag, trace,
+       |  list_sort(vs) AS srt FROM tr2),
+       |b2 AS (SELECT user_id, vs, n, recur, diag, trace,
+       |  list_transform(vs, w ->
+       |    $binExpr) AS bins
+       |  FROM b1),
+       |wcnt AS (SELECT user_id, n, recur, diag, trace, bins,
+       |  list_reduce(
+       |    list_prepend(list_transform(generate_series(1, 64), k -> 0.0::DOUBLE),
+       |      list_transform(generate_series(1, n - 1), t -> [t::DOUBLE])),
+       |    (acc, x) -> list_transform(generate_series(1, 64), k ->
+       |      acc[k::INT] + CASE WHEN k = bins[(x[1])::INT] * 8 + bins[(x[1])::INT + 1] + 1 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END)) AS wflat
+       |  FROM b2),
+       |wnorm AS (SELECT user_id, n, recur, diag, trace, bins,
+       |  list_transform(generate_series(1, 64), k ->
+       |    CASE WHEN rs[((k - 1) // 8)::INT + 1] > 0 THEN wflat[k::INT] / rs[((k - 1) // 8)::INT + 1] ELSE wflat[k::INT] END) AS wn
+       |  FROM (SELECT *,
+       |    list_transform(generate_series(0, 7), r ->
+       |      wflat[(r*8)::INT + 1] + wflat[(r*8)::INT + 2] + wflat[(r*8)::INT + 3] + wflat[(r*8)::INT + 4] +
+       |      wflat[(r*8)::INT + 5] + wflat[(r*8)::INT + 6] + wflat[(r*8)::INT + 7] + wflat[(r*8)::INT + 8]) AS rs
+       |    FROM wcnt) q),
+       |mtf AS (SELECT user_id, n, recur, diag, trace,
+       |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, n), i ->
+       |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, n), j ->
+       |      wn[(bins[i::INT] * 8 + bins[j::INT] + 1)::INT])),
+       |      (x, y) -> x + y))),
+       |    (x, y) -> x + y) / (n::DOUBLE * n) AS mtf_mean
+       |  FROM wnorm)
+       |SELECT user_id, recur::DOUBLE / (n::BIGINT*n - n) AS recurrence_rate,
+       |  CASE WHEN recur = 0 THEN 0.0 ELSE diag::DOUBLE / recur END AS determinism,
+       |  round(trace + 1e-9, 6) AS gasf_trace_mean,
+       |  round(mtf_mean + 1e-9, 6) AS mtf_mean
+       |FROM mtf""".stripMargin
+  }
 }

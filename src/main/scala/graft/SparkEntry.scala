@@ -553,8 +553,8 @@ object SparkEntry {
       graft.core.Panel.grouped(IO.events(s, dir))(PC)
         .select(col("user_id"), u(col("ys")).as("__r"))
         .select(col("user_id"), col("__r._1").as("n_freq"),
-          col("__r._2").as("n_frames"), r6(col("__r._3")).as("mean_mag"),
-          r6(col("__r._4")).as("max_mag"))
+          col("__r._2").as("n_frames"), r6n(col("__r._3")).as("mean_mag"),
+          r6n(col("__r._4")).as("max_mag"))
     }),
 
     "ts_scalogram" -> ((s, dir) => {
@@ -566,7 +566,7 @@ object SparkEntry {
       graft.core.Panel.grouped(IO.events(s, dir))(PC)
         .select(col("user_id"), u(col("ys")).as("__r"))
         .select(col("user_id"), col("__r._1").as("n_scales"),
-          r6(col("__r._2")).as("mean_mag"), r6(col("__r._3")).as("max_mag"))
+          r6n(col("__r._2")).as("mean_mag"), r6n(col("__r._3")).as("max_mag"))
     }),
 
     "ts_path_signature" -> ((s, dir) => {
@@ -973,8 +973,8 @@ object SparkEntry {
       graft.core.Panel.grouped(IO.events(s, dir))(PC)
         .select(col("user_id"), u(col("ys")).as("__r"))
         .select(col("user_id"), col("__r._1").as("recurrence_rate"),
-          col("__r._2").as("determinism"), col("__r._3").as("gasf_trace_mean"),
-          col("__r._4").as("mtf_mean"))
+          col("__r._2").as("determinism"), r6n(col("__r._3")).as("gasf_trace_mean"),
+          r6n(col("__r._4")).as("mtf_mean"))
     }),
 
     "ts_arima_fc" -> ((s, dir) => {
@@ -1293,6 +1293,9 @@ object SparkEntry {
     "ts_theta_fc" -> ForecastOracle.thetaSql,
     "ts_pelt" -> ForecastOracle.peltSql,
     "ts_path_signature" -> ForecastOracle.pathSignatureSql,
+    "ts_spectrogram" -> ForecastOracle.spectrogramSql,
+    "ts_scalogram" -> ForecastOracle.scalogramSql,
+    "ts_imaging_rqa" -> ForecastOracle.rqaSql,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty,
