@@ -330,4 +330,175 @@ object ForecastOracle {
        |  round(mtf_mean + 1e-9, 6) AS mtf_mean
        |FROM mtf""".stripMargin
   }
+
+  // ── shared Cramer machinery (mirrors SparkEntry.detSql) ─────────────
+  private def det(m: Array[Array[String]]): String =
+    if (m.length == 1) m(0)(0)
+    else (0 until m.length).map { j =>
+      val minor = Array.tabulate(m.length - 1, m.length - 1)(
+        (r, c) => m(r + 1)(if (c < j) c else c + 1))
+      val sign = if (j % 2 == 0) "" else "-"
+      s"$sign ${m(0)(j)} * (${det(minor)})"
+    }.mkString(" + ").replace("+ -", "- ")
+
+  private def cramer(m: Array[Array[String]], b: Array[String]): Array[String] = {
+    val d = det(m)
+    Array.tabulate(b.length) { c =>
+      val rep = Array.tabulate(m.length, m.length)((r, cc) => if (cc == c) b(r) else m(r)(cc))
+      s"((${det(rep)}) / ($d))"
+    }
+  }
+
+  // ── ARIMA(2,1,0): diff → AR(2)+c normal equations (Cramer 3×3, vs the
+  // Spark side's partial-pivot LU — agreement within round-6 + nudge as
+  // established for the ridge oracles) → recursion fold → integrate ────
+  val arimaSql: String = {
+    val m = Array(
+      Array("sxx11", "sxx12", "sx1"),
+      Array("sxx12", "sxx22", "sx2"),
+      Array("sx1", "sx2", "cnt"))
+    val b = Array("sxy1", "sxy2", "sy")
+    val c = cramer(m, b)
+    s"""WITH v AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs, count(*)::INT AS n
+       |  FROM events GROUP BY user_id),
+       |dv AS (SELECT user_id, n - 1 AS nd, vs[n] AS lastv,
+       |  list_transform(generate_series(1, n - 1), i -> vs[i::INT + 1] - vs[i::INT]) AS d1
+       |  FROM v),
+       |r AS (SELECT user_id, nd, lastv, d1,
+       |  unnest(generate_series(3, nd)) AS t FROM dv),
+       |g AS (SELECT user_id, any_value(nd) AS nd, any_value(lastv) AS lastv, any_value(d1) AS d1,
+       |  sum(d1[t::INT - 1] * d1[t::INT - 1]) AS sxx11,
+       |  sum(d1[t::INT - 1] * d1[t::INT - 2]) AS sxx12,
+       |  sum(d1[t::INT - 2] * d1[t::INT - 2]) AS sxx22,
+       |  sum(d1[t::INT - 1]) AS sx1,
+       |  sum(d1[t::INT - 2]) AS sx2,
+       |  count(*)::DOUBLE AS cnt,
+       |  sum(d1[t::INT - 1] * d1[t::INT]) AS sxy1,
+       |  sum(d1[t::INT - 2] * d1[t::INT]) AS sxy2,
+       |  sum(d1[t::INT]) AS sy
+       |  FROM r GROUP BY user_id),
+       |co AS (SELECT user_id, nd, lastv, d1, ${c(0)} AS phi1, ${c(1)} AS phi2, ${c(2)} AS c0 FROM g),
+       |fc AS (SELECT user_id, lastv,
+       |  (list_reduce(
+       |    list_prepend([d1[nd - 1], d1[nd]],
+       |      list_transform(generate_series(1, 5), s -> [s::DOUBLE, 0.0::DOUBLE])),
+       |    (acc, x) -> list_append(acc, c0 + phi1*acc[len(acc)] + phi2*acc[len(acc) - 1])
+       |  ))[3:] AS dfc
+       |  FROM co),
+       |ic AS (SELECT user_id,
+       |  list_reduce(list_prepend([lastv], list_transform(dfc, w -> [w])),
+       |    (a, x) -> list_append(a, a[len(a)] + x[1]))[2:] AS ifc
+       |  FROM fc)
+       |SELECT user_id, unnest(generate_series(1, 5))::INT AS step,
+       |  round(unnest(ifc) + 1e-9, 6) AS y_hat
+       |FROM ic""".stripMargin
+  }
+
+  // ── Granger causality (p = 2): restricted 3×3 / full 5×5 Cramer OLS;
+  // F survival via the closed form I_x(a, 1) = x^a (the Scala Lentz
+  // continued fraction agrees to ~1e-12, inside the nudge) ─────────────
+  val grangerSql: String = {
+    val mr = Array(
+      Array("ry11", "ry12", "ry1o"),
+      Array("ry12", "ry22", "ry2o"),
+      Array("ry1o", "ry2o", "cnt"))
+    val br = Array("ry1y", "ry2y", "ryy1")
+    val mf = Array(
+      Array("ry11", "ry12", "m13", "m14", "ry1o"),
+      Array("ry12", "ry22", "m23", "m24", "ry2o"),
+      Array("m13", "m23", "m33", "m34", "m3o"),
+      Array("m14", "m24", "m34", "m44", "m4o"),
+      Array("ry1o", "ry2o", "m3o", "m4o", "cnt"))
+    val bf = Array("ry1y", "ry2y", "b3", "b4", "ryy1")
+    val cr = cramer(mr, br)
+    val cf = cramer(mf, bf)
+    s"""WITH wide AS (
+       |  SELECT date_trunc('day', ts) AS d,
+       |    coalesce(avg(value) FILTER (event_type = (SELECT min(event_type) FROM events WHERE event_type > (SELECT min(event_type) FROM events))), 0.0) AS eff,
+       |    coalesce(avg(value) FILTER (event_type = (SELECT min(event_type) FROM events)), 0.0) AS cau
+       |  FROM events GROUP BY 1),
+       |o AS (SELECT eff, cau, row_number() OVER (ORDER BY d) AS rn FROM wide),
+       |r AS (SELECT a.eff AS y, y1.eff AS y1, y2.eff AS y2, y1.cau AS x1, y2.cau AS x2
+       |  FROM o a JOIN o y1 ON y1.rn = a.rn - 1 JOIN o y2 ON y2.rn = a.rn - 2),
+       |g AS (SELECT
+       |  sum(y1*y1) AS ry11, sum(y1*y2) AS ry12, sum(y2*y2) AS ry22,
+       |  sum(y1) AS ry1o, sum(y2) AS ry2o, count(*)::DOUBLE AS cnt,
+       |  sum(y1*x1) AS m13, sum(y1*x2) AS m14, sum(y2*x1) AS m23, sum(y2*x2) AS m24,
+       |  sum(x1*x1) AS m33, sum(x1*x2) AS m34, sum(x2*x2) AS m44,
+       |  sum(x1) AS m3o, sum(x2) AS m4o,
+       |  sum(y1*y) AS ry1y, sum(y2*y) AS ry2y, sum(x1*y) AS b3, sum(x2*y) AS b4,
+       |  sum(y) AS ryy1
+       |  FROM r),
+       |br AS (SELECT ${cr(0)} AS br1, ${cr(1)} AS br2, ${cr(2)} AS br3 FROM g),
+       |bf AS (SELECT ${cf(0)} AS bf1, ${cf(1)} AS bf2, ${cf(2)} AS bf3, ${cf(3)} AS bf4, ${cf(4)} AS bf5 FROM g),
+       |srs AS (SELECT
+       |  (SELECT sum((y - (br1*y1 + br2*y2 + br3))*(y - (br1*y1 + br2*y2 + br3))) FROM r, br) AS ssr_r,
+       |  (SELECT sum((y - (bf1*y1 + bf2*y2 + bf3*x1 + bf4*x2 + bf5))*(y - (bf1*y1 + bf2*y2 + bf3*x1 + bf4*x2 + bf5))) FROM r, bf) AS ssr_f,
+       |  (SELECT count(*)::INT FROM r) AS nr),
+       |ff AS (SELECT ((ssr_r - ssr_f)/2.0) / (ssr_f/(nr - 5)) AS f, nr FROM srs)
+       |SELECT round(f + 1e-9, 6) AS f_stat,
+       |  round((CASE WHEN f <= 0 THEN 1.0 ELSE pow((nr - 5)/((nr - 5) + 2.0*f), (nr - 5)/2.0) END) + 1e-9, 6) AS p_value
+       |FROM ff""".stripMargin
+  }
+
+  // ── DBSCAN over SBD (60-series subset, eps 0.3, minPts 3): core =
+  // neighbor count (self included), clusters = connected components of
+  // the core graph (recursive closure on scalar columns), cluster ids =
+  // dense rank of each component's first string-sorted core index
+  // (replays the Scala scan-order numbering), border points take the
+  // lowest-numbered adjacent cluster, else noise -1 ─────────────────────
+  val dbscanSql: String = {
+    val sbdExpr =
+      """CASE WHEN sqrt(list_reduce(list_transform(va, v -> v*v), (x, y) -> x + y)) *
+        |          sqrt(list_reduce(list_transform(vb, v -> v*v), (x, y) -> x + y)) = 0.0
+        |  THEN 1.0::DOUBLE
+        |  ELSE 1.0::DOUBLE - list_max(
+        |    list_transform(generate_series(0, n + m - 2), k ->
+        |      list_reduce(
+        |        list_prepend(0.0::DOUBLE,
+        |          list_transform(generate_series(greatest(1, (k::INT - m + 1) + 1), least(n, m + (k::INT - m + 1))),
+        |            ii -> va[ii::INT] * vb[(ii - (k::INT - m + 1))::INT])),
+        |        (x, y) -> x + y)
+        |    )) / (sqrt(list_reduce(list_transform(va, v -> v*v), (x, y) -> x + y)) *
+        |          sqrt(list_reduce(list_transform(vb, v -> v*v), (x, y) -> x + y)))
+        |END""".stripMargin
+    s"""WITH RECURSIVE s AS (
+       |  SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+       |  FROM events WHERE ${ElasticOracle.SeriesFilter} GROUP BY user_id),
+       |si AS (SELECT user_id, row_number() OVER (ORDER BY user_id::VARCHAR) - 1 AS sidx FROM s),
+       |p AS (SELECT a.user_id AS u1, b.user_id AS u2, a.vs AS va, b.vs AS vb,
+       |  len(a.vs)::INT AS n, len(b.vs)::INT AS m
+       |  FROM s a JOIN s b ON a.user_id < b.user_id),
+       |dh AS (SELECT u1, u2, ($sbdExpr) AS d FROM p),
+       |sym AS (
+       |  SELECT u1 AS ua, u2 AS ub, d FROM dh
+       |  UNION ALL SELECT u2, u1, d FROM dh
+       |  UNION ALL SELECT user_id, user_id, 0.0::DOUBLE FROM s),
+       |core AS (SELECT ua AS u, count(*) >= 3 AS is_core
+       |  FROM sym WHERE d <= 0.3 GROUP BY ua),
+       |coreids AS (SELECT c.u, s2.sidx FROM core c JOIN si s2 ON s2.user_id = c.u WHERE c.is_core),
+       |edges AS (SELECT y.ua, y.ub FROM sym y
+       |  JOIN coreids c1 ON c1.u = y.ua JOIN coreids c2 ON c2.u = y.ub
+       |  WHERE y.d <= 0.3),
+       |reach AS (
+       |  SELECT u AS src, u AS dst FROM coreids
+       |  UNION
+       |  SELECT r.src, e.ub FROM reach r JOIN edges e ON e.ua = r.dst
+       |),
+       |comp AS (SELECT r.src AS u, min(s2.sidx) AS rep
+       |  FROM reach r JOIN si s2 ON s2.user_id = r.dst GROUP BY r.src),
+       |clus AS (SELECT u, (dense_rank() OVER (ORDER BY rep) - 1)::INT AS cluster FROM comp),
+       |border AS (
+       |  SELECT y.ua AS u, min(cl.cluster) AS cluster
+       |  FROM sym y
+       |  JOIN coreids c2 ON c2.u = y.ub
+       |  JOIN clus cl ON cl.u = y.ub
+       |  LEFT JOIN coreids c1 ON c1.u = y.ua
+       |  WHERE y.d <= 0.3 AND c1.u IS NULL AND y.ua <> y.ub
+       |  GROUP BY y.ua)
+       |SELECT s.user_id, coalesce(cl.cluster, b.cluster, -1) AS cluster
+       |FROM s
+       |LEFT JOIN clus cl ON cl.u = s.user_id
+       |LEFT JOIN border b ON b.u = s.user_id""".stripMargin
+  }
 }

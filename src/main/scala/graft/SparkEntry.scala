@@ -334,8 +334,11 @@ object SparkEntry {
     "ts_kmedoids" -> ((s, dir) =>
       Clustering.kmedoids(IO.events(s, dir), k = 3, metric = "sbd")),
 
+    // 60-series subset + eps tuned so the labeling is discriminative
+    // (3 groups) and the oracle's SBD replay stays ~7 s
     "ts_dbscan" -> ((s, dir) =>
-      Clustering.dbscanCluster(IO.events(s, dir), eps = 0.35, minPts = 3, metric = "sbd")),
+      Clustering.dbscanCluster(IO.events(s, dir).filter(expr(ElasticOracle.SeriesFilter)),
+        eps = 0.3, minPts = 3, metric = "sbd")),
 
     "ts_agglomerative" -> ((s, dir) =>
       Clustering.agglomerativeCluster(IO.events(s, dir), k = 3, metric = "sbd")),
@@ -419,6 +422,7 @@ object SparkEntry {
       val (f, p) = VarModels.granger(wide, cols(0), cols(1), p = 2)(PanelCols(time = "ts"))
       import s.implicits._
       Seq((f, p)).toDF("f_stat", "p_value")
+        .select(r6n(col("f_stat")).as("f_stat"), r6n(col("p_value")).as("p_value"))
     }),
 
     "ts_reconcile_bu" -> ((s, dir) => {
@@ -983,7 +987,7 @@ object SparkEntry {
       graft.core.Panel.grouped(IO.events(s, dir))(PC)
         .select(col("user_id"), posexplode(u(col("ys"))).as(Seq("__i", "y_hat")))
         .withColumn("step", col("__i") + 1)
-        .select("user_id", "step", "y_hat")
+        .select(col("user_id"), col("step"), r6n(col("y_hat")).as("y_hat"))
     }),
 
     // distributed k-shape: raw series stay on executors; only k len×len
@@ -1296,6 +1300,9 @@ object SparkEntry {
     "ts_spectrogram" -> ForecastOracle.spectrogramSql,
     "ts_scalogram" -> ForecastOracle.scalogramSql,
     "ts_imaging_rqa" -> ForecastOracle.rqaSql,
+    "ts_arima_fc" -> ForecastOracle.arimaSql,
+    "ts_granger" -> ForecastOracle.grangerSql,
+    "ts_dbscan" -> ForecastOracle.dbscanSql,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty,
