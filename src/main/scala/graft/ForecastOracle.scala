@@ -501,4 +501,70 @@ object ForecastOracle {
        |LEFT JOIN clus cl ON cl.u = s.user_id
        |LEFT JOIN border b ON b.u = s.user_id""".stripMargin
   }
+
+  /** Shortest-exact double literal for DuckDB: E-notation parses directly
+    * as DOUBLE (approximate numeric literal), avoiding the DECIMAL
+    * round-trip a plain decimal literal would take. */
+  private def dlit(v: Double): String = {
+    val s = "%.17e".format(v)
+    s
+  }
+
+  // ── ROCKET (20 seeded kernels): the bank is a pure function of
+  // seed 42, so the generator inlines the exact weights/bias/dilation/
+  // padding as literals and replays the dilated-convolution ppv/max in
+  // the Scala accumulation order ───────────────────────────────────────
+  val rocketSql: String = {
+    val bank = graft.kernels.Rocket.randomKernels(20, 64, 42L)
+    val cols = bank.zipWithIndex.flatMap { case (k, ki) =>
+      val len = k.weights.length
+      val span = (len - 1) * k.dilation
+      // conv value at 1-based window w (i = w - 1 - padding):
+      val terms = (0 until len).map { j =>
+        val off = j * k.dilation
+        s"(CASE WHEN (w - 1 - ${k.padding}) + $off >= 0 AND (w - 1 - ${k.padding}) + $off < n " +
+          s"THEN ${dlit(k.weights(j))}::DOUBLE * vs[(w - 1 - ${k.padding}) + $off + 1] ELSE 0.0::DOUBLE END)"
+      }.mkString(" + ")
+      val cnt = s"(n - 1 + ${k.padding} - $span) - (-${k.padding}) + 1"
+      val conv = s"list_transform(generate_series(1, $cnt), w -> ${dlit(k.bias)}::DOUBLE + $terms)"
+      Seq(
+        s"CASE WHEN $cnt <= 0 THEN 0.0::DOUBLE ELSE " +
+          s"list_sum(list_transform($conv, v -> CASE WHEN v > 0 THEN 1 ELSE 0 END))::DOUBLE / ($cnt) END AS rocket_${2 * ki}",
+        s"CASE WHEN $cnt <= 0 THEN 0.0::DOUBLE ELSE list_max($conv) END AS rocket_${2 * ki + 1}")
+    }
+    s"""WITH v AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs, count(*)::INT AS n
+       |  FROM events GROUP BY user_id)
+       |SELECT user_id,
+       |${cols.mkString(",\n")}
+       |FROM v""".stripMargin
+  }
+
+  // ── MiniRocket: fixed C(9,3)=84 bank, dilation cycled {1,2,4,8},
+  // bias = median of each pattern's own convolution, PPV features ──────
+  val miniRocketSql: String = {
+    val combos = (for {
+      a <- 0 until 9; b <- a + 1 until 9; c <- b + 1 until 9
+    } yield (a, b, c)).toArray
+    val dilations = Array(1, 2, 4, 8)
+    val convDefs = combos.zipWithIndex.map { case ((a, b, c), ci) =>
+      val d = dilations(ci % dilations.length)
+      val terms = (0 until 9).map { j =>
+        val wj = if (j == a || j == b || j == c) "2.0::DOUBLE" else "(-1.0::DOUBLE)"
+        s"$wj * vs[i::INT + ${j * d}]"
+      }.mkString(" + ")
+      s"CASE WHEN n > ${8 * d} THEN list_transform(generate_series(1, n - ${8 * d}), i -> 0.0::DOUBLE + $terms) ELSE []::DOUBLE[] END AS conv_$ci"
+    }
+    val featDefs = combos.indices.map { ci =>
+      s"CASE WHEN len(conv_$ci) = 0 THEN 0.0::DOUBLE ELSE " +
+        s"list_sum(list_transform(conv_$ci, v -> CASE WHEN v > list_sort(conv_$ci)[len(conv_$ci)//2 + 1] THEN 1 ELSE 0 END))::DOUBLE / len(conv_$ci) END AS minirocket_$ci"
+    }
+    s"""WITH v AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs, count(*)::INT AS n
+       |  FROM events GROUP BY user_id),
+       |cv AS (SELECT user_id,
+       |${convDefs.mkString(",\n")}
+       |FROM v)
+       |SELECT user_id,
+       |${featDefs.mkString(",\n")}
+       |FROM cv""".stripMargin
+  }
 }

@@ -1301,6 +1301,8 @@ object SparkEntry {
     "ts_scalogram" -> ForecastOracle.scalogramSql,
     "ts_imaging_rqa" -> ForecastOracle.rqaSql,
     "ts_arima_fc" -> ForecastOracle.arimaSql,
+    "ts_rocket" -> ForecastOracle.rocketSql,
+    "ts_minirocket" -> ForecastOracle.miniRocketSql,
     "ts_granger" -> ForecastOracle.grangerSql,
     "ts_dbscan" -> ForecastOracle.dbscanSql,
     "q1_agg" ->
