@@ -502,6 +502,116 @@ object ForecastOracle {
        |LEFT JOIN border b ON b.u = s.user_id""".stripMargin
   }
 
+  /** Shared CTE prefix: symmetric SBD distance table over the 60-series
+    * subset (diag included) plus string-sort scan indexes and the
+    * deterministic mod-3 labels used by the cluster-metric oracles. */
+  private val sbdSymPrefix: String = {
+    val sbdExpr =
+      """CASE WHEN sqrt(list_reduce(list_transform(va, v -> v*v), (x, y) -> x + y)) *
+        |          sqrt(list_reduce(list_transform(vb, v -> v*v), (x, y) -> x + y)) = 0.0
+        |  THEN 1.0::DOUBLE
+        |  ELSE 1.0::DOUBLE - list_max(
+        |    list_transform(generate_series(0, n + m - 2), k ->
+        |      list_reduce(
+        |        list_prepend(0.0::DOUBLE,
+        |          list_transform(generate_series(greatest(1, (k::INT - m + 1) + 1), least(n, m + (k::INT - m + 1))),
+        |            ii -> va[ii::INT] * vb[(ii - (k::INT - m + 1))::INT])),
+        |        (x, y) -> x + y)
+        |    )) / (sqrt(list_reduce(list_transform(va, v -> v*v), (x, y) -> x + y)) *
+        |          sqrt(list_reduce(list_transform(vb, v -> v*v), (x, y) -> x + y)))
+        |END""".stripMargin
+    s"""s AS (
+       |  SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+       |  FROM events WHERE ${ElasticOracle.SeriesFilter} GROUP BY user_id),
+       |si AS (SELECT user_id, row_number() OVER (ORDER BY user_id::VARCHAR) - 1 AS sidx FROM s),
+       |p AS (SELECT a.user_id AS u1, b.user_id AS u2, a.vs AS va, b.vs AS vb,
+       |  len(a.vs)::INT AS n, len(b.vs)::INT AS m
+       |  FROM s a JOIN s b ON a.user_id < b.user_id),
+       |dh AS (SELECT u1, u2, ($sbdExpr) AS d FROM p),
+       |sym AS (
+       |  SELECT u1 AS ua, u2 AS ub, d FROM dh
+       |  UNION ALL SELECT u2, u1, d FROM dh
+       |  UNION ALL SELECT user_id, user_id, 0.0::DOUBLE FROM s),
+       |lab AS (SELECT user_id, (user_id % 3)::INT AS cluster FROM s)""".stripMargin
+  }
+
+  /** Silhouette per sample: a/b means folded in string-sort scan order. */
+  val silhouetteSamplesSql: String =
+    s"""WITH $sbdSymPrefix,
+       |pairs AS (SELECT y.ua, y.ub, y.d, la.cluster AS ca, lb.cluster AS cb, sb.sidx AS sj
+       |  FROM sym y JOIN lab la ON la.user_id = y.ua JOIN lab lb ON lb.user_id = y.ub
+       |  JOIN si sb ON sb.user_id = y.ub
+       |  WHERE y.ua <> y.ub),
+       |aa AS (SELECT ua, list_reduce(list_prepend(0.0::DOUBLE, list(d ORDER BY sj)), (x, y) -> x + y)
+       |    / count(*) AS ai
+       |  FROM pairs WHERE ca = cb GROUP BY ua),
+       |bb AS (SELECT ua, min(mb) AS bi FROM (
+       |  SELECT ua, cb, list_reduce(list_prepend(0.0::DOUBLE, list(d ORDER BY sj)), (x, y) -> x + y)
+       |      / count(*) AS mb
+       |  FROM pairs WHERE ca <> cb GROUP BY ua, cb) q GROUP BY ua)
+       |SELECT s.user_id, (s.user_id % 3)::INT AS cluster,
+       |  round((CASE WHEN greatest(ai, bi) > 0 THEN (bi - ai)/greatest(ai, bi) ELSE 0.0::DOUBLE END) + 1e-9, 6) AS silhouette
+       |FROM s JOIN aa ON aa.ua = s.user_id JOIN bb ON bb.ua = s.user_id""".stripMargin
+
+  /** Medoid Calinski-Harabasz over the same labeling. */
+  val calinskiSql: String =
+    s"""WITH $sbdSymPrefix,
+       |insum AS (SELECT y.ua AS i, la.cluster AS c, sum(y.d) AS sd
+       |  FROM sym y JOIN lab la ON la.user_id = y.ua JOIN lab lb ON lb.user_id = y.ub
+       |  WHERE lb.cluster = la.cluster GROUP BY y.ua, la.cluster),
+       |med AS (SELECT c, i AS medoid FROM (
+       |  SELECT c, i, row_number() OVER (PARTITION BY c ORDER BY sd, (SELECT sidx FROM si WHERE si.user_id = i)) AS rk
+       |  FROM insum) q WHERE rk = 1),
+       |gsum AS (SELECT y.ua AS i, sum(y.d) AS sd FROM sym y GROUP BY y.ua),
+       |gmed AS (SELECT i AS gmedoid FROM (
+       |  SELECT i, row_number() OVER (ORDER BY sd, (SELECT sidx FROM si WHERE si.user_id = i)) AS rk
+       |  FROM gsum) q WHERE rk = 1),
+       |wk AS (SELECT sum(y.d * y.d) AS wk FROM sym y
+       |  JOIN lab la ON la.user_id = y.ua JOIN med m ON m.c = la.cluster AND m.medoid = y.ub),
+       |bk AS (SELECT sum(cnt * dd * dd) AS bk FROM (
+       |  SELECT m.c, (SELECT count(*) FROM lab WHERE lab.cluster = m.c) AS cnt,
+       |    (SELECT y.d FROM sym y JOIN gmed g ON g.gmedoid = y.ub WHERE y.ua = m.medoid) AS dd
+       |  FROM med m) q),
+       |dims AS (SELECT count(*)::INT AS n FROM s)
+       |SELECT round((CASE WHEN wk.wk = 0 THEN 0.0::DOUBLE
+       |  ELSE (bk.bk / (3 - 1)) / (wk.wk / (dims.n - 3)) END) + 1e-9, 6) AS calinski_harabasz
+       |FROM wk, bk, dims""".stripMargin
+
+  /** Mean silhouette + medoid Davies-Bouldin, one row. */
+  val clusterEvalSql: String =
+    s"""WITH $sbdSymPrefix,
+       |pairs AS (SELECT y.ua, y.ub, y.d, la.cluster AS ca, lb.cluster AS cb, sb.sidx AS sj
+       |  FROM sym y JOIN lab la ON la.user_id = y.ua JOIN lab lb ON lb.user_id = y.ub
+       |  JOIN si sb ON sb.user_id = y.ub
+       |  WHERE y.ua <> y.ub),
+       |aa AS (SELECT ua, list_reduce(list_prepend(0.0::DOUBLE, list(d ORDER BY sj)), (x, y) -> x + y)
+       |    / count(*) AS ai FROM pairs WHERE ca = cb GROUP BY ua),
+       |bb AS (SELECT ua, min(mb) AS bi FROM (
+       |  SELECT ua, cb, list_reduce(list_prepend(0.0::DOUBLE, list(d ORDER BY sj)), (x, y) -> x + y)
+       |      / count(*) AS mb
+       |  FROM pairs WHERE ca <> cb GROUP BY ua, cb) q GROUP BY ua),
+       |sil AS (SELECT avg((bi - ai) / greatest(ai, bi)) AS silhouette FROM aa JOIN bb USING (ua)),
+       |insum AS (SELECT y.ua AS i, la.cluster AS c, sum(y.d) AS sd
+       |  FROM sym y JOIN lab la ON la.user_id = y.ua JOIN lab lb ON lb.user_id = y.ub
+       |  WHERE lb.cluster = la.cluster GROUP BY y.ua, la.cluster),
+       |med AS (SELECT c, i AS medoid FROM (
+       |  SELECT c, i, row_number() OVER (PARTITION BY c ORDER BY sd, (SELECT sidx FROM si WHERE si.user_id = i)) AS rk
+       |  FROM insum) q WHERE rk = 1),
+       |scat AS (SELECT m.c, sum(y.d) / count(*) AS sc
+       |  FROM sym y JOIN lab la ON la.user_id = y.ua
+       |  JOIN med m ON m.c = la.cluster AND m.medoid = y.ub
+       |  GROUP BY m.c),
+       |seps AS (SELECT ma.c AS c1, mb.c AS c2, y.d AS sep
+       |  FROM med ma JOIN med mb ON ma.c <> mb.c
+       |  JOIN sym y ON y.ua = ma.medoid AND y.ub = mb.medoid),
+       |worst AS (SELECT s1.c1, max(CASE WHEN s1.sep > 0 THEN (sa.sc + sb.sc) / s1.sep ELSE 0.0::DOUBLE END) AS w
+       |  FROM seps s1 JOIN scat sa ON sa.c = s1.c1 JOIN scat sb ON sb.c = s1.c2
+       |  GROUP BY s1.c1),
+       |db AS (SELECT sum(w) / 3.0 AS davies_bouldin FROM worst)
+       |SELECT round(sil.silhouette + 1e-9, 6) AS silhouette,
+       |  round(db.davies_bouldin + 1e-9, 6) AS davies_bouldin
+       |FROM sil, db""".stripMargin
+
   /** Shortest-exact double literal for DuckDB: E-notation parses directly
     * as DOUBLE (approximate numeric literal), avoiding the DECIMAL
     * round-trip a plain decimal literal would take. */

@@ -344,8 +344,10 @@ object SparkEntry {
       Clustering.agglomerativeCluster(IO.events(s, dir), k = 3, metric = "sbd")),
 
     "ts_cluster_eval" -> ((s, dir) => {
-      val ev = IO.events(s, dir)
-      Clustering.evaluate(ev, Clustering.kmedoids(ev, k = 3, metric = "sbd"), metric = "sbd")
+      val ev = IO.events(s, dir).filter(expr(ElasticOracle.SeriesFilter))
+      Clustering.evaluate(ev, mod3Labels(ev), metric = "sbd")
+        .select(r6n(col("silhouette")).as("silhouette"),
+          r6n(col("davies_bouldin")).as("davies_bouldin"))
     }),
 
     // ── advanced kernels ────────────────────────────────────────────────
@@ -719,18 +721,19 @@ object SparkEntry {
         Map("q_10" -> 0.1, "q_50" -> 0.5, "q_90" -> 0.9))
         .select(col("expected"), r6(col("observed")).as("observed"))),
 
+    // deterministic mod-3 labels: the op under test is the METRIC, so a
+    // SQL-expressible labeling makes it oracle-checkable (the clusterers
+    // themselves are exercised by their own label queries)
     "ts_silhouette_samples" -> ((s, dir) => {
-      val ev = IO.events(s, dir)
-      val labels = Clustering.kmedoids(ev, k = 3, metric = "sbd")
-      Clustering.silhouetteSamples(ev, labels, metric = "sbd")
-        .select(col("user_id"), col("cluster"), r6(col("silhouette")).as("silhouette"))
+      val ev = IO.events(s, dir).filter(expr(ElasticOracle.SeriesFilter))
+      Clustering.silhouetteSamples(ev, mod3Labels(ev), metric = "sbd")
+        .select(col("user_id"), col("cluster"), r6n(col("silhouette")).as("silhouette"))
     }),
 
     "ts_calinski" -> ((s, dir) => {
-      val ev = IO.events(s, dir)
-      val labels = Clustering.kmedoids(ev, k = 3, metric = "sbd")
-      Clustering.calinskiHarabasz(ev, labels, metric = "sbd")
-        .select(r6(col("calinski_harabasz")).as("calinski_harabasz"))
+      val ev = IO.events(s, dir).filter(expr(ElasticOracle.SeriesFilter))
+      Clustering.calinskiHarabasz(ev, mod3Labels(ev), metric = "sbd")
+        .select(r6n(col("calinski_harabasz")).as("calinski_harabasz"))
     }),
 
     // supply-chain pack: naive forecast → promo lift → inventory policy
@@ -1174,6 +1177,12 @@ object SparkEntry {
 
   /** Persistence forecast with synthetic quantile bands — shared input for
     * the calibration/CRPS queries. */
+  /** Deterministic 3-way labeling for the oracle-checked cluster-metric
+    * queries: cluster = user_id mod 3. */
+  private def mod3Labels(ev: DataFrame): DataFrame =
+    ev.select(col("user_id")).distinct()
+      .withColumn("cluster", pmod(col("user_id"), lit(3)).cast("int"))
+
   /** Oracle-checked pairwise elastic distance: 60-series subset (so the
     * DuckDB nested-fold DP replay stays ~6 s per metric at sf0.01) and
     * the shared 6-dp tie-nudged rounding on both engines. */
@@ -1303,6 +1312,9 @@ object SparkEntry {
     "ts_arima_fc" -> ForecastOracle.arimaSql,
     "ts_rocket" -> ForecastOracle.rocketSql,
     "ts_minirocket" -> ForecastOracle.miniRocketSql,
+    "ts_silhouette_samples" -> ForecastOracle.silhouetteSamplesSql,
+    "ts_calinski" -> ForecastOracle.calinskiSql,
+    "ts_cluster_eval" -> ForecastOracle.clusterEvalSql,
     "ts_granger" -> ForecastOracle.grangerSql,
     "ts_dbscan" -> ForecastOracle.dbscanSql,
     "q1_agg" ->
