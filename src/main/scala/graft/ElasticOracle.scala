@@ -67,6 +67,10 @@ object ElasticOracle {
 
   private val dtwSql = dtwExpr(s"abs($AI - $BJ)")
 
+  /** The plain-DTW fold over columns va/vb/n/m — reused by the
+    * cross-panel kNN-classify oracle. */
+  def dtwFoldExpr: String = dtwSql
+
   /** ddtw: DTW over Keogh-Pazzani derivatives (endpoints dropped). */
   private val derivCte =
     """pd AS (SELECT id_1, id_2,

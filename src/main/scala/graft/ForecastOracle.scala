@@ -620,6 +620,138 @@ object ForecastOracle {
     s
   }
 
+  // ── kNN classify over cross-panel DTW (test users < 5 vs train ≥ 5):
+  // the DTW nested fold feeds the same rank/vote pipeline the embedding
+  // kNN oracle uses (first-min neighbor tie-break, votes-then-label) ───
+  val knnClassifyDtwSql: String =
+    s"""WITH s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+       |  FROM events GROUP BY user_id),
+       |p AS (SELECT a.user_id AS qid, b.user_id AS tid, a.vs AS va, b.vs AS vb,
+       |  len(a.vs)::INT AS n, len(b.vs)::INT AS m
+       |  FROM s a JOIN s b ON a.user_id < 5 AND b.user_id >= 5),
+       |d AS (SELECT qid, tid, (${ElasticOracle.dtwFoldExpr}) AS dist FROM p),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, tid) AS rk FROM d),
+       |v AS (SELECT qid, (tid % 3)::INT AS label, count(*) AS votes
+       |  FROM rk WHERE rk <= 5 GROUP BY qid, (tid % 3)::INT),
+       |w AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label ASC) AS wr FROM v)
+       |SELECT qid AS query_id, label AS predicted_label, votes FROM w WHERE wr = 1""".stripMargin
+
+  // ── inventory plan: naive forecast → promo lift → base-stock policy ─
+  val inventoryPlanSql: String =
+    s"""WITH o AS (SELECT user_id, value, event_id,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+       |  count(*) OVER (PARTITION BY user_id) AS n
+       |  FROM events),
+       |lastv AS (SELECT user_id, value AS y_hat FROM o WHERE rn = n),
+       |lift AS (SELECT user_id,
+       |  CASE WHEN pm IS NULL OR bm IS NULL OR bm <= 0.0 THEN 0.0::DOUBLE ELSE pm/bm - 1.0 END AS promo_lift
+       |  FROM (SELECT user_id,
+       |    avg(CASE WHEN event_id % 11 = 0 THEN value END) AS pm,
+       |    avg(CASE WHEN event_id % 11 <> 0 THEN value END) AS bm
+       |    FROM events GROUP BY user_id) q),
+       |fc AS (SELECT l.user_id, s.step,
+       |  l.y_hat * (1.0 + li.promo_lift * (CASE WHEN s.step <= 2 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END)) AS yh
+       |  FROM lastv l JOIN lift li USING (user_id)
+       |  CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS step) s),
+       |stats AS (SELECT user_id,
+       |  sum(CASE WHEN step <= 3 THEN yh END) AS lead_demand,
+       |  coalesce(stddev_pop(yh), 0.0) AS std
+       |  FROM fc GROUP BY user_id),
+       |oh AS (SELECT user_id, avg(value) * 2 AS on_hand FROM events GROUP BY user_id)
+       |SELECT st.user_id,
+       |  round((st.lead_demand + 1.65 * st.std * sqrt(3.0)) + 1e-9, 6) AS order_up_to,
+       |  round((1.65 * st.std * sqrt(3.0)) + 1e-9, 6) AS safety_stock,
+       |  round(greatest((st.lead_demand + 1.65 * st.std * sqrt(3.0)) - oh.on_hand, 0.0) + 1e-9, 6) AS order_qty,
+       |  CASE WHEN oh.on_hand < st.lead_demand THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS stockout_risk
+       |FROM stats st JOIN oh USING (user_id)""".stripMargin
+
+  // ── portfolio weights: rolling risk (stddev_pop), EWMA return fold,
+  // per-timestamp min-shift normalization ─────────────────────────────
+  val portfolioWeightsSql: String =
+    s"""WITH rets AS (SELECT date_trunc('day', ts) AS ts, event_type AS asset,
+       |  avg(value) AS ret FROM events GROUP BY 1, 2),
+       |sc AS (SELECT ts, asset, ret,
+       |  count(ret) OVER w AS cnt,
+       |  stddev_pop(ret) OVER w AS risk,
+       |  list(ret) OVER w AS window_rets
+       |  FROM rets WINDOW w AS (PARTITION BY asset ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+       |er AS (SELECT ts, asset, risk,
+       |  list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(generate_series(1, len(window_rets)), i ->
+       |      pow(0.94, (len(window_rets) - i)::DOUBLE) * window_rets[i::INT])),
+       |    (x, y) -> x + y)
+       |  / list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(generate_series(1, len(window_rets)), i ->
+       |      pow(0.94, (len(window_rets) - i)::DOUBLE))),
+       |    (x, y) -> x + y) AS expected_return
+       |  FROM sc WHERE cnt = 5),
+       |scored AS (SELECT *, expected_return / (greatest(risk, 1e-10) * 1.0) AS score FROM er),
+       |sh AS (SELECT *, score - min(score) OVER (PARTITION BY ts) + 1e-10 AS shifted FROM scored)
+       |SELECT ts, asset, round(risk + 1e-9, 6) AS risk,
+       |  round(expected_return + 1e-9, 6) AS expected_return,
+       |  round(shifted / sum(shifted) OVER (PARTITION BY ts) + 1e-9, 6) AS weight
+       |FROM sh""".stripMargin
+
+  // ── scalar UKF (local level, f = h = identity): the per-step sigma
+  // point / predict / update arithmetic is bound once per intermediate
+  // in a layered-subquery recursive CTE (scalar columns only — the safe
+  // shape for chain recursions) ────────────────────────────────────────
+  val ukfSql: String = {
+    val alpha = 1e-3; val beta = 2.0; val kappa = 0.0
+    val lam = alpha * alpha * (1 + kappa) - 1
+    val c = 1 + lam
+    val w1 = dlit(1.0 / (2.0 * c))
+    val wm0 = dlit(lam / c)
+    val wc0 = dlit(lam / c + (1.0 - alpha * alpha + beta))
+    val cL = dlit(c)
+    s"""WITH RECURSIVE v AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs,
+       |  list(epoch_us(ts) ORDER BY ts, event_id) AS tss, count(*)::INT AS n
+       |  FROM events GROUP BY user_id),
+       |obs AS (SELECT user_id, unnest(generate_series(1, n)) AS t, unnest(vs) AS yt FROM v),
+       |tsr AS (SELECT user_id, unnest(generate_series(1, n)) AS t, unnest(tss) AS us FROM v),
+       |st AS (
+       |  SELECT o.user_id, 0 AS t, (SELECT vs[1] FROM v WHERE v.user_id = o.user_id) AS x,
+       |    1.0::DOUBLE AS p, 0.0::DOUBLE AS xo, 0.0::DOUBLE AS po
+       |  FROM (SELECT DISTINCT user_id FROM v) o
+       |  UNION ALL
+       |  SELECT user_id, t, xn, pn, xn, pn FROM (
+       |    SELECT user_id, t, yt, pp, k,
+       |      xp + k*(yt - yp) AS xn,
+       |      (pp - (k*k)*s) + 1e-10 AS pn
+       |    FROM (
+       |      SELECT *, pxy/s AS k FROM (
+       |        SELECT *,
+       |          1.0::DOUBLE + ($wc0*(xp-yp)*(xp-yp)) + ($w1*((xp+l2)-yp)*((xp+l2)-yp)) + ($w1*((xp-l2)-yp)*((xp-l2)-yp)) AS s,
+       |          0.0::DOUBLE + ((xp-xp)*($wc0*(xp-yp))) + (((xp+l2)-xp)*($w1*((xp+l2)-yp))) + (((xp-l2)-xp)*($w1*((xp-l2)-yp))) AS pxy
+       |        FROM (
+       |          SELECT *, 0.0::DOUBLE + $wm0*xp + $w1*(xp+l2) + $w1*(xp-l2) AS yp
+       |          FROM (
+       |            SELECT *, sqrt(CASE WHEN pp*$cL < 1e-10 THEN pp*$cL + (1e-10 - pp*$cL) ELSE pp*$cL END) AS l2
+       |            FROM (
+       |              SELECT *,
+       |                0.001::DOUBLE + ((x-xp)*(x-xp)*$wc0) + (((x+l1)-xp)*((x+l1)-xp)*$w1) + (((x-l1)-xp)*((x-l1)-xp)*$w1) AS pp
+       |              FROM (
+       |                SELECT *, 0.0::DOUBLE + x*$wm0 + (x+l1)*$w1 + (x-l1)*$w1 AS xp
+       |                FROM (
+       |                  SELECT c.user_id, c.t + 1 AS t, c.x, c.p, o.yt,
+       |                    sqrt(CASE WHEN c.p*$cL < 1e-10 THEN c.p*$cL + (1e-10 - c.p*$cL) ELSE c.p*$cL END) AS l1
+       |                  FROM st c JOIN obs o ON o.user_id = c.user_id AND o.t = c.t + 1
+       |                ) q1
+       |              ) q2
+       |            ) q3
+       |          ) q4
+       |        ) q5
+       |      ) q6
+       |    ) q7
+       |  ) q8
+       |)
+       |SELECT s2.user_id, make_timestamp(t2.us) AS ts,
+       |  round(s2.xo + 1e-9, 6) AS filtered,
+       |  round(s2.po + 1e-9, 6) AS filtered_var
+       |FROM st s2 JOIN tsr t2 ON t2.user_id = s2.user_id AND t2.t = s2.t
+       |WHERE s2.t >= 1""".stripMargin
+  }
+
   // ── ROCKET (20 seeded kernels): the bank is a pure function of
   // seed 42, so the generator inlines the exact weights/bias/dilation/
   // padding as literals and replays the dilated-convolution ppv/max in

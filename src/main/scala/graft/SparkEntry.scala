@@ -1313,6 +1313,10 @@ object SparkEntry {
     "ts_rocket" -> ForecastOracle.rocketSql,
     "ts_minirocket" -> ForecastOracle.miniRocketSql,
     "ts_silhouette_samples" -> ForecastOracle.silhouetteSamplesSql,
+    "ts_knn_classify_dtw" -> ForecastOracle.knnClassifyDtwSql,
+    "ts_inventory_plan" -> ForecastOracle.inventoryPlanSql,
+    "ts_portfolio_weights" -> ForecastOracle.portfolioWeightsSql,
+    "ts_ukf" -> ForecastOracle.ukfSql,
     "ts_calinski" -> ForecastOracle.calinskiSql,
     "ts_cluster_eval" -> ForecastOracle.clusterEvalSql,
     "ts_granger" -> ForecastOracle.grangerSql,
