@@ -752,6 +752,114 @@ object ForecastOracle {
        |WHERE s2.t >= 1""".stripMargin
   }
 
+  /** Unsigned FNV-1a 64 of a VARCHAR expression as HUGEINT (the signed
+    * variant lives in SparkEntry.fnvSql; here the unsigned value feeds
+    * the uniform-in-[0,1) construction (h >>> 11)/2^53). */
+  private def fnvUSql(expr: String): String =
+    s"""(SELECT list_reduce(
+       |  list_prepend(14695981039346656037::HUGEINT,
+       |    list_transform(list_filter(split($expr, ''), ch -> ch <> ''),
+       |      ch -> unicode(ch)::HUGEINT)),
+       |  (acc, ch) -> (xor(acc, ch) * 1099511628211::HUGEINT)
+       |    % 18446744073709551616::HUGEINT))""".stripMargin.replace("\n", "")
+
+  /** Poisson(1) multiplicity via inverse CDF of the FNV uniform — the
+    * thresholds are the exact doubles Conformal.poissonCdf computes. */
+  private def poissonKSql(uExpr: String): String = {
+    val cases = graft.ops.Conformal.poissonCdf.zipWithIndex.map { case (c, k) =>
+      s"WHEN $uExpr < ${dlit(c)} THEN $k"
+    }.mkString(" ")
+    s"(CASE $cases ELSE 20 END)"
+  }
+
+  // ── EnbPI (lags=3, B=10, coverage 0.9, h=5): deterministic Poisson
+  // bootstrap weights from the FNV row key (bit-identical membership in
+  // both engines), 10 weighted Gram systems solved by Cramer, OOB
+  // residual means over exactly the zero-weight models, per-series
+  // interpolated residual quantile, and the 5-step ensemble-mean
+  // recursion as a growing flat fold ───────────────────────────────────
+  val enbpiSql: String = {
+    val b = 10
+    val names = Array(
+      Array("g0", "g1", "g2", "g3"),
+      Array("g1", "g4", "g5", "g6"),
+      Array("g2", "g5", "g7", "g8"),
+      Array("g3", "g6", "g8", "g9"))
+    // upper-triangle order used by the Spark aggregate: (0,0)(0,1)(0,2)(0,3)(1,1)...
+    val triNames = Array("g0", "g1", "g2", "g3", "g4", "g5", "g6", "g7", "g8", "g9")
+    val tri = for (i <- 0 until 4; j <- i until 4) yield (i, j)
+    val xs = Array("x0", "x1", "x2", "1.0")
+    val weightCols = (0 until b).map { bi =>
+      s"${poissonKSql(s"((${fnvUSql(s"'$bi:' || ks")} // 2048)::DOUBLE / 9007199254740992.0)")}::DOUBLE AS w$bi"
+    }
+    val gramCols = (0 until b).flatMap { bi =>
+      tri.zipWithIndex.map { case ((i, j), t) =>
+        s"sum(w$bi * ${xs(i)} * ${xs(j)}) AS ${triNames(t)}_$bi"
+      } ++ (0 until 4).map(i => s"sum(w$bi * ${xs(i)} * yy) AS bb${i}_$bi")
+    }
+    val coefCols = (0 until b).flatMap { bi =>
+      val m = Array.tabulate(4, 4) { (i, j) =>
+        val base = s"${names(i)(j)}_$bi"
+        if (i == j && i < 3) s"($base + 1.0e-3)" else base
+      }
+      val rhs = Array.tabulate(4)(i => s"bb${i}_$bi")
+      cramer(m, rhs).zipWithIndex.map { case (c, k) => s"$c AS cf${k}_$bi" }
+    }
+    val predBi = (0 until b).map { bi =>
+      s"(0.0::DOUBLE + x0*cf0_$bi + x1*cf1_$bi + x2*cf2_$bi + 1.0*cf3_$bi)"
+    }
+    val oobSum = (0 until b).map(bi =>
+      s"(CASE WHEN w$bi = 0 THEN ${predBi(bi)} ELSE 0.0::DOUBLE END)").mkString(" + ")
+    val oobN = (0 until b).map(bi => s"(CASE WHEN w$bi = 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    val foldPredBi = (0 until b).map { bi =>
+      s"(0.0::DOUBLE + acc[len(acc)]*cf0_$bi + acc[len(acc) - 1]*cf1_$bi + acc[len(acc) - 2]*cf2_$bi + 1.0*cf3_$bi)"
+    }.mkString(" + ")
+    s"""WITH o AS (SELECT user_id, value AS yy, epoch_us(ts) AS us,
+       |  lag(value, 1) OVER ($W) AS x0,
+       |  lag(value, 2) OVER ($W) AS x1,
+       |  lag(value, 3) OVER ($W) AS x2
+       |  FROM events),
+       |r0 AS (SELECT *, user_id::VARCHAR || ':' || us::VARCHAR || ':42' AS ks
+       |  FROM o WHERE x0 IS NOT NULL AND x1 IS NOT NULL AND x2 IS NOT NULL),
+       |rw AS (SELECT *,
+       |${weightCols.mkString(",\n")}
+       |FROM r0),
+       |g AS (SELECT
+       |${gramCols.mkString(",\n")}
+       |FROM rw),
+       |co AS (SELECT
+       |${coefCols.mkString(",\n")}
+       |FROM g),
+       |ob AS (SELECT rw.user_id, abs(rw.yy - ($oobSum) / ($oobN)) AS resid
+       |  FROM rw, co WHERE ($oobN) > 0),
+       |q AS (SELECT user_id, n,
+       |  rl[lo + 1] * (1.0 - frac) + rl[least(lo + 2, n)] * frac AS qhat
+       |  FROM (SELECT user_id, n, rl, pos, floor(pos)::INT AS lo, pos - floor(pos)::INT AS frac
+       |    FROM (SELECT user_id, count(*)::INT AS n, list_sort(list(resid)) AS rl,
+       |      (count(*) - 1) * least(1.0, ceil((count(*) + 1) * 0.9) / count(*)) AS pos
+       |      FROM ob GROUP BY user_id) q1) q2),
+       |tails AS (SELECT user_id, list(value ORDER BY ts, event_id)[-3:] AS tl
+       |  FROM events GROUP BY user_id),
+       |fc AS (SELECT t.user_id,
+       |  (list_reduce(
+       |    list_prepend(t.tl, list_transform(generate_series(1, 5), s -> [s::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE])),
+       |    (acc, x) -> list_append(acc, ($foldPredBi) / 10.0)
+       |  ))[4:] AS fcs
+       |  FROM tails t, co),
+       |lastt AS (SELECT user_id, max(epoch_us(ts)) AS us FROM events GROUP BY user_id),
+       |d AS (SELECT user_id, min(us - lus) AS freq FROM
+       |  (SELECT user_id, epoch_us(ts) AS us, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS lus FROM events)
+       |  WHERE lus IS NOT NULL GROUP BY user_id)
+       |SELECT f.user_id, s.step, make_timestamp(l.us + s.step * d.freq) AS ts,
+       |  round(f.fcs[s.step::INT] + 1e-9, 6) AS y_hat,
+       |  round(f.fcs[s.step::INT] - coalesce(q.qhat, 0.0) + 1e-9, 6) AS y_hat_lower,
+       |  round(f.fcs[s.step::INT] + coalesce(q.qhat, 0.0) + 1e-9, 6) AS y_hat_upper
+       |FROM fc f
+       |JOIN lastt l USING (user_id) JOIN d USING (user_id)
+       |LEFT JOIN q USING (user_id)
+       |CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS step) s""".stripMargin
+  }
+
   // ── ROCKET (20 seeded kernels): the bank is a pure function of
   // seed 42, so the generator inlines the exact weights/bias/dilation/
   // padding as literals and replays the dilated-convolution ppv/max in

@@ -1113,9 +1113,9 @@ object SparkEntry {
       val model = Conformal.enbpiFit(ev, lags = 3, b = 10)
       Conformal.enbpiPredict(ev, model, h = 5)
         .select(col("user_id"), col("step"), col("ts"),
-          r6(col("y_hat")).as("y_hat"),
-          r6(col("y_hat_lower")).as("y_hat_lower"),
-          r6(col("y_hat_upper")).as("y_hat_upper"))
+          r6n(col("y_hat")).as("y_hat"),
+          r6n(col("y_hat_lower")).as("y_hat_lower"),
+          r6n(col("y_hat_upper")).as("y_hat_upper"))
     }),
 
     "emb_knn_ivf" -> ((s, dir) => {
@@ -1317,6 +1317,7 @@ object SparkEntry {
     "ts_inventory_plan" -> ForecastOracle.inventoryPlanSql,
     "ts_portfolio_weights" -> ForecastOracle.portfolioWeightsSql,
     "ts_ukf" -> ForecastOracle.ukfSql,
+    "ts_enbpi" -> ForecastOracle.enbpiSql,
     "ts_calinski" -> ForecastOracle.calinskiSql,
     "ts_cluster_eval" -> ForecastOracle.clusterEvalSql,
     "ts_granger" -> ForecastOracle.grangerSql,

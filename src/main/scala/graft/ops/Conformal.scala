@@ -42,26 +42,35 @@ object Conformal {
       .drop("qhat")
   }
 
+  /** Cumulative Poisson(1) thresholds c_k = e⁻¹·Σ_{j≤k} 1/j!, built with
+    * a fixed accumulation order so the oracle can inline the identical
+    * doubles as literals. */
+  private[graft] val poissonCdf: Array[Double] = {
+    val out = new Array[Double](20)
+    var term = math.exp(-1.0)
+    var c = term
+    out(0) = c
+    var k = 1
+    while (k < 20) { term /= k; c += term; out(k) = c; k += 1 }
+    out
+  }
+
   /** Deterministic Poisson(1) bootstrap multiplicity for (rowKey, b):
     * the distributed-bootstrap standard — each row's multiplicity in
-    * resample b is Poisson(1) (Knuth, seeded by the row hash), so no
-    * resampled dataset is ever materialized and membership is
-    * recomputable in any later pass. */
-  private[ops] val poissonWeight = (key: Long, b: Int) => {
-    // splitmix64 of (key, b) → uniform stream for Knuth's algorithm
-    var s = key ^ (0x9e3779b97f4a7c15L * (b + 1))
-    def next(): Double = {
-      s += 0x9e3779b97f4a7c15L
-      var z = s
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z = z ^ (z >>> 31)
-      ((z >>> 11).toDouble / (1L << 53).toDouble)
-    }
-    val limit = math.exp(-1.0)
+    * resample b is Poisson(1), inverse-CDF sampled from a uniform derived
+    * by FNV-hashing "rowKey:b". Engine-reproducible: the oracle replays
+    * the same FNV fold and compares against the same inlined thresholds,
+    * so membership is bit-identical across engines (the reason this is
+    * not splitmix64+Knuth: 64-bit wrap-multiply is not expressible in
+    * DuckDB 1.0 without 32-bit limb gymnastics). */
+  private[ops] val poissonWeight = (rowKey: String, b: Int) => {
+    // b leads the string: FNV-1a diffuses a byte only through LATER
+    // multiplications, so a trailing ":b" would leave the high bits (the
+    // uniform) almost unchanged across bootstraps
+    val h = graft.ops.TextOps.fnv64(s"$b:$rowKey")
+    val u = ((h >>> 11).toDouble / (1L << 53).toDouble)
     var k = 0
-    var p = next()
-    while (p > limit) { k += 1; p *= next() }
+    while (k < poissonCdf.length && u >= poissonCdf(k)) k += 1
     k
   }
 
@@ -87,7 +96,9 @@ object Conformal {
     val feats = (1 to lags).map(k => lag(y, k).over(pc.w)) :+ lit(1.0)
     val p = feats.length
     val withF = df.select((pc.idCol +: y.as("__y") +:
-        xxhash64(pc.idCol.cast("string"), pc.timeCol.cast("string"), lit(seed)).as("__key") +:
+        concat_ws(":", pc.idCol.cast("string"),
+          unix_micros(pc.timeCol.cast("timestamp")).cast("string"),
+          lit(seed).cast("string")).as("__key") +:
         feats.zipWithIndex.map { case (c, i) => c.as(s"__x$i") }): _*)
       .na.drop().cache()
     try {
@@ -113,7 +124,7 @@ object Conformal {
       }
       // OOB residuals: |y − mean over models where this row's weight is 0|
       val bcC = df.sparkSession.sparkContext.broadcast(coefs)
-      val oobUdf = udf((key: Long, xs: Seq[Double], yv: Double) => {
+      val oobUdf = udf((key: String, xs: Seq[Double], yv: Double) => {
         val cs = bcC.value
         var s = 0.0; var n = 0
         var bi = 0
