@@ -100,6 +100,47 @@ object Dedup {
   def hashedShingles(text: Column, n: Int = 5): Column =
     hashedShinglesUdf(text, lit(n))
 
+  /** Fused text → minhash signature: one UDF doing the rolling shingle
+    * hash AND the k running minima, so the ~3k-element shingle array per
+    * document never round-trips through the row encoder between two UDF
+    * calls (that serialization was ~40% of the minhash_lsh bench).
+    * Values are identical to minhashSignature∘hashedShingles — the
+    * per-shingle (a·h + b) % p minima don't care about dedup order — so
+    * the oracle SQL is unchanged. */
+  def minhashSigFromText(text: Column, n: Int = 5, k: Int = 64,
+      seed: Int = 42): Column = {
+    val p = 2147483647L
+    val (as, bs) = minhashParams(k, seed)
+    val u = udf((text: String) => {
+      if (text == null) Array.fill(k)(Long.MaxValue)
+      else {
+        val norm = text.trim.toLowerCase.replaceAll("\\s+", " ")
+        val seen = new java.util.HashSet[Long]()
+        val mins = Array.fill(k)(Long.MaxValue)
+        var i = 0
+        val last = math.max(norm.length - n, 0)
+        while (i <= last) {
+          var h = 0xcbf29ce484222325L
+          var j = i
+          val end = math.min(i + n, norm.length)
+          while (j < end) { h ^= norm.charAt(j); h *= 1099511628211L; j += 1 }
+          val m = ((h % p) + p) % p
+          if (seen.add(m)) {
+            var t = 0
+            while (t < k) {
+              val v = (as(t) * m + bs(t)) % p
+              if (v < mins(t)) mins(t) = v
+              t += 1
+            }
+          }
+          i += 1
+        }
+        mins
+      }
+    })
+    u(text)
+  }
+
   /** MinHash-LSH near-dup candidate pairs: signatures banded into
     * `bands` groups of `rowsPerBand`; docs sharing any band hash become
     * candidates; candidates verified by estimated Jaccard
@@ -116,8 +157,7 @@ object Dedup {
     val k = bands * rowsPerBand
     val sigs = df
       .select(col(idCol).as("__id"),
-        hashedShingles(col(textCol), shingleN).as("__h"))
-      .select(col("__id"), minhashSignature(col("__h"), k).as("__sig"))
+        minhashSigFromText(col(textCol), shingleN, k).as("__sig"))
       .cache()
     // band key: signature minima are < 2³¹, so each PAIR of band values
     // packs losslessly into one long (v·2³¹ + w) — engine-reproducible
