@@ -917,4 +917,53 @@ object ForecastOracle {
        |${featDefs.mkString(",\n")}
        |FROM cv""".stripMargin
   }
+  // ── BOCPD (hazard 200, NIG conjugate, Student-t predictive): the
+  // run-length posterior recursion as a recursive CTE with growing
+  // mu/beta/run-prob list columns (kappa/alpha are exact closed forms
+  // of the index); the Lanczos log-gamma difference depends only on
+  // the run length, so it is precomputed once as a constant list ──────
+  val bocpdSql: String =
+"""WITH RECURSIVE lgc AS (SELECT list_transform(generate_series(1, 200), i -> (0.5*ln(2.0*pi()) + (((2.0*(1.0::DOUBLE + 0.5*(i - 1))+1.0)/2.0) - 1.0 + 0.5)*ln(((2.0*(1.0::DOUBLE + 0.5*(i - 1))+1.0)/2.0) - 1.0 + 7.5) - (((2.0*(1.0::DOUBLE + 0.5*(i - 1))+1.0)/2.0) - 1.0 + 7.5) + ln(0.9999999999998099::DOUBLE + (676.5203681218851::DOUBLE / (((2.0*(1.0::DOUBLE + 0.5*(i - 1))+1.0)/2.0) - 1.0 + 1)) + (-1259.1392167224028::DOUBLE / (((2.0*(1.0::DOUBLE + 0.5*(i - 1))+1.0)/2.0) - 1.0 + 2)) + (771.3234287776531::DOUBLE / (((2.0*(1.0::DOUBLE + 0.5*(i - 1))+1.0)/2.0) - 1.0 + 3)) + (-176.6150291621406::DOUBLE / (((2.0*(1.0::DOUBLE + 0.5*(i - 1))+1.0)/2.0) - 1.0 + 4)) + (12.507343278686905::DOUBLE / (((2.0*(1.0::DOUBLE + 0.5*(i - 1))+1.0)/2.0) - 1.0 + 5)) + (-0.13857109526572012::DOUBLE / (((2.0*(1.0::DOUBLE + 0.5*(i - 1))+1.0)/2.0) - 1.0 + 6)) + (9.984369578019572e-06::DOUBLE / (((2.0*(1.0::DOUBLE + 0.5*(i - 1))+1.0)/2.0) - 1.0 + 7)) + (1.5056327351493116e-07::DOUBLE / (((2.0*(1.0::DOUBLE + 0.5*(i - 1))+1.0)/2.0) - 1.0 + 8)))) - (0.5*ln(2.0*pi()) + (((2.0*(1.0::DOUBLE + 0.5*(i - 1)))/2.0) - 1.0 + 0.5)*ln(((2.0*(1.0::DOUBLE + 0.5*(i - 1)))/2.0) - 1.0 + 7.5) - (((2.0*(1.0::DOUBLE + 0.5*(i - 1)))/2.0) - 1.0 + 7.5) + ln(0.9999999999998099::DOUBLE + (676.5203681218851::DOUBLE / (((2.0*(1.0::DOUBLE + 0.5*(i - 1)))/2.0) - 1.0 + 1)) + (-1259.1392167224028::DOUBLE / (((2.0*(1.0::DOUBLE + 0.5*(i - 1)))/2.0) - 1.0 + 2)) + (771.3234287776531::DOUBLE / (((2.0*(1.0::DOUBLE + 0.5*(i - 1)))/2.0) - 1.0 + 3)) + (-176.6150291621406::DOUBLE / (((2.0*(1.0::DOUBLE + 0.5*(i - 1)))/2.0) - 1.0 + 4)) + (12.507343278686905::DOUBLE / (((2.0*(1.0::DOUBLE + 0.5*(i - 1)))/2.0) - 1.0 + 5)) + (-0.13857109526572012::DOUBLE / (((2.0*(1.0::DOUBLE + 0.5*(i - 1)))/2.0) - 1.0 + 6)) + (9.984369578019572e-06::DOUBLE / (((2.0*(1.0::DOUBLE + 0.5*(i - 1)))/2.0) - 1.0 + 7)) + (1.5056327351493116e-07::DOUBLE / (((2.0*(1.0::DOUBLE + 0.5*(i - 1)))/2.0) - 1.0 + 8))))) AS lgl),
+v AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs,
+  list(epoch_us(ts) ORDER BY ts, event_id) AS tss,
+  count(*)::INT AS n FROM events GROUP BY user_id),
+obs AS (SELECT user_id, unnest(generate_series(1, n)) AS t, unnest(vs) AS yt FROM v),
+tsr AS (SELECT user_id, unnest(generate_series(1, n)) AS t, unnest(tss) AS us FROM v),
+st AS (
+  SELECT user_id, 0 AS t,
+    [0.0::DOUBLE] AS mu, [1.0::DOUBLE] AS be,
+    [1.0::DOUBLE] AS rp, 0 AS rl, 0.0::DOUBLE AS cp,
+    (SELECT n FROM v WHERE v.user_id = d.user_id) AS n
+  FROM (SELECT DISTINCT user_id FROM v) d
+  UNION ALL
+  SELECT user_id, t, mu2, be2,
+    nr2 AS rp,
+    (list_position(nr2, list_max(nr2)) - 1)::INT AS rl,
+    nr2[1] AS cp, n
+  FROM (
+    SELECT user_id, t, yt, n, mu, be,
+      CASE WHEN tot > 0 THEN list_transform(nr, w -> w / tot) ELSE nr END AS nr2,
+      list_prepend(0.0::DOUBLE, list_transform(generate_series(1, t), i -> ((i::DOUBLE)*mu[i::INT]+yt)/((i::DOUBLE)+1.0))) AS mu2,
+      list_prepend(1.0::DOUBLE, list_transform(generate_series(1, t), i -> be[i::INT]+(i::DOUBLE)*(yt-mu[i::INT])*(yt-mu[i::INT])/(2.0*((i::DOUBLE)+1.0)))) AS be2
+    FROM (
+      SELECT *, list_reduce(nr, (x, y) -> x + y) AS tot
+      FROM (
+        SELECT *,
+          list_prepend(
+            list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, t), i -> (rp[i::INT]*pl[i::INT])*(0.005::DOUBLE))), (x, y) -> x + y),
+            list_transform(generate_series(1, t), i -> (rp[i::INT]*pl[i::INT])*(1.0::DOUBLE - 0.005::DOUBLE))) AS nr
+        FROM (
+        SELECT *, list_transform(generate_series(1, t), i -> exp(lgl[i::INT] - 0.5*ln(pi()*(2.0*(1.0::DOUBLE + 0.5*(i - 1)))*(be[i::INT]*((i::DOUBLE)+1.0)/((1.0::DOUBLE + 0.5*(i - 1))*(i::DOUBLE)))) - (2.0*(1.0::DOUBLE + 0.5*(i - 1))+1.0)/2.0*ln(1.0 + (((yt-mu[i::INT])*(yt-mu[i::INT])/(be[i::INT]*((i::DOUBLE)+1.0)/((1.0::DOUBLE + 0.5*(i - 1))*(i::DOUBLE)))))/(2.0*(1.0::DOUBLE + 0.5*(i - 1)))))) AS pl
+        FROM (
+          SELECT c.user_id, c.t + 1 AS t, o.yt, c.n, c.mu, c.be, c.rp, lgc.lgl
+          FROM st c JOIN obs o ON o.user_id = c.user_id AND o.t = c.t + 1, lgc
+        ) q1a ) q1
+      ) q2
+    ) q3
+  ) q4
+)
+SELECT s2.user_id, make_timestamp(t2.us) AS ts, s2.rl AS run_length,
+  round(s2.cp + 1e-9, 6) AS changepoint_prob
+FROM st s2 JOIN tsr t2 ON t2.user_id = s2.user_id AND t2.t = s2.t
+WHERE s2.t >= 1"""
 }

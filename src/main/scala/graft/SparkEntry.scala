@@ -152,7 +152,7 @@ object SparkEntry {
     "ts_bocpd" -> ((s, dir) =>
       Changepoint.bocpd(IO.events(s, dir), hazardRate = 200.0)
         .select(col("user_id"), col("ts"), col("run_length"),
-          r6(col("changepoint_prob")).as("changepoint_prob"))),
+          r6n(col("changepoint_prob")).as("changepoint_prob"))),
 
     // ── forecasting ─────────────────────────────────────────────────────
     "ts_naive_fc" -> ((s, dir) =>
@@ -1318,6 +1318,7 @@ object SparkEntry {
     "ts_portfolio_weights" -> ForecastOracle.portfolioWeightsSql,
     "ts_ukf" -> ForecastOracle.ukfSql,
     "ts_enbpi" -> ForecastOracle.enbpiSql,
+    "ts_bocpd" -> ForecastOracle.bocpdSql,
     "ts_calinski" -> ForecastOracle.calinskiSql,
     "ts_cluster_eval" -> ForecastOracle.clusterEvalSql,
     "ts_granger" -> ForecastOracle.grangerSql,
