@@ -860,6 +860,56 @@ object ForecastOracle {
        |CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS step) s""".stripMargin
   }
 
+  // ── Box-Cox pipeline forecast (λ=0.5, lags 1-2, encode_id): global
+  // pooled ridge on the transformed scale (Cramer 4×4 vs LU within the
+  // nudge), per-series recursion fold, inverse transform per step ──────
+  val pipelineBoxcoxSql: String = {
+    val m = Array(
+      Array("s00", "s01", "s02", "s03"),
+      Array("s01", "s11", "s12", "s13"),
+      Array("s02", "s12", "s22", "s23"),
+      Array("s03", "s13", "s23", "s33"))
+    val mr = Array.tabulate(4, 4) { (i, j) =>
+      if (i == j && i < 3) s"(${m(i)(j)} + 1.0e-3)" else m(i)(j)
+    }
+    val rhs = Array("b0", "b1", "b2", "b3")
+    val c = cramer(mr, rhs)
+    s"""WITH e AS (SELECT user_id, ts, event_id, abs(value) + 1.0 AS v FROM events),
+       |b AS (SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+       |  (pow(v, 0.5) - 1.0)/0.5 AS y FROM e),
+       |im AS (SELECT user_id, avg(y) AS idmean, count(*)::INT AS n FROM b GROUP BY user_id),
+       |o AS (SELECT user_id, y,
+       |  lag(y, 1) OVER ($W) AS x0,
+       |  lag(y, 2) OVER ($W) AS x1
+       |  FROM b),
+       |r AS (SELECT o.*, im.idmean FROM o JOIN im USING (user_id)
+       |  WHERE x0 IS NOT NULL AND x1 IS NOT NULL),
+       |g AS (SELECT
+       |  sum(x0*x0) AS s00, sum(x0*x1) AS s01, sum(x0*idmean) AS s02, sum(x0) AS s03,
+       |  sum(x1*x1) AS s11, sum(x1*idmean) AS s12, sum(x1) AS s13,
+       |  sum(idmean*idmean) AS s22, sum(idmean) AS s23,
+       |  count(*)::DOUBLE AS s33,
+       |  sum(x0*y) AS b0, sum(x1*y) AS b1, sum(idmean*y) AS b2, sum(y) AS b3
+       |  FROM r),
+       |co AS (SELECT ${c(0)} AS c0, ${c(1)} AS c1, ${c(2)} AS c2, ${c(3)} AS c3 FROM g),
+       |tails AS (SELECT user_id, list(y ORDER BY ts, event_id)[-2:] AS tl FROM b GROUP BY user_id),
+       |fc AS (SELECT t.user_id,
+       |  (list_reduce(
+       |    list_prepend(t.tl, list_transform(generate_series(1, 5), s -> [s::DOUBLE, 0.0::DOUBLE])),
+       |    (acc, x) -> list_append(acc,
+       |      0.0::DOUBLE + acc[len(acc)]*c0 + acc[len(acc) - 1]*c1 + im.idmean*c2 + 1.0*c3)
+       |  ))[3:] AS preds
+       |  FROM tails t JOIN im USING (user_id) CROSS JOIN co),
+       |lastt AS (SELECT user_id, max(us) AS us FROM b GROUP BY user_id),
+       |d AS (SELECT user_id, min(us - lus) AS freq FROM
+       |  (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS lus FROM b)
+       |  WHERE lus IS NOT NULL GROUP BY user_id)
+       |SELECT f.user_id, s.step, make_timestamp(l.us + s.step * d.freq) AS ts,
+       |  round(pow(f.preds[s.step::INT]*0.5 + 1.0, 1.0/0.5) + 1e-9, 6) AS y_hat
+       |FROM fc f JOIN lastt l USING (user_id) JOIN d USING (user_id)
+       |CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS step) s""".stripMargin
+  }
+
   // ── ROCKET (20 seeded kernels): the bank is a pure function of
   // seed 42, so the generator inlines the exact weights/bias/dilation/
   // padding as literals and replays the dilated-convolution ppv/max in

@@ -474,7 +474,7 @@ object SparkEntry {
       val model = Pipeline.fitPipeline(ev, lags = Seq(1, 2),
         targetTransform = Some("boxcox"), lam = 0.5, encodeId = true)
       Pipeline.pipelineForecast(ev, model, h = 5)
-        .select(col("user_id"), col("step"), col("ts"), r6(col("y_hat")).as("y_hat"))
+        .select(col("user_id"), col("step"), col("ts"), r6n(col("y_hat")).as("y_hat"))
     }),
 
     "ts_backtest_naive" -> ((s, dir) =>
@@ -810,8 +810,8 @@ object SparkEntry {
         quantiles = Seq(0.1, 0.5, 0.9))
       Probabilistic.quantileForecast(ev, model, h = 5)
         .select(col("user_id"), col("step"), col("ts"),
-          r6(col("q_0_1")).as("q_10"), r6(col("q_0_5")).as("q_50"),
-          r6(col("q_0_9")).as("q_90"))
+          r6n(col("q_0_1")).as("q_10"), r6n(col("q_0_5")).as("q_50"),
+          r6n(col("q_0_9")).as("q_90"))
     }),
 
     "ts_stacking" -> ((s, dir) => {
@@ -1319,6 +1319,7 @@ object SparkEntry {
     "ts_ukf" -> ForecastOracle.ukfSql,
     "ts_enbpi" -> ForecastOracle.enbpiSql,
     "ts_bocpd" -> ForecastOracle.bocpdSql,
+    "ts_pipeline_boxcox_fc" -> ForecastOracle.pipelineBoxcoxSql,
     "ts_calinski" -> ForecastOracle.calinskiSql,
     "ts_cluster_eval" -> ForecastOracle.clusterEvalSql,
     "ts_granger" -> ForecastOracle.grangerSql,
