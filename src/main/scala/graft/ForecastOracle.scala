@@ -1016,4 +1016,83 @@ SELECT s2.user_id, make_timestamp(t2.us) AS ts, s2.rl AS run_length,
   round(s2.cp + 1e-9, 6) AS changepoint_prob
 FROM st s2 JOIN tsr t2 ON t2.user_id = s2.user_id AND t2.t = s2.t
 WHERE s2.t >= 1"""
+  // ── PAM k-medoids (k=3, SBD, 60-series subset, first-3 init): the
+  // greedy swap chain replays as a SINGLE-ROW recursive CTE state
+  // machine — one micro-step per (slot, candidate) — with the flattened
+  // distance matrix carried in the state so trial costs are folds in
+  // the exact Scala accumulation order (a ds-table formulation made
+  // DuckDB re-inline the SBD CTE every step: 295s -> 1s) ──────────────
+  val kmedoidsSql: String =
+"""
+WITH RECURSIVE s AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+  FROM events WHERE user_id < 60 GROUP BY user_id),
+si AS (SELECT user_id, (row_number() OVER (ORDER BY user_id::VARCHAR) - 1)::INT AS sidx FROM s),
+p AS (SELECT a.user_id AS u1, b.user_id AS u2, a.vs AS va, b.vs AS vb,
+  len(a.vs)::INT AS n, len(b.vs)::INT AS m
+  FROM s a JOIN s b ON a.user_id < b.user_id),
+dh AS (SELECT u1, u2, (
+CASE WHEN sqrt(list_reduce(list_transform(va, v -> v*v), (x, y) -> x + y)) *
+          sqrt(list_reduce(list_transform(vb, v -> v*v), (x, y) -> x + y)) = 0.0
+  THEN 1.0::DOUBLE
+  ELSE 1.0::DOUBLE - list_max(
+    list_transform(generate_series(0, n + m - 2), k ->
+      list_reduce(
+        list_prepend(0.0::DOUBLE,
+          list_transform(generate_series(greatest(1, (k::INT - m + 1) + 1), least(n, m + (k::INT - m + 1))),
+            ii -> va[ii::INT] * vb[(ii - (k::INT - m + 1))::INT])),
+        (x, y) -> x + y)
+    )) / (sqrt(list_reduce(list_transform(va, v -> v*v), (x, y) -> x + y)) *
+          sqrt(list_reduce(list_transform(vb, v -> v*v), (x, y) -> x + y)))
+END) AS d FROM p),
+sym AS (
+  SELECT u1 AS ua, u2 AS ub, d FROM dh
+  UNION ALL SELECT u2, u1, d FROM dh
+  UNION ALL SELECT user_id, user_id, 0.0::DOUBLE FROM s),
+dmat AS (SELECT list(y.d ORDER BY sa.sidx, sb.sidx) AS dl, (SELECT count(*)::INT FROM s) AS nv
+  FROM sym y JOIN si sa ON sa.user_id = y.ua JOIN si sb ON sb.user_id = y.ub),
+st AS (
+  SELECT 0 AS stepno, 0 AS m1, 1 AS m2, 2 AS m3,
+    list_reduce(list_prepend(0.0::DOUBLE,
+      list_transform(generate_series(0, nv - 1), i ->
+        least(dl[(i*nv + (0))::INT + 1], dl[(i*nv + (1))::INT + 1], dl[(i*nv + (2))::INT + 1]))),
+      (x, y) -> x + y) AS cost,
+    0 AS c, 0 AS cand, false AS improved, 0 AS iter, false AS done, dl, nv
+  FROM dmat
+  UNION ALL
+  SELECT stepno + 1,
+    CASE WHEN accept AND c = 0 THEN cand ELSE m1 END,
+    CASE WHEN accept AND c = 1 THEN cand ELSE m2 END,
+    CASE WHEN accept AND c = 2 THEN cand ELSE m3 END,
+    CASE WHEN accept THEN tc ELSE cost END,
+    CASE WHEN last_cand AND c = 2 THEN 0 WHEN last_cand THEN c + 1 ELSE c END,
+    CASE WHEN last_cand THEN 0 ELSE cand + 1 END,
+    CASE WHEN last_cand AND c = 2 THEN false ELSE (improved OR accept) END,
+    CASE WHEN last_cand AND c = 2 THEN iter + 1 ELSE iter END,
+    (last_cand AND c = 2 AND NOT (improved OR accept)) OR
+      (last_cand AND c = 2 AND iter + 1 >= 100),
+    dl, nv
+  FROM (
+    SELECT *, (tc IS NOT NULL AND tc + 1e-12 < cost) AS accept, (cand = nv - 1) AS last_cand
+    FROM (
+      SELECT st.*,
+        CASE WHEN cand = m1 OR cand = m2 OR cand = m3 THEN NULL
+          ELSE list_reduce(list_prepend(0.0::DOUBLE,
+      list_transform(generate_series(0, nv - 1), i ->
+        least(dl[(i*nv + (CASE WHEN st.c = 0 THEN st.cand ELSE st.m1 END))::INT + 1], dl[(i*nv + (CASE WHEN st.c = 1 THEN st.cand ELSE st.m2 END))::INT + 1], dl[(i*nv + (CASE WHEN st.c = 2 THEN st.cand ELSE st.m3 END))::INT + 1]))),
+      (x, y) -> x + y)
+        END AS tc
+      FROM st WHERE NOT done
+    ) q1
+  ) q2
+),
+fin AS (SELECT * FROM st WHERE done ORDER BY stepno LIMIT 1)
+SELECT si.user_id,
+  CASE
+    WHEN f.dl[(si.sidx*f.nv + f.m1)::INT + 1] <= f.dl[(si.sidx*f.nv + f.m2)::INT + 1]
+     AND f.dl[(si.sidx*f.nv + f.m1)::INT + 1] <= f.dl[(si.sidx*f.nv + f.m3)::INT + 1] THEN 0
+    WHEN f.dl[(si.sidx*f.nv + f.m2)::INT + 1] <= f.dl[(si.sidx*f.nv + f.m3)::INT + 1] THEN 1
+    ELSE 2 END AS cluster
+FROM si CROSS JOIN fin f ORDER BY si.user_id
+"""
 }

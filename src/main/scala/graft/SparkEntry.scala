@@ -331,8 +331,11 @@ object SparkEntry {
       pairwiseOracle(s, dir, "sbd")),
 
     // ── clustering (distributed distances → driver cores → label table) ─
+    // 60-series subset + deterministic first-3 init so the greedy PAM
+    // swap chain is oracle-replayable (seeded-shuffle init stays default)
     "ts_kmedoids" -> ((s, dir) =>
-      Clustering.kmedoids(IO.events(s, dir), k = 3, metric = "sbd")),
+      Clustering.kmedoids(IO.events(s, dir).filter(expr(ElasticOracle.SeriesFilter)),
+        k = 3, metric = "sbd", init = Some(Array(0, 1, 2)))),
 
     // 60-series subset + eps tuned so the labeling is discriminative
     // (3 groups) and the oracle's SBD replay stays ~7 s
@@ -1320,6 +1323,7 @@ object SparkEntry {
     "ts_enbpi" -> ForecastOracle.enbpiSql,
     "ts_bocpd" -> ForecastOracle.bocpdSql,
     "ts_pipeline_boxcox_fc" -> ForecastOracle.pipelineBoxcoxSql,
+    "ts_kmedoids" -> ForecastOracle.kmedoidsSql,
     "ts_calinski" -> ForecastOracle.calinskiSql,
     "ts_cluster_eval" -> ForecastOracle.clusterEvalSql,
     "ts_granger" -> ForecastOracle.grangerSql,

@@ -17,11 +17,14 @@ object Cluster {
     * (reference clustering/kmedoids.py:134-253, src/kmedoids.rs:19-160).
     * Returns (labels, medoid indices). Deterministic for a given seed. */
   def pam(dist: Array[Array[Double]], k: Int, seed: Long = 42L,
-      maxIter: Int = 100): (Array[Int], Array[Int]) = {
+      maxIter: Int = 100, init: Option[Array[Int]] = None): (Array[Int], Array[Int]) = {
     val n = dist.length
     require(k >= 1 && k <= n, s"k=$k out of range for n=$n")
     val rng = new Random(seed)
-    var medoids = rng.shuffle((0 until n).toVector).take(k).toArray.sorted
+    // explicit init (e.g. first-k) keeps the greedy swap chain free of
+    // RNG so the oracle can replay it; default stays the seeded shuffle
+    var medoids = init.map(_.sorted)
+      .getOrElse(rng.shuffle((0 until n).toVector).take(k).toArray.sorted)
     def assignAll(): Array[Int] = Array.tabulate(n) { i =>
       var best = 0; var bd = Double.MaxValue
       var c = 0

@@ -39,10 +39,11 @@ object Clustering {
 
   /** K-medoids (PAM) labels `[id, cluster]` over any pairwise metric. */
   def kmedoids(df: DataFrame, k: Int, metric: String = "dtw",
-      params: Map[String, Double] = Map.empty, seed: Long = 42L)(
+      params: Map[String, Double] = Map.empty, seed: Long = 42L,
+      init: Option[Array[Int]] = None)(
       implicit pc: PanelCols): DataFrame = {
     val (ids, m) = collectMatrix(Distances.pairwise(df, metric, params), metric)
-    val (labels, _) = Cluster.pam(m, k, seed)
+    val (labels, _) = Cluster.pam(m, k, seed, init = init)
     labelFrame(df, ids, labels)
   }
 
