@@ -208,7 +208,8 @@ object SparkEntry {
 
     "emb_knn_lsh" -> ((s, dir) => {
       val emb = IO.embeddings(s, dir)
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), k = 3, dim = 64, bits = 6)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), k = 3, dim = 64, bits = 6,
+        probes = 8)
     }),
 
     // ── transforms ──────────────────────────────────────────────────────
@@ -1139,7 +1140,7 @@ object SparkEntry {
           .join(brute, Seq("query_id", "neighbor_id"))
           .agg(round(count(lit(1)) / lit(truth), 6).as("recall"))
           .withColumn("method", lit(name))
-      recall(Similarity.lshTopK(emb, q, k = 3, dim = 64, bits = 3, probes = 4), "lsh")
+      recall(Similarity.lshTopK(emb, q, k = 3, dim = 64, bits = 3, probes = 6), "lsh")
         .unionByName(recall(Similarity.ivfTopK(emb, q, k = 3, nCells = 16, nprobe = 8), "ivf"))
         .select(col("method"), col("recall"))
     }),

@@ -170,9 +170,19 @@ object Similarity {
       var b = 0L
       var i = 0
       while (i < dots.length) { if (dots(i) >= 0.0) b |= 1L << i; i += 1 }
-      val flips = dots.zipWithIndex.sortBy { case (d, _) => math.abs(d) }
+      // multi-probe (Lv et al. 2007): candidate perturbation sets of up to
+      // two hyperplane flips, scored by how close the query sits to the
+      // flipped planes (Σ|dot|) — the standard recall lever that avoids
+      // widening buckets for everyone
+      val nb = dots.length
+      val singles = (0 until nb).map(f => (math.abs(dots(f)), 1L << f))
+      val pairs = for {
+        f1 <- 0 until nb; f2 <- f1 + 1 until nb
+      } yield (math.abs(dots(f1)) + math.abs(dots(f2)), (1L << f1) | (1L << f2))
+      val probeMasks = (singles ++ pairs)
+        .sortBy { case (s, m) => (s, m) }
         .take(probes).map(_._2)
-      (b +: flips.map(f => b ^ (1L << f))).distinct
+      (b +: probeMasks.map(m => b ^ m)).distinct
     })
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"))
