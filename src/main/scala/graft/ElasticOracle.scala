@@ -23,6 +23,8 @@ package graft
   */
 object ElasticOracle {
 
+  private val EP = graft.kernels.ElasticParams
+
   /** Series subset shared by the Spark queries and the oracle SQL. */
   val SeriesFilter = "user_id < 60"
 
@@ -87,7 +89,7 @@ object ElasticOracle {
     * comes from the pair CTE. Scala min order prev[j-1], prev[j],
     * curr[j-1] — same value, min is exact. */
   private val wdtwSql = sentinelDp(
-    cell = s"(1.0::DOUBLE/(1.0::DOUBLE + exp(-0.05::DOUBLE * (abs((xi[1]) - (xj[1])) - half)))) " +
+    cell = s"(1.0::DOUBLE/(1.0::DOUBLE + exp(-${EP.WdtwG}::DOUBLE * (abs((xi[1]) - (xj[1])) - half)))) " +
       s"* ($AI - $BJ) * ($AI - $BJ) + least(prev[$J], least(prev[($J)+1], acc[$J]))",
     initRow = infRow, innerInit = "[1e300::DOUBLE]", finalIdx = "[m+1]")
 
@@ -103,7 +105,7 @@ object ElasticOracle {
 
   /** lcss (ε = 1): integer counts as doubles; final 1 - L/min(n,m). */
   private val lcssSql = "1.0::DOUBLE - (" + sentinelDp(
-    cell = s"CASE WHEN abs($AI - $BJ) <= 1.0::DOUBLE THEN prev[$J] + 1.0::DOUBLE " +
+    cell = s"CASE WHEN abs($AI - $BJ) <= ${EP.LcssEpsilon}::DOUBLE THEN prev[$J] + 1.0::DOUBLE " +
       s"ELSE greatest(prev[($J)+1], acc[$J]) END",
     initRow = "list_concat([0.0::DOUBLE], list_transform(vb, x -> 0.0::DOUBLE))",
     innerInit = "[0.0::DOUBLE]",
@@ -111,7 +113,7 @@ object ElasticOracle {
 
   /** edr (ε = 0.1): sentinel row 0..m, col 0 = i; final / max(n,m). */
   private val edrSql = "(" + sentinelDp(
-    cell = s"least(prev[$J] + (CASE WHEN abs($AI - $BJ) <= 0.1::DOUBLE THEN 0.0::DOUBLE ELSE 1.0::DOUBLE END), " +
+    cell = s"least(prev[$J] + (CASE WHEN abs($AI - $BJ) <= ${EP.EdrEpsilon}::DOUBLE THEN 0.0::DOUBLE ELSE 1.0::DOUBLE END), " +
       s"least(prev[($J)+1] + 1.0::DOUBLE, acc[$J] + 1.0::DOUBLE))",
     initRow = "list_transform(generate_series(0, m), v -> v::DOUBLE)",
     innerInit = "[(xi[1])::DOUBLE]",
@@ -119,8 +121,8 @@ object ElasticOracle {
 
   /** MSM split/merge cost (c = 1). */
   private def msmCost(x: String, y: String, z: String): String =
-    s"CASE WHEN ($y <= $x AND $x <= $z) OR ($y >= $x AND $x >= $z) THEN 1.0::DOUBLE " +
-      s"ELSE 1.0::DOUBLE + least(abs(($x) - ($y)), abs(($x) - ($z))) END"
+    s"CASE WHEN ($y <= $x AND $x <= $z) OR ($y >= $x AND $x >= $z) THEN ${EP.MsmC}::DOUBLE " +
+      s"ELSE ${EP.MsmC}::DOUBLE + least(abs(($x) - ($y)), abs(($x) - ($z))) END"
 
   /** msm: 0-based n×m grid, first row/col built by their own folds. */
   private val msmSql =
@@ -150,17 +152,17 @@ object ElasticOracle {
        |    list_reduce(
        |      list_prepend([0.0::DOUBLE], list_transform(generate_series(1, m), jj -> [jj::DOUBLE])),
        |      (acc, x) -> list_append(acc, acc[len(acc)] +
-       |        abs(vb[(x[1])::INT] - (CASE WHEN (x[1])::INT > 1 THEN vb[((x[1])::INT)-1] ELSE 0.0::DOUBLE END)) + 0.001::DOUBLE + 1.0::DOUBLE)),
+       |        abs(vb[(x[1])::INT] - (CASE WHEN (x[1])::INT > 1 THEN vb[((x[1])::INT)-1] ELSE 0.0::DOUBLE END)) + ${EP.TweNu}::DOUBLE + ${EP.TweLambda}::DOUBLE)),
        |    list_transform(generate_series(1, n), ii -> [ii::DOUBLE])),
        |  (prev, xi) -> list_reduce(
-       |    list_prepend([prev[1] + abs($AI - $twePrevA) + 0.001::DOUBLE + 1.0::DOUBLE],
+       |    list_prepend([prev[1] + abs($AI - $twePrevA) + ${EP.TweNu}::DOUBLE + ${EP.TweLambda}::DOUBLE],
        |      list_transform(generate_series(1, m), jj -> [jj::DOUBLE])),
        |    (acc, xj) -> list_append(acc, least(
        |      prev[$J] + abs($AI - $BJ) + abs($twePrevA - $twePrevB) +
-       |        least(0.001::DOUBLE * abs((xi[1]) - (xj[1])), 0.002::DOUBLE),
+       |        least(${EP.TweNu}::DOUBLE * abs((xi[1]) - (xj[1])), ${2 * EP.TweNu}::DOUBLE),
        |      least(
-       |        prev[($J)+1] + abs($AI - $twePrevA) + 0.001::DOUBLE + 1.0::DOUBLE,
-       |        acc[$J] + abs($BJ - $twePrevB) + 0.001::DOUBLE + 1.0::DOUBLE))))
+       |        prev[($J)+1] + abs($AI - $twePrevA) + ${EP.TweNu}::DOUBLE + ${EP.TweLambda}::DOUBLE,
+       |        acc[$J] + abs($BJ - $twePrevB) + ${EP.TweNu}::DOUBLE + ${EP.TweLambda}::DOUBLE))))
        |)[m+1]""".stripMargin
 
   /** frechet: max-of-path-min formulation, 0-based grid. */
@@ -199,7 +201,7 @@ object ElasticOracle {
   /** dtw_multi over channels (value, value2 = 0.5·value + 1): manhattan
     * point cost accumulated channel-by-channel like Elastic.manhattan. */
   private val dtwMultiSql = dtwExpr(
-    s"abs($AI - $BJ) + abs((0.5*$AI + 1.0) - (0.5*$BJ + 1.0))")
+    s"abs($AI - $BJ) + abs((${EP.Multi2Scale}*$AI + ${EP.Multi2Shift}) - (${EP.Multi2Scale}*$BJ + ${EP.Multi2Shift}))")
 
   private val exprs: Map[String, (String, Boolean)] = Map(
     "dtw" -> (dtwSql, false),

@@ -18,6 +18,13 @@ package graft
   */
 object ForecastOracle {
 
+  // ── query parameters shared with the Spark query definitions ──────────
+  // (SparkEntry reads these same vals, so the two engines cannot drift)
+  val DbscanEps = 0.3
+  val DbscanMinPts = 3
+  val EnbpiB = 10
+  val EnbpiSeed = 42L
+
   private val W = "PARTITION BY user_id ORDER BY ts, event_id"
   private val Phi = "((sqrt(5.0)-1.0)/2.0)"
 
@@ -474,12 +481,12 @@ object ForecastOracle {
        |  SELECT u1 AS ua, u2 AS ub, d FROM dh
        |  UNION ALL SELECT u2, u1, d FROM dh
        |  UNION ALL SELECT user_id, user_id, 0.0::DOUBLE FROM s),
-       |core AS (SELECT ua AS u, count(*) >= 3 AS is_core
-       |  FROM sym WHERE d <= 0.3 GROUP BY ua),
+       |core AS (SELECT ua AS u, count(*) >= $DbscanMinPts AS is_core
+       |  FROM sym WHERE d <= $DbscanEps GROUP BY ua),
        |coreids AS (SELECT c.u, s2.sidx FROM core c JOIN si s2 ON s2.user_id = c.u WHERE c.is_core),
        |edges AS (SELECT y.ua, y.ub FROM sym y
        |  JOIN coreids c1 ON c1.u = y.ua JOIN coreids c2 ON c2.u = y.ub
-       |  WHERE y.d <= 0.3),
+       |  WHERE y.d <= $DbscanEps),
        |reach AS (
        |  SELECT u AS src, u AS dst FROM coreids
        |  UNION
@@ -494,7 +501,7 @@ object ForecastOracle {
        |  JOIN coreids c2 ON c2.u = y.ub
        |  JOIN clus cl ON cl.u = y.ub
        |  LEFT JOIN coreids c1 ON c1.u = y.ua
-       |  WHERE y.d <= 0.3 AND c1.u IS NULL AND y.ua <> y.ub
+       |  WHERE y.d <= $DbscanEps AND c1.u IS NULL AND y.ua <> y.ub
        |  GROUP BY y.ua)
        |SELECT s.user_id, coalesce(cl.cluster, b.cluster, -1) AS cluster
        |FROM s
@@ -779,7 +786,7 @@ object ForecastOracle {
   // interpolated residual quantile, and the 5-step ensemble-mean
   // recursion as a growing flat fold ───────────────────────────────────
   val enbpiSql: String = {
-    val b = 10
+    val b = EnbpiB
     val names = Array(
       Array("g0", "g1", "g2", "g3"),
       Array("g1", "g4", "g5", "g6"),
@@ -819,7 +826,7 @@ object ForecastOracle {
        |  lag(value, 2) OVER ($W) AS x1,
        |  lag(value, 3) OVER ($W) AS x2
        |  FROM events),
-       |r0 AS (SELECT *, user_id::VARCHAR || ':' || us::VARCHAR || ':42' AS ks
+       |r0 AS (SELECT *, user_id::VARCHAR || ':' || us::VARCHAR || ':$EnbpiSeed' AS ks
        |  FROM o WHERE x0 IS NOT NULL AND x1 IS NOT NULL AND x2 IS NOT NULL),
        |rw AS (SELECT *,
        |${weightCols.mkString(",\n")}

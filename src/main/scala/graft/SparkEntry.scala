@@ -144,10 +144,15 @@ object SparkEntry {
       Changepoint.sensSlope(IO.events(s, dir))
         .select(col("user_id"), r6(col("sens_slope")).as("sens_slope"))),
 
-    // unpruned = exact optimal partitioning, replayable in the oracle;
-    // the pruned PELT path stays the production default (see Pelt.detect)
+    // unpruned = exact optimal partitioning, replayable in the oracle
     "ts_pelt" -> ((s, dir) =>
       Changepoint.pelt(IO.events(s, dir), "mean", prune = false)),
+
+    // production default: minSize-aware delayed prune (Pelt.detect) —
+    // returns the same optimal partitioning as the exact scan, so it
+    // shares the exact query's oracle SQL
+    "ts_pelt_pruned" -> ((s, dir) =>
+      Changepoint.pelt(IO.events(s, dir), "mean", prune = true)),
 
     "ts_bocpd" -> ((s, dir) =>
       Changepoint.bocpd(IO.events(s, dir), hazardRate = 200.0)
@@ -342,7 +347,8 @@ object SparkEntry {
     // (3 groups) and the oracle's SBD replay stays ~7 s
     "ts_dbscan" -> ((s, dir) =>
       Clustering.dbscanCluster(IO.events(s, dir).filter(expr(ElasticOracle.SeriesFilter)),
-        eps = 0.3, minPts = 3, metric = "sbd")),
+        eps = ForecastOracle.DbscanEps, minPts = ForecastOracle.DbscanMinPts,
+        metric = "sbd")),
 
     "ts_agglomerative" -> ((s, dir) =>
       Clustering.agglomerativeCluster(IO.events(s, dir), k = 3, metric = "sbd")),
@@ -353,6 +359,30 @@ object SparkEntry {
         .select(r6n(col("silhouette")).as("silhouette"),
           r6n(col("davies_bouldin")).as("davies_bouldin"))
     }),
+
+    // ── full-panel e2e variants (rows-only): exercise the production
+    // defaults the oracle-subset queries pin down — seeded-shuffle PAM
+    // init, full 150-series pairwise cost, eps 0.35 DBSCAN, and the
+    // clusterer→metric integration path (metrics scored on real PAM
+    // labels, not synthetic ones) ───────────────────────────────────────
+    "ts_kmedoids_e2e" -> ((s, dir) =>
+      Clustering.kmedoids(IO.events(s, dir), k = 3, metric = "sbd")),
+
+    "ts_dbscan_e2e" -> ((s, dir) =>
+      Clustering.dbscanCluster(IO.events(s, dir), eps = 0.35, minPts = 3,
+        metric = "sbd")),
+
+    "ts_cluster_eval_e2e" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+      val labels = Clustering.kmedoids(ev, k = 3, metric = "sbd")
+      Clustering.evaluate(ev, labels, metric = "sbd")
+        .select(r6n(col("silhouette")).as("silhouette"),
+          r6n(col("davies_bouldin")).as("davies_bouldin"))
+    }),
+
+    "ts_pairwise_dtw_e2e" -> ((s, dir) =>
+      Distances.pairwise(IO.events(s, dir), "dtw")
+        .select(col("id_1"), col("id_2"), r6n(col("dtw")).as("dtw"))),
 
     // ── advanced kernels ────────────────────────────────────────────────
     "ts_rocket" -> ((s, dir) =>
@@ -961,7 +991,8 @@ object SparkEntry {
     "ts_pairwise_dtw_multi" -> ((s, dir) =>
       Distances.pairwiseMulti(
         IO.events(s, dir).filter(expr(ElasticOracle.SeriesFilter))
-          .withColumn("value2", col("value") * 0.5 + 1.0),
+          .withColumn("value2", col("value") * graft.kernels.ElasticParams.Multi2Scale
+            + graft.kernels.ElasticParams.Multi2Shift),
         Seq("value", "value2"), "dtw_multi")
         .select(col("id_1"), col("id_2"), r6n(col("dtw_multi")).as("dtw_multi"))),
 
@@ -1114,7 +1145,8 @@ object SparkEntry {
 
     "ts_enbpi" -> ((s, dir) => {
       val ev = IO.events(s, dir)
-      val model = Conformal.enbpiFit(ev, lags = 3, b = 10)
+      val model = Conformal.enbpiFit(ev, lags = 3, b = ForecastOracle.EnbpiB,
+        seed = ForecastOracle.EnbpiSeed)
       Conformal.enbpiPredict(ev, model, h = 5)
         .select(col("user_id"), col("step"), col("ts"),
           r6n(col("y_hat")).as("y_hat"),
@@ -1309,6 +1341,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = elasticOracles ++ Map(
     "ts_theta_fc" -> ForecastOracle.thetaSql,
     "ts_pelt" -> ForecastOracle.peltSql,
+    "ts_pelt_pruned" -> ForecastOracle.peltSql,
     "ts_path_signature" -> ForecastOracle.pathSignatureSql,
     "ts_spectrogram" -> ForecastOracle.spectrogramSql,
     "ts_scalogram" -> ForecastOracle.scalogramSql,

@@ -20,6 +20,9 @@ object Cluster {
       maxIter: Int = 100, init: Option[Array[Int]] = None): (Array[Int], Array[Int]) = {
     val n = dist.length
     require(k >= 1 && k <= n, s"k=$k out of range for n=$n")
+    init.foreach(a => require(a.length == k && a.distinct.length == k &&
+      a.forall(i => i >= 0 && i < n),
+      s"init must be $k distinct medoid indices in [0, $n), got ${a.mkString("[", ",", "]")}"))
     val rng = new Random(seed)
     // explicit init (e.g. first-k) keeps the greedy swap chain free of
     // RNG so the oracle can replay it; default stays the seeded shuffle

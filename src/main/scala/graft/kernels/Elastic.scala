@@ -12,6 +12,23 @@ import scala.collection.mutable
   * of scratch, not 800MB — essential when thousands of these run
   * concurrently inside Spark tasks.
   */
+/** Default elastic-distance parameters. Single source of truth shared by
+  * the kernels (default args), the driver queries, and the DuckDB oracle
+  * SQL (`ElasticOracle`) so the two engines can never drift apart on a
+  * parameter value. */
+object ElasticParams {
+  val WdtwG = 0.05
+  val MsmC = 1.0
+  val ErpG = 0.0
+  val LcssEpsilon = 1.0
+  val TweNu = 0.001
+  val TweLambda = 1.0
+  val EdrEpsilon = 0.1
+  /** dtw_multi test channel: value2 = Multi2Scale·value + Multi2Shift. */
+  val Multi2Scale = 0.5
+  val Multi2Shift = 1.0
+}
+
 object Elastic {
 
   private final val Inf = Double.MaxValue
@@ -267,7 +284,7 @@ object Elastic {
 
   /** Weighted DTW: sigmoid weight on |i-j|, squared point cost.
     * Semantics: src/wdtw.rs:7-40 (g default 0.05). */
-  def wdtw(a: Array[Double], b: Array[Double], g: Double = 0.05): Double = {
+  def wdtw(a: Array[Double], b: Array[Double], g: Double = ElasticParams.WdtwG): Double = {
     val n = a.length; val m = b.length
     if (n == 0 || m == 0) return Double.PositiveInfinity
     val maxLen = math.max(n, m)
@@ -302,7 +319,7 @@ object Elastic {
     else c + math.min(math.abs(x - y), math.abs(x - z))
 
   /** Move-Split-Merge edit distance. Semantics: src/msm.rs:16-40 (c=1.0). */
-  def msm(a: Array[Double], b: Array[Double], c: Double = 1.0): Double = {
+  def msm(a: Array[Double], b: Array[Double], c: Double = ElasticParams.MsmC): Double = {
     val n = a.length; val m = b.length
     if (n == 0 || m == 0) return 0.0
     var prev = Array.fill(m)(Inf)
@@ -328,7 +345,7 @@ object Elastic {
   }
 
   /** Edit distance with Real Penalty (gap value g). src/erp.rs:7-32 (g=0.0). */
-  def erp(a: Array[Double], b: Array[Double], g: Double = 0.0): Double = {
+  def erp(a: Array[Double], b: Array[Double], g: Double = ElasticParams.ErpG): Double = {
     val n = a.length; val m = b.length
     var prev = new Array[Double](m + 1)
     var curr = new Array[Double](m + 1)
@@ -354,7 +371,7 @@ object Elastic {
   }
 
   /** LCSS distance 1 - len/min(n,m) with ε-matching. src/lcss.rs:7-36 (ε=1.0). */
-  def lcss(a: Array[Double], b: Array[Double], epsilon: Double = 1.0): Double = {
+  def lcss(a: Array[Double], b: Array[Double], epsilon: Double = ElasticParams.LcssEpsilon): Double = {
     val n = a.length; val m = b.length
     if (n == 0 || m == 0) return 1.0
     var prev = new Array[Int](m + 1)
@@ -377,8 +394,8 @@ object Elastic {
 
   /** Time Warp Edit distance (stiffness ν, gap penalty λ).
     * Semantics: src/twe.rs:7-46 (ν=0.001, λ=1.0). */
-  def twe(a: Array[Double], b: Array[Double], nu: Double = 0.001,
-      lambda: Double = 1.0): Double = {
+  def twe(a: Array[Double], b: Array[Double], nu: Double = ElasticParams.TweNu,
+      lambda: Double = ElasticParams.TweLambda): Double = {
     val n = a.length; val m = b.length
     if (n == 0 || m == 0) return 0.0
     var prev = Array.fill(m + 1)(Inf)
@@ -471,7 +488,7 @@ object Elastic {
   }
 
   /** Edit Distance on Real sequences / max(n,m). src/edr.rs:8-46 (ε=0.1). */
-  def edr(a: Array[Double], b: Array[Double], epsilon: Double = 0.1): Double = {
+  def edr(a: Array[Double], b: Array[Double], epsilon: Double = ElasticParams.EdrEpsilon): Double = {
     val n = a.length; val m = b.length
     if (n == 0 || m == 0) return 1.0
     var prev = Array.tabulate(m + 1)(identity)

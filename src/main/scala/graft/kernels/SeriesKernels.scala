@@ -160,14 +160,18 @@ object Pelt {
       s"Unknown cost '$other'. Choose from [mean, meanvar, var]")
   }
 
-  /** Changepoint indices (1-based segment starts) for one series. */
-  /** `prune = false` disables PELT candidate pruning: exact optimal
-    * partitioning by full O(n²) scan. With `minSize > 1` the prune rule
-    * can drop a candidate that is unavailable-for-domination at the next
-    * `minSize - 1` steps (the dominating candidate t can't be used until
-    * t + minSize), so pruned and unpruned chains may legitimately differ;
-    * the oracle-checked query runs unpruned, the pruned path is the
-    * production/bench default. */
+  /** Changepoint indices (1-based segment starts) for one series.
+    *
+    * `prune = false` disables PELT candidate pruning: exact optimal
+    * partitioning by full O(n²) scan. The pruned path is minSize-aware
+    * (the ruptures discipline): a candidate enters the scan list only
+    * once it is admissible (`t - s >= minSize`), and a candidate
+    * dominated at time t (`f(s) + segCost(s, t) > f(t)`) is removed only
+    * after `t + minSize - 1`, because the dominating candidate t cannot
+    * itself be used before `t + minSize`. With that delay the pruned
+    * chain returns the same optimal partitioning as the exact scan
+    * (standard PELT domination argument with K = 0 subadditive costs),
+    * so prune=true is safe as the production default. */
   def detect(data: Array[Double], costModel: Cost, penalty: Double,
       minSize: Int = 2, prune: Boolean = true): Array[Long] = {
     val n = data.length
@@ -211,25 +215,39 @@ object Pelt {
     val f = Array.fill(n + 1)(Double.PositiveInfinity)
     f(0) = -penalty
     val lastCp = new Array[Int](n + 1)
-    var candidates = ArrayBuffer(0)
+    // removeAt(s): first time the prune may actually drop s; a candidate
+    // dominated at t may still be needed while the dominator t is itself
+    // inadmissible, i.e. up to t + minSize - 1
+    val removeAt = Array.fill(n + 1)(Int.MaxValue)
+    var candidates = ArrayBuffer.empty[Int]
     var t = minSize
     while (t <= n) {
+      candidates += t - minSize // just became admissible at t
+      if (prune) candidates = candidates.filter(s => removeAt(s) > t)
       var bestCost = Double.PositiveInfinity
       var bestS = 0
       var ci = 0
       while (ci < candidates.length) {
         val s = candidates(ci)
-        if (t - s >= minSize) {
-          val c = f(s) + segCost(s, t) + penalty
-          if (c < bestCost) { bestCost = c; bestS = s }
-        }
+        val c = f(s) + segCost(s, t) + penalty
+        if (c < bestCost) { bestCost = c; bestS = s }
         ci += 1
       }
       f(t) = bestCost
       lastCp(t) = bestS
-      if (prune)
-        candidates = candidates.filter(s => f(s) + segCost(s, t) <= f(t))
-      candidates += t
+      if (prune) {
+        var cj = 0
+        while (cj < candidates.length) {
+          val s = candidates(cj)
+          // ruptures condition, K = penalty: var-model segment costs
+          // n·log(v) are not K=0 subadditive (log v < 0 shrinks when a
+          // point leaves a segment), so the prune keeps penalty slack
+          if (removeAt(s) == Int.MaxValue &&
+              f(s) + segCost(s, t) > f(t) + penalty)
+            removeAt(s) = t + minSize
+          cj += 1
+        }
+      }
       t += 1
     }
     val cps = ArrayBuffer.empty[Long]
