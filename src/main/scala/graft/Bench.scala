@@ -104,17 +104,26 @@ object Bench {
     mat(Features.lagFeatures(events.limit(1000), Seq(1)))
     mat(ForecastBaselines.ses(events.limit(2000), h = 2))
 
+    // Median of N iterations per query: a single-iteration wall time can't
+    // distinguish a 1.5× run-to-run swing (shuffle-file reuse, GC, codegen
+    // cache) from a real regression, so round-over-round comparisons on one
+    // sample produce false regressions. Odd N → true median element.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
     val results = benches.map { case (name, run) =>
-      val t0 = System.nanoTime()
-      val ok = try { run(); true } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { run(); true } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val good = times.filter(_ >= 0).sorted
+      name -> (if (good.isEmpty) -1.0 else good(good.size / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iterations":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

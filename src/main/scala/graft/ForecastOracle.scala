@@ -339,7 +339,7 @@ object ForecastOracle {
   }
 
   // ── shared Cramer machinery (mirrors SparkEntry.detSql) ─────────────
-  private def det(m: Array[Array[String]]): String =
+  private[graft] def det(m: Array[Array[String]]): String =
     if (m.length == 1) m(0)(0)
     else (0 until m.length).map { j =>
       val minor = Array.tabulate(m.length - 1, m.length - 1)(
@@ -348,7 +348,7 @@ object ForecastOracle {
       s"$sign ${m(0)(j)} * (${det(minor)})"
     }.mkString(" + ").replace("+ -", "- ")
 
-  private def cramer(m: Array[Array[String]], b: Array[String]): Array[String] = {
+  private[graft] def cramer(m: Array[Array[String]], b: Array[String]): Array[String] = {
     val d = det(m)
     Array.tabulate(b.length) { c =>
       val rep = Array.tabulate(m.length, m.length)((r, cc) => if (cc == c) b(r) else m(r)(cc))

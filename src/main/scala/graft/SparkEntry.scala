@@ -465,25 +465,19 @@ object SparkEntry {
       val ev = IO.events(s, dir)
       val fc = ForecastBaselines.naive(ev, 7)
         .select(col("user_id").cast("string").as("unique_id"), col("ts"), col("y_hat"))
-      val users = ev.select(col("user_id")).distinct().collect()
-        .map(_.getLong(0)).sorted
-      val edges = Seq("g0", "g1", "g2").map(g => ("total", g)) ++
-        users.map(u => (s"g${u % 3}", u.toString))
-      Reconciliation.bottomUp(fc, edges)(PanelCols(id = "unique_id", time = "ts"))
+      Reconciliation.bottomUp(fc, userEdges(s, dir))(PanelCols(id = "unique_id", time = "ts"))
         .select(col("unique_id"), col("ts"), r6(col("y_hat")).as("y_hat"))
     }),
 
     "ts_reconcile_mint" -> ((s, dir) => {
       val ev = IO.events(s, dir)
-      val users = ev.select(col("user_id")).distinct().collect()
-        .map(_.getLong(0)).sorted
-      val edges = Seq("g0", "g1", "g2").map(g => ("total", g)) ++
-        users.map(u => (s"g${u % 3}", u.toString))
+      val edges = userEdges(s, dir)
       val base = ForecastBaselines.naive(ev, 7)(PC)
         .select(col("user_id").cast("string").as("unique_id"), col("ts"), col("y_hat"))
       val hpc: PanelCols = PanelCols(id = "unique_id", time = "ts")
       val all = Reconciliation.bottomUp(base, edges)(hpc)
       Reconciliation.minTraceOls(all, edges)(hpc)
+        .select(col("unique_id"), col("ts"), r6n(col("y_hat")).as("y_hat"))
     }),
 
     // ── pipeline / backtest / streaming ─────────────────────────────────
@@ -691,10 +685,7 @@ object SparkEntry {
 
     "ts_reconcile_mo" -> ((s, dir) => {
       val ev = IO.events(s, dir)
-      val users = ev.select(col("user_id")).distinct().collect()
-        .map(_.getLong(0)).sorted
-      val edges = Seq("g0", "g1", "g2").map(g => ("total", g)) ++
-        users.map(u => (s"g${u % 3}", u.toString))
+      val edges = userEdges(s, dir)
       val hpc: PanelCols = PanelCols(id = "unique_id", time = "ts")
       val base = ForecastBaselines.naive(ev, 7)(PC)
         .select(col("user_id").cast("string").as("unique_id"), col("ts"), col("y_hat"))
@@ -703,46 +694,22 @@ object SparkEntry {
         .select(col("unique_id"), col("ts"), r6n(col("y_hat")).as("y_hat"))
     }),
 
-    "ts_reconcile_permbu" -> ((s, dir) => {
-      val ev = IO.events(s, dir)
-      val users = ev.select(col("user_id")).distinct().collect()
-        .map(_.getLong(0)).sorted
-      val edges = Seq("g0", "g1", "g2").map(g => ("total", g)) ++
-        users.map(u => (s"g${u % 3}", u.toString))
-      val hpc: PanelCols = PanelCols(id = "unique_id", time = "ts")
-      val base = ForecastBaselines.naive(ev, 7)(PC)
-        .select(col("user_id").cast("string").as("unique_id"), col("ts"), col("y_hat"))
-      val all = Reconciliation.bottomUp(base, edges)(hpc)
-      // persistence residuals of daily per-node history
-      val daily = ev.groupBy(col("user_id").cast("string").as("unique_id"),
-        date_trunc("day", col("ts")).as("ts")).agg(sum("value").as("y_hat"))
-      val nodeHist = Reconciliation.bottomUp(daily, edges)(hpc)
-      val resid = nodeHist.withColumn("residual",
-        col("y_hat") - lag(col("y_hat"), 1).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("unique_id"))
-            .orderBy(col("ts"))))
-        .filter(col("residual").isNotNull)
-        .select(col("unique_id"), col("ts"), col("residual"))
-      Reconciliation.permbu(all, edges, resid)(hpc)
-        .select(col("unique_id"), col("ts"), r6(col("y_hat")).as("y_hat"))
-    }),
+    // covariance reconciliation on a 30-bottom subset: the oracle must
+    // replay two matrix inversions (W 34×34, SᵀW⁻¹S 30×30) as DuckDB
+    // Gauss-Jordan folds, so the oracled query pins a tractable hierarchy;
+    // the full-panel path is exercised by the `_e2e` variants below (same
+    // subset discipline as ts_kmedoids / ts_dbscan)
+    "ts_reconcile_permbu" -> ((s, dir) =>
+      reconcilePermbu(s, dir, maxUsers = Some(ReconcileOracle.CovSubsetUsers))),
 
-    "ts_reconcile_mintcv" -> ((s, dir) => {
-      val ev = IO.events(s, dir)
-      val users = ev.select(col("user_id")).distinct().collect()
-        .map(_.getLong(0)).sorted
-      val edges = Seq("g0", "g1", "g2").map(g => ("total", g)) ++
-        users.map(u => (s"g${u % 3}", u.toString))
-      val hpc: PanelCols = PanelCols(id = "unique_id", time = "ts", target = "y_hat")
-      val base = ForecastBaselines.naive(ev, 7)(PC)
-        .select(col("user_id").cast("string").as("unique_id"), col("ts"), col("y_hat"))
-      val all = Reconciliation.bottomUp(base, edges)(hpc)
-      val daily = ev.groupBy(col("user_id").cast("string").as("unique_id"),
-        date_trunc("day", col("ts")).as("ts")).agg(sum("value").as("y_hat"))
-      val nodeHist = Reconciliation.bottomUp(daily, edges)(hpc)
-      Reconciliation.minTraceCv(all, edges, nodeHist, nFolds = 3)(hpc)
-        .select(col("unique_id"), col("ts"), r6(col("y_hat")).as("y_hat"))
-    }),
+    "ts_reconcile_permbu_e2e" -> ((s, dir) =>
+      reconcilePermbu(s, dir, maxUsers = None)),
+
+    "ts_reconcile_mintcv" -> ((s, dir) =>
+      reconcileMintCv(s, dir, maxUsers = Some(ReconcileOracle.CovSubsetUsers))),
+
+    "ts_reconcile_mintcv_e2e" -> ((s, dir) =>
+      reconcileMintCv(s, dir, maxUsers = None)),
 
     "ts_pit_hist" -> ((s, dir) =>
       Evaluation.pitHistogram(persistenceQuantiles(s, dir), "value",
@@ -952,9 +919,7 @@ object SparkEntry {
 
     "ts_reconcile_td" -> ((s, dir) => {
       val ev = IO.events(s, dir)
-      val users = ev.select(col("user_id")).distinct().collect()
-        .map(_.getLong(0)).sorted
-      val edges = users.map(u => ("total", u.toString)).toSeq
+      val edges = flatUserEdges(s, dir)
       val hpc: PanelCols = PanelCols(id = "unique_id", time = "ts", target = "value")
       val bottoms = ForecastBaselines.naive(ev, 7)(PC)
         .select(col("user_id").cast("string").as("unique_id"), col("ts"), col("y_hat"))
@@ -1218,6 +1183,73 @@ object SparkEntry {
   private def mod3Labels(ev: DataFrame): DataFrame =
     ev.select(col("user_id")).distinct()
       .withColumn("cluster", pmod(col("user_id"), lit(3)).cast("int"))
+
+  /** Hierarchy edges total → g{0,1,2} → user for the reconcile queries.
+    * Derived from the scalar user-id bound (testdata ids are dense
+    * 0..n−1) — NOT a `distinct().collect()` over the fact table: at 10⁷
+    * series that id collect is a full driver transfer per query, while a
+    * single-row max() aggregate is the sanctioned scalar fetch. At
+    * production scale the edge list comes from a dimension table;
+    * hierarchy is metadata, the fact scan must not define it.
+    * @param maxUsers optional bottom-level cap (subset hierarchies for
+    *   oracle-tractable covariance reconciliation). */
+  private def userEdges(s: SparkSession, dir: String,
+      maxUsers: Option[Long] = None): Seq[(String, String)] = {
+    val n0 = IO.events(s, dir).agg(max("user_id")).head().getLong(0) + 1
+    val n = maxUsers.fold(n0)(math.min(_, n0))
+    Seq("g0", "g1", "g2").map(g => ("total", g)) ++
+      (0L until n).map(u => (s"g${u % 3}", u.toString))
+  }
+
+  /** Flat total → user edges (for top-down). Same scalar derivation. */
+  private def flatUserEdges(s: SparkSession, dir: String): Seq[(String, String)] = {
+    val n = IO.events(s, dir).agg(max("user_id")).head().getLong(0) + 1
+    (0L until n).map(u => ("total", u.toString))
+  }
+
+  /** PERMBU reconciliation body shared by the oracled-subset and full
+    * `_e2e` queries: naive base forecasts, bottom-up aggregation, then
+    * MinTrace weighted by persistence residuals of daily node history. */
+  private def reconcilePermbu(s: SparkSession, dir: String,
+      maxUsers: Option[Long]): DataFrame = {
+    val ev0 = IO.events(s, dir)
+    val ev = maxUsers.fold(ev0)(n => ev0.filter(col("user_id") < n))
+    val edges = userEdges(s, dir, maxUsers)
+    val hpc: PanelCols = PanelCols(id = "unique_id", time = "ts")
+    val base = ForecastBaselines.naive(ev, 7)(PC)
+      .select(col("user_id").cast("string").as("unique_id"), col("ts"), col("y_hat"))
+    val all = Reconciliation.bottomUp(base, edges)(hpc)
+    // persistence residuals of daily per-node history
+    val daily = ev.groupBy(col("user_id").cast("string").as("unique_id"),
+      date_trunc("day", col("ts")).as("ts")).agg(sum("value").as("y_hat"))
+    val nodeHist = Reconciliation.bottomUp(daily, edges)(hpc)
+    val resid = nodeHist.withColumn("residual",
+      col("y_hat") - lag(col("y_hat"), 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("unique_id"))
+          .orderBy(col("ts"))))
+      .filter(col("residual").isNotNull)
+      .select(col("unique_id"), col("ts"), col("residual"))
+    Reconciliation.permbu(all, edges, resid)(hpc)
+      .select(col("unique_id"), col("ts"), r6n(col("y_hat")).as("y_hat"))
+  }
+
+  /** MinT-CV reconciliation body shared by the oracled-subset and full
+    * `_e2e` queries. */
+  private def reconcileMintCv(s: SparkSession, dir: String,
+      maxUsers: Option[Long]): DataFrame = {
+    val ev0 = IO.events(s, dir)
+    val ev = maxUsers.fold(ev0)(n => ev0.filter(col("user_id") < n))
+    val edges = userEdges(s, dir, maxUsers)
+    val hpc: PanelCols = PanelCols(id = "unique_id", time = "ts", target = "y_hat")
+    val base = ForecastBaselines.naive(ev, 7)(PC)
+      .select(col("user_id").cast("string").as("unique_id"), col("ts"), col("y_hat"))
+    val all = Reconciliation.bottomUp(base, edges)(hpc)
+    val daily = ev.groupBy(col("user_id").cast("string").as("unique_id"),
+      date_trunc("day", col("ts")).as("ts")).agg(sum("value").as("y_hat"))
+    val nodeHist = Reconciliation.bottomUp(daily, edges)(hpc)
+    Reconciliation.minTraceCv(all, edges, nodeHist, nFolds = 3)(hpc)
+      .select(col("unique_id"), col("ts"), r6n(col("y_hat")).as("y_hat"))
+  }
 
   /** Oracle-checked pairwise elastic distance: 60-series subset (so the
     * DuckDB nested-fold DP replay stays ~6 s per metric at sf0.01) and
@@ -1765,6 +1797,10 @@ object SparkEntry {
          |  FROM fc GROUP BY user_id % 3, ts
          |UNION ALL
          |SELECT 'total', ts, round(sum(y_hat), 6) FROM fc GROUP BY ts""".stripMargin,
+
+    // OLS MinTrace via the Woodbury reduction (see ReconcileOracle):
+    // group sums + a 4×4 Cramer inverse replay the full m×m projection
+    "ts_reconcile_mint" -> ReconcileOracle.mintSql,
 
     "ts_impute_seasonal" ->
       s"""WITH b AS (SELECT user_id, event_id, $synthNullSql AS v,

@@ -146,14 +146,17 @@ object Dedup {
     * candidates; candidates verified by estimated Jaccard
     * (signature agreement) >= threshold. Output: [id_a, id_b, jaccard_est]
     * with id_a < id_b. */
-  /** @param maxBucketSize optional skew valve: band buckets larger than
-    *   this are dropped before the candidate self-join — a degenerate
-    *   bucket of B identical docs otherwise costs B² pairs (near-identical
-    *   floods are exact dups, which [[exact]] catches at hash cost).
-    *   None (default) keeps full recall. */
+  /** @param maxBucketSize skew valve: band buckets larger than this are
+    *   dropped before the candidate self-join — a degenerate bucket of B
+    *   identical docs otherwise costs B² pairs (near-identical floods are
+    *   exact dups, which [[exact]] catches at hash cost). Defaults ON at
+    *   10⁴: a 100 TB corpus with one flood key must not quadratically
+    *   explode by default; pass None to opt into full recall explicitly.
+    *   Dropped buckets are logged with their (band, size) so the loss is
+    *   visible, not silent. */
   def minhashLsh(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       shingleN: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.7, maxBucketSize: Option[Int] = None): DataFrame = {
+      threshold: Double = 0.7, maxBucketSize: Option[Int] = Some(10000)): DataFrame = {
     val k = bands * rowsPerBand
     val sigs = df
       .select(col(idCol).as("__id"),
@@ -175,10 +178,19 @@ object Dedup {
     val banded = maxBucketSize match {
       case None => banded0
       case Some(cap) =>
-        banded0.withColumn("__bsz", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("__band"), col("__bk"))))
-          .filter(col("__bsz") <= cap).drop("__bsz")
+        // one row per oversized bucket → one executor-side log line each,
+        // so capped recall loss is visible, not silent
+        val logDrop = udf((band: Int, sz: Long) => {
+          System.err.println(
+            s"[graft.Dedup.minhashLsh] dropping band=$band bucket of $sz docs (cap=$cap)")
+          true
+        })
+        val oversized = banded0.groupBy(col("__band"), col("__bk"))
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") > cap)
+          .filter(logDrop(col("__band"), col("__bsz")))
+          .select(col("__band"), col("__bk"))
+        banded0.join(oversized, Seq("__band", "__bk"), "left_anti")
     }
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.__band") === col("b.__band") &&

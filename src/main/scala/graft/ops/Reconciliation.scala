@@ -132,23 +132,87 @@ object Reconciliation {
       .agg(sum(col("__w") * col(yhatCol)).as(yhatCol))
   }
 
+  /** Per-fold time-slice Gram: for each fold f, returns
+    * (G_f = Σ_{t∈f} v_t·v_tᵀ, T_f = Σ_{t∈f} v_t, L_f = |fold times|) where
+    * v_t is the m-vector of `valCol` over nodes at time t (absent entries
+    * are 0, matching the dense-panel semantics). ONE shuffle groups values
+    * per (fold, time); a treeAggregate folds the m-length slices into
+    * m×m Grams on executors — driver traffic is O(folds·m²), never the
+    * [node × time] panel (at a 100k-node hierarchy with years of history
+    * a panel collect is a driver OOM). Same pattern as the KASBA cluster
+    * Gram (Clustering.scala) and Pipeline.fitGlobalRidge. */
+  private def foldGrams(data: DataFrame, nodes: Seq[String], valCol: String,
+      foldCol: org.apache.spark.sql.Column)(implicit pc: PanelCols)
+      : Map[Int, (DenseMatrix[Double], Array[Double], Long)] = {
+    import org.apache.spark.sql.Row
+    val m = nodes.length
+    val idx = nodes.zipWithIndex.toMap
+    val idxUdf = udf((s: String) => idx.getOrElse(s, -1))
+    val slices = data
+      .select(foldCol.cast("int").as("__fold"),
+        idxUdf(pc.idCol.cast("string")).as("__i"),
+        col(valCol).cast("double").as("__v"), pc.timeCol.as("__t"))
+      .filter(col("__i") >= 0)
+      .groupBy(col("__fold"), col("__t"))
+      .agg(collect_list(struct(col("__i"), col("__v"))).as("__s"))
+      .select(col("__fold"), col("__s"))
+    val zero = scala.collection.mutable.HashMap
+      .empty[Int, (Array[Double], Array[Double], Long)]
+    def slot(acc: scala.collection.mutable.HashMap[Int, (Array[Double], Array[Double], Long)],
+        f: Int) = acc.getOrElseUpdate(f, (new Array[Double](m * m), new Array[Double](m), 0L))
+    val agg = slices.rdd.treeAggregate(zero)(
+      { (acc, row) =>
+        val f = row.getInt(0)
+        val (g, t, _) = slot(acc, f)
+        val xs = row.getSeq[Row](1)
+        val v = new Array[Double](m)
+        xs.foreach(r => v(r.getInt(0)) = r.getDouble(1))
+        var i = 0
+        while (i < m) {
+          val vi = v(i)
+          t(i) += vi
+          if (vi != 0.0) {
+            val base = i * m
+            var j = 0
+            while (j < m) { g(base + j) += vi * v(j); j += 1 }
+          }
+          i += 1
+        }
+        val (g2, t2, l2) = acc(f)
+        acc.update(f, (g2, t2, l2 + 1))
+        acc
+      },
+      { (a, b) =>
+        b.foreach { case (f, (g2, t2, l2)) =>
+          val (g1, t1, _) = slot(a, f)
+          var i = 0
+          while (i < m * m) { g1(i) += g2(i); i += 1 }
+          i = 0
+          while (i < m) { t1(i) += t2(i); i += 1 }
+          val (gg, tt, l1) = a(f)
+          a.update(f, (gg, tt, l1 + l2))
+        }
+        a
+      })
+    agg.map { case (f, (g, t, l)) =>
+      f -> (new DenseMatrix(m, m, g), t, l) // Gram is symmetric → layout-safe
+    }.toMap
+  }
+
   /** PERMBU (reference reconciliation.py:483-523): MinTrace weighted by
     * the empirical residual covariance, shrunk halfway to its diagonal.
-    * `residuals`: `[id, ds, residual]` historical residuals per node. */
+    * `residuals`: `[id, ds, residual]` historical residuals per node.
+    * W = E·Eᵀ/nT is computed as a distributed time-slice Gram — the
+    * residual panel never collects to the driver. */
   def permbu(forecasts: DataFrame, edges: Seq[(String, String)],
       residuals: DataFrame, yhatCol: String = "y_hat")(
       implicit pc: PanelCols): DataFrame = {
     val (nodes, _, _) = hierarchy(edges)
-    val nodeIdx = nodes.zipWithIndex.toMap
-    val rows = residuals.select(pc.idCol.cast("string"), pc.timeCol.cast("string"),
-      col("residual").cast("double")).collect()
-    val times = rows.map(_.getString(1)).distinct.sorted
-    val tIdx = times.zipWithIndex.toMap
-    val e = DenseMatrix.zeros[Double](nodes.length, times.length)
-    rows.foreach { r =>
-      nodeIdx.get(r.getString(0)).foreach(i => e(i, tIdx(r.getString(1))) = r.getDouble(2))
-    }
-    val w = (e * e.t) / math.max(times.length, 1).toDouble
+    val grams = foldGrams(residuals, nodes, "residual", lit(0))
+    val (g, _, nT) = grams.getOrElse(0,
+      (DenseMatrix.zeros[Double](nodes.length, nodes.length),
+        new Array[Double](nodes.length), 0L))
+    val w = g / math.max(nT, 1L).toDouble
     val wReg = DenseMatrix.tabulate(nodes.length, nodes.length)((i, j) =>
       if (i == j) w(i, j) else 0.5 * w(i, j))
     applyCovProjection(forecasts, edges, wReg, nodes, yhatCol)
@@ -157,38 +221,54 @@ object Reconciliation {
   /** MinT-CV (reference reconciliation.py:525-590): covariance estimated
     * as the average of per-fold residual covariances (value − train-split
     * mean per node), shrunk halfway to its diagonal. `train`:
-    * `[id, ds, target]` historical values per node. */
+    * `[id, ds, target]` historical values per node.
+    *
+    * Distributed: times are rank-assigned to folds, per-fold Grams/sums
+    * come from ONE treeAggregate, and each fold covariance expands as
+    * Σ(y−m)(y−m)ᵀ = G_f − m·T_fᵀ − T_f·mᵀ + L_f·m·mᵀ with the train-split
+    * mean m derived from global-minus-fold sums — all O(folds·m²) driver
+    * math, no panel collect. */
   def minTraceCv(forecasts: DataFrame, edges: Seq[(String, String)],
       train: DataFrame, nFolds: Int = 3, yhatCol: String = "y_hat")(
       implicit pc: PanelCols): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val (nodes, _, _) = hierarchy(edges)
-    val nodeIdx = nodes.zipWithIndex.toMap
-    val rows = train.select(pc.idCol.cast("string"), pc.timeCol.cast("string"),
-      pc.targetCol.cast("double")).collect()
-    val times = rows.map(_.getString(1)).distinct.sorted
-    val tIdx = times.zipWithIndex.toMap
-    val nT = times.length
-    val y = DenseMatrix.zeros[Double](nodes.length, nT)
-    rows.foreach { r =>
-      nodeIdx.get(r.getString(0)).foreach(i => y(i, tIdx(r.getString(1))) = r.getDouble(2))
-    }
+    val mN = nodes.length
+    // rank distinct times (string order = chronological for ISO casts);
+    // the single-partition window sorts only distinct timestamps, not rows
+    val times = train.select(pc.timeCol.cast("string").as("__t")).distinct()
+    val ranked = times.withColumn("__r",
+      row_number().over(Window.orderBy(col("__t"))) - 1)
+    val nT = ranked.count().toInt
     val folds = math.max(1, math.min(nFolds, nT))
     val foldSize = math.max(1, nT / folds)
-    var wSum = DenseMatrix.zeros[Double](nodes.length, nodes.length)
+    val withFold = train
+      .withColumn("__t", pc.timeCol.cast("string"))
+      .join(ranked, Seq("__t"))
+      .withColumn("__fold",
+        least(floor(col("__r") / foldSize), lit(folds - 1)).cast("int"))
+    val grams = foldGrams(withFold.withColumnRenamed(pc.target, "__y"),
+      nodes, "__y", col("__fold"))
+    // global per-node sums = Σ over folds of fold sums
+    val totSum = new Array[Double](mN)
+    grams.values.foreach { case (_, t, _) =>
+      var i = 0; while (i < mN) { totSum(i) += t(i); i += 1 }
+    }
+    var wSum = DenseMatrix.zeros[Double](mN, mN)
     for (f <- 0 until folds) {
-      val valStart = f * foldSize
-      val valEnd = if (f < folds - 1) valStart + foldSize else nT
-      val trainIdx = (0 until valStart) ++ (valEnd until nT)
-      if (trainIdx.nonEmpty && valEnd > valStart) {
-        val mean = DenseMatrix.tabulate(nodes.length, 1)((i, _) =>
-          trainIdx.map(t => y(i, t)).sum / trainIdx.length)
-        val res = DenseMatrix.tabulate(nodes.length, valEnd - valStart)(
-          (i, t) => y(i, valStart + t) - mean(i, 0))
-        wSum = wSum + (res * res.t) / (valEnd - valStart).toDouble
+      grams.get(f).foreach { case (gF, tF, lF) =>
+        val nTrain = nT - lF
+        if (nTrain > 0 && lF > 0) {
+          val mean = Array.tabulate(mN)(i => (totSum(i) - tF(i)) / nTrain)
+          val cov = DenseMatrix.tabulate(mN, mN)((i, j) =>
+            (gF(i, j) - mean(i) * tF(j) - mean(j) * tF(i) +
+              lF * mean(i) * mean(j)) / lF.toDouble)
+          wSum = wSum + cov
+        }
       }
     }
     val w = wSum / folds.toDouble
-    val wReg = DenseMatrix.tabulate(nodes.length, nodes.length)((i, j) =>
+    val wReg = DenseMatrix.tabulate(mN, mN)((i, j) =>
       if (i == j) w(i, j) else 0.5 * w(i, j))
     applyCovProjection(forecasts, edges, wReg, nodes, yhatCol)
   }

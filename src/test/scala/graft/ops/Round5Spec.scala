@@ -1,0 +1,144 @@
+package graft.ops
+
+import breeze.linalg.DenseMatrix
+import graft.TestSpark
+import graft.core.PanelCols
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 additions: the PERMBU / MinT-CV covariance refactor (driver
+  * panel collect → distributed time-slice Gram) must be value-identical
+  * to the dense-panel math it replaced. */
+class Round5Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private implicit val pc: PanelCols = PanelCols()
+
+  private def panel(ids: Seq[String], nT: Int)(f: (Int, Int) => Double) = {
+    import spark.implicits._
+    ids.zipWithIndex.flatMap { case (id, i) =>
+      (0 until nT).map(t => (id, t, f(i, t)))
+    }.toDF("unique_id", "__h", "y")
+      .withColumn("ds", timestamp_micros(col("__h") * 3600000000L))
+      .drop("__h")
+  }
+
+  // 2 groups × 2 bottoms; deterministic values with per-node scale + drift
+  private val edges = Seq(("total", "g0"), ("total", "g1"),
+    ("g0", "a"), ("g0", "b"), ("g1", "c"), ("g1", "d"))
+  private val bottoms = Seq("a", "b", "c", "d")
+  private val nodes = Seq("total", "g0", "g1") ++ bottoms
+
+  private def histFor(ids: Seq[String], nT: Int) =
+    panel(ids, nT)((i, t) => (i + 1.0) * math.sin(t * 0.7 + i) + 0.1 * t * (i - 1))
+
+  /** Dense-panel covariance exactly as the pre-round-5 implementation
+    * computed it: [node × time] matrix with zeros for absent cells. */
+  private def densePanelCov(hist: Map[(String, Int), Double], nT: Int): DenseMatrix[Double] = {
+    val e = DenseMatrix.zeros[Double](nodes.length, nT)
+    for (((id, t), v) <- hist; i = nodes.indexOf(id) if i >= 0) e(i, t) = v
+    (e * e.t) / math.max(nT, 1).toDouble
+  }
+
+  test("permbu distributed Gram matches the dense-panel covariance path") {
+    val nT = 12
+    // residuals over ALL nodes (bottoms + aggregates), like the query builds
+    val resid = panel(nodes, nT)((i, t) => math.cos(t * 0.9 + 2 * i) * (1.0 + i))
+      .withColumnRenamed("y", "residual")
+    val fc = panel(bottoms, 3)((i, t) => 10.0 * (i + 1) + t)
+      .withColumnRenamed("y", "y_hat")
+    val all = Reconciliation.bottomUp(fc, edges)
+    val rec = Reconciliation.permbu(all, edges, resid)
+
+    // reference computation: dense covariance → same projection applied
+    val histMap = nodes.zipWithIndex.flatMap { case (id, i) =>
+      (0 until nT).map(t => (id, t) -> math.cos(t * 0.9 + 2 * i) * (1.0 + i))
+    }.toMap
+    val w = densePanelCov(histMap, nT)
+    val wReg = DenseMatrix.tabulate(nodes.length, nodes.length)((i, j) =>
+      if (i == j) w(i, j) else 0.5 * w(i, j))
+    // re-derive with the projection helper by reflection-free route:
+    // apply the public permbu on a single-time residual panel is circular,
+    // so instead assert coherence + agreement with an independent breeze
+    // computation of P·ŷ for one timestamp.
+    val s = DenseMatrix.zeros[Double](nodes.length, bottoms.length)
+    val desc = Map("total" -> bottoms, "g0" -> Seq("a", "b"), "g1" -> Seq("c", "d")) ++
+      bottoms.map(b => b -> Seq(b)).toMap
+    nodes.zipWithIndex.foreach { case (n, i) =>
+      desc(n).foreach(b => s(i, bottoms.indexOf(b)) = 1.0) }
+    val wInv = breeze.linalg.pinv(wReg)
+    val p = s * breeze.linalg.pinv(s.t * wInv * s) * s.t * wInv
+    // ŷ at the first forecast timestamp, node order as `nodes`
+    val t0 = all.agg(min("ds")).collect()(0).getTimestamp(0)
+    val yh = all.filter(col("ds") === lit(t0)).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val yv = breeze.linalg.DenseVector(nodes.map(yh): _*)
+    val expect = p * yv
+    val got = rec.filter(col("ds") === lit(t0)).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    nodes.zipWithIndex.foreach { case (n, i) =>
+      assert(math.abs(got(n) - expect(i)) < 1e-8,
+        s"node $n: got ${got(n)} expected ${expect(i)}")
+    }
+  }
+
+  test("minTraceCv distributed fold covariance matches the dense-panel folds") {
+    val nT = 13
+    val nFolds = 3
+    val hist = histFor(nodes, nT).withColumnRenamed("y", "y_hat")
+    val fc = panel(bottoms, 2)((i, t) => 5.0 * (i + 1) - t)
+      .withColumnRenamed("y", "y_hat")
+    val hpc = PanelCols(target = "y_hat")
+    val all = Reconciliation.bottomUp(fc, edges)(hpc)
+    val rec = Reconciliation.minTraceCv(all, edges, hist, nFolds)(hpc)
+
+    // dense-panel replica of the pre-round-5 fold loop
+    val y = DenseMatrix.tabulate(nodes.length, nT)((i, t) =>
+      (i + 1.0) * math.sin(t * 0.7 + i) + 0.1 * t * (i - 1))
+    val foldSize = math.max(1, nT / nFolds)
+    var wSum = DenseMatrix.zeros[Double](nodes.length, nodes.length)
+    for (f <- 0 until nFolds) {
+      val valStart = f * foldSize
+      val valEnd = if (f < nFolds - 1) valStart + foldSize else nT
+      val trainIdx = (0 until valStart) ++ (valEnd until nT)
+      val mean = Array.tabulate(nodes.length)(i =>
+        trainIdx.map(t => y(i, t)).sum / trainIdx.length)
+      val res = DenseMatrix.tabulate(nodes.length, valEnd - valStart)(
+        (i, t) => y(i, valStart + t) - mean(i))
+      wSum = wSum + (res * res.t) / (valEnd - valStart).toDouble
+    }
+    val w = wSum / nFolds.toDouble
+    val wReg = DenseMatrix.tabulate(nodes.length, nodes.length)((i, j) =>
+      if (i == j) w(i, j) else 0.5 * w(i, j))
+    val s = DenseMatrix.zeros[Double](nodes.length, bottoms.length)
+    val desc = Map("total" -> bottoms, "g0" -> Seq("a", "b"), "g1" -> Seq("c", "d")) ++
+      bottoms.map(b => b -> Seq(b)).toMap
+    nodes.zipWithIndex.foreach { case (n, i) =>
+      desc(n).foreach(b => s(i, bottoms.indexOf(b)) = 1.0) }
+    val wInv = breeze.linalg.pinv(wReg)
+    val p = s * breeze.linalg.pinv(s.t * wInv * s) * s.t * wInv
+    val t0 = all.agg(min("ds")).collect()(0).getTimestamp(0)
+    val yh = all.filter(col("ds") === lit(t0)).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val yv = breeze.linalg.DenseVector(nodes.map(yh): _*)
+    val expect = p * yv
+    val got = rec.filter(col("ds") === lit(t0)).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    nodes.zipWithIndex.foreach { case (n, i) =>
+      assert(math.abs(got(n) - expect(i)) < 1e-8,
+        s"node $n: got ${got(n)} expected ${expect(i)}")
+    }
+  }
+
+  test("minhash LSH bucket cap drops flood buckets but keeps true near-dups") {
+    import spark.implicits._
+    // 30 distinct docs + a 40-doc flood of one identical text
+    val docs = ((0 until 30).map(i => (i.toLong, s"the quick brown fox $i jumps over the lazy dog number $i with tail"))
+      ++ (100 until 140).map(i => (i.toLong, "identical flood document text that repeats verbatim across the corpus")))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minhashLsh(docs, threshold = 0.5, maxBucketSize = Some(10))
+    // flood pairs (both ids >= 100) must be gone; no spurious pairs appear
+    assert(capped.filter(col("id_a") >= 100 && col("id_b") >= 100).count() == 0)
+    val uncapped = Dedup.minhashLsh(docs, threshold = 0.5, maxBucketSize = None)
+    assert(uncapped.filter(col("id_a") >= 100 && col("id_b") >= 100).count() == (40L * 39) / 2)
+  }
+}
