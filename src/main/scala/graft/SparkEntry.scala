@@ -1802,6 +1802,11 @@ object SparkEntry {
     // group sums + a 4×4 Cramer inverse replay the full m×m projection
     "ts_reconcile_mint" -> ReconcileOracle.mintSql,
 
+    // covariance MinTrace: W and SᵀW⁻¹S inverted by Gauss-Jordan
+    // list-folds over the 30-bottom subset hierarchy (see ReconcileOracle)
+    "ts_reconcile_permbu" -> ReconcileOracle.permbuSql,
+    "ts_reconcile_mintcv" -> ReconcileOracle.mintCvSql,
+
     "ts_impute_seasonal" ->
       s"""WITH b AS (SELECT user_id, event_id, $synthNullSql AS v,
          |  (row_number() OVER ($W) - 1) % 24 AS phase,
