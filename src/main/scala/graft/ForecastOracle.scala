@@ -1102,4 +1102,75 @@ SELECT si.user_id,
     ELSE 2 END AS cluster
 FROM si CROSS JOIN fin f ORDER BY si.user_id
 """
+
+  // ── VAR(2) on the 3 first event-type daily means: XᵀX solved by the
+  // shared Gauss-Jordan fold (ReconcileOracle.gjInvCtes), recursion as a
+  // growing single-row fold. Mirrors VarModels.fit/forecast. ───────────
+  val varSql: String = {
+    // X columns 0..6 = [y1_{t-1}, y2_{t-1}, y3_{t-1}, y1_{t-2}, y2_{t-2}, y3_{t-2}, 1]
+    val xs = Seq("l11", "l12", "l13", "l21", "l22", "l23")
+    def prod(a: String, b: String) = s"sum($a * $b)"
+    val gSums = (for (i <- 0 to 6; j <- i to 6) yield {
+      val e =
+        if (i < 6 && j < 6) prod(xs(i), xs(j))
+        else if (i < 6) s"sum(${xs(i)})"
+        else "count(*)::DOUBLE"
+      s"$e AS s$i$j"
+    }).mkString(",\n  ")
+    val bSums = (for (i <- 0 to 6; k <- 1 to 3) yield {
+      val e = if (i < 6) prod(xs(i), s"y$k") else s"sum(y$k)"
+      s"$e AS b$i$k"
+    }).mkString(",\n  ")
+    def sRef(i: Int, j: Int) = if (i <= j) s"s$i$j" else s"s$j$i"
+    val xList = (for (i <- 0 to 6; j <- 0 to 6) yield sRef(i, j)).mkString(", ")
+    val bList = (for (i <- 0 to 6; k <- 1 to 3) yield s"b$i$k").mkString(", ")
+    val betaCols = (for (i <- 0 to 6; k <- 1 to 3) yield
+      s"max(val) FILTER (i = $i AND k = $k) AS c$i$k").mkString(",\n  ")
+    def pr(k: Int) =
+      (0 to 5).map(i => s"acc[${i + 1}] * bc.c$i$k").mkString(" + ") + s" + bc.c6$k"
+    val et = (r: Int) => s"(SELECT event_type FROM ets WHERE rk = $r)"
+    s"""WITH ets AS (SELECT event_type, row_number() OVER (ORDER BY event_type) AS rk
+       |  FROM (SELECT DISTINCT event_type FROM events)),
+       |wide AS (SELECT date_trunc('day', ts) AS d,
+       |  coalesce(avg(value) FILTER (event_type = ${et(1)}), 0.0) AS v1,
+       |  coalesce(avg(value) FILTER (event_type = ${et(2)}), 0.0) AS v2,
+       |  coalesce(avg(value) FILTER (event_type = ${et(3)}), 0.0) AS v3
+       |  FROM events GROUP BY 1),
+       |o AS (SELECT v1, v2, v3, row_number() OVER (ORDER BY d) AS rn FROM wide),
+       |r AS (SELECT a.v1 AS y1, a.v2 AS y2, a.v3 AS y3,
+       |  b.v1 AS l11, b.v2 AS l12, b.v3 AS l13,
+       |  c.v1 AS l21, c.v2 AS l22, c.v3 AS l23
+       |  FROM o a JOIN o b ON b.rn = a.rn - 1 JOIN o c ON c.rn = a.rn - 2),
+       |g AS (SELECT
+       |  $gSums,
+       |  $bSums
+       |  FROM r),
+       |xmat AS (SELECT (t.k // 7)::INT AS i, (t.k % 7)::INT AS j,
+       |    [$xList][t.k::INT + 1] AS val
+       |  FROM (SELECT unnest(generate_series(0, 48)) AS k) t, g),
+       |${ReconcileOracle.gjInvCtes("xinv", "xmat", 7)},
+       |bvec AS (SELECT (t.k // 3)::INT AS j, (t.k % 3 + 1)::INT AS k,
+       |    [$bList][t.k::INT + 1] AS val
+       |  FROM (SELECT unnest(generate_series(0, 20)) AS k) t, g),
+       |betas AS (SELECT x.i, bv.k, sum(x.val * bv.val) AS val
+       |  FROM xinv x JOIN bvec bv ON bv.j = x.j GROUP BY x.i, bv.k),
+       |bc AS (SELECT
+       |  $betaCols
+       |  FROM betas),
+       |hist AS (SELECT
+       |  [p1.v1, p1.v2, p1.v3, p2.v1, p2.v2, p2.v3] AS h
+       |  FROM (SELECT * FROM o WHERE rn = (SELECT max(rn) FROM o)) p1,
+       |       (SELECT * FROM o WHERE rn = (SELECT max(rn) - 1 FROM o)) p2),
+       |fc AS (SELECT list_reduce(
+       |    list_prepend(h, list_transform(generate_series(1, 5), s -> [s::DOUBLE])),
+       |    (acc, x) -> list_concat(
+       |      [${pr(1)}, ${pr(2)}, ${pr(3)}, acc[1], acc[2], acc[3]],
+       |      list_concat(acc[7:], [${pr(1)}, ${pr(2)}, ${pr(3)}]))) AS f
+       |  FROM hist, bc)
+       |SELECT s.step::BIGINT AS step,
+       |  round(f[(6 + (s.step - 1) * 3 + 1)::INT] + 1e-9, 6) AS var_1,
+       |  round(f[(6 + (s.step - 1) * 3 + 2)::INT] + 1e-9, 6) AS var_2,
+       |  round(f[(6 + (s.step - 1) * 3 + 3)::INT] + 1e-9, 6) AS var_3
+       |FROM fc, (SELECT unnest(generate_series(1, 5)) AS step) s""".stripMargin
+  }
 }

@@ -101,7 +101,7 @@ object ReconcileOracle {
     * Safe-shape notes (DuckDB 1.0 lambda engine): single row, fixed-size
     * accumulator, step = one pure list_transform — the shapes the PELT
     * oracle established as reliable. */
-  private def gjInvCtes(p: String, src: String, n: Int): String = {
+  private[graft] def gjInvCtes(p: String, src: String, n: Int): String = {
     val w = 2 * n
     def idx(e: String) = s"($e)::INT + 1"
     val piv = idx(s"(x[1])::INT * $w + (x[1])::INT")

@@ -446,7 +446,12 @@ object SparkEntry {
         .pivot("event_type").agg(avg("value"))
         .na.fill(0.0)
       val cols = wide.columns.filter(_ != "ts").sorted.take(3).toSeq
+      // static var_k aliases: the oracle SQL can't name data-dependent
+      // pivot columns, and the driver compare keys on column names
       VarModels.forecast(wide, cols, p = 2, h = 5)(PanelCols(time = "ts"))
+        .select(col("step") +:
+          cols.zipWithIndex.map { case (c, i) =>
+            r6n(col(c)).as(s"var_${i + 1}") }: _*)
     }),
 
     "ts_granger" -> ((s, dir) => {
@@ -1372,6 +1377,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = elasticOracles ++ Map(
     "ts_theta_fc" -> ForecastOracle.thetaSql,
+    "ts_var_fc" -> ForecastOracle.varSql,
     "ts_pelt" -> ForecastOracle.peltSql,
     "ts_pelt_pruned" -> ForecastOracle.peltSql,
     "ts_path_signature" -> ForecastOracle.pathSignatureSql,
