@@ -1103,6 +1103,67 @@ SELECT si.user_id,
 FROM si CROSS JOIN fin f ORDER BY si.user_id
 """
 
+  // ── synthetic control (Causal.solveScWeights + syntheticControl):
+  // 1000 projected-gradient iterations replayed as a 3-phase fold —
+  // phase 0 takes the gradient step (each element computes its own
+  // gradient coordinate), phase 1 appends the Duchi simplex-projection
+  // threshold θ ONCE to the accumulator (SQL has no let-binding, so a θ
+  // inlined into a per-element lambda would re-evaluate per element),
+  // phase 2 applies max(v − θ, 0). Donor order is user-id order; the
+  // Spark side's collect order differs only in ~1e-15 float reordering,
+  // which the contractive iteration keeps below the round-6 nudge. ─────
+  val syntheticControlSql: String = {
+    // R(ii): residual y − D·w at pre-time ii (acc = current w)
+    def R(ii: String) =
+      s"""(yl[($ii)::INT + 1] - list_reduce(list_prepend(0.0::DOUBLE,
+         |            list_transform(generate_series(0, nd - 1), jj -> dl[(($ii) * nd + jj)::INT + 1] * acc[(jj)::INT + 1])), (a, b) -> a + b))""".stripMargin
+    val G =
+      s"""(-2.0 * list_reduce(list_prepend(0.0::DOUBLE,
+         |            list_transform(generate_series(0, np - 1), ii -> dl[((ii) * nd + (j))::INT + 1] * ${R("ii")})), (a, b) -> a + b))""".stripMargin
+    val rho =
+      """list_max(list_transform(generate_series(1, nd), i -> CASE WHEN list_reverse_sort(acc)[i::INT] - (list_reduce(list_reverse_sort(acc)[1:i::INT], (a, b) -> a + b) - 1.0)/i > 0 THEN i ELSE 0 END))"""
+    val theta =
+      s"""((list_reduce(list_reverse_sort(acc)[1:($rho)::INT], (a, b) -> a + b) - 1.0) / ($rho))"""
+    s"""WITH daily AS (SELECT user_id, date_trunc('day', ts) AS d, avg(value) AS y
+       |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+       |fullg AS (SELECT d FROM daily GROUP BY d
+       |  HAVING count(DISTINCT user_id) = (SELECT count(DISTINCT user_id) FROM daily)),
+       |ev AS (SELECT daily.* FROM daily JOIN fullg USING (d)),
+       |cut AS (SELECT ((floor(quantile_cont(epoch_us(d), 0.8) / 1000.0))::BIGINT * 1000) AS ius FROM ev),
+       |grid AS (SELECT d, (row_number() OVER (ORDER BY d) - 1)::INT AS ti
+       |  FROM (SELECT DISTINCT d FROM ev)),
+       |dims AS (SELECT (SELECT count(*) FROM grid)::INT AS nt,
+       |  (SELECT count(DISTINCT user_id)::INT - 1 FROM ev) AS nd,
+       |  (SELECT count(*) FROM grid g, cut c WHERE epoch_us(g.d) < c.ius)::INT AS np),
+       |y0 AS (SELECT list(e.y ORDER BY g.ti) AS yl FROM ev e JOIN grid g USING (d)
+       |  WHERE e.user_id = 0),
+       |dm AS (SELECT list(e.y ORDER BY g.ti, e.user_id) AS dl
+       |  FROM ev e JOIN grid g USING (d) WHERE e.user_id <> 0),
+       |pars AS (SELECT 1.0 / greatest(2.0 * list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(generate_series(1, np * nd), t -> dl[t::INT] * dl[t::INT])), (a, b) -> a + b), 1e-12) AS step,
+       |  nt, nd, np, yl, dl FROM dm, dims, y0),
+       |wfin AS (SELECT nt, nd, np, dl, yl, list_reduce(
+       |    list_prepend(list_transform(generate_series(1, nd), j -> 1.0::DOUBLE / nd),
+       |      list_transform(generate_series(0, 2999), s -> [s::DOUBLE])),
+       |    (acc, x) -> CASE (x[1])::INT % 3
+       |      WHEN 0 THEN list_transform(generate_series(0, nd - 1), j -> acc[(j)::INT + 1] - step * $G)
+       |      WHEN 1 THEN list_append(acc, $theta)
+       |      ELSE list_transform(generate_series(0, nd - 1), j -> greatest(acc[(j)::INT + 1] - acc[nd + 1], 0.0))
+       |    END) AS wl
+       |  FROM pars),
+       |cf AS (SELECT g.d, g.ti,
+       |    w.yl[g.ti + 1] AS observed,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(generate_series(0, w.nd - 1), j -> w.wl[(j)::INT + 1] * w.dl[(g.ti * w.nd + j)::INT + 1])), (a, b) -> a + b) AS cfv
+       |  FROM grid g CROSS JOIN wfin w)
+       |SELECT make_timestamp(epoch_us(c.d)) AS ts,
+       |  round(c.observed + 1e-9, 6) AS observed,
+       |  round(c.cfv + 1e-9, 6) AS counterfactual,
+       |  round(c.observed - c.cfv + 1e-9, 6) AS effect,
+       |  CASE WHEN epoch_us(c.d) < cut.ius THEN 'pre' ELSE 'post' END AS period
+       |FROM cf c, cut""".stripMargin
+  }
+
   // ── VAR(2) on the 3 first event-type daily means: XᵀX solved by the
   // shared Gauss-Jordan fold (ReconcileOracle.gjInvCtes), recursion as a
   // growing single-row fold. Mirrors VarModels.fit/forecast. ───────────

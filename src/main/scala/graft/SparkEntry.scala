@@ -677,9 +677,9 @@ object SparkEntry {
         .head().getDouble(0).toLong
       val (frame, _) = Causal.syntheticControl(ev, "0",
         new java.sql.Timestamp(cut / 1000L))(PC.copy(tieBreak = Nil))
-      frame.select(col("ts"), r6(col("observed")).as("observed"),
-        r6(col("counterfactual")).as("counterfactual"),
-        r6(col("effect")).as("effect"), col("period"))
+      frame.select(col("ts"), r6n(col("observed")).as("observed"),
+        r6n(col("counterfactual")).as("counterfactual"),
+        r6n(col("effect")).as("effect"), col("period"))
     }),
 
     // ── round-2 small completions ───────────────────────────────────────
@@ -1378,6 +1378,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = elasticOracles ++ Map(
     "ts_theta_fc" -> ForecastOracle.thetaSql,
     "ts_var_fc" -> ForecastOracle.varSql,
+    "ts_synthetic_control" -> ForecastOracle.syntheticControlSql,
     "ts_pelt" -> ForecastOracle.peltSql,
     "ts_pelt_pruned" -> ForecastOracle.peltSql,
     "ts_path_signature" -> ForecastOracle.pathSignatureSql,
