@@ -1103,6 +1103,70 @@ SELECT si.user_id,
 FROM si CROSS JOIN fin f ORDER BY si.user_id
 """
 
+  // ── agglomerative (average linkage, cut at k=3) over the 60-series
+  // SBD subset: the merge chain replays as a 2-phase fold on a flat
+  // [d (n²) | active (n) | size (n) | parent (n)] state — phase 0
+  // appends the lexicographic-min (d, lo, hi) active pair (matching the
+  // Scala nearest-cache tie-breaks, which reduce to exactly that order),
+  // phase 1 applies the Lance-Williams average update, deactivates hi,
+  // and truncates. Labels = dense rank of each point's parent-chain root
+  // (roots are min member indexes, matching the Scala numbering). ──────
+  val agglomerativeSql: String = {
+    val n = 60
+    val n2 = n * n
+    val len = n2 + 3 * n
+    // flat offsets (0-based): active n²+i, size n²+n+i, parent n²+2n+i
+    val A = s"(acc[$len + 2])::INT"  // appended best-pair lo
+    val B = s"(acc[$len + 3])::INT"  // appended best-pair hi
+    // the non-A endpoint of the pair row/col under update
+    val oth = s"(CASE WHEN (t // $n) = $A THEN (t % $n)::INT ELSE (t // $n)::INT END)"
+    val bestTriple =
+      s"""list_min(list_transform(generate_series(0, ${n2 - 1}), pi ->
+         |      CASE WHEN (pi // $n) < (pi % $n)
+         |        AND acc[($n2 + pi // $n)::INT + 1] = 1.0 AND acc[($n2 + pi % $n)::INT + 1] = 1.0
+         |        THEN [acc[(pi)::INT + 1], (pi // $n)::DOUBLE, (pi % $n)::DOUBLE]
+         |        ELSE [1e308::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE] END))""".stripMargin
+    s"""WITH RECURSIVE $sbdSymPrefix,
+       |dmat AS (SELECT list(y.d ORDER BY sa.sidx, sb.sidx) AS dl
+       |  FROM sym y JOIN si sa ON sa.user_id = y.ua JOIN si sb ON sb.user_id = y.ub),
+       |init AS (SELECT list_concat(list_concat(list_concat(dl,
+       |    list_transform(generate_series(1, $n), i -> 1.0::DOUBLE)),
+       |    list_transform(generate_series(1, $n), i -> 1.0::DOUBLE)),
+       |    list_transform(generate_series(1, $n), i -> (i - 1)::DOUBLE)) AS st
+       |  FROM dmat),
+       |fin AS (SELECT list_reduce(
+       |    list_prepend(st, list_transform(generate_series(0, ${2 * (n - 3) - 1}), s -> [s::DOUBLE])),
+       |    (acc, x) -> CASE (x[1])::INT % 2
+       |      WHEN 0 THEN list_concat(acc, $bestTriple)
+       |      ELSE list_transform(generate_series(0, ${len - 1}), t ->
+       |        CASE
+       |          WHEN t < $n2 AND (t // $n) < (t % $n)
+       |            AND ((t // $n) = $A OR (t % $n) = $A)
+       |            AND ($oth) <> $B
+       |            AND acc[($n2 + ($oth))::INT + 1] = 1.0
+       |          THEN (acc[(least($A, $oth) * $n + greatest($A, $oth))::INT + 1] * acc[($n2 + $n + $A)::INT + 1]
+       |            + acc[(least($B, $oth) * $n + greatest($B, $oth))::INT + 1] * acc[($n2 + $n + $B)::INT + 1])
+       |            / (acc[($n2 + $n + $A)::INT + 1] + acc[($n2 + $n + $B)::INT + 1])
+       |          WHEN t = $n2 + $B THEN 0.0::DOUBLE
+       |          WHEN t = $n2 + $n + $A THEN acc[(t)::INT + 1] + acc[($n2 + $n + $B)::INT + 1]
+       |          WHEN t = $n2 + 2 * $n + $B THEN ($A)::DOUBLE
+       |          ELSE acc[(t)::INT + 1]
+       |        END)
+       |    END) AS st
+       |  FROM init),
+       |par AS (SELECT i::INT AS i, st[($n2 + 2 * $n + i)::INT + 1]::INT AS p
+       |  FROM (SELECT unnest(generate_series(0, ${n - 1})) AS i), fin),
+       |chain AS (
+       |  SELECT i AS orig, i AS cur FROM par
+       |  UNION ALL
+       |  SELECT c.orig, p.p FROM chain c JOIN par p ON p.i = c.cur WHERE p.p <> c.cur
+       |),
+       |roots AS (SELECT orig, min(cur) AS root FROM chain GROUP BY orig),
+       |lab2 AS (SELECT orig, (dense_rank() OVER (ORDER BY root) - 1)::INT AS cluster FROM roots)
+       |SELECT si.user_id, l.cluster
+       |FROM si JOIN lab2 l ON l.orig = si.sidx""".stripMargin
+  }
+
   // ── synthetic control (Causal.solveScWeights + syntheticControl):
   // 1000 projected-gradient iterations replayed as a 3-phase fold —
   // phase 0 takes the gradient step (each element computes its own

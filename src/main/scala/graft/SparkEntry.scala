@@ -350,7 +350,14 @@ object SparkEntry {
         eps = ForecastOracle.DbscanEps, minPts = ForecastOracle.DbscanMinPts,
         metric = "sbd")),
 
+    // 60-series subset (oracle replays the 57-step merge chain as a
+    // DuckDB fold over the flat distance matrix); full panel in _e2e
     "ts_agglomerative" -> ((s, dir) =>
+      Clustering.agglomerativeCluster(
+        IO.events(s, dir).filter(expr(ElasticOracle.SeriesFilter)),
+        k = 3, metric = "sbd")),
+
+    "ts_agglomerative_e2e" -> ((s, dir) =>
       Clustering.agglomerativeCluster(IO.events(s, dir), k = 3, metric = "sbd")),
 
     "ts_cluster_eval" -> ((s, dir) => {
@@ -1379,6 +1386,7 @@ object SparkEntry {
     "ts_theta_fc" -> ForecastOracle.thetaSql,
     "ts_var_fc" -> ForecastOracle.varSql,
     "ts_synthetic_control" -> ForecastOracle.syntheticControlSql,
+    "ts_agglomerative" -> ForecastOracle.agglomerativeSql,
     "ts_pelt" -> ForecastOracle.peltSql,
     "ts_pelt_pruned" -> ForecastOracle.peltSql,
     "ts_path_signature" -> ForecastOracle.pathSignatureSql,
