@@ -1103,6 +1103,74 @@ SELECT si.user_id,
 FROM si CROSS JOIN fin f ORDER BY si.user_id
 """
 
+  // ── GP posterior (fixed hyperparameters, Matérn32(1,12) + Periodic
+  // (0.5,1,24), noise 0.1): K augmented with [y_n, k*₁..k*₅] and solved
+  // by one dynamic-size Gauss-Jordan fold per series; mean/variance then
+  // fold over the solution columns. Spark solves by Cholesky — same PD
+  // system, agreement within the round-6 nudge. ────────────────────────
+  val gpSql: String = {
+    def ker(a: String, b: String) =
+      s"""(1.0::DOUBLE * (1.0::DOUBLE + sqrt(3.0::DOUBLE) * abs(($a) - ($b)) / 12.0) * exp(-sqrt(3.0::DOUBLE) * abs(($a) - ($b)) / 12.0) + 0.5::DOUBLE * exp(-2.0::DOUBLE * sin(pi() * (($a) - ($b)) / 24.0) * sin(pi() * (($a) - ($b)) / 24.0) / 1.0))"""
+    val z = "%.17g".format(math.sqrt(2.0) * graft.kernels.Bayesian.inverseErf(0.9))
+    val w = "(n + 6)"
+    s"""WITH o AS (SELECT user_id, value, epoch_us(ts) AS us,
+       |  row_number() OVER ($W) AS rn FROM events),
+       |v AS (SELECT user_id, list(value ORDER BY rn) AS vs, count(*)::INT AS n
+       |  FROM o GROUP BY user_id),
+       |m1 AS (SELECT user_id, vs, n, list_reduce(vs, (a, b) -> a + b) / n AS mu FROM v),
+       |m2 AS (SELECT user_id, vs, n, mu,
+       |  CASE WHEN sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(vs, x -> (x - mu) * (x - mu))), (a, b) -> a + b) / n) < 1e-10
+       |    THEN 1.0::DOUBLE
+       |    ELSE sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(vs, x -> (x - mu) * (x - mu))), (a, b) -> a + b) / n)
+       |  END AS sd FROM m1),
+       |m3 AS (SELECT user_id, n, mu, sd,
+       |  list_transform(vs, x -> (x - mu) / sd) AS yn FROM m2),
+       |aug AS (SELECT user_id, n, mu, sd, yn,
+       |  flatten(list_transform(generate_series(0, n - 1), i ->
+       |    list_transform(generate_series(0, n + 5), j ->
+       |      CASE WHEN j < n THEN ${ker("i", "j")}
+       |          + (CASE WHEN i = j THEN 0.1::DOUBLE + 1e-10 ELSE 0.0::DOUBLE END)
+       |        WHEN j = n THEN yn[(i)::INT + 1]
+       |        ELSE ${ker("i", "n + (j - n - 1)")}
+       |      END))) AS a
+       |  FROM m3),
+       |sol AS (SELECT user_id, n, mu, sd, list_reduce(
+       |    list_prepend(a, list_transform(generate_series(0, n - 1), k -> [k::DOUBLE])),
+       |    (acc, x) -> list_transform(generate_series(0, n * $w - 1), t ->
+       |      CASE WHEN (t // $w) = (x[1])::INT
+       |        THEN acc[(t)::INT + 1] / acc[((x[1])::INT * $w + (x[1])::INT)::INT + 1]
+       |        ELSE acc[(t)::INT + 1]
+       |          - acc[((t // $w) * $w + (x[1])::INT)::INT + 1]
+       |          * acc[((x[1])::INT * $w + (t % $w))::INT + 1]
+       |          / acc[((x[1])::INT * $w + (x[1])::INT)::INT + 1]
+       |      END)) AS sl
+       |  FROM aug),
+       |fcv AS (SELECT user_id, n, mu, sd, s.step,
+       |  list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(generate_series(0, n - 1), i ->
+       |      ${ker("i", "n + (s.step - 1)")} * sl[((i) * $w + n)::INT + 1])), (a, b) -> a + b) AS pm,
+       |  list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(generate_series(0, n - 1), i ->
+       |      ${ker("i", "n + (s.step - 1)")} * sl[((i) * $w + n + s.step)::INT + 1])), (a, b) -> a + b) AS quad
+       |  FROM sol CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS step) s),
+       |res AS (SELECT user_id, step,
+       |  pm * sd + mu AS yh,
+       |  sqrt(greatest(1.5::DOUBLE + 0.1::DOUBLE - quad, 1e-12) * sd * sd) AS psd
+       |  FROM fcv),
+       |lastt AS (SELECT user_id, max(us) AS us FROM o GROUP BY user_id),
+       |d AS (SELECT user_id, min(us - lus) AS freq FROM
+       |  (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS lus FROM o)
+       |  WHERE lus IS NOT NULL GROUP BY user_id)
+       |SELECT r.user_id, r.step::BIGINT AS step,
+       |  make_timestamp(l.us + r.step * d.freq) AS ts,
+       |  round(r.yh + 1e-9, 6) AS y_hat,
+       |  round(r.yh - $z * r.psd + 1e-9, 6) AS y_hat_lower,
+       |  round(r.yh + $z * r.psd + 1e-9, 6) AS y_hat_upper
+       |FROM res r JOIN lastt l USING (user_id) JOIN d USING (user_id)""".stripMargin
+  }
+
   // ── agglomerative (average linkage, cut at k=3) over the 60-series
   // SBD subset: the merge chain replays as a 2-phase fold on a flat
   // [d (n²) | active (n) | size (n) | parent (n)] state — phase 0

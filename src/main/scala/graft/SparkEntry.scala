@@ -558,7 +558,21 @@ object SparkEntry {
           r6(col("y_hat_lower")).as("y_hat_lower"),
           r6(col("y_hat_upper")).as("y_hat_upper"))),
 
+    // fixed hyperparameters + composed kernel (Matérn 3/2 + periodic):
+    // the posterior mean/variance are deterministic linear algebra the
+    // oracle replays by Gauss-Jordan; the NM-optimized RBF path stays
+    // exercised (rows-only) in ts_gp_fc_e2e
     "ts_gp_fc" -> ((s, dir) =>
+      BayesianOps.gpForecast(IO.events(s, dir), h = 5, optimize = false,
+        kernel = Some(graft.kernels.Bayesian.GpKernel.Sum(
+          graft.kernels.Bayesian.GpKernel.Matern32(1.0, 12.0),
+          graft.kernels.Bayesian.GpKernel.Periodic(0.5, 1.0, 24.0))))
+        .select(col("user_id"), col("step"), col("ts"),
+          r6n(col("y_hat")).as("y_hat"),
+          r6n(col("y_hat_lower")).as("y_hat_lower"),
+          r6n(col("y_hat_upper")).as("y_hat_upper"))),
+
+    "ts_gp_fc_e2e" -> ((s, dir) =>
       BayesianOps.gpForecast(IO.events(s, dir), h = 5)
         .select(col("user_id"), col("step"), col("ts"),
           r6(col("y_hat")).as("y_hat"),
@@ -1387,6 +1401,7 @@ object SparkEntry {
     "ts_var_fc" -> ForecastOracle.varSql,
     "ts_synthetic_control" -> ForecastOracle.syntheticControlSql,
     "ts_agglomerative" -> ForecastOracle.agglomerativeSql,
+    "ts_gp_fc" -> ForecastOracle.gpSql,
     "ts_pelt" -> ForecastOracle.peltSql,
     "ts_pelt_pruned" -> ForecastOracle.peltSql,
     "ts_path_signature" -> ForecastOracle.pathSignatureSql,

@@ -456,28 +456,142 @@ object Bayesian {
     out
   }
 
-  // ── GP regression (bayesian/gp.py, RBF kernel) ──────────────────────────
+  // ── GP regression (bayesian/gp.py:30-260) ───────────────────────────────
+  //
+  // Kernel family matching the reference: RBF, Matérn 3/2 & 5/2, periodic,
+  // spectral mixture, and sum/product composition (gp.py:52-226). Params
+  // are exposed in log space exactly as the reference's get/set_params so
+  // the marginal-likelihood optimizer treats every kernel uniformly.
 
-  private def rbf(x1: Double, x2: Double, lengthscale: Double, variance: Double): Double = {
-    val d = (x1 - x2) / lengthscale
-    variance * math.exp(-0.5 * d * d)
+  sealed trait GpKernel {
+    def apply(x1: Double, x2: Double): Double
+    /** log-space parameter vector (reference get_params order). */
+    def params: Array[Double]
+    def withParams(p: Array[Double]): GpKernel
+    def nParams: Int = params.length
+  }
+
+  object GpKernel {
+    /** Squared exponential (gp.py:52-73). */
+    case class Rbf(variance: Double = 1.0, lengthscale: Double = 1.0) extends GpKernel {
+      def apply(x1: Double, x2: Double): Double = {
+        val d = (x1 - x2) / lengthscale
+        variance * math.exp(-0.5 * d * d)
+      }
+      def params: Array[Double] = Array(math.log(variance), math.log(lengthscale))
+      def withParams(p: Array[Double]): GpKernel = Rbf(math.exp(p(0)), math.exp(p(1)))
+    }
+
+    /** Matérn 3/2 (gp.py:76-97). */
+    case class Matern32(variance: Double = 1.0, lengthscale: Double = 1.0) extends GpKernel {
+      def apply(x1: Double, x2: Double): Double = {
+        val r = math.abs(x1 - x2) / lengthscale
+        val s3 = math.sqrt(3.0) * r
+        variance * (1.0 + s3) * math.exp(-s3)
+      }
+      def params: Array[Double] = Array(math.log(variance), math.log(lengthscale))
+      def withParams(p: Array[Double]): GpKernel = Matern32(math.exp(p(0)), math.exp(p(1)))
+    }
+
+    /** Matérn 5/2 (gp.py:100-121). */
+    case class Matern52(variance: Double = 1.0, lengthscale: Double = 1.0) extends GpKernel {
+      def apply(x1: Double, x2: Double): Double = {
+        val r = math.abs(x1 - x2) / lengthscale
+        val s5 = math.sqrt(5.0) * r
+        variance * (1.0 + s5 + 5.0 / 3.0 * r * r) * math.exp(-s5)
+      }
+      def params: Array[Double] = Array(math.log(variance), math.log(lengthscale))
+      def withParams(p: Array[Double]): GpKernel = Matern52(math.exp(p(0)), math.exp(p(1)))
+    }
+
+    /** Periodic (gp.py:124-147). */
+    case class Periodic(variance: Double = 1.0, lengthscale: Double = 1.0,
+        period: Double = 1.0) extends GpKernel {
+      def apply(x1: Double, x2: Double): Double = {
+        val s = math.sin(math.Pi * (x1 - x2) / period)
+        variance * math.exp(-2.0 * s * s / (lengthscale * lengthscale))
+      }
+      def params: Array[Double] =
+        Array(math.log(variance), math.log(lengthscale), math.log(period))
+      def withParams(p: Array[Double]): GpKernel =
+        Periodic(math.exp(p(0)), math.exp(p(1)), math.exp(p(2)))
+    }
+
+    /** Spectral mixture (Wilson & Adams 2013; gp.py:150-181). Weights are
+      * softmax-normalized on set, as in the reference. */
+    case class SpectralMixture(weights: Array[Double], means: Array[Double],
+        variances: Array[Double]) extends GpKernel {
+      def apply(x1: Double, x2: Double): Double = {
+        val tau = x1 - x2
+        var k = 0.0
+        var q = 0
+        while (q < weights.length) {
+          k += weights(q) *
+            math.exp(-2.0 * math.Pi * math.Pi * tau * tau * variances(q)) *
+            math.cos(2.0 * math.Pi * tau * means(q))
+          q += 1
+        }
+        k
+      }
+      def params: Array[Double] =
+        weights.map(w => math.log(w + 1e-10)) ++
+          means.map(m => math.log(m + 1e-10)) ++
+          variances.map(v => math.log(v + 1e-10))
+      def withParams(p: Array[Double]): GpKernel = {
+        val m = weights.length
+        val w = p.slice(0, m).map(math.exp)
+        val ws = w.sum
+        SpectralMixture(w.map(_ / ws), p.slice(m, 2 * m).map(math.exp),
+          p.slice(2 * m, 3 * m).map(math.exp))
+      }
+    }
+
+    object SpectralMixture {
+      /** Reference default init: uniform weights, linspace means, 0.1 vars. */
+      def apply(nMixtures: Int): SpectralMixture = SpectralMixture(
+        Array.fill(nMixtures)(1.0 / nMixtures),
+        Array.tabulate(nMixtures)(q =>
+          if (nMixtures == 1) 0.1 else 0.1 + 0.9 * q / (nMixtures - 1.0)),
+        Array.fill(nMixtures)(0.1))
+    }
+
+    /** k1 + k2 (gp.py:184-204). */
+    case class Sum(k1: GpKernel, k2: GpKernel) extends GpKernel {
+      def apply(x1: Double, x2: Double): Double = k1(x1, x2) + k2(x1, x2)
+      def params: Array[Double] = k1.params ++ k2.params
+      def withParams(p: Array[Double]): GpKernel =
+        Sum(k1.withParams(p.slice(0, k1.nParams)), k2.withParams(p.drop(k1.nParams)))
+    }
+
+    /** k1 · k2 (gp.py:207-226). */
+    case class Product(k1: GpKernel, k2: GpKernel) extends GpKernel {
+      def apply(x1: Double, x2: Double): Double = k1(x1, x2) * k2(x1, x2)
+      def params: Array[Double] = k1.params ++ k2.params
+      def withParams(p: Array[Double]): GpKernel =
+        Product(k1.withParams(p.slice(0, k1.nParams)), k2.withParams(p.drop(k1.nParams)))
+    }
   }
 
   /** GP fit on t=0..n−1 (normalized y) + h-step forecast with variance.
-    * Hyperparameters (log lengthscale, log variance, log noise) optimized
-    * by Nelder-Mead on the log marginal likelihood when `optimize`. */
+    * `kernel` None ⇒ RBF(1, max(n/10, 1)) — the original default. When
+    * `optimize`, the kernel's log params + log noise are tuned by
+    * Nelder-Mead on the log marginal likelihood. */
   def gpForecast(y: Array[Double], h: Int, optimize: Boolean = true,
-      noiseVar0: Double = 0.1): (Array[Double], Array[Double]) = {
+      noiseVar0: Double = 0.1, kernel: Option[GpKernel] = None)
+      : (Array[Double], Array[Double]) = {
     val n = y.length
     val mean = y.sum / n
     var std = math.sqrt(y.map(v => (v - mean) * (v - mean)).sum / n)
     if (std < 1e-10) std = 1.0
     val yn = y.map(v => (v - mean) / std)
+    val k0 = kernel.getOrElse(GpKernel.Rbf(1.0, math.max(n / 10.0, 1.0)))
     def negLml(lp: Array[Double]): Double = {
-      val ls = math.exp(lp(0)); val vv = math.exp(lp(1)); val nv = math.exp(lp(2))
-      if (!ls.isFinite || !vv.isFinite || !nv.isFinite) return 1e100
+      if (lp.exists(v => !v.isFinite)) return 1e100
+      val kk = k0.withParams(lp.dropRight(1))
+      val nv = math.exp(lp.last)
+      if (!nv.isFinite) return 1e100
       val k = DenseMatrix.tabulate(n, n)((i, j) =>
-        rbf(i, j, ls, vv) + (if (i == j) nv else 0.0))
+        kk(i, j) + (if (i == j) nv else 0.0))
       try {
         val l = cholesky((k + k.t) * 0.5 + DenseMatrix.eye[Double](n) * 1e-10)
         val yv = DenseVector(yn)
@@ -488,21 +602,25 @@ object Bayesian {
         0.5 * quad + logDet + 0.5 * n * math.log(2 * math.Pi)
       } catch { case _: Exception => 1e100 }
     }
-    val init = Array(math.log(math.max(n / 10.0, 1.0)), 0.0, math.log(noiseVar0))
+    val init = k0.params :+ math.log(noiseVar0)
     val best = if (optimize) Garch.nelderMead(negLml, init, step = 0.5, maxIter = 120) else init
-    val ls = math.exp(best(0)); val vv = math.exp(best(1)); val nv = math.exp(best(2))
+    // fixed-hyperparameter path keeps the caller's exact values — an
+    // exp∘log round-trip can perturb them by 1 ulp, which the oracle
+    // (which bakes the literals) would then miss
+    val kf = if (optimize) k0.withParams(best.dropRight(1)) else k0
+    val nv = if (optimize) math.exp(best.last) else noiseVar0
     val k = DenseMatrix.tabulate(n, n)((i, j) =>
-      rbf(i, j, ls, vv) + (if (i == j) nv else 0.0))
+      kf(i, j) + (if (i == j) nv else 0.0))
     val l = cholesky((k + k.t) * 0.5 + DenseMatrix.eye[Double](n) * 1e-10)
     val alphaV = l.t \ (l \ DenseVector(yn))
     val fc = new Array[Double](h)
     val fv = new Array[Double](h)
     for (s <- 0 until h) {
       val xs = (n + s).toDouble
-      val ks = DenseVector.tabulate(n)(i => rbf(i, xs, ls, vv))
+      val ks = DenseVector.tabulate(n)(i => kf(i, xs))
       val m = ks.t * alphaV
       val vvec = l \ ks
-      val varS = math.max(vv + nv - (vvec.t * vvec), 1e-12)
+      val varS = math.max(kf(xs, xs) + nv - (vvec.t * vvec), 1e-12)
       fc(s) = m * std + mean
       fv(s) = varS * std * std
     }

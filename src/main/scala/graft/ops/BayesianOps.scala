@@ -124,12 +124,15 @@ object BayesianOps {
   }
 
   /** GP forecast `[id, step, ds, y_hat, y_hat_lower, y_hat_upper]`
-    * (gp.py:342-539, RBF kernel, marginal-likelihood optimized). */
+    * (gp.py:342-539; kernel family per gp.py:52-226 — RBF default,
+    * Matérn/periodic/spectral-mixture/sum/product via `kernel`;
+    * marginal-likelihood optimized unless `optimize = false`). */
   def gpForecast(df: DataFrame, h: Int, optimize: Boolean = true,
-      coverage: Double = 0.9)(implicit pc: PanelCols): DataFrame = {
+      coverage: Double = 0.9, kernel: Option[Bayesian.GpKernel] = None)(
+      implicit pc: PanelCols): DataFrame = {
     val z = math.sqrt(2.0) * Bayesian.inverseErf(coverage)
     val u = udf((ys: Seq[Double]) => {
-      val (fc, fv) = Bayesian.gpForecast(ys.toArray, h, optimize)
+      val (fc, fv) = Bayesian.gpForecast(ys.toArray, h, optimize, kernel = kernel)
       fc.indices.map { i =>
         val sd = math.sqrt(fv(i))
         (fc(i), fc(i) - z * sd, fc(i) + z * sd)

@@ -129,6 +129,44 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("GP kernel family matches reference formulas (gp.py:52-226)") {
+    import graft.kernels.Bayesian.GpKernel._
+    val eps = 1e-12
+    // RBF: v·exp(-0.5 d²/ls²)
+    assert(math.abs(Rbf(2.0, 3.0)(1.0, 4.0) - 2.0 * math.exp(-0.5)) < eps)
+    // Matern32 at r = |1-4|/3 = 1: v(1+√3)e^{-√3}
+    val s3 = math.sqrt(3.0)
+    assert(math.abs(Matern32(2.0, 3.0)(1.0, 4.0) - 2.0 * (1 + s3) * math.exp(-s3)) < eps)
+    // Matern52 at r=1: v(1+√5+5/3)e^{-√5}
+    val s5 = math.sqrt(5.0)
+    assert(math.abs(Matern52(1.0, 3.0)(1.0, 4.0) -
+      (1 + s5 + 5.0 / 3.0) * math.exp(-s5)) < eps)
+    // Periodic: diff = period ⇒ sin(π)≈0 ⇒ k = v
+    assert(math.abs(Periodic(1.5, 2.0, 5.0)(0.0, 5.0) - 1.5) < 1e-9)
+    // spectral mixture at tau=0: Σ w_q = 1
+    assert(math.abs(SpectralMixture(3)(0.0, 0.0) - 1.0) < eps)
+    // sum/product compose pointwise
+    val a = Rbf(1.0, 2.0); val b = Periodic(0.5, 1.0, 24.0)
+    assert(math.abs(Sum(a, b)(1.0, 7.0) - (a(1.0, 7.0) + b(1.0, 7.0))) < eps)
+    assert(math.abs(Product(a, b)(1.0, 7.0) - a(1.0, 7.0) * b(1.0, 7.0)) < eps)
+    // log-space params round-trip through withParams
+    val k = Sum(Matern52(2.0, 7.0), Periodic(0.5, 1.0, 24.0))
+    val rt = k.withParams(k.params)
+    assert(math.abs(rt(0.0, 3.0) - k(0.0, 3.0)) < 1e-9)
+  }
+
+  test("GP posterior mean with fixed hyperparameters tracks a smooth series") {
+    val y = Array.tabulate(40)(i => math.sin(i / 5.0) * 3.0 + 10.0)
+    val (fc, fv) = graft.kernels.Bayesian.gpForecast(y, 3, optimize = false,
+      kernel = Some(graft.kernels.Bayesian.GpKernel.Matern52(1.0, 8.0)))
+    // next values of the sine stay within ~1.5 of the forecast
+    (0 until 3).foreach { s =>
+      val truth = math.sin((40 + s) / 5.0) * 3.0 + 10.0
+      assert(math.abs(fc(s) - truth) < 1.5, s"step $s: ${fc(s)} vs $truth")
+      assert(fv(s) > 0.0)
+    }
+  }
+
   test("minhash LSH bucket cap drops flood buckets but keeps true near-dups") {
     import spark.implicits._
     // 30 distinct docs + a 40-doc flood of one identical text
