@@ -203,6 +203,63 @@ object ElasticOracle {
   private val dtwMultiSql = dtwExpr(
     s"abs($AI - $BJ) + abs((${EP.Multi2Scale}*$AI + ${EP.Multi2Shift}) - (${EP.Multi2Scale}*$BJ + ${EP.Multi2Shift}))")
 
+  /** Itakura-parallelogram DTW (Elastic.dtwItakura, src/dtw.rs:58-86):
+    * the standard sentinel DP with cells outside the per-row band
+    * [lower, upper] pinned to the Inf sentinel. */
+  private val itakuraSql = {
+    val sl = s"${EP.ItakuraMaxSlope}::DOUBLE"
+    val fi = "((xi[1]))"
+    val fj = "((xj[1]))"
+    val lower = s"greatest($fi / $sl, m - (n - $fi) * $sl)"
+    val upper = s"least($fi * $sl, m - (n - $fi) / $sl)"
+    sentinelDp(
+      cell = s"CASE WHEN $fj < $lower OR $fj > $upper THEN 1e300::DOUBLE " +
+        s"ELSE abs($AI - $BJ) + $minOfThree END",
+      initRow = infRow,
+      innerInit = "[1e300::DOUBLE]",
+      finalIdx = "[m+1]")
+  }
+
+  // ── msm_multi (Elastic.msmMulti, src/msm_multi.rs:20-59): dependent
+  // cost over the 2-channel expansion (value, 0.5·value + 1). Points are
+  // affine images of the scalar series, but every channel-2 arithmetic
+  // step is replayed literally — (0.5x+1)−(0.5y+1) does NOT cancel in
+  // float. ─────────────────────────────────────────────────────────────
+  private case class Pt(c1: String, c2: String)
+  private def pt(v: String) = Pt(s"($v)", s"(${EP.Multi2Scale}*($v) + ${EP.Multi2Shift})")
+  /** sqDist channel-accumulation order: (d1² ) + (d2²). */
+  private def sq(p: Pt, q: Pt) =
+    s"((${p.c1} - ${q.c1})*(${p.c1} - ${q.c1}) + (${p.c2} - ${q.c2})*(${p.c2} - ${q.c2}))"
+  private def midPt(y: Pt, z: Pt) =
+    Pt(s"((${y.c1} + ${z.c1})/2.0)", s"((${y.c2} + ${z.c2})/2.0)")
+  private def man(p: Pt, q: Pt) =
+    s"(abs(${p.c1} - ${q.c1}) + abs(${p.c2} - ${q.c2}))"
+  private def costDep(x: Pt, y: Pt, z: Pt) =
+    s"(CASE WHEN ${sq(midPt(y, z), x)} <= ${sq(y, z)}/2.0 THEN ${EP.MsmC}::DOUBLE " +
+      s"ELSE ${EP.MsmC}::DOUBLE + least(${sq(y, x)}, ${sq(z, x)}) END)"
+
+  private val msmMultiSql = {
+    val aI = pt(s"va[$I]"); val aIm1 = pt(s"va[($I)-1]")
+    val bJ = pt(s"vb[$J]"); val bJm1 = pt(s"vb[($J)-1]")
+    val a1 = pt("va[1]"); val b1 = pt("vb[1]")
+    val bX = pt("vb[(x[1])::INT]"); val bXm1 = pt("vb[((x[1])::INT)-1]")
+    s"""list_reduce(
+       |  list_prepend(
+       |    list_reduce(
+       |      list_prepend([${man(a1, b1)}], list_transform(generate_series(2, m), jj -> [jj::DOUBLE])),
+       |      (acc, x) -> list_append(acc, acc[len(acc)] + ${costDep(bX, bXm1, a1)})),
+       |    list_transform(generate_series(2, n), ii -> [ii::DOUBLE])),
+       |  (prev, xi) -> list_reduce(
+       |    list_prepend([prev[1] + ${costDep(aI, aIm1, b1)}],
+       |      list_transform(generate_series(2, m), jj -> [jj::DOUBLE])),
+       |    (acc, xj) -> list_append(acc, least(
+       |      prev[($J)-1] + ${man(aI, bJ)},
+       |      least(
+       |        prev[$J] + ${costDep(aI, aIm1, bJ)},
+       |        acc[($J)-1] + ${costDep(bJ, aI, bJm1)}))))
+       |)[m]""".stripMargin
+  }
+
   private val exprs: Map[String, (String, Boolean)] = Map(
     "dtw" -> (dtwSql, false),
     "ddtw" -> (ddtwSql, true),
@@ -214,13 +271,18 @@ object ElasticOracle {
     "sbd" -> (sbdSql, false),
     "frechet" -> (frechetSql, false),
     "edr" -> (edrSql, false),
-    "dtw_multi" -> (dtwMultiSql, false))
+    "dtw_multi" -> (dtwMultiSql, false),
+    "itakura" -> (itakuraSql, false),
+    "msm_multi" -> (msmMultiSql, false))
 
-  /** Full oracle query for one metric: `[id_1, id_2, round(d+1e-9, 6)]`. */
-  def sql(metric: String): String = {
+  /** Full oracle query for one metric: `[id_1, id_2, round(d+1e-9, 6)]`.
+    * `outCol` overrides the output column name (the Itakura query's
+    * Spark column is `dtw` — the dispatcher names by base metric). */
+  def sql(metric: String, outCol: String = null): String = {
     val (expr, needsDeriv) = exprs(metric)
     val from = if (needsDeriv) "pd" else "p"
     val deriv = if (needsDeriv) ",\n" + derivCte else ""
+    val out = if (outCol == null) metric else outCol
     s"""WITH s AS (
        |  SELECT user_id, list(value $W) AS vs
        |  FROM events WHERE $SeriesFilter GROUP BY user_id),
@@ -228,6 +290,6 @@ object ElasticOracle {
        |  len(a.vs)::INT AS n, len(b.vs)::INT AS m,
        |  greatest(len(a.vs), len(b.vs))/2.0 AS half
        |  FROM s a JOIN s b ON a.user_id < b.user_id)$deriv
-       |SELECT id_1, id_2, round(($expr) + 1e-9, 6) AS $metric FROM $from""".stripMargin
+       |SELECT id_1, id_2, round(($expr) + 1e-9, 6) AS $out FROM $from""".stripMargin
   }
 }

@@ -929,10 +929,13 @@ object SparkEntry {
           r6n(col("hour_sin")).as("hour_sin"), r6n(col("hour_cos")).as("hour_cos"),
           r6n(col("day_of_week_sin")).as("dow_sin"), r6n(col("day_of_week_cos")).as("dow_cos"))),
 
+    // mid-range holiday (01-15) so both distance features vary; 12-25
+    // exercises the far-future side, and days_since < 01-01 never occurs
     "ts_holiday" -> ((s, dir) =>
       Features.holidayFeatures(IO.events(s, dir),
-        Seq(java.sql.Date.valueOf("2024-01-01"), java.sql.Date.valueOf("2024-12-25")))
-        .select("event_id", "is_holiday")),
+        Seq(java.sql.Date.valueOf("2024-01-01"), java.sql.Date.valueOf("2024-01-15"),
+          java.sql.Date.valueOf("2024-12-25")), distance = true)
+        .select("event_id", "is_holiday", "days_to_holiday", "days_since_holiday")),
 
     "ts_mase" -> ((s, dir) => {
       val ev = IO.events(s, dir)
@@ -986,6 +989,18 @@ object SparkEntry {
             + graft.kernels.ElasticParams.Multi2Shift),
         Seq("value", "value2"), "dtw_multi")
         .select(col("id_1"), col("id_2"), r6n(col("dtw_multi")).as("dtw_multi"))),
+    "ts_pairwise_msm_multi" -> ((s, dir) =>
+      Distances.pairwiseMulti(
+        IO.events(s, dir).filter(expr(ElasticOracle.SeriesFilter))
+          .withColumn("value2", col("value") * graft.kernels.ElasticParams.Multi2Scale
+            + graft.kernels.ElasticParams.Multi2Shift),
+        Seq("value", "value2"), "msm_multi")
+        .select(col("id_1"), col("id_2"), r6n(col("msm_multi")).as("msm_multi"))),
+    "ts_pairwise_itakura" -> ((s, dir) =>
+      Distances.pairwise(
+        IO.events(s, dir).filter(expr(ElasticOracle.SeriesFilter)),
+        "dtw", Map("max_slope" -> graft.kernels.ElasticParams.ItakuraMaxSlope))
+        .select(col("id_1"), col("id_2"), r6n(col("dtw")).as("dtw"))),
 
     // ── batch E: imaging, kshape, arima-lite, importance, kaboudan ──────
     "ts_impute_seasonal" -> ((s, dir) =>
@@ -1393,8 +1408,9 @@ object SparkEntry {
   /** Nested-fold DP replays of the elastic kernels (see ElasticOracle). */
   private val elasticOracles: Map[String, String] =
     Seq("dtw", "ddtw", "wdtw", "msm", "erp", "lcss", "twe", "sbd",
-      "frechet", "edr", "dtw_multi")
-      .map(m => s"ts_pairwise_$m" -> ElasticOracle.sql(m)).toMap
+      "frechet", "edr", "dtw_multi", "msm_multi")
+      .map(m => s"ts_pairwise_$m" -> ElasticOracle.sql(m)).toMap +
+      ("ts_pairwise_itakura" -> ElasticOracle.sql("itakura", outCol = "dtw"))
 
   def oracleSql: Map[String, String] = elasticOracles ++ Map(
     "ts_theta_fc" -> ForecastOracle.thetaSql,
@@ -1915,9 +1931,14 @@ object SparkEntry {
         |FROM events""".stripMargin,
 
     "ts_holiday" ->
-      """SELECT event_id,
-        |  (CASE WHEN strftime(ts, '%Y-%m-%d') IN ('2024-01-01', '2024-12-25')
-        |    THEN 1 ELSE 0 END)::TINYINT AS is_holiday
+      """WITH h AS (SELECT unnest(['2024-01-01', '2024-01-15', '2024-12-25']::DATE[]) AS hd)
+        |SELECT event_id,
+        |  (CASE WHEN strftime(ts, '%Y-%m-%d') IN ('2024-01-01', '2024-01-15', '2024-12-25')
+        |    THEN 1 ELSE 0 END)::TINYINT AS is_holiday,
+        |  coalesce((SELECT min(datediff('day', ts::DATE, hd)) FROM h WHERE hd >= ts::DATE), 365)::INT
+        |    AS days_to_holiday,
+        |  coalesce((SELECT min(datediff('day', hd, ts::DATE)) FROM h WHERE hd <= ts::DATE), 365)::INT
+        |    AS days_since_holiday
         |FROM events""".stripMargin,
 
     "ts_mase" ->

@@ -27,6 +27,7 @@ object ElasticParams {
   /** dtw_multi test channel: value2 = Multi2Scale·value + Multi2Shift. */
   val Multi2Scale = 0.5
   val Multi2Shift = 1.0
+  val ItakuraMaxSlope = 2.0
 }
 
 object Elastic {

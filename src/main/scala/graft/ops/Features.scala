@@ -156,14 +156,32 @@ object Features {
     * delegates to the `holidays` package — here the dates table is an
     * input; broadcast-joined against the panel).
     * Reference features/advanced.py:57-113. */
-  def holidayFeatures(df: DataFrame, holidays: Seq[java.sql.Date])(
-      implicit pc: PanelCols): DataFrame = {
+  /** Holiday indicator + optional distance features (reference
+    * features/advanced.py:47-110: `days_to_holiday` = days to the first
+    * holiday ≥ date, `days_since_holiday` = days since the last holiday
+    * ≤ date, 365 when none exists on that side). The holiday list is
+    * calendar metadata — a literal array in the plan, so both features
+    * are pure scan-speed expressions with no join or shuffle. */
+  def holidayFeatures(df: DataFrame, holidays: Seq[java.sql.Date],
+      distance: Boolean = false)(implicit pc: PanelCols): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val h = holidays.map(_.toString).toDF("__hdate").withColumn("__is_h", lit(1))
-    df.withColumn("__hdate", date_format(pc.timeCol, "yyyy-MM-dd"))
+    val base = df.withColumn("__hdate", date_format(pc.timeCol, "yyyy-MM-dd"))
       .join(broadcast(h), Seq("__hdate"), "left")
       .withColumn("is_holiday", coalesce(col("__is_h"), lit(0)).cast("tinyint"))
       .drop("__hdate", "__is_h")
+    if (!distance) base
+    else {
+      val hArr = array(holidays.map(d => lit(d.toString).cast("date")): _*)
+      val dcol = to_date(pc.timeCol)
+      base
+        .withColumn("days_to_holiday", coalesce(
+          array_min(transform(filter(hArr, hd => hd >= dcol),
+            hd => datediff(hd, dcol))), lit(365)).cast("int"))
+        .withColumn("days_since_holiday", coalesce(
+          array_min(transform(filter(hArr, hd => hd <= dcol),
+            hd => datediff(dcol, hd))), lit(365)).cast("int"))
+    }
   }
 }
