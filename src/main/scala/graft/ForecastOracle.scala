@@ -1103,6 +1103,123 @@ SELECT si.user_id,
 FROM si CROSS JOIN fin f ORDER BY si.user_id
 """
 
+  // ── damped-trend Holt (Arima.dampedHoltForecast): the full Nelder-Mead
+  // on (logit α, logit β) replays as a 3-phase fold per iteration —
+  // phase 0 stable-sorts the simplex and appends the reflection + its
+  // SSE, phase 1 appends the secondary candidate (expansion /
+  // contraction / dummy), phase 2 assembles the next simplex (including
+  // the shrink case). Convergence (spread ≤ tol) freezes the accumulator
+  // at length 9, which later phases detect by len() and pass through —
+  // mirroring the Scala loop's early exit. ─────────────────────────────
+  val dampedHoltSql: String = {
+    // one-step SSE of damped Holt (φ=0.9) at logit params (pa, pb):
+    // fold state [level, trend, sse] over y(1)..y(n−1)
+    def sse(pa: String, pb: String): String = {
+      val A = s"(1.0::DOUBLE/(1.0::DOUBLE + exp(-($pa))))"
+      val B = s"(1.0::DOUBLE/(1.0::DOUBLE + exp(-($pb))))"
+      val newL = s"$A*yy[1] + (1.0::DOUBLE - $A)*(a[1] + 0.9*a[2])"
+      s"""list_reduce(list_prepend([vs[1], vs[2] - vs[1], 0.0::DOUBLE], list_transform(vs[2:], w -> [w, 0.0::DOUBLE, 0.0::DOUBLE])), (a, yy) -> [$newL, $B*(($newL) - a[1]) + ((1.0::DOUBLE - $B)*0.9)*a[2], a[3] + (yy[1] - (a[1] + 0.9*a[2]))*(yy[1] - (a[1] + 0.9*a[2]))])[3]"""
+    }
+    // stable sort selectors over the stored triple (argmin-first /
+    // argmax-last with index tie-breaks, matching Scala's stable sortBy)
+    val i1 = "(CASE WHEN acc[3] <= acc[6] AND acc[3] <= acc[9] THEN 1 WHEN acc[6] <= acc[3] AND acc[6] <= acc[9] THEN 2 ELSE 3 END)"
+    val i3 = "(CASE WHEN acc[9] >= acc[3] AND acc[9] >= acc[6] THEN 3 WHEN acc[6] >= acc[3] THEN 2 ELSE 1 END)"
+    def sel(i: String, comp: Int) =
+      s"(CASE ($i) WHEN 1 THEN acc[$comp] WHEN 2 THEN acc[${3 + comp}] ELSE acc[${6 + comp}] END)"
+    val i2 = s"(6 - $i1 - $i3)"
+    // CONSTANT-LENGTH 15-slot accumulator — [simplex 1..9 | refl 10..12 |
+    // cand 13..15] — written in place by position-CASE, never grown or
+    // truncated: a fold whose accumulator LENGTH or top-level branch
+    // shape diverges across rows corrupts in DuckDB 1.0 when 150 series
+    // fold in lockstep (pars came back all-zero); the PELT/elastic safe
+    // shape is one uniform list_transform per step.
+    // phase-0 sorted components + reflection (centroid of best 2)
+    def cA(comp: Int) = s"(${sel(i1, comp)}/2.0 + ${sel(i2, comp)}/2.0)"
+    def reflA(comp: Int) = s"(${cA(comp)} + (${cA(comp)} - ${sel(i3, comp)}))"
+    val p0 = Seq(
+      sel(i1, 1), sel(i1, 2), sel(i1, 3), sel(i2, 1), sel(i2, 2), sel(i2, 3),
+      sel(i3, 1), sel(i3, 2), sel(i3, 3),
+      reflA(1), reflA(2), sse(reflA(1), reflA(2)),
+      "acc[13]", "acc[14]", "acc[15]")
+    // phase-1 secondary candidate from the SORTED slots (x1=1..3,
+    // x2=4..6, x3=7..9, refl=10..12): expansion if fr<f1, dummy if
+    // fr<f2, else contraction
+    def cS(comp: Int) = s"(acc[$comp]/2.0 + acc[${3 + comp}]/2.0)"
+    def expA(comp: Int) = s"(${cS(comp)} + 2.0*(${cS(comp)} - acc[${6 + comp}]))"
+    def conA(comp: Int) = s"(${cS(comp)} + 0.5*(acc[${6 + comp}] - ${cS(comp)}))"
+    def cand(comp: Int) =
+      s"(CASE WHEN acc[12] < acc[3] THEN ${expA(comp)} WHEN acc[12] < acc[6] THEN 0.0::DOUBLE ELSE ${conA(comp)} END)"
+    val p1 = (1 to 12).map(k => s"acc[$k]") ++ Seq(
+      cand(1), cand(2),
+      s"CASE WHEN acc[12] < acc[3] THEN ${sse(expA(1), expA(2))} WHEN acc[12] < acc[6] THEN 1e308::DOUBLE ELSE ${sse(conA(1), conA(2))} END")
+    // phase-2 assembly: worst replaced by exp/refl/con, or shrink
+    val shrink = "(NOT acc[12] < acc[3] AND NOT acc[12] < acc[6] AND NOT acc[15] < acc[9])"
+    def shr(base: Int, comp: Int) = s"(acc[$comp] + 0.5*(acc[${base + comp}] - acc[$comp]))"
+    def w3(comp: Int) =
+      s"(CASE WHEN acc[12] < acc[3] THEN (CASE WHEN acc[15] < acc[12] THEN acc[${12 + comp}] ELSE acc[${9 + comp}] END) WHEN acc[12] < acc[6] THEN acc[${9 + comp}] WHEN acc[15] < acc[9] THEN acc[${12 + comp}] ELSE 0.0::DOUBLE END)"
+    val p2 = Seq(
+      "acc[1]", "acc[2]", "acc[3]",
+      s"CASE WHEN $shrink THEN ${shr(3, 1)} ELSE acc[4] END",
+      s"CASE WHEN $shrink THEN ${shr(3, 2)} ELSE acc[5] END",
+      s"CASE WHEN $shrink THEN ${sse(shr(3, 1), shr(3, 2))} ELSE acc[6] END",
+      s"CASE WHEN $shrink THEN ${shr(6, 1)} ELSE ${w3(1)} END",
+      s"CASE WHEN $shrink THEN ${shr(6, 2)} ELSE ${w3(2)} END",
+      s"CASE WHEN $shrink THEN ${sse(shr(6, 1), shr(6, 2))} ELSE ${w3(3)} END") ++
+      (10 to 15).map(k => s"acc[$k]")
+    val frozen = "greatest(acc[3], greatest(acc[6], acc[9])) - least(acc[3], least(acc[6], acc[9])) <= 1e-9"
+    // one uniform list constructor per step; every element carries the
+    // frozen pass-through and the 3-way phase choice as scalar CASEs
+    val step = "[" + (1 to 15).map { k =>
+      s"CASE WHEN $frozen THEN acc[$k] WHEN (x[1])::INT % 3 = 0 THEN ${p0(k - 1)} WHEN (x[1])::INT % 3 = 1 THEN ${p1(k - 1)} ELSE ${p2(k - 1)} END"
+    }.mkString(", ") + "]"
+    // best stored point, first-min tie-break (Scala minBy)
+    val bestA = "(CASE WHEN nm[3] <= nm[6] AND nm[3] <= nm[9] THEN nm[1] WHEN nm[6] <= nm[9] THEN nm[4] ELSE nm[7] END)"
+    val bestB = "(CASE WHEN nm[3] <= nm[6] AND nm[3] <= nm[9] THEN nm[2] WHEN nm[6] <= nm[9] THEN nm[5] ELSE nm[8] END)"
+    val af = "(1.0::DOUBLE/(1.0::DOUBLE + exp(-(pa))))"
+    val bf = "(1.0::DOUBLE/(1.0::DOUBLE + exp(-(pb))))"
+    val ltL = s"$af*yy[1] + (1.0::DOUBLE - $af)*(a[1] + 0.9*a[2])"
+    // all 7 forecasts computed per-user BEFORE any join, as plain scalar
+    // arithmetic (left-assoc adds mirror Scala's damp += pow(phi, j)) —
+    // and `fstab`'s GROUP BY forces materialization: re-evaluating the
+    // lt fold across the joined 1050-row fan-out hits the DuckDB 1.0
+    // lockstep corruption (st picks up another row's values; the PELT
+    // comment documents the class) and can even segfault.
+    val dampList = (1 to 7).map(k =>
+      "st[1] + (" + (1 to k).map(j => s"pow(0.9, $j.0)").mkString(" + ")
+        + ") * st[2]").mkString(", ")
+    s"""WITH o AS (SELECT user_id, value, epoch_us(ts) AS us,
+       |  row_number() OVER ($W) AS rn FROM events),
+       |v AS (SELECT user_id, list(value ORDER BY rn) AS vs, count(*)::INT AS n
+       |  FROM o GROUP BY user_id),
+       |sim0 AS (SELECT user_id, vs, n,
+       |  [0.0::DOUBLE, -2.0::DOUBLE, ${sse("0.0::DOUBLE", "-2.0::DOUBLE")},
+       |   0.5::DOUBLE, -2.0::DOUBLE, ${sse("0.5::DOUBLE", "-2.0::DOUBLE")},
+       |   0.0::DOUBLE, -1.5::DOUBLE, ${sse("0.0::DOUBLE", "-1.5::DOUBLE")},
+       |   0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE,
+       |   0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE] AS s0
+       |  FROM v),
+       |nmr AS (SELECT user_id, vs, n, list_reduce(
+       |    list_prepend(s0, list_transform(generate_series(0, 449), s -> [s::DOUBLE])),
+       |    (acc, x) -> $step) AS nm
+       |  FROM sim0),
+       |pars AS (SELECT user_id, vs, n, $bestA AS pa, $bestB AS pb FROM nmr),
+       |lt AS (SELECT user_id, n,
+       |  list_reduce(list_prepend([vs[1], vs[2] - vs[1]], list_transform(vs[2:], w -> [w, 0.0::DOUBLE])),
+       |    (a, yy) -> [$ltL, $bf*(($ltL) - a[1]) + ((1.0::DOUBLE - $bf)*0.9)*a[2]]) AS st
+       |  FROM pars),
+       |fcl AS (SELECT user_id, [$dampList] AS fc FROM lt),
+       |fstab AS (SELECT user_id, any_value(fc) AS fc FROM fcl GROUP BY user_id),
+       |lastt AS (SELECT user_id, max(us) AS us FROM o GROUP BY user_id),
+       |d AS (SELECT user_id, min(us - lus) AS freq FROM
+       |  (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS lus FROM o)
+       |  WHERE lus IS NOT NULL GROUP BY user_id)
+       |SELECT f.user_id, s.step::BIGINT AS step,
+       |  make_timestamp(l.us + s.step * d.freq) AS ts,
+       |  round(f.fc[(s.step)::INT] + 1e-9, 6) AS y_hat
+       |FROM fstab f JOIN lastt l USING (user_id) JOIN d USING (user_id)
+       |CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS step) s""".stripMargin
+  }
+
   // ── GP posterior (fixed hyperparameters, Matérn32(1,12) + Periodic
   // (0.5,1,24), noise 0.1): K augmented with [y_n, k*₁..k*₅] and solved
   // by one dynamic-size Gauss-Jordan fold per series; mean/variance then

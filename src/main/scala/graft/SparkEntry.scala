@@ -424,7 +424,7 @@ object SparkEntry {
     "ts_damped_fc" -> ((s, dir) =>
       ForecastBaselines.multiForecast(IO.events(s, dir), 7, Seq(
         "damped" -> (ys => graft.kernels.Arima.dampedHoltForecast(ys, 7))))
-        .select(col("user_id"), col("step"), col("ts"), r6(col("y_hat")).as("y_hat"))),
+        .select(col("user_id"), col("step"), col("ts"), r6n(col("y_hat")).as("y_hat"))),
 
     "ts_scum_fc" -> ((s, dir) =>
       ForecastBaselines.multiForecast(IO.events(s, dir), 5, Seq(
@@ -1415,6 +1415,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = elasticOracles ++ Map(
     "ts_theta_fc" -> ForecastOracle.thetaSql,
     "ts_var_fc" -> ForecastOracle.varSql,
+    "ts_damped_fc" -> ForecastOracle.dampedHoltSql,
     "ts_synthetic_control" -> ForecastOracle.syntheticControlSql,
     "ts_agglomerative" -> ForecastOracle.agglomerativeSql,
     "ts_gp_fc" -> ForecastOracle.gpSql,
