@@ -1220,6 +1220,223 @@ FROM si CROSS JOIN fin f ORDER BY si.user_id
        |CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS step) s""".stripMargin
   }
 
+  // ── ARMA(1,1)+c (Arima.fitArma p=1,q=1 → forecastArma, d=0): the
+  // Hannan-Rissanen init replays as Cramer solves (long-AR(4) 5×5, then
+  // the 3×3 lag/residual OLS), and the CSS Nelder-Mead (d=3, 300 iters)
+  // as the same uniform-shape 3-phase fold the damped-Holt oracle
+  // established, generalized to a 4-point simplex (24 slots). ──────────
+  val armaSql: String = {
+    val d = 3; val k1 = d + 1; val L = (d + 3) * k1 // 24 slots
+    // conditional-SS objective at (phi, theta, c): fold [e_prev, s]
+    def css(pp: String, tt: String, cc: String): String = {
+      val e = s"(vs[(x[1])::INT] - ((($cc) + ($pp)*vs[(x[1])::INT - 1]) + ($tt)*a[1]))"
+      s"""(CASE WHEN abs($pp) > 4.0 OR abs($tt) > 4.0 THEN 1e100::DOUBLE ELSE list_reduce(list_prepend([0.0::DOUBLE, 0.0::DOUBLE], list_transform(generate_series(2, n), t -> [t::DOUBLE, 0.0::DOUBLE])), (a, x) -> [$e, a[2] + $e*$e])[2] END)"""
+    }
+    def coord(p: Int, c: Int) = s"acc[${p * k1 + c}]"
+    def fOf(p: Int) = s"acc[${(p + 1) * k1}]"
+    val R = (d + 1) * k1; val C = (d + 2) * k1
+    def reflC(c: Int) = s"acc[${R + c}]"
+    val fr = s"acc[${R + k1}]"
+    def candC(c: Int) = s"acc[${C + c}]"
+    val fcand = s"acc[${C + k1}]"
+    // stable rank (count of points strictly ahead by (f, index))
+    def rank(p: Int) = "(" + (0 to d).filter(_ != p).map { q =>
+      if (q < p) s"(CASE WHEN ${fOf(q)} <= ${fOf(p)} THEN 1 ELSE 0 END)"
+      else s"(CASE WHEN ${fOf(q)} < ${fOf(p)} THEN 1 ELSE 0 END)"
+    }.mkString(" + ") + ")"
+    def sel(s: Int, c: Int) = "(CASE " + (0 to d).map { p =>
+      val v = if (c <= d) coord(p, c) else fOf(p)
+      s"WHEN ${rank(p)} = $s THEN $v"
+    }.mkString(" ") + " ELSE 0.0::DOUBLE END)"
+    // phase 0: sorted simplex + reflection (centroid of best d, seq adds)
+    def cA(c: Int) = "(" + (0 until d).map(s => s"${sel(s, c)}/$d.0").mkString(" + ") + ")"
+    def reflA(c: Int) = s"(${cA(c)} + (${cA(c)} - ${sel(d, c)}))"
+    val p0 = (0 to d).flatMap(s => (1 to d).map(c => sel(s, c)) :+ sel(s, d + 1)) ++
+      (1 to d).map(reflA) :+ sse3(css, reflA) :++ (1 to k1).map(c => s"acc[${C + c}]")
+    // phase 1: candidate written from SORTED slots
+    def cS(c: Int) = "(" + (0 until d).map(p => s"${coord(p, c)}/$d.0").mkString(" + ") + ")"
+    def expA(c: Int) = s"(${cS(c)} + 2.0*(${cS(c)} - ${coord(d, c)}))"
+    def conA(c: Int) = s"(${cS(c)} + 0.5*(${coord(d, c)} - ${cS(c)}))"
+    def cand(c: Int) =
+      s"(CASE WHEN $fr < ${fOf(0)} THEN ${expA(c)} WHEN $fr < ${fOf(d - 1)} THEN 0.0::DOUBLE ELSE ${conA(c)} END)"
+    val p1 = (1 to R + k1).map(k => s"acc[$k]") ++ (1 to d).map(cand) :+
+      s"CASE WHEN $fr < ${fOf(0)} THEN ${sse3(css, expA)} WHEN $fr < ${fOf(d - 1)} THEN 1e308::DOUBLE ELSE ${sse3(css, conA)} END"
+    // phase 2: assembly (worst ← exp/refl/con, or shrink all but best)
+    val shrink = s"(NOT $fr < ${fOf(0)} AND NOT $fr < ${fOf(d - 1)} AND NOT $fcand < ${fOf(d)})"
+    def shr(p: Int, c: Int) = s"(${coord(0, c)} + 0.5*(${coord(p, c)} - ${coord(0, c)}))"
+    def w3(c: Int) =
+      s"(CASE WHEN $fr < ${fOf(0)} THEN (CASE WHEN $fcand < $fr THEN ${candC(c)} ELSE ${reflC(c)} END) WHEN $fr < ${fOf(d - 1)} THEN ${reflC(c)} WHEN $fcand < ${fOf(d)} THEN ${candC(c)} ELSE 0.0::DOUBLE END)"
+    def w3f =
+      s"(CASE WHEN $fr < ${fOf(0)} THEN (CASE WHEN $fcand < $fr THEN $fcand ELSE $fr END) WHEN $fr < ${fOf(d - 1)} THEN $fr WHEN $fcand < ${fOf(d)} THEN $fcand ELSE 0.0::DOUBLE END)"
+    val p2 = ((1 to k1).map(k => s"acc[$k]") ++
+      (1 until d).flatMap(p =>
+        (1 to d).map(c => s"CASE WHEN $shrink THEN ${shr(p, c)} ELSE ${coord(p, c)} END") :+
+          s"CASE WHEN $shrink THEN ${sse3(css, (c: Int) => shr(p, c))} ELSE ${fOf(p)} END") ++
+      (1 to d).map(c => s"CASE WHEN $shrink THEN ${shr(d, c)} ELSE ${w3(c)} END") :+
+      s"CASE WHEN $shrink THEN ${sse3(css, (c: Int) => shr(d, c))} ELSE $w3f END") ++
+      (1 to 2 * k1).map(k => s"acc[${R + k}]")
+    val fVals = (0 to d).map(fOf)
+    val frozen = "greatest(" + fVals.mkString(", ") + ") - least(" + fVals.mkString(", ") + ") <= 1e-9"
+    require(p0.length == L && p1.length == L && p2.length == L,
+      s"phase lengths ${p0.length}/${p1.length}/${p2.length} != $L")
+    val step = "[" + (1 to L).map { k =>
+      s"CASE WHEN $frozen THEN acc[$k] WHEN (x[1])::INT % 3 = 0 THEN ${p0(k - 1)} WHEN (x[1])::INT % 3 = 1 THEN ${p1(k - 1)} ELSE ${p2(k - 1)} END"
+    }.mkString(", ") + "]"
+    // ── Hannan-Rissanen init, BIT-EXACT: the NM path amplifies any init
+    // difference (a Cramer-vs-LU 1e-12 gap became 2e-6 in the forecast),
+    // so the normal-equation sums fold sequentially in the Scala loop
+    // order and the solves replay ArimaLite.solve's partial-pivot LU
+    // exactly. ARMA is pure +/−/×/÷ arithmetic — full bit-parity holds.
+    def foldSum(term: String) =
+      s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(5, n), ti -> ($term))), (aa, bb) -> aa + bb)"""
+    def lag(src: String, a: Int) = s"$src[(ti - $a)::INT]"
+    // stage-1: X = [y_{t-1..t-4}, 1], 5×6 augmented row-major
+    def s1Term(a: Int, b: Int): String =
+      if (a < 4 && b < 4) s"${lag("vs", a + 1)} * ${lag("vs", b + 1)}"
+      else if (a < 4 && b == 4) lag("vs", a + 1)
+      else if (a == 4 && b < 4) lag("vs", b + 1)
+      else if (a < 4 && b == 5) s"${lag("vs", a + 1)} * vs[ti::INT]"
+      else if (a == 4 && b == 5) "vs[ti::INT]"
+      else "1.0::DOUBLE"
+    val m1Flat = (for (a <- 0 to 4; b <- 0 to 5) yield foldSum(s1Term(a, b)))
+      .mkString(",\n    ")
+    // e0 residuals of the long AR ((((c+φ1y)+φ2y)+φ3y)+φ4y order)
+    val e0Pred = "(((((arc4) + (arc0)*vs[ti::INT - 1]) + (arc1)*vs[ti::INT - 2]) + (arc2)*vs[ti::INT - 3]) + (arc3)*vs[ti::INT - 4])"
+    // stage-2: X = [y_{t-1}, e0_{t-1}, 1], 3×4 augmented
+    def s2Term(a: Int, b: Int): String = {
+      def xc(i: Int) = i match {
+        case 0 => lag("vs", 1); case 1 => lag("e0", 1); case _ => null
+      }
+      if (a < 2 && b < 2) s"${xc(a)} * ${xc(b)}"
+      else if (a < 2 && b == 2) xc(a)
+      else if (a == 2 && b < 2) xc(b)
+      else if (a < 2 && b == 3) s"${xc(a)} * vs[ti::INT]"
+      else if (a == 2 && b == 3) "vs[ti::INT]"
+      else "1.0::DOUBLE"
+    }
+    val m2Flat = (for (a <- 0 to 2; b <- 0 to 3) yield foldSum(s2Term(a, b)))
+      .mkString(",\n    ")
+    // recursion: f1 = (c + φ·y_n) + θ·e_last; f_{s>1} = c + φ·f_{s-1}
+    val fcExprs = {
+      var cur = "((cc + pp*vs[n]) + tt*elast)"
+      (1 to 7).map { s =>
+        if (s > 1) cur = s"(cc + pp*$cur)"
+        cur
+      }
+    }
+    val lu1Steps = (0 until 5).map(k =>
+      s"lu1$k AS (SELECT user_id, vs, n, ${luStepExpr("m", 5, k)} AS m FROM ${if (k == 0) "g1" else s"lu1${k - 1}"})")
+      .mkString(",\n")
+    val xs1 = luBackSub("m", 5)
+    val lu2Steps = (0 until 3).map(k =>
+      s"lu2$k AS (SELECT user_id, vs, n, ${luStepExpr("m", 3, k)} AS m FROM ${if (k == 0) "g2" else s"lu2${k - 1}"})")
+      .mkString(",\n")
+    val xs2 = luBackSub("m", 3)
+    s"""WITH o AS (SELECT user_id, value, epoch_us(ts) AS us,
+       |  row_number() OVER ($W) AS rn FROM events),
+       |v AS (SELECT user_id, list(value ORDER BY rn) AS vs, count(*)::INT AS n
+       |  FROM o GROUP BY user_id),
+       |g1 AS (SELECT user_id, vs, n, [
+       |    $m1Flat] AS m FROM v),
+       |$lu1Steps,
+       |arc AS (SELECT user_id, vs, n, ${xs1(0)} AS arc0, ${xs1(1)} AS arc1,
+       |  ${xs1(2)} AS arc2, ${xs1(3)} AS arc3, ${xs1(4)} AS arc4 FROM lu14),
+       |e0t AS (SELECT user_id, vs, n,
+       |  list_transform(generate_series(1, n), ti ->
+       |    CASE WHEN ti >= 5 THEN vs[ti::INT] - $e0Pred ELSE 0.0::DOUBLE END) AS e0
+       |  FROM arc),
+       |g2 AS (SELECT user_id, vs, n, [
+       |    $m2Flat] AS m FROM e0t),
+       |$lu2Steps,
+       |x0 AS (SELECT user_id, vs, n, ${xs2(0)} AS ph0, ${xs2(1)} AS th0, ${xs2(2)} AS cc0 FROM lu22),
+       |sim0 AS (SELECT user_id, vs, n, [
+       |  ph0, th0, cc0, ${css("ph0", "th0", "cc0")},
+       |  ph0 + 0.05, th0, cc0, ${css("ph0 + 0.05", "th0", "cc0")},
+       |  ph0, th0 + 0.05, cc0, ${css("ph0", "th0 + 0.05", "cc0")},
+       |  ph0, th0, cc0 + 0.05, ${css("ph0", "th0", "cc0 + 0.05")},
+       |  0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE,
+       |  0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE] AS s0
+       |  FROM x0),
+       |nmr AS (SELECT user_id, vs, n, list_reduce(
+       |    list_prepend(s0, list_transform(generate_series(0, ${3 * 300 - 1}), s -> [s::DOUBLE])),
+       |    (acc, x) -> $step) AS nm
+       |  FROM sim0),
+       |best AS (SELECT user_id, vs, n, ${bestSel(d, 1)} AS pp, ${bestSel(d, 2)} AS tt,
+       |  ${bestSel(d, 3)} AS cc FROM nmr),
+       |el AS (SELECT user_id, vs, n, pp, tt, cc,
+       |  list_reduce(list_prepend([0.0::DOUBLE],
+       |    list_transform(generate_series(2, n), t -> [t::DOUBLE])),
+       |    (a, x) -> [vs[(x[1])::INT] - (((cc) + (pp)*vs[(x[1])::INT - 1]) + (tt)*a[1])])[1] AS elast
+       |  FROM best),
+       |fcl AS (SELECT user_id, [${fcExprs.mkString(",\n  ")}] AS fc FROM el),
+       |fstab AS (SELECT user_id, any_value(fc) AS fc FROM fcl GROUP BY user_id),
+       |lastt AS (SELECT user_id, max(us) AS us FROM o GROUP BY user_id),
+       |d AS (SELECT user_id, min(us - lus) AS freq FROM
+       |  (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS lus FROM o)
+       |  WHERE lus IS NOT NULL GROUP BY user_id)
+       |SELECT f.user_id, s.step::BIGINT AS step,
+       |  make_timestamp(l.us + s.step * d.freq) AS ts,
+       |  round(f.fc[(s.step)::INT] + 1e-9, 6) AS y_hat
+       |FROM fstab f JOIN lastt l USING (user_id) JOIN d USING (user_id)
+       |CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS step) s""".stripMargin
+  }
+
+  /** css objective applied to 3 coordinate expressions built by `cf`. */
+  private def sse3(css: (String, String, String) => String, cf: Int => String): String =
+    css(cf(1), cf(2), cf(3))
+
+  /** One partial-pivot Gaussian-elimination step (ArimaLite.solve col k)
+    * over the flat n×(n+1) augmented list in column `col`: first-argmax
+    * pivot (strict > update ⇒ first max wins), row swap, elimination of
+    * columns k..n for rows > k, |pivot| ≤ 1e-12 skips elimination. */
+  private def luStepExpr(col: String, n: Int, k: Int): String = {
+    val w = n + 1
+    def m(r: String, c: String) = s"$col[(($r))*$w + (($c)) + 1]"
+    val piv = "(CASE " + (k until n).map { r =>
+      val conds = (k until n).filter(_ != r)
+        .map(q => s"abs(${m(r.toString, k.toString)}) >= abs(${m(q.toString, k.toString)})")
+      val cond = if (conds.isEmpty) "TRUE" else conds.mkString(" AND ")
+      s"WHEN $cond THEN $r"
+    }.mkString(" ") + s" ELSE ${n - 1} END)"
+    val src = s"(CASE WHEN (t // $w) = $k THEN $piv WHEN (t // $w) = $piv THEN $k ELSE (t // $w)::INT END)"
+    val base = m(src, s"t % $w")
+    val dd = m(piv, k.toString)
+    val baseRK = m(src, k.toString)
+    val baseKC = m(piv, s"t % $w")
+    s"""list_transform(generate_series(0, ${n * w - 1}), t ->
+       |    CASE WHEN (t // $w) <= $k THEN $base
+       |         WHEN (t % $w) < $k THEN $base
+       |         WHEN abs($dd) > 1e-12 THEN $base - (($baseRK)/($dd)) * ($baseKC)
+       |         ELSE $base END)""".stripMargin
+  }
+
+  /** Back-substitution expressions x(0..n−1) over the eliminated flat
+    * list in `col`, replaying ArimaLite.solve's ascending-c subtraction
+    * order and zero-pivot guard. */
+  private def luBackSub(col: String, n: Int): Seq[String] = {
+    val w = n + 1
+    def m(r: Int, c: Int) = s"$col[${r * w + c + 1}]"
+    val xs = new Array[String](n)
+    for (r <- n - 1 to 0 by -1) {
+      var s = m(r, n)
+      for (c <- r + 1 until n) s = s"($s - ${m(r, c)}*${xs(c)})"
+      xs(r) = s"(CASE WHEN abs(${m(r, r)}) > 1e-12 THEN ($s) / ${m(r, r)} ELSE 0.0::DOUBLE END)"
+    }
+    xs.toSeq
+  }
+
+  /** Stable-argmin coordinate extractor over the 4-point simplex stored
+    * in column `nm` (first-min tie-break, matching Scala minBy). */
+  private def bestSel(d: Int, c: Int): String = {
+    val k1 = d + 1
+    def f(p: Int) = s"nm[${(p + 1) * k1}]"
+    def x(p: Int) = s"nm[${p * k1 + c}]"
+    "(CASE " + (0 until d).map { p =>
+      val conds = ((p + 1) to d).map(q => s"${f(p)} <= ${f(q)}").mkString(" AND ")
+      s"WHEN $conds THEN ${x(p)}"
+    }.mkString(" ") + s" ELSE ${x(d)} END)"
+  }
+
   // ── GP posterior (fixed hyperparameters, Matérn32(1,12) + Periodic
   // (0.5,1,24), noise 0.1): K augmented with [y_n, k*₁..k*₅] and solved
   // by one dynamic-size Gauss-Jordan fold per series; mean/variance then

@@ -402,7 +402,8 @@ object SparkEntry {
       Advanced.garchForecast(IO.events(s, dir), h = 5)),
 
     "ts_arma_fc" -> ((s, dir) =>
-      Advanced.arimaForecast(IO.events(s, dir), p = 1, d = 0, q = 1, h = 7)),
+      Advanced.arimaForecast(IO.events(s, dir), p = 1, d = 0, q = 1, h = 7)
+        .select(col("user_id"), col("step"), col("ts"), r6n(col("y_hat")).as("y_hat"))),
 
     "ts_auto_arima" -> ((s, dir) =>
       Advanced.autoArima(IO.events(s, dir), h = 7, maxP = 2, maxQ = 2)),
@@ -1416,6 +1417,7 @@ object SparkEntry {
     "ts_theta_fc" -> ForecastOracle.thetaSql,
     "ts_var_fc" -> ForecastOracle.varSql,
     "ts_damped_fc" -> ForecastOracle.dampedHoltSql,
+    "ts_arma_fc" -> ForecastOracle.armaSql,
     "ts_synthetic_control" -> ForecastOracle.syntheticControlSql,
     "ts_agglomerative" -> ForecastOracle.agglomerativeSql,
     "ts_gp_fc" -> ForecastOracle.gpSql,
