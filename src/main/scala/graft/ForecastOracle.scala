@@ -1385,6 +1385,71 @@ FROM si CROSS JOIN fin f ORDER BY si.user_id
   private def sse3(css: (String, String, String) => String, cf: Int => String): String =
     css(cf(1), cf(2), cf(3))
 
+  /** Generic uniform-shape Nelder-Mead step expression (the machinery
+    * armaSql/dampedHoltSql established): (d+3)(d+1) constant slots —
+    * simplex points, reflection, candidate — advanced by a 3-phase
+    * position-CASE list constructor; convergence freezes by value.
+    * `sseOf` builds the objective SQL from d coordinate expressions. */
+  private def nmStepExpr(d: Int, sseOf: Seq[String] => String): String = {
+    val k1 = d + 1; val L = (d + 3) * k1
+    def coord(p: Int, c: Int) = s"acc[${p * k1 + c}]"
+    def fOf(p: Int) = s"acc[${(p + 1) * k1}]"
+    val R = (d + 1) * k1; val C = (d + 2) * k1
+    def reflC(c: Int) = s"acc[${R + c}]"
+    val fr = s"acc[${R + k1}]"
+    def candC(c: Int) = s"acc[${C + c}]"
+    val fcand = s"acc[${C + k1}]"
+    def rank(p: Int) = "(" + (0 to d).filter(_ != p).map { q =>
+      if (q < p) s"(CASE WHEN ${fOf(q)} <= ${fOf(p)} THEN 1 ELSE 0 END)"
+      else s"(CASE WHEN ${fOf(q)} < ${fOf(p)} THEN 1 ELSE 0 END)"
+    }.mkString(" + ") + ")"
+    def sel(s: Int, c: Int) = "(CASE " + (0 to d).map { p =>
+      val v = if (c <= d) coord(p, c) else fOf(p)
+      s"WHEN ${rank(p)} = $s THEN $v"
+    }.mkString(" ") + " ELSE 0.0::DOUBLE END)"
+    def cA(c: Int) = "(" + (0 until d).map(s => s"${sel(s, c)}/$d.0").mkString(" + ") + ")"
+    def reflA(c: Int) = s"(${cA(c)} + (${cA(c)} - ${sel(d, c)}))"
+    val p0 = (0 to d).flatMap(s => (1 to d).map(c => sel(s, c)) :+ sel(s, d + 1)) ++
+      (1 to d).map(reflA) :+ sseOf((1 to d).map(reflA)) :++ (1 to k1).map(c => s"acc[${C + c}]")
+    def cS(c: Int) = "(" + (0 until d).map(p => s"${coord(p, c)}/$d.0").mkString(" + ") + ")"
+    def expA(c: Int) = s"(${cS(c)} + 2.0*(${cS(c)} - ${coord(d, c)}))"
+    def conA(c: Int) = s"(${cS(c)} + 0.5*(${coord(d, c)} - ${cS(c)}))"
+    def cand(c: Int) =
+      s"(CASE WHEN $fr < ${fOf(0)} THEN ${expA(c)} WHEN $fr < ${fOf(d - 1)} THEN 0.0::DOUBLE ELSE ${conA(c)} END)"
+    val p1 = (1 to R + k1).map(k => s"acc[$k]") ++ (1 to d).map(cand) :+
+      s"CASE WHEN $fr < ${fOf(0)} THEN ${sseOf((1 to d).map(expA))} WHEN $fr < ${fOf(d - 1)} THEN 1e308::DOUBLE ELSE ${sseOf((1 to d).map(conA))} END"
+    val shrink = s"(NOT $fr < ${fOf(0)} AND NOT $fr < ${fOf(d - 1)} AND NOT $fcand < ${fOf(d)})"
+    def shr(p: Int, c: Int) = s"(${coord(0, c)} + 0.5*(${coord(p, c)} - ${coord(0, c)}))"
+    def w3(c: Int) =
+      s"(CASE WHEN $fr < ${fOf(0)} THEN (CASE WHEN $fcand < $fr THEN ${candC(c)} ELSE ${reflC(c)} END) WHEN $fr < ${fOf(d - 1)} THEN ${reflC(c)} WHEN $fcand < ${fOf(d)} THEN ${candC(c)} ELSE 0.0::DOUBLE END)"
+    def w3f =
+      s"(CASE WHEN $fr < ${fOf(0)} THEN (CASE WHEN $fcand < $fr THEN $fcand ELSE $fr END) WHEN $fr < ${fOf(d - 1)} THEN $fr WHEN $fcand < ${fOf(d)} THEN $fcand ELSE 0.0::DOUBLE END)"
+    val p2 = ((1 to k1).map(k => s"acc[$k]") ++
+      (1 until d).flatMap(p =>
+        (1 to d).map(c => s"CASE WHEN $shrink THEN ${shr(p, c)} ELSE ${coord(p, c)} END") :+
+          s"CASE WHEN $shrink THEN ${sseOf((1 to d).map(c => shr(p, c)))} ELSE ${fOf(p)} END") ++
+      (1 to d).map(c => s"CASE WHEN $shrink THEN ${shr(d, c)} ELSE ${w3(c)} END") :+
+      s"CASE WHEN $shrink THEN ${sseOf((1 to d).map(c => shr(d, c)))} ELSE $w3f END") ++
+      (1 to 2 * k1).map(k => s"acc[${R + k}]")
+    val fVals = (0 to d).map(fOf)
+    val frozen = "greatest(" + fVals.mkString(", ") + ") - least(" + fVals.mkString(", ") + ") <= 1e-9"
+    require(p0.length == L && p1.length == L && p2.length == L,
+      s"phase lengths ${p0.length}/${p1.length}/${p2.length} != $L")
+    "[" + (1 to L).map { k =>
+      s"CASE WHEN $frozen THEN acc[$k] WHEN (x[1])::INT % 3 = 0 THEN ${p0(k - 1)} WHEN (x[1])::INT % 3 = 1 THEN ${p1(k - 1)} ELSE ${p2(k - 1)} END"
+    }.mkString(", ") + "]"
+  }
+
+  /** Init-simplex list literal for [[nmStepExpr]]: x0 plus per-axis
+    * step offsets, each with its objective, padded with refl/cand zeros. */
+  private def nmInitList(d: Int, x0: Seq[String], step: Double,
+      sseOf: Seq[String] => String): String = {
+    val pts = x0 +: (0 until d).map(i =>
+      x0.zipWithIndex.map { case (v, j) => if (j == i) s"$v + $step" else v })
+    (pts.flatMap(p => p :+ sseOf(p)) ++ Seq.fill(2 * (d + 1))("0.0::DOUBLE"))
+      .mkString(",\n  ")
+  }
+
   /** One partial-pivot Gaussian-elimination step (ArimaLite.solve col k)
     * over the flat n×(n+1) augmented list in column `col`: first-argmax
     * pivot (strict > update ⇒ first max wins), row swap, elimination of
@@ -1435,6 +1500,111 @@ FROM si CROSS JOIN fin f ORDER BY si.user_id
       val conds = ((p + 1) to d).map(q => s"${f(p)} <= ${f(q)}").mkString(" AND ")
       s"WHEN $conds THEN ${x(p)}"
     }.mkString(" ") + s" ELSE ${x(d)} END)"
+  }
+
+  // ── auto-ETS (Arima.autoEtsForecast, m=24): SES α by the theta
+  // golden-section fold; Holt by a d=2 Nelder-Mead; additive HW by a
+  // d=3 Nelder-Mead over a 27-slot [l, t, sea₁..₂₄, sse] state; AICc
+  // (first-min) selects. Series shorter than 2m+3 skip the HW leg via
+  // n-guards (min sf0.01 length is 49 < 51, so the guard is live). ─────
+  val autoEtsSql: String = {
+    def logit(p: String) = s"(1.0::DOUBLE/(1.0::DOUBLE + exp(-($p))))"
+    // Holt one-step SSE (no damping): fold [l, t, sse] over y(1)..y(n−1)
+    def holtSse(cs: Seq[String]): String = {
+      val A = logit(cs(0)); val B = logit(cs(1))
+      val newL = s"$A*yy[1] + (1.0::DOUBLE - $A)*(a[1] + a[2])"
+      s"""list_reduce(list_prepend([vs[1], vs[2] - vs[1], 0.0::DOUBLE], list_transform(vs[2:], w -> [w, 0.0::DOUBLE, 0.0::DOUBLE])), (a, yy) -> [$newL, $B*(($newL) - a[1]) + (1.0::DOUBLE - $B)*a[2], a[3] + (yy[1] - (a[1] + a[2]))*(yy[1] - (a[1] + a[2]))])[3]"""
+    }
+    // HW state fold: 27 slots [l, t, sea1..24, sse]; elements [y(t), t%24]
+    def hwFold(cs: Seq[String]): String = {
+      val A = logit(cs(0)); val B = logit(cs(1)); val G = logit(cs(2))
+      val sea = "a[((yy[2])::INT) + 3]"
+      val newL = s"($A*(yy[1] - $sea) + (1.0::DOUBLE - $A)*(a[1] + a[2]))"
+      val seaSlots = (0 until 24).map(j =>
+        s"CASE WHEN (yy[2])::INT = $j THEN $G*(yy[1] - $newL) + (1.0::DOUBLE - $G)*a[${j + 3}] ELSE a[${j + 3}] END").mkString(", ")
+      val e = s"(yy[1] - ((a[1] + a[2]) + $sea))"
+      s"""list_reduce(list_prepend(list_concat([avg1, (avg2 - avg1)/24.0], list_concat(list_transform(generate_series(1, 24), i -> vs[i::INT] - avg1), [0.0::DOUBLE])), list_transform(generate_series(25, n), ti -> [vs[ti::INT], ((ti - 1) % 24)::DOUBLE])), (a, yy) -> [$newL, $B*($newL - a[1]) + (1.0::DOUBLE - $B)*a[2], $seaSlots, a[27] + $e*$e])"""
+    }
+    def hwSse(cs: Seq[String]) = s"(${hwFold(cs)})[27]"
+    // AICc: nEff·ln(max(sse/nEff, 1e-300)) + 2k + small-sample term
+    def aicc(sse: String, k: Int) =
+      s"(CASE WHEN (n - 1) - $k - 1 > 0 THEN (n - 1)*ln(greatest(($sse)/(n - 1), 1e-300)) + ${2.0 * k} + ${2.0 * k * (k + 1)}/((n - 1) - $k - 1.0) ELSE 1e308::DOUBLE END)"
+    val holtStep = nmStepExpr(2, holtSse)
+    val hwStep = nmStepExpr(3, hwSse)
+    val holtInit = nmInitList(2, Seq("0.0::DOUBLE", "-2.0::DOUBLE"), 0.5, holtSse)
+    val hwInit = nmInitList(3, Seq("0.0::DOUBLE", "-2.0::DOUBLE", "-2.0::DOUBLE"), 0.5, hwSse)
+    // stable-argmin extraction of the best NM point (bestSel over nm col)
+    val gsAlpha = "((g[1] + g[2])/2.0)"
+    val fcCases = (1 to 7).map { s =>
+      s"""CASE WHEN ch = 0 THEN sesl
+         | WHEN ch = 1 THEN hl + $s.0*ht
+         | ELSE hw[1] + $s.0*hw[2] + hw[((n - 1 + $s) % 24) + 3] END""".stripMargin
+    }.mkString(",\n  ")
+    s"""WITH o AS (SELECT user_id, value, epoch_us(ts) AS us,
+       |  row_number() OVER ($W) AS rn FROM events),
+       |v AS (SELECT user_id, list(value ORDER BY rn) AS vs, count(*)::INT AS n
+       |  FROM o GROUP BY user_id),
+       |av AS (SELECT user_id, vs, n,
+       |  list_reduce(vs[1:24], (aa, bb) -> aa + bb)/24.0 AS avg1,
+       |  list_reduce(vs[25:48], (aa, bb) -> aa + bb)/24.0 AS avg2 FROM v),
+       |gs AS (SELECT user_id, vs, n, avg1, avg2,
+       |  list_reduce(
+       |    list_prepend(
+       |      [0.01::DOUBLE, 0.99::DOUBLE, $c0, $d0,
+       |       ${sesSse(c0, "vs")},
+       |       ${sesSse(d0, "vs")}],
+       |      list_transform(generate_series(1, 40), i -> [i::DOUBLE])),
+       |    (acc, x) -> CASE WHEN acc[5] < acc[6]
+       |      THEN [acc[1], acc[4], $newC, acc[3], ${sesSse(newC, "vs")}, acc[5]]
+       |      ELSE [acc[3], acc[2], acc[4], $newD, acc[6], ${sesSse(newD, "vs")}]
+       |    END) AS g
+       |  FROM av),
+       |sescand AS (SELECT user_id, vs, n, avg1, avg2,
+       |  ${sesSse(gsAlpha, "vs")} AS ses_sse,
+       |  list_reduce(
+       |    list_prepend([vs[1]], list_transform(vs[2:], w -> [w])),
+       |    (a, y2) -> [($gsAlpha)*y2[1] + (1.0::DOUBLE - $gsAlpha)*a[1]])[1] AS sesl
+       |  FROM gs),
+       |nmh AS (SELECT user_id, vs, n, avg1, avg2, ses_sse, sesl, list_reduce(
+       |    list_prepend([$holtInit], list_transform(generate_series(0, ${3 * 150 - 1}), s -> [s::DOUBLE])),
+       |    (acc, x) -> $holtStep) AS nm
+       |  FROM sescand),
+       |hpars AS (SELECT user_id, vs, n, avg1, avg2, ses_sse, sesl,
+       |  ${bestSel(2, 1)} AS hpa, ${bestSel(2, 2)} AS hpb FROM nmh),
+       |nmw AS (SELECT user_id, vs, n, avg1, avg2, ses_sse, sesl, hpa, hpb, list_reduce(
+       |    list_prepend([$hwInit], list_transform(generate_series(0, ${3 * 200 - 1}), s -> [s::DOUBLE])),
+       |    (acc, x) -> $hwStep) AS nm
+       |  FROM hpars),
+       |wpars AS (SELECT user_id, vs, n, avg1, avg2, ses_sse, sesl, hpa, hpb,
+       |  ${bestSel(3, 1)} AS wpa, ${bestSel(3, 2)} AS wpb, ${bestSel(3, 3)} AS wpg FROM nmw),
+       |cands AS (SELECT user_id, vs, n, avg1, avg2, ses_sse, sesl, hpa, hpb, wpa, wpb, wpg,
+       |  ${holtSse(Seq("hpa", "hpb"))} AS holt_sse,
+       |  CASE WHEN n >= 51 THEN ${hwSse(Seq("wpa", "wpb", "wpg"))} ELSE 1e308::DOUBLE END AS hw_sse
+       |  FROM wpars),
+       |pick AS (SELECT user_id, vs, n, avg1, avg2, sesl, hpa, hpb, wpa, wpb, wpg,
+       |  CASE WHEN ${aicc("ses_sse", 2)} <= ${aicc("holt_sse", 4)}
+       |         AND ${aicc("ses_sse", 2)} <= (CASE WHEN n >= 51 THEN ${aicc("hw_sse", 29)} ELSE 1e308 END) THEN 0
+       |       WHEN ${aicc("holt_sse", 4)} <= (CASE WHEN n >= 51 THEN ${aicc("hw_sse", 29)} ELSE 1e308 END) THEN 1
+       |       ELSE 2 END AS ch
+       |  FROM cands),
+       |fits AS (SELECT user_id, n, ch, sesl,
+       |  list_reduce(list_prepend([vs[1], vs[2] - vs[1]], list_transform(vs[2:], w -> [w, 0.0::DOUBLE])),
+       |    (a, yy) -> [${logit("hpa")}*yy[1] + (1.0::DOUBLE - ${logit("hpa")})*(a[1] + a[2]), ${logit("hpb")}*((${logit("hpa")}*yy[1] + (1.0::DOUBLE - ${logit("hpa")})*(a[1] + a[2])) - a[1]) + (1.0::DOUBLE - ${logit("hpb")})*a[2]]) AS hstate,
+       |  CASE WHEN n >= 51 THEN ${hwFold(Seq("wpa", "wpb", "wpg"))} ELSE NULL END AS hw
+       |  FROM pick),
+       |fcl AS (SELECT user_id, [
+       |  $fcCases] AS fc
+       |  FROM (SELECT user_id, n, ch, sesl, hstate[1] AS hl, hstate[2] AS ht, hw FROM fits)),
+       |fstab AS (SELECT user_id, any_value(fc) AS fc FROM fcl GROUP BY user_id),
+       |lastt AS (SELECT user_id, max(us) AS us FROM o GROUP BY user_id),
+       |d AS (SELECT user_id, min(us - lus) AS freq FROM
+       |  (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS lus FROM o)
+       |  WHERE lus IS NOT NULL GROUP BY user_id)
+       |SELECT f.user_id, s.step::BIGINT AS step,
+       |  make_timestamp(l.us + s.step * d.freq) AS ts,
+       |  round(f.fc[(s.step)::INT] + 1e-9, 6) AS y_hat
+       |FROM fstab f JOIN lastt l USING (user_id) JOIN d USING (user_id)
+       |CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS step) s""".stripMargin
   }
 
   // ── GP posterior (fixed hyperparameters, Matérn32(1,12) + Periodic

@@ -420,7 +420,7 @@ object SparkEntry {
     "ts_auto_ets_fc" -> ((s, dir) =>
       ForecastBaselines.multiForecast(IO.events(s, dir), 7, Seq(
         "auto_ets" -> (ys => graft.kernels.Arima.autoEtsForecast(ys, 7, m = 24))))
-        .select(col("user_id"), col("step"), col("ts"), r6(col("y_hat")).as("y_hat"))),
+        .select(col("user_id"), col("step"), col("ts"), r6n(col("y_hat")).as("y_hat"))),
 
     "ts_damped_fc" -> ((s, dir) =>
       ForecastBaselines.multiForecast(IO.events(s, dir), 7, Seq(
@@ -1418,6 +1418,7 @@ object SparkEntry {
     "ts_var_fc" -> ForecastOracle.varSql,
     "ts_damped_fc" -> ForecastOracle.dampedHoltSql,
     "ts_arma_fc" -> ForecastOracle.armaSql,
+    "ts_auto_ets_fc" -> ForecastOracle.autoEtsSql,
     "ts_synthetic_control" -> ForecastOracle.syntheticControlSql,
     "ts_agglomerative" -> ForecastOracle.agglomerativeSql,
     "ts_gp_fc" -> ForecastOracle.gpSql,
