@@ -1607,6 +1607,59 @@ FROM si CROSS JOIN fin f ORDER BY si.user_id
        |CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS step) s""".stripMargin
   }
 
+  // ── GARCH(1,1) (Garch.fitForecast over first-difference returns):
+  // d=3 Nelder-Mead on the Gaussian NLL via the shared uniform fold.
+  // The Scala mid-loop σ²≤0 bail is unreachable once the ω>0, α,β≥0,
+  // α+β<1 guard passes (σ² ≥ ω > 0 inductively), so the fold needs no
+  // early exit. ────────────────────────────────────────────────────────
+  val garchSql: String = {
+    def nllOf(cs: Seq[String]): String = {
+      val om = cs(0); val al = cs(1); val be = cs(2)
+      val S = s"(CASE WHEN (yy[2])::INT > 1 THEN ($om) + ($al)*rl[(yy[2])::INT - 1]*rl[(yy[2])::INT - 1] + ($be)*a[1] ELSE a[1] END)"
+      s"""(CASE WHEN ($om) <= 0.0 OR ($al) < 0.0 OR ($be) < 0.0 OR ($al) + ($be) >= 1.0 THEN 1e12::DOUBLE ELSE list_reduce(list_prepend([varu, 0.0::DOUBLE], list_transform(generate_series(1, nr), t -> [rl[t::INT], t::DOUBLE])), (a, yy) -> [$S, a[2] + 0.5*((ln(2.0*pi()) + ln($S)) + rl[(yy[2])::INT]*rl[(yy[2])::INT]/($S))])[2] END)"""
+    }
+    val step = nmStepExpr(3, nllOf)
+    val init = nmInitList(3, Seq("0.1*varu", "0.1::DOUBLE", "0.8::DOUBLE"), 0.05, nllOf)
+    // h=5 variance recursion as scalar chain (σ from the full refold)
+    val sExprs = {
+      var cur = "(om + al*rl[nr]*rl[nr] + be*sig2)"
+      (1 to 5).map { s =>
+        if (s > 1) cur = s"(om + (al + be)*$cur)"
+        cur
+      }
+    }
+    val sigList = sExprs.map(e => s"sqrt(greatest($e, 0.0))").mkString(",\n  ")
+    s"""WITH o AS (SELECT user_id, value, epoch_us(ts) AS us,
+       |  row_number() OVER ($W) AS rn FROM events),
+       |v AS (SELECT user_id, list(value ORDER BY rn) AS vs, count(*)::INT AS n
+       |  FROM o GROUP BY user_id),
+       |r AS (SELECT user_id, n - 1 AS nr,
+       |  list_transform(generate_series(1, n - 1), i -> vs[i::INT + 1] - vs[i::INT]) AS rl
+       |  FROM v),
+       |vu AS (SELECT user_id, nr, rl,
+       |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(rl, x -> x*x)), (aa, bb) -> aa + bb) / nr AS varu
+       |  FROM r),
+       |nmr AS (SELECT user_id, nr, rl, varu, list_reduce(
+       |    list_prepend([$init], list_transform(generate_series(0, ${3 * 400 - 1}), s -> [s::DOUBLE])),
+       |    (acc, x) -> $step) AS nm
+       |  FROM vu),
+       |best AS (SELECT user_id, nr, rl, varu,
+       |  ${bestSel(3, 1)} AS om, ${bestSel(3, 2)} AS al, ${bestSel(3, 3)} AS be FROM nmr),
+       |sfin AS (SELECT user_id, nr, rl, om, al, be,
+       |  list_reduce(list_prepend([varu], list_transform(generate_series(2, nr), t -> [t::DOUBLE])),
+       |    (a, x) -> [om + al*rl[(x[1])::INT - 1]*rl[(x[1])::INT - 1] + be*a[1]])[1] AS sig2
+       |  FROM best),
+       |fcl AS (SELECT user_id, om, al, be, [
+       |  $sigList] AS fc FROM sfin),
+       |fstab AS (SELECT user_id, any_value(om) AS om, any_value(al) AS al,
+       |  any_value(be) AS be, any_value(fc) AS fc FROM fcl GROUP BY user_id)
+       |SELECT f.user_id, round(f.om + 1e-9, 6) AS omega, round(f.al + 1e-9, 6) AS alpha,
+       |  round(f.be + 1e-9, 6) AS beta, s.step::INT AS step,
+       |  round(f.fc[(s.step)::INT] + 1e-9, 6) AS sigma
+       |FROM fstab f
+       |CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS step) s""".stripMargin
+  }
+
   // ── GP posterior (fixed hyperparameters, Matérn32(1,12) + Periodic
   // (0.5,1,24), noise 0.1): K augmented with [y_n, k*₁..k*₅] and solved
   // by one dynamic-size Gauss-Jordan fold per series; mean/variance then

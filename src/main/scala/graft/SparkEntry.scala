@@ -399,7 +399,10 @@ object SparkEntry {
       Advanced.miniRocketFeatures(IO.events(s, dir))),
 
     "ts_garch" -> ((s, dir) =>
-      Advanced.garchForecast(IO.events(s, dir), h = 5)),
+      Advanced.garchForecast(IO.events(s, dir), h = 5)
+        .select(col("user_id"), r6n(col("omega")).as("omega"),
+          r6n(col("alpha")).as("alpha"), r6n(col("beta")).as("beta"),
+          col("step"), r6n(col("sigma")).as("sigma"))),
 
     "ts_arma_fc" -> ((s, dir) =>
       Advanced.arimaForecast(IO.events(s, dir), p = 1, d = 0, q = 1, h = 7)
@@ -1419,6 +1422,7 @@ object SparkEntry {
     "ts_damped_fc" -> ForecastOracle.dampedHoltSql,
     "ts_arma_fc" -> ForecastOracle.armaSql,
     "ts_auto_ets_fc" -> ForecastOracle.autoEtsSql,
+    "ts_garch" -> ForecastOracle.garchSql,
     "ts_synthetic_control" -> ForecastOracle.syntheticControlSql,
     "ts_agglomerative" -> ForecastOracle.agglomerativeSql,
     "ts_gp_fc" -> ForecastOracle.gpSql,
