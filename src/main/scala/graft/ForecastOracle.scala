@@ -1792,6 +1792,91 @@ FROM si CROSS JOIN fin f ORDER BY si.user_id
        |FROM si JOIN lab2 l ON l.orig = si.sidx""".stripMargin
   }
 
+  // ── Bayesian VAR(2) (Bayesian.bvarForecast, ridge λ=0.1): same GJ
+  // solve as varSql with λ on the diagonal, plus per-equation residual
+  // scale and √(s+1)-widened z intervals (z baked from the Winitzki
+  // inverseErf the Spark side uses). ───────────────────────────────────
+  val bvarSql: String = {
+    val xs = Seq("l11", "l12", "l13", "l21", "l22", "l23")
+    val gSums = (for (i <- 0 to 6; j <- i to 6) yield {
+      val e =
+        if (i < 6 && j < 6) s"sum(${xs(i)} * ${xs(j)})"
+        else if (i < 6) s"sum(${xs(i)})"
+        else "count(*)::DOUBLE"
+      s"$e AS s$i$j"
+    }).mkString(",\n  ")
+    val bSums = (for (i <- 0 to 6; k <- 1 to 3) yield {
+      val e = if (i < 6) s"sum(${xs(i)} * y$k)" else s"sum(y$k)"
+      s"$e AS b$i$k"
+    }).mkString(",\n  ")
+    def sRef(i: Int, j: Int) =
+      (if (i <= j) s"s$i$j" else s"s$j$i") + (if (i == j) " + 0.1" else "")
+    val xList = (for (i <- 0 to 6; j <- 0 to 6) yield sRef(i, j)).mkString(", ")
+    val bList = (for (i <- 0 to 6; k <- 1 to 3) yield s"b$i$k").mkString(", ")
+    val betaCols = (for (i <- 0 to 6; k <- 1 to 3) yield
+      s"max(val) FILTER (i = $i AND k = $k) AS c$i$k").mkString(",\n  ")
+    def pr(k: Int) =
+      (0 to 5).map(i => s"acc[${i + 1}] * bc.c$i$k").mkString(" + ") + s" + bc.c6$k"
+    def prRow(k: Int) =
+      (0 to 5).map(i => s"${xs(i)} * bc.c$i$k").mkString(" + ") + s" + bc.c6$k"
+    val z = "%.17g".format(math.sqrt(2.0) * graft.kernels.Bayesian.inverseErf(0.9))
+    val et = (r: Int) => s"(SELECT event_type FROM ets WHERE rk = $r)"
+    s"""WITH ets AS (SELECT event_type, row_number() OVER (ORDER BY event_type) AS rk
+       |  FROM (SELECT DISTINCT event_type FROM events)),
+       |wide AS (SELECT date_trunc('day', ts) AS d,
+       |  coalesce(avg(value) FILTER (event_type = ${et(1)}), 0.0) AS v1,
+       |  coalesce(avg(value) FILTER (event_type = ${et(2)}), 0.0) AS v2,
+       |  coalesce(avg(value) FILTER (event_type = ${et(3)}), 0.0) AS v3
+       |  FROM events GROUP BY 1),
+       |o AS (SELECT v1, v2, v3, row_number() OVER (ORDER BY d) AS rn FROM wide),
+       |r AS (SELECT a.v1 AS y1, a.v2 AS y2, a.v3 AS y3,
+       |  b.v1 AS l11, b.v2 AS l12, b.v3 AS l13,
+       |  c.v1 AS l21, c.v2 AS l22, c.v3 AS l23
+       |  FROM o a JOIN o b ON b.rn = a.rn - 1 JOIN o c ON c.rn = a.rn - 2),
+       |g AS (SELECT
+       |  $gSums,
+       |  $bSums,
+       |  count(*)::INT AS nrows
+       |  FROM r),
+       |xmat AS (SELECT (t.k // 7)::INT AS i, (t.k % 7)::INT AS j,
+       |    [$xList][t.k::INT + 1] AS val
+       |  FROM (SELECT unnest(generate_series(0, 48)) AS k) t, g),
+       |${ReconcileOracle.gjInvCtes("xinv", "xmat", 7)},
+       |bvec AS (SELECT (t.k // 3)::INT AS j, (t.k % 3 + 1)::INT AS k,
+       |    [$bList][t.k::INT + 1] AS val
+       |  FROM (SELECT unnest(generate_series(0, 20)) AS k) t, g),
+       |betas AS (SELECT x.i, bv.k, sum(x.val * bv.val) AS val
+       |  FROM xinv x JOIN bvec bv ON bv.j = x.j GROUP BY x.i, bv.k),
+       |bc AS (SELECT
+       |  $betaCols
+       |  FROM betas),
+       |sdr AS (SELECT
+       |  sqrt(sum((y1 - (${prRow(1)}))*(y1 - (${prRow(1)})))/greatest(g.nrows - 7, 1)) AS sd1,
+       |  sqrt(sum((y2 - (${prRow(2)}))*(y2 - (${prRow(2)})))/greatest(g.nrows - 7, 1)) AS sd2,
+       |  sqrt(sum((y3 - (${prRow(3)}))*(y3 - (${prRow(3)})))/greatest(g.nrows - 7, 1)) AS sd3
+       |  FROM r, bc, g GROUP BY g.nrows),
+       |hist AS (SELECT
+       |  [p1.v1, p1.v2, p1.v3, p2.v1, p2.v2, p2.v3] AS h
+       |  FROM (SELECT * FROM o WHERE rn = (SELECT max(rn) FROM o)) p1,
+       |       (SELECT * FROM o WHERE rn = (SELECT max(rn) - 1 FROM o)) p2),
+       |fc AS (SELECT list_reduce(
+       |    list_prepend(h, list_transform(generate_series(1, 5), s -> [s::DOUBLE])),
+       |    (acc, x) -> list_concat(
+       |      [${pr(1)}, ${pr(2)}, ${pr(3)}, acc[1], acc[2], acc[3]],
+       |      list_concat(acc[7:], [${pr(1)}, ${pr(2)}, ${pr(3)}]))) AS f
+       |  FROM hist, bc)
+       |SELECT s.step::INT AS step,
+       |  (SELECT event_type FROM ets WHERE rk = s.k) AS variable,
+       |  round(f[(6 + (s.step - 1) * 3 + s.k)::INT] + 1e-9, 6) AS y_hat,
+       |  round(f[(6 + (s.step - 1) * 3 + s.k)::INT]
+       |    - $z * (CASE s.k WHEN 1 THEN sd.sd1 WHEN 2 THEN sd.sd2 ELSE sd.sd3 END) * sqrt(s.step::DOUBLE) + 1e-9, 6) AS y_hat_lower,
+       |  round(f[(6 + (s.step - 1) * 3 + s.k)::INT]
+       |    + $z * (CASE s.k WHEN 1 THEN sd.sd1 WHEN 2 THEN sd.sd2 ELSE sd.sd3 END) * sqrt(s.step::DOUBLE) + 1e-9, 6) AS y_hat_upper
+       |FROM fc, sdr sd,
+       |  (SELECT a.step, b.k FROM (SELECT unnest(generate_series(1, 5)) AS step) a,
+       |    (SELECT unnest(generate_series(1, 3)) AS k) b) s""".stripMargin
+  }
+
   // ── synthetic control (Causal.solveScWeights + syntheticControl):
   // 1000 projected-gradient iterations replayed as a 3-phase fold —
   // phase 0 takes the gradient step (each element computes its own

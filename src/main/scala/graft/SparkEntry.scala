@@ -602,9 +602,9 @@ object SparkEntry {
         .na.fill(0.0)
       val cols = wide.columns.filter(_ != "ts").sorted.take(3).toSeq
       BayesianOps.bvarForecast(wide, cols, p = 2, h = 5)(PanelCols(time = "ts"))
-        .select(col("step"), col("variable"), r6(col("y_hat")).as("y_hat"),
-          r6(col("y_hat_lower")).as("y_hat_lower"),
-          r6(col("y_hat_upper")).as("y_hat_upper"))
+        .select(col("step"), col("variable"), r6n(col("y_hat")).as("y_hat"),
+          r6n(col("y_hat_lower")).as("y_hat_lower"),
+          r6n(col("y_hat_upper")).as("y_hat_upper"))
     }),
 
     // ── imaging completions / agents ────────────────────────────────────
@@ -1423,6 +1423,7 @@ object SparkEntry {
     "ts_arma_fc" -> ForecastOracle.armaSql,
     "ts_auto_ets_fc" -> ForecastOracle.autoEtsSql,
     "ts_garch" -> ForecastOracle.garchSql,
+    "ts_bvar_fc" -> ForecastOracle.bvarSql,
     "ts_synthetic_control" -> ForecastOracle.syntheticControlSql,
     "ts_agglomerative" -> ForecastOracle.agglomerativeSql,
     "ts_gp_fc" -> ForecastOracle.gpSql,
