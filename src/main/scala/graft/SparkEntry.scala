@@ -1195,6 +1195,29 @@ object SparkEntry {
       Similarity.cosineNearDup(emb.unionByName(dups), threshold = 0.9)
     }),
 
+    // recall audit for the near-dup LSH path: exact all-pairs ground
+    // truth at the same threshold vs the bucketed candidates (the
+    // emb_knn_recall pattern extended to pairs)
+    "emb_near_dup_recall" -> ((s, dir) => {
+      val emb = IO.embeddings(s, dir).select("vec_id", "embedding")
+      val dups = emb.filter(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 100000)
+      val all = emb.unionByName(dups)
+      val v = all.select(col("vec_id").as("__id"),
+        col("embedding").cast("array<double>").as("__v"))
+      val exact = v.as("a").join(v.as("b"), col("a.__id") < col("b.__id"))
+        .withColumn("cosine", Similarity.cosine(col("a.__v"), col("b.__v")))
+        .filter(col("cosine") >= 0.9)
+        .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      val truth = exact.count().toDouble
+      Similarity.cosineNearDup(all, threshold = 0.9)
+        .select(col("id_a"), col("id_b"))
+        .join(exact, Seq("id_a", "id_b"))
+        .agg(round(count(lit(1)) / lit(truth), 6).as("recall"))
+        .withColumn("method", lit("cosine_near_dup"))
+        .select(col("method"), col("recall"))
+    }),
+
     "doc_simhash_pairs" -> ((s, dir) => {
       val docs = IO.documents(s, dir).select("doc_id", "text")
       val dups = docs.withColumn("doc_id", col("doc_id") + 100000)

@@ -402,16 +402,56 @@ object Arima {
     cands.minBy(aicc).fc()
   }
 
+  /** Minimal non-seasonal Complex Exponential Smoothing (Svetunkov &
+    * Kourentzes, "Complex exponential smoothing"; the reference SCUM's
+    * AutoCES leg, scum.py:15 — statsforecast AutoCES at season_length=1
+    * reduces to the "none"-seasonality CES). Real-valued transition of
+    * the complex level ℓ = l + i·c:
+    *   ŷ_t = l_{t−1};  e_t = y_t − ŷ_t
+    *   l_t = l_{t−1} − (1−α1)·c_{t−1} + (α0−α1)·e_t
+    *   c_t = l_{t−1} + (1−α0)·c_{t−1} + (α0+α1)·e_t
+    * (α0, α1) fitted by Nelder-Mead on one-step SSE from the classic
+    * (1.3, 1.0) init; forecasting iterates the transition with e = 0. */
+  def cesForecast(y: Array[Double], h: Int): Array[Double] = {
+    require(y.length >= 3, "ces needs at least 3 observations")
+    def run(a0: Double, a1: Double): (Double, Double, Double) = {
+      var l = y(0); var c = y(1) - y(0); var s = 0.0
+      var t = 1
+      while (t < y.length) {
+        val e = y(t) - l
+        s += e * e
+        val pl = l
+        l = pl - (1.0 - a1) * c + (a0 - a1) * e
+        c = pl + (1.0 - a0) * c + (a0 + a1) * e
+        t += 1
+      }
+      (l, c, s)
+    }
+    val best = Garch.nelderMead(p => {
+      val s = run(p(0), p(1))._3
+      if (s.isNaN || s.isInfinite) 1e100 else s
+    }, Array(1.3, 1.0), step = 0.1, maxIter = 200)
+    val (l0, c0, _) = run(best(0), best(1))
+    var l = l0; var c = c0
+    Array.tabulate(h) { _ =>
+      val out = l
+      val pl = l
+      l = pl - (1.0 - best(1)) * c
+      c = pl + (1.0 - best(0)) * c
+      out
+    }
+  }
+
   /** SCUM ensemble (reference models/scum.py:10-68): elementwise mean of
-    * the auto sub-model forecasts — auto-ARIMA, auto-ETS, Theta, damped
-    * Holt (the reference's AutoCES has no JVM equivalent; damped-trend
-    * stands in as the fourth diverse family, documented deviation). */
+    * the four auto sub-model families — auto-ARIMA, auto-ETS, CES, and
+    * Theta (the reference's DynamicOptimizedTheta leg) — matching the
+    * reference's median-of-four composition model-for-model. */
   def scumForecast(y: Array[Double], h: Int, m: Int = 1): Array[Double] = {
     val subs = Array(
       autoForecast(y, h, maxP = 2, maxQ = 2),
       autoEtsForecast(y, h, m),
-      thetaForecast(y, h),
-      dampedHoltForecast(y, h))
+      cesForecast(y, h),
+      thetaForecast(y, h))
     Array.tabulate(h)(s => subs.map(_(s)).sum / subs.length)
   }
 

@@ -132,18 +132,32 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate join
     * (id_a < id_b within a hyperplane bucket) verified by exact cosine ≥
-    * threshold — the vector analogue of MinHash near-dup detection. */
+    * threshold — the vector analogue of MinHash near-dup detection.
+    *
+    * `tables` independent hyperplane tables (seeds seed..seed+T−1) union
+    * their candidates before the exact verify: a single 8-bit table
+    * misses near-dup pairs whose vectors straddle one hyperplane, and
+    * with T tables the miss probability drops from (1−p) to (1−p)^T —
+    * the audited recall lever (emb_near_dup_recall). Cost is T signature
+    * shuffles of ids, never vectors; candidates dedup before verify. */
   def cosineNearDup(df: DataFrame, threshold: Double = 0.95, bits: Int = 8,
       dim: Int = 64, seed: Long = 42L, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", tables: Int = 2): DataFrame = {
     val v = df.select(col(idCol).as("__id"),
-        col(vecCol).cast("array<double>").as("__v"))
-      .withColumn("__bucket", hyperplaneBucket(col("__v"), dim, bits, seed))
-    v.as("a").join(v.as("b"),
-        col("a.__bucket") === col("b.__bucket") && col("a.__id") < col("b.__id"))
-      .withColumn("cosine", cosine(col("a.__v"), col("b.__v")))
+      col(vecCol).cast("array<double>").as("__v"))
+    val cands = (0 until tables).map { t =>
+      val vt = v.select(col("__id"),
+        hyperplaneBucket(col("__v"), dim, bits, seed + t).as("__bucket"))
+      vt.as("a").join(vt.as("b"),
+          col("a.__bucket") === col("b.__bucket") && col("a.__id") < col("b.__id"))
+        .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+    }.reduce(_ unionByName _).distinct()
+    cands
+      .join(v.select(col("__id").as("id_a"), col("__v").as("__va")), Seq("id_a"))
+      .join(v.select(col("__id").as("id_b"), col("__v").as("__vb")), Seq("id_b"))
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"), col("cosine"))
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
   /** LSH-bucketed ANN: queries only compare against corpus vectors landing

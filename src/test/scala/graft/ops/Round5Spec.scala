@@ -167,6 +167,23 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("CES tracks level and trend series (SCUM fourth leg)") {
+    import graft.kernels.Arima
+    // flat series: forecast stays at the level
+    val flat = Array.fill(30)(5.0)
+    val f1 = Arima.cesForecast(flat, 3)
+    f1.foreach(v => assert(math.abs(v - 5.0) < 0.2, s"flat: $v"))
+    // linear trend: CES extrapolates the direction
+    val lin = Array.tabulate(40)(i => 2.0 + 0.5 * i)
+    val f2 = Arima.cesForecast(lin, 3)
+    assert(f2(0) > lin.last - 1.0, s"trend continuation: ${f2(0)}")
+    assert(f2(2) >= f2(0) - 0.5, "trend keeps rising")
+    // scum ensemble composes four legs and returns h values
+    val noisy = Array.tabulate(60)(i => 10.0 + math.sin(i / 3.0) + 0.05 * i)
+    val sc = Arima.scumForecast(noisy, 5, m = 12)
+    assert(sc.length == 5 && sc.forall(v => math.abs(v - 13.0) < 8.0))
+  }
+
   test("minhash LSH bucket cap drops flood buckets but keeps true near-dups") {
     import spark.implicits._
     // 30 distinct docs + a 40-doc flood of one identical text
