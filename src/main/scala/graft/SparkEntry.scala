@@ -1447,6 +1447,9 @@ object SparkEntry {
     "ts_auto_ets_fc" -> ForecastOracle.autoEtsSql,
     "ts_garch" -> ForecastOracle.garchSql,
     "ts_bvar_fc" -> ForecastOracle.bvarSql,
+    // ts_quantile_fc stays rows-only: the pinball-IRLS weights
+    // (|q-1{r<0}|/max(|r|, 1e-6)) amplify 1e-13 cross-engine sum
+    // reordering into different fixpoints — verified non-replayable
     "ts_synthetic_control" -> ForecastOracle.syntheticControlSql,
     "ts_agglomerative" -> ForecastOracle.agglomerativeSql,
     "ts_gp_fc" -> ForecastOracle.gpSql,

@@ -92,8 +92,8 @@ class ArimaSpec extends AnyFunSuite {
     val subs = Array(
       Arima.autoForecast(y, 3, 2, 2),
       Arima.autoEtsForecast(y, 3, 1),
-      Arima.thetaForecast(y, 3),
-      Arima.dampedHoltForecast(y, 3))
+      Arima.cesForecast(y, 3),
+      Arima.thetaForecast(y, 3))
     for (s <- 0 until 3) {
       val mean = subs.map(_(s)).sum / 4
       assert(math.abs(fc(s) - mean) < 1e-9)
