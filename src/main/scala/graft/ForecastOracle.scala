@@ -1475,6 +1475,52 @@ FROM si CROSS JOIN fin f ORDER BY si.user_id
        |         ELSE $base END)""".stripMargin
   }
 
+  /** Paired-CTE partial-pivot elimination for larger systems: per column
+    * k emits a pivot-select CTE (`{p}p$k`) and an elimination CTE
+    * (`{p}e$k`) so the O(n²)-text pivot expression appears once per step
+    * instead of once per matrix element (at n=12 the inline form would
+    * be tens of MB of SQL). Input CTE `src` must expose the flat
+    * n×(n+1) list as column `m`; extra columns in `carry` pass through. */
+  private def luChainCtes(p: String, n: Int, src: String, carry: String): String = {
+    val w = n + 1
+    def m(r: String, c: String) = s"m[(($r))*$w + (($c)) + 1]"
+    (0 until n).map { k =>
+      val piv = "(CASE " + (k until n).map { r =>
+        val conds = (k until n).filter(_ != r)
+          .map(q => s"abs(${m(r.toString, k.toString)}) >= abs(${m(q.toString, k.toString)})")
+        val cond = if (conds.isEmpty) "TRUE" else conds.mkString(" AND ")
+        s"WHEN $cond THEN $r"
+      }.mkString(" ") + s" ELSE ${n - 1} END)"
+      val srcCte = if (k == 0) src else s"${p}e${k - 1}"
+      val sr = s"(CASE WHEN (t // $w) = $k THEN pv WHEN (t // $w) = pv THEN $k ELSE (t // $w)::INT END)"
+      val base = m(sr, s"t % $w")
+      val dd = m("pv", k.toString)
+      val baseRK = m(sr, k.toString)
+      val baseKC = m("pv", s"t % $w")
+      s"""${p}p$k AS (SELECT $carry, m, $piv AS pv FROM $srcCte),
+         |${p}e$k AS (SELECT $carry, list_transform(generate_series(0, ${n * w - 1}), t ->
+         |    CASE WHEN (t // $w) <= $k THEN $base
+         |         WHEN (t % $w) < $k THEN $base
+         |         WHEN abs($dd) > 1e-12 THEN $base - (($baseRK)/($dd)) * ($baseKC)
+         |         ELSE $base END) AS m FROM ${p}p$k)""".stripMargin
+    }.mkString(",\n")
+  }
+
+  /** Linear back-substitution CTE chain over `{luPrefix}e{n-1}`: emits
+    * CTEs `{p}b{n-1}..{p}b0`, each adding solved coefficient `xc$r`. */
+  private def backSubChain(p: String, n: Int, luLast: String, carry: String): String = {
+    val w = n + 1
+    def m(r: Int, c: Int) = s"m[${r * w + c + 1}]"
+    (n - 1 to 0 by -1).map { r =>
+      val src = if (r == n - 1) luLast else s"${p}b${r + 1}"
+      var s = m(r, n)
+      for (c <- r + 1 until n) s = s"($s - ${m(r, c)}*xc$c)"
+      val e = s"(CASE WHEN abs(${m(r, r)}) > 1e-12 THEN ($s) / ${m(r, r)} ELSE 0.0::DOUBLE END)"
+      val keep = if (r == n - 1) s"$carry, m" else s"$carry, m, ${(r + 1 until n).map(c => s"xc$c").mkString(", ")}"
+      s"""${p}b$r AS (SELECT $keep, $e AS xc$r FROM $src)""".stripMargin
+    }.mkString(",\n")
+  }
+
   /** Back-substitution expressions x(0..n−1) over the eliminated flat
     * list in `col`, replaying ArimaLite.solve's ascending-c subtraction
     * order and zero-pivot guard. */
@@ -1790,6 +1836,93 @@ FROM si CROSS JOIN fin f ORDER BY si.user_id
        |lab2 AS (SELECT orig, (dense_rank() OVER (ORDER BY root) - 1)::INT AS cluster FROM roots)
        |SELECT si.user_id, l.cluster
        |FROM si JOIN lab2 l ON l.orig = si.sidx""".stripMargin
+  }
+
+  // ── full feature pipeline (Pipeline.fitPipeline lags 1-3, rolling 12,
+  // calendar hour/day_of_week, fourier (24,2), encode_id): pooled 12×12
+  // ridge Gram + the paired-CTE LU replay, then per-series recursion
+  // with feature rebuild (rolling window over the forecast path,
+  // calendar/fourier of future timestamps). Fit and forecast use
+  // DIFFERENT float orders for the fourier angle — both replayed. ──────
+  val pipelineSql: String = {
+    val p = 12
+    def fitFour(kk: Int) =
+      s"((2.0*pi()*$kk.0)/24.0) * ((ti - 1)::DOUBLE)"
+    val fitX: Seq[String] = Seq(
+      "vs[(ti - 1)::INT]",
+      "vs[(ti - 2)::INT]",
+      "vs[(ti - 3)::INT]",
+      "(list_reduce(list_prepend(0.0::DOUBLE, vs[greatest(1, (ti - 12)::INT):(ti - 1)::INT]), (aa, bb) -> aa + bb) / least(12, ti - 1))",
+      "hour(make_timestamp(uss[ti::INT]))::DOUBLE",
+      "isodow(make_timestamp(uss[ti::INT]))::DOUBLE",
+      s"sin(${fitFour(1)})", s"cos(${fitFour(1)})",
+      s"sin(${fitFour(2)})", s"cos(${fitFour(2)})",
+      "idm",
+      "1.0::DOUBLE")
+    val gramSums = ((for (i <- 0 until p; j <- i until p) yield
+      s"sum(x$i * x$j) AS s$i$j") ++
+      (0 until p).map(i => s"sum(x$i * y) AS bb$i")).mkString(",\n  ")
+    def sRef(i: Int, j: Int) = {
+      val base = if (i <= j) s"s$i$j" else s"s$j$i"
+      if (i == j && i < p - 1) s"($base + 0.001)" else base
+    }
+    val flat = (for (i <- 0 until p; j <- 0 to p) yield
+      if (j < p) sRef(i, j) else s"bb$i").mkString(", ")
+    // forecast recursion: path most-recent-first over l1..l12 then m1..m5
+    var path = (1 to 12).map(k => s"l$k").toList
+    val medSteps = (1 to 5).map { s =>
+      val roll = "(" + path.take(12).reverse.mkString(" + ") + ") / 12.0"
+      def fcFour(kk: Int) = s"(((2.0*pi())*$kk.0)*((n + $s - 1)::DOUBLE))/24.0"
+      val xs = Seq(path(0), path(1), path(2), s"($roll)",
+        s"hour(make_timestamp(lastus + $s*freq))::DOUBLE",
+        s"isodow(make_timestamp(lastus + $s*freq))::DOUBLE",
+        s"sin(${fcFour(1)})", s"cos(${fcFour(1)})",
+        s"sin(${fcFour(2)})", s"cos(${fcFour(2)})",
+        "idm", "1.0::DOUBLE")
+      val pred = xs.zipWithIndex
+        .foldLeft("0.0::DOUBLE") { case (acc, (x, i)) => s"($acc + ($x)*xc$i)" }
+      path = s"m$s" :: path
+      val src = if (s == 1) "base" else s"mp${s - 1}"
+      s"mp$s AS (SELECT q.*, $pred AS m$s FROM $src q)"
+    }.mkString(",\n")
+    val tailsCols = (1 to 12).map(k =>
+      s"max(CASE WHEN rrn = $k THEN value END) AS l$k").mkString(",\n  ")
+    s"""WITH o AS (SELECT user_id, value, epoch_us(ts) AS us,
+       |  row_number() OVER ($W) AS rn FROM events),
+       |v AS (SELECT user_id, list(value ORDER BY rn) AS vs,
+       |  list(us ORDER BY rn) AS uss, count(*)::INT AS n FROM o GROUP BY user_id),
+       |idm0 AS (SELECT user_id, avg(value) AS idm FROM events GROUP BY user_id),
+       |rr AS (SELECT v.user_id, vs, uss, n, idm, unnest(generate_series(4, n)) AS ti
+       |  FROM v JOIN idm0 USING (user_id)),
+       |f AS (SELECT user_id, ${fitX.zipWithIndex.map { case (e, i) => s"$e AS x$i" }.mkString(",\n  ")},
+       |  vs[ti::INT] AS y FROM rr),
+       |g AS (SELECT
+       |  $gramSums
+       |  FROM f),
+       |m0 AS (SELECT 1 AS du, [$flat] AS m FROM g),
+       |${luChainCtes("lu", p, "m0", "1 AS du")},
+       |${backSubChain("lu", p, s"lue${p - 1}", "1 AS du")},
+       |tails AS (SELECT user_id,
+       |  $tailsCols
+       |  FROM (SELECT user_id, value, row_number() OVER
+       |    (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rrn FROM events)
+       |  WHERE rrn <= 12 GROUP BY user_id),
+       |meta AS (SELECT user_id, max(us) AS lastus, count(*)::INT AS n FROM o GROUP BY user_id),
+       |d AS (SELECT user_id, min(us - lus) AS freq FROM
+       |  (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS lus FROM o)
+       |  WHERE lus IS NOT NULL GROUP BY user_id),
+       |base AS (SELECT t.user_id, t.l1, t.l2, t.l3, t.l4, t.l5, t.l6, t.l7, t.l8,
+       |  t.l9, t.l10, t.l11, t.l12, m.lastus, m.n, dd.freq, i.idm,
+       |  ${(0 until p).map(i => s"c.xc$i").mkString(", ")}
+       |  FROM tails t JOIN meta m USING (user_id) JOIN d dd USING (user_id)
+       |  JOIN idm0 i USING (user_id) CROSS JOIN lub0 c),
+       |$medSteps
+       |SELECT f.user_id, s.step::BIGINT AS step,
+       |  make_timestamp(f.lastus + s.step * f.freq) AS ts,
+       |  round((CASE s.step WHEN 1 THEN f.m1 WHEN 2 THEN f.m2 WHEN 3 THEN f.m3
+       |    WHEN 4 THEN f.m4 ELSE f.m5 END) + 1e-9, 6) AS y_hat
+       |FROM mp5 f
+       |CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS step) s""".stripMargin
   }
 
   // ── Bayesian VAR(2) (Bayesian.bvarForecast, ridge λ=0.1): same GJ

@@ -510,7 +510,7 @@ object SparkEntry {
         rollingWindows = Seq(12), calendar = Seq("hour", "day_of_week"),
         fourier = Seq((24.0, 2)), encodeId = true)
       Pipeline.pipelineForecast(ev, model, h = 5)
-        .select(col("user_id"), col("step"), col("ts"), r6(col("y_hat")).as("y_hat"))
+        .select(col("user_id"), col("step"), col("ts"), r6n(col("y_hat")).as("y_hat"))
     }),
 
     "ts_pipeline_boxcox_fc" -> ((s, dir) => {
@@ -1470,6 +1470,7 @@ object SparkEntry {
     "ts_enbpi" -> ForecastOracle.enbpiSql,
     "ts_bocpd" -> ForecastOracle.bocpdSql,
     "ts_pipeline_boxcox_fc" -> ForecastOracle.pipelineBoxcoxSql,
+    "ts_pipeline_fc" -> ForecastOracle.pipelineSql,
     "ts_kmedoids" -> ForecastOracle.kmedoidsSql,
     "ts_calinski" -> ForecastOracle.calinskiSql,
     "ts_cluster_eval" -> ForecastOracle.clusterEvalSql,
