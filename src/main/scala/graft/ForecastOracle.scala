@@ -1390,7 +1390,7 @@ FROM si CROSS JOIN fin f ORDER BY si.user_id
     * simplex points, reflection, candidate — advanced by a 3-phase
     * position-CASE list constructor; convergence freezes by value.
     * `sseOf` builds the objective SQL from d coordinate expressions. */
-  private def nmStepExpr(d: Int, sseOf: Seq[String] => String): String = {
+  private[graft] def nmStepExpr(d: Int, sseOf: Seq[String] => String): String = {
     val k1 = d + 1; val L = (d + 3) * k1
     def coord(p: Int, c: Int) = s"acc[${p * k1 + c}]"
     def fOf(p: Int) = s"acc[${(p + 1) * k1}]"
@@ -1442,7 +1442,7 @@ FROM si CROSS JOIN fin f ORDER BY si.user_id
 
   /** Init-simplex list literal for [[nmStepExpr]]: x0 plus per-axis
     * step offsets, each with its objective, padded with refl/cand zeros. */
-  private def nmInitList(d: Int, x0: Seq[String], step: Double,
+  private[graft] def nmInitList(d: Int, x0: Seq[String], step: Double,
       sseOf: Seq[String] => String): String = {
     val pts = x0 +: (0 until d).map(i =>
       x0.zipWithIndex.map { case (v, j) => if (j == i) s"$v + $step" else v })
@@ -1454,7 +1454,7 @@ FROM si CROSS JOIN fin f ORDER BY si.user_id
     * over the flat n×(n+1) augmented list in column `col`: first-argmax
     * pivot (strict > update ⇒ first max wins), row swap, elimination of
     * columns k..n for rows > k, |pivot| ≤ 1e-12 skips elimination. */
-  private def luStepExpr(col: String, n: Int, k: Int): String = {
+  private[graft] def luStepExpr(col: String, n: Int, k: Int): String = {
     val w = n + 1
     def m(r: String, c: String) = s"$col[(($r))*$w + (($c)) + 1]"
     val piv = "(CASE " + (k until n).map { r =>
@@ -1481,7 +1481,7 @@ FROM si CROSS JOIN fin f ORDER BY si.user_id
     * instead of once per matrix element (at n=12 the inline form would
     * be tens of MB of SQL). Input CTE `src` must expose the flat
     * n×(n+1) list as column `m`; extra columns in `carry` pass through. */
-  private def luChainCtes(p: String, n: Int, src: String, carry: String): String = {
+  private[graft] def luChainCtes(p: String, n: Int, src: String, carry: String): String = {
     val w = n + 1
     def m(r: String, c: String) = s"m[(($r))*$w + (($c)) + 1]"
     (0 until n).map { k =>
@@ -1508,7 +1508,7 @@ FROM si CROSS JOIN fin f ORDER BY si.user_id
 
   /** Linear back-substitution CTE chain over `{luPrefix}e{n-1}`: emits
     * CTEs `{p}b{n-1}..{p}b0`, each adding solved coefficient `xc$r`. */
-  private def backSubChain(p: String, n: Int, luLast: String, carry: String): String = {
+  private[graft] def backSubChain(p: String, n: Int, luLast: String, carry: String): String = {
     val w = n + 1
     def m(r: Int, c: Int) = s"m[${r * w + c + 1}]"
     (n - 1 to 0 by -1).map { r =>
@@ -1524,7 +1524,7 @@ FROM si CROSS JOIN fin f ORDER BY si.user_id
   /** Back-substitution expressions x(0..n−1) over the eliminated flat
     * list in `col`, replaying ArimaLite.solve's ascending-c subtraction
     * order and zero-pivot guard. */
-  private def luBackSub(col: String, n: Int): Seq[String] = {
+  private[graft] def luBackSub(col: String, n: Int): Seq[String] = {
     val w = n + 1
     def m(r: Int, c: Int) = s"$col[${r * w + c + 1}]"
     val xs = new Array[String](n)
@@ -1538,7 +1538,7 @@ FROM si CROSS JOIN fin f ORDER BY si.user_id
 
   /** Stable-argmin coordinate extractor over the 4-point simplex stored
     * in column `nm` (first-min tie-break, matching Scala minBy). */
-  private def bestSel(d: Int, c: Int): String = {
+  private[graft] def bestSel(d: Int, c: Int): String = {
     val k1 = d + 1
     def f(p: Int) = s"nm[${(p + 1) * k1}]"
     def x(p: Int) = s"nm[${p * k1 + c}]"

@@ -411,6 +411,9 @@ object SparkEntry {
     "ts_auto_arima" -> ((s, dir) =>
       Advanced.autoArima(IO.events(s, dir), h = 7, maxP = 2, maxQ = 2)),
 
+    // rows-only by design: an oracle would replay KPSS d-selection plus
+    // SIX CSS Nelder-Mead fits per series (d up to 5) — prototyped, but
+    // >8 min in DuckDB even on a 30-series subset, too slow for the gate
     "ts_auto_arima_orders" -> ((s, dir) =>
       Advanced.autoArimaOrders(IO.events(s, dir))
         .select(col("user_id"), col("p"), col("d"), col("q"))),

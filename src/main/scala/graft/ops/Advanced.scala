@@ -72,9 +72,10 @@ object Advanced {
 
   /** Per-series selected auto-ARIMA orders `[id, p, d, q, aicc]` —
     * the diagnostic companion of [[autoArima]]. */
-  def autoArimaOrders(df: DataFrame)(implicit pc: PanelCols): DataFrame = {
+  def autoArimaOrders(df: DataFrame, maxP: Int = 3, maxQ: Int = 3)(
+      implicit pc: PanelCols): DataFrame = {
     val u = udf((ys: Seq[Double]) => {
-      val (p, d, q, fit) = graft.kernels.Arima.autoFit(ys.toArray)
+      val (p, d, q, fit) = graft.kernels.Arima.autoFit(ys.toArray, maxP, maxQ)
       (p, d, q, fit.aicc)
     })
     Panel.grouped(df)
