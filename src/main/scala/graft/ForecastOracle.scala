@@ -20,6 +20,11 @@ object ForecastOracle {
 
   // ── query parameters shared with the Spark query definitions ──────────
   // (SparkEntry reads these same vals, so the two engines cannot drift)
+  /** Series subset for the CSS/NLL Nelder-Mead oracles (arma, auto-ETS,
+    * garch): their full-panel DuckDB replays cost 2-4 min each, so the
+    * hash-checked queries pin 30 series and `_e2e` variants run the full
+    * panel rows-only — the kmedoids/dbscan subset discipline. */
+  val NmSubsetUsers = 30L
   val DbscanEps = 0.3
   val DbscanMinPts = 3
   val EnbpiB = 10
@@ -1333,7 +1338,7 @@ FROM si CROSS JOIN fin f ORDER BY si.user_id
       .mkString(",\n")
     val xs2 = luBackSub("m", 3)
     s"""WITH o AS (SELECT user_id, value, epoch_us(ts) AS us,
-       |  row_number() OVER ($W) AS rn FROM events),
+       |  row_number() OVER ($W) AS rn FROM events WHERE user_id < $NmSubsetUsers),
        |v AS (SELECT user_id, list(value ORDER BY rn) AS vs, count(*)::INT AS n
        |  FROM o GROUP BY user_id),
        |g1 AS (SELECT user_id, vs, n, [
@@ -1587,7 +1592,7 @@ FROM si CROSS JOIN fin f ORDER BY si.user_id
          | ELSE hw[1] + $s.0*hw[2] + hw[((n - 1 + $s) % 24) + 3] END""".stripMargin
     }.mkString(",\n  ")
     s"""WITH o AS (SELECT user_id, value, epoch_us(ts) AS us,
-       |  row_number() OVER ($W) AS rn FROM events),
+       |  row_number() OVER ($W) AS rn FROM events WHERE user_id < $NmSubsetUsers),
        |v AS (SELECT user_id, list(value ORDER BY rn) AS vs, count(*)::INT AS n
        |  FROM o GROUP BY user_id),
        |av AS (SELECT user_id, vs, n,
@@ -1676,7 +1681,7 @@ FROM si CROSS JOIN fin f ORDER BY si.user_id
     }
     val sigList = sExprs.map(e => s"sqrt(greatest($e, 0.0))").mkString(",\n  ")
     s"""WITH o AS (SELECT user_id, value, epoch_us(ts) AS us,
-       |  row_number() OVER ($W) AS rn FROM events),
+       |  row_number() OVER ($W) AS rn FROM events WHERE user_id < $NmSubsetUsers),
        |v AS (SELECT user_id, list(value ORDER BY rn) AS vs, count(*)::INT AS n
        |  FROM o GROUP BY user_id),
        |r AS (SELECT user_id, n - 1 AS nr,

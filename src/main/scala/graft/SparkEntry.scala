@@ -399,12 +399,27 @@ object SparkEntry {
       Advanced.miniRocketFeatures(IO.events(s, dir))),
 
     "ts_garch" -> ((s, dir) =>
+      Advanced.garchForecast(
+        IO.events(s, dir).filter(col("user_id") < ForecastOracle.NmSubsetUsers), h = 5)
+        .select(col("user_id"), r6n(col("omega")).as("omega"),
+          r6n(col("alpha")).as("alpha"), r6n(col("beta")).as("beta"),
+          col("step"), r6n(col("sigma")).as("sigma"))),
+
+    "ts_garch_e2e" -> ((s, dir) =>
       Advanced.garchForecast(IO.events(s, dir), h = 5)
         .select(col("user_id"), r6n(col("omega")).as("omega"),
           r6n(col("alpha")).as("alpha"), r6n(col("beta")).as("beta"),
           col("step"), r6n(col("sigma")).as("sigma"))),
 
+    // 30-series subset (NM oracle cost discipline — see
+    // ForecastOracle.NmSubsetUsers); full panel in ts_arma_fc_e2e
     "ts_arma_fc" -> ((s, dir) =>
+      Advanced.arimaForecast(
+        IO.events(s, dir).filter(col("user_id") < ForecastOracle.NmSubsetUsers),
+        p = 1, d = 0, q = 1, h = 7)
+        .select(col("user_id"), col("step"), col("ts"), r6n(col("y_hat")).as("y_hat"))),
+
+    "ts_arma_fc_e2e" -> ((s, dir) =>
       Advanced.arimaForecast(IO.events(s, dir), p = 1, d = 0, q = 1, h = 7)
         .select(col("user_id"), col("step"), col("ts"), r6n(col("y_hat")).as("y_hat"))),
 
@@ -424,6 +439,12 @@ object SparkEntry {
         .select(col("user_id"), col("step"), col("ts"), r6n(col("y_hat")).as("y_hat"))),
 
     "ts_auto_ets_fc" -> ((s, dir) =>
+      ForecastBaselines.multiForecast(
+        IO.events(s, dir).filter(col("user_id") < ForecastOracle.NmSubsetUsers), 7, Seq(
+        "auto_ets" -> (ys => graft.kernels.Arima.autoEtsForecast(ys, 7, m = 24))))
+        .select(col("user_id"), col("step"), col("ts"), r6n(col("y_hat")).as("y_hat"))),
+
+    "ts_auto_ets_fc_e2e" -> ((s, dir) =>
       ForecastBaselines.multiForecast(IO.events(s, dir), 7, Seq(
         "auto_ets" -> (ys => graft.kernels.Arima.autoEtsForecast(ys, 7, m = 24))))
         .select(col("user_id"), col("step"), col("ts"), r6n(col("y_hat")).as("y_hat"))),
