@@ -29,6 +29,15 @@ object ForecastOracle {
   val DbscanMinPts = 3
   val EnbpiB = 10
   val EnbpiSeed = 42L
+  /** ts_enbpi_oob subset: small enough that the per-(row, bootstrap) FNV
+    * replay stays <10 s in DuckDB, big enough to exercise the machinery. */
+  val EnbpiOobUsers = 5L
+
+  /** Literal VALUES CTE for runtime-pinned parameters (see [[OraclePins]]). */
+  private def pinsCte(name: String, cols: Seq[String], rows: Seq[Seq[String]]): String =
+    s"""$name AS (SELECT * FROM (VALUES
+       |  ${rows.map(_.mkString("(", ", ", ")")).mkString(",\n  ")}
+       |) AS __t(${cols.mkString(", ")}))""".stripMargin
 
   private val W = "PARTITION BY user_id ORDER BY ts, event_id"
   private val Phi = "((sqrt(5.0)-1.0)/2.0)"
@@ -790,7 +799,52 @@ object ForecastOracle {
   // residual means over exactly the zero-weight models, per-series
   // interpolated residual quantile, and the 5-step ensemble-mean
   // recursion as a growing flat fold ───────────────────────────────────
-  val enbpiSql: String = {
+  /** EnbPI oracle: pinned bootstrap coefficients + OOB quantiles when
+    * [[OraclePins]] is set (the full-panel FNV weight replay costs >2 min
+    * in DuckDB); the bootstrap machinery itself stays gate-verified by
+    * ts_enbpi_oob at [[EnbpiOobUsers]] scale. */
+  def enbpiSql: String = OraclePins.enbpi.map((enbpiSqlPinned _).tupled).getOrElse(enbpiSqlFull)
+
+  /** Pinned variant: B ridge coefficient vectors and per-series OOB qhat
+    * fitted in Scala; SQL replays the tail recursion, future timestamps
+    * and interval arithmetic. */
+  private def enbpiSqlPinned(coefs: Array[Array[Double]],
+      qpins: Seq[(Long, Double)]): String = {
+    val b = EnbpiB
+    val coefCols = (0 until b).flatMap { bi =>
+      (0 until 4).map(k => s"${dlit(coefs(bi)(k))}::DOUBLE AS cf${k}_$bi")
+    }
+    val foldPredBi = (0 until b).map { bi =>
+      s"(0.0::DOUBLE + acc[len(acc)]*cf0_$bi + acc[len(acc) - 1]*cf1_$bi + acc[len(acc) - 2]*cf2_$bi + 1.0*cf3_$bi)"
+    }.mkString(" + ")
+    val qRows = qpins.map { case (u, q) => Seq(s"$u::BIGINT", s"${dlit(q)}::DOUBLE") }
+    s"""WITH ${pinsCte("q", Seq("user_id", "qhat"), qRows)},
+       |co AS (SELECT ${coefCols.mkString(",\n  ")}),
+       |tails AS (SELECT user_id, list(value ORDER BY ts, event_id)[-3:] AS tl
+       |  FROM events GROUP BY user_id),
+       |fc AS (SELECT t.user_id,
+       |  (list_reduce(
+       |    list_prepend(t.tl, list_transform(generate_series(1, 5), s -> [s::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE])),
+       |    (acc, x) -> list_append(acc, ($foldPredBi) / 10.0)
+       |  ))[4:] AS fcs
+       |  FROM tails t, co),
+       |lastt AS (SELECT user_id, max(epoch_us(ts)) AS us FROM events GROUP BY user_id),
+       |d AS (SELECT user_id, min(us - lus) AS freq FROM
+       |  (SELECT user_id, epoch_us(ts) AS us, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS lus FROM events)
+       |  WHERE lus IS NOT NULL GROUP BY user_id)
+       |SELECT f.user_id, s.step, make_timestamp(l.us + s.step * d.freq) AS ts,
+       |  round(f.fcs[s.step::INT] + 1e-9, 6) AS y_hat,
+       |  round(f.fcs[s.step::INT] - coalesce(q.qhat, 0.0) + 1e-9, 6) AS y_hat_lower,
+       |  round(f.fcs[s.step::INT] + coalesce(q.qhat, 0.0) + 1e-9, 6) AS y_hat_upper
+       |FROM fc f
+       |JOIN lastt l USING (user_id) JOIN d USING (user_id)
+       |LEFT JOIN q USING (user_id)
+       |CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS step) s""".stripMargin
+  }
+
+  /** The full FNV-Poisson bootstrap + Gram/Cramer + OOB machinery, from
+    * `o` (optionally row-filtered) through the per-series quantile `q`. */
+  private def enbpiBootstrapCtes(where: String): String = {
     val b = EnbpiB
     val names = Array(
       Array("g0", "g1", "g2", "g3"),
@@ -823,14 +877,11 @@ object ForecastOracle {
     val oobSum = (0 until b).map(bi =>
       s"(CASE WHEN w$bi = 0 THEN ${predBi(bi)} ELSE 0.0::DOUBLE END)").mkString(" + ")
     val oobN = (0 until b).map(bi => s"(CASE WHEN w$bi = 0 THEN 1 ELSE 0 END)").mkString(" + ")
-    val foldPredBi = (0 until b).map { bi =>
-      s"(0.0::DOUBLE + acc[len(acc)]*cf0_$bi + acc[len(acc) - 1]*cf1_$bi + acc[len(acc) - 2]*cf2_$bi + 1.0*cf3_$bi)"
-    }.mkString(" + ")
-    s"""WITH o AS (SELECT user_id, value AS yy, epoch_us(ts) AS us,
+    s"""o AS (SELECT user_id, value AS yy, epoch_us(ts) AS us,
        |  lag(value, 1) OVER ($W) AS x0,
        |  lag(value, 2) OVER ($W) AS x1,
        |  lag(value, 3) OVER ($W) AS x2
-       |  FROM events),
+       |  FROM events$where),
        |r0 AS (SELECT *, user_id::VARCHAR || ':' || us::VARCHAR || ':$EnbpiSeed' AS ks
        |  FROM o WHERE x0 IS NOT NULL AND x1 IS NOT NULL AND x2 IS NOT NULL),
        |rw AS (SELECT *,
@@ -849,7 +900,22 @@ object ForecastOracle {
        |  FROM (SELECT user_id, n, rl, pos, floor(pos)::INT AS lo, pos - floor(pos)::INT AS frac
        |    FROM (SELECT user_id, count(*)::INT AS n, list_sort(list(resid)) AS rl,
        |      (count(*) - 1) * least(1.0, ceil((count(*) + 1) * 0.9) / count(*)) AS pos
-       |      FROM ob GROUP BY user_id) q1) q2),
+       |      FROM ob GROUP BY user_id) q1) q2)""".stripMargin
+  }
+
+  /** Per-series OOB conformal quantile on the [[EnbpiOobUsers]] subset —
+    * the in-gate verification of the full bootstrap machinery (the pinned
+    * ts_enbpi oracle skips it at full-panel scale for gate-cost reasons). */
+  val enbpiOobSql: String =
+    s"""WITH ${enbpiBootstrapCtes(s" WHERE user_id < $EnbpiOobUsers")}
+       |SELECT user_id, round(qhat + 1e-9, 6) AS qhat FROM q""".stripMargin
+
+  private[graft] val enbpiSqlFull: String = {
+    val b = EnbpiB
+    val foldPredBi = (0 until b).map { bi =>
+      s"(0.0::DOUBLE + acc[len(acc)]*cf0_$bi + acc[len(acc) - 1]*cf1_$bi + acc[len(acc) - 2]*cf2_$bi + 1.0*cf3_$bi)"
+    }.mkString(" + ")
+    s"""WITH ${enbpiBootstrapCtes("")},
        |tails AS (SELECT user_id, list(value ORDER BY ts, event_id)[-3:] AS tl
        |  FROM events GROUP BY user_id),
        |fc AS (SELECT t.user_id,
@@ -1230,7 +1296,48 @@ FROM si CROSS JOIN fin f ORDER BY si.user_id
   // the 3×3 lag/residual OLS), and the CSS Nelder-Mead (d=3, 300 iters)
   // as the same uniform-shape 3-phase fold the damped-Holt oracle
   // established, generalized to a 4-point simplex (24 slots). ──────────
-  val armaSql: String = {
+  /** ARMA(1,1) oracle: pinned fitted-parameter replay when [[OraclePins]]
+    * is populated (the gate path), full HR-init + NM replay otherwise. */
+  def armaSql: String = OraclePins.arma.map(armaSqlPinned).getOrElse(armaSqlFull)
+
+  /** Pinned variant: (φ, θ, c) fitted in Scala; SQL replays the residual
+    * recursion (e_n) and the 7-step forecast recursion only. */
+  private def armaSqlPinned(pins: Seq[(Long, Double, Double, Double)]): String = {
+    val fcExprs = {
+      var cur = "((cc + pp*vs[n]) + tt*elast)"
+      (1 to 7).map { s =>
+        if (s > 1) cur = s"(cc + pp*$cur)"
+        cur
+      }
+    }
+    val rows = pins.map { case (u, pp, tt, cc) =>
+      Seq(s"$u::BIGINT", s"${dlit(pp)}::DOUBLE", s"${dlit(tt)}::DOUBLE", s"${dlit(cc)}::DOUBLE")
+    }
+    s"""WITH ${pinsCte("pins", Seq("user_id", "pp", "tt", "cc"), rows)},
+       |o AS (SELECT user_id, value, epoch_us(ts) AS us,
+       |  row_number() OVER ($W) AS rn FROM events WHERE user_id < $NmSubsetUsers),
+       |v AS (SELECT user_id, list(value ORDER BY rn) AS vs, count(*)::INT AS n
+       |  FROM o GROUP BY user_id),
+       |best AS (SELECT user_id, vs, n, pp, tt, cc FROM v JOIN pins USING (user_id)),
+       |el AS (SELECT user_id, vs, n, pp, tt, cc,
+       |  list_reduce(list_prepend([0.0::DOUBLE],
+       |    list_transform(generate_series(2, n), t -> [t::DOUBLE])),
+       |    (a, x) -> [vs[(x[1])::INT] - (((cc) + (pp)*vs[(x[1])::INT - 1]) + (tt)*a[1])])[1] AS elast
+       |  FROM best),
+       |fcl AS (SELECT user_id, [${fcExprs.mkString(",\n  ")}] AS fc FROM el),
+       |fstab AS (SELECT user_id, any_value(fc) AS fc FROM fcl GROUP BY user_id),
+       |lastt AS (SELECT user_id, max(us) AS us FROM o GROUP BY user_id),
+       |d AS (SELECT user_id, min(us - lus) AS freq FROM
+       |  (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS lus FROM o)
+       |  WHERE lus IS NOT NULL GROUP BY user_id)
+       |SELECT f.user_id, s.step::BIGINT AS step,
+       |  make_timestamp(l.us + s.step * d.freq) AS ts,
+       |  round(f.fc[(s.step)::INT] + 1e-9, 6) AS y_hat
+       |FROM fstab f JOIN lastt l USING (user_id) JOIN d USING (user_id)
+       |CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS step) s""".stripMargin
+  }
+
+  private[graft] val armaSqlFull: String = {
     val d = 3; val k1 = d + 1; val L = (d + 3) * k1 // 24 slots
     // conditional-SS objective at (phi, theta, c): fold [e_prev, s]
     def css(pp: String, tt: String, cc: String): String = {
@@ -1558,7 +1665,67 @@ FROM si CROSS JOIN fin f ORDER BY si.user_id
   // d=3 Nelder-Mead over a 27-slot [l, t, sea₁..₂₄, sse] state; AICc
   // (first-min) selects. Series shorter than 2m+3 skip the HW leg via
   // n-guards (min sf0.01 length is 49 < 51, so the guard is live). ─────
-  val autoEtsSql: String = {
+  /** auto-ETS oracle: pinned smoothing weights + model choice when
+    * [[OraclePins]] is set, full golden-section + 2×NM replay otherwise. */
+  def autoEtsSql: String = OraclePins.autoEts.map(autoEtsSqlPinned).getOrElse(autoEtsSqlFull)
+
+  /** Pinned variant: SES α, Holt (α, β), HW (α, β, γ) and the AICc choice
+    * fitted in Scala; SQL replays only the winner-relevant smoothing state
+    * recursions (each one O(n) fold) and the 7-step forecast. */
+  private def autoEtsSqlPinned(pins: Seq[(Long, graft.kernels.Arima.AutoEtsFit)]): String = {
+    // 26-slot HW state fold [l, t, sea1..24] (legacy 27th SSE slot dropped
+    // — selection is pinned, the SSE is no longer needed)
+    val hwFoldP: String = {
+      val sea = "a[((yy[2])::INT) + 3]"
+      val newL = s"(wa*(yy[1] - $sea) + (1.0::DOUBLE - wa)*(a[1] + a[2]))"
+      val seaSlots = (0 until 24).map(j =>
+        s"CASE WHEN (yy[2])::INT = $j THEN wg*(yy[1] - $newL) + (1.0::DOUBLE - wg)*a[${j + 3}] ELSE a[${j + 3}] END").mkString(", ")
+      s"""list_reduce(list_prepend(list_concat([avg1, (avg2 - avg1)/24.0], list_transform(generate_series(1, 24), i -> vs[i::INT] - avg1)), list_transform(generate_series(25, n), ti -> [vs[ti::INT], ((ti - 1) % 24)::DOUBLE])), (a, yy) -> [$newL, wb*($newL - a[1]) + (1.0::DOUBLE - wb)*a[2], $seaSlots])"""
+    }
+    val fcCases = (1 to 7).map { s =>
+      s"""CASE WHEN ch = 0 THEN sesl
+         | WHEN ch = 1 THEN hl + $s.0*ht
+         | ELSE hw[1] + $s.0*hw[2] + hw[((n - 1 + $s) % 24) + 3] END""".stripMargin
+    }.mkString(",\n  ")
+    val rows = pins.map { case (u, f) =>
+      Seq(s"$u::BIGINT", s"${f.choice}::INT", s"${dlit(f.sesAlpha)}::DOUBLE",
+        s"${dlit(f.holtAlpha)}::DOUBLE", s"${dlit(f.holtBeta)}::DOUBLE",
+        s"${dlit(f.hwAlpha)}::DOUBLE", s"${dlit(f.hwBeta)}::DOUBLE",
+        s"${dlit(f.hwGamma)}::DOUBLE")
+    }
+    s"""WITH ${pinsCte("pins", Seq("user_id", "ch", "salpha", "ha", "hb", "wa", "wb", "wg"), rows)},
+       |o AS (SELECT user_id, value, epoch_us(ts) AS us,
+       |  row_number() OVER ($W) AS rn FROM events WHERE user_id < $NmSubsetUsers),
+       |v AS (SELECT user_id, list(value ORDER BY rn) AS vs, count(*)::INT AS n
+       |  FROM o GROUP BY user_id),
+       |av AS (SELECT user_id, vs, n,
+       |  list_reduce(vs[1:24], (aa, bb) -> aa + bb)/24.0 AS avg1,
+       |  list_reduce(vs[25:48], (aa, bb) -> aa + bb)/24.0 AS avg2 FROM v),
+       |j AS (SELECT user_id, vs, n, avg1, avg2, ch, salpha, ha, hb, wa, wb, wg
+       |  FROM av JOIN pins USING (user_id)),
+       |fits AS (SELECT user_id, n, ch,
+       |  list_reduce(list_prepend([vs[1]], list_transform(vs[2:], w -> [w])),
+       |    (a, y2) -> [salpha*y2[1] + (1.0::DOUBLE - salpha)*a[1]])[1] AS sesl,
+       |  list_reduce(list_prepend([vs[1], vs[2] - vs[1]], list_transform(vs[2:], w -> [w, 0.0::DOUBLE])),
+       |    (a, yy) -> [ha*yy[1] + (1.0::DOUBLE - ha)*(a[1] + a[2]), hb*((ha*yy[1] + (1.0::DOUBLE - ha)*(a[1] + a[2])) - a[1]) + (1.0::DOUBLE - hb)*a[2]]) AS hstate,
+       |  CASE WHEN n >= 51 THEN $hwFoldP ELSE NULL END AS hw
+       |  FROM j),
+       |fcl AS (SELECT user_id, [
+       |  $fcCases] AS fc
+       |  FROM (SELECT user_id, n, ch, sesl, hstate[1] AS hl, hstate[2] AS ht, hw FROM fits)),
+       |fstab AS (SELECT user_id, any_value(fc) AS fc FROM fcl GROUP BY user_id),
+       |lastt AS (SELECT user_id, max(us) AS us FROM o GROUP BY user_id),
+       |d AS (SELECT user_id, min(us - lus) AS freq FROM
+       |  (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS lus FROM o)
+       |  WHERE lus IS NOT NULL GROUP BY user_id)
+       |SELECT f.user_id, s.step::BIGINT AS step,
+       |  make_timestamp(l.us + s.step * d.freq) AS ts,
+       |  round(f.fc[(s.step)::INT] + 1e-9, 6) AS y_hat
+       |FROM fstab f JOIN lastt l USING (user_id) JOIN d USING (user_id)
+       |CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS step) s""".stripMargin
+  }
+
+  private[graft] val autoEtsSqlFull: String = {
     def logit(p: String) = s"(1.0::DOUBLE/(1.0::DOUBLE + exp(-($p))))"
     // Holt one-step SSE (no damping): fold [l, t, sse] over y(1)..y(n−1)
     def holtSse(cs: Seq[String]): String = {
@@ -1663,7 +1830,51 @@ FROM si CROSS JOIN fin f ORDER BY si.user_id
   // The Scala mid-loop σ²≤0 bail is unreachable once the ω>0, α,β≥0,
   // α+β<1 guard passes (σ² ≥ ω > 0 inductively), so the fold needs no
   // early exit. ────────────────────────────────────────────────────────
-  val garchSql: String = {
+  /** GARCH(1,1) oracle: pinned MLE params when [[OraclePins]] is set. */
+  def garchSql: String = OraclePins.garch.map(garchSqlPinned).getOrElse(garchSqlFull)
+
+  /** Pinned variant: (ω, α, β) fitted in Scala; SQL replays the returns
+    * construction, in-sample σ² refold and the 5-step forecast only. */
+  private def garchSqlPinned(pins: Seq[(Long, Double, Double, Double)]): String = {
+    val sExprs = {
+      var cur = "(om + al*rl[nr]*rl[nr] + be*sig2)"
+      (1 to 5).map { s =>
+        if (s > 1) cur = s"(om + (al + be)*$cur)"
+        cur
+      }
+    }
+    val sigList = sExprs.map(e => s"sqrt(greatest($e, 0.0))").mkString(",\n  ")
+    val rows = pins.map { case (u, om, al, be) =>
+      Seq(s"$u::BIGINT", s"${dlit(om)}::DOUBLE", s"${dlit(al)}::DOUBLE", s"${dlit(be)}::DOUBLE")
+    }
+    s"""WITH ${pinsCte("pins", Seq("user_id", "om", "al", "be"), rows)},
+       |o AS (SELECT user_id, value, epoch_us(ts) AS us,
+       |  row_number() OVER ($W) AS rn FROM events WHERE user_id < $NmSubsetUsers),
+       |v AS (SELECT user_id, list(value ORDER BY rn) AS vs, count(*)::INT AS n
+       |  FROM o GROUP BY user_id),
+       |r AS (SELECT user_id, n - 1 AS nr,
+       |  list_transform(generate_series(1, n - 1), i -> vs[i::INT + 1] - vs[i::INT]) AS rl
+       |  FROM v),
+       |vu AS (SELECT user_id, nr, rl,
+       |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(rl, x -> x*x)), (aa, bb) -> aa + bb) / nr AS varu
+       |  FROM r),
+       |best AS (SELECT user_id, nr, rl, varu, om, al, be FROM vu JOIN pins USING (user_id)),
+       |sfin AS (SELECT user_id, nr, rl, om, al, be,
+       |  list_reduce(list_prepend([varu], list_transform(generate_series(2, nr), t -> [t::DOUBLE])),
+       |    (a, x) -> [om + al*rl[(x[1])::INT - 1]*rl[(x[1])::INT - 1] + be*a[1]])[1] AS sig2
+       |  FROM best),
+       |fcl AS (SELECT user_id, om, al, be, [
+       |  $sigList] AS fc FROM sfin),
+       |fstab AS (SELECT user_id, any_value(om) AS om, any_value(al) AS al,
+       |  any_value(be) AS be, any_value(fc) AS fc FROM fcl GROUP BY user_id)
+       |SELECT f.user_id, round(f.om + 1e-9, 6) AS omega, round(f.al + 1e-9, 6) AS alpha,
+       |  round(f.be + 1e-9, 6) AS beta, s.step::INT AS step,
+       |  round(f.fc[(s.step)::INT] + 1e-9, 6) AS sigma
+       |FROM fstab f
+       |CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS step) s""".stripMargin
+  }
+
+  private[graft] val garchSqlFull: String = {
     def nllOf(cs: Seq[String]): String = {
       val om = cs(0); val al = cs(1); val be = cs(2)
       val S = s"(CASE WHEN (yy[2])::INT > 1 THEN ($om) + ($al)*rl[(yy[2])::INT - 1]*rl[(yy[2])::INT - 1] + ($be)*a[1] ELSE a[1] END)"

@@ -1177,6 +1177,17 @@ object SparkEntry {
         .select(col("rank"), col("model"), r6n(col("mae")).as("mae"),
           r6n(col("rmse")).as("rmse"))),
 
+    // in-gate verification of the EnbPI bootstrap+OOB machinery at a
+    // 5-user scale (the ts_enbpi oracle pins coefs/quantiles — see
+    // OraclePins — so the FNV-Poisson weight replay must be checked here)
+    "ts_enbpi_oob" -> ((s, dir) => {
+      val ev = IO.events(s, dir).filter(col("user_id") < ForecastOracle.EnbpiOobUsers)
+      val model = Conformal.enbpiFit(ev, lags = 3, b = ForecastOracle.EnbpiB,
+        seed = ForecastOracle.EnbpiSeed)
+      Conformal.enbpiQuantiles(model)
+        .select(col("user_id"), r6n(col("qhat")).as("qhat"))
+    }),
+
     "ts_enbpi" -> ((s, dir) => {
       val ev = IO.events(s, dir)
       val model = Conformal.enbpiFit(ev, lags = 3, b = ForecastOracle.EnbpiB,
@@ -1492,6 +1503,7 @@ object SparkEntry {
     "ts_portfolio_weights" -> ForecastOracle.portfolioWeightsSql,
     "ts_ukf" -> ForecastOracle.ukfSql,
     "ts_enbpi" -> ForecastOracle.enbpiSql,
+    "ts_enbpi_oob" -> ForecastOracle.enbpiOobSql,
     "ts_bocpd" -> ForecastOracle.bocpdSql,
     "ts_pipeline_boxcox_fc" -> ForecastOracle.pipelineBoxcoxSql,
     "ts_pipeline_fc" -> ForecastOracle.pipelineSql,

@@ -333,19 +333,26 @@ object Arima {
     }
   }
 
-  /** auto-ETS lite (reference SCUM's AutoETS sub-model): optimize SES,
-    * Holt and (when ≥ 2 seasons) additive Holt-Winters on one-step SSE,
-    * select by AICc, forecast with the winner. */
-  def autoEtsForecast(y: Array[Double], h: Int, m: Int = 1): Array[Double] = {
+  /** auto-ETS fitted state: AICc-winning model (0=SES, 1=Holt, 2=HW) plus
+    * the optimized smoothing weights of every fitted candidate (unfitted
+    * slots 0.0). Split out of [[autoEtsForecast]] so the correctness
+    * oracle can pin the fitted weights as SQL literals and replay only
+    * the smoothing recursion (the NM search stays in Scala). */
+  case class AutoEtsFit(choice: Int, sesAlpha: Double,
+      holtAlpha: Double, holtBeta: Double,
+      hwAlpha: Double, hwBeta: Double, hwGamma: Double)
+
+  def autoEtsFit(y: Array[Double], m: Int = 1): AutoEtsFit = {
     val n = y.length
-    case class Cand(k: Int, sse: Double, fc: () => Array[Double])
+    case class Cand(id: Int, k: Int, sse: Double)
     val cands = scala.collection.mutable.ArrayBuffer.empty[Cand]
     // SES
     val alphaS = optimizeSesAlpha(y)
     var level = y(0); var s = 0.0
     for (i <- 1 until n) { val e = y(i) - level; s += e * e
       level = alphaS * y(i) + (1.0 - alphaS) * level }
-    cands += Cand(2, s, () => Ets.ses(y, alphaS, h))
+    cands += Cand(0, 2, s)
+    var ah = 0.0; var bb = 0.0
     if (n >= 3) {
       // Holt via NM on (alpha, beta)
       def holtSse(p: Array[Double]): Double = {
@@ -361,10 +368,11 @@ object Arima {
         acc
       }
       val bh = Garch.nelderMead(holtSse, Array(0.0, -2.0), step = 0.5, maxIter = 150)
-      val ah = 1.0 / (1.0 + math.exp(-bh(0)))
-      val bb = 1.0 / (1.0 + math.exp(-bh(1)))
-      cands += Cand(4, holtSse(bh), () => Ets.holt(y, ah, bb, h))
+      ah = 1.0 / (1.0 + math.exp(-bh(0)))
+      bb = 1.0 / (1.0 + math.exp(-bh(1)))
+      cands += Cand(1, 4, holtSse(bh))
     }
+    var aw = 0.0; var bwb = 0.0; var gw = 0.0
     if (m >= 2 && n >= 2 * m + 3) {
       def hwSse(p: Array[Double]): Double = {
         val a = 1.0 / (1.0 + math.exp(-p(0)))
@@ -388,10 +396,10 @@ object Arima {
         acc
       }
       val bw = Garch.nelderMead(hwSse, Array(0.0, -2.0, -2.0), step = 0.5, maxIter = 200)
-      val aw = 1.0 / (1.0 + math.exp(-bw(0)))
-      val bwb = 1.0 / (1.0 + math.exp(-bw(1)))
-      val gw = 1.0 / (1.0 + math.exp(-bw(2)))
-      cands += Cand(5 + m, hwSse(bw), () => Ets.holtWinters(y, aw, bwb, gw, m, true, h))
+      aw = 1.0 / (1.0 + math.exp(-bw(0)))
+      bwb = 1.0 / (1.0 + math.exp(-bw(1)))
+      gw = 1.0 / (1.0 + math.exp(-bw(2)))
+      cands += Cand(2, 5 + m, hwSse(bw))
     }
     def aicc(c: Cand): Double = {
       val nEff = n - 1
@@ -399,7 +407,19 @@ object Arima {
       if (nEff - c.k - 1 > 0) base + 2.0 * c.k * (c.k + 1) / (nEff - c.k - 1.0)
       else Double.PositiveInfinity
     }
-    cands.minBy(aicc).fc()
+    AutoEtsFit(cands.minBy(aicc).id, alphaS, ah, bb, aw, bwb, gw)
+  }
+
+  /** auto-ETS lite (reference SCUM's AutoETS sub-model): optimize SES,
+    * Holt and (when ≥ 2 seasons) additive Holt-Winters on one-step SSE,
+    * select by AICc, forecast with the winner. */
+  def autoEtsForecast(y: Array[Double], h: Int, m: Int = 1): Array[Double] = {
+    val f = autoEtsFit(y, m)
+    f.choice match {
+      case 0 => Ets.ses(y, f.sesAlpha, h)
+      case 1 => Ets.holt(y, f.holtAlpha, f.holtBeta, h)
+      case _ => Ets.holtWinters(y, f.hwAlpha, f.hwBeta, f.hwGamma, m, true, h)
+    }
   }
 
   /** Minimal non-seasonal Complex Exponential Smoothing (Svetunkov &

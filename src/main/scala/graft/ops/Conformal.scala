@@ -149,6 +149,12 @@ object Conformal {
     } finally withF.unpersist()
   }
 
+  /** Per-series OOB conformal quantile `[id, qhat]` of a fitted model —
+    * exposed for the ts_enbpi_oob gate query and for oracle pinning. */
+  private[graft] def enbpiQuantiles(model: EnbPIModel)(
+      implicit pc: PanelCols): DataFrame =
+    quantileFromResiduals(model.residuals, model.coverage)
+
   private def quantileFromResiduals(residuals: DataFrame, coverage: Double)(
       implicit pc: PanelCols): DataFrame =
     residuals.groupBy(pc.idCol)

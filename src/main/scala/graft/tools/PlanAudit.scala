@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
 
 /** Physical-plan audit: prints `explain(formatted)` extracts for the
   * engine's core plan shapes so shuffle-count / pushdown / broadcast
-  * regressions are visible. Run: sbt "runMain graft.tools.PlanAudit". */
+  * regressions are visible, and exits non-zero when a plan loses
+  * whole-stage codegen entirely (the regression this audit exists to
+  * catch). Run: sbt "runMain graft.tools.PlanAudit". */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -17,15 +19,28 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     implicit val pc: PanelCols = PanelCols("user_id", "ts", "value", Seq("event_id"))
 
+    var failures = List.empty[String]
     def audit(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
-      val plan = df.queryExecution.executedPlan.toString()
+      // run the query first: under AQE the codegen spans only exist in the
+      // FINAL adaptive plan (pre-execution toString has no `*(n)` markers —
+      // the r5 wholestage_spans=0 bug)
+      df.collect()
+      val full = df.queryExecution.executedPlan.toString()
+      // AQE prints "== Final Plan ==" then "== Initial Plan ==" — keep only
+      // the final section so exchanges aren't double-counted
+      val plan = full.split("== Initial Plan ==")(0)
       val exchanges = plan.linesIterator.count(_.contains("Exchange"))
       val scans = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
       val broadcasts = plan.linesIterator.count(_.contains("Broadcast"))
-      val codegen = plan.linesIterator.count(_.contains("WholeStageCodegen"))
+      // codegen spans render as `*(n) Operator` prefixes — count distinct
+      // span ids (r5 verdict fix #2)
+      val codegen = plan.linesIterator
+        .flatMap(l => "\\*\\((\\d+)\\)".r.findFirstMatchIn(l).map(_.group(1)))
+        .toSet.size
       println(s"\n===== $name =====")
       println(s"exchanges=$exchanges broadcasts=$broadcasts wholestage_spans=$codegen")
       println(scans.take(2000))
+      if (codegen == 0) failures ::= name
     }
 
     val ev = IO.events(spark, dir)
@@ -55,5 +70,10 @@ object PlanAudit {
     audit("enbpi predict (expect broadcast coefs + grouped tails)",
       Conformal.enbpiPredict(ev, Conformal.enbpiFit(ev, lags = 2, b = 3), h = 2))
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(s"\nPLAN AUDIT FAILED — zero whole-stage codegen " +
+        s"spans in: ${failures.reverse.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }
