@@ -1,0 +1,247 @@
+package graft
+
+/** Oracles for the four deterministic formerly-rows-only queries
+  * (VERDICT r5 ask #3): NIG Bayesian anomaly p-values, k-Shape
+  * nearest-centroid classification, HMM regime decode (pinned EM params)
+  * and isolation-forest path lengths (pinned trees).
+  *
+  * Float-parity notes: discrete outputs (labels, regimes, flags) are exact
+  * unless two candidates tie within ~1e-12 — measured safe on the test
+  * panel; continuous outputs use the shared round(·+1e-9, 6) discipline.
+  */
+object DetOracles {
+
+  private val W = "PARTITION BY user_id ORDER BY ts, event_id"
+
+  private def dlit(v: Double): String = "%.17e".format(v)
+
+  private def pinsCte(name: String, cols: Seq[String], rows: Seq[Seq[String]]): String =
+    s"""$name AS (SELECT * FROM (VALUES
+       |  ${rows.map(_.mkString("(", ", ", ")")).mkString(",\n  ")}
+       |) AS __t(${cols.mkString(", ")}))""".stripMargin
+
+  // ── ts_bayes_anomaly ──────────────────────────────────────────────────
+  //
+  // Two-sided NIG posterior-predictive p-value = I_c(ν/2, 1/2) with
+  // c = ν/(ν+t²), ν = 4 + rowIdx (integer: α starts at 2 and grows by ½
+  // per row). The Scala side evaluates the incomplete beta by Lentz
+  // continued fraction; here the integer-ν Student-t closed form
+  // (A&S 26.7.3/26.7.4) — agreement ~1e-12, inside the round-6 nudge.
+  // State recursion: κ_t = 1+t and α_t = 2+t/2 are closed forms of the
+  // row index; (μ_t, β_t) replay as one growing flat fold per series.
+  val bayesAnomalySql: String = {
+    // A(x|ν): two-sided Student-t probability P(|T| <= x), x >= 0.
+    // th = atan(x/√ν); c = cos²th; s = sinth.
+    // ν even: A = s·Σ_{i=0}^{ν/2−1} b_i c^i          (b_0=1, b_i = b_{i−1}(2i−1)/(2i))
+    // ν odd:  A = 2/π·(th + s·√c·Σ_{i=0}^{(ν−3)/2} a_i c^i) (a_0=1, a_i = a_{i−1}(2i)/(2i+1))
+    val aEven =
+      """(sin(atan(tv/sqrt(nu))) * list_reduce(
+        |  list_prepend([1.0::DOUBLE, 1.0::DOUBLE],
+        |    list_transform(generate_series(1, (nu::INT)//2 - 1), i -> [i::DOUBLE, 0.0::DOUBLE])),
+        |  (a, x) -> [a[1] * (2.0*x[1] - 1.0) / (2.0*x[1]) * (nu/(nu + tv*tv)),
+        |             a[2] + a[1] * (2.0*x[1] - 1.0) / (2.0*x[1]) * (nu/(nu + tv*tv))])[2])"""
+        .stripMargin.replace("\n", "")
+    val aOdd =
+      """(2.0/pi() * (atan(tv/sqrt(nu)) + sin(atan(tv/sqrt(nu))) * sqrt(nu/(nu + tv*tv)) * list_reduce(
+        |  list_prepend([1.0::DOUBLE, 1.0::DOUBLE],
+        |    list_transform(generate_series(1, ((nu::INT) - 3)//2), i -> [i::DOUBLE, 0.0::DOUBLE])),
+        |  (a, x) -> [a[1] * (2.0*x[1]) / (2.0*x[1] + 1.0) * (nu/(nu + tv*tv)),
+        |             a[2] + a[1] * (2.0*x[1]) / (2.0*x[1] + 1.0) * (nu/(nu + tv*tv))])[2]))"""
+        .stripMargin.replace("\n", "")
+    // μ/β recursion (nigPValues): μ' = (κμ+v)/(κ+1); β' = β + κ(v−μ)²/(2(κ+1));
+    // growing fold appends this row's PRE-update (μ, β) so row t reads state t
+    s"""WITH o AS (SELECT user_id, value, ts,
+       |  row_number() OVER ($W) AS rn FROM events),
+       |v AS (SELECT user_id, list(value ORDER BY rn) AS vs, count(*)::INT AS n
+       |  FROM o GROUP BY user_id),
+       |-- growing fold: acc = [μ_cur, β_cur, history of pre-update (μ_t, β_t)…]
+       |st AS (SELECT user_id, vs, n, list_reduce(
+       |    list_prepend([vs[1], 1.0::DOUBLE],
+       |      list_transform(generate_series(1, n), t -> [vs[t::INT], t::DOUBLE])),
+       |    (acc, x) -> list_concat([
+       |      (x[2] * acc[1] + x[1]) / (x[2] + 1.0),
+       |      acc[2] + 0.5 * x[2] * (x[1] - acc[1]) * (x[1] - acc[1]) / (x[2] + 1.0)],
+       |      list_concat(acc[3:], [acc[1], acc[2]]))) AS sl
+       |  FROM v),
+       |-- sl[3 + 2(t−1)] = μ_t, sl[4 + 2(t−1)] = β_t (pre-update state at
+       |-- 1-based row t), with κ_t = t, α_t = 2 + (t−1)/2, ν = 2α = t + 3
+       |pv AS (SELECT user_id, t AS rn,
+       |  CASE WHEN t <= 10 THEN 1.0::DOUBLE ELSE
+       |    CASE WHEN scale <= 0.0 THEN 1.0::DOUBLE ELSE
+       |      1.0 - (CASE WHEN (nu::INT) % 2 = 0 THEN $aEven ELSE $aOdd END)
+       |    END
+       |  END AS p
+       |  FROM (SELECT user_id, t, nu, scale,
+       |      CASE WHEN scale > 0.0 THEN abs((vs[t::INT] - mu) / scale) ELSE 0.0::DOUBLE END AS tv
+       |    FROM (SELECT user_id, vs, t,
+       |        sl[(3 + 2*(t - 1))::INT] AS mu,
+       |        sqrt(sl[(4 + 2*(t - 1))::INT] * (t + 1.0) / ((2.0 + (t - 1.0)/2.0) * t)) AS scale,
+       |        t + 3.0 AS nu
+       |      FROM st, (SELECT unnest(generate_series(1, (SELECT max(n) FROM v))) AS t)
+       |      WHERE t <= n) q1) q2)
+       |SELECT o.user_id, make_timestamp(epoch_us(o.ts)) AS ts,
+       |  round(pv.p + 1e-9, 6) AS p_value, pv.p < 0.01 AS is_anomaly
+       |FROM o JOIN pv ON o.user_id = pv.user_id AND o.rn = pv.rn""".stripMargin
+  }
+
+  // ── ts_regime ─────────────────────────────────────────────────────────
+  //
+  // Hmm.decode replay at pinned Baum-Welch parameters (the 30-iteration EM
+  // search runs in Scala — OraclePins.regime): one forward growing fold,
+  // one backward growing fold, per-row posterior + argmax + mean-rank
+  // relabel. k = 2.
+  def regimeSql(pins: Seq[(Long, graft.kernels.Hmm.HmmParams)]): String = {
+    def lse(a: String, b: String) =
+      s"(greatest($a, $b) + ln(exp(($a) - greatest($a, $b)) + exp(($b) - greatest($a, $b))))"
+    def logB(t: String, s: Int) =
+      s"(-0.5*(ln(2.0*pi()*v$s) + (vs[($t)::INT] - m$s)*(vs[($t)::INT] - m$s)/v$s))"
+    val rows = pins.map { case (u, p) =>
+      Seq(s"$u::BIGINT",
+        s"${dlit(p.means(0))}::DOUBLE", s"${dlit(p.means(1))}::DOUBLE",
+        s"${dlit(p.vars(0))}::DOUBLE", s"${dlit(p.vars(1))}::DOUBLE",
+        s"${dlit(p.logPi(0))}::DOUBLE", s"${dlit(p.logPi(1))}::DOUBLE",
+        s"${dlit(p.logA(0)(0))}::DOUBLE", s"${dlit(p.logA(0)(1))}::DOUBLE",
+        s"${dlit(p.logA(1)(0))}::DOUBLE", s"${dlit(p.logA(1)(1))}::DOUBLE")
+    }
+    val laPrev0 = "acc[len(acc) - 1]"; val laPrev1 = "acc[len(acc)]"
+    s"""WITH ${pinsCte("pins",
+        Seq("user_id", "m0", "m1", "v0", "v1", "lp0", "lp1", "a00", "a01", "a10", "a11"), rows)},
+       |o AS (SELECT user_id, value, ts,
+       |  row_number() OVER ($W) AS rn FROM events),
+       |v AS (SELECT user_id, list(value ORDER BY rn) AS vs, count(*)::INT AS n
+       |  FROM o GROUP BY user_id),
+       |j AS (SELECT * FROM v JOIN pins USING (user_id) WHERE n >= 6),
+       |fwd AS (SELECT *, list_reduce(
+       |    list_prepend([lp0 + ${logB("1", 0)}, lp1 + ${logB("1", 1)}],
+       |      list_transform(generate_series(2, n), t -> [t::DOUBLE, 0.0::DOUBLE])),
+       |    (acc, x) -> list_concat(acc, [
+       |      ${lse(s"$laPrev0 + a00", s"$laPrev1 + a10")} + ${logB("x[1]", 0)},
+       |      ${lse(s"$laPrev0 + a01", s"$laPrev1 + a11")} + ${logB("x[1]", 1)}])) AS fl
+       |  FROM j),
+       |bwd AS (SELECT *, list_reduce(
+       |    list_prepend([0.0::DOUBLE, 0.0::DOUBLE],
+       |      list_transform(generate_series(1, n - 1), i -> [(n - i)::DOUBLE, 0.0::DOUBLE])),
+       |    (acc, x) -> list_concat([
+       |      ${lse(s"a00 + ${logB("x[1] + 1", 0)} + acc[1]", s"a01 + ${logB("x[1] + 1", 1)} + acc[2]")},
+       |      ${lse(s"a10 + ${logB("x[1] + 1", 0)} + acc[1]", s"a11 + ${logB("x[1] + 1", 1)} + acc[2]")}], acc)) AS bl
+       |  FROM fwd),
+       |ll AS (SELECT *, ${lse("fl[2*n - 1]", "fl[2*n]")} AS llv FROM bwd),
+       |g AS (SELECT user_id, t AS rn,
+       |  exp(fl[(2*t - 1)::INT] + bl[(2*t - 1)::INT] - llv) AS g0,
+       |  exp(fl[(2*t)::INT] + bl[(2*t)::INT] - llv) AS g1,
+       |  CASE WHEN m1 < m0 THEN 1 ELSE 0 END AS r0
+       |  FROM ll, (SELECT unnest(generate_series(1, (SELECT max(n) FROM v))) AS t)
+       |  WHERE t <= n),
+       |dec AS (SELECT user_id, rn,
+       |  CASE WHEN g1 > g0 THEN 1 - r0 ELSE r0 END AS regime,
+       |  CASE WHEN g1 > g0 THEN g1 ELSE g0 END AS prob
+       |  FROM g)
+       |SELECT o.user_id, make_timestamp(epoch_us(o.ts)) AS ts,
+       |  d.regime::INT AS regime, round(d.prob + 1e-9, 6) AS regime_prob
+       |FROM o JOIN dec d ON o.user_id = d.user_id AND o.rn = d.rn
+       |UNION ALL
+       |SELECT o.user_id, make_timestamp(epoch_us(o.ts)) AS ts,
+       |  0::INT AS regime, 1.0::DOUBLE AS regime_prob
+       |FROM o JOIN v USING (user_id) WHERE v.n < 6""".stripMargin
+  }
+
+  // ── ts_iforest ────────────────────────────────────────────────────────
+
+  /** Pinned isolation forest, flat node form: internal nodes carry
+    * (feat, split, lch, rch); leaves carry the full path-length payload
+    * depth + c(size) precomputed in Scala (feat = −1, self-looping child
+    * pointers so the fixed-depth walk is uniform). */
+  case class IforestPin(
+      nodes: Seq[(Int, Int, Int, Double, Int, Int, Double)],
+      nTrees: Int, maxDepth: Int)
+
+  /** Walk replay at pinned trees: lag features, na-drop, `maxDepth`
+    * unrolled node hops, per-row mean path length in tree order, per-user
+    * rounded sum. The fit (seeded sample + random splits) and the
+    * 2^(−eh/c) flag live in Scala (IsolationForestSpec) — path lengths
+    * are the exactly-replayable contract. */
+  def iforestSql(pin: IforestPin): String = {
+    val nodeRows = pin.nodes.map { case (t, nd, f, sp, l, r, pl) =>
+      Seq(s"$t::INT", s"$nd::INT", s"$f::INT", s"${dlit(sp)}::DOUBLE",
+        s"$l::INT", s"$r::INT", s"${dlit(pl)}::DOUBLE")
+    }
+    val walks = (1 to pin.maxDepth).map { i =>
+      s"""w$i AS (SELECT w.user_id, w.event_id, w.f0, w.f1, w.f2, w.tree,
+         |  CASE WHEN n.feat = -1 THEN w.node
+         |       WHEN (CASE n.feat WHEN 0 THEN w.f0 WHEN 1 THEN w.f1 ELSE w.f2 END) < n.split THEN n.lch
+         |       ELSE n.rch END AS node
+         |  FROM w${i - 1} w JOIN nodes n USING (tree, node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${pinsCte("nodes",
+        Seq("tree", "node", "feat", "split", "lch", "rch", "plen"), nodeRows)},
+       |r AS (SELECT user_id, event_id, value AS f0,
+       |  lag(value, 1) OVER ($W) AS f1,
+       |  lag(value, 2) OVER ($W) AS f2 FROM events),
+       |rc AS (SELECT * FROM r WHERE f1 IS NOT NULL AND f2 IS NOT NULL),
+       |w0 AS (SELECT rc.user_id, rc.event_id, rc.f0, rc.f1, rc.f2, t.tree, 0::INT AS node
+       |  FROM rc CROSS JOIN (SELECT DISTINCT tree FROM nodes) t),
+       |$walks,
+       |pl AS (SELECT w.user_id, w.event_id, w.tree, n.plen
+       |  FROM w${pin.maxDepth} w JOIN nodes n USING (tree, node)),
+       |eh AS (SELECT user_id, event_id,
+       |  list_reduce(list_prepend(0.0::DOUBLE, list(plen ORDER BY tree)),
+       |    (a, b) -> a + b) / ${pin.nTrees}.0 AS ehr
+       |  FROM pl GROUP BY user_id, event_id)
+       |SELECT user_id, count(*)::BIGINT AS n_rows,
+       |  round(sum(ehr) + 1e-9, 6) AS path_sum
+       |FROM eh GROUP BY user_id""".stripMargin
+  }
+
+  // ── ts_kshape_classify ────────────────────────────────────────────────
+  //
+  // Classification.kshapeClassify replay: truncate every series to the
+  // panel-min length, z-normalize, per-class element-wise mean of members
+  // (label = user_id % 3), re-z-normalize the centroid, and classify the
+  // test users (< 30) by argmin SBD (ties → smallest label, matching the
+  // Scala minBy over label-sorted centroids).
+  val kshapeClassifySql: String = {
+    def znormCtes(src: String, valCol: String, pre: String) =
+      s"""${pre}m1 AS (SELECT *, list_reduce($valCol, (a, b) -> a + b)/len($valCol) AS __mu FROM $src),
+         |${pre}m2 AS (SELECT *, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform($valCol, v -> (v - __mu)*(v - __mu))), (a, b) -> a + b)/len($valCol)) AS __sd
+         |  FROM ${pre}m1),
+         |${pre}z AS (SELECT * EXCLUDE ($valCol, __mu, __sd),
+         |  CASE WHEN __sd = 0.0 THEN list_transform($valCol, v -> 0.0::DOUBLE)
+         |       ELSE list_transform($valCol, v -> (v - __mu)/__sd) END AS $valCol
+         |  FROM ${pre}m2)""".stripMargin
+    // SBD(a, b) with |a| = |b| = L (Elastic.sbd replay, ElasticOracle shape)
+    val sbd =
+      """CASE WHEN sqrt(list_reduce(list_transform(za, v -> v*v), (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_transform(zb, v -> v*v), (x, y) -> x + y)) = 0.0
+        |  THEN 1.0::DOUBLE
+        |  ELSE 1.0::DOUBLE - list_max(
+        |    list_transform(generate_series(0, 2*L - 2), k ->
+        |      list_reduce(
+        |        list_prepend(0.0::DOUBLE,
+        |          list_transform(generate_series(greatest(1, (k::INT - L + 1) + 1), least(L, L + (k::INT - L + 1))),
+        |            ii -> za[ii::INT] * zb[(ii - (k::INT - L + 1))::INT])),
+        |        (x, y) -> x + y)
+        |    )) / (sqrt(list_reduce(list_transform(za, v -> v*v), (x, y) -> x + y))
+        |        * sqrt(list_reduce(list_transform(zb, v -> v*v), (x, y) -> x + y)))
+        |END""".stripMargin
+    s"""WITH s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+       |  FROM events GROUP BY user_id),
+       |ml AS (SELECT min(len(vs))::INT AS L FROM s),
+       |tr AS (SELECT user_id, vs[1:(SELECT L FROM ml)] AS t FROM s),
+       |${znormCtes("tr", "t", "s")},
+       |lab AS (SELECT user_id, t AS z, (user_id % 3)::VARCHAR AS label FROM sz),
+       |cm AS (SELECT label, p, avg(z[p::INT]) AS m
+       |  FROM lab CROSS JOIN (SELECT unnest(generate_series(1, (SELECT L FROM ml))) AS p)
+       |  GROUP BY label, p),
+       |cl AS (SELECT label, list(m ORDER BY p) AS c FROM cm GROUP BY label),
+       |${znormCtes("cl", "c", "c")},
+       |d AS (SELECT te.user_id, cz.label, (SELECT L FROM ml) AS L,
+       |    te.z AS za, cz.c AS zb FROM (SELECT * FROM lab WHERE user_id < 30) te
+       |  CROSS JOIN cz),
+       |dist AS (SELECT user_id, label, $sbd AS dd FROM d)
+       |SELECT user_id, label AS predicted_label FROM (
+       |  SELECT user_id, label,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY dd, label) AS rnk
+       |  FROM dist) WHERE rnk = 1""".stripMargin
+  }
+}

@@ -31,6 +31,17 @@ object OraclePins {
   @volatile var garch: Option[Seq[(Long, Double, Double, Double)]] = None
   /** (B ridge coefficient vectors, per-series OOB conformal qhat). */
   @volatile var enbpi: Option[(Array[Array[Double]], Seq[(Long, Double)])] = None
+  /** (user_id, fitted Baum-Welch params) per full-panel series. */
+  @volatile var regime: Option[Seq[(Long, graft.kernels.Hmm.HmmParams)]] = None
+  /** Flattened seeded isolation forest for the ts_iforest query. */
+  @volatile var iforest: Option[DetOracles.IforestPin] = None
+
+  /** ts_iforest query parameters (shared with SparkEntry so the pinned
+    * forest and the query's forest cannot drift). Smaller than the op
+    * defaults to keep the pinned node table ~100 KB of SQL; the default
+    * 100×256 forest runs rows-only in ts_iforest_e2e. */
+  val IforestTrees = 20
+  val IforestPsi = 128
 
   /** Fit everything the pinned oracles need. Cheap: 30 series of ~70
     * points through three NM fits, plus one pooled EnbPI fit. */
@@ -59,5 +70,45 @@ object OraclePins {
     val q = graft.ops.Conformal.enbpiQuantiles(model)
       .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
     enbpi = Some((model.coefs, q))
+    // regime: full-panel EM fits (decode replays in SQL)
+    val allSeries: Seq[(Long, Array[Double])] = Panel.grouped(ev)
+      .select(col("user_id"), col("ys")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    regime = Some(allSeries.filter(_._2.length >= 6)
+      .map { case (u, ys) => (u, graft.kernels.Hmm.fitParams(ys, 2)) })
+    // iforest: same clean frame + params as the ts_iforest query
+    val lagged = graft.ops.Features.lagFeatures(ev, Seq(1, 2))
+    val featureCols = Seq("value", "value_lag_1", "value_lag_2")
+    val (trees, _) = graft.ops.Outliers.iforestFitTrees(
+      lagged.na.drop(featureCols), featureCols,
+      nTrees = IforestTrees, psi = IforestPsi, sampleSize = 4096, seed = 42L)
+    iforest = Some(flattenForest(trees, IforestPsi))
+  }
+
+  /** Flatten trees to (tree, node, feat, split, lch, rch, plen) rows with
+    * preorder node ids; leaves self-loop and carry depth + c(size). */
+  private def flattenForest(trees: Array[graft.kernels.IsolationForest.Node],
+      psi: Int): DetOracles.IforestPin = {
+    import graft.kernels.IsolationForest.{Internal, Leaf, Node, c}
+    val rows = Seq.newBuilder[(Int, Int, Int, Double, Int, Int, Double)]
+    trees.zipWithIndex.foreach { case (root, ti) =>
+      var next = 0
+      def walk(node: Node, depth: Int): Int = {
+        val id = next; next += 1
+        node match {
+          case Leaf(size) =>
+            rows += ((ti, id, -1, 0.0, id, id, depth + c(size.toDouble)))
+          case Internal(f, sp, l, r) =>
+            val li = walk(l, depth + 1)
+            val ri = walk(r, depth + 1)
+            rows += ((ti, id, f, sp, li, ri, 0.0))
+        }
+        id
+      }
+      walk(root, 0)
+    }
+    val maxDepth = math.ceil(math.log(math.max(psi, 2).toDouble) / math.log(2.0)).toInt
+    DetOracles.IforestPin(rows.result(), trees.length, maxDepth)
   }
 }

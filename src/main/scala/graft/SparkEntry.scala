@@ -460,7 +460,9 @@ object SparkEntry {
         .select(col("user_id"), col("step"), col("ts"), r6(col("y_hat")).as("y_hat"))),
 
     "ts_regime" -> ((s, dir) =>
-      Advanced.regimeDetect(IO.events(s, dir), k = 2)),
+      Advanced.regimeDetect(IO.events(s, dir), k = 2)
+        .select(col("user_id"), col("ts"), col("regime"),
+          r6n(col("regime_prob")).as("regime_prob"))),
 
     "ts_kalman" -> ((s, dir) => {
       val u = udf((ys: Seq[Double]) => {
@@ -609,7 +611,7 @@ object SparkEntry {
 
     "ts_bayes_anomaly" -> ((s, dir) =>
       BayesianOps.bayesianAnomaly(IO.events(s, dir), threshold = 0.01)
-        .select(col("user_id"), col("ts"), r6(col("p_value")).as("p_value"),
+        .select(col("user_id"), col("ts"), r6n(col("p_value")).as("p_value"),
           col("is_anomaly"))),
 
     "ts_bayesian_ets" -> ((s, dir) =>
@@ -850,7 +852,21 @@ object SparkEntry {
           r6n(col("z_score")).as("z_score"), r6n(col("std_score")).as("std_score"),
           r6n(col("mad_score")).as("mad_score"), col("decision"))),
 
+    // hash-gated on exactly-replayable path lengths at a pinned 20×128
+    // forest (see OraclePins.iforest); flag counts at the default 100×256
+    // forest stay rows-only below (approx_percentile threshold + pow are
+    // not engine-replayable)
     "ts_iforest" -> ((s, dir) => {
+      val ev = Features.lagFeatures(IO.events(s, dir), Seq(1, 2))
+      Outliers.isolationForestDetect(ev,
+        Seq("value", "value_lag_1", "value_lag_2"), contamination = 0.05,
+        nTrees = OraclePins.IforestTrees, psi = OraclePins.IforestPsi)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          r6n(sum(col("mean_path_len"))).as("path_sum"))
+    }),
+
+    "ts_iforest_e2e" -> ((s, dir) => {
       val ev = Features.lagFeatures(IO.events(s, dir), Seq(1, 2))
       Outliers.isolationForestDetect(ev,
         Seq("value", "value_lag_1", "value_lag_2"), contamination = 0.05)
@@ -1511,6 +1527,14 @@ object SparkEntry {
     "ts_calinski" -> ForecastOracle.calinskiSql,
     "ts_cluster_eval" -> ForecastOracle.clusterEvalSql,
     "ts_granger" -> ForecastOracle.grangerSql,
+    "ts_bayes_anomaly" -> DetOracles.bayesAnomalySql,
+    "ts_kshape_classify" -> DetOracles.kshapeClassifySql,
+  ) ++
+    // pin-dependent oracles (present only when Verify has computed pins —
+    // these have no standalone NM/tree replay fallback)
+    OraclePins.regime.map(p => "ts_regime" -> DetOracles.regimeSql(p)) ++
+    OraclePins.iforest.map(p => "ts_iforest" -> DetOracles.iforestSql(p)) ++
+  Map(
     "ts_dbscan" -> ForecastOracle.dbscanSql,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -73,12 +73,20 @@ object IsolationForest {
         if (x(f) < s) pathLength(x, l, depth + 1) else pathLength(x, r, depth + 1)
     }
 
-  /** Anomaly score in (0, 1]: higher = more anomalous. */
-  def score(x: Array[Double], trees: Array[Node], psi: Int): Double = {
+  /** (mean path length, anomaly score): score in (0, 1], higher = more
+    * anomalous. The mean path length is exposed because it is exactly
+    * engine-replayable (integer depths + closed-form leaf terms), while
+    * the 2^(−eh/c) power is only pow-ulp-replayable — the correctness
+    * oracle hashes the path length and leaves the power to unit tests. */
+  def pathScore(x: Array[Double], trees: Array[Node], psi: Int): (Double, Double) = {
     var s = 0.0
     var i = 0
     while (i < trees.length) { s += pathLength(x, trees(i), 0); i += 1 }
     val eh = s / trees.length
-    math.pow(2.0, -eh / math.max(c(psi.toDouble), 1e-12))
+    (eh, math.pow(2.0, -eh / math.max(c(psi.toDouble), 1e-12)))
   }
+
+  /** Anomaly score in (0, 1]: higher = more anomalous. */
+  def score(x: Array[Double], trees: Array[Node], psi: Int): Double =
+    pathScore(x, trees, psi)._2
 }

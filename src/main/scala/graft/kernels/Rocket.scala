@@ -206,12 +206,16 @@ object Hmm {
     else m + math.log(xs.map(x => math.exp(x - m)).sum)
   }
 
-  /** Fit a k-state Gaussian HMM; returns per-row (regime, prob). Regimes
-    * relabeled by ascending state mean for determinism. */
-  def fit(y: Array[Double], k: Int, nIter: Int = 30, seed: Long = 42L): Array[(Int, Double)] = {
+  /** Fitted HMM parameters (log-space transition/initial). */
+  case class HmmParams(means: Array[Double], vars: Array[Double],
+      logPi: Array[Double], logA: Array[Array[Double]])
+
+  /** Baum-Welch EM: fixed quantile-mean init, `nIter` iterations. Split
+    * from [[decode]] so the correctness oracle can pin the fitted params
+    * and replay only the forward-backward posterior (see OraclePins). */
+  def fitParams(y: Array[Double], k: Int, nIter: Int = 30): HmmParams = {
     val n = y.length
     require(k >= 2, "k must be >= 2")
-    if (n < k * 3) return Array.fill(n)((0, 1.0))
     // init: means from sorted quantiles, shared variance, uniform trans
     val sorted = y.clone(); java.util.Arrays.sort(sorted)
     val means = Array.tabulate(k)(i => sorted(((i + 0.5) / k * n).toInt.min(n - 1)))
@@ -226,7 +230,6 @@ object Hmm {
     def logB(t: Int, s: Int): Double =
       -0.5 * (math.log(2.0 * math.Pi * vars(s)) + (y(t) - means(s)) * (y(t) - means(s)) / vars(s))
 
-    var gamma: Array[Array[Double]] = null
     (0 until nIter).foreach { _ =>
       // forward
       val la = Array.ofDim[Double](n, k)
@@ -238,7 +241,7 @@ object Hmm {
       for (t <- n - 2 to 0 by -1; s <- 0 until k)
         lb(t)(s) = logSumExp(Array.tabulate(k)(q => logA(s)(q) + logB(t + 1, q) + lb(t + 1)(q)))
       val ll = logSumExp(la(n - 1))
-      gamma = Array.tabulate(n, k)((t, s) => math.exp(la(t)(s) + lb(t)(s) - ll))
+      val gamma = Array.tabulate(n, k)((t, s) => math.exp(la(t)(s) + lb(t)(s) - ll))
       // M-step
       for (s <- 0 until k) {
         val w = (0 until n).map(t => gamma(t)(s)).sum
@@ -259,13 +262,38 @@ object Hmm {
         }
       }
     }
-    // deterministic state order by mean
-    val order = means.zipWithIndex.sortBy(_._1).map(_._2)
+    HmmParams(means, vars, logPi, logA)
+  }
+
+  /** Posterior decode at fixed params: per-row (regime, prob), regimes
+    * relabeled by ascending state mean for determinism. */
+  def decode(y: Array[Double], p: HmmParams): Array[(Int, Double)] = {
+    val n = y.length
+    val k = p.means.length
+    def logB(t: Int, s: Int): Double =
+      -0.5 * (math.log(2.0 * math.Pi * p.vars(s)) + (y(t) - p.means(s)) * (y(t) - p.means(s)) / p.vars(s))
+    val la = Array.ofDim[Double](n, k)
+    for (s <- 0 until k) la(0)(s) = p.logPi(s) + logB(0, s)
+    for (t <- 1 until n; s <- 0 until k)
+      la(t)(s) = logSumExp(Array.tabulate(k)(q => la(t - 1)(q) + p.logA(q)(s))) + logB(t, s)
+    val lb = Array.ofDim[Double](n, k)
+    for (t <- n - 2 to 0 by -1; s <- 0 until k)
+      lb(t)(s) = logSumExp(Array.tabulate(k)(q => p.logA(s)(q) + logB(t + 1, q) + lb(t + 1)(q)))
+    val ll = logSumExp(la(n - 1))
+    val gamma = Array.tabulate(n, k)((t, s) => math.exp(la(t)(s) + lb(t)(s) - ll))
+    val order = p.means.zipWithIndex.sortBy(_._1).map(_._2)
     val rank = new Array[Int](k)
     order.zipWithIndex.foreach { case (orig, r) => rank(orig) = r }
     Array.tabulate(n) { t =>
       val s = (0 until k).maxBy(gamma(t)(_))
       (rank(s), gamma(t)(s))
     }
+  }
+
+  /** Fit a k-state Gaussian HMM; returns per-row (regime, prob) from the
+    * posterior at the final fitted parameters. */
+  def fit(y: Array[Double], k: Int, nIter: Int = 30, seed: Long = 42L): Array[(Int, Double)] = {
+    if (y.length < k * 3) return Array.fill(y.length)((0, 1.0))
+    decode(y, fitParams(y, k, nIter))
   }
 }

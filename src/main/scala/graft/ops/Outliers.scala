@@ -64,13 +64,12 @@ object Outliers {
     * are defined on subsamples, so a bounded driver sample IS the
     * algorithm); the trained trees broadcast and scoring is a narrow map.
     * The only wide op is the exact contamination-quantile threshold. */
-  def isolationForestDetect(df: DataFrame, featureCols: Seq[String],
-      contamination: Double = 0.05, nTrees: Int = 100, psi: Int = 256,
-      sampleSize: Int = 4096, seed: Long = 42L): DataFrame = {
-    require(featureCols.nonEmpty, "featureCols must be non-empty")
-    require(contamination > 0 && contamination < 1, "contamination must be in (0, 1)")
-    val spark = df.sparkSession
-    val clean = df.na.drop(featureCols)
+  /** Seeded-sample tree fit shared by [[isolationForestDetect]] and the
+    * correctness-oracle pin path (OraclePins) — both must see the exact
+    * same forest. Returns (trees, effective ψ). */
+  private[graft] def iforestFitTrees(clean: DataFrame, featureCols: Seq[String],
+      nTrees: Int, psi: Int, sampleSize: Int, seed: Long):
+      (Array[graft.kernels.IsolationForest.Node], Int) = {
     val total = clean.count()
     val frac = if (total == 0) 1.0 else math.min(1.0, 3.0 * sampleSize / total)
     val featArr = array(featureCols.map(c => col(c).cast("double")): _*)
@@ -79,12 +78,29 @@ object Outliers {
       .orderBy(xxhash64(col("__f").cast("string"), lit(seed)))
       .limit(sampleSize)
       .collect().map(_.getSeq[Double](0).toArray)
-    val trees = graft.kernels.IsolationForest.fit(sample, nTrees, psi, seed)
+    (graft.kernels.IsolationForest.fit(sample, nTrees, psi, seed),
+      math.min(psi, sample.length))
+  }
+
+  def isolationForestDetect(df: DataFrame, featureCols: Seq[String],
+      contamination: Double = 0.05, nTrees: Int = 100, psi: Int = 256,
+      sampleSize: Int = 4096, seed: Long = 42L): DataFrame = {
+    require(featureCols.nonEmpty, "featureCols must be non-empty")
+    require(contamination > 0 && contamination < 1, "contamination must be in (0, 1)")
+    val spark = df.sparkSession
+    val clean = df.na.drop(featureCols)
+    val (trees, effPsi) =
+      iforestFitTrees(clean, featureCols, nTrees, psi, sampleSize, seed)
     val bc = spark.sparkContext.broadcast(trees)
-    val effPsi = math.min(psi, sample.length)
-    val scoreUdf = udf((xs: Seq[Double]) =>
-      -graft.kernels.IsolationForest.score(xs.toArray, bc.value, effPsi))
-    val scored = clean.withColumn("anomaly_score", scoreUdf(featArr))
+    val featArr = array(featureCols.map(c => col(c).cast("double")): _*)
+    val scoreUdf = udf((xs: Seq[Double]) => {
+      val (eh, sc) = graft.kernels.IsolationForest.pathScore(xs.toArray, bc.value, effPsi)
+      (eh, -sc)
+    })
+    val scored = clean.withColumn("__s", scoreUdf(featArr))
+      .withColumn("mean_path_len", col("__s._1"))
+      .withColumn("anomaly_score", col("__s._2"))
+      .drop("__s")
     // approx threshold: an exact global percentile sorts the full column on
     // one reducer — at corpus scale the 10⁻⁴-accuracy sketch is the only
     // shape that survives, and the flag boundary is approximate anyway
