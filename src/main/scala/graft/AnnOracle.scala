@@ -1,0 +1,97 @@
+package graft
+
+import graft.ops.Similarity
+
+/** DuckDB oracles for the hyperplane-LSH ANN queries (VERDICT r5 ask #7).
+  *
+  * The hyperplanes are seeded driver-side Gaussians; instead of making
+  * DuckDB replay the RNG, the exact plane doubles are inlined as literals
+  * (%.17e round-trips exactly) — the same pinned-params pattern as the
+  * NM forecast oracles. DuckDB then replays deterministically: sign-bit
+  * bucket assignment, the Lv-et-al multi-probe flip ranking, the band
+  * self-join, and the exact cosine verify.
+  *
+  * Float-parity: `list_dot_product` / `list_cosine_similarity` accumulate
+  * sequentially like the Scala loops; a last-ulp difference only matters
+  * at a sign boundary (|dot| ~ 1e-16, not observed on the test panel) —
+  * cosines round through the shared 6-dp nudge discipline.
+  */
+object AnnOracle {
+
+  private def dlit(v: Double): String = "%.17e".format(v)
+
+  private def planeList(p: Array[Double]): String =
+    p.map(dlit).mkString("[", ", ", "]")
+
+  /** Packed sign-bit bucket of `v` (a DOUBLE[] SQL expression) against the
+    * given planes — mirror of Similarity.hyperplaneBucket. */
+  private def bucketExpr(v: String, planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, b) =>
+      s"(CASE WHEN list_dot_product($v, ${planeList(p)}) >= 0.0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** emb_knn_lsh replay: corpus buckets, query base bucket + `probes`
+    * multi-probe flips (1- and 2-bit masks ranked by summed |margin|,
+    * ties by mask — ORDER BY s, m = the kernel's stable sortBy), bucket
+    * join, exact cosine, per-query top-k. */
+  def lshTopKSql(dim: Int, bits: Int, probes: Int, k: Int, seed: Long = 42L,
+      queryFilter: String = "vec_id < 20"): String = {
+    val planes = Similarity.hyperplanes(dim, bits, seed)
+    val dots = planes.zipWithIndex.map { case (p, b) =>
+      s"list_dot_product(embedding::DOUBLE[], ${planeList(p)}) AS d$b"
+    }.mkString(",\n  ")
+    val b0 = (0 until bits).map(b =>
+      s"(CASE WHEN d$b >= 0.0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    val singles = (0 until bits).map(f => s"SELECT query_id, abs(d$f) AS s, ${1L << f} AS m FROM qd")
+    val pairs = for {
+      f1 <- 0 until bits; f2 <- f1 + 1 until bits
+    } yield s"SELECT query_id, abs(d$f1) + abs(d$f2), ${(1L << f1) | (1L << f2)} FROM qd"
+    s"""WITH cb AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+       |  ${bucketExpr("embedding::DOUBLE[]", planes)} AS bucket FROM embeddings),
+       |qd AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+       |  $dots
+       |  FROM embeddings WHERE $queryFilter),
+       |qb AS (SELECT *, $b0 AS b0 FROM qd),
+       |cand AS (${(singles ++ pairs).mkString("\n  UNION ALL ")}),
+       |probe AS (SELECT query_id, m FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY s, m) AS rk FROM cand)
+       |  WHERE rk <= $probes),
+       |qbuckets AS (SELECT query_id, qv, b0 AS bucket FROM qb
+       |  UNION SELECT qb.query_id, qb.qv, xor(qb.b0::BIGINT, p.m::BIGINT)
+       |  FROM qb JOIN probe p USING (query_id)),
+       |scored AS (SELECT q.query_id, c.neighbor_id,
+       |    list_cosine_similarity(q.qv, c.cv) AS cosine
+       |  FROM qbuckets q JOIN cb c USING (bucket)
+       |  WHERE c.neighbor_id <> q.query_id),
+       |ranked AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, round(cosine + 1e-9, 6) AS cosine, rank
+       |FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
+  /** emb_near_dup replay: corpus ∪ injected duplicates (vec_id < 10 →
+    * +100000), one band self-join per hyperplane table, candidate union,
+    * exact cosine ≥ threshold. */
+  def nearDupSql(dim: Int, bits: Int, tables: Int, threshold: Double,
+      seed: Long = 42L): String = {
+    val tableCtes = (0 until tables).map { t =>
+      val planes = Similarity.hyperplanes(dim, bits, seed + t)
+      s"b$t AS (SELECT vec_id, v, ${bucketExpr("v", planes)} AS bucket FROM base)"
+    }
+    val joins = (0 until tables).map(t =>
+      s"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM b$t a JOIN b$t b " +
+        s"ON a.bucket = b.bucket AND a.vec_id < b.vec_id")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 10),
+       |${tableCtes.mkString(",\n")},
+       |cand AS (${joins.mkString("\n  UNION ")})
+       |SELECT c.id_a, c.id_b,
+       |  round(list_cosine_similarity(va.v, vb.v) + 1e-9, 6) AS cosine
+       |FROM cand c
+       |JOIN base va ON va.vec_id = c.id_a
+       |JOIN base vb ON vb.vec_id = c.id_b
+       |WHERE list_cosine_similarity(va.v, vb.v) >= $threshold""".stripMargin
+  }
+}

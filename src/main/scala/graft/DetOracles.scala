@@ -192,6 +192,63 @@ object DetOracles {
        |FROM eh GROUP BY user_id""".stripMargin
   }
 
+  // ── ts_mstl_features ──────────────────────────────────────────────────
+  //
+  // Decomposition.mstl replay: `iterations` back-fitting rounds over the
+  // ascending periods (window-MA trend on the other-seasonals-removed
+  // series, re-centered phase means), final max-period trend, then the
+  // strength/resid aggregate. Same engine-avg parity class as the oracled
+  // simple-mode ts_strength_features.
+  def mstlSql(periods: Seq[Int], iterations: Int): String = {
+    val ps = periods.distinct.sorted
+    def sCol(p: Int) = s"s$p"
+    def phCol(p: Int) = s"ph$p"
+    val phases = ps.map(p =>
+      s"(row_number() OVER ($W) - 1) % $p AS ${phCol(p)}").mkString(",\n  ")
+    val zeros = ps.map(p => s"0.0::DOUBLE AS ${sCol(p)}").mkString(", ")
+    val carried = Seq("user_id", "ts", "event_id", "value") ++ ps.map(phCol)
+    val sb = new StringBuilder(
+      s"WITH b0 AS (SELECT user_id, ts, event_id, value,\n  $phases, $zeros FROM events)")
+    var prev = "b0"
+    var k = 0
+    for (_ <- 1 to iterations; p <- ps) {
+      k += 1
+      // Spark: deseasOther = others.foldLeft(y)(_ - _), ascending periods
+      val des = ps.filter(_ != p).map(sCol)
+        .foldLeft("value::DOUBLE")((a, s) => s"($a - $s)")
+      val wf = s"($W ROWS BETWEEN ${(p - 1) / 2} PRECEDING AND ${p / 2} FOLLOWING)"
+      val keep = (carried ++ ps.filter(_ != p).map(sCol)).mkString(", ")
+      sb.append(s""",
+        |d$k AS (SELECT *, $des - (CASE WHEN count(value) OVER wf >= $p THEN avg($des) OVER wf END) AS det
+        |  FROM $prev WINDOW wf AS $wf),
+        |p$k AS (SELECT user_id, ${phCol(p)}, avg(det) AS pmean
+        |  FROM d$k GROUP BY user_id, ${phCol(p)}),
+        |c$k AS (SELECT user_id, ${phCol(p)},
+        |  pmean - avg(pmean) OVER (PARTITION BY user_id) AS snew FROM p$k),
+        |b$k AS (SELECT ${keep.split(", ").map(c => s"d.$c").mkString(", ")}, c.snew AS ${sCol(p)}
+        |  FROM d$k d JOIN c$k c ON d.user_id = c.user_id AND d.${phCol(p)} = c.${phCol(p)})""".stripMargin)
+      prev = s"b$k"
+    }
+    val allSeas = ps.map(sCol).mkString("(", " + ", ")")
+    val pMax = ps.max
+    val wfF = s"($W ROWS BETWEEN ${(pMax - 1) / 2} PRECEDING AND ${pMax / 2} FOLLOWING)"
+    val seasStrengths = ps.map(p =>
+      s"round(greatest(0.0, 1.0 - var_samp(resid) / var_samp(${sCol(p)} + resid)) + 1e-9, 6) AS seasonal_${p}_strength")
+      .mkString(",\n  ")
+    sb.append(s""",
+      |f AS (SELECT *,
+      |  (CASE WHEN count(value) OVER wf >= $pMax THEN avg(value::DOUBLE - $allSeas) OVER wf END) AS trend
+      |  FROM $prev WINDOW wf AS $wfF),
+      |r AS (SELECT *, (value::DOUBLE - trend) - $allSeas AS resid FROM f)
+      |SELECT user_id,
+      |  round(greatest(0.0, 1.0 - var_samp(resid) / var_samp(trend + resid)) + 1e-9, 6) AS trend_strength,
+      |  $seasStrengths,
+      |  round(stddev_samp(resid) / avg(value) + 1e-9, 6) AS resid_var
+      |FROM r WHERE trend IS NOT NULL AND resid IS NOT NULL
+      |GROUP BY user_id""".stripMargin)
+    sb.toString
+  }
+
   // ── ts_kshape_classify ────────────────────────────────────────────────
   //
   // Classification.kshapeClassify replay: truncate every series to the

@@ -220,6 +220,21 @@ object ElasticOracle {
       finalIdx = "[m+1]")
   }
 
+  /** Sakoe-Chiba-band DTW (Elastic.dtwSakoeChiba, src/dtw.rs:32-55): the
+    * standard sentinel DP with cells outside |i−j| ≤ w pinned to Inf,
+    * w = max(window, |n−m|). */
+  private val sakoeSql = {
+    val w = s"greatest(${EP.SakoeWindow}::DOUBLE, abs(n - m)::DOUBLE)"
+    val fi = "((xi[1]))"
+    val fj = "((xj[1]))"
+    sentinelDp(
+      cell = s"CASE WHEN $fj < $fi - $w OR $fj > $fi + $w THEN 1e300::DOUBLE " +
+        s"ELSE abs($AI - $BJ) + $minOfThree END",
+      initRow = infRow,
+      innerInit = "[1e300::DOUBLE]",
+      finalIdx = "[m+1]")
+  }
+
   // ── msm_multi (Elastic.msmMulti, src/msm_multi.rs:20-59): dependent
   // cost over the 2-channel expansion (value, 0.5·value + 1). Points are
   // affine images of the scalar series, but every channel-2 arithmetic
@@ -273,6 +288,7 @@ object ElasticOracle {
     "edr" -> (edrSql, false),
     "dtw_multi" -> (dtwMultiSql, false),
     "itakura" -> (itakuraSql, false),
+    "sakoe" -> (sakoeSql, false),
     "msm_multi" -> (msmMultiSql, false))
 
   /** Full oracle query for one metric: `[id_1, id_2, round(d+1e-9, 6)]`.

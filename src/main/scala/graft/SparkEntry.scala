@@ -215,6 +215,8 @@ object SparkEntry {
       val emb = IO.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), k = 3, dim = 64, bits = 6,
         probes = 8)
+        .select(col("query_id"), col("neighbor_id"),
+          r6n(col("cosine")).as("cosine"), col("rank"))
     }),
 
     // ── transforms ──────────────────────────────────────────────────────
@@ -249,6 +251,14 @@ object SparkEntry {
       Decomposition.strengthFeatures(IO.events(s, dir), freq = 24)
         .select(col("user_id"), r6n(col("trend_strength")).as("trend_strength"),
           r6n(col("seasonal_strength")).as("seasonal_strength"),
+          r6n(col("resid_var")).as("resid_var"))),
+
+    "ts_mstl_features" -> ((s, dir) =>
+      Decomposition.mstlStrengthFeatures(IO.events(s, dir),
+          periods = Seq(12, 24), iterations = 2)
+        .select(col("user_id"), r6n(col("trend_strength")).as("trend_strength"),
+          r6n(col("seasonal_12_strength")).as("seasonal_12_strength"),
+          r6n(col("seasonal_24_strength")).as("seasonal_24_strength"),
           r6n(col("resid_var")).as("resid_var"))),
 
     // ── conformal / diagnostics / validation ────────────────────────────
@@ -1045,6 +1055,11 @@ object SparkEntry {
         IO.events(s, dir).filter(expr(ElasticOracle.SeriesFilter)),
         "dtw", Map("max_slope" -> graft.kernels.ElasticParams.ItakuraMaxSlope))
         .select(col("id_1"), col("id_2"), r6n(col("dtw")).as("dtw"))),
+    "ts_pairwise_sakoe" -> ((s, dir) =>
+      Distances.pairwise(
+        IO.events(s, dir).filter(expr(ElasticOracle.SeriesFilter)),
+        "dtw", Map("window" -> graft.kernels.ElasticParams.SakoeWindow.toDouble))
+        .select(col("id_1"), col("id_2"), r6n(col("dtw")).as("dtw"))),
 
     // ── batch E: imaging, kshape, arima-lite, importance, kaboudan ──────
     "ts_impute_seasonal" -> ((s, dir) =>
@@ -1244,6 +1259,7 @@ object SparkEntry {
       val dups = emb.filter(col("vec_id") < 10)
         .withColumn("vec_id", col("vec_id") + 100000)
       Similarity.cosineNearDup(emb.unionByName(dups), threshold = 0.9)
+        .select(col("id_a"), col("id_b"), r6n(col("cosine")).as("cosine"))
     }),
 
     // recall audit for the near-dup LSH path: exact all-pairs ground
@@ -1488,7 +1504,8 @@ object SparkEntry {
     Seq("dtw", "ddtw", "wdtw", "msm", "erp", "lcss", "twe", "sbd",
       "frechet", "edr", "dtw_multi", "msm_multi")
       .map(m => s"ts_pairwise_$m" -> ElasticOracle.sql(m)).toMap +
-      ("ts_pairwise_itakura" -> ElasticOracle.sql("itakura", outCol = "dtw"))
+      ("ts_pairwise_itakura" -> ElasticOracle.sql("itakura", outCol = "dtw")) +
+      ("ts_pairwise_sakoe" -> ElasticOracle.sql("sakoe", outCol = "dtw"))
 
   def oracleSql: Map[String, String] = elasticOracles ++ Map(
     "ts_theta_fc" -> ForecastOracle.thetaSql,
@@ -1529,6 +1546,10 @@ object SparkEntry {
     "ts_granger" -> ForecastOracle.grangerSql,
     "ts_bayes_anomaly" -> DetOracles.bayesAnomalySql,
     "ts_kshape_classify" -> DetOracles.kshapeClassifySql,
+    "ts_mstl_features" -> DetOracles.mstlSql(Seq(12, 24), iterations = 2),
+    "emb_knn_lsh" -> AnnOracle.lshTopKSql(dim = 64, bits = 6, probes = 8, k = 3),
+    "emb_near_dup" -> AnnOracle.nearDupSql(dim = 64, bits = 8, tables = 2,
+      threshold = 0.9),
   ) ++
     // pin-dependent oracles (present only when Verify has computed pins —
     // these have no standalone NM/tree replay fallback)

@@ -28,6 +28,8 @@ object ElasticParams {
   val Multi2Scale = 0.5
   val Multi2Shift = 1.0
   val ItakuraMaxSlope = 2.0
+  /** Sakoe-Chiba band half-width for the ts_pairwise_sakoe gate query. */
+  val SakoeWindow = 10
 }
 
 object Elastic {

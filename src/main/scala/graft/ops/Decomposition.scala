@@ -103,6 +103,76 @@ object Decomposition {
       .drop("__coef" +: "__t" +: "__detr" +: (0 until d).map(i => s"__x$i"): _*)
   }
 
+  /** MSTL-style multi-seasonal additive decomposition (reference
+    * seasonal_decompose_features.py:121-170 'mstl' mode, which delegates
+    * to statsforecast MSTL): iterated back-fitting — per round and period
+    * (ascending), the period's seasonal component is re-estimated as the
+    * re-centered phase mean of the series with all OTHER current seasonal
+    * components and the period's own centered-MA trend removed (MSTL,
+    * Bandara-Hyndman-Bergmeir 2021, with the loess inner smoother replaced
+    * by the classical extractor [[seasonal]] already uses — loess is
+    * descoped, SURVEY §2.6). Adds `trend`, `seasonal_{p}` per period,
+    * `resid`. Each pass is one window + one phase-mean shuffle join; rows
+    * never leave their series partitioning, so the plan scales like the
+    * single-period decomposition × (iterations · periods). */
+  def mstl(df: DataFrame, periods: Seq[Int], iterations: Int = 2)(
+      implicit pc: PanelCols): DataFrame = {
+    require(periods.nonEmpty && periods.forall(_ >= 2),
+      "mstl needs at least one period >= 2")
+    val ps = periods.distinct.sorted
+    val y = pc.targetCol.cast("double")
+    def phaseCol(p: Int) = s"__phase_$p"
+    var cur = ps.foldLeft(df.withColumn("__rn", row_number().over(pc.w) - 1)) {
+      (acc, p) =>
+        acc.withColumn(phaseCol(p), pmod(col("__rn"), lit(p)))
+          .withColumn(s"seasonal_$p", lit(0.0))
+    }
+    for (_ <- 1 to iterations; p <- ps) {
+      val deseasOther = ps.filter(_ != p).map(q => col(s"seasonal_$q"))
+        .foldLeft(y)(_ - _)
+      val half = (p - 1) / 2
+      val frame = pc.w.rowsBetween(-half, p / 2)
+      val trendP = when(count(y).over(frame) >= p, avg(deseasOther).over(frame))
+      val tmp = cur.withColumn("__det", deseasOther - trendP)
+      val pm = tmp.groupBy(pc.idCol, col(phaseCol(p)))
+        .agg(avg(col("__det")).as("__pmean"))
+        .withColumn("__snew",
+          col("__pmean") - avg(col("__pmean")).over(pc.wAll))
+        .select(pc.idCol, col(phaseCol(p)), col("__snew"))
+      cur = tmp.join(pm, Seq(pc.id, phaseCol(p)))
+        .withColumn(s"seasonal_$p", col("__snew"))
+        .drop("__det", "__snew")
+    }
+    val allSeas = ps.map(q => col(s"seasonal_$q")).reduce(_ + _)
+    val pMax = ps.max
+    val frame = pc.w.rowsBetween(-((pMax - 1) / 2), pMax / 2)
+    cur.withColumn("trend",
+        when(count(y).over(frame) >= pMax, avg(y - allSeas).over(frame)))
+      .withColumn("resid", y - col("trend") - allSeas)
+      .drop("__rn" +: ps.map(phaseCol): _*)
+  }
+
+  /** Per-series MSTL strength features `[id, trend_strength,
+    * seasonal_{p}_strength…, resid_var]` (seasonal_decompose_features.py
+    * mstl-mode output shape; resid_var follows the reference's
+    * std(resid)/mean(y) there, unlike the simple mode's var(resid)). */
+  def mstlStrengthFeatures(df: DataFrame, periods: Seq[Int],
+      iterations: Int = 2)(implicit pc: PanelCols): DataFrame = {
+    val dec = mstl(df, periods, iterations)
+    val ps = periods.distinct.sorted
+    val vR = var_samp(col("resid"))
+    val aggs =
+      greatest(lit(0.0), lit(1.0) - vR / var_samp(col("trend") + col("resid")))
+        .as("trend_strength") +:
+      ps.map(p =>
+        greatest(lit(0.0), lit(1.0) - vR / var_samp(col(s"seasonal_$p") + col("resid")))
+          .as(s"seasonal_${p}_strength")) :+
+      (stddev_samp(col("resid")) / avg(pc.targetCol)).as("resid_var")
+    dec.filter(col("trend").isNotNull && col("resid").isNotNull)
+      .groupBy(pc.idCol)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-series `trend_strength`, `seasonal_strength`, `resid_var`
     * (seasonal_decompose_features.py 'simple' mode):
     * strength = max(0, 1 − var(resid)/var(component + resid)). */

@@ -56,11 +56,20 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Seeded Gaussian hyperplanes, row-major fill order. The single source
+    * for [[hyperplaneBucket]] and [[lshTopK]] — and for AnnOracle, which
+    * inlines these exact doubles as SQL literals so DuckDB replays the
+    * same bucket assignment without replaying the RNG (the pinned-params
+    * oracle pattern). */
+  def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(bits, dim)(rng.nextGaussian())
+  }
+
   /** Random-hyperplane LSH bucket id: sign-bit signature of `bits`
     * Gaussian projections (seeded, deterministic). */
   def hyperplaneBucket(vec: Column, dim: Int, bits: Int = 12, seed: Long = 42L): Column = {
-    val rng = new scala.util.Random(seed)
-    val planes = Array.fill(bits, dim)(rng.nextGaussian())
+    val planes = hyperplanes(dim, bits, seed)
     val bitCols = planes.zipWithIndex.map { case (plane, b) =>
       val dot = aggregate(
         zip_with(vec, typedLit(plane.toSeq), (x, p) => x * p), lit(0.0), _ + _)
@@ -170,9 +179,8 @@ object Similarity {
       bits: Int = 8, seed: Long = 42L, probes: Int = 0, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val bucket = (v: Column) => hyperplaneBucket(v, dim, bits, seed)
-    // same plane sequence as hyperplaneBucket (same rng seed + fill order)
-    val rng = new scala.util.Random(seed)
-    val planes = Array.fill(bits, dim)(rng.nextGaussian())
+    // same plane sequence as hyperplaneBucket (same source)
+    val planes = hyperplanes(dim, bits, seed)
     val qBucketsUdf = udf((v: Seq[Double]) => {
       val arr = v.toArray
       val dots = planes.map { p =>
