@@ -2145,7 +2145,18 @@ FROM si CROSS JOIN fin f ORDER BY si.user_id
   // solve as varSql with λ on the diagonal, plus per-equation residual
   // scale and √(s+1)-widened z intervals (z baked from the Winitzki
   // inverseErf the Spark side uses). ───────────────────────────────────
-  val bvarSql: String = {
+  val bvarSql: String = bvarSqlGen(_ => "0.1", (_, _) => "")
+
+  /** Minnesota-prior BVAR replay (ts_bvar_minnesota_fc): the pinned
+    * V₀⁻¹ diagonal replaces λ, and the random-walk prior mean adds
+    * v0inv(k−1) to the XᵀY entry of equation k's own first lag
+    * (V₀⁻¹·B₀ᵀ has that single non-zero per column). */
+  def bvarMinnesotaSql(v0inv: Array[Double]): String =
+    bvarSqlGen(i => dlit(v0inv(i)),
+      (i, k) => if (i == k - 1) s" + ${dlit(v0inv(i))}" else "")
+
+  private def bvarSqlGen(diagAdd: Int => String,
+      rhsAdd: (Int, Int) => String): String = {
     val xs = Seq("l11", "l12", "l13", "l21", "l22", "l23")
     val gSums = (for (i <- 0 to 6; j <- i to 6) yield {
       val e =
@@ -2159,9 +2170,11 @@ FROM si CROSS JOIN fin f ORDER BY si.user_id
       s"$e AS b$i$k"
     }).mkString(",\n  ")
     def sRef(i: Int, j: Int) =
-      (if (i <= j) s"s$i$j" else s"s$j$i") + (if (i == j) " + 0.1" else "")
+      (if (i <= j) s"s$i$j" else s"s$j$i") +
+        (if (i == j) s" + ${diagAdd(i)}" else "")
     val xList = (for (i <- 0 to 6; j <- 0 to 6) yield sRef(i, j)).mkString(", ")
-    val bList = (for (i <- 0 to 6; k <- 1 to 3) yield s"b$i$k").mkString(", ")
+    val bList =
+      (for (i <- 0 to 6; k <- 1 to 3) yield s"b$i$k${rhsAdd(i, k)}").mkString(", ")
     val betaCols = (for (i <- 0 to 6; k <- 1 to 3) yield
       s"max(val) FILTER (i = $i AND k = $k) AS c$i$k").mkString(",\n  ")
     def pr(k: Int) =

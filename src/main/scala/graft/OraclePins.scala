@@ -35,6 +35,8 @@ object OraclePins {
   @volatile var regime: Option[Seq[(Long, graft.kernels.Hmm.HmmParams)]] = None
   /** Flattened seeded isolation forest for the ts_iforest query. */
   @volatile var iforest: Option[DetOracles.IforestPin] = None
+  /** Minnesota prior precision diagonal for ts_bvar_minnesota_fc. */
+  @volatile var bvarMinnesota: Option[Array[Double]] = None
 
   /** ts_iforest query parameters (shared with SparkEntry so the pinned
     * forest and the query's forest cannot drift). Smaller than the op
@@ -84,6 +86,15 @@ object OraclePins {
       lagged.na.drop(featureCols), featureCols,
       nTrees = IforestTrees, psi = IforestPsi, sampleSize = 4096, seed = 42L)
     iforest = Some(flattenForest(trees, IforestPsi))
+    // Minnesota BVAR: the same daily event_type pivot the query builds
+    val wide = ev.groupBy(org.apache.spark.sql.functions.date_trunc("day", col("ts")).as("ts"))
+      .pivot("event_type").agg(org.apache.spark.sql.functions.avg("value"))
+      .na.fill(0.0)
+    val wcols = wide.columns.filter(_ != "ts").sorted.take(3).toSeq
+    val wrows = wide.orderBy(col("ts"))
+      .select(wcols.map(c => col(c).cast("double")): _*).collect()
+      .map(r => Array.tabulate(wcols.length)(i => r.getDouble(i)))
+    bvarMinnesota = Some(graft.kernels.Bayesian.minnesotaV0Inv(wrows, p = 2))
   }
 
   /** Flatten trees to (tree, node, feat, split, lch, rch, plen) rows with

@@ -643,6 +643,24 @@ object SparkEntry {
           r6n(col("y_hat_upper")).as("y_hat_upper"))
     }),
 
+    // Minnesota shrinkage variant (reference bayesian_var/priors.py):
+    // AR(p)-variance-scaled diagonal precision + random-walk prior mean.
+    // The data-dependent V₀⁻¹ diagonal is pinned at Verify time
+    // (OraclePins.bvarMinnesota) so the oracle replays only the conjugate
+    // solve, like the NM forecast oracles.
+    "ts_bvar_minnesota_fc" -> ((s, dir) => {
+      val wide = IO.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("ts"))
+        .pivot("event_type").agg(avg("value"))
+        .na.fill(0.0)
+      val cols = wide.columns.filter(_ != "ts").sorted.take(3).toSeq
+      BayesianOps.bvarForecast(wide, cols, p = 2, h = 5,
+          prior = "minnesota")(PanelCols(time = "ts"))
+        .select(col("step"), col("variable"), r6n(col("y_hat")).as("y_hat"),
+          r6n(col("y_hat_lower")).as("y_hat_lower"),
+          r6n(col("y_hat_upper")).as("y_hat_upper"))
+    }),
+
     // ── imaging completions / agents ────────────────────────────────────
     "ts_spectrogram" -> ((s, dir) => {
       val u = udf((ys: Seq[Double]) => {
@@ -1555,6 +1573,8 @@ object SparkEntry {
     // these have no standalone NM/tree replay fallback)
     OraclePins.regime.map(p => "ts_regime" -> DetOracles.regimeSql(p)) ++
     OraclePins.iforest.map(p => "ts_iforest" -> DetOracles.iforestSql(p)) ++
+    OraclePins.bvarMinnesota.map(v =>
+      "ts_bvar_minnesota_fc" -> ForecastOracle.bvarMinnesotaSql(v)) ++
   Map(
     "ts_dbscan" -> ForecastOracle.dbscanSql,
     "q1_agg" ->

@@ -688,13 +688,64 @@ object Bayesian {
 
   // ── Bayesian VAR (bayesian_var/, analytical conjugate posterior) ─────────
 
-  /** Analytical BVAR(p): ridge-Gaussian prior (Minnesota-style diagonal
-    * precision λ) conjugate update B = (XᵀX + λI)⁻¹XᵀY; recursive h-step
-    * forecast; intervals from per-equation residual sd (grows with step
-    * via the companion recursion's first-order term only — matching the
+  /** Minnesota prior precision diagonal (bayesian_var/priors.py:96-145
+    * `_minnesota_prior_precision` with its shared-V0 simplification):
+    * own-lag variance (λ1/l^λ3)², cross-lag (λ1λ2/l^λ3)²·(σ²ᵢ/σ²ⱼ) with
+    * the TIGHTEST precision winning per column (the reference's max), a
+    * diffuse 1e-6 intercept, and per-variable residual variances from
+    * univariate AR(p) least squares (ddof = p+1, floored at 1e-10 —
+    * priors.py:78-92). The prior mean is structural: random walk, own
+    * first lag = 1. */
+  def minnesotaV0Inv(data: Array[Array[Double]], p: Int, lambda1: Double = 0.2,
+      lambda2: Double = 0.5, lambda3: Double = 1.0): Array[Double] = {
+    val n = data.length
+    val k = data(0).length
+    val dim = k * p + 1
+    val sigmas = Array.fill(k)(1.0)
+    if (n > p + 1) {
+      val rows = n - p
+      for (j <- 0 until k) {
+        val xa = DenseMatrix.zeros[Double](rows, p + 1)
+        val ya = DenseVector.zeros[Double](rows)
+        for (t <- 0 until rows) {
+          for (i <- 0 until p) xa(t, i) = data(p - i - 1 + t)(j)
+          xa(t, p) = 1.0
+          ya(t) = data(p + t)(j)
+        }
+        val beta = xa \ ya
+        val resid = ya - xa * beta
+        val mu = breeze.linalg.sum(resid) / rows
+        val v = breeze.linalg.sum(resid.map(r => (r - mu) * (r - mu))) /
+          math.max(rows - (p + 1), 1).toDouble
+        sigmas(j) = math.max(v, 1e-10)
+      }
+    }
+    val v0inv = new Array[Double](dim)
+    for (lag <- 1 to p; j <- 0 until k) {
+      val colIdx = (lag - 1) * k + j
+      val varOwn = math.pow(lambda1 / math.pow(lag.toDouble, lambda3), 2)
+      v0inv(colIdx) = 1.0 / math.max(varOwn, 1e-20)
+      for (i <- 0 until k if i != j) {
+        val sRatio = sigmas(i) / math.max(sigmas(j), 1e-20)
+        val varCross =
+          math.pow(lambda1 * lambda2 / math.pow(lag.toDouble, lambda3), 2) * sRatio
+        v0inv(colIdx) = math.max(v0inv(colIdx), 1.0 / math.max(varCross, 1e-20))
+      }
+    }
+    v0inv(dim - 1) = 1e-6
+    v0inv
+  }
+
+  /** Analytical BVAR(p): conjugate Gaussian update with either a ridge
+    * prior (λI, zero mean) or the Minnesota prior
+    * (prior = "minnesota": [[minnesotaV0Inv]] diagonal precision +
+    * random-walk mean, B = (XᵀX + V₀⁻¹)⁻¹(XᵀY + V₀⁻¹B₀ᵀ) —
+    * bayesian_var/inference.py:33-41); recursive h-step forecast;
+    * intervals from per-equation residual sd (grows with step via the
+    * companion recursion's first-order term only — matching the
     * reference's analytical mode). Data: (n × k) time-major. */
   def bvarForecast(data: Array[Array[Double]], p: Int, h: Int,
-      lambda: Double = 0.1, coverage: Double = 0.9)
+      lambda: Double = 0.1, coverage: Double = 0.9, prior: String = "ridge")
       : (Array[Array[Double]], Array[Array[Double]], Array[Array[Double]]) = {
     val n = data.length
     val k = data(0).length
@@ -709,7 +760,20 @@ object Bayesian {
       x(i, dim - 1) = 1.0
       for (j <- 0 until k) yM(i, j) = data(p + i)(j)
     }
-    val b = inv(x.t * x + DenseMatrix.eye[Double](dim) * lambda) * (x.t * yM)
+    val (prec, priorRhs) = prior match {
+      case "minnesota" =>
+        val v0 = minnesotaV0Inv(data, p)
+        val pm = DenseMatrix.zeros[Double](dim, dim)
+        for (i <- 0 until dim) pm(i, i) = v0(i)
+        // V₀⁻¹·B₀ᵀ: B₀ is the random walk (own first lag = 1), so the
+        // only non-zero RHS entries are (j, j) = v0inv(j), j < k
+        val rhs = DenseMatrix.zeros[Double](dim, k)
+        for (j <- 0 until k) rhs(j, j) = v0(j)
+        (pm, rhs)
+      case _ =>
+        (DenseMatrix.eye[Double](dim) * lambda, DenseMatrix.zeros[Double](dim, k))
+    }
+    val b = inv(x.t * x + prec) * (x.t * yM + priorRhs)
     val resid = yM - x * b
     val sd = Array.tabulate(k)(j =>
       math.sqrt(breeze.linalg.sum(resid(::, j).map(v => v * v)) /

@@ -173,14 +173,14 @@ object BayesianOps {
     * work is (kp+1)² — the wide frame collect is bounded by the variable
     * count, same contract as VarModels.forecast. */
   def bvarForecast(wide: DataFrame, cols: Seq[String], p: Int, h: Int,
-      lambda: Double = 0.1, coverage: Double = 0.9)(
+      lambda: Double = 0.1, coverage: Double = 0.9, prior: String = "ridge")(
       implicit pc: PanelCols): DataFrame = {
     val spark = wide.sparkSession
     import spark.implicits._
     val rows = wide.orderBy(pc.timeCol)
       .select(cols.map(c => col(c).cast("double")): _*).collect()
       .map(r => Array.tabulate(cols.length)(i => r.getDouble(i)))
-    val (fc, lo, hi) = Bayesian.bvarForecast(rows, p, h, lambda, coverage)
+    val (fc, lo, hi) = Bayesian.bvarForecast(rows, p, h, lambda, coverage, prior)
     val out = for {
       s <- 0 until h
       j <- cols.indices

@@ -67,6 +67,30 @@ class Round6Spec extends AnyFunSuite {
     assert(maxResid < 0.1, s"max |resid| = $maxResid")
   }
 
+  test("minnesota prior: lag decay, cross-tightening max, diffuse intercept") {
+    import graft.kernels.Bayesian
+    // 3-variable panel with distinct scales so the σ²ᵢ/σ²ⱼ cross ratios bite
+    val data = Array.tabulate(60, 3)((t, j) =>
+      (j + 1.0) * math.sin(0.3 * t + j) + 0.02 * t)
+    val v0 = Bayesian.minnesotaV0Inv(data, p = 2)
+    assert(v0.length == 7)
+    assert(v0(6) == 1e-6, "intercept must be diffuse")
+    // own-lag floor: lag1 1/(λ1)² = 25, lag2 1/(λ1/2)² = 100; the
+    // cross-precision max can only raise these
+    for (c <- 0 until 3) assert(v0(c) >= 25.0 - 1e-9, s"lag1 col $c = ${v0(c)}")
+    for (c <- 3 until 6) assert(v0(c) >= 100.0 - 1e-9, s"lag2 col $c = ${v0(c)}")
+    val (fcM, loM, hiM) = Bayesian.bvarForecast(data, 2, 3, prior = "minnesota")
+    val (fcR, _, _) = Bayesian.bvarForecast(data, 2, 3)
+    val m = fcM.flatMap(_.toSeq)
+    val lo = loM.flatMap(_.toSeq)
+    val hi = hiM.flatMap(_.toSeq)
+    val r = fcR.flatMap(_.toSeq)
+    assert(m.forall(v => !v.isNaN && !v.isInfinite))
+    assert(m.indices.forall(i => lo(i) <= m(i) && m(i) <= hi(i)))
+    assert(m.zip(r).exists { case (a, b) => math.abs(a - b) > 1e-9 },
+      "minnesota posterior should differ from the ridge posterior")
+  }
+
   test("scale canary: banded pairwise DTW 2000x200, 2 shuffle partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
