@@ -69,6 +69,45 @@ object AnnOracle {
        |FROM ranked WHERE rank <= $k""".stripMargin
   }
 
+  /** emb_knn_ivf replay with pinned quantizer centroids (the sampled
+    * Lloyd k-means runs in Scala at Verify time; here the centers are
+    * literals): corpus cell = argmin distance with first-index tie-break
+    * (the kernel's strict-< scan), query probes = nprobe nearest cells
+    * (stable sort → ORDER BY distance, cell), cell join, exact cosine,
+    * per-query top-k. `list_distance` (euclidean) replaces the kernel's
+    * squared distance — monotone, so argmin and ordering agree. */
+  def ivfTopKSql(centers: Array[Array[Double]], nprobe: Int, k: Int,
+      queryFilter: String = "vec_id < 20"): String = {
+    val nc = centers.length
+    def dists(v: String) = centers.zipWithIndex.map { case (c, i) =>
+      s"list_distance($v, ${planeList(c)}) AS d$i"
+    }.mkString(",\n  ")
+    val m = s"least(${(0 until nc).map(i => s"d$i").mkString(", ")})"
+    val argmin =
+      s"(CASE ${(0 until nc).map(i => s"WHEN d$i = __m THEN $i").mkString(" ")} END)"
+    val probeRows = (0 until nc).map(i =>
+      s"SELECT query_id, d$i AS dd, $i AS cell FROM qd").mkString("\n  UNION ALL ")
+    s"""WITH cd AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+       |  ${dists("embedding::DOUBLE[]")}
+       |  FROM embeddings),
+       |cb AS (SELECT neighbor_id, cv, $argmin AS cell
+       |  FROM (SELECT *, $m AS __m FROM cd)),
+       |qd AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+       |  ${dists("embedding::DOUBLE[]")}
+       |  FROM embeddings WHERE $queryFilter),
+       |qc AS (SELECT query_id, cell FROM (SELECT query_id, cell,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dd, cell) AS rk
+       |  FROM ($probeRows)) WHERE rk <= $nprobe),
+       |scored AS (SELECT q.query_id, c.neighbor_id,
+       |    list_cosine_similarity(q.qv, c.cv) AS cosine
+       |  FROM qc JOIN qd q USING (query_id) JOIN cb c USING (cell)
+       |  WHERE c.neighbor_id <> q.query_id),
+       |ranked AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, round(cosine + 1e-9, 6) AS cosine, rank
+       |FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
   /** emb_near_dup replay: corpus ∪ injected duplicates (vec_id < 10 →
     * +100000), one band self-join per hyperplane table, candidate union,
     * exact cosine ≥ threshold. */

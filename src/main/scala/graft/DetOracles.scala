@@ -249,6 +249,58 @@ object DetOracles {
     sb.toString
   }
 
+  // ── ts_causal_impact_ll ───────────────────────────────────────────────
+  //
+  // Causal.causalImpact replay, local_linear trend without the seasonal
+  // block (the seasonal-24 production default has a 25-dim Kalman state —
+  // not SQL-replayable; this variant pins the causal machinery: pre/post
+  // split at the global 0.8 timestamp percentile, 2-state Kalman filter
+  // over the pre-period (predict-then-update from x0=[y0,0], P0=10I),
+  // forward level+trend propagation as counterfactual, pointwise and
+  // running cumulative effects). Defaults σobs=1, σlevel=0.1, σtrend=0.01.
+  val causalImpactLlSql: String = {
+    val ql = dlit(0.1 * 0.1)   // σlevel² exactly as the kernel computes it
+    val qt = dlit(0.01 * 0.01) // σtrend²
+    // filter fold state [x1, x2, p11, p12, p22]; y = x[1]
+    val px1 = "(acc[1] + acc[2])"
+    val pp11 = s"(acc[3] + 2.0*acc[4] + acc[5] + $ql)"
+    val pp12 = "(acc[4] + acc[5])"
+    val pp22 = s"(acc[5] + $qt)"
+    val sE = s"($pp11 + 1.0)"
+    val e = s"(x[1] - $px1)"
+    val filterStep = s"[$px1 + ($pp11/$sE)*$e, acc[2] + ($pp12/$sE)*$e, " +
+      s"$pp11 - ($pp11/$sE)*$pp11, $pp12 - ($pp11/$sE)*$pp12, $pp22 - ($pp12/$sE)*$pp12]"
+    // propagation fold [x1, x2, fc...]: level steps forward sequentially
+    val propStep =
+      "list_concat([acc[1] + acc[2], acc[2]], list_concat(acc[3:], [acc[1] + acc[2]]))"
+    s"""WITH cut AS (SELECT ((floor(quantile_cont(epoch_us(ts), 0.8))::BIGINT) // 1000) * 1000 AS c
+       |  FROM events),
+       |o AS (SELECT user_id, event_id, value, ts, epoch_us(ts) AS us,
+       |  row_number() OVER ($W) AS rn FROM events),
+       |pre AS (SELECT user_id, list(value ORDER BY rn) AS vs
+       |  FROM o, cut WHERE us < c GROUP BY user_id),
+       |post AS (SELECT user_id, ts, value,
+       |  row_number() OVER ($W) AS pi FROM o, cut WHERE us >= c),
+       |np AS (SELECT user_id, max(pi)::INT AS n FROM post GROUP BY user_id),
+       |st AS (SELECT user_id, list_reduce(
+       |    list_prepend([vs[1], 0.0::DOUBLE, 10.0::DOUBLE, 0.0::DOUBLE, 10.0::DOUBLE],
+       |      list_transform(vs, v -> [v::DOUBLE])),
+       |    (acc, x) -> $filterStep) AS s
+       |  FROM pre WHERE len(vs) >= 3),
+       |fcl AS (SELECT st.user_id, list_reduce(
+       |    list_prepend([st.s[1], st.s[2]],
+       |      list_transform(generate_series(1, np.n), i -> [i::DOUBLE])),
+       |    (acc, x) -> $propStep) AS f
+       |  FROM st JOIN np USING (user_id))
+       |SELECT p.user_id, p.ts,
+       |  round(p.value + 1e-9, 6) AS observed,
+       |  round(f.f[(2 + p.pi)::INT] + 1e-9, 6) AS counterfactual,
+       |  round(p.value - f.f[(2 + p.pi)::INT] + 1e-9, 6) AS point_effect,
+       |  round(sum(p.value - f.f[(2 + p.pi)::INT])
+       |    OVER (PARTITION BY p.user_id ORDER BY p.pi) + 1e-9, 6) AS cum_effect
+       |FROM post p JOIN fcl f USING (user_id)""".stripMargin
+  }
+
   // ── ts_kshape_classify ────────────────────────────────────────────────
   //
   // Classification.kshapeClassify replay: truncate every series to the

@@ -1300,6 +1300,44 @@ FROM si CROSS JOIN fin f ORDER BY si.user_id
     * is populated (the gate path), full HR-init + NM replay otherwise. */
   def armaSql: String = OraclePins.arma.map(armaSqlPinned).getOrElse(armaSqlFull)
 
+  /** ts_quantile_fc replay with pinned pooled IRLS coefficients
+    * (Probabilistic.fitQuantileRidge / quantileForecast): the IRLS search
+    * is not SQL-replayable (documented at the query), but the fitted
+    * pinball-ridge coefficients are 12 doubles — pin them and replay the
+    * 5-step recursion where the median coefficient vector drives the lag
+    * buffer and every level predicts from the same recursive path. */
+  def quantileFcSql(pins: Seq[(Double, Array[Double])], h: Int = 5): String = {
+    val cfs = pins.map(_._2)
+    val medIdx = pins.map(_._1).zipWithIndex.minBy { case (q, _) => math.abs(q - 0.5) }._2
+    // buf newest-last in acc[1..3]: x = (lag1, lag2, lag3, 1) = (acc[3], acc[2], acc[1], 1)
+    def pred(cf: Array[Double]) =
+      s"(${dlit(cf(0))}*acc[3] + ${dlit(cf(1))}*acc[2] + ${dlit(cf(2))}*acc[1] + ${dlit(cf(3))})"
+    val step = s"list_concat([acc[2], acc[3], ${pred(cfs(medIdx))}], " +
+      s"list_concat(acc[4:], [${cfs.map(pred).mkString(", ")}]))"
+    val qCols = pins.zipWithIndex.map { case ((q, _), i) =>
+      val name = s"q_$q".replace(".", "_").replace("q_0_", "q_") + "0"
+      s"round(f.fc[(3 + (s.step - 1) * ${pins.length} + ${i + 1})::INT] + 1e-9, 6) AS $name"
+    }.mkString(",\n  ")
+    s"""WITH o AS (SELECT user_id, value, epoch_us(ts) AS us,
+       |  row_number() OVER ($W) AS rn FROM events),
+       |v AS (SELECT user_id, list(value ORDER BY rn) AS vs, count(*)::INT AS n
+       |  FROM o GROUP BY user_id),
+       |f AS (SELECT user_id, list_reduce(
+       |    list_prepend(vs[n-2:n],
+       |      list_transform(generate_series(1, $h), s -> [s::DOUBLE])),
+       |    (acc, x) -> $step) AS fc
+       |  FROM v WHERE n >= 3),
+       |lastt AS (SELECT user_id, max(us) AS us FROM o GROUP BY user_id),
+       |d AS (SELECT user_id, min(us - lus) AS freq FROM
+       |  (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS lus FROM o)
+       |  WHERE lus IS NOT NULL GROUP BY user_id)
+       |SELECT f.user_id, s.step::BIGINT AS step,
+       |  make_timestamp(l.us + s.step * d.freq) AS ts,
+       |  $qCols
+       |FROM f JOIN lastt l USING (user_id) JOIN d USING (user_id)
+       |CROSS JOIN (SELECT unnest(generate_series(1, $h)) AS step) s""".stripMargin
+  }
+
   /** Pinned variant: (φ, θ, c) fitted in Scala; SQL replays the residual
     * recursion (e_n) and the 7-step forecast recursion only. */
   private def armaSqlPinned(pins: Seq[(Long, Double, Double, Double)]): String = {

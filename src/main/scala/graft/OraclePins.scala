@@ -37,6 +37,11 @@ object OraclePins {
   @volatile var iforest: Option[DetOracles.IforestPin] = None
   /** Minnesota prior precision diagonal for ts_bvar_minnesota_fc. */
   @volatile var bvarMinnesota: Option[Array[Double]] = None
+  /** IVF coarse-quantizer centroids for emb_knn_ivf. */
+  @volatile var ivfCenters: Option[Array[Array[Double]]] = None
+  /** Pooled IRLS pinball-ridge coefficients (q → [lag1..lag3, intercept])
+    * for ts_quantile_fc, sorted by quantile level. */
+  @volatile var quantile: Option[Seq[(Double, Array[Double])]] = None
 
   /** ts_iforest query parameters (shared with SparkEntry so the pinned
     * forest and the query's forest cannot drift). Smaller than the op
@@ -95,6 +100,16 @@ object OraclePins {
       .select(wcols.map(c => col(c).cast("double")): _*).collect()
       .map(r => Array.tabulate(wcols.length)(i => r.getDouble(i)))
     bvarMinnesota = Some(graft.kernels.Bayesian.minnesotaV0Inv(wrows, p = 2))
+    // IVF quantizer: same corpus + seed as the emb_knn_ivf query → the
+    // sampled Lloyd fit lands on identical centroid doubles
+    ivfCenters = Some(graft.ops.Similarity.ivfCentroids(IO.embeddings(spark, sfDir)))
+    // Quantile ridge: the same pooled IRLS fit the ts_quantile_fc query
+    // performs. The Gram sums are distributed float aggregations, so the
+    // two fits can differ in the last ulps — absorbed by the shared
+    // round(·+1e-9, 6) discipline on the forecasts.
+    val qModel = graft.ops.Probabilistic.fitQuantileRidge(ev, lags = 3,
+      quantiles = Seq(0.1, 0.5, 0.9))
+    quantile = Some(qModel.quantiles.map(q => q -> qModel.coef(q)))
   }
 
   /** Flatten trees to (tree, node, feat, split, lch, rch, plen) rows with

@@ -742,6 +742,22 @@ object SparkEntry {
           r6(col("cum_effect")).as("cum_effect"))
     }),
 
+    // oracled local_linear variant: the seasonal-24 default above carries
+    // a 25-dim Kalman state no SQL replay can afford; this 2-state twin
+    // pins the causal machinery (pre/post split, counterfactual
+    // propagation, pointwise + cumulative effects) — DetOracles replays
+    // the filter fold exactly
+    "ts_causal_impact_ll" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+      val cut = ev.selectExpr("percentile(unix_micros(cast(ts as timestamp)), 0.8) as c")
+        .head().getDouble(0).toLong
+      Causal.causalImpact(ev, new java.sql.Timestamp(cut / 1000L))
+        .select(col("user_id"), col("ts"), r6n(col("observed")).as("observed"),
+          r6n(col("counterfactual")).as("counterfactual"),
+          r6n(col("point_effect")).as("point_effect"),
+          r6n(col("cum_effect")).as("cum_effect"))
+    }),
+
     "ts_synthetic_control" -> ((s, dir) => {
       val daily = IO.events(s, dir)
         .groupBy(col("user_id"), date_trunc("day", col("ts")).as("ts"))
@@ -1251,6 +1267,8 @@ object SparkEntry {
     "emb_knn_ivf" -> ((s, dir) => {
       val emb = IO.embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          r6n(col("cosine")).as("cosine"), col("rank"))
     }),
 
     // quantified ANN honesty: recall@k of the approximate indexes against
@@ -1565,6 +1583,7 @@ object SparkEntry {
     "ts_bayes_anomaly" -> DetOracles.bayesAnomalySql,
     "ts_kshape_classify" -> DetOracles.kshapeClassifySql,
     "ts_mstl_features" -> DetOracles.mstlSql(Seq(12, 24), iterations = 2),
+    "ts_causal_impact_ll" -> DetOracles.causalImpactLlSql,
     "emb_knn_lsh" -> AnnOracle.lshTopKSql(dim = 64, bits = 6, probes = 8, k = 3),
     "emb_near_dup" -> AnnOracle.nearDupSql(dim = 64, bits = 8, tables = 2,
       threshold = 0.9),
@@ -1575,6 +1594,10 @@ object SparkEntry {
     OraclePins.iforest.map(p => "ts_iforest" -> DetOracles.iforestSql(p)) ++
     OraclePins.bvarMinnesota.map(v =>
       "ts_bvar_minnesota_fc" -> ForecastOracle.bvarMinnesotaSql(v)) ++
+    OraclePins.ivfCenters.map(c =>
+      "emb_knn_ivf" -> AnnOracle.ivfTopKSql(c, nprobe = 4, k = 3)) ++
+    OraclePins.quantile.map(p =>
+      "ts_quantile_fc" -> ForecastOracle.quantileFcSql(p)) ++
   Map(
     "ts_dbscan" -> ForecastOracle.dbscanSql,
     "q1_agg" ->

@@ -84,13 +84,15 @@ object Similarity {
     * only scans its `nprobe` nearest cells. The 100 TB shape: cells
     * partition the corpus, the assignment is a narrow map, and the probe
     * join fans each query to nprobe cells instead of the full corpus. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int = 16,
-      nprobe: Int = 4, sampleSize: Int = 1000, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    // uniform seeded sample for the quantizer — limit() alone would take
-    // the first parquet rows, biasing centroids on sorted/sharded corpora.
-    // The 3× oversample + hash-order + limit is deterministic and unbiased.
+  /** The IVF coarse quantizer: seeded uniform sample → driver Lloyd
+    * k-means. Extracted so AnnOracle/OraclePins can pin the exact centroid
+    * doubles the query will use (same corpus, same seed → same sample →
+    * same centers). A limit() alone would take the first parquet rows,
+    * biasing centroids on sorted/sharded corpora; the 3× oversample +
+    * hash-order + limit is deterministic and unbiased. */
+  def ivfCentroids(corpus: DataFrame, nCells: Int = 16, sampleSize: Int = 1000,
+      seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Double]] = {
     val total = corpus.count()
     val frac = if (total == 0) 1.0 else math.min(1.0, 3.0 * sampleSize / total)
     val sample = corpus
@@ -99,7 +101,14 @@ object Similarity {
       .orderBy(xxhash64(col("__sid").cast("string"), lit(seed)))
       .limit(sampleSize)
       .collect().map(_.getSeq[Double](1).toArray)
-    val centers = graft.kernels.Cluster.lloydCenters(sample, nCells, seed)
+    graft.kernels.Cluster.lloydCenters(sample, nCells, seed)
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int = 16,
+      nprobe: Int = 4, sampleSize: Int = 1000, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val centers = ivfCentroids(corpus, nCells, sampleSize, seed, idCol, vecCol)
     val bc = spark.sparkContext.broadcast(centers)
     val nearestCell = udf((v: Seq[Double]) => {
       val cs = bc.value
