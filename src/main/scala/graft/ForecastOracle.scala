@@ -1300,6 +1300,70 @@ FROM si CROSS JOIN fin f ORDER BY si.user_id
     * is populated (the gate path), full HR-init + NM replay otherwise. */
   def armaSql: String = OraclePins.arma.map(armaSqlPinned).getOrElse(armaSqlFull)
 
+  /** ts_auto_arima replay with pinned per-series model selections
+    * (Arima.autoFit → forecastArma → integrate): d-fold differencing,
+    * the CSS error recursion from t = m+1 with zero-padded (φ, θ),
+    * the 7-step forecast recursion (future innovations zero), and the
+    * d-fold cumulative re-integration — each a list fold. The KPSS/AICc
+    * SEARCH is not replayed (measured >8 min in DuckDB); it is pinned,
+    * like the NM searches. */
+  def autoArimaSqlPinned(
+      pins: Seq[(Long, Int, Int, Double, Double, Double, Double, Double)],
+      h: Int = 7): String = {
+    val rows = pins.map { case (u, d, m, p1, p2, t1, t2, cc) =>
+      Seq(s"$u::BIGINT", s"$d::INT", s"$m::INT", s"${dlit(p1)}::DOUBLE",
+        s"${dlit(p2)}::DOUBLE", s"${dlit(t1)}::DOUBLE", s"${dlit(t2)}::DOUBLE",
+        s"${dlit(cc)}::DOUBLE")
+    }
+    // CSS error fold over the differenced series s[1..ns], state
+    // [e_{t-1}, e_{t-2}]; zero-padded lag reads guarded against index 0
+    val yl1 = "(CASE WHEN x[1] >= 2 THEN s[(x[1])::INT - 1] ELSE 0.0::DOUBLE END)"
+    val yl2 = "(CASE WHEN x[1] >= 3 THEN s[(x[1])::INT - 2] ELSE 0.0::DOUBLE END)"
+    val eT = s"(CASE WHEN (x[1])::INT <= m THEN 0.0::DOUBLE ELSE " +
+      s"s[(x[1])::INT] - (cc + p1*$yl1 + p2*$yl2 + t1*acc[1] + t2*acc[2]) END)"
+    // forecast fold state [y_{-1}, y_{-2}, e_{-1}, e_{-2}, fc...]
+    val pred = "(cc + p1*acc[1] + p2*acc[2] + t1*acc[3] + t2*acc[4])"
+    val fcStep = s"list_concat([$pred, acc[1], 0.0::DOUBLE, acc[3]], " +
+      s"list_concat(acc[5:], [$pred]))"
+    // cumulative re-integration: out_i = start + Σ_{j<=i} fc_j
+    def cumsum(fcExpr: String, start: String) =
+      s"list_reduce(list_prepend([$start], list_transform($fcExpr, v -> [v::DOUBLE])), " +
+        s"(a, x) -> list_concat(a, [a[len(a)] + x[1]]))[2:]"
+    s"""WITH ${pinsCte("pins",
+          Seq("user_id", "d", "m", "p1", "p2", "t1", "t2", "cc"), rows)},
+       |o AS (SELECT user_id, value, epoch_us(ts) AS us,
+       |  row_number() OVER ($W) AS rn FROM events),
+       |v AS (SELECT user_id, list(value ORDER BY rn) AS vs, count(*)::INT AS n
+       |  FROM o GROUP BY user_id),
+       |dd AS (SELECT *, list_transform(generate_series(2, n), i -> vs[i] - vs[i-1]) AS d1
+       |  FROM v JOIN pins USING (user_id)),
+       |sv AS (SELECT *, (CASE WHEN d = 0 THEN vs WHEN d = 1 THEN d1
+       |    ELSE list_transform(generate_series(2, n - 1), i -> d1[i] - d1[i-1]) END) AS s,
+       |  (n - d)::INT AS ns FROM dd),
+       |ef AS (SELECT *, list_reduce(
+       |    list_prepend([0.0::DOUBLE, 0.0::DOUBLE],
+       |      list_transform(generate_series(1, ns), t -> [t::DOUBLE])),
+       |    (acc, x) -> [$eT, acc[1]]) AS eb FROM sv),
+       |ff AS (SELECT *, list_reduce(
+       |    list_prepend([s[ns], CASE WHEN ns >= 2 THEN s[ns - 1] ELSE 0.0::DOUBLE END,
+       |        eb[1], eb[2]],
+       |      list_transform(generate_series(1, $h), t -> [t::DOUBLE])),
+       |    (acc, x) -> $fcStep)[5:] AS fc0 FROM ef),
+       |i2 AS (SELECT *, (CASE WHEN d = 2 THEN ${cumsum("fc0", "d1[n - 1]")}
+       |    ELSE fc0 END) AS fc1 FROM ff),
+       |i1 AS (SELECT user_id, (CASE WHEN d >= 1 THEN ${cumsum("fc1", "vs[n]")}
+       |    ELSE fc1 END) AS fc FROM i2),
+       |lastt AS (SELECT user_id, max(us) AS us FROM o GROUP BY user_id),
+       |fq AS (SELECT user_id, min(us - lus) AS freq FROM
+       |  (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS lus FROM o)
+       |  WHERE lus IS NOT NULL GROUP BY user_id)
+       |SELECT f.user_id, s.step::BIGINT AS step,
+       |  make_timestamp(l.us + s.step * q.freq) AS ts,
+       |  round(f.fc[(s.step)::INT] + 1e-9, 6) AS y_hat
+       |FROM i1 f JOIN lastt l USING (user_id) JOIN fq q USING (user_id)
+       |CROSS JOIN (SELECT unnest(generate_series(1, $h)) AS step) s""".stripMargin
+  }
+
   /** ts_quantile_fc replay with pinned pooled IRLS coefficients
     * (Probabilistic.fitQuantileRidge / quantileForecast): the IRLS search
     * is not SQL-replayable (documented at the query), but the fitted

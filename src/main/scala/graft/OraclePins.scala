@@ -42,6 +42,10 @@ object OraclePins {
   /** Pooled IRLS pinball-ridge coefficients (q → [lag1..lag3, intercept])
     * for ts_quantile_fc, sorted by quantile level. */
   @volatile var quantile: Option[Seq[(Double, Array[Double])]] = None
+  /** Per-series auto-ARIMA selections for ts_auto_arima:
+    * (user_id, d, m = max(p,q), phi1, phi2, theta1, theta2, c) with the
+    * AR/MA vectors zero-padded to length 2 (maxP = maxQ = 2). */
+  @volatile var autoArima: Option[Seq[(Long, Int, Int, Double, Double, Double, Double, Double)]] = None
 
   /** ts_iforest query parameters (shared with SparkEntry so the pinned
     * forest and the query's forest cannot drift). Smaller than the op
@@ -110,6 +114,15 @@ object OraclePins {
     val qModel = graft.ops.Probabilistic.fitQuantileRidge(ev, lags = 3,
       quantiles = Seq(0.1, 0.5, 0.9))
     quantile = Some(qModel.quantiles.map(q => q -> qModel.coef(q)))
+    // auto-ARIMA: the same KPSS-d + AICc(p,q ≤ 2) selection the query's
+    // kernel performs per series; only the selected model is pinned — the
+    // search stays Scala-side (replaying it in SQL measured >8 min)
+    autoArima = Some(allSeries.map { case (u, ys) =>
+      val (p, d, q, fit) = Arima.autoFit(ys, maxP = 2, maxQ = 2)
+      val phi = fit.phi.padTo(2, 0.0)
+      val th = fit.theta.padTo(2, 0.0)
+      (u, d, math.max(p, q), phi(0), phi(1), th(0), th(1), fit.c)
+    })
   }
 
   /** Flatten trees to (tree, node, feat, split, lch, rch, plen) rows with

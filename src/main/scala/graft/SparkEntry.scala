@@ -434,7 +434,9 @@ object SparkEntry {
         .select(col("user_id"), col("step"), col("ts"), r6n(col("y_hat")).as("y_hat"))),
 
     "ts_auto_arima" -> ((s, dir) =>
-      Advanced.autoArima(IO.events(s, dir), h = 7, maxP = 2, maxQ = 2)),
+      Advanced.autoArima(IO.events(s, dir), h = 7, maxP = 2, maxQ = 2)
+        .select(col("user_id"), col("step"), col("ts"),
+          r6n(col("y_hat")).as("y_hat"))),
 
     // rows-only by design: an oracle would replay KPSS d-selection plus
     // SIX CSS Nelder-Mead fits per series (d up to 5) — prototyped, but
@@ -1598,6 +1600,8 @@ object SparkEntry {
       "emb_knn_ivf" -> AnnOracle.ivfTopKSql(c, nprobe = 4, k = 3)) ++
     OraclePins.quantile.map(p =>
       "ts_quantile_fc" -> ForecastOracle.quantileFcSql(p)) ++
+    OraclePins.autoArima.map(p =>
+      "ts_auto_arima" -> ForecastOracle.autoArimaSqlPinned(p)) ++
   Map(
     "ts_dbscan" -> ForecastOracle.dbscanSql,
     "q1_agg" ->
