@@ -1364,6 +1364,216 @@ FROM si CROSS JOIN fin f ORDER BY si.user_id
        |CROSS JOIN (SELECT unnest(generate_series(1, $h)) AS step) s""".stripMargin
   }
 
+  /** ts_scum_fc replay: elementwise mean of the four SCUM legs
+    * (Arima.scumForecast — auto-ARIMA, auto-ETS, CES, Theta), each leg
+    * replayed per series with its fits pinned (ARIMA orders+coefs, ETS
+    * choice+smoothing, CES (a0,a1)); the Theta leg replays in full (OLS
+    * trend + 40-iteration golden-section SES) exactly as thetaSql. The
+    * mean folds left like Array.sum: (((ar + ets) + ces) + theta) / 4. */
+  def scumSqlPinned(ar: Seq[(Long, Int, Int, Double, Double, Double, Double, Double)],
+      ets: Seq[(Long, graft.kernels.Arima.AutoEtsFit)],
+      cesP: Seq[(Long, Double, Double)], h: Int = 5): String = {
+    val rows = ar.indices.map { i =>
+      val (u, d, m, p1, p2, t1, t2, cc) = ar(i)
+      val (u2, f) = ets(i)
+      val (u3, a0, a1) = cesP(i)
+      require(u == u2 && u == u3, s"pin user mismatch: $u/$u2/$u3")
+      Seq(s"$u::BIGINT", s"$d::INT", s"$m::INT", s"${dlit(p1)}::DOUBLE",
+        s"${dlit(p2)}::DOUBLE", s"${dlit(t1)}::DOUBLE", s"${dlit(t2)}::DOUBLE",
+        s"${dlit(cc)}::DOUBLE", s"${f.choice}::INT", s"${dlit(f.holtAlpha)}::DOUBLE",
+        s"${dlit(f.holtBeta)}::DOUBLE", s"${dlit(f.sesAlpha)}::DOUBLE",
+        s"${dlit(f.hwAlpha)}::DOUBLE", s"${dlit(f.hwBeta)}::DOUBLE",
+        s"${dlit(f.hwGamma)}::DOUBLE", s"${dlit(a0)}::DOUBLE", s"${dlit(a1)}::DOUBLE")
+    }
+    // ── ARIMA leg (same folds as autoArimaSqlPinned) ──
+    val yl1 = "(CASE WHEN x[1] >= 2 THEN s[(x[1])::INT - 1] ELSE 0.0::DOUBLE END)"
+    val yl2 = "(CASE WHEN x[1] >= 3 THEN s[(x[1])::INT - 2] ELSE 0.0::DOUBLE END)"
+    val eT = s"(CASE WHEN (x[1])::INT <= m THEN 0.0::DOUBLE ELSE " +
+      s"s[(x[1])::INT] - (cc + p1*$yl1 + p2*$yl2 + t1*acc[1] + t2*acc[2]) END)"
+    val pred = "(cc + p1*acc[1] + p2*acc[2] + t1*acc[3] + t2*acc[4])"
+    val fcStep = s"list_concat([$pred, acc[1], 0.0::DOUBLE, acc[3]], " +
+      s"list_concat(acc[5:], [$pred]))"
+    def cumsum(fcExpr: String, start: String) =
+      s"list_reduce(list_prepend([$start], list_transform($fcExpr, v -> [v::DOUBLE])), " +
+        s"(a, x) -> list_concat(a, [a[len(a)] + x[1]]))[2:]"
+    // ── ETS leg (same folds as autoEtsSqlPinned, h-parameterized) ──
+    val hwFoldP: String = {
+      val sea = "a[((yy[2])::INT) + 3]"
+      val newL = s"(wa*(yy[1] - $sea) + (1.0::DOUBLE - wa)*(a[1] + a[2]))"
+      val seaSlots = (0 until 24).map(j =>
+        s"CASE WHEN (yy[2])::INT = $j THEN wg*(yy[1] - $newL) + (1.0::DOUBLE - wg)*a[${j + 3}] ELSE a[${j + 3}] END").mkString(", ")
+      s"""list_reduce(list_prepend(list_concat([avg1, (avg2 - avg1)/24.0], list_transform(generate_series(1, 24), i -> vs[i::INT] - avg1)), list_transform(generate_series(25, n), ti -> [vs[ti::INT], ((ti - 1) % 24)::DOUBLE])), (a, yy) -> [$newL, wb*($newL - a[1]) + (1.0::DOUBLE - wb)*a[2], $seaSlots])"""
+    }
+    val etsFcCases = (1 to h).map { s =>
+      s"""CASE WHEN ch = 0 THEN sesl
+         | WHEN ch = 1 THEN hl + $s.0*ht
+         | ELSE hw[1] + $s.0*hw[2] + hw[((n - 1 + $s) % 24) + 3] END""".stripMargin
+    }.mkString(",\n  ")
+    // ── CES leg ──
+    val cesE = "(yy[1] - acc[1])"
+    val cesStep = s"[acc[1] - (1.0::DOUBLE - ca1)*acc[2] + (ca0 - ca1)*$cesE, " +
+      s"acc[1] + (1.0::DOUBLE - ca0)*acc[2] + (ca0 + ca1)*$cesE]"
+    val cesFcStep = "list_concat([acc[1] - (1.0::DOUBLE - ca1)*acc[2], " +
+      "acc[1] + (1.0::DOUBLE - ca0)*acc[2]], list_concat(acc[3:], [acc[1]]))"
+    val pinCols = Seq("user_id", "d", "m", "p1", "p2", "t1", "t2", "cc",
+      "ch", "ha", "hb", "salpha", "wa", "wb", "wg", "ca0", "ca1")
+    s"""WITH ${pinsCte("pins", pinCols, rows)},
+       |o AS (SELECT user_id, value, epoch_us(ts) AS us,
+       |  row_number() OVER ($W) AS rn FROM events),
+       |v AS (SELECT user_id, list(value ORDER BY rn) AS vs, count(*)::INT AS n
+       |  FROM o GROUP BY user_id),
+       |adf AS (SELECT *, list_transform(generate_series(2, n), i -> vs[i] - vs[i-1]) AS d1
+       |  FROM v JOIN pins USING (user_id)),
+       |asv AS (SELECT *, (CASE WHEN d = 0 THEN vs WHEN d = 1 THEN d1
+       |    ELSE list_transform(generate_series(2, n - 1), i -> d1[i] - d1[i-1]) END) AS s,
+       |  (n - d)::INT AS ns FROM adf),
+       |aef AS (SELECT *, list_reduce(
+       |    list_prepend([0.0::DOUBLE, 0.0::DOUBLE],
+       |      list_transform(generate_series(1, ns), t -> [t::DOUBLE])),
+       |    (acc, x) -> [$eT, acc[1]]) AS eb FROM asv),
+       |aff AS (SELECT *, list_reduce(
+       |    list_prepend([s[ns], CASE WHEN ns >= 2 THEN s[ns - 1] ELSE 0.0::DOUBLE END,
+       |        eb[1], eb[2]],
+       |      list_transform(generate_series(1, $h), t -> [t::DOUBLE])),
+       |    (acc, x) -> $fcStep)[5:] AS fc0 FROM aef),
+       |ai2 AS (SELECT *, (CASE WHEN d = 2 THEN ${cumsum("fc0", "d1[n - 1]")}
+       |    ELSE fc0 END) AS fc1 FROM aff),
+       |arleg AS (SELECT user_id, (CASE WHEN d >= 1 THEN ${cumsum("fc1", "vs[n]")}
+       |    ELSE fc1 END) AS fc FROM ai2),
+       |eav AS (SELECT user_id, vs, n, ch, ha, hb, salpha, wa, wb, wg,
+       |  list_reduce(vs[1:24], (aa, bb) -> aa + bb)/24.0 AS avg1,
+       |  list_reduce(vs[25:48], (aa, bb) -> aa + bb)/24.0 AS avg2
+       |  FROM v JOIN pins USING (user_id)),
+       |efits AS (SELECT user_id, n, ch,
+       |  list_reduce(list_prepend([vs[1]], list_transform(vs[2:], w -> [w])),
+       |    (a, y2) -> [salpha*y2[1] + (1.0::DOUBLE - salpha)*a[1]])[1] AS sesl,
+       |  list_reduce(list_prepend([vs[1], vs[2] - vs[1]], list_transform(vs[2:], w -> [w, 0.0::DOUBLE])),
+       |    (a, yy) -> [ha*yy[1] + (1.0::DOUBLE - ha)*(a[1] + a[2]), hb*((ha*yy[1] + (1.0::DOUBLE - ha)*(a[1] + a[2])) - a[1]) + (1.0::DOUBLE - hb)*a[2]]) AS hstate,
+       |  CASE WHEN n >= 51 THEN $hwFoldP ELSE NULL END AS hw
+       |  FROM eav),
+       |etsleg AS (SELECT user_id, [
+       |  $etsFcCases] AS fc
+       |  FROM (SELECT user_id, n, ch, sesl, hstate[1] AS hl, hstate[2] AS ht, hw FROM efits)),
+       |cst AS (SELECT user_id, ca0, ca1, list_reduce(
+       |    list_prepend([vs[1], vs[2] - vs[1]], list_transform(vs[2:], w -> [w])),
+       |    (acc, yy) -> $cesStep) AS lc FROM v JOIN pins USING (user_id)),
+       |cesleg AS (SELECT user_id, list_reduce(
+       |    list_prepend([lc[1], lc[2]],
+       |      list_transform(generate_series(1, $h), t -> [t::DOUBLE])),
+       |    (acc, x) -> $cesFcStep)[3:] AS fc FROM cst),
+       |tols AS (SELECT user_id, vs, n, (n-1)/2.0 AS tm,
+       |  list_reduce(vs, (x, y) -> x + y) / n AS ym FROM v),
+       |tab AS (SELECT user_id, vs, n, ym, tm,
+       |  CASE WHEN den > 0 THEN num/den ELSE 0.0::DOUBLE END AS b
+       |  FROM (SELECT *,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(generate_series(1, n), i -> ((i-1) - tm)*(vs[i::INT] - ym))),
+       |      (x, y) -> x + y) AS num,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(generate_series(1, n), i -> ((i-1) - tm)*((i-1) - tm))),
+       |      (x, y) -> x + y) AS den
+       |  FROM tols)),
+       |tab2 AS (SELECT user_id, vs, n, b, ym - b*tm AS a FROM tab),
+       |tth AS (SELECT user_id, n, a, b,
+       |  list_transform(generate_series(1, n), i -> 2.0*vs[i::INT] - (a + b*(i-1))) AS t2
+       |  FROM tab2),
+       |tgs AS (SELECT user_id, n, a, b, t2,
+       |  list_reduce(
+       |    list_prepend(
+       |      [0.01::DOUBLE, 0.99::DOUBLE, $c0, $d0,
+       |       ${sesSse(c0, "t2")},
+       |       ${sesSse(d0, "t2")}],
+       |      list_transform(generate_series(1, 40), i -> [i::DOUBLE])),
+       |    (acc, x) -> CASE WHEN acc[5] < acc[6]
+       |      THEN [acc[1], acc[4], $newC, acc[3], ${sesSse(newC, "t2")}, acc[5]]
+       |      ELSE [acc[3], acc[2], acc[4], $newD, acc[6], ${sesSse(newD, "t2")}]
+       |    END) AS g
+       |  FROM tth),
+       |thleg AS (SELECT user_id, n, a, b,
+       |  list_reduce(
+       |    list_prepend([t2[1]], list_transform(t2[2:], w -> [w])),
+       |    (acc, y) -> [((g[1]+g[2])/2.0)*y[1] + (1.0::DOUBLE - (g[1]+g[2])/2.0)*acc[1]])[1] AS level
+       |  FROM tgs),
+       |lastt AS (SELECT user_id, max(us) AS us FROM o GROUP BY user_id),
+       |sfq AS (SELECT user_id, min(us - lus) AS freq FROM
+       |  (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS lus FROM o)
+       |  WHERE lus IS NOT NULL GROUP BY user_id)
+       |SELECT ar.user_id, s.step::BIGINT AS step,
+       |  make_timestamp(l.us + s.step * q.freq) AS ts,
+       |  round((((ar.fc[(s.step)::INT] + et.fc[(s.step)::INT])
+       |    + ce.fc[(s.step)::INT])
+       |    + 0.5*(th.level + th.a + th.b*(th.n + s.step - 1)))/4.0 + 1e-9, 6) AS y_hat
+       |FROM arleg ar JOIN etsleg et USING (user_id)
+       |JOIN cesleg ce USING (user_id) JOIN thleg th USING (user_id)
+       |JOIN lastt l USING (user_id) JOIN sfq q USING (user_id)
+       |CROSS JOIN (SELECT unnest(generate_series(1, $h)) AS step) s""".stripMargin
+  }
+
+  /** ts_scientist replay with the backtest winner pinned: the agent's
+    * curate stage (forward-fill + |z|>4 clip) replays exactly, then the
+    * pinned winner's forecast recursion. Only the winner NAME is pinned —
+    * the candidate generation and backtest selection stay Scala-side.
+    * Returns None for a theta winner (its replay lives in thetaSql's
+    * shape but over cleaned data; not composed here — query falls back
+    * to rows-only in that case). */
+  def scientistSqlPinned(winner: String, h: Int = 7): Option[String] = {
+    val holtL = "0.3 * x[1] + (1.0::DOUBLE - 0.3) * (acc[1] + acc[2])"
+    val fcCte: Option[String] = winner match {
+      case "naive" => Some(
+        s"""fc AS (SELECT user_id, list(value ORDER BY rn) AS vs FROM o GROUP BY user_id),
+           |fcv AS (SELECT user_id, list_transform(generate_series(1, $h), s -> vs[len(vs)]) AS f FROM fc)""".stripMargin)
+      case "moving_average" => Some(
+        s"""tl AS (SELECT o.user_id, list(o.value ORDER BY o.rn) AS vs
+           |  FROM o JOIN nn USING (user_id) WHERE o.rn > nn.n - 12 GROUP BY o.user_id),
+           |fcv AS (SELECT user_id, list_transform(generate_series(1, $h),
+           |  s -> list_reduce(vs, (acc, v) -> acc + v) / len(vs)) AS f FROM tl)""".stripMargin)
+      case "seasonal_naive" => Some(
+        s"""tl AS (SELECT o.user_id, list(o.value ORDER BY o.rn) AS vs, count(*) AS m
+           |  FROM o JOIN nn USING (user_id) WHERE o.rn > nn.n - 24 GROUP BY o.user_id),
+           |fcv AS (SELECT user_id, list_transform(generate_series(1, $h),
+           |  s -> vs[((s - 1) % m)::INT + 1]) AS f FROM tl)""".stripMargin)
+      case "ses" => Some(
+        s"""lv AS (SELECT user_id,
+           |  list_reduce(list(value ORDER BY rn), (acc, v) -> 0.3 * v + (1.0 - 0.3) * acc) AS level
+           |  FROM o GROUP BY user_id),
+           |fcv AS (SELECT user_id, list_transform(generate_series(1, $h), s -> level) AS f FROM lv)""".stripMargin)
+      case "holt" => Some(
+        s"""vv AS (SELECT user_id, list(value ORDER BY rn) AS vs FROM o GROUP BY user_id),
+           |st AS (SELECT user_id, list_reduce(
+           |  list_prepend([vs[1], vs[2] - vs[1]], list_transform(vs[2:], w -> [w, 0.0::DOUBLE])),
+           |  (acc, x) -> [$holtL,
+           |    0.1 * (($holtL) - acc[1]) + (1.0::DOUBLE - 0.1) * acc[2]]) AS st FROM vv),
+           |fcv AS (SELECT user_id, list_transform(generate_series(1, $h),
+           |  s -> st[1] + s * st[2]) AS f FROM st)""".stripMargin)
+      case _ => None
+    }
+    fcCte.map { cte =>
+      s"""WITH o0 AS (SELECT user_id, value, epoch_us(ts) AS us,
+         |  row_number() OVER ($W) AS rn FROM events),
+         |ff AS (SELECT user_id, us, rn, coalesce(value,
+         |    last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY rn
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS v1 FROM o0),
+         |stats AS (SELECT user_id, avg(v1) AS mu, stddev_samp(v1) AS sd
+         |  FROM ff GROUP BY user_id),
+         |o AS (SELECT f.user_id, f.us, f.rn,
+         |  CASE WHEN f.v1 IS NOT NULL AND (f.v1 < mu - 4.0*sd OR f.v1 > mu + 4.0*sd)
+         |    THEN least(greatest(f.v1, mu - 4.0*sd), mu + 4.0*sd) ELSE f.v1 END AS value
+         |  FROM ff f JOIN stats USING (user_id)),
+         |nn AS (SELECT user_id, count(*) AS n FROM o GROUP BY user_id),
+         |$cte,
+         |lastt AS (SELECT user_id, max(us) AS us FROM o GROUP BY user_id),
+         |sfq AS (SELECT user_id, min(us - lus) AS freq FROM
+         |  (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS lus FROM o)
+         |  WHERE lus IS NOT NULL GROUP BY user_id)
+         |SELECT f.user_id, s.step::BIGINT AS step,
+         |  make_timestamp(l.us + s.step * q.freq) AS ts,
+         |  round(f.f[(s.step)::INT] + 1e-9, 6) AS y_hat,
+         |  '$winner' AS best_model
+         |FROM fcv f JOIN lastt l USING (user_id) JOIN sfq q USING (user_id)
+         |CROSS JOIN (SELECT unnest(generate_series(1, $h)) AS step) s""".stripMargin
+    }
+  }
+
   /** ts_quantile_fc replay with pinned pooled IRLS coefficients
     * (Probabilistic.fitQuantileRidge / quantileForecast): the IRLS search
     * is not SQL-replayable (documented at the query), but the fitted

@@ -46,6 +46,13 @@ object OraclePins {
     * (user_id, d, m = max(p,q), phi1, phi2, theta1, theta2, c) with the
     * AR/MA vectors zero-padded to length 2 (maxP = maxQ = 2). */
   @volatile var autoArima: Option[Seq[(Long, Int, Int, Double, Double, Double, Double, Double)]] = None
+  /** Full-panel auto-ETS fits for the ts_scum_fc ETS leg (the 30-series
+    * `autoEts` pin above serves the oracled subset query). */
+  @volatile var autoEtsFull: Option[Seq[(Long, Arima.AutoEtsFit)]] = None
+  /** Per-series CES smoothing parameters (a0, a1) for the SCUM CES leg. */
+  @volatile var ces: Option[Seq[(Long, Double, Double)]] = None
+  /** Backtest-selected winner model name for ts_scientist. */
+  @volatile var scientist: Option[String] = None
 
   /** ts_iforest query parameters (shared with SparkEntry so the pinned
     * forest and the query's forest cannot drift). Smaller than the op
@@ -123,6 +130,15 @@ object OraclePins {
       val th = fit.theta.padTo(2, 0.0)
       (u, d, math.max(p, q), phi(0), phi(1), th(0), th(1), fit.c)
     })
+    // SCUM legs: full-panel ETS + CES fits (ARIMA leg reuses `autoArima`,
+    // the theta leg replays without pins)
+    autoEtsFull = Some(allSeries.map { case (u, ys) => (u, Arima.autoEtsFit(ys, m = 24)) })
+    ces = Some(allSeries.map { case (u, ys) =>
+      val p = Arima.cesFit(ys); (u, p(0), p(1))
+    })
+    // scientist: re-run the agent's curate→plan→backtest selection and pin
+    // only the winner name; the oracle replays clean + winner forecast
+    scientist = Some(graft.ops.Agents.scientist(ev, horizon = 7)._2.bestModel)
   }
 
   /** Flatten trees to (tree, node, feat, split, lch, rch, plen) rows with

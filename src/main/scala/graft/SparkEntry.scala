@@ -469,7 +469,7 @@ object SparkEntry {
     "ts_scum_fc" -> ((s, dir) =>
       ForecastBaselines.multiForecast(IO.events(s, dir), 5, Seq(
         "scum" -> (ys => graft.kernels.Arima.scumForecast(ys, 5, m = 24))))
-        .select(col("user_id"), col("step"), col("ts"), r6(col("y_hat")).as("y_hat"))),
+        .select(col("user_id"), col("step"), col("ts"), r6n(col("y_hat")).as("y_hat"))),
 
     "ts_regime" -> ((s, dir) =>
       Advanced.regimeDetect(IO.events(s, dir), k = 2)
@@ -701,7 +701,7 @@ object SparkEntry {
     "ts_scientist" -> ((s, dir) => {
       val (fc, rep) = Agents.scientist(IO.events(s, dir), horizon = 7)
       fc.select(col("user_id"), col("step"), col("ts"),
-        r6(col("y_hat")).as("y_hat"))
+        r6n(col("y_hat")).as("y_hat"))
         .withColumn("best_model", lit(rep.bestModel))
     }),
 
@@ -1602,6 +1602,11 @@ object SparkEntry {
       "ts_quantile_fc" -> ForecastOracle.quantileFcSql(p)) ++
     OraclePins.autoArima.map(p =>
       "ts_auto_arima" -> ForecastOracle.autoArimaSqlPinned(p)) ++
+    (for {
+      a <- OraclePins.autoArima; e <- OraclePins.autoEtsFull; c <- OraclePins.ces
+    } yield "ts_scum_fc" -> ForecastOracle.scumSqlPinned(a, e, c)) ++
+    OraclePins.scientist.flatMap(w =>
+      ForecastOracle.scientistSqlPinned(w).map("ts_scientist" -> _)) ++
   Map(
     "ts_dbscan" -> ForecastOracle.dbscanSql,
     "q1_agg" ->

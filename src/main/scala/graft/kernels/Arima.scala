@@ -432,26 +432,33 @@ object Arima {
     *   c_t = l_{t−1} + (1−α0)·c_{t−1} + (α0+α1)·e_t
     * (α0, α1) fitted by Nelder-Mead on one-step SSE from the classic
     * (1.3, 1.0) init; forecasting iterates the transition with e = 0. */
-  def cesForecast(y: Array[Double], h: Int): Array[Double] = {
-    require(y.length >= 3, "ces needs at least 3 observations")
-    def run(a0: Double, a1: Double): (Double, Double, Double) = {
-      var l = y(0); var c = y(1) - y(0); var s = 0.0
-      var t = 1
-      while (t < y.length) {
-        val e = y(t) - l
-        s += e * e
-        val pl = l
-        l = pl - (1.0 - a1) * c + (a0 - a1) * e
-        c = pl + (1.0 - a0) * c + (a0 + a1) * e
-        t += 1
-      }
-      (l, c, s)
+  private def cesRun(y: Array[Double], a0: Double, a1: Double)
+      : (Double, Double, Double) = {
+    var l = y(0); var c = y(1) - y(0); var s = 0.0
+    var t = 1
+    while (t < y.length) {
+      val e = y(t) - l
+      s += e * e
+      val pl = l
+      l = pl - (1.0 - a1) * c + (a0 - a1) * e
+      c = pl + (1.0 - a0) * c + (a0 + a1) * e
+      t += 1
     }
-    val best = Garch.nelderMead(p => {
-      val s = run(p(0), p(1))._3
+    (l, c, s)
+  }
+
+  /** CES smoothing-parameter fit (the NM search [[cesForecast]] runs) —
+    * exposed so OraclePins can pin the identical (a0, a1). */
+  def cesFit(y: Array[Double]): Array[Double] =
+    Garch.nelderMead(p => {
+      val s = cesRun(y, p(0), p(1))._3
       if (s.isNaN || s.isInfinite) 1e100 else s
     }, Array(1.3, 1.0), step = 0.1, maxIter = 200)
-    val (l0, c0, _) = run(best(0), best(1))
+
+  def cesForecast(y: Array[Double], h: Int): Array[Double] = {
+    require(y.length >= 3, "ces needs at least 3 observations")
+    val best = cesFit(y)
+    val (l0, c0, _) = cesRun(y, best(0), best(1))
     var l = l0; var c = c0
     Array.tabulate(h) { _ =>
       val out = l
