@@ -1017,6 +1017,55 @@ object ForecastOracle {
        |FROM v""".stripMargin
   }
 
+  /** ts_rocket_classify replay with the one-vs-rest ridge fit pinned
+    * (minLen, classes, coefs): the same conv/PPV/max feature exprs as
+    * [[rocketSql]] but on series truncated to minLen (n is a constant,
+    * so the padding windows are static), then per-class linear scores
+    * with argmax replicating the kernel's strict-> first-wins scan. */
+  def rocketClassifySql(minLen: Int, classes: Array[String],
+      coefs: Array[Array[Double]]): String = {
+    val bank = graft.kernels.Rocket.randomKernels(20, minLen, 42L)
+    val n = minLen
+    val featExprs: Seq[String] = bank.flatMap { k =>
+      val len = k.weights.length
+      val span = (len - 1) * k.dilation
+      val terms = (0 until len).map { j =>
+        val off = j * k.dilation
+        s"(CASE WHEN (w - 1 - ${k.padding}) + $off >= 0 AND (w - 1 - ${k.padding}) + $off < $n " +
+          s"THEN ${dlit(k.weights(j))}::DOUBLE * vs[(w - 1 - ${k.padding}) + $off + 1] ELSE 0.0::DOUBLE END)"
+      }.mkString(" + ")
+      val cnt = n - 1 + k.padding - span + k.padding + 1
+      val conv = s"list_transform(generate_series(1, $cnt), w -> ${dlit(k.bias)}::DOUBLE + $terms)"
+      if (cnt <= 0) Seq("0.0::DOUBLE", "0.0::DOUBLE")
+      else Seq(
+        s"list_sum(list_transform($conv, v -> CASE WHEN v > 0 THEN 1 ELSE 0 END))::DOUBLE / ($cnt)",
+        s"list_max($conv)")
+    }.toSeq
+    val featCols = featExprs.zipWithIndex.map { case (e, i) => s"$e AS f$i" }
+    val d = featExprs.length // + intercept handled inline
+    val scoreCols = coefs.zipWithIndex.map { case (cf, c) =>
+      ((0 until d).map(i => s"${dlit(cf(i))}::DOUBLE * f$i") :+ s"${dlit(cf(d))}::DOUBLE")
+        .mkString(" + ") + s" AS s$c"
+    }
+    // strict-> scan: earliest class wins ties
+    val argmax = "CASE " + classes.indices.map { c =>
+      val cond = classes.indices.filter(_ != c).map { o =>
+        if (o < c) s"s$c > s$o" else s"s$c >= s$o"
+      }.mkString(" AND ")
+      s"WHEN $cond THEN '${classes(c)}'"
+    }.mkString(" ") + " END"
+    s"""WITH v AS (SELECT user_id,
+       |    (list(value ORDER BY ts, event_id))[1:$n] AS vs
+       |  FROM events WHERE user_id < 30 GROUP BY user_id),
+       |f AS (SELECT user_id,
+       |${featCols.mkString(",\n")}
+       |FROM v),
+       |sc AS (SELECT user_id,
+       |${scoreCols.mkString(",\n")}
+       |FROM f)
+       |SELECT user_id, $argmax AS predicted_label FROM sc""".stripMargin
+  }
+
   // ── MiniRocket: fixed C(9,3)=84 bank, dilation cycled {1,2,4,8},
   // bias = median of each pattern's own convolution, PPV features ──────
   val miniRocketSql: String = {

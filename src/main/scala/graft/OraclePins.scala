@@ -53,6 +53,9 @@ object OraclePins {
   @volatile var ces: Option[Seq[(Long, Double, Double)]] = None
   /** Backtest-selected winner model name for ts_scientist. */
   @volatile var scientist: Option[String] = None
+  /** ROCKET one-vs-rest ridge fit (minLen, classes, coefs) for
+    * ts_rocket_classify. */
+  @volatile var rocket: Option[(Int, Array[String], Array[Array[Double]])] = None
 
   /** ts_iforest query parameters (shared with SparkEntry so the pinned
     * forest and the query's forest cannot drift). Smaller than the op
@@ -139,6 +142,12 @@ object OraclePins {
     // scientist: re-run the agent's curate→plan→backtest selection and pin
     // only the winner name; the oracle replays clean + winner forecast
     scientist = Some(graft.ops.Agents.scientist(ev, horizon = 7)._2.bestModel)
+    // rocket classifier: the same mod-3 labels + fit the query performs
+    val rkLabels = ev.select(col("user_id")).distinct()
+      .withColumn("label",
+        org.apache.spark.sql.functions.pmod(col("user_id"),
+          org.apache.spark.sql.functions.lit(3)).cast("string"))
+    rocket = Some(graft.ops.Classification.rocketFit(ev, rkLabels, nKernels = 20))
   }
 
   /** Flatten trees to (tree, node, feat, split, lch, rch, plen) rows with

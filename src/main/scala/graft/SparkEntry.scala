@@ -1607,6 +1607,8 @@ object SparkEntry {
     } yield "ts_scum_fc" -> ForecastOracle.scumSqlPinned(a, e, c)) ++
     OraclePins.scientist.flatMap(w =>
       ForecastOracle.scientistSqlPinned(w).map("ts_scientist" -> _)) ++
+    OraclePins.rocket.map { case (ml, cls, cf) =>
+      "ts_rocket_classify" -> ForecastOracle.rocketClassifySql(ml, cls, cf) } ++
   Map(
     "ts_dbscan" -> ForecastOracle.dbscanSql,
     "q1_agg" ->

@@ -51,9 +51,12 @@ object Classification {
     * distributed feature transform → per-class ±1 ridge via ONE
     * treeAggregate of the shared Gram + per-class moment vectors →
     * argmax score predict with broadcast coefficients. */
-  def rocketClassify(train: DataFrame, labels: DataFrame, test: DataFrame,
-      nKernels: Int = 50, l2: Double = 1.0, seed: Long = 42L)(
-      implicit pc: PanelCols): DataFrame = {
+  /** One-vs-rest ridge fit over ROCKET features → (minLen, sorted class
+    * names, per-class coefficient vectors). Extracted from
+    * [[rocketClassify]] so OraclePins can pin the identical fit. */
+  def rocketFit(train: DataFrame, labels: DataFrame, nKernels: Int = 50,
+      l2: Double = 1.0, seed: Long = 42L)(
+      implicit pc: PanelCols): (Int, Array[String], Array[Array[Double]]) = {
     val spark = train.sparkSession
     val g = Panel.grouped(train).select(pc.idCol.as("__id"), col("ys"))
     val minLen = g.agg(min(size(col("ys")))).head().getInt(0)
@@ -108,6 +111,15 @@ object Classification {
         gram(i * d + j) + (if (i == j && i < d - 1) l2 else 0.0))
       graft.kernels.ArimaLite.solve(a, rhs(c).clone())
     }
+    (minLen, classes, coefs)
+  }
+
+  def rocketClassify(train: DataFrame, labels: DataFrame, test: DataFrame,
+      nKernels: Int = 50, l2: Double = 1.0, seed: Long = 42L)(
+      implicit pc: PanelCols): DataFrame = {
+    val spark = train.sparkSession
+    val (minLen, classes, coefs) = rocketFit(train, labels, nKernels, l2, seed)
+    val bank = spark.sparkContext.broadcast(Rocket.randomKernels(nKernels, minLen, seed))
     val bcC = spark.sparkContext.broadcast((classes, coefs))
     val predictUdf = udf((ys: Seq[Double]) => {
       val f = Rocket.transform(ys.toArray.take(minLen), bank.value) :+ 1.0
