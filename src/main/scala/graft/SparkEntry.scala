@@ -963,6 +963,24 @@ object SparkEntry {
           r6n(col("level")).as("level"), r6n(col("trend")).as("trend"),
           r6n(col("forecastNext")).as("forecast_next"))),
 
+    "ts_streaming_kalman" -> ((s, dir) =>
+      graft.streaming.StreamingOps.kalmanBatch(s, IO.events(s, dir),
+        "user_id", "ts", "value")
+        .select(col("uniqueId").as("unique_id"),
+          col("ts").cast("timestamp_ntz").as("ts"), col("y"),
+          r6n(col("filtered")).as("filtered"),
+          r6n(col("variance")).as("variance"))),
+
+    "ts_streaming_window" -> ((s, dir) =>
+      graft.streaming.StreamingOps.windowBatch(s, IO.events(s, dir),
+        "user_id", "ts", "value", windowSize = 24)
+        .select(col("uniqueId").as("unique_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("windowLen").as("window_len"),
+          // left-fold sum matches the oracle's sequential list_reduce
+          r6n(aggregate(col("window"), lit(0.0), (a, v) => a + v))
+            .as("window_sum"))),
+
     // ── near-dup detection over synthetic near-duplicates ───────────────
     "doc_minhash_lsh" -> ((s, dir) => {
       val docs = IO.documents(s, dir).select("doc_id", "text")
@@ -2956,6 +2974,39 @@ object SparkEntry {
          |  round(st.f[2 * o.rn + 3] + 1e-9, 6) AS trend,
          |  round(st.f[2 * o.rn + 2] + st.f[2 * o.rn + 3] + 1e-9, 6) AS forecast_next
          |FROM o JOIN st USING (unique_id)""".stripMargin,
+
+    // streaming scalar Kalman fold: state [x, p] init [0, 1e6], per-row
+    // predict (p+q) / update; outputs appended pairwise like the ETS fold
+    "ts_streaming_kalman" ->
+      s"""WITH o AS (SELECT user_id::VARCHAR AS unique_id, ts, value,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM events),
+         |g AS (SELECT unique_id, list(value ORDER BY rn) AS vs FROM o GROUP BY unique_id),
+         |st AS (SELECT unique_id, list_reduce(
+         |  list_prepend([0.0::DOUBLE, 1000000.0::DOUBLE],
+         |    list_transform(vs, v -> [v, 0.0::DOUBLE])),
+         |  (acc, x) -> list_concat(
+         |    [acc[1] + ((acc[2] + 0.001)/((acc[2] + 0.001) + 1.0))*(x[1] - acc[1]),
+         |     (1.0 - (acc[2] + 0.001)/((acc[2] + 0.001) + 1.0))*(acc[2] + 0.001)],
+         |    list_concat(acc[3:],
+         |      [acc[1] + ((acc[2] + 0.001)/((acc[2] + 0.001) + 1.0))*(x[1] - acc[1]),
+         |       (1.0 - (acc[2] + 0.001)/((acc[2] + 0.001) + 1.0))*(acc[2] + 0.001)]))) AS f
+         |  FROM g)
+         |SELECT o.unique_id, o.ts, o.value AS y,
+         |  round(st.f[2 * o.rn + 1] + 1e-9, 6) AS filtered,
+         |  round(st.f[2 * o.rn + 2] + 1e-9, 6) AS variance
+         |FROM o JOIN st USING (unique_id)""".stripMargin,
+
+    // sliding-window manager: bounded tail buffer per arrival; compared as
+    // length + left-fold sum (the query folds the same way)
+    "ts_streaming_window" ->
+      s"""WITH o AS (SELECT user_id::VARCHAR AS unique_id, ts, value,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM events),
+         |g AS (SELECT unique_id, list(value ORDER BY rn) AS vs FROM o GROUP BY unique_id)
+         |SELECT o.unique_id, o.ts,
+         |  least(o.rn, 24)::INT AS window_len,
+         |  round(list_reduce(list_prepend(0.0::DOUBLE,
+         |    g.vs[greatest(1, o.rn - 23):o.rn]), (a, v) -> a + v) + 1e-9, 6) AS window_sum
+         |FROM o JOIN g USING (unique_id)""".stripMargin,
 
     // rolling-origin CV: nSplits=3, horizon=24, step=24, gap=0, expanding
     "ts_cv_rolling" ->

@@ -214,4 +214,46 @@ object StreamingOps {
     }
     folded.toDF()
   }
+
+  /** Batch twin of [[streamingKalman]] (same update equations, grouped
+    * batch data) — the gate query for the streaming filter math. */
+  def kalmanBatch(spark: SparkSession, df: DataFrame, idCol: String,
+      tsCol: String, yCol: String, q: Double = 1e-3, r: Double = 1.0): DataFrame = {
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("string").as("uniqueId"),
+      col(tsCol).cast("timestamp").as("ts"), col(yCol).cast("double").as("y"))
+      .as[Obs]
+    ds.groupByKey(_.uniqueId).flatMapGroups { (id, rows) =>
+      var s = KalmanState(0.0, 1e6, 0L)
+      rows.toSeq.sortBy(_.ts.getTime).map { o =>
+        val pPred = s.p + q
+        val k = pPred / (pPred + r)
+        val x = s.x + k * (o.y - s.x)
+        val p = (1.0 - k) * pPred
+        s = KalmanState(x, p, s.n + 1)
+        KalmanOutput(id, o.ts, o.y, x, p)
+      }.iterator
+    }.toDF()
+  }
+
+  /** Batch twin of [[slidingWindow]]: per arrival, the refreshed bounded
+    * tail window (emitted as length + left-fold sum so the gate compares
+    * scalars, not array cells). */
+  def windowBatch(spark: SparkSession, df: DataFrame, idCol: String,
+      tsCol: String, yCol: String, windowSize: Int): DataFrame = {
+    require(windowSize > 0, "windowSize must be positive")
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("string").as("uniqueId"),
+      col(tsCol).cast("timestamp").as("ts"), col(yCol).cast("double").as("y"))
+      .as[Obs]
+    ds.groupByKey(_.uniqueId).flatMapGroups { (id, rows) =>
+      var buf = Array.empty[Double]
+      rows.toSeq.sortBy(_.ts.getTime).map { o =>
+        val appended = buf :+ o.y
+        buf = if (appended.length > windowSize) appended.takeRight(windowSize)
+          else appended
+        WindowOutput(id, o.ts, buf, buf.length)
+      }.iterator
+    }.toDF()
+  }
 }

@@ -115,4 +115,53 @@ class StreamingSpec extends AnyFunSuite {
       assert(last.variance < 1.0)
     } finally query.stop()
   }
+
+  test("kalmanBatch is value-identical to the streamed filter") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = (0 until 20).map(i => obs("k", i, math.sin(i * 0.4) * 3 + 10))
+    val source = MemoryStream[Obs]
+    val out = StreamingOps.streamingKalman(source.toDS())
+    val query = out.writeStream.format("memory").queryName("kb_out")
+      .outputMode("append").start()
+    try {
+      source.addData(data.take(9): _*)
+      query.processAllAvailable()
+      source.addData(data.drop(9): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("kb_out").as[StreamingOps.KalmanOutput]
+        .collect().sortBy(_.ts.getTime)
+      val batch = StreamingOps.kalmanBatch(spark, data.toDF(),
+        "uniqueId", "ts", "y").as[StreamingOps.KalmanOutput]
+        .collect().sortBy(_.ts.getTime)
+      assert(streamed.length == batch.length && batch.length == 20)
+      streamed.zip(batch).foreach { case (s, b) =>
+        assert(s.filtered == b.filtered && s.variance == b.variance,
+          s"mismatch at ${s.ts}: $s vs $b")
+      }
+    } finally query.stop()
+  }
+
+  test("windowBatch is value-identical to the streamed sliding window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = (0 until 15).map(i => obs("w2", i, i.toDouble * 1.5))
+    val source = MemoryStream[Obs]
+    val out = StreamingOps.slidingWindow(source.toDS(), windowSize = 4)
+    val query = out.writeStream.format("memory").queryName("wb_out")
+      .outputMode("append").start()
+    try {
+      source.addData(data: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("wb_out").as[StreamingOps.WindowOutput]
+        .collect().sortBy(_.ts.getTime)
+      val batch = StreamingOps.windowBatch(spark, data.toDF(),
+        "uniqueId", "ts", "y", windowSize = 4).as[StreamingOps.WindowOutput]
+        .collect().sortBy(_.ts.getTime)
+      assert(streamed.length == batch.length && batch.length == 15)
+      streamed.zip(batch).foreach { case (s, b) =>
+        assert(s.window.toSeq == b.window.toSeq && s.windowLen == b.windowLen)
+      }
+    } finally query.stop()
+  }
 }
