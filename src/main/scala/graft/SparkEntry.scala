@@ -963,6 +963,17 @@ object SparkEntry {
           r6n(col("level")).as("level"), r6n(col("trend")).as("trend"),
           r6n(col("forecastNext")).as("forecast_next"))),
 
+    "ts_interaction_features" -> ((s, dir) => {
+      val ev = Features.lagFeatures(IO.events(s, dir), Seq(1, 2))
+      Features.interactionFeatures(
+        Features.interactionFeatures(ev,
+          Seq(("value", "value_lag_1")), method = "multiply"),
+        Seq(("value_lag_1", "value_lag_2")), method = "add")
+        .select(col("user_id"), col("event_id"),
+          r6n(col("value_x_value_lag_1")).as("v_x_lag1"),
+          r6n(col("value_lag_1_plus_value_lag_2")).as("lag1_plus_lag2"))
+    }),
+
     "ts_streaming_kalman" -> ((s, dir) =>
       graft.streaming.StreamingOps.kalmanBatch(s, IO.events(s, dir),
         "user_id", "ts", "value")
@@ -987,6 +998,16 @@ object SparkEntry {
       val dups = docs.withColumn("doc_id", col("doc_id") + 100000)
         .withColumn("text", concat(col("text"), lit(" near duplicate suffix")))
       Dedup.minhashLsh(docs.unionByName(dups), threshold = 0.5)
+    }),
+
+    // canonical duplicate clusters from the same pair list (the pick-one-
+    // per-group step after near-dup detection)
+    "doc_dedup_groups" -> ((s, dir) => {
+      val docs = IO.documents(s, dir).select("doc_id", "text")
+      val dups = docs.withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(col("text"), lit(" near duplicate suffix")))
+      Dedup.duplicateGroups(
+        Dedup.minhashLsh(docs.unionByName(dups), threshold = 0.5))
     }),
 
     "doc_ngram_jaccard" -> ((s, dir) => {
@@ -1563,6 +1584,56 @@ object SparkEntry {
       ("ts_pairwise_itakura" -> ElasticOracle.sql("itakura", outCol = "dtw")) +
       ("ts_pairwise_sakoe" -> ElasticOracle.sql("sakoe", outCol = "dtw"))
 
+  // MinHash-LSH oracle body, shared by doc_minhash_lsh and the
+  // doc_dedup_groups transitive-closure wrapper.
+  private lazy val minhashLshOracleSql: String = {
+    val k = 64; val bands = 16; val rpb = 4
+    val (as, bs) = Dedup.minhashParams(k)
+    val sigMins = (0 until k).map(i =>
+      s"min((${as(i)} * h + ${bs(i)}) % 2147483647) AS s$i").mkString(",\n|  ")
+    // band table: band index + packed pair keys (v·2³¹ + w)
+    val bandSelect = (0 until bands).map { b =>
+      val ks = (0 until rpb / 2).map(p =>
+        s"s${b * rpb + 2 * p} * 2147483648 + s${b * rpb + 2 * p + 1} AS k${p + 1}")
+        .mkString(", ")
+      s"SELECT doc_id, $b AS band, $ks FROM sig"
+    }.mkString("\n|  UNION ALL ")
+    val eqCount = (0 until k).map(i =>
+      s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 100000 AS doc_id,
+       |    text || ' near duplicate suffix' AS text FROM documents),
+       |norm AS (SELECT doc_id,
+       |  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM corpus),
+       |pos AS (SELECT doc_id, t,
+       |  unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i FROM norm),
+       |grams AS (SELECT doc_id, substr(t, i::INT, 5) AS gram FROM pos),
+       |gh AS (SELECT DISTINCT doc_id,
+       |  (CASE WHEN hu >= 9223372036854775808::HUGEINT
+       |    THEN hu - 18446744073709551616::HUGEINT ELSE hu END)::BIGINT AS hs
+       |  FROM (SELECT doc_id, list_reduce(
+       |    list_prepend(14695981039346656037::HUGEINT,
+       |      list_transform(list_filter(split(gram, ''), ch -> ch <> ''),
+       |        ch -> unicode(ch)::HUGEINT)),
+       |    (acc, ch) -> (xor(acc, ch) * 1099511628211::HUGEINT)
+       |      % 18446744073709551616::HUGEINT) AS hu FROM grams)),
+       |hm AS (SELECT doc_id, ((hs % 2147483647) + 2147483647) % 2147483647 AS h FROM gh),
+       |hd AS (SELECT DISTINCT doc_id, h FROM hm),
+       |sig AS (SELECT doc_id,
+       |  $sigMins
+       |FROM hd GROUP BY doc_id),
+       |banded AS ($bandSelect),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b ON a.band = b.band
+       |    AND a.k1 = b.k1 AND a.k2 = b.k2
+       |    AND a.doc_id < b.doc_id),
+       |est AS (SELECT c.id_a, c.id_b,
+       |  ($eqCount)::DOUBLE / 64.0 AS jaccard_est
+       |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+       |  JOIN sig sb ON sb.doc_id = c.id_b)
+       |SELECT id_a, id_b, jaccard_est FROM est WHERE jaccard_est >= 0.5""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = elasticOracles ++ Map(
     "ts_theta_fc" -> ForecastOracle.thetaSql,
     "ts_var_fc" -> ForecastOracle.varSql,
@@ -1654,6 +1725,15 @@ object SparkEntry {
          |  lag(value, 1) OVER ($W) AS value_lag_1,
          |  lag(value, 7) OVER ($W) AS value_lag_7
          |FROM events""".stripMargin,
+
+    "ts_interaction_features" ->
+      s"""WITH l AS (SELECT user_id, event_id, value,
+         |  lag(value, 1) OVER ($W) AS l1,
+         |  lag(value, 2) OVER ($W) AS l2 FROM events)
+         |SELECT user_id, event_id,
+         |  round(value * l1 + 1e-9, 6) AS v_x_lag1,
+         |  round(l1 + l2 + 1e-9, 6) AS lag1_plus_lag2
+         |FROM l""".stripMargin,
 
     "ts_rolling_features" ->
       s"""WITH f AS (SELECT user_id, event_id, value,
@@ -2402,53 +2482,18 @@ object SparkEntry {
     // MinHash-LSH: FNV shingle hashes (HUGEINT fold per 5-gram row), the
     // SAME (a, b) permutation constants as the Spark kernel (generated by
     // the shared Dedup.minhashParams), band join on raw signature slices.
-    "doc_minhash_lsh" -> {
-      val k = 64; val bands = 16; val rpb = 4
-      val (as, bs) = Dedup.minhashParams(k)
-      val sigMins = (0 until k).map(i =>
-        s"min((${as(i)} * h + ${bs(i)}) % 2147483647) AS s$i").mkString(",\n|  ")
-      // band table: band index + packed pair keys (v·2³¹ + w)
-      val bandSelect = (0 until bands).map { b =>
-        val ks = (0 until rpb / 2).map(p =>
-          s"s${b * rpb + 2 * p} * 2147483648 + s${b * rpb + 2 * p + 1} AS k${p + 1}")
-          .mkString(", ")
-        s"SELECT doc_id, $b AS band, $ks FROM sig"
-      }.mkString("\n|  UNION ALL ")
-      val eqCount = (0 until k).map(i =>
-        s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)").mkString(" + ")
-      s"""WITH corpus AS (SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 100000 AS doc_id,
-         |    text || ' near duplicate suffix' AS text FROM documents),
-         |norm AS (SELECT doc_id,
-         |  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM corpus),
-         |pos AS (SELECT doc_id, t,
-         |  unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i FROM norm),
-         |grams AS (SELECT doc_id, substr(t, i::INT, 5) AS gram FROM pos),
-         |gh AS (SELECT DISTINCT doc_id,
-         |  (CASE WHEN hu >= 9223372036854775808::HUGEINT
-         |    THEN hu - 18446744073709551616::HUGEINT ELSE hu END)::BIGINT AS hs
-         |  FROM (SELECT doc_id, list_reduce(
-         |    list_prepend(14695981039346656037::HUGEINT,
-         |      list_transform(list_filter(split(gram, ''), ch -> ch <> ''),
-         |        ch -> unicode(ch)::HUGEINT)),
-         |    (acc, ch) -> (xor(acc, ch) * 1099511628211::HUGEINT)
-         |      % 18446744073709551616::HUGEINT) AS hu FROM grams)),
-         |hm AS (SELECT doc_id, ((hs % 2147483647) + 2147483647) % 2147483647 AS h FROM gh),
-         |hd AS (SELECT DISTINCT doc_id, h FROM hm),
-         |sig AS (SELECT doc_id,
-         |  $sigMins
-         |FROM hd GROUP BY doc_id),
-         |banded AS ($bandSelect),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN banded b ON a.band = b.band
-         |    AND a.k1 = b.k1 AND a.k2 = b.k2
-         |    AND a.doc_id < b.doc_id),
-         |est AS (SELECT c.id_a, c.id_b,
-         |  ($eqCount)::DOUBLE / 64.0 AS jaccard_est
-         |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
-         |  JOIN sig sb ON sb.doc_id = c.id_b)
-         |SELECT id_a, id_b, jaccard_est FROM est WHERE jaccard_est >= 0.5""".stripMargin
-    },
+    "doc_minhash_lsh" -> minhashLshOracleSql,
+
+    // transitive closure of the same pair list → min-id component labels
+    // (Dedup.duplicateGroups' unique fixpoint)
+    "doc_dedup_groups" ->
+      s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($minhashLshOracleSql) __mh),
+         |und AS (SELECT id_a AS src, id_b AS dst FROM p
+         |  UNION SELECT id_b, id_a FROM p),
+         |reach AS (SELECT src, dst FROM und
+         |  UNION SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src)
+         |SELECT src AS doc_id, least(src, min(dst)) AS group_id
+         |FROM reach GROUP BY src""".stripMargin,
 
     // O(n²) DFT per series, top-5 harmonics extrapolated (FftForecast)
     "ts_fft_fc" ->

@@ -292,4 +292,47 @@ object Dedup {
       transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
         i => concat_ws(" ", slice(words, i + lit(1), lit(n)))),
       g => length(g) > 0))
+
+  /** Connected components over a near-duplicate pair list → canonical
+    * group ids (`[doc_id, group_id]`, group id = min doc id in the
+    * component). The step after pair generation every dedup pipeline
+    * needs: pick one canonical doc per duplicate cluster.
+    *
+    * Algorithm: min-label propagation to fixpoint — per round, every node
+    * takes the min of its own label and its neighbours' labels. Each
+    * round is one shuffle join + aggregation over the EDGE list (never
+    * the corpus), converging in O(component diameter) rounds; near-dup
+    * components are small cliques, so a handful of rounds closes 100 TB
+    * of pairs. `localCheckpoint` truncates the iterative lineage. The
+    * fixpoint (min id reachable) is unique regardless of join order, so
+    * the result is exactly reproducible — the oracle replays it as a
+    * transitive-closure recursive CTE. */
+  def duplicateGroups(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).cast("long").as("src"),
+      col(idB).cast("long").as("dst"))
+    val und = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("group_id", col("id"))
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val neighborMin = und.join(labels, und("dst") === labels("id"))
+        .groupBy(und("src").as("nid")).agg(min(col("group_id")).as("nlabel"))
+      val updated = labels.join(neighborMin, col("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("group_id"), coalesce(col("nlabel"), col("group_id")))
+            .as("group_id"))
+        .localCheckpoint()
+      changed = updated.join(
+          labels.withColumnRenamed("group_id", "__old"), Seq("id"))
+        .filter(col("group_id") =!= col("__old")).count()
+      labels = updated
+      it += 1
+    }
+    und.unpersist()
+    labels.select(col("id").as("doc_id"), col("group_id"))
+  }
 }

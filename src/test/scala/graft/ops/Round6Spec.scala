@@ -113,6 +113,18 @@ class Round6Spec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("duplicateGroups: chains merge to min-id components") {
+    import spark.implicits._
+    // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {10,11}; isolated
+    // nodes never enter the pair list so never appear in the output
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val groups = Dedup.duplicateGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("scale canary: minhash LSH on 5x documents, 2 shuffle partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
