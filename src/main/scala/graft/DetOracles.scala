@@ -199,7 +199,8 @@ object DetOracles {
   // series, re-centered phase means), final max-period trend, then the
   // strength/resid aggregate. Same engine-avg parity class as the oracled
   // simple-mode ts_strength_features.
-  def mstlSql(periods: Seq[Int], iterations: Int): String = {
+  def mstlSql(periods: Seq[Int], iterations: Int,
+      rowLevel: Boolean = false): String = {
     val ps = periods.distinct.sorted
     def sCol(p: Int) = s"s$p"
     def phCol(p: Int) = s"ph$p"
@@ -240,12 +241,21 @@ object DetOracles {
       |  (CASE WHEN count(value) OVER wf >= $pMax THEN avg(value::DOUBLE - $allSeas) OVER wf END) AS trend
       |  FROM $prev WINDOW wf AS $wfF),
       |r AS (SELECT *, (value::DOUBLE - trend) - $allSeas AS resid FROM f)
-      |SELECT user_id,
-      |  round(greatest(0.0, 1.0 - var_samp(resid) / var_samp(trend + resid)) + 1e-9, 6) AS trend_strength,
-      |  $seasStrengths,
-      |  round(stddev_samp(resid) / avg(value) + 1e-9, 6) AS resid_var
-      |FROM r WHERE trend IS NOT NULL AND resid IS NOT NULL
-      |GROUP BY user_id""".stripMargin)
+      |""".stripMargin)
+    sb.append(
+      if (rowLevel)
+        s"""SELECT user_id, event_id,
+           |  round(trend + 1e-9, 6) AS trend,
+           |  ${ps.map(p => s"round(${sCol(p)} + 1e-9, 6) AS seasonal_$p").mkString(",\n  ")},
+           |  round(resid + 1e-9, 6) AS resid
+           |FROM r""".stripMargin
+      else
+        s"""SELECT user_id,
+           |  round(greatest(0.0, 1.0 - var_samp(resid) / var_samp(trend + resid)) + 1e-9, 6) AS trend_strength,
+           |  $seasStrengths,
+           |  round(stddev_samp(resid) / avg(value) + 1e-9, 6) AS resid_var
+           |FROM r WHERE trend IS NOT NULL AND resid IS NOT NULL
+           |GROUP BY user_id""".stripMargin)
     sb.toString
   }
 

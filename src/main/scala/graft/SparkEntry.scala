@@ -261,6 +261,14 @@ object SparkEntry {
           r6n(col("seasonal_24_strength")).as("seasonal_24_strength"),
           r6n(col("resid_var")).as("resid_var"))),
 
+    "ts_mstl_decomp" -> ((s, dir) =>
+      Decomposition.mstl(IO.events(s, dir), periods = Seq(12, 24), iterations = 2)
+        .select(col("user_id"), col("event_id"),
+          r6n(col("trend")).as("trend"),
+          r6n(col("seasonal_12")).as("seasonal_12"),
+          r6n(col("seasonal_24")).as("seasonal_24"),
+          r6n(col("resid")).as("resid"))),
+
     // ── conformal / diagnostics / validation ────────────────────────────
     "ts_conformal" -> ((s, dir) => {
       val ev = IO.events(s, dir)
@@ -1674,6 +1682,8 @@ object SparkEntry {
     "ts_bayes_anomaly" -> DetOracles.bayesAnomalySql,
     "ts_kshape_classify" -> DetOracles.kshapeClassifySql,
     "ts_mstl_features" -> DetOracles.mstlSql(Seq(12, 24), iterations = 2),
+    "ts_mstl_decomp" -> DetOracles.mstlSql(Seq(12, 24), iterations = 2,
+      rowLevel = true),
     "ts_causal_impact_ll" -> DetOracles.causalImpactLlSql,
     "emb_knn_lsh" -> AnnOracle.lshTopKSql(dim = 64, bits = 6, probes = 8, k = 3),
     "emb_near_dup" -> AnnOracle.nearDupSql(dim = 64, bits = 8, tables = 2,
