@@ -69,6 +69,12 @@ object PlanAudit {
         Pipeline.fitPipeline(ev, lags = Seq(1, 2)), h = 3))
     audit("enbpi predict (expect broadcast coefs + grouped tails)",
       Conformal.enbpiPredict(ev, Conformal.enbpiFit(ev, lags = 2, b = 3), h = 2))
+    audit("mstl 2 periods (expect per-pass window + phase-mean join, no driver loop)",
+      Decomposition.mstl(ev, Seq(12, 24)))
+    audit("dedup groups (expect edge-list joins only, corpus never shuffles)", {
+      val docs = IO.documents(spark, dir).select("doc_id", "text")
+      Dedup.duplicateGroups(Dedup.minhashLsh(docs, threshold = 0.5))
+    })
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(s"\nPLAN AUDIT FAILED — zero whole-stage codegen " +
