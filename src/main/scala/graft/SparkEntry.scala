@@ -1008,6 +1008,20 @@ object SparkEntry {
       Dedup.minhashLsh(docs.unionByName(dups), threshold = 0.5)
     }),
 
+    // ── deterministic curation sampling (stable FNV membership) ─────────
+    "doc_sample_stable" -> ((s, dir) =>
+      Sampling.stableSample(IO.documents(s, dir), "doc_id", rate = 0.25)
+        .select("doc_id", "source")),
+
+    "doc_sample_split" -> ((s, dir) =>
+      Sampling.stableSplit(IO.documents(s, dir), "doc_id")
+        .select("doc_id", "split")),
+
+    "doc_sample_quota" -> ((s, dir) =>
+      Sampling.stratifiedQuota(IO.documents(s, dir), "source", "doc_id",
+        quota = 30)
+        .select("doc_id", "source")),
+
     // canonical duplicate clusters from the same pair list (the pick-one-
     // per-group step after near-dup detection)
     "doc_dedup_groups" -> ((s, dir) => {
@@ -1545,6 +1559,34 @@ object SparkEntry {
        |      ch -> unicode(ch)::HUGEINT)),
        |  (acc, ch) -> (xor(acc, ch) * 1099511628211::HUGEINT)
        |    % 18446744073709551616::HUGEINT) AS hu))""".stripMargin.replace("\n", "")
+
+  // Unsigned FNV-1a 64 as HUGEINT + the (h >>> 11)/2^53 uniform — the
+  // Sampling.stableUniform replay (same construction as the EnbPI
+  // bootstrap weights).
+  private def fnvUSql(expr: String): String =
+    s"""(SELECT list_reduce(
+       |  list_prepend(14695981039346656037::HUGEINT,
+       |    list_transform(list_filter(split($expr, ''), ch -> ch <> ''),
+       |      ch -> unicode(ch)::HUGEINT)),
+       |  (acc, ch) -> (xor(acc, ch) * 1099511628211::HUGEINT)
+       |    % 18446744073709551616::HUGEINT))""".stripMargin.replace("\n", "")
+
+  /** Sampling.stableUniform replay: FNV-1a then the murmur3 fmix64
+    * finalizer in HUGEINT arithmetic. A 64×64 wrap-multiply overflows
+    * signed INT128, so each ·C % 2⁶⁴ splits into 32-bit limbs:
+    * h·C ≡ h·cL + ((h·cH) mod 2³²)·2³² (mod 2⁶⁴) — both partial
+    * products stay under 2⁹⁶. (>>33 = //2³³ on the unsigned value.) */
+  private def uniformSql(idExpr: String): String = {
+    val m = "18446744073709551616::HUGEINT"
+    def wrapMul(h: String, cH: Long, cL: Long) =
+      s"((($h) * $cL::HUGEINT) % $m + ((($h) * $cH::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $m"
+    s"""(SELECT (h5 // 2048)::DOUBLE / 9007199254740992.0 FROM (
+       |  SELECT xor(h4, h4 // 8589934592) AS h5 FROM (
+       |  SELECT ${wrapMul("xor(h2, h2 // 8589934592)", 3301882366L, 444984403L)} AS h4 FROM (
+       |  SELECT ${wrapMul("xor(h0, h0 // 8589934592)", 4283543511L, 3981806797L)} AS h2 FROM (
+       |  SELECT ${fnvUSql(s"'42:' || ($idExpr)")} AS h0)))))"""
+      .stripMargin.replace("\n", "")
+  }
 
   // Holt level/trend fold step (Ets.holt): state [level, trend], input [v, _].
   private val holtL = "0.3 * x[1] + (1.0::DOUBLE - 0.3) * (acc[1] + acc[2])"
@@ -2493,6 +2535,25 @@ object SparkEntry {
     // SAME (a, b) permutation constants as the Spark kernel (generated by
     // the shared Dedup.minhashParams), band join on raw signature slices.
     "doc_minhash_lsh" -> minhashLshOracleSql,
+
+    "doc_sample_stable" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${uniformSql("doc_id::VARCHAR")} < 0.25""".stripMargin,
+
+    // split thresholds use the Scala-computed sums (0.8 + 0.1 is NOT 0.9
+    // in doubles — the oracle inlines the exact boundary the op compares)
+    "doc_sample_split" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN ${uniformSql("doc_id::VARCHAR")} < 0.8 THEN 'train'
+         |    WHEN ${uniformSql("doc_id::VARCHAR")} < ${"%.17e".format(0.8 + 0.1)} THEN 'valid'
+         |    ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
+
+    "doc_sample_quota" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+         |    ORDER BY ${uniformSql("doc_id::VARCHAR")}, doc_id) AS rk
+         |  FROM documents) WHERE rk <= 30""".stripMargin,
 
     // transitive closure of the same pair list → min-id component labels
     // (Dedup.duplicateGroups' unique fixpoint)

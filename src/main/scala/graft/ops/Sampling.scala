@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus-sampling operators for dataset curation — the
+  * stable train/test-split machinery a 100 TB pipeline needs around the
+  * dedup/quality tiers. Both are pure per-row expressions on an
+  * engine-reproducible FNV-1a hash (the EnbPI bootstrap-weight pattern),
+  * so membership is bit-identical across engines and re-runs: adding or
+  * removing OTHER documents never changes a document's assignment, unlike
+  * `df.sample` (partition-layout-dependent) or rand() (nondeterministic).
+  */
+object Sampling {
+
+  /** Uniform-in-[0,1) from FNV-1a("seed:id") put through the murmur3
+    * fmix64 finalizer, top 53 bits. The finalizer matters: raw FNV's high
+    * bits barely avalanche on short keys ("42:7"), skewing the uniform by
+    * >10×; fmix64's xor-shift-multiply chain is wrap-arithmetic the
+    * DuckDB oracle replays exactly with HUGEINT mod-2⁶⁴ math. */
+  private val uniformUdf = udf((s: String) => {
+    var h = TextOps.fnv64(s)
+    h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL
+    h ^= (h >>> 33); h *= 0xc4ceb9fe1a85ec53L
+    h ^= (h >>> 33)
+    (h >>> 11).toDouble / (1L << 53).toDouble
+  })
+
+  def stableUniform(id: Column, seed: Long): Column =
+    uniformUdf(concat_ws(":", lit(seed.toString), id.cast("string")))
+
+  /** Keep each row independently iff u(id) < rate. Stable: a document's
+    * membership depends only on (seed, id). */
+  def stableSample(df: DataFrame, idCol: String, rate: Double,
+      seed: Long = 42L): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, "rate must be in [0, 1]")
+    df.filter(stableUniform(col(idCol), seed) < rate)
+  }
+
+  /** Deterministic train/validation/test split label per id from the same
+    * uniform: `train` below trainFrac, then `valid`, then `test`. */
+  def stableSplit(df: DataFrame, idCol: String, trainFrac: Double = 0.8,
+      validFrac: Double = 0.1, seed: Long = 42L): DataFrame = {
+    require(trainFrac >= 0 && validFrac >= 0 && trainFrac + validFrac <= 1.0,
+      "fractions must be non-negative and sum to <= 1")
+    val u = stableUniform(col(idCol), seed)
+    df.withColumn("split",
+      when(u < trainFrac, "train")
+        .when(u < trainFrac + validFrac, "valid")
+        .otherwise("test"))
+  }
+
+  /** At most `quota` rows per group, chosen by hash order (u, id) — a
+    * deterministic per-stratum cap (e.g. balance languages or sources).
+    * One shuffle on the group key; the rank is a window over (u, id), so
+    * the same rows survive regardless of partitioning. */
+  def stratifiedQuota(df: DataFrame, groupCol: String, idCol: String,
+      quota: Int, seed: Long = 42L): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    val u = stableUniform(col(idCol), seed)
+    df.withColumn("__u", u)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__u"), col(idCol))))
+      .filter(col("__rk") <= quota)
+      .drop("__u", "__rk")
+  }
+}

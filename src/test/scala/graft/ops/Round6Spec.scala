@@ -113,6 +113,34 @@ class Round6Spec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("stable sampling: membership independent of corpus composition") {
+    import spark.implicits._
+    val full = (0L until 1000L).toDF("doc_id")
+    val half = (0L until 500L).toDF("doc_id")
+    val sFull = Sampling.stableSample(full, "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val sHalf = Sampling.stableSample(half, "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    // removing docs 500-999 must not change 0-499's membership
+    assert(sHalf == sFull.filter(_ < 500L))
+    assert(sFull.size > 200 && sFull.size < 400, s"rate off: ${sFull.size}/1000")
+
+    val split = Sampling.stableSplit(full, "doc_id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(split.values.sum == 1000)
+    assert(split("train") > 700 && split("train") < 900)
+
+    val grouped = full.withColumn("g", pmod(col("doc_id"), lit(3)))
+    val quota = Sampling.stratifiedQuota(grouped, "g", "doc_id", quota = 50)
+    val sizes = quota.groupBy("g").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ == 50), sizes.toSeq.toString)
+    // determinism: same rows survive on re-run
+    val again = Sampling.stratifiedQuota(grouped, "g", "doc_id", quota = 50)
+    assert(quota.select("doc_id").as[Long].collect().sorted.toSeq ==
+      again.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("duplicateGroups: chains merge to min-id components") {
     import spark.implicits._
     // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {10,11}; isolated
