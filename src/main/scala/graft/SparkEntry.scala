@@ -1008,6 +1008,14 @@ object SparkEntry {
       Dedup.minhashLsh(docs.unionByName(dups), threshold = 0.5)
     }),
 
+    "doc_repetition" -> ((s, dir) =>
+      TextOps.repetitionMetrics(IO.documents(s, dir))
+        .select(col("doc_id"),
+          r6n(col("dup_line_frac")).as("dup_line_frac"),
+          r6n(col("dup_line_char_frac")).as("dup_line_char_frac"),
+          r6n(col("top2gram_char_frac")).as("top2gram_char_frac"),
+          r6n(col("top3gram_char_frac")).as("top3gram_char_frac"))),
+
     // ── deterministic curation sampling (stable FNV membership) ─────────
     "doc_sample_stable" -> ((s, dir) =>
       Sampling.stableSample(IO.documents(s, dir), "doc_id", rate = 0.25)
@@ -2535,6 +2543,42 @@ object SparkEntry {
     // SAME (a, b) permutation constants as the Spark kernel (generated by
     // the shared Dedup.minhashParams), band join on raw signature slices.
     "doc_minhash_lsh" -> minhashLshOracleSql,
+
+    // Gopher repetition signals: line metrics via list ops, top-ngram via
+    // unnest + group-by max of count·word-chars (gram chars exclude the
+    // n−1 separators, matching the kernel)
+    "doc_repetition" -> {
+      def topN(n: Int) = {
+        val gram = (1 to n).map(j => s"words[(i + ${j - 1})::INT]").mkString(" || ' ' || ")
+        s"""(SELECT doc_id, max(c * chars) AS best FROM (
+           |  SELECT doc_id, gram, count(*) AS c, len(gram) - ${n - 1} AS chars FROM (
+           |    SELECT doc_id, $gram AS gram
+           |    FROM w, unnest(generate_series(1, greatest(len(words) - ${n - 1}, 0))) AS t(i))
+           |  GROUP BY doc_id, gram) GROUP BY doc_id)""".stripMargin
+      }
+      s"""WITH l AS (SELECT doc_id,
+         |  list_filter(list_transform(split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines
+         |  FROM documents),
+         |w AS (SELECT doc_id,
+         |  list_filter(split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+         |    x -> x <> '') AS words FROM documents),
+         |lc AS (SELECT doc_id,
+         |  len(lines) AS nl, len(list_distinct(lines)) AS nd,
+         |  list_sum(list_transform(lines, x -> len(x))) AS ca,
+         |  list_sum(list_transform(list_distinct(lines), x -> len(x))) AS cd
+         |  FROM l),
+         |tc AS (SELECT doc_id, list_sum(list_transform(words, x -> len(x))) AS tot FROM w),
+         |t2 AS ${topN(2)},
+         |t3 AS ${topN(3)}
+         |SELECT lc.doc_id,
+         |  round(CASE WHEN nl > 0 THEN 1.0 - nd::DOUBLE / nl ELSE 0.0 END + 1e-9, 6) AS dup_line_frac,
+         |  round(CASE WHEN ca > 0 THEN 1.0 - cd::DOUBLE / ca ELSE 0.0 END + 1e-9, 6) AS dup_line_char_frac,
+         |  round(CASE WHEN tc.tot > 0 THEN coalesce(t2.best, 0)::DOUBLE / tc.tot ELSE 0.0 END + 1e-9, 6) AS top2gram_char_frac,
+         |  round(CASE WHEN tc.tot > 0 THEN coalesce(t3.best, 0)::DOUBLE / tc.tot ELSE 0.0 END + 1e-9, 6) AS top3gram_char_frac
+         |FROM lc JOIN tc USING (doc_id)
+         |LEFT JOIN t2 ON t2.doc_id = lc.doc_id
+         |LEFT JOIN t3 ON t3.doc_id = lc.doc_id""".stripMargin
+    },
 
     "doc_sample_stable" ->
       s"""SELECT doc_id, source FROM documents

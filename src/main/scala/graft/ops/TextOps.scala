@@ -100,4 +100,59 @@ object TextOps {
     * form) — the deterministic-shuffle key used where the oracle must
     * replay the permutation (xxhash64 would be Spark-only). */
   def fnvHash(c: Column): Column = fnv64Udf(c.cast("string"))
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 repetition
+    * filters): per document,
+    *  - `dup_line_frac` — fraction of non-empty trimmed lines that repeat
+    *    an earlier line (1 − distinct/total);
+    *  - `dup_line_char_frac` — fraction of line characters inside those
+    *    repeats (1 − chars(distinct)/chars(all));
+    *  - `top{n}gram_char_frac` (n = 2, 3) — max over word n-grams of
+    *    count(g)·chars(g) / total word characters (the deterministic
+    *    max-of-products form, so no tie-break is needed).
+    * The n-gram counting is a per-row hashmap UDF (a pure-expr
+    * formulation is O(n²) per doc); everything scans without a shuffle. */
+  def repetitionMetrics(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val lines = filter(transform(split(col(textCol), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val lineChars = (ls: Column) =>
+      aggregate(transform(ls, l => length(l)), lit(0), _ + _)
+    val topNgram = udf((text: String, n: Int) => {
+      if (text == null) 0.0
+      else {
+        val words = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val total = words.map(_.length).sum
+        if (total == 0 || words.length < n) 0.0
+        else {
+          val counts = new java.util.HashMap[String, Int]()
+          var i = 0
+          while (i <= words.length - n) {
+            val g = words.slice(i, i + n).mkString(" ")
+            counts.merge(g, 1, _ + _)
+            i += 1
+          }
+          var best = 0L
+          counts.forEach { (g, c) =>
+            // gram chars = word chars only (separators excluded), so the
+            // fraction is against the same total
+            val chars = g.length.toLong - (n - 1)
+            if (c.toLong * chars > best) best = c.toLong * chars
+          }
+          best.toDouble / total
+        }
+      }
+    })
+    df.withColumn("__lines", lines)
+      .withColumn("dup_line_frac",
+        when(size(col("__lines")) > 0,
+          lit(1.0) - size(array_distinct(col("__lines"))).cast("double") /
+            size(col("__lines")).cast("double")).otherwise(0.0))
+      .withColumn("dup_line_char_frac",
+        when(lineChars(col("__lines")) > 0,
+          lit(1.0) - lineChars(array_distinct(col("__lines"))).cast("double") /
+            lineChars(col("__lines")).cast("double")).otherwise(0.0))
+      .withColumn("top2gram_char_frac", topNgram(col(textCol), lit(2)))
+      .withColumn("top3gram_char_frac", topNgram(col(textCol), lit(3)))
+      .drop("__lines")
+  }
 }
