@@ -1016,6 +1016,44 @@ object SparkEntry {
           r6n(col("top2gram_char_frac")).as("top2gram_char_frac"),
           r6n(col("top3gram_char_frac")).as("top3gram_char_frac"))),
 
+    // benchmark decontamination: bench set = every 20th doc; any training
+    // doc sharing a 5-gram with it is flagged (bench grams broadcast, the
+    // corpus side never shuffles text)
+    "doc_decontaminate" -> ((s, dir) => {
+      val docs = IO.documents(s, dir)
+      Decontam.ngramOverlap(docs, docs.filter(col("doc_id") % 20 === 0), n = 5)
+    }),
+
+    // PII scrub: the corpus is synthetic word-soup, so deterministically
+    // plant PII-shaped strings on every 3rd doc (the oracle plants the
+    // identical strings) and assert detection + redaction parity
+    "doc_pii" -> ((s, dir) =>
+      TextOps.piiMetrics(withSynthPii(IO.documents(s, dir)))
+        .select("doc_id", "n_emails", "n_ipv4", "n_phones", "pii_flag",
+          "redacted_len")),
+
+    // C4 line-structure filters over deterministically multi-lined text
+    // (same augmentation replayed in the oracle)
+    "doc_line_filters" -> ((s, dir) =>
+      TextOps.lineFilters(withSynthLines(IO.documents(s, dir)))
+        .select(col("doc_id"), col("n_lines"),
+          r6n(col("terminal_punct_frac")).as("terminal_punct_frac"),
+          r6n(col("bullet_frac")).as("bullet_frac"),
+          r6n(col("ellipsis_frac")).as("ellipsis_frac"),
+          r6n(col("mean_line_words")).as("mean_line_words"),
+          col("has_brace"), col("has_lorem"), col("clean_len"))),
+
+    // per-source corpus rollup: one shuffle, map-side partial aggregation
+    "doc_corpus_stats" -> ((s, dir) =>
+      IO.documents(s, dir)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("total_tokens"),
+          r6n(avg(length(col("text")))).as("avg_chars"),
+          r6n(expr("percentile(length(text), 0.5)")).as("p50_chars"),
+          max(length(col("text"))).cast("long").as("max_chars"))),
+
     // ── deterministic curation sampling (stable FNV membership) ─────────
     "doc_sample_stable" -> ((s, dir) =>
       Sampling.stableSample(IO.documents(s, dir), "doc_id", rate = 0.25)
@@ -1517,6 +1555,51 @@ object SparkEntry {
 
   private val synthNullSql =
     "CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END"
+
+  /** Deterministic PII-shaped augmentation (every 3rd doc gets an email,
+    * a dotted-quad IP, and an ddd-ddd-dddd phone derived from doc_id);
+    * `synthPiiSql` plants the identical strings in DuckDB. */
+  private def withSynthPii(df: DataFrame): DataFrame =
+    df.withColumn("text",
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 10."),
+          pmod(col("doc_id"), lit(256)).cast("string"), lit(".0."),
+          pmod(col("doc_id"), lit(100)).cast("string"), lit(" call 555-"),
+          lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+          lit("-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(col("text")))
+
+  private val synthPiiSql =
+    """CASE WHEN doc_id % 3 = 0 THEN text
+      | || ' contact user' || doc_id::VARCHAR || '@example.com or 10.'
+      | || (doc_id % 256)::VARCHAR || '.0.' || (doc_id % 100)::VARCHAR
+      | || ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+      | || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+      |ELSE text END""".stripMargin.replace("\n", "")
+
+  /** Deterministic multi-line augmentation so the C4 line filters have
+    * line structure to grade: every 4th doc gains a good sentence, a
+    * bullet, a short line, and an ellipsis line; every 5th a brace line. */
+  private def withSynthLines(df: DataFrame): DataFrame =
+    df.withColumn("text",
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit("\nThis line ends with terminal punctuation.\n- a bullet item\nshort\nit trails off..."))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit("\n{ a brace block }")).otherwise(lit(""))))
+
+  private val synthLineSql =
+    """text
+      | || CASE WHEN doc_id % 4 = 0 THEN chr(10) ||
+      |   'This line ends with terminal punctuation.' || chr(10) ||
+      |   '- a bullet item' || chr(10) || 'short' || chr(10) ||
+      |   'it trails off...' ELSE '' END
+      | || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '{ a brace block }'
+      |   ELSE '' END""".stripMargin.replace("\n", "")
 
   // ── oracle-SQL building blocks ────────────────────────────────────────
   // FNV-1a 64-bit over token chars with HUGEINT wrap-around arithmetic —
@@ -2579,6 +2662,76 @@ object SparkEntry {
          |LEFT JOIN t2 ON t2.doc_id = lc.doc_id
          |LEFT JOIN t3 ON t3.doc_id = lc.doc_id""".stripMargin
     },
+
+    // decontamination: distinct 5-grams per doc, bench = every 20th doc,
+    // count of a doc's grams that appear anywhere in the bench set
+    "doc_decontaminate" -> {
+      val gram5 = (0 until 5).map(j => s"words[(i + $j)::INT]").mkString(" || ' ' || ")
+      s"""WITH w AS (SELECT doc_id,
+         |  list_filter(split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+         |    x -> x <> '') AS words FROM documents),
+         |g AS (SELECT doc_id, $gram5 AS gram
+         |  FROM w, unnest(generate_series(1, greatest(len(words) - 4, 0))) AS t(i)),
+         |tg AS (SELECT DISTINCT doc_id, gram FROM g),
+         |bg AS (SELECT DISTINCT gram FROM tg WHERE doc_id % 20 = 0),
+         |ov AS (SELECT tg.doc_id, count(*) AS c FROM tg JOIN bg USING (gram)
+         |  GROUP BY tg.doc_id)
+         |SELECT d.doc_id, coalesce(ov.c, 0)::BIGINT AS n_overlap,
+         |  coalesce(ov.c, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN ov USING (doc_id)""".stripMargin
+    },
+
+    "doc_pii" ->
+      s"""WITH a AS (SELECT doc_id, $synthPiiSql AS text FROM documents),
+         |r AS (SELECT doc_id,
+         |  len(regexp_extract_all(text, '${TextOps.emailRegex}')) AS n_emails,
+         |  len(regexp_extract_all(text, '${TextOps.ipv4Regex}')) AS n_ipv4,
+         |  len(regexp_extract_all(text, '${TextOps.phoneRegex}')) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${TextOps.emailRegex}', '[EMAIL]', 'g'),
+         |    '${TextOps.ipv4Regex}', '[IP]', 'g'),
+         |    '${TextOps.phoneRegex}', '[PHONE]', 'g') AS red
+         |  FROM a)
+         |SELECT doc_id, n_emails::BIGINT AS n_emails, n_ipv4::BIGINT AS n_ipv4,
+         |  n_phones::BIGINT AS n_phones,
+         |  (n_emails + n_ipv4 + n_phones) > 0 AS pii_flag,
+         |  len(red)::BIGINT AS redacted_len
+         |FROM r""".stripMargin,
+
+    "doc_line_filters" ->
+      s"""WITH a AS (SELECT doc_id, $synthLineSql AS text FROM documents),
+         |l AS (SELECT doc_id, text,
+         |  list_filter(list_transform(split(text, chr(10)), x -> trim(x)),
+         |    x -> x <> '') AS lines FROM a),
+         |m AS (SELECT doc_id, text, lines, len(lines) AS nl,
+         |  list_sum(list_transform(lines,
+         |    x -> len(regexp_extract_all(x, '\\S+')))) AS words_total,
+         |  list_filter(lines, x -> regexp_matches(x, '[.!?]$$')
+         |    AND len(regexp_extract_all(x, '\\S+')) >= 3) AS kept
+         |  FROM l)
+         |SELECT doc_id, nl::BIGINT AS n_lines,
+         |  round(CASE WHEN nl > 0 THEN len(list_filter(lines,
+         |    x -> regexp_matches(x, '[.!?]$$')))::DOUBLE / nl ELSE 0.0 END + 1e-9, 6)
+         |    AS terminal_punct_frac,
+         |  round(CASE WHEN nl > 0 THEN len(list_filter(lines,
+         |    x -> regexp_matches(x, '^[-*•] ')))::DOUBLE / nl ELSE 0.0 END + 1e-9, 6)
+         |    AS bullet_frac,
+         |  round(CASE WHEN nl > 0 THEN len(list_filter(lines,
+         |    x -> x LIKE '%...'))::DOUBLE / nl ELSE 0.0 END + 1e-9, 6) AS ellipsis_frac,
+         |  round(CASE WHEN nl > 0 THEN words_total::DOUBLE / nl ELSE 0.0 END + 1e-9, 6)
+         |    AS mean_line_words,
+         |  text LIKE '%{%' AS has_brace,
+         |  lower(text) LIKE '%lorem ipsum%' AS has_lorem,
+         |  coalesce(len(array_to_string(kept, chr(10))), 0)::BIGINT AS clean_len
+         |FROM m""".stripMargin,
+
+    "doc_corpus_stats" ->
+      s"""SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(len(regexp_extract_all(trim(text), '\\S+')))::BIGINT AS total_tokens,
+         |  round(avg(len(text)) + 1e-9, 6) AS avg_chars,
+         |  round(quantile_cont(len(text), 0.5) + 1e-9, 6) AS p50_chars,
+         |  max(len(text))::BIGINT AS max_chars
+         |FROM documents GROUP BY source""".stripMargin,
 
     "doc_sample_stable" ->
       s"""SELECT doc_id, source FROM documents

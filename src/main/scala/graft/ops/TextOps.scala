@@ -101,6 +101,75 @@ object TextOps {
     * replay the permutation (xxhash64 would be Spark-only). */
   def fnvHash(c: Column): Column = fnv64Udf(c.cast("string"))
 
+  /** PII patterns: a deliberately conservative regex family restricted to
+    * syntax valid in BOTH Java regex (Spark) and RE2 (the DuckDB oracle) —
+    * `\b`, bounded repeats, plain character classes. Emails, dotted-quad
+    * IPv4, and NANP-style `ddd-ddd-dddd` phones; the reference scope for a
+    * pre-training scrub pass (ref: polars_ts text curation surface). */
+  val emailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Regex = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRegex = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** PII detection + redaction: per-document match counts for each pattern
+    * class, an any-PII flag, and the text with matches replaced by
+    * `[EMAIL]`/`[IP]`/`[PHONE]` tokens (emails first so the later passes
+    * never see an address's dotted domain). Pure regexp expressions —
+    * scans at parquet speed, no shuffle, no UDF. */
+  def piiMetrics(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, emailRegex, "[EMAIL]"),
+          ipv4Regex, "[IP]"),
+        phoneRegex, "[PHONE]")
+    df.withColumn("n_emails", size(regexp_extract_all(t, lit(emailRegex), lit(0))).cast("long"))
+      .withColumn("n_ipv4", size(regexp_extract_all(t, lit(ipv4Regex), lit(0))).cast("long"))
+      .withColumn("n_phones", size(regexp_extract_all(t, lit(phoneRegex), lit(0))).cast("long"))
+      .withColumn("pii_flag",
+        col("n_emails") + col("n_ipv4") + col("n_phones") > 0)
+      .withColumn("redacted_text", redacted)
+      .withColumn("redacted_len", length(redacted).cast("long"))
+  }
+
+  /** C4-style line-level structure filters (Raffel et al. 2020 §2.2): per
+    * document, the non-empty-line count, the fraction of lines ending in a
+    * terminal punctuation mark, bullet-start and ellipsis-end fractions
+    * (Gopher's doc-level gates), mean words per line, curly-brace and
+    * "lorem ipsum" content flags, and `clean_text` — the document rebuilt
+    * keeping only lines with ≥ `minLineWords` words that end in terminal
+    * punctuation (the C4 line-drop rule). All pure list expressions. */
+  def lineFilters(df: DataFrame, textCol: String = "text",
+      minLineWords: Int = 3): DataFrame = {
+    val lines = filter(transform(split(col(textCol), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val nl = size(col("__lf_lines"))
+    val frac = (c: Column) =>
+      when(nl > 0, c.cast("double") / nl.cast("double")).otherwise(0.0)
+    val lineWords = (l: Column) => size(split(l, "\\s+"))
+    val kept = filter(col("__lf_lines"),
+      l => lineWords(l) >= minLineWords && l.rlike("[.!?]$"))
+    df.withColumn("__lf_lines", lines)
+      .withColumn("n_lines", nl.cast("long"))
+      .withColumn("terminal_punct_frac",
+        frac(size(filter(col("__lf_lines"), l => l.rlike("[.!?]$")))))
+      .withColumn("bullet_frac",
+        frac(size(filter(col("__lf_lines"),
+          l => l.rlike("^[-*•] ")))))
+      .withColumn("ellipsis_frac",
+        frac(size(filter(col("__lf_lines"), l => l.endsWith("...")))))
+      .withColumn("mean_line_words",
+        when(nl > 0,
+          aggregate(transform(col("__lf_lines"), l => lineWords(l)),
+            lit(0), _ + _).cast("double") / nl.cast("double"))
+          .otherwise(0.0))
+      .withColumn("has_brace", col(textCol).contains("{"))
+      .withColumn("has_lorem", lower(col(textCol)).contains("lorem ipsum"))
+      .withColumn("clean_text", concat_ws("\n", kept))
+      .withColumn("clean_len", length(col("clean_text")).cast("long"))
+      .drop("__lf_lines")
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 repetition
     * filters): per document,
     *  - `dup_line_frac` — fraction of non-empty trimmed lines that repeat

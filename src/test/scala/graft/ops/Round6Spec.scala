@@ -172,4 +172,68 @@ class Round6Spec extends AnyFunSuite {
         s"expected >= ${n * 10} intra-clique pairs, got $got")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  test("repetitionMetrics: dup-line and top n-gram fractions on a fixture") {
+    import spark.implicits._
+    // 4 non-empty lines, "dup line" appears twice → dup_line_frac = 1/4;
+    // line chars: 7+7+5+4 = 23, distinct 7+5+4 = 16 → char frac = 7/23
+    val text = "dup line\ndup line\nalpha\n\nbeta"
+      .replace("dup line", "dupline") // keep words distinct from grams below
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val r = TextOps.repetitionMetrics(df).head()
+    assert(math.abs(r.getAs[Double]("dup_line_frac") - 0.25) < 1e-9)
+    assert(math.abs(r.getAs[Double]("dup_line_char_frac") - 7.0 / 23.0) < 1e-9)
+    // words: dupline dupline alpha beta → best 2-gram "dupline dupline":
+    // count 1 · chars 14 / total chars 23
+    val g2 = TextOps.repetitionMetrics(Seq((1L, "a b a b a c"))
+      .toDF("doc_id", "text")).head().getAs[Double]("top2gram_char_frac")
+    // grams: "a b"×2, "b a"×2, "a c"×1 → best = 2·2 over 6 word chars
+    assert(math.abs(g2 - 4.0 / 6.0) < 1e-9)
+  }
+
+  test("piiMetrics detects and redacts emails, IPv4s, phones") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.user@ex-site.org then 192.168.0.1 and 555-123-4567 end"),
+      (2L, "nothing here")).toDF("doc_id", "text")
+    val out = TextOps.piiMetrics(df).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_emails") == 1)
+    assert(out(0).getAs[Long]("n_ipv4") == 1)
+    assert(out(0).getAs[Long]("n_phones") == 1)
+    assert(out(0).getAs[Boolean]("pii_flag"))
+    assert(out(0).getAs[String]("redacted_text") ==
+      "mail [EMAIL] then [IP] and [PHONE] end")
+    assert(!out(1).getAs[Boolean]("pii_flag"))
+    assert(out(1).getAs[String]("redacted_text") == "nothing here")
+  }
+
+  test("lineFilters: C4 line stats and clean_text rebuild") {
+    import spark.implicits._
+    val text = "A good long sentence here.\n- bullet\nshort\nit trails off...\n{x}\n"
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val r = TextOps.lineFilters(df).head()
+    assert(r.getAs[Long]("n_lines") == 5)
+    // terminal: sentence + ellipsis line → 2/5
+    assert(math.abs(r.getAs[Double]("terminal_punct_frac") - 0.4) < 1e-9)
+    assert(math.abs(r.getAs[Double]("bullet_frac") - 0.2) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ellipsis_frac") - 0.2) < 1e-9)
+    assert(r.getAs[Boolean]("has_brace"))
+    // kept: >=3 words AND terminal punctuation
+    assert(r.getAs[String]("clean_text") ==
+      "A good long sentence here.\nit trails off...")
+  }
+
+  test("ngramOverlap counts distinct shared n-grams against a bench set") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),   // shares both 3-grams of bench doc
+      (2L, "the quick brown dog sits"),    // shares "the quick brown" only
+      (3L, "completely different words here")).toDF("doc_id", "text")
+    val bench = Seq((9L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val out = Decontam.ngramOverlap(train, bench, n = 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("n_overlap")).toSeq == Seq(3L, 1L, 0L))
+    assert(out.map(_.getAs[Boolean]("contaminated")).toSeq ==
+      Seq(true, true, false))
+  }
 }
