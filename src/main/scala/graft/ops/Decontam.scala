@@ -29,21 +29,24 @@ object Decontam {
 
   /** Per-training-doc count of distinct n-grams that also occur anywhere
     * in `bench`, plus a contaminated flag. Output: (idCol, n_overlap,
-    * contaminated), one row per training doc (zero-overlap docs kept). */
+    * contaminated), one row per training doc (zero-overlap docs kept:
+    * `explode_outer` emits a null-gram row per gramless/overlap-free doc,
+    * so one groupBy covers the whole corpus and there is no back-join —
+    * the corpus is scanned once and shuffles only map-side-combined
+    * (doc_id, count) rows). */
   def ngramOverlap(train: DataFrame, bench: DataFrame, n: Int = 8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val trainGrams = train
-      .select(col(idCol), explode(array_distinct(wordGrams(col(textCol), n))).as("gram"))
+      .select(col(idCol),
+        explode_outer(array_distinct(wordGrams(col(textCol), n))).as("gram"))
     val benchGrams = bench
       .select(explode(array_distinct(wordGrams(col(textCol), n))).as("gram"))
       .distinct()
-    val overlaps = trainGrams
-      .join(broadcast(benchGrams), "gram")
+      .withColumn("__hit", lit(1))
+    trainGrams
+      .join(broadcast(benchGrams), Seq("gram"), "left")
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_overlap"))
-    train.select(col(idCol))
-      .join(overlaps, Seq(idCol), "left")
-      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .agg(count(col("__hit")).as("n_overlap"))
       .withColumn("contaminated", col("n_overlap") > 0)
   }
 }

@@ -75,6 +75,13 @@ object PlanAudit {
       val docs = IO.documents(spark, dir).select("doc_id", "text")
       Dedup.duplicateGroups(Dedup.minhashLsh(docs, threshold = 0.5))
     })
+    audit("decontaminate (expect BENCH side broadcast, corpus never shuffles text)", {
+      val docs = IO.documents(spark, dir)
+      Decontam.ngramOverlap(docs, docs.filter(col("doc_id") % 20 === 0), n = 5)
+    })
+    audit("pii scrub (expect scan-only: 0 exchanges, pure regexp project)",
+      TextOps.piiMetrics(IO.documents(spark, dir))
+        .select("doc_id", "n_emails", "pii_flag"))
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(s"\nPLAN AUDIT FAILED — zero whole-stage codegen " +
