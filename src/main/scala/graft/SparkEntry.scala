@@ -1054,6 +1054,32 @@ object SparkEntry {
           r6n(expr("percentile(length(text), 0.5)")).as("p50_chars"),
           max(length(col("text"))).cast("long").as("max_chars"))),
 
+    // flagship curation composition: PII → quality → language → repetition
+    // metrics fused in ONE scan pass (pure column exprs stack on the same
+    // projection), decontamination joined once on doc_id, then a
+    // first-failing-gate verdict and the stable train/valid/test split.
+    // This is the whole training-data curation funnel as a single plan.
+    "doc_curation_pipeline" -> ((s, dir) => {
+      val docs = withSynthPii(IO.documents(s, dir))
+      val metrics = TextOps.repetitionMetrics(
+        TextOps.piiMetrics(
+          TextOps.languageId(
+            TextOps.qualityMetrics(docs.drop("n_chars")))))
+      val cont = Decontam
+        .ngramOverlap(docs, docs.filter(col("doc_id") % 20 === 0), n = 5)
+        .select("doc_id", "contaminated")
+      val joined = Sampling.stableSplit(metrics.join(cont, "doc_id"), "doc_id")
+      val reason = when(col("contaminated"), "contaminated")
+        .when(col("pii_flag"), "pii")
+        .when(col("quality_score") < 0.5, "low_quality")
+        .when(col("lang_pred") =!= "en", "non_english")
+        .when(col("dup_line_frac") > 0.3 ||
+          col("top2gram_char_frac") > 0.08, "repetitive")
+        .otherwise("keep")
+      joined.select(col("doc_id"), reason.as("reason"),
+        (reason === "keep").as("keep"), col("split"))
+    }),
+
     // ── deterministic curation sampling (stable FNV membership) ─────────
     "doc_sample_stable" -> ((s, dir) =>
       Sampling.stableSample(IO.documents(s, dir), "doc_id", rate = 0.25)
@@ -2732,6 +2758,91 @@ object SparkEntry {
          |  round(quantile_cont(len(text), 0.5) + 1e-9, 6) AS p50_chars,
          |  max(len(text))::BIGINT AS max_chars
          |FROM documents GROUP BY source""".stripMargin,
+
+    // full curation funnel: every gate replayed on the planted corpus,
+    // first-failing-gate CASE in the same order as the Spark when-chain
+    "doc_curation_pipeline" -> {
+      val gram5 = (0 until 5).map(j => s"words[(i + $j)::INT]").mkString(" || ' ' || ")
+      s"""WITH a AS (SELECT doc_id, $synthPiiSql AS text FROM documents),
+         |q AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
+         |  length(text) AS n,
+         |  length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct,
+         |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+         |  length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS uppers
+         |  FROM a),
+         |qs AS (SELECT doc_id, greatest(0.0, least(1.0, 1.0
+         |  - CASE WHEN toks < 5 THEN 0.5 ELSE 0.0 END
+         |  - CASE WHEN n > 0 AND punct::DOUBLE / n > 0.3 THEN 0.3 ELSE 0.0 END
+         |  - CASE WHEN n > 0 AND digits::DOUBLE / n > 0.3 THEN 0.2 ELSE 0.0 END
+         |  - CASE WHEN n > 0 AND uppers::DOUBLE / n > 0.3 THEN 0.2 ELSE 0.0 END))
+         |  AS quality_score FROM q),
+         |lw AS (SELECT doc_id,
+         |  unnest(string_split_regex(lower(text), '[^\\p{L}]+')) AS wd FROM a),
+         |lh AS (SELECT doc_id,
+         |  count(*) FILTER (WHERE wd IN ('the','and','of','to','is','that','with'))::INT AS en,
+         |  count(*) FILTER (WHERE wd IN ('der','die','und','das','nicht','ist','ein'))::INT AS de,
+         |  count(*) FILTER (WHERE wd IN ('le','la','les','et','est','une','que'))::INT AS fr,
+         |  count(*) FILTER (WHERE wd IN ('el','los','las','es','una','que','para'))::INT AS es
+         |  FROM lw GROUP BY doc_id),
+         |lb AS (SELECT doc_id, list_sort([
+         |    struct_pack(h := de, l := 'de'), struct_pack(h := en, l := 'en'),
+         |    struct_pack(h := es, l := 'es'), struct_pack(h := fr, l := 'fr')])[4] AS m
+         |  FROM lh),
+         |lang AS (SELECT a.doc_id,
+         |  CASE WHEN m.h > 0 THEN m.l ELSE 'und' END AS lang_pred
+         |  FROM a LEFT JOIN lb ON lb.doc_id = a.doc_id),
+         |pii AS (SELECT doc_id,
+         |  len(regexp_extract_all(text, '${TextOps.emailRegex}'))
+         |  + len(regexp_extract_all(text, '${TextOps.ipv4Regex}'))
+         |  + len(regexp_extract_all(text, '${TextOps.phoneRegex}')) > 0 AS pii_flag
+         |  FROM a),
+         |rl AS (SELECT doc_id,
+         |  list_filter(list_transform(split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines
+         |  FROM a),
+         |rlc AS (SELECT doc_id, len(lines) AS nl, len(list_distinct(lines)) AS nd FROM rl),
+         |w AS (SELECT doc_id,
+         |  list_filter(split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+         |    x -> x <> '') AS words FROM a),
+         |tc AS (SELECT doc_id, list_sum(list_transform(words, x -> len(x))) AS tot FROM w),
+         |t2 AS (SELECT doc_id, max(c * chars) AS best FROM (
+         |  SELECT doc_id, gram, count(*) AS c, len(gram) - 1 AS chars FROM (
+         |    SELECT doc_id, words[i::INT] || ' ' || words[(i + 1)::INT] AS gram
+         |    FROM w, unnest(generate_series(1, greatest(len(words) - 1, 0))) AS t(i))
+         |  GROUP BY doc_id, gram) GROUP BY doc_id),
+         |rep AS (SELECT rlc.doc_id,
+         |  CASE WHEN nl > 0 THEN 1.0 - nd::DOUBLE / nl ELSE 0.0 END AS dup_line_frac,
+         |  CASE WHEN tc.tot > 0 THEN coalesce(t2.best, 0)::DOUBLE / tc.tot ELSE 0.0 END
+         |    AS top2gram_char_frac
+         |  FROM rlc JOIN tc ON tc.doc_id = rlc.doc_id
+         |  LEFT JOIN t2 ON t2.doc_id = rlc.doc_id),
+         |g AS (SELECT doc_id, $gram5 AS gram
+         |  FROM w, unnest(generate_series(1, greatest(len(words) - 4, 0))) AS t(i)),
+         |tg AS (SELECT DISTINCT doc_id, gram FROM g),
+         |bg AS (SELECT DISTINCT gram FROM tg WHERE doc_id % 20 = 0),
+         |ov AS (SELECT tg.doc_id, count(*) AS c FROM tg JOIN bg USING (gram)
+         |  GROUP BY tg.doc_id),
+         |verdict AS (SELECT a.doc_id,
+         |  CASE WHEN coalesce(ov.c, 0) > 0 THEN 'contaminated'
+         |    WHEN pii.pii_flag THEN 'pii'
+         |    WHEN qs.quality_score < 0.5 THEN 'low_quality'
+         |    WHEN lang.lang_pred <> 'en' THEN 'non_english'
+         |    WHEN rep.dup_line_frac > 0.3 OR rep.top2gram_char_frac > 0.08
+         |      THEN 'repetitive'
+         |    ELSE 'keep' END AS reason
+         |  FROM a
+         |  LEFT JOIN ov ON ov.doc_id = a.doc_id
+         |  JOIN pii ON pii.doc_id = a.doc_id
+         |  JOIN qs ON qs.doc_id = a.doc_id
+         |  JOIN lang ON lang.doc_id = a.doc_id
+         |  JOIN rep ON rep.doc_id = a.doc_id)
+         |SELECT doc_id, reason, reason = 'keep' AS keep,
+         |  CASE WHEN ${uniformSql("doc_id::VARCHAR")} < 0.8 THEN 'train'
+         |    WHEN ${uniformSql("doc_id::VARCHAR")} < ${"%.17e".format(0.8 + 0.1)} THEN 'valid'
+         |    ELSE 'test' END AS split
+         |FROM verdict""".stripMargin
+    },
 
     "doc_sample_stable" ->
       s"""SELECT doc_id, source FROM documents
