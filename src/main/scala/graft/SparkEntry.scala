@@ -1054,6 +1054,14 @@ object SparkEntry {
           r6n(expr("percentile(length(text), 0.5)")).as("p50_chars"),
           max(length(col("text"))).cast("long").as("max_chars"))),
 
+    // canonical purge mapping over a corpus with exact copies (batch twin
+    // of StreamingOps.streamingDedup: first-seen ≡ min-id)
+    "doc_dedup_canonical" -> ((s, dir) => {
+      val docs = IO.documents(s, dir).select("doc_id", "text")
+      val dups = docs.withColumn("doc_id", col("doc_id") + 100000)
+      Dedup.canonical(docs.unionByName(dups))
+    }),
+
     // flagship curation composition: PII → quality → language → repetition
     // metrics fused in ONE scan pass (pure column exprs stack on the same
     // projection), decontamination joined once on doc_id, then a
@@ -2758,6 +2766,15 @@ object SparkEntry {
          |  round(quantile_cont(len(text), 0.5) + 1e-9, 6) AS p50_chars,
          |  max(len(text))::BIGINT AS max_chars
          |FROM documents GROUP BY source""".stripMargin,
+
+    "doc_dedup_canonical" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
+        |norm AS (SELECT doc_id,
+        |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM corpus)
+        |SELECT doc_id, min(doc_id) OVER (PARTITION BY t) AS canonical_id,
+        |  doc_id = min(doc_id) OVER (PARTITION BY t) AS is_canonical
+        |FROM norm""".stripMargin,
 
     // full curation funnel: every gate replayed on the planted corpus,
     // first-failing-gate CASE in the same order as the Spark when-chain

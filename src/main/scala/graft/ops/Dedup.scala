@@ -26,6 +26,20 @@ object Dedup {
       .drop("__fp", "__keep")
   }
 
+  /** Canonical mapping per exact-duplicate group — the purge step after
+    * detection: every doc maps to the smallest id sharing its fingerprint
+    * (`is_canonical` marks survivors; anti-join the rest away). Projects
+    * to (id, 64-bit fingerprint) BEFORE the window, so the one shuffle
+    * moves 16-byte rows, never document bodies. */
+  def canonical(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__fp")
+    df.select(col(idCol), TextOps.fingerprint(col(textCol)).as("__fp"))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("is_canonical", col(idCol) === col("canonical_id"))
+      .drop("__fp")
+  }
+
   /** Character shingles (n-gram set) of normalized text. */
   def shingles(text: Column, n: Int = 5): Column = {
     val norm = regexp_replace(lower(trim(text)), "\\s+", " ")

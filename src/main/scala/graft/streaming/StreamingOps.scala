@@ -256,4 +256,21 @@ object StreamingOps {
       }.iterator
     }.toDF()
   }
+
+  case class Doc(docId: Long, ts: Timestamp, text: String)
+
+  /** Streaming exact dedup for a document firehose: fingerprint each doc
+    * (same FNV-64 normalization as the batch `Dedup.exact`) and emit only
+    * first-seen fingerprints via `dropDuplicatesWithinWatermark` — the
+    * dedup state is expired past the watermark horizon, so state size is
+    * bounded by the stream rate × delay instead of growing with corpus
+    * size (a plain `dropDuplicates` would OOM a 100 TB/day feed).
+    * Batch twin for the correctness gate: [[graft.ops.Dedup.canonical]]
+    * (`doc_dedup_canonical` — first-seen ≡ min-id under a total order). */
+  def streamingDedup(input: Dataset[Doc],
+      watermarkDelay: String = "1 hour"): DataFrame =
+    input.toDF()
+      .withColumn("fingerprint", graft.ops.TextOps.fingerprint(col("text")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fingerprint")
 }

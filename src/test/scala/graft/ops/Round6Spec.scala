@@ -223,6 +223,34 @@ class Round6Spec extends AnyFunSuite {
       "A good long sentence here.\nit trails off...")
   }
 
+  test("canonical maps every duplicate to the min id of its group") {
+    import spark.implicits._
+    val df = Seq(
+      (10L, "same text"), (3L, "Same   TEXT"), (7L, "other")).toDF("doc_id", "text")
+    val out = Dedup.canonical(df).orderBy("doc_id").collect()
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("canonical_id"),
+      r.getAs[Boolean]("is_canonical"))).toSeq ==
+      Seq((3L, 3L, true), (7L, 7L, true), (10L, 3L, false)))
+  }
+
+  test("canary: decontamination at 5x docs with forced-low partitions") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      val docs = graft.core.IO.documents(spark, "/root/testdata/sf0.001")
+        .select("doc_id", "text")
+      val x5 = docs.crossJoin(
+          spark.range(5).select(col("id").as("__salt")))
+        .select((col("doc_id") * 5 + col("__salt")).as("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      val out = Decontam.ngramOverlap(x5, bench, n = 5)
+      // every salted copy of a bench doc must be flagged (identical text)
+      val benchIds = bench.count() * 5
+      assert(out.filter(col("contaminated")).count() >= benchIds)
+      assert(out.count() == docs.count() * 5)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("ngramOverlap counts distinct shared n-grams against a bench set") {
     import spark.implicits._
     val train = Seq(

@@ -164,4 +164,32 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally query.stop()
   }
+
+  test("streaming dedup emits each fingerprint once across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[StreamingOps.Doc]
+    val out = StreamingOps.streamingDedup(source.toDS(), "10 minutes")
+    val query = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    // timestamps must sit above epoch 0: the initial watermark is 0, and
+    // rows with event-time at/behind the watermark are dropped as late
+    def doc(id: Long, sec: Int, text: String) =
+      StreamingOps.Doc(id, new java.sql.Timestamp((86400 + sec) * 1000L), text)
+    try {
+      source.addData(doc(1, 0, "alpha beta"), doc(2, 1, "gamma delta"))
+      query.processAllAvailable()
+      // second trigger: two dups of doc 1's fingerprint — one normalized
+      // ("Alpha   beta"), one exact — plus a fresh doc. Which row survives
+      // WITHIN a batch is arbitrary, so dups go in a later trigger where
+      // the carried state makes suppression deterministic.
+      source.addData(doc(3, 2, "Alpha   beta"), doc(4, 3, "alpha beta"),
+        doc(5, 4, "epsilon"))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_out").select("docId")
+        .as[Long].collect().sorted.toSeq
+      // docs 3 and 4 hit doc 1's state from trigger 1, so only 1, 2, 5
+      assert(ids == Seq(1L, 2L, 5L), s"got $ids")
+    } finally query.stop()
+  }
 }
