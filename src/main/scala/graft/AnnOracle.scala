@@ -108,6 +108,36 @@ object AnnOracle {
        |FROM ranked WHERE rank <= $k""".stripMargin
   }
 
+  /** emb_semdedup replay with pinned quantizer centroids: corpus ∪
+    * injected exact duplicates (vec_id < 10 → +100000), cell = argmin
+    * list_distance with first-index tie-break (the kernel's strict-<
+    * scan), within-cell smaller-id join, cosine ≥ threshold → dup mark
+    * with the max prior cosine. */
+  def semDedupSql(centers: Array[Array[Double]], threshold: Double): String = {
+    val nc = centers.length
+    val dists = centers.zipWithIndex.map { case (c, i) =>
+      s"list_distance(v, ${planeList(c)}) AS d$i"
+    }.mkString(",\n  ")
+    val m = s"least(${(0 until nc).map(i => s"d$i").mkString(", ")})"
+    val argmin =
+      s"(CASE ${(0 until nc).map(i => s"WHEN d$i = __m THEN $i").mkString(" ")} END)"
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 10),
+       |cd AS (SELECT vec_id, v, $dists FROM base),
+       |cb AS (SELECT vec_id, v, $argmin AS cell
+       |  FROM (SELECT *, $m AS __m FROM cd)),
+       |marks AS (SELECT b.vec_id,
+       |    max(list_cosine_similarity(a.v, b.v)) AS mx
+       |  FROM cb a JOIN cb b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(a.v, b.v) >= $threshold
+       |  GROUP BY b.vec_id)
+       |SELECT c.vec_id, c.cell, m.mx IS NOT NULL AS is_dup,
+       |  round(m.mx + 1e-9, 6) AS max_prior_cosine
+       |FROM cb c LEFT JOIN marks m USING (vec_id)""".stripMargin
+  }
+
   /** emb_near_dup replay: corpus ∪ injected duplicates (vec_id < 10 →
     * +100000), one band self-join per hyperplane table, candidate union,
     * exact cosine ≥ threshold. */

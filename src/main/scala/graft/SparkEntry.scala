@@ -1441,6 +1441,18 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), r6n(col("cosine")).as("cosine"))
     }),
 
+    // SemDeDup over the corpus + injected exact copies: quantizer trained
+    // on the BASE corpus (same fit as emb_knn_ivf → shared centroid pin)
+    "emb_semdedup" -> ((s, dir) => {
+      val emb = IO.embeddings(s, dir).select("vec_id", "embedding")
+      val dups = emb.filter(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 100000)
+      Similarity.semDedup(emb.unionByName(dups),
+          Similarity.ivfCentroids(emb), threshold = 0.95)
+        .select(col("vec_id"), col("cell"), col("is_dup"),
+          r6n(col("max_prior_cosine")).as("max_prior_cosine"))
+    }),
+
     // recall audit for the near-dup LSH path: exact all-pairs ground
     // truth at the same threshold vs the bucketed candidates (the
     // emb_knn_recall pattern extended to pairs)
@@ -1864,6 +1876,8 @@ object SparkEntry {
       "ts_bvar_minnesota_fc" -> ForecastOracle.bvarMinnesotaSql(v)) ++
     OraclePins.ivfCenters.map(c =>
       "emb_knn_ivf" -> AnnOracle.ivfTopKSql(c, nprobe = 4, k = 3)) ++
+    OraclePins.ivfCenters.map(c =>
+      "emb_semdedup" -> AnnOracle.semDedupSql(c, threshold = 0.95)) ++
     OraclePins.quantile.map(p =>
       "ts_quantile_fc" -> ForecastOracle.quantileFcSql(p)) ++
     OraclePins.autoArima.map(p =>

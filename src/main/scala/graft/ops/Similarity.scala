@@ -148,6 +148,61 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup over
+    * an embedding column — cluster the corpus with the IVF coarse
+    * quantizer, then mark a vector as a duplicate iff an EARLIER
+    * (smaller-id) member of its cluster sits at/above the cosine
+    * threshold. Greedy first-survivor semantics: deterministic and
+    * consistent with [[graft.ops.Dedup.canonical]]'s min-id convention
+    * (the paper keeps the member least similar to the centroid; the
+    * survivor choice is orthogonal to the dedup set size).
+    *
+    * Scale design: the quantizer trains on a bounded driver sample
+    * (`ivfCentroids`), the assignment is a narrow broadcast map, and the
+    * only wide ops are one shuffle of (cell, id, vec) and the
+    * within-cell self-join — never an all-pairs join. The paper's k
+    * grows with corpus size (k ∝ √n holds expected cell size at √n), so
+    * the pairwise term stays n·(n/k); at 100 TB you raise `nCells`, not
+    * the join width. Pass `centers` to pin the quantizer (the oracle
+    * replays those exact doubles); the overload without it trains on
+    * `df` itself.
+    */
+  def semDedup(df: DataFrame, centers: Array[Array[Double]],
+      threshold: Double = 0.95, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(centers)
+    val nearestCell = udf((v: Seq[Double]) => {
+      val cs = bc.value
+      var best = 0; var bd = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var dd = 0.0; var j = 0
+        val cv = cs(c)
+        while (j < cv.length && j < v.length) { val t = v(j) - cv(j); dd += t * t; j += 1 }
+        if (dd < bd) { bd = dd; best = c }
+        c += 1
+      }
+      best
+    })
+    val v = df.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("cell", nearestCell(col("__v")))
+    val marks = v.as("a").join(v.as("b"),
+        col("a.cell") === col("b.cell") && col("a.__id") < col("b.__id"))
+      .withColumn("__cos", cosine(col("a.__v"), col("b.__v")))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col("b.__id").as("__id"))
+      .agg(max(col("__cos")).as("max_prior_cosine"))
+    v.join(marks, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("cell"),
+        col("max_prior_cosine").isNotNull.as("is_dup"),
+        col("max_prior_cosine"))
+  }
+
+  def semDedup(df: DataFrame, nCells: Int, threshold: Double): DataFrame =
+    semDedup(df, ivfCentroids(df, nCells), threshold)
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate join
     * (id_a < id_b within a hyperplane bucket) verified by exact cosine ≥
     * threshold — the vector analogue of MinHash near-dup detection.

@@ -233,6 +233,24 @@ class Round6Spec extends AnyFunSuite {
       Seq((3L, 3L, true), (7L, 7L, true), (10L, 3L, false)))
   }
 
+  test("semDedup marks later cluster members above the cosine threshold") {
+    import spark.implicits._
+    // two orthogonal directions; ids 1,2 near-parallel (cos≈1), id 3
+    // antiparallel to 1 (cos=-1, same cell as nothing), id 4 orthogonal
+    val df = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.0)),
+      (2L, Array(0.999, 0.01, 0.0, 0.0)),
+      (3L, Array(0.0, 1.0, 0.0, 0.0)),
+      (4L, Array(0.0, 0.995, 0.02, 0.0))).toDF("vec_id", "embedding")
+    val centers = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    val out = Similarity.semDedup(df, centers, threshold = 0.9)
+      .orderBy("vec_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getBoolean(2))).toSeq ==
+      Seq((1L, false), (2L, true), (3L, false), (4L, true)))
+    // dup marks carry the max cosine to an earlier member
+    assert(out(1).getDouble(3) > 0.99)
+  }
+
   test("canary: decontamination at 5x docs with forced-low partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
