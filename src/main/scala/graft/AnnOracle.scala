@@ -138,6 +138,30 @@ object AnnOracle {
        |FROM cb c LEFT JOIN marks m USING (vec_id)""".stripMargin
   }
 
+  /** emb_pca replay with pinned components: pcⱼ = x·cⱼ − (μ·cⱼ), the
+    * mean offset precomputed driver-side with the same sequential dot the
+    * projection UDF uses. `list_dot_product` accumulates sequentially, so
+    * the only float divergence is the final subtraction — absorbed by the
+    * shared 6-dp nudge. */
+  def pcaProjectSql(m: graft.ops.Embeddings.PcaModel): String = {
+    val cols = m.components.zipWithIndex.map { case (c, j) =>
+      var off = 0.0
+      var i = 0
+      while (i < c.length) { off += m.mean(i) * c(i); i += 1 }
+      s"round(list_dot_product(embedding::DOUBLE[], ${planeList(c)}) - ${dlit(off)} + 1e-9, 6) AS pc${j + 1}"
+    }.mkString(",\n  ")
+    s"SELECT vec_id,\n  $cols\nFROM embeddings"
+  }
+
+  /** emb_pca_var replay: the pinned explained-variance ratios as literals.
+    * Non-vacuous because the QUERY refits PCA on the corpus — the compare
+    * proves the distributed Gram + eigensolve reproduces the Verify-time
+    * fit bit-for-bit (to the 6-dp nudge). */
+  def pcaVarSql(m: graft.ops.Embeddings.PcaModel): String =
+    m.explained.zipWithIndex.map { case (e, j) =>
+      s"SELECT ${j + 1} AS component, round(${dlit(e)} + 1e-9, 6) AS explained_ratio"
+    }.mkString("\nUNION ALL ")
+
   /** emb_near_dup replay: corpus ∪ injected duplicates (vec_id < 10 →
     * +100000), one band self-join per hyperplane table, candidate union,
     * exact cosine ≥ threshold. */

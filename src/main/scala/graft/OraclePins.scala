@@ -39,6 +39,8 @@ object OraclePins {
   @volatile var bvarMinnesota: Option[Array[Double]] = None
   /** IVF coarse-quantizer centroids for emb_knn_ivf. */
   @volatile var ivfCenters: Option[Array[Array[Double]]] = None
+  /** PCA fit (mean, components, explained ratios) for emb_pca{,_var}. */
+  @volatile var pca: Option[graft.ops.Embeddings.PcaModel] = None
   /** Pooled IRLS pinball-ridge coefficients (q → [lag1..lag3, intercept])
     * for ts_quantile_fc, sorted by quantile level. */
   @volatile var quantile: Option[Seq[(Double, Array[Double])]] = None
@@ -117,6 +119,9 @@ object OraclePins {
     // IVF quantizer: same corpus + seed as the emb_knn_ivf query → the
     // sampled Lloyd fit lands on identical centroid doubles
     ivfCenters = Some(graft.ops.Similarity.ivfCentroids(IO.embeddings(spark, sfDir)))
+    // PCA: same corpus + k as the emb_pca queries; the queries refit, so
+    // the compare proves the distributed Gram reproduces this fit
+    pca = Some(graft.ops.Embeddings.pcaFit(IO.embeddings(spark, sfDir), k = 4))
     // Quantile ridge: the same pooled IRLS fit the ts_quantile_fc query
     // performs. The Gram sums are distributed float aggregations, so the
     // two fits can differ in the last ulps — absorbed by the shared

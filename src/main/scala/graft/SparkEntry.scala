@@ -1441,6 +1441,23 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), r6n(col("cosine")).as("cosine"))
     }),
 
+    // PCA over the embedding corpus: one-pass distributed Gram + driver
+    // eigensolve; the projection is a narrow broadcast map (no shuffle)
+    "emb_pca" -> ((s, dir) => {
+      val emb = IO.embeddings(s, dir)
+      val m = Embeddings.pcaFit(emb, k = 4)
+      Embeddings.pcaProject(emb, m).select(col("vec_id") +:
+        (1 to 4).map(j => r6n(col(s"pc$j")).as(s"pc$j")): _*)
+    }),
+
+    "emb_pca_var" -> ((s, dir) => {
+      import s.implicits._
+      val m = Embeddings.pcaFit(IO.embeddings(s, dir), k = 4)
+      m.explained.zipWithIndex
+        .map { case (e, j) => (j + 1, math.round((e + 1e-9) * 1e6) / 1e6) }
+        .toSeq.toDF("component", "explained_ratio")
+    }),
+
     // SemDeDup over the corpus + injected exact copies: quantizer trained
     // on the BASE corpus (same fit as emb_knn_ivf → shared centroid pin)
     "emb_semdedup" -> ((s, dir) => {
@@ -1878,6 +1895,8 @@ object SparkEntry {
       "emb_knn_ivf" -> AnnOracle.ivfTopKSql(c, nprobe = 4, k = 3)) ++
     OraclePins.ivfCenters.map(c =>
       "emb_semdedup" -> AnnOracle.semDedupSql(c, threshold = 0.95)) ++
+    OraclePins.pca.map(m => "emb_pca" -> AnnOracle.pcaProjectSql(m)) ++
+    OraclePins.pca.map(m => "emb_pca_var" -> AnnOracle.pcaVarSql(m)) ++
     OraclePins.quantile.map(p =>
       "ts_quantile_fc" -> ForecastOracle.quantileFcSql(p)) ++
     OraclePins.autoArima.map(p =>

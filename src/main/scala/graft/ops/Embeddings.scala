@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Linear embedding analytics: PCA fit/projection over an embedding
+  * column (`Array[Float]`/`Array[Double]`).
+  *
+  * Scale design (the RowMatrix.computeGramianMatrix shape): ONE pass over
+  * the corpus accumulates the d-dim sum and the upper-triangle of the
+  * d×d Gram per partition in primitive arrays, then tree-reduces —
+  * driver traffic is O(d²) doubles (d=64 → 16 KB), independent of corpus
+  * size. The d×d eigensolve happens once on the driver (breeze eigSym);
+  * the projection is a narrow broadcast map. No shuffle anywhere: at
+  * 100 TB the cost is exactly one corpus scan. A column-product
+  * `agg(sum(x_i*x_j)...)` would need d(d+1)/2 ≈ 2k codegen'd aggregate
+  * expressions — the treeAggregate keeps the hot loop in primitive
+  * arrays instead (the sanctioned per-partition-imperative RDD case).
+  */
+object Embeddings {
+
+  /** Principal components sorted by eigenvalue descending. `components`
+    * are unit eigenvectors of the population covariance with a
+    * deterministic sign (largest-|coordinate| entry positive);
+    * `explained` are variance ratios λᵢ/Σλ. */
+  case class PcaModel(mean: Array[Double], components: Array[Array[Double]],
+      explained: Array[Double])
+
+  def pcaFit(df: DataFrame, k: Int, vecCol: String = "embedding"): PcaModel = {
+    val vecs = df.select(col(vecCol).cast("array<double>"))
+      .rdd.map(_.getSeq[Double](0))
+    // acc = [n, sum_0..sum_{d-1}, upper-triangle gram (row-major)]
+    val d = vecs.first().length
+    val tri = d * (d + 1) / 2
+    val zero = new Array[Double](1 + d + tri)
+    val acc = vecs.treeAggregate(zero)(
+      seqOp = (a, v) => {
+        a(0) += 1.0
+        var i = 0
+        var t = 1 + d
+        while (i < d) {
+          val xi = v(i)
+          a(1 + i) += xi
+          var j = i
+          while (j < d) { a(t) += xi * v(j); t += 1; j += 1 }
+          i += 1
+        }
+        a
+      },
+      combOp = (a, b) => {
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      })
+    val n = acc(0)
+    require(n > 0, "pcaFit: empty input")
+    val mean = Array.tabulate(d)(i => acc(1 + i) / n)
+    // population covariance C = E[xxᵀ] − μμᵀ
+    val cov = breeze.linalg.DenseMatrix.zeros[Double](d, d)
+    var t = 1 + d
+    for (i <- 0 until d; j <- i until d) {
+      val c = acc(t) / n - mean(i) * mean(j)
+      cov(i, j) = c; cov(j, i) = c
+      t += 1
+    }
+    val es = breeze.linalg.eigSym(cov) // eigenvalues ascending
+    val order = (0 until d).sortBy(i => -es.eigenvalues(i)).take(k)
+    val trace = (0 until d).map(es.eigenvalues(_)).sum
+    val comps = order.map { i =>
+      val v = Array.tabulate(d)(r => es.eigenvectors(r, i))
+      // deterministic sign: the largest-|coordinate| entry is positive
+      val m = v.indices.maxBy(r => (math.abs(v(r)), -r))
+      if (v(m) < 0) v.map(-_) else v
+    }.toArray
+    PcaModel(mean, comps,
+      order.map(i => es.eigenvalues(i) / math.max(trace, 1e-300)).toArray)
+  }
+
+  /** Project each vector onto the model's components: columns pc1..pck.
+    * pcⱼ = x·cⱼ − μ·cⱼ with the mean offset precomputed, so the executor
+    * work is k dot products per row — and the oracle can replay the same
+    * formula without re-centering. Narrow map; no shuffle. */
+  def pcaProject(df: DataFrame, model: PcaModel, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(model)
+    val proj = udf((v: Seq[Double]) => {
+      val m = bc.value
+      m.components.map { c =>
+        var dot = 0.0; var off = 0.0
+        var i = 0
+        val n = math.min(c.length, v.length)
+        while (i < n) { dot += v(i) * c(i); off += m.mean(i) * c(i); i += 1 }
+        dot - off
+      }
+    })
+    val k = model.components.length
+    val withP = df.select(col(idCol), proj(col(vecCol).cast("array<double>")).as("__p"))
+    withP.select(col(idCol) +:
+      (0 until k).map(j => col("__p").getItem(j).as(s"pc${j + 1}")): _*)
+  }
+}

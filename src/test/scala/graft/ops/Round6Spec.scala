@@ -251,6 +251,22 @@ class Round6Spec extends AnyFunSuite {
     assert(out(1).getDouble(3) > 0.99)
   }
 
+  test("pcaFit recovers a planted principal direction; projection centers") {
+    import spark.implicits._
+    // rank-1 data along (0.6, 0.8) plus a constant mean shift
+    val ts = Seq(-2.0, -1.0, 0.0, 1.0, 2.0)
+    val df = ts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, Array(1.0 + 0.6 * t, 5.0 + 0.8 * t))
+    }.toDF("vec_id", "embedding")
+    val m = Embeddings.pcaFit(df, k = 2)
+    assert(math.abs(m.components(0)(0) - 0.6) < 1e-9)
+    assert(math.abs(m.components(0)(1) - 0.8) < 1e-9)
+    assert(math.abs(m.explained(0) - 1.0) < 1e-9)
+    val proj = Embeddings.pcaProject(df, m).orderBy("vec_id")
+      .select("pc1").collect().map(_.getDouble(0))
+    ts.indices.foreach(i => assert(math.abs(proj(i) - ts(i)) < 1e-9))
+  }
+
   test("canary: decontamination at 5x docs with forced-low partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
