@@ -200,6 +200,13 @@ object SparkEntry {
       TextOps.languageId(IO.documents(s, dir))
         .select("doc_id", "lang_pred")),
 
+    // CCNet-style LM quality: corpus unigram table (top-500 types) →
+    // per-doc mean token log-prob with an OOV floor
+    "doc_unigram_logprob" -> ((s, dir) =>
+      TextOps.unigramLogProb(IO.documents(s, dir), vocabSize = 500)
+        .select(col("doc_id"), col("n_tokens"),
+          r6n(col("avg_logp")).as("avg_logp"))),
+
     "doc_simhash" -> ((s, dir) =>
       Dedup.simhash(IO.documents(s, dir))
         .select("doc_id", "simhash")),
@@ -2497,6 +2504,22 @@ object SparkEntry {
         |    struct_pack(h := es, l := 'es'), struct_pack(h := fr, l := 'fr')])[4] AS m FROM h)
         |SELECT d.doc_id, CASE WHEN m.h > 0 THEN m.l ELSE 'und' END AS lang_pred
         |FROM documents d LEFT JOIN b USING (doc_id)""".stripMargin,
+
+    "doc_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, wd AS tok FROM (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '[^\p{L}]+')) AS wd
+        |  FROM documents) WHERE wd <> ''),
+        |counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(cnt)::DOUBLE AS total FROM counts),
+        |vocab AS (SELECT tok, ln(cnt / (SELECT total FROM tot)) AS logp
+        |  FROM counts ORDER BY cnt DESC, tok LIMIT 500),
+        |scored AS (SELECT t.doc_id,
+        |    coalesce(v.logp, ln(0.5 / (SELECT total FROM tot))) AS lp
+        |  FROM toks t LEFT JOIN vocab v USING (tok))
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  round(avg(lp) + 1e-9, 6) AS avg_logp
+        |FROM scored GROUP BY doc_id""".stripMargin,
 
     "doc_simhash" ->
       s"""WITH ${simhashOracleCtes("documents")}

@@ -80,6 +80,39 @@ object TextOps {
       when(best.getField("hits") > 0, best.getField("lang")).otherwise("und"))
   }
 
+  /** CCNet-style unigram log-probability quality score (Wenzek et al.
+    * 2020 use a 5-gram KenLM; the unigram LM is the deterministic,
+    * engine-replayable core of the same idea): pass 1 builds the corpus
+    * unigram table and keeps the top-`vocabSize` types; pass 2 scores
+    * each document by its mean token log-probability, out-of-vocabulary
+    * tokens floored at ln(0.5/total). Lower (more negative) scores mark
+    * boilerplate-ish / junk documents.
+    *
+    * Scale: the vocab aggregation is one token shuffle WITH map-side
+    * combine (groupBy count), the kept vocab is driver-bounded
+    * (`vocabSize` rows) and broadcast back, and the scoring aggregation
+    * shuffles (doc_id, logp) pairs — no join wider than the broadcast.
+    * Ties at the vocab cutoff break by token text, so the table is
+    * deterministic under any partitioning. */
+  def unigramLogProb(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", vocabSize: Int = 1000): DataFrame = {
+    val toks = df.select(col(idCol),
+        explode(split(lower(col(textCol)), "[^\\p{L}]+")).as("__tok"))
+      .filter(col("__tok") =!= "")
+    val counts = toks.groupBy("__tok").agg(count(lit(1)).as("__cnt"))
+    val total = counts.agg(sum("__cnt")).collect()(0).getLong(0).toDouble
+    // orderBy+limit → TakeOrderedAndProject: a distributed top-K, not a
+    // single-partition window over the whole type table
+    val vocab = counts.orderBy(col("__cnt").desc, col("__tok"))
+      .limit(vocabSize)
+      .select(col("__tok"), log(col("__cnt") / total).as("__logp"))
+    val oov = math.log(0.5 / total)
+    toks.join(broadcast(vocab), Seq("__tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(coalesce(col("__logp"), lit(oov))).as("avg_logp"))
+  }
+
   /** 64-bit FNV-1a rolling fingerprint of normalized text (lowercased,
     * whitespace collapsed) — a deterministic cheap document identity for
     * exact-dup detection across shards. */

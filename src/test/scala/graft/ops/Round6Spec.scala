@@ -267,6 +267,21 @@ class Round6Spec extends AnyFunSuite {
     ts.indices.foreach(i => assert(math.abs(proj(i) - ts(i)) < 1e-9))
   }
 
+  test("unigramLogProb scores docs by mean token log-prob with OOV floor") {
+    import spark.implicits._
+    val df = Seq((1L, "the cat"), (2L, "the the dog"))
+      .toDF("doc_id", "text")
+    // counts: the=3, cat=1, dog=1; total=5; vocab top-2 = the, cat
+    val out = TextOps.unigramLogProb(df, vocabSize = 2)
+      .orderBy("doc_id").collect()
+    val (lnThe, lnCat, oov) =
+      (math.log(3 / 5.0), math.log(1 / 5.0), math.log(0.5 / 5.0))
+    assert(out(0).getLong(1) == 2L)
+    assert(math.abs(out(0).getDouble(2) - (lnThe + lnCat) / 2) < 1e-12)
+    assert(out(1).getLong(1) == 3L)
+    assert(math.abs(out(1).getDouble(2) - (2 * lnThe + oov) / 3) < 1e-12)
+  }
+
   test("canary: decontamination at 5x docs with forced-low partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
