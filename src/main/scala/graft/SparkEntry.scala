@@ -1109,6 +1109,19 @@ object SparkEntry {
         quota = 30)
         .select("doc_id", "source")),
 
+    // temperature-weighted mixing: alpha=0.5 plan over a 300-doc budget,
+    // then the stable-hash materialization of that plan
+    "doc_mix_plan" -> ((s, dir) =>
+      Sampling.temperatureMixPlan(IO.documents(s, dir), "source",
+          budget = 300, alpha = 0.5)
+        .select(col("source"), col("n_docs"), r6n(col("p")).as("p"),
+          col("quota"))),
+
+    "doc_mix_sample" -> ((s, dir) =>
+      Sampling.temperatureSample(IO.documents(s, dir), "source", "doc_id",
+          budget = 300, alpha = 0.5)
+        .select("doc_id", "source")),
+
     // canonical duplicate clusters from the same pair list (the pick-one-
     // per-group step after near-dup detection)
     "doc_dedup_groups" -> ((s, dir) => {
@@ -2935,6 +2948,27 @@ object SparkEntry {
          |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
          |    ORDER BY ${uniformSql("doc_id::VARCHAR")}, doc_id) AS rk
          |  FROM documents) WHERE rk <= 30""".stripMargin,
+
+    "doc_mix_plan" ->
+      """WITH c AS (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY source),
+        |w AS (SELECT source, n, pow(n, 0.5) AS wt FROM c),
+        |t AS (SELECT sum(wt) AS tw FROM w)
+        |SELECT source, n::BIGINT AS n_docs,
+        |  round(wt / (SELECT tw FROM t) + 1e-9, 6) AS p,
+        |  least(n, floor(wt / (SELECT tw FROM t) * 300 + 0.5))::BIGINT AS quota
+        |FROM w""".stripMargin,
+
+    "doc_mix_sample" ->
+      s"""WITH c AS (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY source),
+         |w AS (SELECT source, n, pow(n, 0.5) AS wt FROM c),
+         |t AS (SELECT sum(wt) AS tw FROM w),
+         |q AS (SELECT source,
+         |  least(n, floor(wt / (SELECT tw FROM t) * 300 + 0.5))::BIGINT AS quota FROM w),
+         |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+         |    ORDER BY ${uniformSql("doc_id::VARCHAR")}, doc_id) AS rk
+         |  FROM documents)
+         |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+         |WHERE r.rk <= q.quota""".stripMargin,
 
     // transitive closure of the same pair list → min-id component labels
     // (Dedup.duplicateGroups' unique fixpoint)

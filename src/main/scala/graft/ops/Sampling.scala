@@ -51,6 +51,42 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Temperature-weighted source mixing plan (the multinomial-sampling
+    * exponent of multilingual/multi-source LM training, Lample & Conneau
+    * 2019 §3.1): pᵢ = nᵢ^α / Σⱼ nⱼ^α, quotaᵢ = min(nᵢ,
+    * ⌊pᵢ·budget + 0.5⌋) documents per source — α < 1 upsamples tail
+    * sources relative to their natural share. Per-source frame:
+    * (group, n_docs, p, quota). The count aggregation is the only
+    * shuffle; the Σwᵢ normalizer is a broadcast one-row cross join (no
+    * unpartitioned window). The rounding is written as floor(x + 0.5) so
+    * an oracle replays it exactly (engine round() conventions differ). */
+  def temperatureMixPlan(df: DataFrame, groupCol: String, budget: Long,
+      alpha: Double): DataFrame = {
+    val counts = df.groupBy(groupCol)
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__w", pow(col("__n"), alpha))
+    val tot = counts.agg(sum("__w").as("__tw"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("p", col("__w") / col("__tw"))
+      .select(col(groupCol), col("__n").cast("long").as("n_docs"), col("p"),
+        least(col("__n"), floor(col("p") * budget + 0.5)).cast("long").as("quota"))
+  }
+
+  /** Materialize a [[temperatureMixPlan]]: keep the first `quota` rows of
+    * each group in stable hash order — the stratifiedQuota rank with a
+    * per-group quota joined in (broadcast; the plan is #groups rows). */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
+      budget: Long, alpha: Double, seed: Long = 42L): DataFrame = {
+    val plan = temperatureMixPlan(df, groupCol, budget, alpha)
+      .select(col(groupCol), col("quota"))
+    df.join(broadcast(plan), Seq(groupCol))
+      .withColumn("__u", stableUniform(col(idCol), seed))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__u"), col(idCol))))
+      .filter(col("__rk") <= col("quota"))
+      .drop("__u", "__rk", "quota")
+  }
+
   /** At most `quota` rows per group, chosen by hash order (u, id) — a
     * deterministic per-stratum cap (e.g. balance languages or sources).
     * One shuffle on the group key; the rank is a window over (u, id), so

@@ -282,6 +282,28 @@ class Round6Spec extends AnyFunSuite {
     assert(math.abs(out(1).getDouble(2) - (2 * lnThe + oov) / 3) < 1e-12)
   }
 
+  test("temperatureMixPlan flattens skewed sources; sample honors quotas") {
+    import spark.implicits._
+    // 90/10 skew: alpha=0.5 → weights 3:1 → p = 0.75/0.25 (vs 0.9/0.1)
+    val rows = (1L to 90L).map(i => (i, "big")) ++ (91L to 100L).map(i => (i, "small"))
+    val df = rows.toDF("doc_id", "source")
+    val plan = Sampling.temperatureMixPlan(df, "source", budget = 40, alpha = 0.5)
+      .orderBy("source").collect()
+    assert(plan.map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq ==
+      Seq(("big", 90L, 30L), ("small", 10L, 10L)))
+    assert(math.abs(plan(0).getDouble(2) - 0.75) < 1e-12)
+    // quota for 'small' capped at n (0.25*40 = 10 = n); sample realizes plan
+    val sampled = Sampling.temperatureSample(df, "source", "doc_id",
+      budget = 40, alpha = 0.5)
+    assert(sampled.groupBy("source").count().orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("big", 30L), ("small", 10L)))
+    // stability: membership is identical across runs/partitionings
+    val again = Sampling.temperatureSample(df.repartition(7), "source",
+      "doc_id", budget = 40, alpha = 0.5)
+    assert(sampled.select("doc_id").except(again.select("doc_id")).count() == 0)
+  }
+
   test("canary: decontamination at 5x docs with forced-low partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
