@@ -1076,21 +1076,12 @@ object SparkEntry {
     // This is the whole training-data curation funnel as a single plan.
     "doc_curation_pipeline" -> ((s, dir) => {
       val docs = withSynthPii(IO.documents(s, dir))
-      val metrics = TextOps.repetitionMetrics(
-        TextOps.piiMetrics(
-          TextOps.languageId(
-            TextOps.qualityMetrics(docs.drop("n_chars")))))
+      val metrics = TextOps.curationMetrics(docs.drop("n_chars"))
       val cont = Decontam
         .ngramOverlap(docs, docs.filter(col("doc_id") % 20 === 0), n = 5)
         .select("doc_id", "contaminated")
       val joined = Sampling.stableSplit(metrics.join(cont, "doc_id"), "doc_id")
-      val reason = when(col("contaminated"), "contaminated")
-        .when(col("pii_flag"), "pii")
-        .when(col("quality_score") < 0.5, "low_quality")
-        .when(col("lang_pred") =!= "en", "non_english")
-        .when(col("dup_line_frac") > 0.3 ||
-          col("top2gram_char_frac") > 0.08, "repetitive")
-        .otherwise("keep")
+      val reason = TextOps.curationReason(Some(col("contaminated")))
       joined.select(col("doc_id"), reason.as("reason"),
         (reason === "keep").as("keep"), col("split"))
     }),

@@ -80,6 +80,28 @@ object TextOps {
       when(best.getField("hits") > 0, best.getField("lang")).otherwise("und"))
   }
 
+  /** First-failing-gate curation verdict over the fused metric columns
+    * (pii_flag, quality_score, lang_pred, dup_line_frac,
+    * top2gram_char_frac) — shared by the batch funnel query and the
+    * streaming gate so the two can never drift. `contaminated` is the
+    * optional decontamination column (a stream-static join in streaming;
+    * absent → the gate starts at PII). */
+  def curationReason(contaminated: Option[Column]): Column = {
+    val base = when(col("pii_flag"), "pii")
+      .when(col("quality_score") < 0.5, "low_quality")
+      .when(col("lang_pred") =!= "en", "non_english")
+      .when(col("dup_line_frac") > 0.3 ||
+        col("top2gram_char_frac") > 0.08, "repetitive")
+      .otherwise("keep")
+    contaminated.map(c => when(c, "contaminated").otherwise(base))
+      .getOrElse(base)
+  }
+
+  /** The batch funnel's fused per-doc metric stack (quality → language →
+    * PII → repetition; all pure column expressions on one projection). */
+  def curationMetrics(df: DataFrame): DataFrame =
+    repetitionMetrics(piiMetrics(languageId(qualityMetrics(df))))
+
   /** CCNet-style unigram log-probability quality score (Wenzek et al.
     * 2020 use a 5-gram KenLM; the unigram LM is the deterministic,
     * engine-replayable core of the same idea): pass 1 builds the corpus

@@ -273,4 +273,22 @@ object StreamingOps {
       .withColumn("fingerprint", graft.ops.TextOps.fingerprint(col("text")))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** Streaming curation gate: the batch funnel's metric stack and verdict
+    * chain are pure column expressions
+    * ([[graft.ops.TextOps.curationMetrics]] /
+    * [[graft.ops.TextOps.curationReason]] — the SAME definitions, so
+    * batch and stream can never drift), which makes this op completely
+    * STATELESS: no watermark, no state store, linear scale-out on a
+    * document firehose. Decontamination (needs the bench-gram table) is a
+    * stream-static broadcast join the caller composes upstream;
+    * [[streamingDedup]] covers the dedup gate. Returns doc_id, reason,
+    * keep, split for every arriving document. */
+  def streamingCurate(input: DataFrame): DataFrame = {
+    val metrics = graft.ops.TextOps.curationMetrics(input)
+    val reason = graft.ops.TextOps.curationReason(None)
+    graft.ops.Sampling.stableSplit(metrics, "doc_id")
+      .select(col("doc_id"), reason.as("reason"),
+        (reason === "keep").as("keep"), col("split"))
+  }
 }

@@ -165,6 +165,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming curation gate matches the batch composition row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "Contact me at bob@example.com for the details and the offer."),
+      (2L, "x"),
+      (3L, "der die und das ist nicht ein gutes Beispiel aber es reicht."),
+      (4L, "The quick brown fox jumps over the lazy dog and that is fine with everyone here."),
+      (5L, "spam spam spam spam spam spam spam spam spam spam spam spam"))
+    val source = MemoryStream[(Long, String)]
+    val out = StreamingOps.streamingCurate(
+      source.toDS().toDF("doc_id", "text"))
+    val query = out.writeStream.format("memory").queryName("curate_out")
+      .outputMode("append").start()
+    try {
+      source.addData(docs: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("curate_out")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      // the same op applied in batch mode (pure exprs → identical plan)
+      val batch = StreamingOps.streamingCurate(docs.toDF("doc_id", "text"))
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+      // the fixture exercises more than one verdict
+      val reasons = batch.map(_(1)).distinct
+      assert(reasons.size >= 3, s"verdict variety too low: $reasons")
+    } finally query.stop()
+  }
+
   test("streaming dedup emits each fingerprint once across triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
