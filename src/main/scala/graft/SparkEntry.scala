@@ -1061,6 +1061,18 @@ object SparkEntry {
           r6n(expr("percentile(length(text), 0.5)")).as("p50_chars"),
           max(length(col("text"))).cast("long").as("max_chars"))),
 
+    // cross-doc substring duplication signal (fixed-width window
+    // approximation of suffix-array span dedup) over corpus + planted
+    // exact copies
+    "doc_dup_ngram_coverage" -> ((s, dir) => {
+      val docs = IO.documents(s, dir).select("doc_id", "text")
+      val dups = docs.filter(col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + 100000)
+      Dedup.dupNgramCoverage(docs.unionByName(dups))
+        .select(col("doc_id"), col("n_windows"), col("dup_windows"),
+          r6n(col("dup_frac")).as("dup_frac"), col("flagged"))
+    }),
+
     // canonical purge mapping over a corpus with exact copies (batch twin
     // of StreamingOps.streamingDedup: first-seen ≡ min-id)
     "doc_dedup_canonical" -> ((s, dir) => {
@@ -2773,6 +2785,27 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(ov.c, 0)::BIGINT AS n_overlap,
          |  coalesce(ov.c, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN ov USING (doc_id)""".stripMargin
+    },
+
+    "doc_dup_ngram_coverage" -> {
+      val gram5 = (0 until 5).map(j => s"words[(i + $j)::INT]").mkString(" || ' ' || ")
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20),
+         |w AS (SELECT doc_id,
+         |  list_filter(split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+         |    x -> x <> '') AS words FROM corpus),
+         |g AS (SELECT doc_id, $gram5 AS gram
+         |  FROM w, unnest(generate_series(1, greatest(len(words) - 4, 0))) AS t(i)),
+         |freq AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram),
+         |agg AS (SELECT g.doc_id, count(*) AS nw,
+         |    count(*) FILTER (WHERE f.nd > 1) AS dw
+         |  FROM g JOIN freq f USING (gram) GROUP BY g.doc_id),
+         |fr AS (SELECT c.doc_id, coalesce(a.nw, 0) AS nw, coalesce(a.dw, 0) AS dw,
+         |  CASE WHEN coalesce(a.nw, 0) > 0 THEN a.dw / a.nw::DOUBLE ELSE 0.0 END AS f
+         |  FROM corpus c LEFT JOIN agg a USING (doc_id))
+         |SELECT doc_id, nw::BIGINT AS n_windows, dw::BIGINT AS dup_windows,
+         |  round(f + 1e-9, 6) AS dup_frac, f > 0.2 AS flagged
+         |FROM fr""".stripMargin
     },
 
     "doc_pii" ->

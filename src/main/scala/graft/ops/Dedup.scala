@@ -40,6 +40,37 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** Duplicate n-gram coverage — the window-level signal of
+    * cross-document substring duplication (Lee et al. 2022,
+    * "Deduplicating Training Data Makes LMs Better", arXiv:2107.06499,
+    * whose suffix-array spans this approximates with fixed-width
+    * windows): per document, the fraction of its word n-gram windows
+    * whose gram also occurs in at least one OTHER document. Documents
+    * above `threshold` are flagged for span-level dedup.
+    *
+    * Scale: windows shuffle as (doc_id, 64-bit FNV gram hash) pairs —
+    * never text; the gram document-frequency aggregation map-side
+    * combines, and the frequency join is co-partitioned on the hash both
+    * sides (one shuffle each). Hash collisions (~|windows|²/2⁶⁴) are
+    * negligible at any realistic corpus size. */
+  def dupNgramCoverage(df: DataFrame, n: Int = 5, threshold: Double = 0.2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val win = df.select(col(idCol),
+        explode_outer(Decontam.wordGrams(col(textCol), n)).as("__gram"))
+      .select(col(idCol), col("__gram").isNotNull.as("__w"),
+        TextOps.fnvHash(col("__gram")).as("__h"))
+    val freq = win.filter(col("__w"))
+      .groupBy("__h").agg(countDistinct(col(idCol)).as("__nd"))
+    win.join(freq, Seq("__h"), "left")
+      .groupBy(idCol)
+      .agg(count(when(col("__w"), 1)).as("n_windows"),
+        count(when(col("__nd") > 1, 1)).as("dup_windows"))
+      .withColumn("dup_frac",
+        when(col("n_windows") > 0, col("dup_windows") / col("n_windows"))
+          .otherwise(lit(0.0)))
+      .withColumn("flagged", col("dup_frac") > threshold)
+  }
+
   /** Character shingles (n-gram set) of normalized text. */
   def shingles(text: Column, n: Int = 5): Column = {
     val norm = regexp_replace(lower(trim(text)), "\\s+", " ")

@@ -304,6 +304,21 @@ class Round6Spec extends AnyFunSuite {
     assert(sampled.select("doc_id").except(again.select("doc_id")).count() == 0)
   }
 
+  test("dupNgramCoverage measures cross-doc window duplication") {
+    import spark.implicits._
+    val shared = "one two three four five six"
+    val df = Seq(
+      (1L, shared),                        // 2 windows, both shared with doc 2
+      (2L, shared + " seven"),             // 3 windows, first 2 shared
+      (3L, "alpha beta gamma delta epsilon zeta")) // unique
+      .toDF("doc_id", "text")
+    val out = Dedup.dupNgramCoverage(df, n = 5, threshold = 0.5)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 2L), (2L, 3L, 2L), (3L, 2L, 0L)))
+    assert(out(0).getBoolean(4) && out(1).getBoolean(4) && !out(2).getBoolean(4))
+  }
+
   test("canary: decontamination at 5x docs with forced-low partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
