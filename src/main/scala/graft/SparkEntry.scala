@@ -1061,6 +1061,13 @@ object SparkEntry {
           r6n(expr("percentile(length(text), 0.5)")).as("p50_chars"),
           max(length(col("text"))).cast("long").as("max_chars"))),
 
+    // concat-and-split sequence-packing plan: 8 hash shards, 128-token
+    // training sequences
+    "doc_pack_plan" -> ((s, dir) =>
+      Packing.packPlan(IO.documents(s, dir), seqLen = 128, nShards = 8)
+        .select("doc_id", "shard", "n_tokens", "start_tok", "end_tok",
+          "first_seq", "last_seq")),
+
     // cross-doc substring duplication signal (fixed-width window
     // approximation of suffix-array span dedup) over corpus + planted
     // exact copies
@@ -2786,6 +2793,21 @@ object SparkEntry {
          |  coalesce(ov.c, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN ov USING (doc_id)""".stripMargin
     },
+
+    "doc_pack_plan" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  ((${fnvSql("doc_id::VARCHAR")} % 8) + 8) % 8 AS shard,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, shard, n_tokens::BIGINT AS n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING)::BIGINT AS end_tok FROM t)
+         |SELECT doc_id, shard, n_tokens,
+         |  (end_tok - n_tokens)::BIGINT AS start_tok, end_tok,
+         |  floor((end_tok - n_tokens) / 128.0)::BIGINT AS first_seq,
+         |  floor((end_tok - 1) / 128.0)::BIGINT AS last_seq
+         |FROM c""".stripMargin,
 
     "doc_dup_ngram_coverage" -> {
       val gram5 = (0 until 5).map(j => s"words[(i + $j)::INT]").mkString(" || ' ' || ")

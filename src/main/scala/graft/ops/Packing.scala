@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence-packing plan for LM training prep — the concat-and-split
+  * layout (documents concatenated, the token stream cut into fixed
+  * `seqLen` training sequences): for every document, which training
+  * sequences its tokens land in.
+  *
+  * Scale design: a single global token order would serialize the plan
+  * through one cumulative-sum partition, so the corpus is sharded by a
+  * stable document hash (`nShards` ∝ corpus size — exactly how real
+  * pipelines pack per output shard/file) and each shard packs
+  * independently: one shuffle on the shard key, a per-shard running sum,
+  * all arithmetic replayable. Zero text moves — the plan carries only
+  * (id, shard, counts). Membership is deterministic under any input
+  * partitioning: shard = FNV(id) mod nShards, order within shard = id.
+  */
+object Packing {
+
+  def packPlan(df: DataFrame, seqLen: Int, nShards: Int = 32,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(seqLen > 0 && nShards > 0)
+    val w = Window.partitionBy("shard").orderBy(col(idCol))
+    df.select(col(idCol),
+        pmod(TextOps.fnvHash(col(idCol)), lit(nShards.toLong)).as("shard"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("end_tok", sum("n_tokens").over(w))
+      .withColumn("start_tok", col("end_tok") - col("n_tokens"))
+      // first/last training sequence touched by this doc's tokens
+      // (floor over true division — identical for the oracle's DOUBLE
+      // division; a zero-token doc yields last_seq = first_seq - 1)
+      .withColumn("first_seq", floor(col("start_tok") / seqLen))
+      .withColumn("last_seq", floor((col("end_tok") - 1) / seqLen))
+  }
+}

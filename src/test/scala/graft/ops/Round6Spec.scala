@@ -319,6 +319,25 @@ class Round6Spec extends AnyFunSuite {
     assert(out(0).getBoolean(4) && out(1).getBoolean(4) && !out(2).getBoolean(4))
   }
 
+  test("packPlan: per-shard running offsets and sequence spans") {
+    import spark.implicits._
+    // one shard → pure concat-and-split semantics are hand-checkable
+    val df = Seq(
+      (1L, Seq.fill(100)("w").mkString(" ")),  // toks 0..99   → seq 0
+      (2L, Seq.fill(60)("w").mkString(" ")),   // toks 100..159 → seqs 0-1
+      (3L, Seq.fill(100)("w").mkString(" ")))  // toks 160..259 → seqs 1-2
+      .toDF("doc_id", "text")
+    val out = Packing.packPlan(df, seqLen = 128, nShards = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_tok"),
+        r.getAs[Long]("end_tok"), r.getAs[Long]("first_seq"),
+        r.getAs[Long]("last_seq")))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 100L, 0L, 0L),
+      (2L, 100L, 160L, 0L, 1L),
+      (3L, 160L, 260L, 1L, 2L)))
+  }
+
   test("canary: decontamination at 5x docs with forced-low partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
