@@ -1488,6 +1488,15 @@ object SparkEntry {
         .toSeq.toDF("component", "explained_ratio")
     }),
 
+    // int8 scalar quantization: per-dim affine codes + reconstruction MSE
+    // (codes serialized to a canonical CSV string — the gate's hash
+    // compare needs scalar cells, not arrays)
+    "emb_quantize_sq" -> ((s, dir) =>
+      Embeddings.scalarQuantize(IO.embeddings(s, dir))
+        .select(col("vec_id"),
+          concat_ws(",", col("codes")).as("codes"),
+          r6n(col("mse")).as("mse"))),
+
     // SemDeDup over the corpus + injected exact copies: quantizer trained
     // on the BASE corpus (same fit as emb_knn_ivf → shared centroid pin)
     "emb_semdedup" -> ((s, dir) => {
@@ -2792,6 +2801,25 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(ov.c, 0)::BIGINT AS n_overlap,
          |  coalesce(ov.c, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN ov USING (doc_id)""".stripMargin
+    },
+
+    "emb_quantize_sq" -> {
+      val code = "CASE WHEN scales[i] = 0.0 THEN 0 ELSE " +
+        "least(255.0, greatest(0.0, floor((v[i] - mins[i]) / scales[i] + 0.5)))::INT END"
+      val recon = "(v[i] - (mins[i] + codes[i] * scales[i]))"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |d AS (SELECT t.i AS i, min(v[t.i]) AS mn,
+         |    (max(v[t.i]) - min(v[t.i])) / 255.0 AS sc
+         |  FROM e, unnest(generate_series(1, 64)) AS t(i) GROUP BY t.i),
+         |m AS (SELECT list(mn ORDER BY i) AS mins, list(sc ORDER BY i) AS scales FROM d),
+         |q AS (SELECT vec_id, v,
+         |    list_transform(generate_series(1, 64), i -> $code) AS codes
+         |  FROM e CROSS JOIN m)
+         |SELECT vec_id,
+         |  array_to_string(codes, ',') AS codes,
+         |  round(list_sum(list_transform(generate_series(1, 64),
+         |    i -> $recon * $recon)) / 64.0 + 1e-9, 6) AS mse
+         |FROM q CROSS JOIN m""".stripMargin
     },
 
     "doc_pack_plan" ->

@@ -76,6 +76,79 @@ object Embeddings {
       order.map(i => es.eigenvalues(i) / math.max(trace, 1e-300)).toArray)
   }
 
+  /** Per-dimension (min, max) over the corpus — one treeAggregate pass in
+    * primitive arrays (the pcaFit shape). min/max are order-independent,
+    * so the result is bit-exact under any partitioning — which is what
+    * lets the quantization oracle recompute them in plain SQL. */
+  def dimMinMax(df: DataFrame, vecCol: String = "embedding"): (Array[Double], Array[Double]) = {
+    val vecs = df.select(col(vecCol).cast("array<double>"))
+      .rdd.map(_.getSeq[Double](0))
+    val d = vecs.first().length
+    val zero = (Array.fill(d)(Double.PositiveInfinity),
+      Array.fill(d)(Double.NegativeInfinity))
+    vecs.treeAggregate(zero)(
+      seqOp = { case ((mn, mx), v) =>
+        var i = 0
+        while (i < d) {
+          val x = v(i)
+          if (x < mn(i)) mn(i) = x
+          if (x > mx(i)) mx(i) = x
+          i += 1
+        }
+        (mn, mx)
+      },
+      combOp = { case ((amn, amx), (bmn, bmx)) =>
+        var i = 0
+        while (i < d) {
+          if (bmn(i) < amn(i)) amn(i) = bmn(i)
+          if (bmx(i) > amx(i)) amx(i) = bmx(i)
+          i += 1
+        }
+        (amn, amx)
+      })
+  }
+
+  /** Int8 scalar quantization (the SQ8 storage tier of vector indexes —
+    * 4× smaller than float32, cheap to decode): per-dimension affine
+    * codes cᵢ = clamp(⌊(xᵢ − minᵢ)/scaleᵢ + 0.5⌋, 0, 255) with
+    * scaleᵢ = (maxᵢ − minᵢ)/255, plus the per-vector reconstruction MSE
+    * as the quality readout. Constant dimensions code to 0. The min/max
+    * pass is one corpus scan (driver traffic O(d)); the coding pass is a
+    * narrow broadcast map — no shuffle anywhere. */
+  def scalarQuantize(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val (mins, maxs) = dimMinMax(df, vecCol)
+    val scales = Array.tabulate(mins.length)(i => (maxs(i) - mins(i)) / 255.0)
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast((mins, scales))
+    val codeUdf = udf((v: Seq[Double]) => {
+      val (mn, sc) = bc.value
+      Array.tabulate(math.min(v.length, mn.length)) { i =>
+        if (sc(i) == 0.0) 0
+        else {
+          val q = math.floor((v(i) - mn(i)) / sc(i) + 0.5)
+          math.min(255.0, math.max(0.0, q)).toInt
+        }
+      }
+    })
+    val mseUdf = udf((v: Seq[Double], codes: Seq[Int]) => {
+      val (mn, sc) = bc.value
+      var s = 0.0
+      var i = 0
+      val n = math.min(v.length, mn.length)
+      while (i < n) {
+        val r = v(i) - (mn(i) + codes(i) * sc(i))
+        s += r * r
+        i += 1
+      }
+      if (n == 0) 0.0 else s / n
+    })
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("codes", codeUdf(col("__v")))
+      .withColumn("mse", mseUdf(col("__v"), col("codes")))
+      .drop("__v")
+  }
+
   /** Project each vector onto the model's components: columns pc1..pck.
     * pcⱼ = x·cⱼ − μ·cⱼ with the mean offset precomputed, so the executor
     * work is k dot products per row — and the oracle can replay the same

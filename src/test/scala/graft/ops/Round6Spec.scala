@@ -338,6 +338,21 @@ class Round6Spec extends AnyFunSuite {
       (3L, 160L, 260L, 1L, 2L)))
   }
 
+  test("scalarQuantize codes endpoints/midpoints; constant dims code to 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.0, 7.0)), (2L, Array(2.55, 7.0)), (3L, Array(1.0, 7.0)))
+      .toDF("vec_id", "embedding")
+    val out = Embeddings.scalarQuantize(df).orderBy("vec_id").collect()
+    val codes = out.map(_.getSeq[Int](1).toSeq)
+    // dim1: min 0, max 2.55 → scale 0.01; dim2 constant → code 0
+    assert(codes(0) == Seq(0, 0))
+    assert(codes(1) == Seq(255, 0))
+    assert(codes(2) == Seq(100, 0))
+    // reconstruction error bounded by (scale/2)^2 per dim
+    out.foreach(r => assert(r.getDouble(2) <= 0.005 * 0.005 / 2 + 1e-12))
+  }
+
   test("canary: decontamination at 5x docs with forced-low partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
