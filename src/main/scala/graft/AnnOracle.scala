@@ -162,6 +162,74 @@ object AnnOracle {
       s"SELECT ${j + 1} AS component, round(${dlit(e)} + 1e-9, 6) AS explained_ratio"
     }.mkString("\nUNION ALL ")
 
+  /** Squared distance between an 8-ish-dim slice of SQL vector `v`
+    * starting at `offset` (0-based) and a centroid — written as a
+    * left-associated term sum so the accumulation order matches the
+    * Scala kernel loop exactly. */
+  private def sqDistExpr(v: String, offset: Int, c: Array[Double]): String =
+    c.zipWithIndex.map { case (x, t) =>
+      val e = s"($v[${offset + t + 1}] - ${dlit(x)})"
+      s"($e * $e)"
+    }.mkString("(", " + ", ")")
+
+  /** Per-subspace PQ code columns c_0..c_{m-1}: argmin squared distance
+    * with first-index tie-break (the kernel's strict-< scan). Emits two
+    * CTE bodies over input CTE `e(vec_id, v)`. */
+  private def pqCodeCtes(cb: Array[Array[Array[Double]]]): String = {
+    val dsub = cb(0)(0).length
+    val dists = cb.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, j) =>
+        s"${sqDistExpr("v", s * dsub, c)} AS d_${s}_$j"
+      }
+    }.mkString(",\n  ")
+    val codes = cb.indices.map { s =>
+      s"(CASE ${cb(s).indices.map(j => s"WHEN d_${s}_$j = __m$s THEN $j").mkString(" ")} END) AS c_$s"
+    }.mkString(",\n  ")
+    val mins = cb.indices.map { s =>
+      s"least(${cb(s).indices.map(j => s"d_${s}_$j").mkString(", ")}) AS __m$s"
+    }.mkString(",\n  ")
+    s"""dd AS (SELECT vec_id, v,
+       |  $dists
+       |  FROM e),
+       |dm AS (SELECT *, $mins FROM dd),
+       |codes AS (SELECT vec_id, v,
+       |  $codes
+       |  FROM dm)""".stripMargin
+  }
+
+  /** emb_pq_codes replay with pinned codebooks. */
+  def pqCodesSql(cb: Array[Array[Array[Double]]]): String = {
+    val csv = cb.indices.map(s => s"c_$s::VARCHAR").mkString(" || ',' || ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${pqCodeCtes(cb)}
+       |SELECT vec_id, $csv AS codes FROM codes""".stripMargin
+  }
+
+  /** emb_knn_pq replay: corpus codes (pinned codebooks) × broadcast
+    * queries; ADC = Σ_s sqdist(query slice, selected sub-centroid),
+    * summed in subspace order like the kernel. */
+  def pqAdcTopKSql(cb: Array[Array[Array[Double]]], k: Int,
+      queryFilter: String = "vec_id < 20"): String = {
+    val dsub = cb(0)(0).length
+    val adc = cb.indices.map { s =>
+      s"(CASE c.c_$s ${cb(s).zipWithIndex.map { case (c0, j) =>
+        s"WHEN $j THEN ${sqDistExpr("q.qv", s * dsub, c0)}"
+      }.mkString(" ")} END)"
+    }.mkString("(", " + ", ")")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${pqCodeCtes(cb)},
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE $queryFilter),
+       |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    $adc AS adc
+       |  FROM codes c CROSS JOIN q
+       |  WHERE c.vec_id <> q.query_id),
+       |ranked AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, round(adc + 1e-9, 6) AS adc, rank
+       |FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
   /** emb_near_dup replay: corpus ∪ injected duplicates (vec_id < 10 →
     * +100000), one band self-join per hyperplane table, candidate union,
     * exact cosine ≥ threshold. */

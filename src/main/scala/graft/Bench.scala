@@ -100,6 +100,20 @@ object Bench {
       "mann_kendall_panel" -> (() => mat(
         Changepoint.mannKendall(synthPanel(spark, 1000, 1000)))))
 
+    // round-6 curation tier — benched separately so `value` stays
+    // like-for-like with earlier rounds (full sum in `total_full`)
+    val curationBenches: Seq[(String, () => Unit)] = Seq(
+      "semdedup" -> (() => mat({
+        val emb = IO.embeddings(spark, sfDir).select("vec_id", "embedding")
+        Similarity.semDedup(emb, Similarity.ivfCentroids(emb), threshold = 0.95)
+      })),
+      "unigram_logprob" -> (() => mat(
+        TextOps.unigramLogProb(IO.documents(spark, sfDir), vocabSize = 500))),
+      "pack_plan" -> (() => mat(
+        Packing.packPlan(IO.documents(spark, sfDir), seqLen = 128, nShards = 8))),
+      "curation_funnel" -> (() => mat(
+        SparkEntry.queries("doc_curation_pipeline")(spark, sfDir))))
+
     // warmup: absorb JIT/codegen first-run cost on a small slice
     mat(Features.lagFeatures(events.limit(1000), Seq(1)))
     mat(ForecastBaselines.ses(events.limit(2000), h = 2))
@@ -109,21 +123,25 @@ object Bench {
     // cache) from a real regression, so round-over-round comparisons on one
     // sample produce false regressions. Odd N → true median element.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
-    val results = benches.map { case (name, run) =>
-      val times = (1 to iters).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { run(); true } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+    def timeAll(suite: Seq[(String, () => Unit)]): Seq[(String, Double)] =
+      suite.map { case (name, run) =>
+        val times = (1 to iters).map { _ =>
+          val t0 = System.nanoTime()
+          val ok = try { run(); true } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val good = times.filter(_ >= 0).sorted
+        name -> (if (good.isEmpty) -1.0 else good(good.size / 2))
       }
-      val good = times.filter(_ >= 0).sorted
-      name -> (if (good.isEmpty) -1.0 else good(good.size / 2))
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val results = timeAll(benches)
+    val curation = timeAll(curationBenches)
+    val qs = (results ++ curation).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iterations":$iters,"sf":"$sfDir"}""")
+    val totalFull = total + curation.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iterations":$iters,"total_full":$totalFull,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -41,6 +41,8 @@ object OraclePins {
   @volatile var ivfCenters: Option[Array[Array[Double]]] = None
   /** PCA fit (mean, components, explained ratios) for emb_pca{,_var}. */
   @volatile var pca: Option[graft.ops.Embeddings.PcaModel] = None
+  /** PQ codebooks[subspace][centroid][dim] for emb_pq_codes/emb_knn_pq. */
+  @volatile var pq: Option[Array[Array[Array[Double]]]] = None
   /** Pooled IRLS pinball-ridge coefficients (q → [lag1..lag3, intercept])
     * for ts_quantile_fc, sorted by quantile level. */
   @volatile var quantile: Option[Seq[(Double, Array[Double])]] = None
@@ -122,6 +124,8 @@ object OraclePins {
     // PCA: same corpus + k as the emb_pca queries; the queries refit, so
     // the compare proves the distributed Gram reproduces this fit
     pca = Some(graft.ops.Embeddings.pcaFit(IO.embeddings(spark, sfDir), k = 4))
+    // PQ: same corpus + seed + defaults as the emb_pq queries' fit
+    pq = Some(graft.ops.Embeddings.pqFit(IO.embeddings(spark, sfDir)))
     // Quantile ridge: the same pooled IRLS fit the ts_quantile_fc query
     // performs. The Gram sums are distributed float aggregations, so the
     // two fits can differ in the last ulps — absorbed by the shared

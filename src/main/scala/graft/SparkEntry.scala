@@ -1497,6 +1497,22 @@ object SparkEntry {
           concat_ws(",", col("codes")).as("codes"),
           r6n(col("mse")).as("mse"))),
 
+    // product quantization: m=8 subspaces x 16 centroids → 8-byte codes;
+    // codes query + ADC top-k over the compressed corpus
+    "emb_pq_codes" -> ((s, dir) => {
+      val emb = IO.embeddings(s, dir)
+      Embeddings.pqEncode(emb, Embeddings.pqFit(emb))
+        .select(col("vec_id"), concat_ws(",", col("codes")).as("codes"))
+    }),
+
+    "emb_knn_pq" -> ((s, dir) => {
+      val emb = IO.embeddings(s, dir)
+      Embeddings.pqAdcTopK(emb, emb.filter(col("vec_id") < 20), k = 3,
+          Embeddings.pqFit(emb))
+        .select(col("query_id"), col("neighbor_id"),
+          r6n(col("adc")).as("adc"), col("rank"))
+    }),
+
     // SemDeDup over the corpus + injected exact copies: quantizer trained
     // on the BASE corpus (same fit as emb_knn_ivf → shared centroid pin)
     "emb_semdedup" -> ((s, dir) => {
@@ -1936,6 +1952,8 @@ object SparkEntry {
       "emb_semdedup" -> AnnOracle.semDedupSql(c, threshold = 0.95)) ++
     OraclePins.pca.map(m => "emb_pca" -> AnnOracle.pcaProjectSql(m)) ++
     OraclePins.pca.map(m => "emb_pca_var" -> AnnOracle.pcaVarSql(m)) ++
+    OraclePins.pq.map(cb => "emb_pq_codes" -> AnnOracle.pqCodesSql(cb)) ++
+    OraclePins.pq.map(cb => "emb_knn_pq" -> AnnOracle.pqAdcTopKSql(cb, k = 3)) ++
     OraclePins.quantile.map(p =>
       "ts_quantile_fc" -> ForecastOracle.quantileFcSql(p)) ++
     OraclePins.autoArima.map(p =>

@@ -149,6 +149,101 @@ object Embeddings {
       .drop("__v")
   }
 
+  /** Product-quantization codebooks (Jégou, Douze & Schmid 2011, TPAMI
+    * "Product Quantization for Nearest Neighbor Search"): the d dims
+    * split into `m` subspaces of d/m, each k-means'd to `ksub` centroids
+    * on a bounded driver sample (the ivfCentroids sampling discipline:
+    * hash-ordered oversample → deterministic, unbiased). Returns
+    * codebooks[s][j] = centroid j of subspace s. */
+  def pqFit(df: DataFrame, m: Int = 8, ksub: Int = 16,
+      sampleSize: Int = 1000, seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    val total = df.count()
+    val frac = if (total == 0) 1.0 else math.min(1.0, 3.0 * sampleSize / total)
+    val sample = df
+      .select(col(idCol).as("__sid"), col(vecCol).cast("array<double>").as("__sv"))
+      .sample(withReplacement = false, frac, seed)
+      .orderBy(xxhash64(col("__sid").cast("string"), lit(seed)))
+      .limit(sampleSize)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "pqFit: empty sample")
+    val d = sample(0).length
+    require(d % m == 0, s"pqFit: dim $d not divisible by m=$m")
+    val dsub = d / m
+    Array.tabulate(m) { s =>
+      val sub = sample.map(v => v.slice(s * dsub, (s + 1) * dsub))
+      graft.kernels.Cluster.lloydCenters(sub, ksub, seed + s)
+    }
+  }
+
+  /** Encode each vector as m sub-centroid ids (argmin squared distance
+    * per subspace, first-index tie-break) — m bytes per vector at
+    * ksub ≤ 256: the 64× compression that lets a 100 TB corpus's index
+    * fit a fraction of the fleet's RAM. Narrow broadcast map. */
+  def pqEncode(df: DataFrame, codebooks: Array[Array[Array[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(codebooks)
+    val enc = udf((v: Seq[Double]) => {
+      val cb = bc.value
+      val m = cb.length
+      val dsub = cb(0)(0).length
+      Array.tabulate(m) { s =>
+        var best = 0; var bd = Double.MaxValue
+        var j = 0
+        while (j < cb(s).length) {
+          var dd = 0.0; var t = 0
+          val c = cb(s)(j)
+          while (t < dsub) {
+            val x = v(s * dsub + t) - c(t); dd += x * x; t += 1
+          }
+          if (dd < bd) { bd = dd; best = j }
+          j += 1
+        }
+        best
+      }
+    })
+    df.select(col(idCol), enc(col(vecCol).cast("array<double>")).as("codes"))
+  }
+
+  /** PQ top-k via asymmetric distance computation: the corpus scan reads
+    * CODES, never vectors — per candidate the distance is m sub-lookups
+    * of exact query-to-centroid squared distances (≡ the ADC lookup
+    * table, evaluated inline). Queries broadcast, per-query top-k rank —
+    * the bruteForceTopK shape over a 64×-smaller scan side. */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      codebooks: Array[Array[Array[Double]]], idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast(codebooks)
+    val adc = udf((qv: Seq[Double], codes: Seq[Int]) => {
+      val cb = bc.value
+      val dsub = cb(0)(0).length
+      var s = 0; var acc = 0.0
+      while (s < cb.length) {
+        val c = cb(s)(codes(s))
+        var t = 0; var dd = 0.0
+        while (t < dsub) {
+          val x = qv(s * dsub + t) - c(t); dd += x * x; t += 1
+        }
+        acc += dd
+        s += 1
+      }
+      acc
+    })
+    val codes = pqEncode(corpus, codebooks, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    codes.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adc(col("__qv"), col("codes")))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("adc"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc"), col("rank"))
+  }
+
   /** Project each vector onto the model's components: columns pc1..pck.
     * pcⱼ = x·cⱼ − μ·cⱼ with the mean offset precomputed, so the executor
     * work is k dot products per row — and the oracle can replay the same

@@ -82,6 +82,23 @@ object PlanAudit {
     audit("pii scrub (expect scan-only: 0 exchanges, pure regexp project)",
       TextOps.piiMetrics(IO.documents(spark, dir))
         .select("doc_id", "n_emails", "pii_flag"))
+    audit("semdedup (expect cell-keyed self-join, no all-pairs)", {
+      val emb = IO.embeddings(spark, dir).select("vec_id", "embedding")
+      Similarity.semDedup(emb, Similarity.ivfCentroids(emb), threshold = 0.95)
+    })
+    audit("pca project (expect scan + broadcast map, ZERO exchanges)", {
+      val emb = IO.embeddings(spark, dir)
+      Embeddings.pcaProject(emb, Embeddings.pcaFit(emb, k = 4))
+    })
+    audit("unigram logprob (expect broadcast vocab join, combined agg)",
+      TextOps.unigramLogProb(IO.documents(spark, dir), vocabSize = 500))
+    audit("dup ngram coverage (expect hashes shuffle, never text)",
+      Dedup.dupNgramCoverage(IO.documents(spark, dir).select("doc_id", "text")))
+    audit("pack plan (expect ONE exchange on shard key)",
+      Packing.packPlan(IO.documents(spark, dir), seqLen = 128, nShards = 8))
+    audit("temperature sample (expect broadcast plan join + group rank)",
+      Sampling.temperatureSample(IO.documents(spark, dir), "source",
+        "doc_id", budget = 300, alpha = 0.5))
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(s"\nPLAN AUDIT FAILED — zero whole-stage codegen " +

@@ -353,6 +353,53 @@ class Round6Spec extends AnyFunSuite {
     out.foreach(r => assert(r.getDouble(2) <= 0.005 * 0.005 / 2 + 1e-12))
   }
 
+  test("pqEncode deterministic under repartition; ADC top-k carries signal") {
+    val emb = graft.core.IO.embeddings(spark, "/root/testdata/sf0.001")
+    val cb = Embeddings.pqFit(emb)
+    assert(cb.length == 8 && cb.forall(_.length == 16))
+    def codesOf(df: org.apache.spark.sql.DataFrame) =
+      Embeddings.pqEncode(df, cb).orderBy("vec_id").collect()
+        .map(_.getSeq[Int](1).toSeq).toSeq
+    val c1 = codesOf(emb)
+    assert(c1 == codesOf(emb.repartition(5)))
+    assert(c1.flatten.forall(c => c >= 0 && c < 16))
+    // ADC contract: the score IS the exact distance between the query and
+    // the neighbor's PQ reconstruction (cb[s][code_s] per subspace).
+    // (The testdata embeddings are isotropic noise — same-label and
+    // cross-label mean distances agree to 4 decimals — so top-k RECALL is
+    // not a meaningful property there; retrieval is asserted on planted
+    // structure below.)
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .toMap
+    val codeMap = Embeddings.pqEncode(emb, cb).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    val q = emb.filter(col("vec_id") < 10)
+    Embeddings.pqAdcTopK(emb, q, k = 3, cb).collect().foreach { r =>
+      val (qv, codes) = (vecs(r.getLong(0)), codeMap(r.getLong(1)))
+      val expect = (0 until 8).map { s =>
+        val c = cb(s)(codes(s))
+        (0 until 8).map(t => math.pow(qv(s * 8 + t) - c(t), 2)).sum
+      }.sum
+      assert(math.abs(r.getAs[Double]("adc") - expect) < 1e-9)
+    }
+    // planted structure: 4 well-separated prototypes + small deterministic
+    // jitter → ADC top-1 must come from the query's own prototype group
+    import spark.implicits._
+    val protos = Array.tabulate(4, 64)((p, i) => if (i % 4 == p) 5.0 else 0.0)
+    val planted = (0 until 40).map { i =>
+      val p = i % 4
+      (i.toLong, Array.tabulate(64)(d =>
+        protos(p)(d) + 0.01 * (((i * 64 + d) % 17) - 8)))
+    }.toDF("vec_id", "embedding")
+    val pcb = Embeddings.pqFit(planted, sampleSize = 40)
+    val top1 = Embeddings.pqAdcTopK(planted, planted.filter(col("vec_id") < 8),
+        k = 1, pcb).collect()
+    top1.foreach(r =>
+      assert(r.getLong(0) % 4 == r.getLong(1) % 4,
+        s"query ${r.getLong(0)} matched ${r.getLong(1)}"))
+  }
+
   test("canary: decontamination at 5x docs with forced-low partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
