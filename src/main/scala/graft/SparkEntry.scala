@@ -1068,6 +1068,11 @@ object SparkEntry {
         .select("doc_id", "shard", "n_tokens", "start_tok", "end_tok",
           "first_seq", "last_seq")),
 
+    // RAG chunking manifest: 64-token windows, stride 48 (16-token overlap)
+    "doc_chunk_plan" -> ((s, dir) =>
+      Packing.chunkPlan(IO.documents(s, dir))
+        .select("doc_id", "n_tokens", "chunk_id", "start_tok", "end_tok")),
+
     // cross-doc substring duplication signal (fixed-width window
     // approximation of suffix-array span dedup) over corpus + planted
     // exact copies
@@ -1103,6 +1108,26 @@ object SparkEntry {
       val reason = TextOps.curationReason(Some(col("contaminated")))
       joined.select(col("doc_id"), reason.as("reason"),
         (reason === "keep").as("keep"), col("split"))
+    }),
+
+    // per-source corpus report card: verdict keep-rate + exact-dup rate +
+    // quality/LM means — the one-page corpus health readout
+    "doc_report_card" -> ((s, dir) => {
+      val docs = IO.documents(s, dir)
+      val metrics = TextOps.curationMetrics(docs.drop("n_chars"))
+      val reason = TextOps.curationReason(None)
+      val verdict = metrics.select(col("doc_id"), col("source"),
+        reason.as("reason"), col("quality_score"))
+      val dup = Dedup.exact(docs).select(col("doc_id"), col("is_duplicate"))
+      val lp = TextOps.unigramLogProb(docs, vocabSize = 500)
+        .select(col("doc_id"), col("avg_logp"))
+      verdict.join(dup, "doc_id").join(lp, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          r6n(avg(when(col("reason") === "keep", 1.0).otherwise(0.0))).as("keep_rate"),
+          r6n(avg(when(col("is_duplicate"), 1.0).otherwise(0.0))).as("dup_rate"),
+          r6n(avg(col("quality_score"))).as("avg_quality"),
+          r6n(avg(col("avg_logp"))).as("avg_logp"))
     }),
 
     // ── deterministic curation sampling (stable FNV membership) ─────────
@@ -1756,6 +1781,64 @@ object SparkEntry {
       val sign = if (j % 2 == 0) "" else "-"
       s"$sign ${m(0)(j)} * (${detSql(minor)})"
     }.mkString(" + ").replace("+ -", "- ")
+
+  /** The curationMetrics replay CTE chain (quality → language → PII →
+    * repetition) over an input CTE `a(doc_id, text)` — shared by the
+    * funnel and report-card oracles so the metric replay cannot drift. */
+  private def curationMetricCtesSql: String =
+    s"""q AS (SELECT doc_id,
+       |  CASE WHEN length(trim(text)) = 0 THEN 0
+       |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
+       |  length(text) AS n,
+       |  length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct,
+       |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+       |  length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS uppers
+       |  FROM a),
+       |qs AS (SELECT doc_id, greatest(0.0, least(1.0, 1.0
+       |  - CASE WHEN toks < 5 THEN 0.5 ELSE 0.0 END
+       |  - CASE WHEN n > 0 AND punct::DOUBLE / n > 0.3 THEN 0.3 ELSE 0.0 END
+       |  - CASE WHEN n > 0 AND digits::DOUBLE / n > 0.3 THEN 0.2 ELSE 0.0 END
+       |  - CASE WHEN n > 0 AND uppers::DOUBLE / n > 0.3 THEN 0.2 ELSE 0.0 END))
+       |  AS quality_score FROM q),
+       |lw AS (SELECT doc_id,
+       |  unnest(string_split_regex(lower(text), '[^\\p{L}]+')) AS wd FROM a),
+       |lh AS (SELECT doc_id,
+       |  count(*) FILTER (WHERE wd IN ('the','and','of','to','is','that','with'))::INT AS en,
+       |  count(*) FILTER (WHERE wd IN ('der','die','und','das','nicht','ist','ein'))::INT AS de,
+       |  count(*) FILTER (WHERE wd IN ('le','la','les','et','est','une','que'))::INT AS fr,
+       |  count(*) FILTER (WHERE wd IN ('el','los','las','es','una','que','para'))::INT AS es
+       |  FROM lw GROUP BY doc_id),
+       |lb AS (SELECT doc_id, list_sort([
+       |    struct_pack(h := de, l := 'de'), struct_pack(h := en, l := 'en'),
+       |    struct_pack(h := es, l := 'es'), struct_pack(h := fr, l := 'fr')])[4] AS m
+       |  FROM lh),
+       |lang AS (SELECT a.doc_id,
+       |  CASE WHEN m.h > 0 THEN m.l ELSE 'und' END AS lang_pred
+       |  FROM a LEFT JOIN lb ON lb.doc_id = a.doc_id),
+       |pii AS (SELECT doc_id,
+       |  len(regexp_extract_all(text, '${TextOps.emailRegex}'))
+       |  + len(regexp_extract_all(text, '${TextOps.ipv4Regex}'))
+       |  + len(regexp_extract_all(text, '${TextOps.phoneRegex}')) > 0 AS pii_flag
+       |  FROM a),
+       |rl AS (SELECT doc_id,
+       |  list_filter(list_transform(split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines
+       |  FROM a),
+       |rlc AS (SELECT doc_id, len(lines) AS nl, len(list_distinct(lines)) AS nd FROM rl),
+       |w AS (SELECT doc_id,
+       |  list_filter(split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+       |    x -> x <> '') AS words FROM a),
+       |tc AS (SELECT doc_id, list_sum(list_transform(words, x -> len(x))) AS tot FROM w),
+       |t2 AS (SELECT doc_id, max(c * chars) AS best FROM (
+       |  SELECT doc_id, gram, count(*) AS c, len(gram) - 1 AS chars FROM (
+       |    SELECT doc_id, words[i::INT] || ' ' || words[(i + 1)::INT] AS gram
+       |    FROM w, unnest(generate_series(1, greatest(len(words) - 1, 0))) AS t(i))
+       |  GROUP BY doc_id, gram) GROUP BY doc_id),
+       |rep AS (SELECT rlc.doc_id,
+       |  CASE WHEN nl > 0 THEN 1.0 - nd::DOUBLE / nl ELSE 0.0 END AS dup_line_frac,
+       |  CASE WHEN tc.tot > 0 THEN coalesce(t2.best, 0)::DOUBLE / tc.tot ELSE 0.0 END
+       |    AS top2gram_char_frac
+       |  FROM rlc JOIN tc ON tc.doc_id = rlc.doc_id
+       |  LEFT JOIN t2 ON t2.doc_id = rlc.doc_id)""".stripMargin
 
   /** Inline DuckDB expression: signed FNV-1a 64-bit of a VARCHAR
     * expression (mirrors TextOps.fnvHash via HUGEINT wrap arithmetic). */
@@ -2821,6 +2904,17 @@ object SparkEntry {
          |FROM documents d LEFT JOIN ov USING (doc_id)""".stripMargin
     },
 
+    "doc_chunk_plan" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS n
+        |  FROM documents)
+        |SELECT doc_id, n AS n_tokens, i AS chunk_id,
+        |  (i * 48)::BIGINT AS start_tok,
+        |  least(i * 48 + 64, n)::BIGINT AS end_tok
+        |FROM t, unnest(generate_series(0,
+        |  greatest(0, ceil((n - 64) / 48.0)::BIGINT))) AS u(i)""".stripMargin,
+
     "emb_quantize_sq" -> {
       val code = "CASE WHEN scales[i] = 0.0 THEN 0 ELSE " +
         "least(255.0, greatest(0.0, floor((v[i] - mins[i]) / scales[i] + 0.5)))::INT END"
@@ -2942,59 +3036,7 @@ object SparkEntry {
     "doc_curation_pipeline" -> {
       val gram5 = (0 until 5).map(j => s"words[(i + $j)::INT]").mkString(" || ' ' || ")
       s"""WITH a AS (SELECT doc_id, $synthPiiSql AS text FROM documents),
-         |q AS (SELECT doc_id,
-         |  CASE WHEN length(trim(text)) = 0 THEN 0
-         |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
-         |  length(text) AS n,
-         |  length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct,
-         |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
-         |  length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS uppers
-         |  FROM a),
-         |qs AS (SELECT doc_id, greatest(0.0, least(1.0, 1.0
-         |  - CASE WHEN toks < 5 THEN 0.5 ELSE 0.0 END
-         |  - CASE WHEN n > 0 AND punct::DOUBLE / n > 0.3 THEN 0.3 ELSE 0.0 END
-         |  - CASE WHEN n > 0 AND digits::DOUBLE / n > 0.3 THEN 0.2 ELSE 0.0 END
-         |  - CASE WHEN n > 0 AND uppers::DOUBLE / n > 0.3 THEN 0.2 ELSE 0.0 END))
-         |  AS quality_score FROM q),
-         |lw AS (SELECT doc_id,
-         |  unnest(string_split_regex(lower(text), '[^\\p{L}]+')) AS wd FROM a),
-         |lh AS (SELECT doc_id,
-         |  count(*) FILTER (WHERE wd IN ('the','and','of','to','is','that','with'))::INT AS en,
-         |  count(*) FILTER (WHERE wd IN ('der','die','und','das','nicht','ist','ein'))::INT AS de,
-         |  count(*) FILTER (WHERE wd IN ('le','la','les','et','est','une','que'))::INT AS fr,
-         |  count(*) FILTER (WHERE wd IN ('el','los','las','es','una','que','para'))::INT AS es
-         |  FROM lw GROUP BY doc_id),
-         |lb AS (SELECT doc_id, list_sort([
-         |    struct_pack(h := de, l := 'de'), struct_pack(h := en, l := 'en'),
-         |    struct_pack(h := es, l := 'es'), struct_pack(h := fr, l := 'fr')])[4] AS m
-         |  FROM lh),
-         |lang AS (SELECT a.doc_id,
-         |  CASE WHEN m.h > 0 THEN m.l ELSE 'und' END AS lang_pred
-         |  FROM a LEFT JOIN lb ON lb.doc_id = a.doc_id),
-         |pii AS (SELECT doc_id,
-         |  len(regexp_extract_all(text, '${TextOps.emailRegex}'))
-         |  + len(regexp_extract_all(text, '${TextOps.ipv4Regex}'))
-         |  + len(regexp_extract_all(text, '${TextOps.phoneRegex}')) > 0 AS pii_flag
-         |  FROM a),
-         |rl AS (SELECT doc_id,
-         |  list_filter(list_transform(split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines
-         |  FROM a),
-         |rlc AS (SELECT doc_id, len(lines) AS nl, len(list_distinct(lines)) AS nd FROM rl),
-         |w AS (SELECT doc_id,
-         |  list_filter(split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
-         |    x -> x <> '') AS words FROM a),
-         |tc AS (SELECT doc_id, list_sum(list_transform(words, x -> len(x))) AS tot FROM w),
-         |t2 AS (SELECT doc_id, max(c * chars) AS best FROM (
-         |  SELECT doc_id, gram, count(*) AS c, len(gram) - 1 AS chars FROM (
-         |    SELECT doc_id, words[i::INT] || ' ' || words[(i + 1)::INT] AS gram
-         |    FROM w, unnest(generate_series(1, greatest(len(words) - 1, 0))) AS t(i))
-         |  GROUP BY doc_id, gram) GROUP BY doc_id),
-         |rep AS (SELECT rlc.doc_id,
-         |  CASE WHEN nl > 0 THEN 1.0 - nd::DOUBLE / nl ELSE 0.0 END AS dup_line_frac,
-         |  CASE WHEN tc.tot > 0 THEN coalesce(t2.best, 0)::DOUBLE / tc.tot ELSE 0.0 END
-         |    AS top2gram_char_frac
-         |  FROM rlc JOIN tc ON tc.doc_id = rlc.doc_id
-         |  LEFT JOIN t2 ON t2.doc_id = rlc.doc_id),
+         |$curationMetricCtesSql,
          |g AS (SELECT doc_id, $gram5 AS gram
          |  FROM w, unnest(generate_series(1, greatest(len(words) - 4, 0))) AS t(i)),
          |tg AS (SELECT DISTINCT doc_id, gram FROM g),
@@ -3021,6 +3063,51 @@ object SparkEntry {
          |    ELSE 'test' END AS split
          |FROM verdict""".stripMargin
     },
+
+    // per-source report card: the same metric replay over RAW docs (no
+    // synth PII, no contamination gate), plus exact-dup rate and the
+    // unigram-LM mean, aggregated per source
+    "doc_report_card" ->
+      s"""WITH a AS (SELECT doc_id, text FROM documents),
+         |$curationMetricCtesSql,
+         |verdict AS (SELECT a.doc_id,
+         |  CASE WHEN pii.pii_flag THEN 'pii'
+         |    WHEN qs.quality_score < 0.5 THEN 'low_quality'
+         |    WHEN lang.lang_pred <> 'en' THEN 'non_english'
+         |    WHEN rep.dup_line_frac > 0.3 OR rep.top2gram_char_frac > 0.08
+         |      THEN 'repetitive'
+         |    ELSE 'keep' END AS reason, qs.quality_score
+         |  FROM a
+         |  JOIN pii ON pii.doc_id = a.doc_id
+         |  JOIN qs ON qs.doc_id = a.doc_id
+         |  JOIN lang ON lang.doc_id = a.doc_id
+         |  JOIN rep ON rep.doc_id = a.doc_id),
+         |norm AS (SELECT doc_id,
+         |  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS tnorm FROM documents),
+         |dupg AS (SELECT tnorm, min(doc_id) AS keep FROM norm GROUP BY tnorm),
+         |dup AS (SELECT n.doc_id, n.doc_id <> g.keep AS is_dup
+         |  FROM norm n JOIN dupg g USING (tnorm)),
+         |utoks AS (SELECT doc_id, wd AS tok FROM (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(lower(text), '[^\\p{L}]+')) AS wd
+         |  FROM documents) WHERE wd <> ''),
+         |ucounts AS (SELECT tok, count(*) AS cnt FROM utoks GROUP BY tok),
+         |utot AS (SELECT sum(cnt)::DOUBLE AS total FROM ucounts),
+         |uvocab AS (SELECT tok, ln(cnt / (SELECT total FROM utot)) AS logp
+         |  FROM ucounts ORDER BY cnt DESC, tok LIMIT 500),
+         |ulp AS (SELECT t.doc_id,
+         |    avg(coalesce(v.logp, ln(0.5 / (SELECT total FROM utot)))) AS avg_logp
+         |  FROM utoks t LEFT JOIN uvocab v USING (tok) GROUP BY t.doc_id)
+         |SELECT d.source, count(*)::BIGINT AS n_docs,
+         |  round(avg(CASE WHEN v.reason = 'keep' THEN 1.0 ELSE 0.0 END) + 1e-9, 6) AS keep_rate,
+         |  round(avg(CASE WHEN dup.is_dup THEN 1.0 ELSE 0.0 END) + 1e-9, 6) AS dup_rate,
+         |  round(avg(round(v.quality_score, 6)) + 1e-9, 6) AS avg_quality,
+         |  round(avg(ulp.avg_logp) + 1e-9, 6) AS avg_logp
+         |FROM documents d
+         |JOIN verdict v ON v.doc_id = d.doc_id
+         |JOIN dup ON dup.doc_id = d.doc_id
+         |JOIN ulp ON ulp.doc_id = d.doc_id
+         |GROUP BY d.source""".stripMargin,
 
     "doc_sample_stable" ->
       s"""SELECT doc_id, source FROM documents

@@ -20,6 +20,27 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** RAG-style chunk plan: fixed `chunkTokens` windows advancing by
+    * `stride` (< chunkTokens → overlapping context) over each document's
+    * token count — (doc_id, chunk_id, start_tok, end_tok), the slicing
+    * manifest a retrieval indexer consumes. Pure per-row arithmetic plus
+    * a bounded sequence explode; NO shuffle — at 100 TB this is a single
+    * narrow scan. A document shorter than one window still emits chunk 0
+    * so every doc appears in the manifest. */
+  def chunkPlan(df: DataFrame, chunkTokens: Int = 64, stride: Int = 48,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunkTokens > 0 && stride > 0)
+    val n = TextOps.tokenCount(col(textCol)).cast("long")
+    df.select(col(idCol), n.as("n_tokens"))
+      .withColumn("chunk_id", explode(sequence(lit(0L),
+        greatest(lit(0L),
+          ceil((col("n_tokens") - chunkTokens).cast("double") / stride)
+            .cast("long")))))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("end_tok",
+        least(col("start_tok") + chunkTokens, col("n_tokens")))
+  }
+
   def packPlan(df: DataFrame, seqLen: Int, nShards: Int = 32,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(seqLen > 0 && nShards > 0)

@@ -400,6 +400,22 @@ class Round6Spec extends AnyFunSuite {
         s"query ${r.getLong(0)} matched ${r.getLong(1)}"))
   }
 
+  test("chunkPlan emits overlapping windows covering every token") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq.fill(100)("w").mkString(" ")), // 64@0, 64@48 → chunks 0,1
+      (2L, Seq.fill(64)("w").mkString(" ")),  // exactly one window
+      (3L, "short doc"))                      // sub-window doc still emits
+      .toDF("doc_id", "text")
+    val out = Packing.chunkPlan(df).orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("end_tok")))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 64L), (1L, 1L, 48L, 100L),
+      (2L, 0L, 0L, 64L),
+      (3L, 0L, 0L, 2L)))
+  }
+
   test("canary: decontamination at 5x docs with forced-low partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
