@@ -138,6 +138,30 @@ object AnnOracle {
        |FROM cb c LEFT JOIN marks m USING (vec_id)""".stripMargin
   }
 
+  /** Shared topic-cell CTE body: vec_id → argmin-list_distance topic over
+    * the pinned centroids (first-index tie-break, the kernel's strict-<
+    * scan). Yields relation (vec_id, topic, dist). */
+  def topicCellsSql(centers: Array[Array[Double]]): String = {
+    val nc = centers.length
+    val dists = centers.zipWithIndex.map { case (c, i) =>
+      s"list_distance(embedding::DOUBLE[], ${planeList(c)}) AS d$i"
+    }.mkString(",\n  ")
+    val m = s"least(${(0 until nc).map(i => s"d$i").mkString(", ")})"
+    val argmin =
+      s"(CASE ${(0 until nc).map(i => s"WHEN d$i = __m THEN $i").mkString(" ")} END)"
+    s"""SELECT vec_id, $argmin AS topic, __m AS dist
+       |  FROM (SELECT *, $m AS __m
+       |    FROM (SELECT vec_id, $dists FROM embeddings))""".stripMargin
+  }
+
+  /** emb_topic_assign replay: pinned-centroid argmin cell + Euclidean
+    * distance to the winner (list_distance ≡ the kernel's sequential
+    * Σ(a−b)² then sqrt; monotone, so the argmin agrees with the squared
+    * scan). */
+  def topicAssignSql(centers: Array[Array[Double]]): String =
+    s"""SELECT vec_id, topic, round(dist + 1e-9, 6) AS centroid_dist
+       |FROM (${topicCellsSql(centers)})""".stripMargin
+
   /** emb_pca replay with pinned components: pcⱼ = x·cⱼ − (μ·cⱼ), the
     * mean offset precomputed driver-side with the same sequential dot the
     * projection UDF uses. `list_dot_product` accumulates sequentially, so

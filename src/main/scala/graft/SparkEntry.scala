@@ -1031,6 +1031,15 @@ object SparkEntry {
       Decontam.ngramOverlap(docs, docs.filter(col("doc_id") % 20 === 0), n = 5)
     }),
 
+    // same gate through the Bloom pre-filter (the 100 TB membership
+    // shape); bloom has no false negatives + exact verify → output must
+    // be bit-identical, so it shares doc_decontaminate's oracle
+    "doc_decontam_bloom" -> ((s, dir) => {
+      val docs = IO.documents(s, dir)
+      Decontam.ngramOverlapBloom(docs, docs.filter(col("doc_id") % 20 === 0),
+        n = 5)
+    }),
+
     // PII scrub: the corpus is synthetic word-soup, so deterministically
     // plant PII-shaped strings on every 3rd doc (the oracle plants the
     // identical strings) and assert detection + redaction parity
@@ -1550,6 +1559,24 @@ object SparkEntry {
           r6n(col("max_prior_cosine")).as("max_prior_cosine"))
     }),
 
+    // topic buckets over the embedding corpus: the IVF cells reread as
+    // curation strata (same base-corpus quantizer fit → shared centroid
+    // pin with emb_knn_ivf/emb_semdedup)
+    "emb_topic_assign" -> ((s, dir) => {
+      val emb = IO.embeddings(s, dir).select("vec_id", "embedding")
+      Similarity.topicAssign(emb, Similarity.ivfCentroids(emb))
+        .select(col("vec_id"), col("topic"),
+          r6n(col("centroid_dist")).as("centroid_dist"))
+    }),
+
+    // cluster-balanced subsample: ≤20 vectors per topic, stable hash order
+    "emb_topic_sample" -> ((s, dir) => {
+      val emb = IO.embeddings(s, dir).select("vec_id", "embedding")
+      Similarity.topicBalancedSample(emb, Similarity.ivfCentroids(emb),
+          quota = 20)
+        .select("vec_id", "topic")
+    }),
+
     // recall audit for the near-dup LSH path: exact all-pairs ground
     // truth at the same threshold vs the bucketed candidates (the
     // emb_knn_recall pattern extended to pairs)
@@ -2033,6 +2060,15 @@ object SparkEntry {
       "emb_knn_ivf" -> AnnOracle.ivfTopKSql(c, nprobe = 4, k = 3)) ++
     OraclePins.ivfCenters.map(c =>
       "emb_semdedup" -> AnnOracle.semDedupSql(c, threshold = 0.95)) ++
+    OraclePins.ivfCenters.map(c =>
+      "emb_topic_assign" -> AnnOracle.topicAssignSql(c)) ++
+    OraclePins.ivfCenters.map(c =>
+      "emb_topic_sample" ->
+        s"""SELECT vec_id, topic FROM (
+           |  SELECT vec_id, topic, row_number() OVER (PARTITION BY topic
+           |    ORDER BY ${uniformSql("vec_id::VARCHAR")}, vec_id) AS rk
+           |  FROM (${AnnOracle.topicCellsSql(c)}))
+           |WHERE rk <= 20""".stripMargin) ++
     OraclePins.pca.map(m => "emb_pca" -> AnnOracle.pcaProjectSql(m)) ++
     OraclePins.pca.map(m => "emb_pca_var" -> AnnOracle.pcaVarSql(m)) ++
     OraclePins.pq.map(cb => "emb_pq_codes" -> AnnOracle.pqCodesSql(cb)) ++
@@ -2889,6 +2925,25 @@ object SparkEntry {
     // decontamination: distinct 5-grams per doc, bench = every 20th doc,
     // count of a doc's grams that appear anywhere in the bench set
     "doc_decontaminate" -> {
+      val gram5 = (0 until 5).map(j => s"words[(i + $j)::INT]").mkString(" || ' ' || ")
+      s"""WITH w AS (SELECT doc_id,
+         |  list_filter(split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+         |    x -> x <> '') AS words FROM documents),
+         |g AS (SELECT doc_id, $gram5 AS gram
+         |  FROM w, unnest(generate_series(1, greatest(len(words) - 4, 0))) AS t(i)),
+         |tg AS (SELECT DISTINCT doc_id, gram FROM g),
+         |bg AS (SELECT DISTINCT gram FROM tg WHERE doc_id % 20 = 0),
+         |ov AS (SELECT tg.doc_id, count(*) AS c FROM tg JOIN bg USING (gram)
+         |  GROUP BY tg.doc_id)
+         |SELECT d.doc_id, coalesce(ov.c, 0)::BIGINT AS n_overlap,
+         |  coalesce(ov.c, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN ov USING (doc_id)""".stripMargin
+    },
+
+    // Bloom pre-filter + exact verify ≡ exact overlap (no false
+    // negatives), so the bloom query replays against the SAME exact SQL —
+    // the strongest possible check that the pre-filter loses nothing
+    "doc_decontam_bloom" -> {
       val gram5 = (0 until 5).map(j => s"words[(i + $j)::INT]").mkString(" || ' ' || ")
       s"""WITH w AS (SELECT doc_id,
          |  list_filter(split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),

@@ -49,4 +49,44 @@ object Decontam {
       .agg(count(col("__hit")).as("n_overlap"))
       .withColumn("contaminated", col("n_overlap") > 0)
   }
+
+  /** [[ngramOverlap]] with a Bloom-filter pre-filter on the bench-gram
+    * membership test — the 100 TB shape. A raw broadcast of the bench
+    * grams ships the STRINGS to every executor; at benchmark-suite scale
+    * (10⁸⁺ grams) that broadcast is the bottleneck, while the Bloom
+    * filter is ~1.2 bytes/gram at 1% fpp. Bloom has no false negatives,
+    * so filtering train grams through it then exact-verifying the
+    * survivors returns BIT-IDENTICAL output to [[ngramOverlap]] — false
+    * positives die in the verify join, whose input shrinks to the true
+    * hits plus an expected fpp·|train grams| stragglers — the survivors
+    * are what shuffles when the verify join outgrows broadcast, so the
+    * bloom cut IS the scale win. Zero-overlap docs rejoin through a thin
+    * ids-only back-join (deliberately different from [[ngramOverlap]]'s
+    * explode_outer retention: keeping bloom-missed rows alive would
+    * funnel them to one null-key shuffle partition). Spark's
+    * `stat.bloomFilter` is deterministic (fixed-seed Murmur3,
+    * order-independent bit-OR inserts). */
+  def ngramOverlapBloom(train: DataFrame, bench: DataFrame, n: Int = 8,
+      fpp: Double = 0.01, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val benchGrams = bench
+      .select(explode(array_distinct(wordGrams(col(textCol), n))).as("gram"))
+      .distinct()
+    val expected = math.max(benchGrams.count(), 1L)
+    val bloom = benchGrams.stat.bloomFilter("gram", expected, fpp)
+    val bc = train.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) =>
+      g != null && bc.value.mightContainString(g))
+    val hits = train
+      .select(col(idCol),
+        explode(array_distinct(wordGrams(col(textCol), n))).as("gram"))
+      .filter(mightContain(col("gram")))
+      .join(broadcast(benchGrams.select(col("gram"))), Seq("gram"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("__c"))
+    train.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__c"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
 }

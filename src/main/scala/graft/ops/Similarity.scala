@@ -203,6 +203,52 @@ object Similarity {
   def semDedup(df: DataFrame, nCells: Int, threshold: Double): DataFrame =
     semDedup(df, ivfCentroids(df, nCells), threshold)
 
+  /** Topic assignment: each vector's nearest coarse-quantizer centroid
+    * (the IVF cells reread as topic buckets — the cluster-based data
+    * selection / diversity-bucketing step of a curation pipeline). Output:
+    * (idCol, topic, centroid_dist) with Euclidean distance to the winning
+    * centroid. Pure narrow map over a broadcast centroid array — zero
+    * shuffles, so it composes freely under any downstream grouping; at
+    * 100 TB you raise the sampled-Lloyd `nCells`, never this op's cost.
+    * Ref semantics: polars_ts embedding-curation surface (cluster ids as
+    * selection strata). */
+  def topicAssign(df: DataFrame, centers: Array[Array[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(centers)
+    // strict-< scan → first index attains the min (ties break low, the
+    // same convention the oracle's ordered CASE replays)
+    val assign = udf((v: Seq[Double]) => {
+      val cs = bc.value
+      var best = 0; var bd = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var dd = 0.0; var j = 0
+        val cv = cs(c)
+        while (j < cv.length && j < v.length) { val t = v(j) - cv(j); dd += t * t; j += 1 }
+        if (dd < bd) { bd = dd; best = c }
+        c += 1
+      }
+      (best, math.sqrt(bd))
+    })
+    df.withColumn("__t", assign(col(vecCol).cast("array<double>")))
+      .withColumn("topic", col("__t._1"))
+      .withColumn("centroid_dist", col("__t._2"))
+      .drop("__t")
+  }
+
+  /** Cluster-balanced subsample: at most `quota` vectors per topic cell,
+    * chosen in stable hash order — the diversity-preserving cap that stops
+    * a head topic from dominating a training mix (SemDeDup's companion
+    * selection step). One shuffle on the topic key via
+    * [[Sampling.stratifiedQuota]]; membership is a pure function of
+    * (seed, id, centers), so re-runs and engines agree bit-for-bit. */
+  def topicBalancedSample(df: DataFrame, centers: Array[Array[Double]],
+      quota: Int, seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    Sampling.stratifiedQuota(
+      topicAssign(df, centers, idCol, vecCol), "topic", idCol, quota, seed)
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate join
     * (id_a < id_b within a hyperplane bucket) verified by exact cosine ≥
     * threshold — the vector analogue of MinHash near-dup detection.

@@ -447,4 +447,48 @@ class Round6Spec extends AnyFunSuite {
     assert(out.map(_.getAs[Boolean]("contaminated")).toSeq ==
       Seq(true, true, false))
   }
+
+  test("ngramOverlapBloom is bit-identical to the exact overlap gate") {
+    val docs = graft.core.IO.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val exact = Decontam.ngramOverlap(docs, bench, n = 5)
+      .orderBy("doc_id").collect().toSeq
+    val bloomed = Decontam.ngramOverlapBloom(docs, bench, n = 5)
+      .orderBy("doc_id").collect().toSeq
+    assert(exact == bloomed)
+    // and at an aggressive fpp the exact verify still kills every FP
+    val sloppy = Decontam.ngramOverlapBloom(docs, bench, n = 5, fpp = 0.4)
+      .orderBy("doc_id").collect().toSeq
+    assert(exact == sloppy)
+  }
+
+  test("topicAssign: nearest centroid wins, low-index tie-break, exact dist") {
+    import spark.implicits._
+    val centers = Array(Array(0.0, 0.0), Array(10.0, 0.0))
+    val df = Seq(
+      (1L, Array(1.0, 0.0)),   // dist 1 vs 9 → topic 0
+      (2L, Array(9.0, 2.0)),   // topic 1, dist sqrt(1+4)
+      (3L, Array(5.0, 0.0)))   // exact tie → first index (topic 0)
+      .toDF("vec_id", "embedding")
+    val out = Similarity.topicAssign(df, centers).orderBy("vec_id").collect()
+    assert(out.map(_.getAs[Int]("topic")).toSeq == Seq(0, 1, 0))
+    assert(math.abs(out(0).getAs[Double]("centroid_dist") - 1.0) < 1e-12)
+    assert(math.abs(out(1).getAs[Double]("centroid_dist") - math.sqrt(5.0)) < 1e-12)
+    assert(math.abs(out(2).getAs[Double]("centroid_dist") - 5.0) < 1e-12)
+  }
+
+  test("topicBalancedSample caps each topic and is partition-stable") {
+    val emb = graft.core.IO.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val centers = Similarity.ivfCentroids(emb)
+    val sampled = Similarity.topicBalancedSample(emb, centers, quota = 5)
+    val perTopic = sampled.groupBy("topic").count().collect()
+    assert(perTopic.forall(_.getLong(1) <= 5L))
+    // stable: same survivors regardless of input partitioning
+    val again = Similarity.topicBalancedSample(
+      emb.repartition(7), centers, quota = 5)
+    assert(sampled.select("vec_id").except(again.select("vec_id")).count() == 0)
+    assert(again.select("vec_id").except(sampled.select("vec_id")).count() == 0)
+  }
 }
