@@ -73,6 +73,10 @@ object ElasticOracle {
     * cross-panel kNN-classify oracle. */
   def dtwFoldExpr: String = dtwSql
 
+  /** The MSM (c = 1) fold over columns va/vb/n/m — reused by the pinned
+    * KASBA assignment-replay oracle. */
+  def msmFoldExpr: String = msmSql
+
   /** ddtw: DTW over Keogh-Pazzani derivatives (endpoints dropped). */
   private val derivCte =
     """pd AS (SELECT id_1, id_2,

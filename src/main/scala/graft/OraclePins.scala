@@ -60,6 +60,15 @@ object OraclePins {
   /** ROCKET one-vs-rest ridge fit (minLen, classes, coefs) for
     * ts_rocket_classify. */
   @volatile var rocket: Option[(Int, Array[String], Array[Array[Double]])] = None
+  /** (panel-min length, final-assignment centroids) for ts_kshape. */
+  @volatile var kshape: Option[(Int, Array[Array[Double]])] = None
+  /** (panel-min length, final-assignment DBA barycenters) for ts_kmeans_dba. */
+  @volatile var kmeansDba: Option[(Int, Array[Array[Double]])] = None
+  /** (panel-min length, final-assignment SSG centers) for ts_kasba. */
+  @volatile var kasba: Option[(Int, Array[Array[Double]])] = None
+  /** (sorted series ids, eigen-embedding rows, Lloyd final-assignment
+    * centers) for ts_spectral. */
+  @volatile var spectral: Option[(Array[String], Array[Array[Double]], Array[Array[Double]])] = None
 
   /** ts_iforest query parameters (shared with SparkEntry so the pinned
     * forest and the query's forest cannot drift). Smaller than the op
@@ -157,6 +166,20 @@ object OraclePins {
         org.apache.spark.sql.functions.pmod(col("user_id"),
           org.apache.spark.sql.functions.lit(3)).cast("string"))
     rocket = Some(graft.ops.Classification.rocketFit(ev, rkLabels, nKernels = 20))
+    // clustering: IDENTICAL fits to the ts_kshape / ts_kmeans_dba /
+    // ts_kasba / ts_spectral queries; only (minLen, the centroids used
+    // for the final assignment) is pinned — the oracle replays the
+    // assignment argmin (VERDICT r6 ask #1)
+    val ksf = graft.ops.Clustering.kshapeFitFull(ev, k = 3)
+    kshape = Some((ksf._2, ksf._3))
+    val dbf = graft.ops.Clustering.kmeansDbaFitFull(ev, k = 3, maxIter = 5)
+    kmeansDba = Some((dbf._2, dbf._3))
+    val kbf = graft.ops.Clustering.kasbaFitFull(ev, k = 3, maxIter = 5)
+    kasba = Some((kbf._2, kbf._3))
+    val (sids, sm) = graft.ops.Clustering.collectMatrix(
+      graft.ops.Distances.pairwise(ev, "sbd"), "sbd")
+    val semb = graft.kernels.Cluster.spectralEmbedding(sm, 3)
+    spectral = Some((sids, semb, graft.kernels.Cluster.lloydFit(semb, 3, 42L)._2))
   }
 
   /** Flatten trees to (tree, node, feat, split, lch, rch, plen) rows with

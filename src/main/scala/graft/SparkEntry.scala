@@ -2084,6 +2084,14 @@ object SparkEntry {
       ForecastOracle.scientistSqlPinned(w).map("ts_scientist" -> _)) ++
     OraclePins.rocket.map { case (ml, cls, cf) =>
       "ts_rocket_classify" -> ForecastOracle.rocketClassifySql(ml, cls, cf) } ++
+    OraclePins.kshape.map { case (l, c) =>
+      "ts_kshape" -> ClusterOracles.kshapeSql(l, c) } ++
+    OraclePins.kmeansDba.map { case (l, c) =>
+      "ts_kmeans_dba" -> ClusterOracles.kmeansDbaSql(l, c) } ++
+    OraclePins.kasba.map { case (l, c) =>
+      "ts_kasba" -> ClusterOracles.kasbaSql(l, c) } ++
+    OraclePins.spectral.map { case (ids, emb, cen) =>
+      "ts_spectral" -> ClusterOracles.spectralSql(ids, emb, cen) } ++
   Map(
     "ts_dbscan" -> ForecastOracle.dbscanSql,
     "q1_agg" ->

@@ -236,7 +236,15 @@ object Cluster {
     * Gaussian affinity → normalized Laplacian → k smallest eigenvectors →
     * Lloyd k-means on the embedding rows. Driver-side breeze eig. */
   def spectral(dist: Array[Array[Double]], k: Int, sigma: Double = 0.0,
-      seed: Long = 42L): Array[Int] = {
+      seed: Long = 42L): Array[Int] =
+    lloydFit(spectralEmbedding(dist, k, sigma), k, seed)._1
+
+  /** The row-normalized k-smallest-eigenvector embedding spectral
+    * clustering runs Lloyd over — exposed so the pinned oracle
+    * (ClusterOracles.spectralSql) can inline it and replay only the
+    * final k-means assignment. */
+  def spectralEmbedding(dist: Array[Array[Double]], k: Int,
+      sigma: Double = 0.0): Array[Array[Double]] = {
     import breeze.linalg.{eigSym, DenseMatrix}
     val n = dist.length
     val s = if (sigma > 0) sigma else {
@@ -259,18 +267,28 @@ object Cluster {
       val norm = math.sqrt(emb(i).map(v => v * v).sum)
       if (norm > 0) for (c <- 0 until k) emb(i)(c) /= norm
     }
-    lloyd(emb, k, seed)
+    emb
   }
 
   /** Plain Lloyd k-means on points (seeded init, 50 iters); also the IVF
     * coarse quantizer's trainer. Returns labels; [[lloydCenters]] returns
     * the centroids. */
-  def lloyd(x: Array[Array[Double]], k: Int, seed: Long): Array[Int] = {
+  def lloyd(x: Array[Array[Double]], k: Int, seed: Long): Array[Int] =
+    lloydFit(x, k, seed)._1
+
+  /** Lloyd loop exposing (labels, centers used for the FINAL assignment
+    * — i.e. the snapshot BEFORE the last update step, so an argmin replay
+    * over them reproduces `labels` exactly even when 50 iterations did
+    * not converge). */
+  def lloydFit(x: Array[Array[Double]], k: Int,
+      seed: Long): (Array[Int], Array[Array[Double]]) = {
     val n = x.length; val d = x(0).length
     val rng = new Random(seed)
     var centers = rng.shuffle(x.indices.toVector).take(k).map(i => x(i).clone()).toArray
+    var assignCenters = centers
     val labels = Array.fill(n)(0)
     for (_ <- 0 until 50) {
+      assignCenters = centers.map(_.clone())
       for (i <- 0 until n) {
         var best = 0; var bd = Double.MaxValue
         for (c <- 0 until k) {
@@ -288,7 +306,7 @@ object Cluster {
       for (c <- 0 until k if cnt(c) > 0; j <- 0 until d)
         centers(c)(j) = sums(c)(j) / cnt(c)
     }
-    labels
+    (labels, assignCenters)
   }
 
   /** Lloyd centroids for IVF training (same loop, returns centers). */

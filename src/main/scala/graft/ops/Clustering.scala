@@ -74,7 +74,15 @@ object Clustering {
     * driver power-iteration on the k small matrices. Deterministic init:
     * the first k series by id. */
   def kshapeCluster(df: DataFrame, k: Int, maxIter: Int = 20)(
-      implicit pc: PanelCols): DataFrame = {
+      implicit pc: PanelCols): DataFrame = kshapeFitFull(df, k, maxIter)._1
+
+  /** k-Shape fit exposing the verification surface: (labels, minLen,
+    * centroids used for the FINAL assignment). The pinned oracle
+    * (ClusterOracles.kshapeSql) inlines those centroids and replays only
+    * the z-norm + argmin-SBD assignment in SQL; labels == that argmin by
+    * construction because the loop assigns before it updates. */
+  def kshapeFitFull(df: DataFrame, k: Int, maxIter: Int = 20)(
+      implicit pc: PanelCols): (DataFrame, Int, Array[Array[Double]]) = {
     val spark = df.sparkSession
     val g = graft.core.Panel.grouped(df).select(pc.idCol.as("__id"), col("ys"))
     val minLen = g.agg(min(size(col("ys")))).head().getInt(0)
@@ -82,11 +90,13 @@ object Clustering {
     val z = g.select(col("__id"), zUdf(col("ys")).as("__z")).cache()
     var centroids = z.orderBy(col("__id")).limit(k).collect()
       .map(_.getSeq[Double](1).toArray)
+    var lastAssign = centroids
     var labels: DataFrame = null
     var it = 0
     var changed = true
     while (it < maxIter && changed) {
       val bc = spark.sparkContext.broadcast(centroids)
+      lastAssign = centroids
       val assignUdf = udf((zs: Seq[Double]) => {
         val arr = zs.toArray
         val cs = bc.value
@@ -174,7 +184,7 @@ object Clustering {
     }
     val out = labels.select(col("__id").as(pc.id), col("cluster"))
     z.unpersist()
-    out
+    (out, minLen, lastAssign)
   }
 
   private def fixedLenSeries(df: DataFrame)(implicit pc: PanelCols) = {
@@ -228,15 +238,23 @@ object Clustering {
     * DBA per update; at cluster scale each sweep is a panel pass, so the
     * count is a dial). */
   def kmeansDba(df: DataFrame, k: Int, maxIter: Int = 10, dbaIters: Int = 3,
-      seed: Long = 42L)(implicit pc: PanelCols): DataFrame = {
+      seed: Long = 42L)(implicit pc: PanelCols): DataFrame =
+    kmeansDbaFitFull(df, k, maxIter, dbaIters, seed)._1
+
+  /** DBA k-means fit exposing (labels, minLen, centroids used for the
+    * final assignment) — the pinned-oracle surface (see kshapeFitFull). */
+  def kmeansDbaFitFull(df: DataFrame, k: Int, maxIter: Int = 10, dbaIters: Int = 3,
+      seed: Long = 42L)(implicit pc: PanelCols): (DataFrame, Int, Array[Array[Double]]) = {
     val spark = df.sparkSession
     val (z, minLen) = fixedLenSeries(df)
     var centroids = elasticKppInit(z, k, seed, (a, b) => graft.kernels.Elastic.dtw(a, b))
+    var lastAssign = centroids
     var labels: DataFrame = null
     var it = 0
     var changed = true
     while (it < maxIter && changed) {
       val bc = spark.sparkContext.broadcast(centroids)
+      lastAssign = centroids
       val assign = udf((zs: Seq[Double]) => {
         val arr = zs.toArray
         val cs = bc.value
@@ -294,7 +312,7 @@ object Clustering {
     }
     val out = labels.select(col("__id").as(pc.id), col("cluster"))
     z.unpersist()
-    out
+    (out, minLen, lastAssign)
   }
 
   /** KASBA clustering (reference clustering/kasba.py:16-120 + the
@@ -312,14 +330,26 @@ object Clustering {
   def kasbaCluster(df: DataFrame, k: Int, c: Double = 1.0, maxIter: Int = 10,
       baSubsetSize: Double = 0.5, initialStepSize: Double = 0.05,
       decayRate: Double = 0.1, subsetCap: Int = 512, seed: Long = 42L)(
-      implicit pc: PanelCols): DataFrame = {
+      implicit pc: PanelCols): DataFrame =
+    kasbaFitFull(df, k, c, maxIter, baSubsetSize, initialStepSize,
+      decayRate, subsetCap, seed)._1
+
+  /** KASBA fit exposing (labels, minLen, centers used for the final
+    * assignment) — the pinned-oracle surface (see kshapeFitFull). The
+    * Elkan-pruned assignment is exact for the MSM metric, so the SQL
+    * replay is a plain argmin over the pinned centers. */
+  def kasbaFitFull(df: DataFrame, k: Int, c: Double = 1.0, maxIter: Int = 10,
+      baSubsetSize: Double = 0.5, initialStepSize: Double = 0.05,
+      decayRate: Double = 0.1, subsetCap: Int = 512, seed: Long = 42L)(
+      implicit pc: PanelCols): (DataFrame, Int, Array[Array[Double]]) = {
     val spark = df.sparkSession
-    val (z, _) = fixedLenSeries(df)
+    val (z, minLen) = fixedLenSeries(df)
     val rng = new scala.util.Random(seed)
 
     // ── elastic k-means++ (init.rs): weighted by min MSM distance ──────
     var centers = elasticKppInit(z, k, seed,
       (a, b) => graft.kernels.Elastic.msm(a, b, c))
+    var lastAssign = centers
 
     var labels: DataFrame = null
     var it = 0
@@ -330,18 +360,22 @@ object Clustering {
         if (i == j) 0.0 else graft.kernels.Elastic.msm(centers(i), centers(j), c))
       val bcC = spark.sparkContext.broadcast(centers)
       val bcD = spark.sparkContext.broadcast(ccd)
-      val assign = udf((zs: Seq[Double], prevLabel: Int, prevDist: Double) => {
+      lastAssign = centers
+      // The incumbent distance is re-evaluated against the CURRENT center
+      // (the reference's fast_assign carries the stale previous-iteration
+      // bound, saving one MSM eval but making labels history-dependent);
+      // with a fresh incumbent the Elkan skip stays exact, so the final
+      // labels are a pure argmin over the final centers — the property
+      // the pinned oracle (ClusterOracles.kasbaSql) replays.
+      val assign = udf((zs: Seq[Double], prevLabel: Int) => {
         val arr = zs.toArray
         val cs = bcC.value
         val dd = bcD.value
         var closest = if (prevLabel >= 0) prevLabel else 0
-        var minDist =
-          if (prevLabel >= 0) prevDist
-          else graft.kernels.Elastic.msm(arr, cs(0), c)
+        var minDist = graft.kernels.Elastic.msm(arr, cs(closest), c)
         var j = 0
         while (j < cs.length) {
-          val skip = (prevLabel >= 0 && j == closest) ||
-            minDist < dd(j)(closest) / 2.0
+          val skip = j == closest || minDist < dd(j)(closest) / 2.0
           if (!skip) {
             val d = graft.kernels.Elastic.msm(arr, cs(j), c)
             if (d < minDist) { minDist = d; closest = j }
@@ -350,12 +384,10 @@ object Clustering {
         }
         (closest, minDist)
       })
-      val prev = if (labels == null)
-        z.withColumn("__pl", lit(-1)).withColumn("__pd", lit(0.0))
-      else z.join(labels.select(col("__id"), col("cluster").as("__pl"),
-        col("__dist").as("__pd")), "__id")
+      val prev = if (labels == null) z.withColumn("__pl", lit(-1))
+        else z.join(labels.select(col("__id"), col("cluster").as("__pl")), "__id")
       val newLabels = prev
-        .withColumn("__a", assign(col("__z"), col("__pl"), col("__pd")))
+        .withColumn("__a", assign(col("__z"), col("__pl")))
         .select(col("__id"), col("__z"), col("__a._1").as("cluster"),
           col("__a._2").as("__dist"))
         .cache()
@@ -397,7 +429,7 @@ object Clustering {
     }
     val out = labels.select(col("__id").as(pc.id), col("cluster"))
     z.unpersist()
-    out
+    (out, minLen, lastAssign)
   }
 
   /** Clustering quality summary `[method, k, silhouette, davies_bouldin]`
