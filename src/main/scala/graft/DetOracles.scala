@@ -311,6 +311,137 @@ object DetOracles {
        |FROM post p JOIN fcl f USING (user_id)""".stripMargin
   }
 
+  // ── ts_bsts_fc / ts_bsts_decomp (local-linear, no seasonal) ──────────
+  //
+  // BayesianOps.bstsForecast/bstsDecompose replay with the kernel's
+  // fixed default variances (σobs=1, σlevel=0.1, σtrend=0.01): the same
+  // 2-state predict-update filter fold as ts_causal_impact_ll — init
+  // x0=[y0,0], P0=10I, flat state [x1,x2,p11,p12,p22] — then either
+  // h-step (mean, variance) propagation (fc) or the RTS backward
+  // smoother (decomp), whose per-step inputs (xf, pf, xp, pp) the
+  // forward fold stores as 10-double records. The smoother gain
+  // C = pf·F'·pinv(pp) uses the closed-form 2×2 inverse; breeze's
+  // SVD pinv agrees to ~1e-13 — inside the r6n nudge.
+  private val BstsQl = dlit(0.1 * 0.1)
+  private val BstsQt = dlit(0.01 * 0.01)
+
+  private def bstsFilterStep(store: Boolean): String = {
+    val px1 = "(acc[1] + acc[2])"
+    val px2 = "acc[2]"
+    val pp11 = s"(acc[3] + 2.0*acc[4] + acc[5] + $BstsQl)"
+    val pp12 = "(acc[4] + acc[5])"
+    val pp22 = s"(acc[5] + $BstsQt)"
+    val sE = s"($pp11 + 1.0)"
+    val e = s"(x[1] - $px1)"
+    val xf1 = s"($px1 + ($pp11/$sE)*$e)"
+    val xf2 = s"($px2 + ($pp12/$sE)*$e)"
+    val pf11 = s"($pp11 - ($pp11/$sE)*$pp11)"
+    val pf12 = s"($pp12 - ($pp11/$sE)*$pp12)"
+    val pf22 = s"($pp22 - ($pp12/$sE)*$pp12)"
+    if (!store) s"[$xf1, $xf2, $pf11, $pf12, $pf22]"
+    else s"list_concat([$xf1, $xf2, $pf11, $pf12, $pf22], " +
+      s"list_concat(acc[6:], [$xf1, $xf2, $pf11, $pf12, $pf22, $px1, $px2, $pp11, $pp12, $pp22]))"
+  }
+
+  /** ts_bsts_fc: filter the full series, then propagate (x, P) h steps
+    * appending (ŷ = x1, v̂ = p11 + r) per step. */
+  def bstsFcSql(h: Int): String = {
+    val nx1 = "(acc[1] + acc[2])"
+    val np11 = s"(acc[3] + 2.0*acc[4] + acc[5] + $BstsQl)"
+    val np12 = "(acc[4] + acc[5])"
+    val np22 = s"(acc[5] + $BstsQt)"
+    val propStep =
+      s"list_concat([$nx1, acc[2], $np11, $np12, $np22], " +
+        s"list_concat(acc[6:], [$nx1, $np11 + 1.0]))"
+    s"""WITH s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+       |  FROM events GROUP BY user_id),
+       |st AS (SELECT user_id, list_reduce(
+       |    list_prepend([vs[1], 0.0::DOUBLE, 10.0::DOUBLE, 0.0::DOUBLE, 10.0::DOUBLE],
+       |      list_transform(vs, v -> [v::DOUBLE])),
+       |    (acc, x) -> ${bstsFilterStep(store = false)}) AS f0
+       |  FROM s),
+       |fc AS (SELECT user_id, list_reduce(
+       |    list_prepend(f0, list_transform(generate_series(1, $h), i -> [i::DOUBLE])),
+       |    (acc, x) -> $propStep) AS f
+       |  FROM st),
+       |lastt AS (SELECT user_id, max(epoch_us(ts)) AS us FROM events GROUP BY user_id),
+       |d AS (SELECT user_id, min(us - lus) AS freq FROM
+       |  (SELECT user_id, epoch_us(ts) AS us, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS lus FROM events)
+       |  WHERE lus IS NOT NULL GROUP BY user_id)
+       |SELECT f.user_id, hs.step, make_timestamp(l.us + hs.step * d.freq) AS ts,
+       |  round(f.f[(4 + 2*hs.step)::INT] + 1e-9, 6) AS y_hat,
+       |  round(f.f[(5 + 2*hs.step)::INT] + 1e-9, 6) AS y_hat_var
+       |FROM fc f JOIN lastt l USING (user_id) JOIN d USING (user_id)
+       |CROSS JOIN (SELECT unnest(generate_series(1, $h)) AS step) hs""".stripMargin
+  }
+
+  /** ts_bsts_decomp: forward filter storing per-step records, RTS
+    * backward fold producing (level, trend) pairs newest-first, row
+    * lookup by reverse index; seasonal ≡ 0 (no seasonal block). */
+  val bstsDecompSql: String = {
+    // record j (1-based) lives at f[10j-4 .. 10j+5]:
+    // xf1 xf2 pf11 pf12 pf22 xp1 xp2 pp11 pp12 pp22
+    def rec(j: String, off: Int): String = s"f[(10*($j) - 5 + $off)::INT]"
+    val jj = "(n - (x[1])::INT)"
+    val xf1 = rec(jj, 1); val xf2 = rec(jj, 2)
+    val pf11 = rec(jj, 3); val pf12 = rec(jj, 4); val pf22 = rec(jj, 5)
+    val j1 = s"($jj + 1)"
+    val xp1n = rec(j1, 6); val xp2n = rec(j1, 7)
+    val pp11n = rec(j1, 8); val pp12n = rec(j1, 9); val pp22n = rec(j1, 10)
+    val det = s"(($pp11n)*($pp22n) - ($pp12n)*($pp12n))"
+    val c11 = s"(($pf11 + $pf12)*($pp22n/$det) + ($pf12)*(-($pp12n)/$det))"
+    val c12 = s"(($pf11 + $pf12)*(-($pp12n)/$det) + ($pf12)*($pp11n/$det))"
+    val c21 = s"(($pf12 + $pf22)*($pp22n/$det) + ($pf22)*(-($pp12n)/$det))"
+    val c22 = s"(($pf12 + $pf22)*(-($pp12n)/$det) + ($pf22)*($pp11n/$det))"
+    val d1 = s"(acc[1] - $xp1n)"
+    val d2 = s"(acc[2] - $xp2n)"
+    val xs1 = s"($xf1 + $c11*$d1 + $c12*$d2)"
+    val xs2 = s"($xf2 + $c21*$d1 + $c22*$d2)"
+    val smoothStep =
+      s"list_concat([$xs1, $xs2], list_concat(acc[3:], [$xs1, $xs2]))"
+    s"""WITH s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs,
+       |  count(*)::INT AS n FROM events GROUP BY user_id),
+       |st AS (SELECT user_id, n, list_reduce(
+       |    list_prepend([vs[1], 0.0::DOUBLE, 10.0::DOUBLE, 0.0::DOUBLE, 10.0::DOUBLE],
+       |      list_transform(vs, v -> [v::DOUBLE])),
+       |    (acc, x) -> ${bstsFilterStep(store = true)}) AS f
+       |  FROM s),
+       |sm AS (SELECT user_id, n, list_reduce(
+       |    list_prepend([f[(10*n - 4)::INT], f[(10*n - 3)::INT], f[(10*n - 4)::INT], f[(10*n - 3)::INT]],
+       |      list_transform(generate_series(1, n - 1), i -> [i::DOUBLE])),
+       |    (acc, x) -> $smoothStep) AS sv
+       |  FROM st),
+       |o AS (SELECT user_id, ts, row_number() OVER ($W) AS rn FROM events)
+       |SELECT o.user_id, o.ts,
+       |  round(m.sv[(2*(m.n - o.rn) + 3)::INT] + 1e-9, 6) AS level,
+       |  round(m.sv[(2*(m.n - o.rn) + 4)::INT] + 1e-9, 6) AS trend,
+       |  round(0.0::DOUBLE + 1e-9, 6) AS seasonal
+       |FROM o JOIN sm m USING (user_id)""".stripMargin
+  }
+
+  /** ts_bayesian_ets: pinned MAP (α, level₀) per series; SQL replays the
+    * SES level recursion over the observed values — flat h-step
+    * forecast. */
+  def bayesianEtsSql(pins: Seq[(Long, Double, Double)], h: Int): String = {
+    val rows = pins.map { case (u, a, l0) =>
+      Seq(s"$u::BIGINT", s"${dlit(a)}::DOUBLE", s"${dlit(l0)}::DOUBLE") }
+    s"""WITH ${pinsCte("pin", Seq("user_id", "alpha", "level0"), rows)},
+       |s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+       |  FROM events GROUP BY user_id),
+       |lvl AS (SELECT s.user_id, list_reduce(
+       |    list_prepend([p.level0], list_transform(s.vs, v -> [v::DOUBLE])),
+       |    (acc, x) -> [p.alpha * x[1] + (1.0::DOUBLE - p.alpha) * acc[1]])[1] AS l
+       |  FROM s JOIN pin p USING (user_id)),
+       |lastt AS (SELECT user_id, max(epoch_us(ts)) AS us FROM events GROUP BY user_id),
+       |d AS (SELECT user_id, min(us - lus) AS freq FROM
+       |  (SELECT user_id, epoch_us(ts) AS us, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS lus FROM events)
+       |  WHERE lus IS NOT NULL GROUP BY user_id)
+       |SELECT v.user_id, hs.step, make_timestamp(l.us + hs.step * d.freq) AS ts,
+       |  round(v.l + 1e-9, 6) AS y_hat
+       |FROM lvl v JOIN lastt l USING (user_id) JOIN d USING (user_id)
+       |CROSS JOIN (SELECT unnest(generate_series(1, $h)) AS step) hs""".stripMargin
+  }
+
   // ── ts_kshape_classify ────────────────────────────────────────────────
   //
   // Classification.kshapeClassify replay: truncate every series to the

@@ -69,6 +69,8 @@ object OraclePins {
   /** (sorted series ids, eigen-embedding rows, Lloyd final-assignment
     * centers) for ts_spectral. */
   @volatile var spectral: Option[(Array[String], Array[Array[Double]], Array[Array[Double]])] = None
+  /** (user_id, MAP α, MAP level₀) per series for ts_bayesian_ets. */
+  @volatile var bayesEts: Option[Seq[(Long, Double, Double)]] = None
 
   /** ts_iforest query parameters (shared with SparkEntry so the pinned
     * forest and the query's forest cannot drift). Smaller than the op
@@ -180,6 +182,13 @@ object OraclePins {
       graft.ops.Distances.pairwise(ev, "sbd"), "sbd")
     val semb = graft.kernels.Cluster.spectralEmbedding(sm, 3)
     spectral = Some((sids, semb, graft.kernels.Cluster.lloydFit(semb, 3, 42L)._2))
+    // bayesian ETS: the same per-series MAP NM search the query's kernel
+    // runs (bayesianEtsMap is shared); only (α, level₀) is pinned — the
+    // oracle replays the SES level recursion over the data
+    bayesEts = Some(allSeries.map { case (u, ys) =>
+      val m = graft.kernels.Bayesian.bayesianEtsMap(ys)
+      (u, 1.0 / (1.0 + math.exp(-m(0))), m(1))
+    })
   }
 
   /** Flatten trees to (tree, node, feat, split, lch, rch, plen) rows with

@@ -651,15 +651,25 @@ object Bayesian {
       0.5 * math.pow(params(2) / 10.0, 2)
   }
 
-  /** MAP SES fit + h-step forecast with posterior-predictive intervals
-    * sampled over MH draws around the MAP. Returns (yHat, lower, upper)
-    * arrays of length h at `coverage`. */
+  /** MAP SES parameters (logitAlpha, level0, logSigma) — the NM search
+    * shared by [[bayesianEtsForecast]] and the OraclePins fit, so the
+    * pinned oracle replays exactly the fit the query ran. */
+  def bayesianEtsMap(y: Array[Double]): Array[Double] = {
+    val x0 = Array(0.0, y.headOption.getOrElse(0.0),
+      math.log(math.max(breeze.stats.stddev(DenseVector(y)), 1e-3)))
+    Garch.nelderMead(p => -sesLogpost(p, y), x0, step = 0.2, maxIter = 300)
+  }
+
+  /** MAP SES fit + h-step forecast. The point forecast is the MAP
+    * plug-in (deterministic: run the SES level recursion at the MAP
+    * (α, level₀), forecast flat — the pinned oracle replays it);
+    * intervals are posterior-predictive quantiles over MH draws around
+    * the MAP (chain-dependent, verified rows-only + spec invariants).
+    * Returns (yHat, lower, upper) arrays of length h at `coverage`. */
   def bayesianEtsForecast(y: Array[Double], h: Int, coverage: Double = 0.9,
       nSamples: Int = 200, seed: Long = 42L)
       : (Array[Double], Array[Double], Array[Double]) = {
-    val x0 = Array(0.0, y.headOption.getOrElse(0.0),
-      math.log(math.max(breeze.stats.stddev(DenseVector(y)), 1e-3)))
-    val map = Garch.nelderMead(p => -sesLogpost(p, y), x0, step = 0.2, maxIter = 300)
+    val map = bayesianEtsMap(y)
     val samples = mhSample(p => sesLogpost(p, y), map, nSamples, nSamples / 2, seed)
     val rng = new Rng(seed + 1)
     val paths = samples.map { s =>
@@ -674,12 +684,17 @@ object Bayesian {
       }
     }
     val lo = (1 - coverage) / 2
-    val yHat = new Array[Double](h)
+    // MAP plug-in point forecast: SES level recursion at the MAP params,
+    // flat across the horizon (deterministic, unlike the sample mean)
+    val mapAlpha = 1.0 / (1.0 + math.exp(-map(0)))
+    var mapLevel = map(1)
+    var t = 0
+    while (t < y.length) { mapLevel = mapAlpha * y(t) + (1 - mapAlpha) * mapLevel; t += 1 }
+    val yHat = Array.fill(h)(mapLevel)
     val lower = new Array[Double](h)
     val upper = new Array[Double](h)
     for (s <- 0 until h) {
       val col = paths.map(_(s)).sorted
-      yHat(s) = col.sum / col.length
       lower(s) = col(math.max(0, (lo * (col.length - 1)).round.toInt))
       upper(s) = col(math.min(col.length - 1, ((1 - lo) * (col.length - 1)).round.toInt))
     }
