@@ -198,9 +198,13 @@ object AnnOracle {
 
   /** Per-subspace PQ code columns c_0..c_{m-1}: argmin squared distance
     * with first-index tie-break (the kernel's strict-< scan). Emits two
-    * CTE bodies over input CTE `e(vec_id, v)`. */
-  private def pqCodeCtes(cb: Array[Array[Array[Double]]]): String = {
+    * CTE bodies over input CTE `src(vec_id, carry…, vcol)`; extra `carry`
+    * columns ride through to the `codes` CTE (the IVFADC replay carries
+    * the cell id). */
+  private def pqCodeCtes(cb: Array[Array[Array[Double]]], src: String = "e",
+      vcol: String = "v", carry: Seq[String] = Nil): String = {
     val dsub = cb(0)(0).length
+    val cc = carry.map(c => s"$c, ").mkString
     val dists = cb.zipWithIndex.flatMap { case (book, s) =>
       book.zipWithIndex.map { case (c, j) =>
         s"${sqDistExpr("v", s * dsub, c)} AS d_${s}_$j"
@@ -212,11 +216,11 @@ object AnnOracle {
     val mins = cb.indices.map { s =>
       s"least(${cb(s).indices.map(j => s"d_${s}_$j").mkString(", ")}) AS __m$s"
     }.mkString(",\n  ")
-    s"""dd AS (SELECT vec_id, v,
+    s"""dd AS (SELECT vec_id, $cc$vcol AS v,
        |  $dists
-       |  FROM e),
+       |  FROM $src),
        |dm AS (SELECT *, $mins FROM dd),
-       |codes AS (SELECT vec_id, v,
+       |codes AS (SELECT vec_id, ${cc}v,
        |  $codes
        |  FROM dm)""".stripMargin
   }
@@ -251,6 +255,70 @@ object AnnOracle {
        |ranked AS (SELECT *, row_number() OVER
        |  (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank FROM scored)
        |SELECT query_id, neighbor_id, round(adc + 1e-9, 6) AS adc, rank
+       |FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
+  /** emb_knn_ivfpq (IVFADC) replay with pinned coarse centroids AND
+    * pinned residual codebooks: corpus cell = argmin list_distance
+    * (first-index ties), residual = v − cellCentroid element-wise (the
+    * kernel's subtraction order), residual PQ codes via [[pqCodeCtes]],
+    * query probes = nprobe nearest cells, per-(query, cell) residual,
+    * ADC = Σ_s sqdist(query-residual slice, coded sub-centroid), cell
+    * join, per-query ADC shortlist of `rerank`, exact-cosine re-rank,
+    * top-k. */
+  def ivfPqTopKSql(centers: Array[Array[Double]], cb: Array[Array[Array[Double]]],
+      nprobe: Int, k: Int, rerank: Int = 64,
+      queryFilter: String = "vec_id < 20"): String = {
+    val nc = centers.length
+    val dim = centers(0).length
+    val dsub = cb(0)(0).length
+    def dists(v: String) = centers.zipWithIndex.map { case (c, i) =>
+      s"list_distance($v, ${planeList(c)}) AS d$i"
+    }.mkString(",\n  ")
+    val m = s"least(${(0 until nc).map(i => s"d$i").mkString(", ")})"
+    val argmin =
+      s"(CASE ${(0 until nc).map(i => s"WHEN d$i = __m THEN $i").mkString(" ")} END)"
+    def ccCase(cellRef: String) =
+      s"(CASE $cellRef ${centers.zipWithIndex.map { case (c, i) =>
+        s"WHEN $i THEN ${planeList(c)}" }.mkString(" ")} END)"
+    val probeRows = (0 until nc).map(i =>
+      s"SELECT query_id, d$i AS dd, $i AS cell FROM qd").mkString("\n  UNION ALL ")
+    val adc = cb.indices.map { s =>
+      s"(CASE c.c_$s ${cb(s).zipWithIndex.map { case (c0, j) =>
+        s"WHEN $j THEN ${sqDistExpr("q.qr", s * dsub, c0)}"
+      }.mkString(" ")} END)"
+    }.mkString("(", " + ", ")")
+    s"""WITH cd AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |  ${dists("embedding::DOUBLE[]")}
+       |  FROM embeddings),
+       |asg AS (SELECT vec_id, v, $argmin AS cell
+       |  FROM (SELECT *, $m AS __m FROM cd)),
+       |rr AS (SELECT vec_id, cell,
+       |  list_transform(generate_series(1, $dim), i -> v[i::INT] - (${ccCase("cell")})[i::INT]) AS r
+       |  FROM asg),
+       |${pqCodeCtes(cb, src = "rr", vcol = "r", carry = Seq("cell"))},
+       |qd AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+       |  ${dists("embedding::DOUBLE[]")}
+       |  FROM embeddings WHERE $queryFilter),
+       |qc AS (SELECT query_id, cell FROM (SELECT query_id, cell,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dd, cell) AS rk
+       |  FROM ($probeRows)) WHERE rk <= $nprobe),
+       |qres AS (SELECT qq.query_id, p.cell,
+       |  list_transform(generate_series(1, $dim), i -> qq.qv[i::INT] - (${ccCase("p.cell")})[i::INT]) AS qr
+       |  FROM qc p JOIN qd qq USING (query_id)),
+       |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, $adc AS adc
+       |  FROM codes c JOIN qres q USING (cell)
+       |  WHERE c.vec_id <> q.query_id),
+       |short AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY adc, neighbor_id) AS ar FROM scored)
+       |  WHERE ar <= $rerank),
+       |rer AS (SELECT s.query_id, s.neighbor_id,
+       |    list_cosine_similarity(qd.qv, cd.v) AS cosine
+       |  FROM short s JOIN qd ON qd.query_id = s.query_id
+       |  JOIN cd ON cd.vec_id = s.neighbor_id),
+       |ranked AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM rer)
+       |SELECT query_id, neighbor_id, round(cosine + 1e-9, 6) AS cosine, rank
        |FROM ranked WHERE rank <= $k""".stripMargin
   }
 

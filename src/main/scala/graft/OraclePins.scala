@@ -71,6 +71,9 @@ object OraclePins {
   @volatile var spectral: Option[(Array[String], Array[Array[Double]], Array[Array[Double]])] = None
   /** (user_id, MAP α, MAP level₀) per series for ts_bayesian_ets. */
   @volatile var bayesEts: Option[Seq[(Long, Double, Double)]] = None
+  /** Residual PQ codebooks (over the pinned IVF centroids) for
+    * emb_knn_ivfpq. */
+  @volatile var ivfPq: Option[Array[Array[Array[Double]]]] = None
 
   /** ts_iforest query parameters (shared with SparkEntry so the pinned
     * forest and the query's forest cannot drift). Smaller than the op
@@ -132,6 +135,10 @@ object OraclePins {
     // IVF quantizer: same corpus + seed as the emb_knn_ivf query → the
     // sampled Lloyd fit lands on identical centroid doubles
     ivfCenters = Some(graft.ops.Similarity.ivfCentroids(IO.embeddings(spark, sfDir)))
+    // IVFADC residual codebooks over those centroids (same fit as the
+    // emb_knn_ivfpq query)
+    ivfPq = Some(graft.ops.Similarity.ivfPqFit(
+      IO.embeddings(spark, sfDir), ivfCenters.get))
     // PCA: same corpus + k as the emb_pca queries; the queries refit, so
     // the compare proves the distributed Gram reproduces this fit
     pca = Some(graft.ops.Embeddings.pcaFit(IO.embeddings(spark, sfDir), k = 4))

@@ -148,6 +148,134 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Residual PQ codebooks for IVFADC (Jégou, Douze & Schmid 2011 §V:
+    * the product quantizer trains on COARSE RESIDUALS v − cᵢ(v), which
+    * concentrate around 0 and quantize far better than raw vectors).
+    * One shared codebook across cells (the paper's memory-practical
+    * choice). Reuses pqFit's deterministic hash-ordered sampling on the
+    * residual projection, so OraclePins re-running this fit lands on
+    * identical doubles. */
+  def ivfPqFit(corpus: DataFrame, centers: Array[Array[Double]], m: Int = 8,
+      ksub: Int = 16, sampleSize: Int = 1000, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast(centers)
+    val residUdf = udf((v: Seq[Double]) => {
+      val cc = bc.value(nearestCellIdx(v, bc.value))
+      Array.tabulate(v.length)(i => v(i) - cc(i))
+    })
+    graft.ops.Embeddings.pqFit(
+      corpus.select(col(idCol), residUdf(col(vecCol).cast("array<double>")).as("__resid")),
+      m, ksub, sampleSize, seed, idCol, "__resid")
+  }
+
+  /** Argmin-cell scan shared by the IVFADC paths: squared euclidean,
+    * strict-< first-index tie-break (the ivfTopK convention). */
+  private def nearestCellIdx(v: Seq[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bd = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var dd = 0.0; var j = 0
+      val cv = cs(c)
+      while (j < cv.length && j < v.length) { val t = v(j) - cv(j); dd += t * t; j += 1 }
+      if (dd < bd) { bd = dd; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** IVFADC top-k with exact re-ranking (Jégou et al. 2011 §V + §V-D —
+    * the production trillion-row ANN shape): corpus rows carry (cell,
+    * m residual-PQ codes) — 8 bytes + a cell id per vector, never the
+    * vector; queries probe the nprobe nearest cells, shortlist the
+    * `rerank` best candidates by ADC between the per-cell query residual
+    * and the codes, then re-rank the shortlist by exact cosine (fetching
+    * only rerank vectors per query by id — a broadcast-side lookup, not
+    * a scan). At 100 TB the cell id is the partition key: each probe
+    * touches nprobe/nCells of the code index (64× smaller than the
+    * exact-vector [[ivfTopK]] scan), and only nq·rerank full vectors are
+    * ever read. [[bruteForceTopK]] remains the exact baseline. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      centers: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      nprobe: Int = 4, rerank: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val bcC = spark.sparkContext.broadcast(centers)
+    val bcB = spark.sparkContext.broadcast(codebooks)
+    val cellAndCodes = udf((v: Seq[Double]) => {
+      val cs = bcC.value
+      val cb = bcB.value
+      val cell = nearestCellIdx(v, cs)
+      val cc = cs(cell)
+      val resid = Array.tabulate(v.length)(i => v(i) - cc(i))
+      val dsub = cb(0)(0).length
+      val codes = Array.tabulate(cb.length) { s =>
+        var best = 0; var bd = Double.MaxValue
+        var j = 0
+        while (j < cb(s).length) {
+          var dd = 0.0; var t = 0
+          val c = cb(s)(j)
+          while (t < dsub) {
+            val x = resid(s * dsub + t) - c(t); dd += x * x; t += 1
+          }
+          if (dd < bd) { bd = dd; best = j }
+          j += 1
+        }
+        best
+      }
+      (cell, codes)
+    })
+    val probeCells = udf((v: Seq[Double]) => {
+      val cs = bcC.value
+      cs.indices.map { c =>
+        var dd = 0.0; var j = 0
+        val cv = cs(c)
+        while (j < cv.length && j < v.length) { val t = v(j) - cv(j); dd += t * t; j += 1 }
+        (dd, c)
+      }.sortBy(_._1).take(nprobe).map(_._2).toArray
+    })
+    val adc = udf((qv: Seq[Double], cell: Int, codes: Seq[Int]) => {
+      val cc = bcC.value(cell)
+      val cb = bcB.value
+      val dsub = cb(0)(0).length
+      var s = 0; var acc = 0.0
+      while (s < cb.length) {
+        val c = cb(s)(codes(s))
+        var t = 0; var dd = 0.0
+        while (t < dsub) {
+          val x = (qv(s * dsub + t) - cc(s * dsub + t)) - c(t); dd += x * x; t += 1
+        }
+        acc += dd
+        s += 1
+      }
+      acc
+    })
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        cellAndCodes(col(vecCol).cast("array<double>")).as("__cc"))
+      .select(col("neighbor_id"), col("__cc._1").as("__cell"),
+        col("__cc._2").as("__codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__cell", explode(probeCells(col("__qv"))))
+    val shortlist = c.join(broadcast(q), Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adc(col("__qv"), col("__cell"), col("__codes")))
+      .withColumn("__ar", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc"), col("neighbor_id"))))
+      .filter(col("__ar") <= rerank)
+      .select(col("query_id"), col("neighbor_id"), col("__qv"))
+    val vecs = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    broadcast(shortlist).join(vecs, Seq("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup over
     * an embedding column — cluster the corpus with the IVF coarse
     * quantizer, then mark a vector as a duplicate iff an EARLIER
