@@ -141,7 +141,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalFull = total + curation.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iterations":$iters,"total_full":$totalFull,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iterations":$iters,"total_full":$totalFull,"sf":"$sfDir"}"""
+    println(json)
+    // also land the JSON in a file: the stdout line is buried in sbt
+    // [info] noise, which left BENCH_r05/r06 "parsed": null driver-side
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json)
     spark.stop()
   }
 }
