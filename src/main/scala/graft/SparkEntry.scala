@@ -276,6 +276,21 @@ object SparkEntry {
           r6n(col("seasonal_24")).as("seasonal_24"),
           r6n(col("resid")).as("resid"))),
 
+    // the grouped-kernel PRODUCTION path (one collect_list shuffle vs the
+    // row-level twin's 19 exchanges), gated against the SAME row-level
+    // SQL replay — the paths agree to 1e-9, inside the shared 6-dp nudge
+    "ts_mstl_grouped" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+      Decomposition.mstlGrouped(ev, periods = Seq(12, 24), iterations = 2)
+        .join(ev.select(col("user_id"), col("ts"), col("event_id")),
+          Seq("user_id", "ts"))
+        .select(col("user_id"), col("event_id"),
+          r6n(col("trend")).as("trend"),
+          r6n(col("seasonal_12")).as("seasonal_12"),
+          r6n(col("seasonal_24")).as("seasonal_24"),
+          r6n(col("resid")).as("resid"))
+    }),
+
     // ── conformal / diagnostics / validation ────────────────────────────
     "ts_conformal" -> ((s, dir) => {
       val ev = IO.events(s, dir)
@@ -2079,6 +2094,8 @@ object SparkEntry {
     "ts_kshape_classify" -> DetOracles.kshapeClassifySql,
     "ts_mstl_features" -> DetOracles.mstlSql(Seq(12, 24), iterations = 2),
     "ts_mstl_decomp" -> DetOracles.mstlSql(Seq(12, 24), iterations = 2,
+      rowLevel = true),
+    "ts_mstl_grouped" -> DetOracles.mstlSql(Seq(12, 24), iterations = 2,
       rowLevel = true),
     "ts_causal_impact_ll" -> DetOracles.causalImpactLlSql,
     "ts_bsts_fc" -> DetOracles.bstsFcSql(h = 7),

@@ -69,7 +69,9 @@ object PlanAudit {
         Pipeline.fitPipeline(ev, lags = Seq(1, 2)), h = 3))
     audit("enbpi predict (expect broadcast coefs + grouped tails)",
       Conformal.enbpiPredict(ev, Conformal.enbpiFit(ev, lags = 2, b = 3), h = 2))
-    audit("mstl 2 periods (expect per-pass window + phase-mean join, no driver loop)",
+    audit("mstl grouped-kernel production path (expect 1 grouped shuffle)",
+      Decomposition.mstlGrouped(ev, Seq(12, 24)))
+    audit("mstl row-level oracle twin (per-pass window + phase-mean join — oracle-replayable, not the production path)",
       Decomposition.mstl(ev, Seq(12, 24)))
     audit("dedup groups (expect edge-list joins only, corpus never shuffles)", {
       val docs = IO.documents(spark, dir).select("doc_id", "text")
