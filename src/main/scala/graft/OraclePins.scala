@@ -74,6 +74,8 @@ object OraclePins {
   /** Residual PQ codebooks (over the pinned IVF centroids) for
     * emb_knn_ivfpq. */
   @volatile var ivfPq: Option[Array[Array[Array[Double]]]] = None
+  /** Ranked BPE merge table for doc_bpe_tokens. */
+  @volatile var bpe: Option[graft.ops.Bpe.Merges] = None
 
   /** ts_iforest query parameters (shared with SparkEntry so the pinned
     * forest and the query's forest cannot drift). Smaller than the op
@@ -139,6 +141,9 @@ object OraclePins {
     // emb_knn_ivfpq query)
     ivfPq = Some(graft.ops.Similarity.ivfPqFit(
       IO.embeddings(spark, sfDir), ivfCenters.get))
+    // BPE: same corpus + seed + defaults as the doc_bpe_tokens query's
+    // fit — deterministic (hash-ordered sample, lexicographic tie-break)
+    bpe = Some(graft.ops.Bpe.bpeFit(IO.documents(spark, sfDir)))
     // PCA: same corpus + k as the emb_pca queries; the queries refit, so
     // the compare proves the distributed Gram reproduces this fit
     pca = Some(graft.ops.Embeddings.pcaFit(IO.embeddings(spark, sfDir), k = 4))

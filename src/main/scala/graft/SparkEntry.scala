@@ -1116,6 +1116,14 @@ object SparkEntry {
       Packing.chunkPlan(IO.documents(s, dir))
         .select("doc_id", "n_tokens", "chunk_id", "start_tok", "end_tok")),
 
+    // corpus-trained BPE subword counts (VERDICT r6 ask #8): merges learned
+    // on a bounded hash-ordered sample, broadcast, applied per row; the
+    // oracle replays the identical ranked-merge fold per distinct word
+    "doc_bpe_tokens" -> ((s, dir) => {
+      val docs = IO.documents(s, dir)
+      Bpe.tokenCounts(docs, Bpe.bpeFit(docs))
+    }),
+
     // cross-doc substring duplication signal (fixed-width window
     // approximation of suffix-array span dedup) over corpus + planted
     // exact copies
@@ -2116,6 +2124,7 @@ object SparkEntry {
       "emb_semdedup" -> AnnOracle.semDedupSql(c, threshold = 0.95)) ++
     (for { c <- OraclePins.ivfCenters; b <- OraclePins.ivfPq }
       yield "emb_knn_ivfpq" -> AnnOracle.ivfPqTopKSql(c, b, nprobe = 4, k = 3)) ++
+    OraclePins.bpe.map(m => "doc_bpe_tokens" -> Bpe.tokensSql(m)) ++
     OraclePins.ivfCenters.map(c =>
       "emb_topic_assign" -> AnnOracle.topicAssignSql(c)) ++
     OraclePins.ivfCenters.map(c =>

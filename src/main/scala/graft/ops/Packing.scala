@@ -28,9 +28,10 @@ object Packing {
     * narrow scan. A document shorter than one window still emits chunk 0
     * so every doc appears in the manifest. */
   def chunkPlan(df: DataFrame, chunkTokens: Int = 64, stride: Int = 48,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      tokens: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(chunkTokens > 0 && stride > 0)
-    val n = TextOps.tokenCount(col(textCol)).cast("long")
+    val n = tokens.getOrElse(TextOps.tokenCount(col(textCol))).cast("long")
     df.select(col(idCol), n.as("n_tokens"))
       .withColumn("chunk_id", explode(sequence(lit(0L),
         greatest(lit(0L),
@@ -42,12 +43,14 @@ object Packing {
   }
 
   def packPlan(df: DataFrame, seqLen: Int, nShards: Int = 32,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      tokens: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(seqLen > 0 && nShards > 0)
     val w = Window.partitionBy("shard").orderBy(col(idCol))
     df.select(col(idCol),
         pmod(TextOps.fnvHash(col(idCol)), lit(nShards.toLong)).as("shard"),
-        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+        tokens.getOrElse(TextOps.tokenCount(col(textCol)))
+          .cast("long").as("n_tokens"))
       .withColumn("end_tok", sum("n_tokens").over(w))
       .withColumn("start_tok", col("end_tok") - col("n_tokens"))
       // first/last training sequence touched by this doc's tokens
