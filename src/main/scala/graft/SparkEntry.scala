@@ -1006,7 +1006,7 @@ object SparkEntry {
 
     "ts_streaming_ets" -> ((s, dir) =>
       graft.streaming.StreamingOps.etsBatch(s, IO.events(s, dir),
-        "user_id", "ts", "value")
+        "user_id", "ts", "value", tieCol = Some("event_id"))
         .select(col("uniqueId").as("unique_id"),
           col("ts").cast("timestamp_ntz").as("ts"), col("y"),
           r6n(col("level")).as("level"), r6n(col("trend")).as("trend"),
@@ -1025,7 +1025,7 @@ object SparkEntry {
 
     "ts_streaming_kalman" -> ((s, dir) =>
       graft.streaming.StreamingOps.kalmanBatch(s, IO.events(s, dir),
-        "user_id", "ts", "value")
+        "user_id", "ts", "value", tieCol = Some("event_id"))
         .select(col("uniqueId").as("unique_id"),
           col("ts").cast("timestamp_ntz").as("ts"), col("y"),
           r6n(col("filtered")).as("filtered"),
@@ -1033,7 +1033,7 @@ object SparkEntry {
 
     "ts_streaming_window" -> ((s, dir) =>
       graft.streaming.StreamingOps.windowBatch(s, IO.events(s, dir),
-        "user_id", "ts", "value", windowSize = 24)
+        "user_id", "ts", "value", windowSize = 24, tieCol = Some("event_id"))
         .select(col("uniqueId").as("unique_id"),
           col("ts").cast("timestamp_ntz").as("ts"),
           col("windowLen").as("window_len"),
@@ -3231,6 +3231,11 @@ object SparkEntry {
          |SELECT d.source, count(*)::BIGINT AS n_docs,
          |  round(avg(CASE WHEN v.reason = 'keep' THEN 1.0 ELSE 0.0 END) + 1e-9, 6) AS keep_rate,
          |  round(avg(CASE WHEN dup.is_dup THEN 1.0 ELSE 0.0 END) + 1e-9, 6) AS dup_rate,
+         |  -- inner round mirrors qualityMetrics' own 6-dp rounding; safe
+         |  -- ONLY because quality_score takes coarse discrete values
+         |  -- (sums of 0.5/0.3/0.2 penalties → per-element diff ~1e-17,
+         |  -- absorbed by the shared r6n nudge). If the scorer ever gains
+         |  -- finer-grained terms, re-derive this parity (ADVICE r6).
          |  round(avg(round(v.quality_score, 6)) + 1e-9, 6) AS avg_quality,
          |  round(avg(ulp.avg_logp) + 1e-9, 6) AS avg_logp
          |FROM documents d
@@ -3803,7 +3808,7 @@ object SparkEntry {
     // streaming Holt fold replayed with per-row (level, trend) history
     "ts_streaming_ets" ->
       s"""WITH o AS (SELECT user_id::VARCHAR AS unique_id, ts, value,
-         |  row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM events),
+         |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events),
          |g AS (SELECT unique_id, list(value ORDER BY rn) AS vs FROM o GROUP BY unique_id),
          |st AS (SELECT unique_id, list_reduce(
          |  list_prepend([0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE],
@@ -3819,7 +3824,7 @@ object SparkEntry {
     // predict (p+q) / update; outputs appended pairwise like the ETS fold
     "ts_streaming_kalman" ->
       s"""WITH o AS (SELECT user_id::VARCHAR AS unique_id, ts, value,
-         |  row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM events),
+         |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events),
          |g AS (SELECT unique_id, list(value ORDER BY rn) AS vs FROM o GROUP BY unique_id),
          |st AS (SELECT unique_id, list_reduce(
          |  list_prepend([0.0::DOUBLE, 1000000.0::DOUBLE],
@@ -3840,7 +3845,7 @@ object SparkEntry {
     // length + left-fold sum (the query folds the same way)
     "ts_streaming_window" ->
       s"""WITH o AS (SELECT user_id::VARCHAR AS unique_id, ts, value,
-         |  row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM events),
+         |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events),
          |g AS (SELECT unique_id, list(value ORDER BY rn) AS vs FROM o GROUP BY unique_id)
          |SELECT o.unique_id, o.ts,
          |  least(o.rn, 24)::INT AS window_len,

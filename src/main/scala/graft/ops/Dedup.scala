@@ -378,6 +378,13 @@ object Dedup {
       it += 1
     }
     und.unpersist()
+    // ADVICE r6: exiting with changed > 0 means a component with diameter
+    // > maxIter holds non-converged labels that silently disagree with the
+    // oracle's transitive closure — fail loudly instead
+    require(changed == 0L,
+      s"duplicateGroups: min-label propagation not converged after $maxIter " +
+        s"rounds ($changed labels still changing) — a duplicate component " +
+        "has diameter > maxIter; raise maxIter")
     labels.select(col("id").as("doc_id"), col("group_id"))
   }
 }

@@ -12,7 +12,12 @@ import java.sql.Timestamp
   */
 object StreamingOps {
 
-  case class Obs(uniqueId: String, ts: Timestamp, y: Double)
+  /** `tie` breaks equal-ts ordering in the batch twins (the repo-wide
+    * ORDER BY ts, event_id convention — ADVICE r6: ts alone makes the
+    * fold order, and hence gate parity, depend on group-iterator luck
+    * whenever a series has a ts collision). Streams fold in arrival
+    * order, so the field is inert there. */
+  case class Obs(uniqueId: String, ts: Timestamp, y: Double, tie: Long = 0L)
   case class EtsState(level: Double, trend: Double, n: Long)
   case class EtsOutput(uniqueId: String, ts: Timestamp, y: Double,
       level: Double, trend: Double, forecastNext: Double)
@@ -27,7 +32,7 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (id: String, rows: Iterator[Obs], state: GroupState[EtsState]) => {
           var s = state.getOption.getOrElse(EtsState(0.0, 0.0, 0L))
-          val out = rows.toSeq.sortBy(_.ts.getTime).map { o =>
+          val out = rows.toSeq.sortBy(o => (o.ts.getTime, o.tie)).map { o =>
             s =
               if (s.n == 0L) EtsState(o.y, 0.0, 1L)
               else if (s.n == 1L) EtsState(o.y, o.y - s.level, 2L) // two-point init, matches Ets.holt
@@ -57,7 +62,7 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (id: String, rows: Iterator[Obs], state: GroupState[KalmanState]) => {
           var s = state.getOption.getOrElse(KalmanState(0.0, 1e6, 0L))
-          val out = rows.toSeq.sortBy(_.ts.getTime).map { o =>
+          val out = rows.toSeq.sortBy(o => (o.ts.getTime, o.tie)).map { o =>
             val pPred = s.p + q
             val k = pPred / (pPred + r)
             val x = s.x + k * (o.y - s.x)
@@ -85,7 +90,7 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (id: String, rows: Iterator[Obs], state: GroupState[WindowState]) => {
           var s = state.getOption.getOrElse(WindowState(Array.empty, Long.MinValue))
-          val out = rows.toSeq.sortBy(_.ts.getTime).map { o =>
+          val out = rows.toSeq.sortBy(o => (o.ts.getTime, o.tie)).map { o =>
             val appended = s.values :+ o.y
             val kept =
               if (appended.length > windowSize) appended.takeRight(windowSize)
@@ -118,7 +123,7 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (id: String, rows: Iterator[Obs], state: GroupState[WindowState]) => {
           var s = state.getOption.getOrElse(WindowState(Array.empty, Long.MinValue))
-          val out = rows.toSeq.sortBy(_.ts.getTime).flatMap { o =>
+          val out = rows.toSeq.sortBy(o => (o.ts.getTime, o.tie)).flatMap { o =>
             val buf = s.values
             val row =
               if (buf.length >= maxLag)
@@ -164,14 +169,16 @@ object StreamingOps {
   /** Batch-mode replica of the streaming global fit (tests + query
     * contract): same per-key fold, same Gram aggregation, one batch. */
   def globalRidgeBatch(spark: SparkSession, df: DataFrame, idCol: String,
-      tsCol: String, yCol: String, lags: Seq[Int]): Array[Double] = {
+      tsCol: String, yCol: String, lags: Seq[Int],
+      tieCol: Option[String] = None): Array[Double] = {
     import spark.implicits._
     val ds = df.select(col(idCol).cast("string").as("uniqueId"),
-      col(tsCol).cast("timestamp").as("ts"), col(yCol).cast("double").as("y"))
+      col(tsCol).cast("timestamp").as("ts"), col(yCol).cast("double").as("y"),
+      tieCol.map(c => col(c).cast("long")).getOrElse(lit(0L)).as("tie"))
       .as[Obs]
     val p = lags.length + 1
     val feats = ds.groupByKey(_.uniqueId).flatMapGroups { (id, rows) =>
-      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      val sorted = rows.toSeq.sortBy(o => (o.ts.getTime, o.tie))
       val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
       sorted.flatMap { o =>
         val row =
@@ -191,15 +198,17 @@ object StreamingOps {
     * reference's incremental-batch mode) — used by tests and the query
     * contract, where no streaming source exists. */
   def etsBatch(spark: SparkSession, df: DataFrame, idCol: String, tsCol: String,
-      yCol: String, alpha: Double = 0.3, beta: Double = 0.1): DataFrame = {
+      yCol: String, alpha: Double = 0.3, beta: Double = 0.1,
+      tieCol: Option[String] = None): DataFrame = {
     import spark.implicits._
     val ds = df.select(col(idCol).cast("string").as("uniqueId"),
-      col(tsCol).cast("timestamp").as("ts"), col(yCol).cast("double").as("y"))
+      col(tsCol).cast("timestamp").as("ts"), col(yCol).cast("double").as("y"),
+      tieCol.map(c => col(c).cast("long")).getOrElse(lit(0L)).as("tie"))
       .as[Obs]
     // same fold, expressed over grouped batch data
     val folded = ds.groupByKey(_.uniqueId).flatMapGroups { (id, rows) =>
       var s = EtsState(0.0, 0.0, 0L)
-      rows.toSeq.sortBy(_.ts.getTime).map { o =>
+      rows.toSeq.sortBy(o => (o.ts.getTime, o.tie)).map { o =>
         s =
           if (s.n == 0L) EtsState(o.y, 0.0, 1L)
           else if (s.n == 1L) EtsState(o.y, o.y - s.level, 2L) // two-point init, matches Ets.holt
@@ -218,14 +227,16 @@ object StreamingOps {
   /** Batch twin of [[streamingKalman]] (same update equations, grouped
     * batch data) — the gate query for the streaming filter math. */
   def kalmanBatch(spark: SparkSession, df: DataFrame, idCol: String,
-      tsCol: String, yCol: String, q: Double = 1e-3, r: Double = 1.0): DataFrame = {
+      tsCol: String, yCol: String, q: Double = 1e-3, r: Double = 1.0,
+      tieCol: Option[String] = None): DataFrame = {
     import spark.implicits._
     val ds = df.select(col(idCol).cast("string").as("uniqueId"),
-      col(tsCol).cast("timestamp").as("ts"), col(yCol).cast("double").as("y"))
+      col(tsCol).cast("timestamp").as("ts"), col(yCol).cast("double").as("y"),
+      tieCol.map(c => col(c).cast("long")).getOrElse(lit(0L)).as("tie"))
       .as[Obs]
     ds.groupByKey(_.uniqueId).flatMapGroups { (id, rows) =>
       var s = KalmanState(0.0, 1e6, 0L)
-      rows.toSeq.sortBy(_.ts.getTime).map { o =>
+      rows.toSeq.sortBy(o => (o.ts.getTime, o.tie)).map { o =>
         val pPred = s.p + q
         val k = pPred / (pPred + r)
         val x = s.x + k * (o.y - s.x)
@@ -240,15 +251,17 @@ object StreamingOps {
     * tail window (emitted as length + left-fold sum so the gate compares
     * scalars, not array cells). */
   def windowBatch(spark: SparkSession, df: DataFrame, idCol: String,
-      tsCol: String, yCol: String, windowSize: Int): DataFrame = {
+      tsCol: String, yCol: String, windowSize: Int,
+      tieCol: Option[String] = None): DataFrame = {
     require(windowSize > 0, "windowSize must be positive")
     import spark.implicits._
     val ds = df.select(col(idCol).cast("string").as("uniqueId"),
-      col(tsCol).cast("timestamp").as("ts"), col(yCol).cast("double").as("y"))
+      col(tsCol).cast("timestamp").as("ts"), col(yCol).cast("double").as("y"),
+      tieCol.map(c => col(c).cast("long")).getOrElse(lit(0L)).as("tie"))
       .as[Obs]
     ds.groupByKey(_.uniqueId).flatMapGroups { (id, rows) =>
       var buf = Array.empty[Double]
-      rows.toSeq.sortBy(_.ts.getTime).map { o =>
+      rows.toSeq.sortBy(o => (o.ts.getTime, o.tie)).map { o =>
         val appended = buf :+ o.y
         buf = if (appended.length > windowSize) appended.takeRight(windowSize)
           else appended
