@@ -77,6 +77,10 @@ object ElasticOracle {
     * KASBA assignment-replay oracle. */
   def msmFoldExpr: String = msmSql
 
+  /** The SBD fold over columns va/vb/n/m (unequal lengths allowed) —
+    * reused by the pinned CLARA/CLARANS medoid-assignment replays. */
+  def sbdFoldExpr: String = sbdSql
+
   /** ddtw: DTW over Keogh-Pazzani derivatives (endpoints dropped). */
   private val derivCte =
     """pd AS (SELECT id_1, id_2,

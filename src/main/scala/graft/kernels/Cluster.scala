@@ -699,7 +699,14 @@ object Cluster {
     * clustering/scalable.py:153-233): `numLocal` seeded restarts, up to
     * `maxNeighbor` random single-medoid swaps each; keeps the best cost. */
   def clarans(dist: Array[Array[Double]], k: Int, numLocal: Int = 2,
-      maxNeighbor: Int = 10, seed: Long = 42L): Array[Int] = {
+      maxNeighbor: Int = 10, seed: Long = 42L): Array[Int] =
+    claransFit(dist, k, numLocal, maxNeighbor, seed)._1
+
+  /** clarans + the winning medoid indices (cluster c = medoids(c)), so
+    * the gate can pin the medoids and replay only the nearest-medoid
+    * assignment in SQL (the ts_kshape pin pattern). */
+  def claransFit(dist: Array[Array[Double]], k: Int, numLocal: Int = 2,
+      maxNeighbor: Int = 10, seed: Long = 42L): (Array[Int], Array[Int]) = {
     val n = dist.length
     require(k >= 1 && k <= n, s"k must be in [1, $n]")
     val rng = new Random(seed)
@@ -711,6 +718,7 @@ object Cluster {
       s
     }
     var bestAsg: Array[Int] = null
+    var bestMedoids: Array[Int] = null
     var bestCost = Double.MaxValue
     for (li <- 0 until numLocal) {
       val localRng = new Random(seed + li)
@@ -733,8 +741,8 @@ object Cluster {
           } else neighbor += 1
         } else neighbor += 1
       }
-      if (cur < bestCost) { bestCost = cur; bestAsg = asg }
+      if (cur < bestCost) { bestCost = cur; bestAsg = asg; bestMedoids = medoids }
     }
-    bestAsg
+    (bestAsg, bestMedoids)
   }
 }
