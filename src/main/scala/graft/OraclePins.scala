@@ -76,6 +76,18 @@ object OraclePins {
   @volatile var ivfPq: Option[Array[Array[Array[Double]]]] = None
   /** Ranked BPE merge table for doc_bpe_tokens. */
   @volatile var bpe: Option[graft.ops.Bpe.Merges] = None
+  /** CLARA winning medoid series ids (sorted-index cluster order) for
+    * ts_clara. */
+  @volatile var clara: Option[Array[String]] = None
+  /** CLARANS winning medoid series ids (search order) for ts_clarans. */
+  @volatile var clarans: Option[Array[String]] = None
+  /** Condensed tree + per-point membership for ts_hdbscan. */
+  @volatile var hdbscan: Option[ClusterOracles.HdbscanPin] = None
+  /** (minLen, chosen shapelets, final-assignment k-means centers) for
+    * ts_shapelet. */
+  @volatile var shapelet: Option[(Int, Array[Array[Double]], Array[Array[Double]])] = None
+  /** Grid-fit label vectors (method, k, id→cluster) for ts_auto_cluster. */
+  @volatile var autoCluster: Option[Seq[(String, Int, Array[(String, Int)])]] = None
 
   /** ts_iforest query parameters (shared with SparkEntry so the pinned
     * forest and the query's forest cannot drift). Smaller than the op
@@ -194,6 +206,29 @@ object OraclePins {
       graft.ops.Distances.pairwise(ev, "sbd"), "sbd")
     val semb = graft.kernels.Cluster.spectralEmbedding(sm, 3)
     spectral = Some((sids, semb, graft.kernels.Cluster.lloydFit(semb, 3, 42L)._2))
+    // clustering tail (VERDICT r7 ask #1): clara / clarans / hdbscan on
+    // the SAME full-panel SBD matrix the queries build; only the medoid
+    // ids / condensed tree reach the oracle — distances and the EOM cut
+    // replay in SQL
+    clara = Some(graft.kernels.Cluster.clara(sm, k = 3, sampleSize = 40)._2.map(sids))
+    clarans = Some(graft.kernels.Cluster.claransFit(sm, k = 3)._2.map(sids))
+    val (_, htree) = graft.kernels.Cluster.hdbscanFit(sm, minClusterSize = 5)
+    hdbscan = Some(ClusterOracles.HdbscanPin(htree.parent, htree.stability,
+      htree.root, sids.zip(htree.memberCluster)))
+    val shf = graft.ops.Clustering.shapeletFitFull(ev, k = 3)
+    shapelet = Some((shf._2, shf._3, shf._4))
+    // auto-cluster: the 6 grid fits the query performs on the 60-series
+    // subset matrix; silhouettes + selection replay in SQL
+    val (aids, am) = graft.ops.Clustering.collectMatrix(
+      graft.ops.Distances.pairwise(
+        ev.filter(org.apache.spark.sql.functions.expr(ElasticOracle.SeriesFilter)),
+        "sbd"), "sbd")
+    autoCluster = Some(for {
+      k <- Seq(2, 3, 4)
+      (method, labels) <- Seq(
+        "kmedoids" -> graft.kernels.Cluster.pam(am, k)._1,
+        "agglomerative" -> graft.kernels.Cluster.agglomerative(am, k))
+    } yield (method, k, aids.zip(labels)))
     // bayesian ETS: the same per-series MAP NM search the query's kernel
     // runs (bayesianEtsMap is shared); only (α, level₀) is pinned — the
     // oracle replays the SES level recursion over the data

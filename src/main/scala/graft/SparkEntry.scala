@@ -1388,19 +1388,27 @@ object SparkEntry {
       Clustering.kasbaCluster(IO.events(s, dir), k = 3, maxIter = 5)),
 
     "ts_auto_cluster" -> ((s, dir) => {
-      val ev = IO.events(s, dir)
-      val (ids, m) = Clustering.collectMatrix(Distances.pairwise(ev, "sbd")(PC), "sbd")
+      // 60-series subset (the elastic-oracle discipline) so the oracle can
+      // recompute the full SBD matrix; silhouettes rounded (r6n) and the
+      // winner picked on the ROUNDED score with grid-order tie-break, so
+      // the selection itself replays deterministically in DuckDB
+      val ev = IO.events(s, dir).filter(expr(ElasticOracle.SeriesFilter))
+      val (_, m) = Clustering.collectMatrix(Distances.pairwise(ev, "sbd")(PC), "sbd")
       val results = for {
         k <- Seq(2, 3, 4)
         (method, labels) <- Seq(
           "kmedoids" -> graft.kernels.Cluster.pam(m, k)._1,
           "agglomerative" -> graft.kernels.Cluster.agglomerative(m, k))
       } yield (method, k, graft.kernels.Cluster.silhouette(m, labels))
+      def r6d(v: Double): Double =
+        BigDecimal(v + 1e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val rounded = results.map { case (m0, k0, s0) => (m0, k0, r6d(s0)) }
+      val bestIdx = rounded.zipWithIndex
+        .maxBy { case ((_, _, s0), i) => (s0, -i) }._2
       import s.implicits._
-      val df = results.toDF("method", "k", "silhouette")
-      val best = results.maxBy(_._3)
-      df.withColumn("is_best",
-        col("method") === best._1 && col("k") === best._2)
+      rounded.zipWithIndex
+        .map { case ((m0, k0, s0), i) => (m0, k0, s0, i == bestIdx) }
+        .toDF("method", "k", "silhouette", "is_best")
     }),
 
     "ts_kaboudan" -> ((s, dir) => {
@@ -2157,6 +2165,15 @@ object SparkEntry {
       "ts_kasba" -> ClusterOracles.kasbaSql(l, c) } ++
     OraclePins.spectral.map { case (ids, emb, cen) =>
       "ts_spectral" -> ClusterOracles.spectralSql(ids, emb, cen) } ++
+    OraclePins.clara.map(m =>
+      "ts_clara" -> ClusterOracles.medoidAssignSql(m, stringId = true)) ++
+    OraclePins.clarans.map(m =>
+      "ts_clarans" -> ClusterOracles.medoidAssignSql(m, stringId = false)) ++
+    OraclePins.hdbscan.map(p => "ts_hdbscan" -> ClusterOracles.hdbscanSql(p)) ++
+    OraclePins.shapelet.map { case (l, sh, ce) =>
+      "ts_shapelet" -> ClusterOracles.shapeletSql(l, sh, ce) } ++
+    OraclePins.autoCluster.map(cfg =>
+      "ts_auto_cluster" -> ClusterOracles.autoClusterSql(cfg)) ++
     OraclePins.bayesEts.map(p =>
       "ts_bayesian_ets" -> DetOracles.bayesianEtsSql(p, h = 5)) ++
   Map(

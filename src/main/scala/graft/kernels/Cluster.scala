@@ -537,15 +537,30 @@ object Cluster {
     sum / k
   }
 
+  /** The condensed-tree surface [[hdbscanFit]] exposes for the pinned
+    * oracle: cluster `parent`/`stability` arrays (index = creation order,
+    * parents created before children), the root cluster id, each point's
+    * final condensed-tree cluster, and the MST edges `(weight, a, b)`.
+    * The excess-of-mass cut + label resolution are a pure function of
+    * these — ClusterOracles.hdbscanSql replays exactly that in DuckDB. */
+  case class HdbscanTree(parent: Array[Int], stability: Array[Double],
+    root: Int, memberCluster: Array[Int], mstEdges: Array[(Double, Int, Int)])
+
   /** HDBSCAN over a precomputed distance matrix (reference
     * clustering/density.py:31-84, which delegates to sklearn; native
     * re-implementation of Campello-Moulavi-Sander): mutual-reachability
     * distances → Prim MST → single-linkage hierarchy → condensed tree at
     * `minClusterSize` → excess-of-mass cluster selection. Noise = −1. */
   def hdbscan(dist: Array[Array[Double]], minClusterSize: Int = 5,
-      minSamplesOpt: Option[Int] = None): Array[Int] = {
+      minSamplesOpt: Option[Int] = None): Array[Int] =
+    hdbscanFit(dist, minClusterSize, minSamplesOpt)._1
+
+  /** hdbscan + the condensed tree (the pinned-oracle surface). */
+  def hdbscanFit(dist: Array[Array[Double]], minClusterSize: Int = 5,
+      minSamplesOpt: Option[Int] = None): (Array[Int], HdbscanTree) = {
     val n = dist.length
-    if (n == 0) return Array.empty
+    if (n == 0) return (Array.empty,
+      HdbscanTree(Array(-1), Array(0.0), 0, Array.empty, Array.empty))
     val minSamples = minSamplesOpt.getOrElse(minClusterSize)
     // core distance = distance to the minSamples-th nearest neighbor
     val core = Array.tabulate(n) { i =>
@@ -689,10 +704,12 @@ object Cluster {
     }
     val chosen = (0 until nC).filter(c => resolve(c) == c && selected(c))
     val relabel = chosen.zipWithIndex.toMap
-    Array.tabulate(n) { i =>
+    val labels = Array.tabulate(n) { i =>
       val r = resolve(memberCluster(i))
       if (r >= 0 && relabel.contains(r)) relabel(r) else -1
     }
+    (labels, HdbscanTree(clusterParent.toArray, stability.toArray,
+      rootCluster, memberCluster.clone(), sortedEdges))
   }
 
   /** CLARANS randomized medoid search on a distance matrix (reference
@@ -709,6 +726,8 @@ object Cluster {
       maxNeighbor: Int = 10, seed: Long = 42L): (Array[Int], Array[Int]) = {
     val n = dist.length
     require(k >= 1 && k <= n, s"k must be in [1, $n]")
+    require(numLocal >= 1, s"numLocal must be >= 1, got $numLocal")
+    require(maxNeighbor >= 0, s"maxNeighbor must be >= 0, got $maxNeighbor")
     val rng = new Random(seed)
     def assign(medoids: Array[Int]): Array[Int] =
       Array.tabulate(n)(i => medoids.indices.minBy(c => dist(i)(medoids(c))))

@@ -472,7 +472,19 @@ object Clustering {
     * 1-d k-means in shapelet-distance space. */
   def shapeletCluster(df: DataFrame, k: Int, shapeletLengths: Seq[Int] = Seq(8, 16),
       nCandidates: Int = 30, nShapelets: Int = 5, seed: Long = 42L)(
-      implicit pc: PanelCols): DataFrame = {
+      implicit pc: PanelCols): DataFrame =
+    shapeletFitFull(df, k, shapeletLengths, nCandidates, nShapelets, seed)._1
+
+  /** U-shapelet fit exposing the verification surface: (labels, minLen,
+    * the chosen shapelets in score order, the k-means centers used for the
+    * FINAL assignment — the snapshot before the last update step). The
+    * pinned oracle (ClusterOracles.shapeletSql) inlines shapelets+centers
+    * and replays truncate → min-subsequence distance per shapelet →
+    * argmin-euclid assignment in SQL; the candidate sampling and
+    * gap-statistic scoring stay Scala-side (ClusteringSpec). */
+  def shapeletFitFull(df: DataFrame, k: Int, shapeletLengths: Seq[Int] = Seq(8, 16),
+      nCandidates: Int = 30, nShapelets: Int = 5, seed: Long = 42L)(
+      implicit pc: PanelCols): (DataFrame, Int, Array[Array[Double]], Array[Array[Double]]) = {
     val spark = df.sparkSession
     val (z, minLen) = fixedLenSeries(df)
     val rng = new scala.util.Random(seed)
@@ -503,14 +515,19 @@ object Clustering {
     }.sortBy(-_._2)
     val chosen = scores.take(math.min(nShapelets, candidates.length)).map(_._1)
     val feat = dmat.map(row => chosen.map(row).toArray)
-    // 1-d k-means on the shapelet-distance features (driver, tiny)
+    // 1-d k-means on the shapelet-distance features (driver, tiny).
+    // `assignCenters` snapshots the centroids the FINAL assignment pass
+    // used (the update step still runs afterwards), so an argmin replay
+    // over them reproduces `labels` exactly — the lloydFit discipline.
     val kk = math.min(k, feat.length)
     var centroids = rng.shuffle(feat.indices.toVector).take(kk).map(feat).toArray
+    var assignCenters = centroids
     var labels = new Array[Int](feat.length)
     var it = 0
     var changed = true
     while (it < 100 && changed) {
       changed = false
+      assignCenters = centroids.map(_.clone())
       for (i <- feat.indices) {
         val best = centroids.indices.minBy { c =>
           var s = 0.0
@@ -531,7 +548,7 @@ object Clustering {
     }
     val out = labelFrame(df, ids, labels)
     z.unpersist()
-    out
+    (out, minLen, chosen.map(candidates).toArray, assignCenters)
   }
 
   /** Min sliding-window euclidean distance shapelet→series
