@@ -264,6 +264,26 @@ object ClusterOracles {
        |FROM r JOIN cfg ON cfg.seq = r.seq""".stripMargin
   }
 
+  /** Refit-vs-pin audit oracles (VERDICT r7 ask #2): the Spark side
+    * re-runs the pinned fit from scratch and emits the rounded max-|diff|
+    * against the pin; the oracle asserts it is exactly 0 (deterministic
+    * fits; ulp noise absorbed by r6) and cross-checks the data-derived
+    * fields (panel min length / series count) so the row is tied to the
+    * corpus, not a constant. */
+  private val minLenSql =
+    "(SELECT min(cnt)::INT FROM (SELECT count(*) AS cnt FROM events GROUP BY user_id))"
+
+  def refitAuditKSql(k: Int): String =
+    s"SELECT $k::INT AS k, $minLenSql AS min_len, 0.0::DOUBLE AS max_abs_diff"
+
+  val refitAuditSeriesSql: String =
+    "SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_series, " +
+      "0.0::DOUBLE AS max_abs_diff"
+
+  val autoArimaAuditSql: String =
+    "SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_series, " +
+      "0::BIGINT AS order_mismatch, 0.0::DOUBLE AS max_coef_diff"
+
   /** ts_spectral replay: argmin squared-euclidean assignment of the
     * pinned row-normalized eigen-embedding against the pinned Lloyd
     * centers (the snapshot used for the final label pass — lloydFit).

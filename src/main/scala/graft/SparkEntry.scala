@@ -33,6 +33,21 @@ object SparkEntry {
   // ts_seasonal_decomp). Apply the identical nudge in the oracle SQL.
   private def r6n(c: Column): Column = round(c + 1e-9, 6)
 
+  /** Round-to-6 with the shared 1e-9 tie-nudge, driver-side (the Column
+    * r6n twin) — used where a Scala-computed scalar must hash-match the
+    * oracle's `round(x + 1e-9, 6)`. */
+  private def r6dbl(v: Double): Double =
+    BigDecimal(v + 1e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Max |a−b| over two fitted-parameter matrices; MaxValue on any shape
+    * mismatch so a refit-vs-pin audit fails the gate loudly. */
+  private def maxAbsDiff2(a: Array[Array[Double]], b: Array[Array[Double]]): Double =
+    if (a.length != b.length ||
+        a.zip(b).exists { case (x, y) => x.length != y.length }) Double.MaxValue
+    else a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+      x.zip(y).foldLeft(acc) { case (m, (u, v)) => math.max(m, math.abs(u - v)) }
+    }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -1400,15 +1415,90 @@ object SparkEntry {
           "kmedoids" -> graft.kernels.Cluster.pam(m, k)._1,
           "agglomerative" -> graft.kernels.Cluster.agglomerative(m, k))
       } yield (method, k, graft.kernels.Cluster.silhouette(m, labels))
-      def r6d(v: Double): Double =
-        BigDecimal(v + 1e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      val rounded = results.map { case (m0, k0, s0) => (m0, k0, r6d(s0)) }
+      val rounded = results.map { case (m0, k0, s0) => (m0, k0, r6dbl(s0)) }
       val bestIdx = rounded.zipWithIndex
         .maxBy { case ((_, _, s0), i) => (s0, -i) }._2
       import s.implicits._
       rounded.zipWithIndex
         .map { case ((m0, k0, s0), i) => (m0, k0, s0, i == bestIdx) }
         .toDF("method", "k", "silhouette", "is_best")
+    }),
+
+    // ── refit-vs-pin audits (VERDICT r7 ask #2, the emb_pca_var pattern):
+    // each pinned fit re-runs from scratch at Verify time and is compared
+    // against the pin the replay oracles inline; the oracle checks the
+    // rounded max-|diff| against 0, closing the pinned-oracle circularity
+    // caveat. The fits are deterministic — ulp-level treeAggregate
+    // reduce-order noise is absorbed by the shared r6 rounding. Outside
+    // Verify (no pin) the refit compares against itself (smoke row only).
+    "ts_kshape_refit_audit" -> ((s, dir) => {
+      val (_, minLen, cents) = Clustering.kshapeFitFull(IO.events(s, dir), k = 3)
+      val (pl, pcs) = OraclePins.kshape.getOrElse((minLen, cents))
+      val diff = math.max(maxAbsDiff2(cents, pcs),
+        if (pl == minLen) 0.0 else Double.MaxValue)
+      import s.implicits._
+      Seq((3, minLen, r6dbl(diff))).toDF("k", "min_len", "max_abs_diff")
+    }),
+
+    "ts_dba_refit_audit" -> ((s, dir) => {
+      val (_, minLen, cents) =
+        Clustering.kmeansDbaFitFull(IO.events(s, dir), k = 3, maxIter = 5)
+      val (pl, pcs) = OraclePins.kmeansDba.getOrElse((minLen, cents))
+      val diff = math.max(maxAbsDiff2(cents, pcs),
+        if (pl == minLen) 0.0 else Double.MaxValue)
+      import s.implicits._
+      Seq((3, minLen, r6dbl(diff))).toDF("k", "min_len", "max_abs_diff")
+    }),
+
+    "ts_kasba_refit_audit" -> ((s, dir) => {
+      val (_, minLen, cents) =
+        Clustering.kasbaFitFull(IO.events(s, dir), k = 3, maxIter = 5)
+      val (pl, pcs) = OraclePins.kasba.getOrElse((minLen, cents))
+      val diff = math.max(maxAbsDiff2(cents, pcs),
+        if (pl == minLen) 0.0 else Double.MaxValue)
+      import s.implicits._
+      Seq((3, minLen, r6dbl(diff))).toDF("k", "min_len", "max_abs_diff")
+    }),
+
+    "ts_spectral_refit_audit" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+      val (ids, m) = Clustering.collectMatrix(Distances.pairwise(ev, "sbd")(PC), "sbd")
+      val emb = graft.kernels.Cluster.spectralEmbedding(m, 3)
+      val cen = graft.kernels.Cluster.lloydFit(emb, 3, 42L)._2
+      val (pids, pemb, pcen) = OraclePins.spectral.getOrElse((ids, emb, cen))
+      val diff = Seq(maxAbsDiff2(emb, pemb), maxAbsDiff2(cen, pcen),
+        if (ids.sameElements(pids)) 0.0 else Double.MaxValue).max
+      import s.implicits._
+      Seq((ids.length.toLong, r6dbl(diff))).toDF("n_series", "max_abs_diff")
+    }),
+
+    "ts_auto_arima_refit_audit" -> ((s, dir) => {
+      val series = graft.core.Panel.grouped(IO.events(s, dir))(PC)
+        .select(col("user_id"), col("ys")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+      val refit = series.map { case (u, ys) =>
+        val (p, d, q, fit) = graft.kernels.Arima.autoFit(ys, maxP = 2, maxQ = 2)
+        val phi = fit.phi.padTo(2, 0.0)
+        val th = fit.theta.padTo(2, 0.0)
+        (u, d, math.max(p, q), phi(0), phi(1), th(0), th(1), fit.c)
+      }
+      val pin = OraclePins.autoArima.getOrElse(refit.toSeq)
+      val pmap = pin.map(t => t._1 -> t).toMap
+      var orderMismatch = 0L
+      var maxDiff = 0.0
+      refit.foreach { case (u, d, m, p1, p2, t1, t2, c) =>
+        pmap.get(u) match {
+          case Some((_, pd, pm, q1, q2, s1, s2, pc2)) =>
+            if (pd != d || pm != m) orderMismatch += 1
+            maxDiff = math.max(maxDiff, Seq(p1 - q1, p2 - q2, t1 - s1,
+              t2 - s2, c - pc2).map(math.abs).max)
+          case None => orderMismatch += 1
+        }
+      }
+      if (pin.size != refit.length) orderMismatch += 1
+      import s.implicits._
+      Seq((series.length.toLong, orderMismatch, r6dbl(maxDiff)))
+        .toDF("n_series", "order_mismatch", "max_coef_diff")
     }),
 
     "ts_kaboudan" -> ((s, dir) => {
@@ -2174,6 +2264,12 @@ object SparkEntry {
       "ts_shapelet" -> ClusterOracles.shapeletSql(l, sh, ce) } ++
     OraclePins.autoCluster.map(cfg =>
       "ts_auto_cluster" -> ClusterOracles.autoClusterSql(cfg)) ++
+    Map(
+      "ts_kshape_refit_audit" -> ClusterOracles.refitAuditKSql(3),
+      "ts_dba_refit_audit" -> ClusterOracles.refitAuditKSql(3),
+      "ts_kasba_refit_audit" -> ClusterOracles.refitAuditKSql(3),
+      "ts_spectral_refit_audit" -> ClusterOracles.refitAuditSeriesSql,
+      "ts_auto_arima_refit_audit" -> ClusterOracles.autoArimaAuditSql) ++
     OraclePins.bayesEts.map(p =>
       "ts_bayesian_ets" -> DetOracles.bayesianEtsSql(p, h = 5)) ++
   Map(
