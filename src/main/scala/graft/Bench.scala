@@ -36,6 +36,51 @@ object Bench {
   private def mat(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** 1-minute load average — recorded per query so the bench artifact
+    * self-adjudicates co-residency (VERDICT r7 "what's wrong" #1: the
+    * recorded r7 run was 5× slow purely because the driver's own
+    * compile+verify shared the box). −1 when /proc is unavailable. */
+  private def loadAvg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
+  /** Per-query trailing medians from the prior rounds' recorded
+    * BENCH_r*.json artifacts in the cwd (the driver wraps the sbt tail;
+    * the JSON line is extracted from `parsed` or scraped from `tail`).
+    * Empty on any parse trouble — adjudication then simply never fires. */
+  private def trailingMedians(): Map[String, Double] = try {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val re = """\{"metric":.*\}""".r
+    val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+    val perRound: Seq[Map[String, Double]] = files.toSeq.flatMap { f =>
+      try {
+        val root = JsonMethods.parse(java.nio.file.Files.readString(f.toPath))
+        val qjson: Option[JValue] = (root \ "parsed") match {
+          case p: JObject => Some(p \ "queries")
+          case _ => (root \ "tail") match {
+            case JString(t) =>
+              re.findFirstIn(t).map(s => JsonMethods.parse(s) \ "queries")
+            case _ => None
+          }
+        }
+        qjson.collect { case JObject(fields) =>
+          fields.collect {
+            case (k, JDouble(v)) => k -> v
+            case (k, JInt(v)) => k -> v.toDouble
+          }.toMap
+        }
+      } catch { case _: Throwable => None }
+    }
+    perRound.flatMap(_.keys).distinct.flatMap { k =>
+      val vs = perRound.flatMap(_.get(k)).filter(_ > 0).sorted
+      if (vs.isEmpty) None else Some(k -> vs(vs.size / 2))
+    }.toMap
+  } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -123,29 +168,63 @@ object Bench {
     // cache) from a real regression, so round-over-round comparisons on one
     // sample produce false regressions. Odd N → true median element.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
-    def timeAll(suite: Seq[(String, () => Unit)]): Seq[(String, Double)] =
-      suite.map { case (name, run) =>
-        val times = (1 to iters).map { _ =>
-          val t0 = System.nanoTime()
-          val ok = try { run(); true } catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-          }
-          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-        }
-        val good = times.filter(_ >= 0).sorted
-        name -> (if (good.isEmpty) -1.0 else good(good.size / 2))
+    val loadStart = loadAvg()
+    case class QRes(name: String, secs: Double, loadBefore: Double,
+      loadAfter: Double, rerun: Option[Double] = None)
+    def timeOnce(name: String, run: () => Unit): Double = {
+      val t0 = System.nanoTime()
+      val ok = try { run(); true } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
-    val results = timeAll(benches)
-    val curation = timeAll(curationBenches)
-    val qs = (results ++ curation).map { case (k, v) => "\"" + k + "\":" + v }
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    def timeAll(suite: Seq[(String, () => Unit)]): Seq[QRes] =
+      suite.map { case (name, run) =>
+        val lb = loadAvg()
+        val times = (1 to iters).map(_ => timeOnce(name, run))
+        val good = times.filter(_ >= 0).sorted
+        QRes(name, if (good.isEmpty) -1.0 else good(good.size / 2), lb, loadAvg())
+      }
+    // contention self-adjudication (VERDICT r7 ask #3): a query whose
+    // median exceeds 2× its trailing-round median while the 1-min load
+    // ran above ~1.25× the worker count is presumed co-residency noise —
+    // settle, rerun once, and record the better time. A real regression
+    // (quiet box, or still slow after the settle) keeps the slow number.
+    val trailing = trailingMedians()
+    val nCpus = cpus.toInt
+    val loadThreshold = 1.25 * nCpus
+    val allRuns = (benches ++ curationBenches).toMap
+    def adjudicate(rs: Seq[QRes]): Seq[QRes] = rs.map { r =>
+      trailing.get(r.name) match {
+        case Some(m) if r.secs > 2.0 * m &&
+            math.max(r.loadBefore, r.loadAfter) > loadThreshold =>
+          Thread.sleep(10000) // settle
+          val again = timeOnce(r.name, allRuns(r.name))
+          if (again >= 0 && again < r.secs)
+            r.copy(secs = again, rerun = Some(again))
+          else r.copy(rerun = Some(again))
+        case _ => r
+      }
+    }
+    val results = adjudicate(timeAll(benches))
+    val curation = adjudicate(timeAll(curationBenches))
+    val loadEnd = loadAvg()
+    val all = results ++ curation
+    val qs = all.map(r => "\"" + r.name + "\":" + r.secs).mkString("{", ",", "}")
+    val loads = all.map(r =>
+      "\"" + r.name + "\":[" + r.loadBefore + "," + r.loadAfter + "]")
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val totalFull = total + curation.map(_._2).filter(_ >= 0).sum
+    val reruns = all.flatMap(r => r.rerun.map(v => "\"" + r.name + "\":" + v))
+      .mkString("{", ",", "}")
+    val total = results.map(_.secs).filter(_ >= 0).sum
+    val totalFull = total + curation.map(_.secs).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iterations":$iters,"total_full":$totalFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iterations":$iters,"total_full":$totalFull,"load":$loads,"load_start":$loadStart,"load_end":$loadEnd,"reruns":$reruns,"sf":"$sfDir"}"""
+    // sentinel-prefixed line FIRST (unambiguous to scrape out of the sbt
+    // [info] noise that left BENCH_r05-r07 "parsed": null), then the bare
+    // JSON line (legacy scrape), then the file (robust path)
+    println(s"BENCH_JSON: $json")
     println(json)
-    // also land the JSON in a file: the stdout line is buried in sbt
-    // [info] noise, which left BENCH_r05/r06 "parsed": null driver-side
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json)
     spark.stop()
   }
