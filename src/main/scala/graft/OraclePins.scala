@@ -88,6 +88,9 @@ object OraclePins {
   @volatile var shapelet: Option[(Int, Array[Array[Double]], Array[Array[Double]])] = None
   /** Grid-fit label vectors (method, k, id→cluster) for ts_auto_cluster. */
   @volatile var autoCluster: Option[Seq[(String, Int, Array[(String, Int)])]] = None
+  /** Per-series MH chain init (sd|1, mean, OLS AR coefs) for ts_mcmc_fc —
+    * the chain itself replays fully in SQL (StochOracle.mcmcSql). */
+  @volatile var mcmcX0: Option[Seq[(Long, Array[Double])]] = None
 
   /** ts_iforest query parameters (shared with SparkEntry so the pinned
     * forest and the query's forest cannot drift). Smaller than the op
@@ -229,6 +232,21 @@ object OraclePins {
         "kmedoids" -> graft.kernels.Cluster.pam(am, k)._1,
         "agglomerative" -> graft.kernels.Cluster.agglomerative(am, k))
     } yield (method, k, aids.zip(labels)))
+    // MCMC chain init: the exact x0 the ts_mcmc_fc UDF builds per series
+    // (subset) — mean/sd + OLS AR(2) fit; the MH chain replays in SQL
+    mcmcX0 = Some(series.map { case (u, ys) =>
+      val n = ys.length
+      val mean = ys.sum / n
+      val sd = math.sqrt(ys.map(v => (v - mean) * (v - mean)).sum / n)
+      val x0 = new Array[Double](4)
+      x0(0) = if (sd > 0) sd else 1.0
+      x0(1) = mean
+      try {
+        val arc = graft.kernels.ArimaLite.arFit(ys, 2)
+        x0(2) = arc(0); x0(3) = arc(1)
+      } catch { case _: Exception => }
+      (u, x0)
+    })
     // bayesian ETS: the same per-series MAP NM search the query's kernel
     // runs (bayesianEtsMap is shared); only (α, level₀) is pinned — the
     // oracle replays the SES level recursion over the data

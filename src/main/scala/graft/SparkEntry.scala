@@ -617,11 +617,29 @@ object SparkEntry {
           r6n(col("filtered")).as("filtered"),
           r6n(col("filtered_var")).as("filtered_var"))),
 
+    // oracled on the 30-series NM subset (the full-panel replay measured
+    // 47 s in DuckDB — over the r5 gate budget); production scale stays
+    // exercised by the _e2e twin
     "ts_enkf" -> ((s, dir) =>
+      BayesianOps.enkf(
+        IO.events(s, dir).filter(col("user_id") < ForecastOracle.NmSubsetUsers),
+        nEnsemble = 30)
+        .select(col("user_id"), col("ts"), r6(col("filtered")).as("filtered"))),
+
+    "ts_enkf_e2e" -> ((s, dir) =>
       BayesianOps.enkf(IO.events(s, dir), nEnsemble = 30)
         .select(col("user_id"), col("ts"), r6(col("filtered")).as("filtered"))),
 
+    // oracled on a 10-series subset (the 200-particle replay is the
+    // gate's most arithmetic-heavy fold); production scale in the _e2e
     "ts_particle" -> ((s, dir) =>
+      BayesianOps.particleFilter(
+        IO.events(s, dir).filter(col("user_id") < 10), nParticles = 200,
+        sigmaLevel = 0.5, sigmaObs = 1.0)
+        .select(col("user_id"), col("ts"), r6(col("filtered")).as("filtered"),
+          r6(col("ess")).as("ess"))),
+
+    "ts_particle_e2e" -> ((s, dir) =>
       BayesianOps.particleFilter(IO.events(s, dir), nParticles = 200,
         sigmaLevel = 0.5, sigmaObs = 1.0)
         .select(col("user_id"), col("ts"), r6(col("filtered")).as("filtered"),
@@ -647,7 +665,19 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), r6(col("level")).as("level"),
           r6(col("trend")).as("trend"), r6(col("seasonal")).as("seasonal"))),
 
+    // oracled on the 30-series NM subset (chain init pinned, full MH
+    // chain + posterior-predictive paths replayed in SQL); full panel in
+    // the _e2e twin
     "ts_mcmc_fc" -> ((s, dir) =>
+      BayesianOps.mcmcForecast(
+        IO.events(s, dir).filter(col("user_id") < ForecastOracle.NmSubsetUsers),
+        h = 5, p = 2, nSamples = 200, burnIn = 100)
+        .select(col("user_id"), col("step"), col("ts"),
+          r6(col("y_hat")).as("y_hat"),
+          r6(col("y_hat_lower")).as("y_hat_lower"),
+          r6(col("y_hat_upper")).as("y_hat_upper"))),
+
+    "ts_mcmc_fc_e2e" -> ((s, dir) =>
       BayesianOps.mcmcForecast(IO.events(s, dir), h = 5, p = 2,
         nSamples = 200, burnIn = 100)
         .select(col("user_id"), col("step"), col("ts"),
@@ -2197,6 +2227,11 @@ object SparkEntry {
     "ts_cluster_eval" -> ForecastOracle.clusterEvalSql,
     "ts_granger" -> ForecastOracle.grangerSql,
     "ts_bayes_anomaly" -> DetOracles.bayesAnomalySql,
+    "ts_enkf" -> StochOracle.enkfSql(q = 1e-3, r = 1.0, nEnsemble = 30, seed = 42L,
+      seriesFilter = s"user_id < ${ForecastOracle.NmSubsetUsers}"),
+    "ts_particle" -> StochOracle.particleSql(nParticles = 200, sigmaLevel = 0.5,
+      sigmaObs = 1.0, resampleThreshold = 0.5, seed = 42L,
+      seriesFilter = "user_id < 10"),
     "ts_kshape_classify" -> DetOracles.kshapeClassifySql,
     "ts_mstl_features" -> DetOracles.mstlSql(Seq(12, 24), iterations = 2),
     "ts_mstl_decomp" -> DetOracles.mstlSql(Seq(12, 24), iterations = 2,
@@ -2270,6 +2305,8 @@ object SparkEntry {
       "ts_kasba_refit_audit" -> ClusterOracles.refitAuditKSql(3),
       "ts_spectral_refit_audit" -> ClusterOracles.refitAuditSeriesSql,
       "ts_auto_arima_refit_audit" -> ClusterOracles.autoArimaAuditSql) ++
+    OraclePins.mcmcX0.map(pins => "ts_mcmc_fc" -> StochOracle.mcmcSql(pins,
+      h = 5, p = 2, nSamples = 200, burnIn = 100, coverage = 0.9, seed = 42L)) ++
     OraclePins.bayesEts.map(p =>
       "ts_bayesian_ets" -> DetOracles.bayesianEtsSql(p, h = 5)) ++
   Map(

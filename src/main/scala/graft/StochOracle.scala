@@ -1,0 +1,300 @@
+package graft
+
+import graft.kernels.DetRng
+
+/** DuckDB replay oracles for the counter-based stochastic kernels
+  * (VERDICT r7 ask #4): EnKF, particle filter, MH-MCMC.
+  *
+  * [[graft.kernels.DetRng]] makes every draw a pure function of a
+  * structured counter, and its Irwin-Hall(12) gaussians involve only IEEE
+  * arithmetic — so DuckDB reproduces the draws BIT-EXACTLY: the splitmix64
+  * finalizer's two wrapping 64-bit multiplies are HUGEINT products mod 2⁶⁴
+  * (constants split into 32-bit halves so no product exceeds 2¹²⁸ — the
+  * same trick as ForecastOracle.fnvUSql), and each pipeline stage binds
+  * its value once via a single-element-list lambda, keeping the generated
+  * SQL linear in size.
+  *
+  * The filters then replay as recursive CTEs carrying the ensemble /
+  * particle list per step (the ukfSql shape, with LIST columns).
+  */
+object StochOracle {
+
+  private def dlit(v: Double): String = "%.17e".format(v)
+  private def us(l: Long): String = java.lang.Long.toUnsignedString(l)
+
+  private val Mod32 = "4294967296::HUGEINT"
+  private val Mod64 = "18446744073709551616::HUGEINT"
+  private val C1 = 0xbf58476d1ce4e5b9L
+  private val C2 = 0x94d049bb133111ebL
+
+  /** `(z * c) mod 2⁶⁴` for a bound HUGEINT variable `z` < 2⁶⁴ and a
+    * 64-bit constant `c` split into 32-bit halves. */
+  private def mulwrap(z: String, c: Long): String = {
+    val cl = us(c & 0xFFFFFFFFL)
+    val ch = us(c >>> 32)
+    s"(($z * $cl::HUGEINT + (($z * $ch::HUGEINT) % $Mod32) * $Mod32) % $Mod64)"
+  }
+
+  /** Bit-exact SQL replay of DetRng.mix → uniform in [0,1) over the
+    * BIGINT counter expression `cExpr`. */
+  def uniformRawExpr(cExpr: String, seedC: Long): String =
+    s"""list_transform([xor(($cExpr)::HUGEINT, ${us(seedC)}::HUGEINT)], __ra ->
+       |  list_transform([xor(__ra, __ra >> 30)], __rb ->
+       |    list_transform([${mulwrap("__rb", C1)}], __rc ->
+       |      list_transform([xor(__rc, __rc >> 27)], __rd ->
+       |        list_transform([${mulwrap("__rd", C2)}], __re ->
+       |          ((xor(__re, __re >> 31) >> 11))::DOUBLE / 9007199254740992.0
+       |        )[1])[1])[1])[1])[1]""".stripMargin
+
+  /** DetRng.uniform (sub-slot 12). */
+  def uniformExpr(cExpr: String, seedC: Long): String =
+    uniformRawExpr(s"(($cExpr) * 16::BIGINT + 12)", seedC)
+
+  /** DetRng.gauss: Irwin-Hall(12) — 12 uniforms summed in sub-slot order
+    * by a left fold, minus 6. */
+  def gaussExpr(cExpr: String, seedC: Long): String =
+    s"""(list_reduce(list_prepend(0.0::DOUBLE,
+       |  list_transform(generate_series(0, 11), __gj ->
+       |    ${uniformRawExpr(s"(($cExpr) * 16::BIGINT + __gj)", seedC)})),
+       |  (__ga, __gb) -> __ga + __gb) - 6.0)""".stripMargin
+
+  private def ctr(stream: Int, tExpr: String, iExpr: String): String =
+    s"(($stream::BIGINT * 1048576::BIGINT + ($tExpr)) * 4096::BIGINT + ($iExpr))"
+
+  /** ts_enkf replay: the full scalar local-level EnKF recursion of
+    * Bayesian.enkfLocalLevelDet as a recursive CTE carrying the ensemble
+    * list — propagate (stream 1), Kalman-style update with perturbed
+    * observations (stream 2), ensemble mean per step. Every operation is
+    * IEEE arithmetic in the kernel's order, so `filtered` matches
+    * bit-for-bit before the shared 6-dp rounding. */
+  def enkfSql(q: Double, r: Double, nEnsemble: Int, seed: Long,
+      seriesFilter: String = "TRUE"): String = {
+    val sc = DetRng.seedConst(seed)
+    val lp = dlit(math.sqrt(1.0 + 1e-10))
+    val lq = dlit(math.sqrt(q + 1e-10))
+    val sr = dlit(math.sqrt(r))
+    val e = nEnsemble
+    val em1 = dlit(e - 1.0)
+    def g(stream: Int, tExpr: String, iExpr: String) =
+      gaussExpr(ctr(stream, tExpr, iExpr), sc)
+    s"""WITH RECURSIVE v AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs,
+       |  list(epoch_us(ts) ORDER BY ts, event_id) AS tss, count(*)::INT AS n
+       |  FROM events WHERE $seriesFilter GROUP BY user_id),
+       |st AS (
+       |  SELECT user_id, 0 AS t, 0.0::DOUBLE AS filt,
+       |    list_transform(generate_series(0, ${e - 1}), ii ->
+       |      vs[1] + $lp * ${g(0, "0", "ii")}) AS ens
+       |  FROM v -- base: seeded init ensemble (stream 0)
+       |  UNION ALL
+       |  SELECT user_id, t, filt, ens3 AS ens FROM (
+       |    SELECT user_id, t, ens3,
+       |      list_reduce(list_prepend(0.0::DOUBLE, ens3), (sa, sb) -> sa + sb) / ${e}.0 AS filt
+       |    FROM (
+       |      SELECT user_id, t, list_transform(generate_series(0, ${e - 1}), ii ->
+       |        ens2[ii + 1] + kk * (yt + $sr * ${g(2, "t - 1", "ii")} - ens2[ii + 1])) AS ens3
+       |      FROM (
+       |        SELECT user_id, t, yt, ens2, pyx[2] / pyx[1] AS kk
+       |        FROM (
+       |          SELECT user_id, t, yt, ens2,
+       |            list_reduce(list_prepend([${dlit(r)}, 0.0::DOUBLE],
+       |              list_transform(ens2, ee -> [ee - hm])),
+       |              (pa, pe) -> [pa[1] + pe[1] * pe[1] / $em1, pa[2] + pe[1] * (pe[1] / $em1)]) AS pyx
+       |          FROM (
+       |            SELECT user_id, t, yt, ens2,
+       |              list_reduce(list_prepend(0.0::DOUBLE, ens2), (sa, sb) -> sa + sb) / ${e}.0 AS hm
+       |            FROM (
+       |              SELECT c.user_id, c.t + 1 AS t, vv.vs[(c.t + 1)::INT] AS yt,
+       |                list_transform(generate_series(0, ${e - 1}), ii ->
+       |                  c.ens[ii + 1] + $lq * ${g(1, "c.t", "ii")}) AS ens2
+       |              FROM st c JOIN v vv ON vv.user_id = c.user_id
+       |              WHERE c.t < vv.n
+       |            ) q1
+       |          ) q2
+       |        ) q3
+       |      ) q4
+       |    ) q5
+       |  ) q6
+       |)
+       |SELECT s2.user_id, make_timestamp(vv.tss[s2.t]) AS ts,
+       |  round(s2.filt, 6) AS filtered
+       |FROM st s2 JOIN v vv ON vv.user_id = s2.user_id
+       |WHERE s2.t >= 1""".stripMargin
+  }
+
+  /** ts_particle replay: the local-level bootstrap particle filter of
+    * Bayesian.particleFilterLocalLevelDet as a recursive CTE carrying the
+    * particle list — propagate (stream 1, skipped at the first step like
+    * the kernel), weight/normalize (logNorm inlined as the kernel's exact
+    * JVM double, so only exp's last ulp differs — absorbed by r6),
+    * weighted mean + ESS, and the systematic resample (stream 2) as a
+    * per-position cums count (provably equal to the kernel's two-pointer
+    * scan for ascending positions). */
+  def particleSql(nParticles: Int, sigmaLevel: Double, sigmaObs: Double,
+      resampleThreshold: Double, seed: Long,
+      seriesFilter: String = "TRUE"): String = {
+    val sc = DetRng.seedConst(seed)
+    val np = nParticles
+    val logNorm = dlit(-0.5 * math.log(2 * math.Pi * sigmaObs * sigmaObs))
+    val so = dlit(sigmaObs)
+    val sl = dlit(sigmaLevel)
+    val thresh = dlit(resampleThreshold * np)
+    def g(stream: Int, tExpr: String, iExpr: String) =
+      gaussExpr(ctr(stream, tExpr, iExpr), sc)
+    def u(stream: Int, tExpr: String, iExpr: String) =
+      uniformExpr(ctr(stream, tExpr, iExpr), sc)
+    s"""WITH RECURSIVE v AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs,
+       |  list(epoch_us(ts) ORDER BY ts, event_id) AS tss, count(*)::INT AS n
+       |  FROM events WHERE $seriesFilter GROUP BY user_id),
+       |st AS (
+       |  SELECT user_id, 0 AS t, 0.0::DOUBLE AS filt, 0.0::DOUBLE AS ess,
+       |    list_transform(generate_series(0, ${np - 1}), ii ->
+       |      vs[1] + ${g(0, "0", "ii")}) AS parts
+       |  FROM v
+       |  UNION ALL
+       |  SELECT user_id, t, filt, essv AS ess,
+       |    CASE WHEN essv < $thresh THEN
+       |      list_transform(
+       |        list_transform(generate_series(0, ${np - 1}), ii ->
+       |          (ii + ${u(2, "t - 1", "ii")}) / ${np}.0),
+       |        pos -> p2[least(len(list_filter(cums, cv -> cv < pos)), ${np - 1}) + 1])
+       |    ELSE p2 END AS parts
+       |  FROM (
+       |    SELECT user_id, t, p2, wt, filt, essv,
+       |      (list_reduce(list_prepend([0.0::DOUBLE],
+       |        list_transform(wt, ww -> [ww])),
+       |        (ca, cw) -> list_append(ca, ca[len(ca)] + cw[1])))[2:] AS cums
+       |    FROM (
+       |      SELECT user_id, t, p2, wt,
+       |        list_reduce(list_prepend(0.0::DOUBLE,
+       |          list_transform(generate_series(1, $np), ii ->
+       |            p2[ii::INT] * wt[ii::INT])), (sa, sb) -> sa + sb) AS filt,
+       |        1.0 / list_reduce(list_prepend(0.0::DOUBLE,
+       |          list_transform(wt, ww -> ww * ww)), (sa, sb) -> sa + sb) AS essv
+       |      FROM (
+       |        SELECT user_id, t, p2,
+       |          CASE WHEN wsum > 0 THEN list_transform(w, ww -> ww / wsum)
+       |            ELSE list_transform(w, ww -> 1.0 / ${np}.0) END AS wt
+       |        FROM (
+       |          SELECT user_id, t, p2, w,
+       |            list_reduce(list_prepend(0.0::DOUBLE, w), (sa, sb) -> sa + sb) AS wsum
+       |          FROM (
+       |            SELECT user_id, t, p2,
+       |              list_transform(lw, lv -> exp(lv - mw)) AS w
+       |            FROM (
+       |              SELECT user_id, t, p2, lw, list_max(lw) AS mw
+       |              FROM (
+       |                SELECT user_id, t, p2,
+       |                  list_transform(p2, pp ->
+       |                    $logNorm - (0.5 * ((yt - pp) / $so)) * ((yt - pp) / $so)) AS lw
+       |                FROM (
+       |                  SELECT c.user_id, c.t + 1 AS t, vv.vs[(c.t + 1)::INT] AS yt,
+       |                    CASE WHEN c.t > 0 THEN
+       |                      list_transform(generate_series(0, ${np - 1}), ii ->
+       |                        c.parts[ii + 1] + $sl * ${g(1, "c.t", "ii")})
+       |                    ELSE c.parts END AS p2
+       |                  FROM st c JOIN v vv ON vv.user_id = c.user_id
+       |                  WHERE c.t < vv.n
+       |                ) q1
+       |              ) q2
+       |            ) q3
+       |          ) q4
+       |        ) q5
+       |      ) q6
+       |    ) q7
+       |  ) q8
+       |)
+       |SELECT s2.user_id, make_timestamp(vv.tss[s2.t]) AS ts,
+       |  round(s2.filt, 6) AS filtered, round(s2.ess, 6) AS ess
+       |FROM st s2 JOIN v vv ON vv.user_id = s2.user_id
+       |WHERE s2.t >= 1""".stripMargin
+  }
+
+  /** ts_mcmc_fc replay: the FULL Metropolis-Hastings AR(p) chain of
+    * Bayesian.mhSampleDet — proposals (stream 0), the AR log-posterior
+    * re-evaluated per iteration over the raw series, the log-uniform
+    * accept test (stream 1), post-burn-in sample collection — then the
+    * posterior-predictive paths of arForecastPathsDet (stream 2, seed+1)
+    * and the per-step sorted-quantile summary. Only the chain INIT x0
+    * (mean/sd + OLS AR fit) is pinned; ln/pow enter lone accept
+    * comparisons (boundary-robust), every kept number is IEEE arithmetic
+    * in kernel order. */
+  def mcmcSql(x0Pins: Seq[(Long, Array[Double])], h: Int, p: Int,
+      nSamples: Int, burnIn: Int, coverage: Double, seed: Long): String = {
+    require(p == 2, "mcmcSql replays the p = 2 query instance")
+    val sc = DetRng.seedConst(seed)
+    val sc2 = DetRng.seedConst(seed + 1)
+    val total = nSamples + burnIn
+    val lo = (1 - coverage) / 2
+    val loIdx = math.max(0, math.round(lo * (nSamples - 1)).toInt) + 1
+    val hiIdx = math.min(nSamples - 1, math.round((1 - lo) * (nSamples - 1)).toInt) + 1
+    val twoPi = dlit(2 * math.Pi)
+    val xRows = x0Pins.map { case (u, x) =>
+      s"($u::BIGINT, [${x.map(dlit).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n  ")
+    // arLogpost(sig, mu, f1, f2) over the series list `vs` (length n)
+    def lpExpr(sig: String, mu: String, f1: String, f2: String): String =
+      s"""(CASE WHEN $sig <= 0 THEN '-infinity'::DOUBLE ELSE
+         |  list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(generate_series(3, len(vs)), tt ->
+         |      (-0.5 * ln(($twoPi * $sig) * $sig))
+         |      - (0.5 * ((vs[tt::INT] - (($mu + $f1 * (vs[tt::INT - 1] - $mu)) + $f2 * (vs[tt::INT - 2] - $mu))) * (1.0 / $sig)))
+         |        * ((vs[tt::INT] - (($mu + $f1 * (vs[tt::INT - 1] - $mu)) + $f2 * (vs[tt::INT - 2] - $mu))) * (1.0 / $sig)))),
+         |    (la, lb) -> la + lb)
+         |  + ((-0.5 * pow($sig / 10.0, 2) - 0.5 * pow($mu / 100.0, 2))
+         |     + (-0.5 * $f1 * $f1) + (-0.5 * $f2 * $f2))
+         |END)""".stripMargin
+    val it = "(x[1])::INT"
+    val propG = gaussExpr(ctr(0, it, "jj - 1"), sc)
+    val acceptU = uniformExpr(ctr(1, it, "0"), sc)
+    val pathG = gaussExpr(ctr(2, "si", "(x[1])::INT - 1"), sc2)
+    s"""WITH s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs,
+       |  count(*)::INT AS n FROM events GROUP BY user_id),
+       |x0 AS (SELECT * FROM (VALUES
+       |  $xRows
+       |) AS __x(user_id, xi)),
+       |prep AS (SELECT s.user_id, s.vs, s.n, x0.xi,
+       |  list_transform(x0.xi, xv -> greatest(abs(xv) * 0.02, 1e-4)) AS scl
+       |  FROM s JOIN x0 ON x0.user_id = s.user_id),
+       |chain AS (SELECT user_id, vs, n, list_reduce(
+       |  list_prepend(list_concat(xi, [${lpExpr("xi[1]", "xi[2]", "xi[3]", "xi[4]")}]),
+       |    list_transform(generate_series(0, ${total - 1}), it2 -> [it2::DOUBLE])),
+       |  (acc, x) ->
+       |    list_transform([list_transform(generate_series(1, 4), jj ->
+       |        acc[jj::INT] + scl[jj::INT] * $propG)], pr ->
+       |      list_transform([[${lpExpr("pr[1]", "pr[2]", "pr[3]", "pr[4]")}]], lpp ->
+       |        list_transform([CASE WHEN ln($acceptU) < lpp[1] - acc[5]
+       |            THEN list_concat([pr[1], pr[2], pr[3], pr[4]], [lpp[1]])
+       |            ELSE acc[1:5] END], nh ->
+       |          list_concat(nh, list_concat(acc[6:],
+       |            CASE WHEN $it >= $burnIn THEN nh[1:4] ELSE []::DOUBLE[] END))
+       |        )[1])[1])[1]) AS ch
+       |  FROM prep),
+       |paths AS (SELECT user_id, list_transform(generate_series(0, ${nSamples - 1}), si ->
+       |  (list_reduce(
+       |    list_prepend([vs[(n - 1)::INT], vs[n::INT]],
+       |      list_transform(generate_series(1, $h), st2 -> [st2::DOUBLE])),
+       |    (hh, x) -> list_append(hh,
+       |      ((ch[(7 + si * 4)::INT]
+       |        + ch[(8 + si * 4)::INT] * (hh[len(hh)] - ch[(7 + si * 4)::INT]))
+       |        + ch[(9 + si * 4)::INT] * (hh[len(hh) - 1] - ch[(7 + si * 4)::INT]))
+       |      + abs(ch[(6 + si * 4)::INT]) * $pathG)
+       |  ))[3:]) AS pth
+       |  FROM chain),
+       |stepv AS (SELECT user_id, unnest(generate_series(1, $h)) AS step, pth FROM paths),
+       |qs AS (SELECT user_id, step,
+       |  list_sort(list_transform(pth, pp -> pp[step::INT])) AS colv
+       |  FROM stepv),
+       |agg AS (SELECT user_id, step,
+       |  list_reduce(list_prepend(0.0::DOUBLE, colv), (sa, sb) -> sa + sb) / ${nSamples}.0 AS m,
+       |  colv[$loIdx] AS lov, colv[$hiIdx] AS hiv FROM qs),
+       |lastt AS (SELECT user_id, max(epoch_us(ts)) AS us FROM events GROUP BY user_id),
+       |d AS (SELECT user_id, min(us - lus) AS freq FROM
+       |  (SELECT user_id, epoch_us(ts) AS us, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS lus FROM events)
+       |  WHERE lus IS NOT NULL GROUP BY user_id)
+       |SELECT a.user_id, a.step::INT AS step, make_timestamp(l.us + a.step * d.freq) AS ts,
+       |  round(a.m, 6) AS y_hat, round(a.lov, 6) AS y_hat_lower,
+       |  round(a.hiv, 6) AS y_hat_upper
+       |FROM agg a JOIN lastt l ON l.user_id = a.user_id
+       |JOIN d ON d.user_id = a.user_id""".stripMargin
+  }
+}

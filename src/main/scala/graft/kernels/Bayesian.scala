@@ -290,6 +290,63 @@ object Bayesian {
     (outM, outV)
   }
 
+  /** Scalar local-level EnKF with counter-based draws — the deterministic
+    * twin of [[enkfFilter]] for the f = identity, h = x₀ instance the
+    * engine query exposes. Every draw is [[DetRng]].gauss of a structured
+    * counter (streams: 0 = init, 1 = process, 2 = observation
+    * perturbation), so the DuckDB oracle replays the filter bit-exactly.
+    * Same recursion as enkfFilter with n = 1 (cholesky of a 1×1 = sqrt). */
+  def enkfLocalLevelDet(y: Array[Double], q: Double, r: Double,
+      nEnsemble: Int, seed: Long): (Array[Double], Array[Double]) = {
+    val sc = DetRng.seedConst(seed)
+    val lp = math.sqrt(1.0 + 1e-10)
+    val lq = math.sqrt(q + 1e-10)
+    val sr = math.sqrt(r)
+    val x0 = y.headOption.getOrElse(0.0)
+    var ens = Array.tabulate(nEnsemble)(i =>
+      x0 + lp * DetRng.gauss(sc, DetRng.ctr(0, 0, i)))
+    val t = y.length
+    val outM = new Array[Double](t)
+    val outV = new Array[Double](t)
+    var ti = 0
+    while (ti < t) {
+      val prev = ens
+      ens = Array.tabulate(nEnsemble)(i =>
+        prev(i) + lq * DetRng.gauss(sc, DetRng.ctr(1, ti, i)))
+      if (!y(ti).isNaN) {
+        var hMean = 0.0
+        var i = 0
+        while (i < nEnsemble) { hMean += ens(i); i += 1 }
+        hMean /= nEnsemble
+        var pyy = r
+        var pxy = 0.0
+        i = 0
+        while (i < nEnsemble) {
+          val dy = ens(i) - hMean
+          pyy += dy * dy / (nEnsemble - 1.0)
+          pxy += dy * (dy / (nEnsemble - 1.0))
+          i += 1
+        }
+        val k = pxy / pyy
+        val base = ens
+        ens = Array.tabulate(nEnsemble)(i =>
+          base(i) + k * (y(ti) + sr * DetRng.gauss(sc, DetRng.ctr(2, ti, i)) - base(i)))
+      }
+      var m0 = 0.0
+      var i = 0
+      while (i < nEnsemble) { m0 += ens(i); i += 1 }
+      m0 /= nEnsemble
+      var v0 = 0.0
+      i = 0
+      while (i < nEnsemble) { val d = ens(i) - m0; v0 += d * d; i += 1 }
+      v0 /= (nEnsemble - 1.0)
+      outM(ti) = m0
+      outV(ti) = v0
+      ti += 1
+    }
+    (outM, outV)
+  }
+
   // ── Particle filter (bayesian/particle_filter.py:149-290) ────────────────
 
   /** Local-level bootstrap particle filter with systematic resampling.
@@ -345,6 +402,68 @@ object Bayesian {
     (outM, outV, outEss)
   }
 
+  /** Local-level bootstrap particle filter with counter-based draws — the
+    * deterministic twin of [[particleFilterLocalLevel]] (streams: 0 =
+    * init, 1 = process, 2 = systematic-resample positions). The exp in
+    * the weight normalization is the only transcendental; it feeds
+    * weighted means that the shared r6 rounding absorbs, and resampling
+    * decisions flip only on exact float ties. */
+  def particleFilterLocalLevelDet(y: Array[Double], nParticles: Int = 500,
+      sigmaLevel: Double = 1.0, sigmaObs: Double = 1.0,
+      resampleThreshold: Double = 0.5, seed: Long = 42L)
+      : (Array[Double], Array[Double], Array[Double]) = {
+    val sc = DetRng.seedConst(seed)
+    val t = y.length
+    val np = nParticles
+    var particles = Array.tabulate(np)(i =>
+      y.headOption.getOrElse(0.0) + DetRng.gauss(sc, DetRng.ctr(0, 0, i)))
+    var weights = Array.fill(np)(1.0 / np)
+    val outM = new Array[Double](t)
+    val outV = new Array[Double](t)
+    val outEss = new Array[Double](t)
+    val logNorm = -0.5 * math.log(2 * math.Pi * sigmaObs * sigmaObs)
+    var ti = 0
+    while (ti < t) {
+      if (ti > 0) {
+        val prev = particles
+        particles = Array.tabulate(np)(i =>
+          prev(i) + sigmaLevel * DetRng.gauss(sc, DetRng.ctr(1, ti, i)))
+      }
+      val logW = particles.map { p =>
+        val d = (y(ti) - p) / sigmaObs
+        logNorm - 0.5 * d * d
+      }
+      val maxW = logW.max
+      val w = logW.map(lw => math.exp(lw - maxW))
+      val wSum = w.sum
+      weights =
+        if (wSum > 0) w.map(_ / wSum)
+        else Array.fill(np)(1.0 / np)
+      var m = 0.0
+      for (i <- 0 until np) m += particles(i) * weights(i)
+      var v = 0.0
+      for (i <- 0 until np) { val d = particles(i) - m; v += d * d * weights(i) }
+      val ess = 1.0 / weights.map(x => x * x).sum
+      outM(ti) = m; outV(ti) = v; outEss(ti) = ess
+      if (ess < resampleThreshold * np) {
+        val positions = Array.tabulate(np)(i =>
+          (i + DetRng.uniform(sc, DetRng.ctr(2, ti, i))) / np)
+        val cums = weights.scanLeft(0.0)(_ + _).tail
+        val next = new Array[Double](np)
+        var i = 0; var j = 0
+        while (i < np) {
+          while (j < np - 1 && cums(j) < positions(i)) j += 1
+          next(i) = particles(j)
+          i += 1
+        }
+        particles = next
+        weights = Array.fill(np)(1.0 / np)
+      }
+      ti += 1
+    }
+    (outM, outV, outEss)
+  }
+
   // ── MH-MCMC forecaster (bayesian/mcmc.py + samplers + forecast) ─────────
 
   /** Metropolis-Hastings with per-dimension 2% proposal scale
@@ -371,6 +490,57 @@ object Bayesian {
       it += 1
     }
     out
+  }
+
+  /** Metropolis-Hastings with counter-based draws — the deterministic
+    * twin of [[mhSample]] (streams: 0 = proposal gaussians per (iter,
+    * dim), 1 = accept uniform per iter). log(u) in the accept test is
+    * transcendental, but an accept decision flips only when u sits within
+    * an ulp of the boundary — not an accumulating error. */
+  def mhSampleDet(logpost: Array[Double] => Double, x0: Array[Double],
+      nSamples: Int, burnIn: Int, seed: Long): Array[Array[Double]] = {
+    val sc = DetRng.seedConst(seed)
+    val d = x0.length
+    val scale = x0.map(v => math.max(math.abs(v) * 0.02, 1e-4))
+    var theta = x0.clone()
+    var lp = logpost(theta)
+    val out = new Array[Array[Double]](nSamples)
+    var i = 0
+    val total = nSamples + burnIn
+    var it = 0
+    while (it < total) {
+      val prop = Array.tabulate(d)(j =>
+        theta(j) + scale(j) * DetRng.gauss(sc, DetRng.ctr(0, it, j)))
+      val lpProp = logpost(prop)
+      val ratio = lpProp - lp
+      if (!ratio.isNaN &&
+          math.log(DetRng.uniform(sc, DetRng.ctr(1, it, 0))) < ratio) {
+        theta = prop; lp = lpProp
+      }
+      if (it >= burnIn) { out(i) = theta.clone(); i += 1 }
+      it += 1
+    }
+    out
+  }
+
+  /** Posterior-predictive AR(p) paths with counter-based draws — the
+    * deterministic twin of [[arForecastPaths]] (stream 2, keyed by
+    * (sample index, step)). */
+  def arForecastPathsDet(y: Array[Double], samples: Array[Array[Double]],
+      h: Int, p: Int, seed: Long): Array[Array[Double]] = {
+    val sc = DetRng.seedConst(seed)
+    samples.zipWithIndex.map { case (s, si) =>
+      val sigma = math.abs(s(0)); val mu = s(1)
+      val hist = scala.collection.mutable.ArrayBuffer(y.takeRight(p): _*)
+      Array.tabulate(h) { step =>
+        var pred = mu
+        var j = 0
+        while (j < p) { pred += s(2 + j) * (hist(hist.length - 1 - j) - mu); j += 1 }
+        pred += sigma * DetRng.gauss(sc, DetRng.ctr(2, si, step))
+        hist += pred
+        pred
+      }
+    }
   }
 
   /** AR(p) log-posterior (mcmc_samplers.py:39-64). */

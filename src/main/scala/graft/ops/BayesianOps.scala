@@ -31,11 +31,11 @@ object BayesianOps {
     * (enkf.py:21-153). */
   def enkf(df: DataFrame, q: Double = 1e-3, r: Double = 1.0,
       nEnsemble: Int = 50, seed: Long = 42L)(implicit pc: PanelCols): DataFrame = {
+    // counter-based deterministic draws (DetRng) so the oracle replays
+    // the filter bit-exactly; the general f/h enkfFilter stays the
+    // library surface for non-local-level models
     val u = udf((ys: Seq[Double]) => {
-      val (m, v) = Bayesian.enkfFilter(ys.toArray,
-        x => x, x => x(0),
-        DenseMatrix((q)), r, DenseVector(ys.headOption.getOrElse(0.0)),
-        DenseMatrix((1.0)), nEnsemble, seed)
+      val (m, v) = Bayesian.enkfLocalLevelDet(ys.toArray, q, r, nEnsemble, seed)
       m.zip(v)
     })
     explodePerRow(df, u, Seq("filtered", "filtered_var"))
@@ -47,7 +47,7 @@ object BayesianOps {
       sigmaLevel: Double = 1.0, sigmaObs: Double = 1.0, seed: Long = 42L)(
       implicit pc: PanelCols): DataFrame = {
     val u = udf((ys: Seq[Double]) => {
-      val (m, v, ess) = Bayesian.particleFilterLocalLevel(ys.toArray, nParticles,
+      val (m, v, ess) = Bayesian.particleFilterLocalLevelDet(ys.toArray, nParticles,
         sigmaLevel, sigmaObs, seed = seed)
       m.indices.map(i => (m(i), v(i), ess(i)))
     })
@@ -109,9 +109,9 @@ object BayesianOps {
         var j = 0
         while (j < p) { x0(2 + j) = arc(j); j += 1 }
       } catch { case _: Exception => }
-      val samples = Bayesian.mhSample(th => Bayesian.arLogpost(th, arr, p),
+      val samples = Bayesian.mhSampleDet(th => Bayesian.arLogpost(th, arr, p),
         x0, nSamples, burnIn, seed)
-      val paths = Bayesian.arForecastPaths(arr, samples, h, p, seed + 1)
+      val paths = Bayesian.arForecastPathsDet(arr, samples, h, p, seed + 1)
       val lo = (1 - coverage) / 2
       (0 until h).map { s =>
         val colV = paths.map(_(s)).sorted
