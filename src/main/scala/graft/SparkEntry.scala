@@ -665,6 +665,28 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), r6(col("level")).as("level"),
           r6(col("trend")).as("trend"), r6(col("seasonal")).as("seasonal"))),
 
+    // period-4 seasonal-STATE twins (VERDICT r7 ask #5): the 5-dim
+    // filter + forward propagation replay fully in SQL (generated
+    // symbolic expansion — SeasonalKalmanOracle); the period-24
+    // production defaults above/below stay rows-only (25-dim state), and
+    // the smoother-based seasonal decomposition is a documented descope
+    // (LAPACK pinv gain is not SQL-replayable).
+    "ts_bsts_s4_fc" -> ((s, dir) =>
+      BayesianOps.bstsForecast(IO.events(s, dir), h = 8, seasonal = Some(4))
+        .select(col("user_id"), col("step"), col("ts"),
+          r6n(col("y_hat")).as("y_hat"), r6n(col("y_hat_var")).as("y_hat_var"))),
+
+    "ts_causal_impact_s4" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+      val cut = ev.selectExpr("percentile(unix_micros(cast(ts as timestamp)), 0.8) as c")
+        .head().getDouble(0).toLong
+      Causal.causalImpact(ev, new java.sql.Timestamp(cut / 1000L), seasonal = Some(4))
+        .select(col("user_id"), col("ts"), r6n(col("observed")).as("observed"),
+          r6n(col("counterfactual")).as("counterfactual"),
+          r6n(col("point_effect")).as("point_effect"),
+          r6n(col("cum_effect")).as("cum_effect"))
+    }),
+
     // oracled on the 30-series NM subset (chain init pinned, full MH
     // chain + posterior-predictive paths replayed in SQL); full panel in
     // the _e2e twin
@@ -2239,6 +2261,8 @@ object SparkEntry {
     "ts_mstl_grouped" -> DetOracles.mstlSql(Seq(12, 24), iterations = 2,
       rowLevel = true),
     "ts_causal_impact_ll" -> DetOracles.causalImpactLlSql,
+    "ts_bsts_s4_fc" -> SeasonalKalmanOracle.bstsSeasonalFcSql(period = 4, h = 8),
+    "ts_causal_impact_s4" -> SeasonalKalmanOracle.causalImpactSeasonalSql(period = 4),
     "ts_bsts_fc" -> DetOracles.bstsFcSql(h = 7),
     "ts_bsts_decomp" -> DetOracles.bstsDecompSql,
     "emb_knn_lsh" -> AnnOracle.lshTopKSql(dim = 64, bits = 6, probes = 8, k = 3),
