@@ -91,6 +91,9 @@ object OraclePins {
   /** Per-series MH chain init (sd|1, mean, OLS AR coefs) for ts_mcmc_fc —
     * the chain itself replays fully in SQL (StochOracle.mcmcSql). */
   @volatile var mcmcX0: Option[Seq[(Long, Array[Double])]] = None
+  /** Candidate ARMA fits for the ts_auto_arima_orders_sub grid replay —
+    * KPSS d-selection + AICc + argmin all replay in SQL. */
+  @volatile var autoArimaCands: Option[AutoArimaOracle.CandPins] = None
 
   /** ts_iforest query parameters (shared with SparkEntry so the pinned
     * forest and the query's forest cannot drift). Smaller than the op
@@ -232,6 +235,24 @@ object OraclePins {
         "kmedoids" -> graft.kernels.Cluster.pam(am, k)._1,
         "agglomerative" -> graft.kernels.Cluster.agglomerative(am, k))
     } yield (method, k, aids.zip(labels)))
+    // auto-ARIMA order-search candidates (5-series, maxP = maxQ = 1):
+    // the four per-series candidate fits are pinned; d-selection, AICc
+    // and the grid argmin replay in SQL (AutoArimaOracle)
+    autoArimaCands = Some(series.filter(_._1 < 5).map { case (u, ys) =>
+      val d = Arima.selectD(ys)
+      var cur = ys
+      for (_ <- 0 until d)
+        cur = Array.tabulate(cur.length - 1)(i => cur(i + 1) - cur(i))
+      val cands = for {
+        p <- 0 to 1
+        q <- 0 to 1
+        if cur.length > math.max(p, q) + p + q + 4
+        f <- (try Some(Arima.fitArma(cur, p, q))
+              catch { case _: Exception => None }).toSeq
+      } yield (p, q, f.phi.headOption.getOrElse(0.0),
+        f.theta.headOption.getOrElse(0.0), f.c)
+      (u, cands)
+    })
     // MCMC chain init: the exact x0 the ts_mcmc_fc UDF builds per series
     // (subset) — mean/sd + OLS AR(2) fit; the MH chain replays in SQL
     mcmcX0 = Some(series.map { case (u, ys) =>

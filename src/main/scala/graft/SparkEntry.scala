@@ -490,6 +490,14 @@ object SparkEntry {
       Advanced.autoArimaOrders(IO.events(s, dir))
         .select(col("user_id"), col("p"), col("d"), col("q"))),
 
+    // oracled grid-search twin (VERDICT r7 ask #6): 5 series, maxP=maxQ=1
+    // — candidate fits pinned, the KPSS d-selection + AICc + argmin
+    // replay in SQL, so the ORDER-SELECTION logic is hash-checked
+    "ts_auto_arima_orders_sub" -> ((s, dir) =>
+      Advanced.autoArimaOrders(IO.events(s, dir).filter(col("user_id") < 5),
+        maxP = 1, maxQ = 1)
+        .select(col("user_id"), col("p"), col("d"), col("q"))),
+
     "ts_theta_fc" -> ((s, dir) =>
       ForecastBaselines.multiForecast(IO.events(s, dir), 7, Seq(
         "theta" -> (ys => graft.kernels.Arima.thetaForecast(ys, 7))))
@@ -2331,6 +2339,8 @@ object SparkEntry {
       "ts_auto_arima_refit_audit" -> ClusterOracles.autoArimaAuditSql) ++
     OraclePins.mcmcX0.map(pins => "ts_mcmc_fc" -> StochOracle.mcmcSql(pins,
       h = 5, p = 2, nSamples = 200, burnIn = 100, coverage = 0.9, seed = 42L)) ++
+    OraclePins.autoArimaCands.map(pins =>
+      "ts_auto_arima_orders_sub" -> AutoArimaOracle.ordersSql(pins)) ++
     OraclePins.bayesEts.map(p =>
       "ts_bayesian_ets" -> DetOracles.bayesianEtsSql(p, h = 5)) ++
   Map(
