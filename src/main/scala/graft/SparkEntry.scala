@@ -1828,9 +1828,33 @@ object SparkEntry {
     "mm_features" -> ((s, dir) => {
       val bin = IO.documents(s, dir)
         .withColumn("payload", encode(col("text"), "UTF-8"))
-      Multimodal.extractFeatures(Multimodal.withMediaMetadata(bin, "payload"), "payload")
+      // real header parsing (VERDICT r7 ask #7): wrap a third of the
+      // corpus in valid PNG containers and a third in JPEG SOF0
+      // containers with dimensions derived from n_chars; decodeHeader
+      // parses the real format bytes back and the oracle cross-checks
+      // against the independent arithmetic ground truth
+      val wrap = udf((docId: Long, nChars: Long, payload: Array[Byte]) => {
+        val w = (nChars % 64).toInt + 1
+        val h = ((nChars / 64) % 64).toInt + 1
+        (docId % 3) match {
+          case 0 => Multimodal.pngContainer(w, h,
+            colorType = if (docId % 2 == 0) 2 else 0, payload)
+          case 1 => Multimodal.jpegContainer(w, h,
+            nComp = if (docId % 2 == 0) 3 else 1, payload)
+          case _ => payload
+        }
+      })
+      val withC = bin.withColumn("container",
+        wrap(col("doc_id"), col("n_chars"), col("payload")))
+      Multimodal.extractFeatures(
+        Multimodal.withHeaderMetadata(
+          Multimodal.withMediaMetadata(withC, "payload"), "container"), "payload")
         .select(col("doc_id"), col("payload_size_bytes"), col("payload_sha256"),
-          round(element_at(col("media_features"), 1) + 1e-9, 6).as("f0"))
+          round(element_at(col("media_features"), 1) + 1e-9, 6).as("f0"),
+          col("container_format").as("format"),
+          col("container_width").as("width"),
+          col("container_height").as("height"),
+          col("container_channels").as("channels"))
     }),
 
     "mm_frame_sample" -> ((s, dir) => {
@@ -3800,9 +3824,17 @@ object SparkEntry {
         |        END) ELSE 0 END),
         |      acc[3] + 1]) AS st
         |  FROM b)
-        |SELECT doc_id, payload_size_bytes, payload_sha256,
-        |  round(st[2]::DOUBLE / 1000.0 + 1e-9, 6) AS f0
-        |FROM f""".stripMargin,
+        |SELECT f.doc_id, payload_size_bytes, payload_sha256,
+        |  round(st[2]::DOUBLE / 1000.0 + 1e-9, 6) AS f0,
+        |  CASE WHEN f.doc_id % 3 = 0 THEN 'png'
+        |       WHEN f.doc_id % 3 = 1 THEN 'jpeg' END AS format,
+        |  CASE WHEN f.doc_id % 3 IN (0, 1)
+        |    THEN ((d.n_chars % 64) + 1)::INT END AS width,
+        |  CASE WHEN f.doc_id % 3 IN (0, 1)
+        |    THEN (((d.n_chars // 64) % 64) + 1)::INT END AS height,
+        |  CASE WHEN f.doc_id % 3 IN (0, 1)
+        |    THEN (CASE WHEN f.doc_id % 2 = 0 THEN 3 ELSE 1 END)::INT END AS channels
+        |FROM f JOIN documents d ON d.doc_id = f.doc_id""".stripMargin,
 
     // per-series Fourier-ridge decomposition: 5×5 Cramer per user over
     // grouped Gram aggregates (trend = centered MA, as seasonal_decomp)
