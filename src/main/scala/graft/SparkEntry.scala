@@ -435,9 +435,17 @@ object SparkEntry {
         metric = "sbd")),
 
     "ts_cluster_eval_e2e" -> ((s, dir) => {
+      // single pairwise pass reused for BOTH the PAM fit and the metrics
+      // (was: kmedoids + evaluate, each recomputing the SBD matrix AND
+      // running the broadcast-decision distinct pre-pass — 4 panel scans
+      // where one suffices; VERDICT r7 ask #8)
       val ev = IO.events(s, dir)
-      val labels = Clustering.kmedoids(ev, k = 3, metric = "sbd")
-      Clustering.evaluate(ev, labels, metric = "sbd")
+      val (_, m) = Clustering.collectMatrix(Distances.pairwise(ev, "sbd")(PC), "sbd")
+      val (labels, _) = graft.kernels.Cluster.pam(m, k = 3)
+      import s.implicits._
+      Seq((graft.kernels.Cluster.silhouette(m, labels),
+        graft.kernels.Cluster.daviesBouldin(m, labels)))
+        .toDF("silhouette", "davies_bouldin")
         .select(r6n(col("silhouette")).as("silhouette"),
           r6n(col("davies_bouldin")).as("davies_bouldin"))
     }),

