@@ -633,24 +633,24 @@ object SparkEntry {
           r6n(col("filtered")).as("filtered"),
           r6n(col("filtered_var")).as("filtered_var"))),
 
-    // oracled on the 30-series NM subset (the full-panel replay measured
-    // 47 s in DuckDB — over the r5 gate budget); production scale stays
-    // exercised by the _e2e twin
+    // oracled on a 20-series subset (the full-panel replay measured 47 s
+    // in DuckDB and the 30-series one 11.5 s — the per-query 10 s
+    // budget); production scale stays exercised by the _e2e twin
     "ts_enkf" -> ((s, dir) =>
       BayesianOps.enkf(
-        IO.events(s, dir).filter(col("user_id") < ForecastOracle.NmSubsetUsers),
-        nEnsemble = 30)
+        IO.events(s, dir).filter(col("user_id") < 20), nEnsemble = 30)
         .select(col("user_id"), col("ts"), r6(col("filtered")).as("filtered"))),
 
     "ts_enkf_e2e" -> ((s, dir) =>
       BayesianOps.enkf(IO.events(s, dir), nEnsemble = 30)
         .select(col("user_id"), col("ts"), r6(col("filtered")).as("filtered"))),
 
-    // oracled on a 10-series subset (the 200-particle replay is the
-    // gate's most arithmetic-heavy fold); production scale in the _e2e
+    // oracled on a 6-series subset (the 200-particle replay is the
+    // gate's most arithmetic-heavy fold; ~1.3 s/series in DuckDB);
+    // production scale in the _e2e
     "ts_particle" -> ((s, dir) =>
       BayesianOps.particleFilter(
-        IO.events(s, dir).filter(col("user_id") < 10), nParticles = 200,
+        IO.events(s, dir).filter(col("user_id") < 6), nParticles = 200,
         sigmaLevel = 0.5, sigmaObs = 1.0)
         .select(col("user_id"), col("ts"), r6(col("filtered")).as("filtered"),
           r6(col("ess")).as("ess"))),
@@ -2290,10 +2290,10 @@ object SparkEntry {
     "ts_granger" -> ForecastOracle.grangerSql,
     "ts_bayes_anomaly" -> DetOracles.bayesAnomalySql,
     "ts_enkf" -> StochOracle.enkfSql(q = 1e-3, r = 1.0, nEnsemble = 30, seed = 42L,
-      seriesFilter = s"user_id < ${ForecastOracle.NmSubsetUsers}"),
+      seriesFilter = "user_id < 20"),
     "ts_particle" -> StochOracle.particleSql(nParticles = 200, sigmaLevel = 0.5,
       sigmaObs = 1.0, resampleThreshold = 0.5, seed = 42L,
-      seriesFilter = "user_id < 10"),
+      seriesFilter = "user_id < 6"),
     "ts_kshape_classify" -> DetOracles.kshapeClassifySql,
     "ts_mstl_features" -> DetOracles.mstlSql(Seq(12, 24), iterations = 2),
     "ts_mstl_decomp" -> DetOracles.mstlSql(Seq(12, 24), iterations = 2,
