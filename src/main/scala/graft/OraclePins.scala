@@ -94,6 +94,9 @@ object OraclePins {
   /** Candidate ARMA fits for the ts_auto_arima_orders_sub grid replay —
     * KPSS d-selection + AICc + argmin all replay in SQL. */
   @volatile var autoArimaCands: Option[AutoArimaOracle.CandPins] = None
+  /** Per-series MAP (logitα, level₀, logσ, α) for the
+    * ts_bayesian_ets_intervals chain replay (subset series). */
+  @volatile var bayesEtsChain: Option[Seq[(Long, Array[Double])]] = None
 
   /** ts_iforest query parameters (shared with SparkEntry so the pinned
     * forest and the query's forest cannot drift). Smaller than the op
@@ -274,6 +277,12 @@ object OraclePins {
     bayesEts = Some(allSeries.map { case (u, ys) =>
       val m = graft.kernels.Bayesian.bayesianEtsMap(ys)
       (u, 1.0 / (1.0 + math.exp(-m(0))), m(1))
+    })
+    // intervals twin: raw MAP triple (the MH chain proposes in raw space)
+    // + the transformed α for the plug-in point-forecast replay
+    bayesEtsChain = Some(series.map { case (u, ys) =>
+      val m = graft.kernels.Bayesian.bayesianEtsMap(ys)
+      (u, Array(m(0), m(1), m(2), 1.0 / (1.0 + math.exp(-m(0)))))
     })
   }
 

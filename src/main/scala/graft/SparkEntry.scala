@@ -758,8 +758,14 @@ object SparkEntry {
 
     // MH posterior-predictive intervals — chain-path dependent, rows-only;
     // interval sanity asserted in BayesianSpec
+    // oracled on the 30-series NM subset since round 8: the MAP triple is
+    // pinned and the full MH chain + posterior-predictive paths replay in
+    // SQL (StochOracle.bayesianEtsIntervalsSql); the full-panel MAP
+    // point-forecast surface stays hash-green in ts_bayesian_ets
     "ts_bayesian_ets_intervals" -> ((s, dir) =>
-      BayesianOps.bayesianEts(IO.events(s, dir), h = 5, nSamples = 100)
+      BayesianOps.bayesianEts(
+        IO.events(s, dir).filter(col("user_id") < ForecastOracle.NmSubsetUsers),
+        h = 5, nSamples = 100)
         .select(col("user_id"), col("step"), col("ts"),
           r6(col("y_hat")).as("y_hat"),
           r6(col("y_hat_lower")).as("y_hat_lower"),
@@ -2373,6 +2379,9 @@ object SparkEntry {
       h = 5, p = 2, nSamples = 200, burnIn = 100, coverage = 0.9, seed = 42L)) ++
     OraclePins.autoArimaCands.map(pins =>
       "ts_auto_arima_orders_sub" -> AutoArimaOracle.ordersSql(pins)) ++
+    OraclePins.bayesEtsChain.map(pins =>
+      "ts_bayesian_ets_intervals" -> StochOracle.bayesianEtsIntervalsSql(pins,
+        h = 5, nSamples = 100, coverage = 0.9, seed = 42L)) ++
     OraclePins.bayesEts.map(p =>
       "ts_bayesian_ets" -> DetOracles.bayesianEtsSql(p, h = 5)) ++
   Map(

@@ -297,4 +297,98 @@ object StochOracle {
        |FROM agg a JOIN lastt l ON l.user_id = a.user_id
        |JOIN d ON d.user_id = a.user_id""".stripMargin
   }
+
+  /** ts_bayesian_ets_intervals replay: the SES-MAP Metropolis chain of
+    * Bayesian.bayesianEtsForecast — proposals/accepts (mhSampleDet
+    * streams 0/1) with the SES log-posterior re-evaluated per iteration,
+    * post-burn-in samples, per-sample level recursion +
+    * posterior-predictive noise (stream 2, seed+1), sorted-quantile
+    * intervals, and the MAP plug-in point forecast from the pinned α.
+    * Only the NM MAP triple is pinned (the ts_bayesian_ets discipline);
+    * exp/ln enter accept tests (boundary-robust) and α/σ transforms whose
+    * ulps the r6 rounding absorbs. */
+  def bayesianEtsIntervalsSql(pins: Seq[(Long, Array[Double])], h: Int,
+      nSamples: Int, coverage: Double, seed: Long): String = {
+    val sc = DetRng.seedConst(seed)
+    val sc2 = DetRng.seedConst(seed + 1)
+    val burnIn = nSamples / 2
+    val total = nSamples + burnIn
+    val lo = (1 - coverage) / 2
+    val loIdx = math.max(0, math.round(lo * (nSamples - 1)).toInt) + 1
+    val hiIdx = math.min(nSamples - 1, math.round((1 - lo) * (nSamples - 1)).toInt) + 1
+    val twoPi = dlit(2 * math.Pi)
+    val xRows = pins.map { case (u, x) =>
+      s"($u::BIGINT, [${x.map(dlit).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n  ")
+    // sesLogpost(la, l0, ls) over `vs`: [level, ll] fold + weak priors
+    def lpExpr(la: String, l0: String, ls: String): String =
+      s"""list_transform([[1.0 / (1.0 + exp(-($la))), exp($ls)]], ap ->
+         |  CASE WHEN ap[2] <= 0 THEN '-infinity'::DOUBLE ELSE
+         |    (list_reduce(list_prepend([$l0, 0.0::DOUBLE],
+         |      list_transform(vs, yv -> [yv::DOUBLE])),
+         |      (lv, yx) -> [ap[1] * yx[1] + (1.0 - ap[1]) * lv[1],
+         |        lv[2] + ((-0.5 * ln(($twoPi * ap[2]) * ap[2]))
+         |          - (0.5 * ((yx[1] - lv[1]) / ap[2])) * ((yx[1] - lv[1]) / ap[2]))]))[2]
+         |    - 0.5 * pow((($l0) - vs[1]) / 100.0, 2)
+         |    - 0.5 * pow(($ls) / 10.0, 2)
+         |  END)[1]""".stripMargin
+    val it = "(x[1])::INT"
+    val propG = gaussExpr(ctr(0, it, "jj - 1"), sc)
+    val acceptU = uniformExpr(ctr(1, it, "0"), sc)
+    val pathG = gaussExpr(ctr(2, "si", "(st2 - 1)"), sc2)
+    s"""WITH s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs,
+       |  count(*)::INT AS n FROM events GROUP BY user_id),
+       |x0 AS (SELECT * FROM (VALUES
+       |  $xRows
+       |) AS __x(user_id, xi)),
+       |prep AS (SELECT s.user_id, s.vs, s.n, x0.xi,
+       |  list_transform(x0.xi[1:3], xv -> greatest(abs(xv) * 0.02, 1e-4)) AS scl
+       |  FROM s JOIN x0 ON x0.user_id = s.user_id),
+       |chain AS (SELECT user_id, vs, n, xi, list_reduce(
+       |  list_prepend(list_concat(xi[1:3], [${lpExpr("xi[1]", "xi[2]", "xi[3]")}]),
+       |    list_transform(generate_series(0, ${total - 1}), it2 -> [it2::DOUBLE])),
+       |  (acc, x) ->
+       |    list_transform([list_transform(generate_series(1, 3), jj ->
+       |        acc[jj::INT] + scl[jj::INT] * $propG)], pr ->
+       |      list_transform([[${lpExpr("pr[1]", "pr[2]", "pr[3]")}]], lpp ->
+       |        list_transform([CASE WHEN ln($acceptU) < lpp[1] - acc[4]
+       |            THEN list_concat([pr[1], pr[2], pr[3]], [lpp[1]])
+       |            ELSE acc[1:4] END], nh ->
+       |          list_concat(nh, list_concat(acc[5:],
+       |            CASE WHEN $it >= $burnIn THEN nh[1:3] ELSE []::DOUBLE[] END))
+       |        )[1])[1])[1]) AS ch
+       |  FROM prep),
+       |paths AS (SELECT user_id, vs, xi, ch,
+       |  list_transform(generate_series(0, ${nSamples - 1}), si ->
+       |    list_transform([[1.0 / (1.0 + exp(-ch[(5 + si * 3)::INT]))]], av ->
+       |      list_transform([[av[1],
+       |          (list_reduce(list_prepend([ch[(6 + si * 3)::INT]],
+       |            list_transform(vs, yv -> [yv::DOUBLE])),
+       |            (lv, yx) -> [av[1] * yx[1] + (1.0 - av[1]) * lv[1]]))[1],
+       |          exp(ch[(7 + si * 3)::INT])]], pv ->
+       |        list_transform(generate_series(1, $h), st2 ->
+       |          pv[2] + pv[3] * $pathG)
+       |      )[1])[1]) AS pth
+       |  FROM chain),
+       |yh AS (SELECT user_id, xi,
+       |  (list_reduce(list_prepend([xi[2]],
+       |    list_transform(vs, yv -> [yv::DOUBLE])),
+       |    (lv, yx) -> [xi[4] * yx[1] + (1.0 - xi[4]) * lv[1]]))[1] AS map_level,
+       |  pth FROM paths),
+       |stepv AS (SELECT user_id, map_level, unnest(generate_series(1, $h)) AS step, pth FROM yh),
+       |qs AS (SELECT user_id, map_level, step,
+       |  list_sort(list_transform(pth, pp -> pp[step::INT])) AS colv
+       |  FROM stepv),
+       |agg AS (SELECT user_id, step, map_level,
+       |  colv[$loIdx] AS lov, colv[$hiIdx] AS hiv FROM qs),
+       |lastt AS (SELECT user_id, max(epoch_us(ts)) AS us FROM events GROUP BY user_id),
+       |d AS (SELECT user_id, min(us - lus) AS freq FROM
+       |  (SELECT user_id, epoch_us(ts) AS us, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS lus FROM events)
+       |  WHERE lus IS NOT NULL GROUP BY user_id)
+       |SELECT a.user_id, a.step::INT AS step, make_timestamp(l.us + a.step * d.freq) AS ts,
+       |  round(a.map_level, 6) AS y_hat, round(a.lov, 6) AS y_hat_lower,
+       |  round(a.hiv, 6) AS y_hat_upper
+       |FROM agg a JOIN lastt l ON l.user_id = a.user_id
+       |JOIN d ON d.user_id = a.user_id""".stripMargin
+  }
 }

@@ -840,17 +840,19 @@ object Bayesian {
       nSamples: Int = 200, seed: Long = 42L)
       : (Array[Double], Array[Double], Array[Double]) = {
     val map = bayesianEtsMap(y)
-    val samples = mhSample(p => sesLogpost(p, y), map, nSamples, nSamples / 2, seed)
-    val rng = new Rng(seed + 1)
-    val paths = samples.map { s =>
+    // counter-based draws (DetRng) so the MH chain + posterior-predictive
+    // paths replay bit-exactly in the DuckDB oracle (streams 0/1 inside
+    // mhSampleDet; stream 2 keyed by (sample, step) for the path noise)
+    val samples = mhSampleDet(p => sesLogpost(p, y), map, nSamples, nSamples / 2, seed)
+    val sc2 = DetRng.seedConst(seed + 1)
+    val paths = samples.zipWithIndex.map { case (s, si) =>
       val alpha = 1.0 / (1.0 + math.exp(-s(0)))
       val sigma = math.exp(s(2))
       var level = s(1)
       var t = 0
       while (t < y.length) { level = alpha * y(t) + (1 - alpha) * level; t += 1 }
-      Array.tabulate(h) { _ =>
-        level += 0.0 // SES: flat forecast, noise only from observation
-        level + sigma * rng.nextGaussian()
+      Array.tabulate(h) { step =>
+        level + sigma * DetRng.gauss(sc2, DetRng.ctr(2, si, step))
       }
     }
     val lo = (1 - coverage) / 2
