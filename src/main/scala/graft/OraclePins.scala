@@ -105,8 +105,16 @@ object OraclePins {
   val IforestTrees = 20
   val IforestPsi = 128
 
-  /** Fit everything the pinned oracles need. Cheap: 30 series of ~70
-    * points through three NM fits, plus one pooled EnbPI fit. */
+  /** Per-pin isolation: one fit blowing up must not zero every OTHER
+    * pinned oracle's correctness row — the failed pin's oracles fall
+    * back (or go rows-only) while the rest of the gate stays green. */
+  private def pin(name: String)(f: => Unit): Unit =
+    try f catch { case e: Throwable =>
+      System.err.println(s"[pins] $name failed (its oracles fall back): ${e.getMessage}")
+    }
+
+  /** Fit everything the pinned oracles need; each pin is isolated via
+    * [[pin]] so a single failure degrades only its own queries. */
   def compute(spark: SparkSession, sfDir: String): Unit = {
     implicit val pc: PanelCols =
       PanelCols("user_id", "ts", "value", tieBreak = Seq("event_id"))
@@ -116,174 +124,238 @@ object OraclePins {
       .select(col("user_id"), col("ys")).collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    arma = Some(series.map { case (u, ys) =>
-      val f = Arima.fitArma(ys, 1, 1)
-      (u, f.phi(0), f.theta(0), f.c)
-    })
-    autoEts = Some(series.map { case (u, ys) => (u, Arima.autoEtsFit(ys, m = 24)) })
-    garch = Some(series.map { case (u, ys) =>
-      // same returns construction as Advanced.garchForecast
-      val returns = ys.indices.drop(1).map(i => ys(i) - ys(i - 1)).toArray
-      val p = Garch.fitForecast(returns, 1)._1
-      (u, p(0), p(1), p(2))
-    })
-    val model = graft.ops.Conformal.enbpiFit(ev, lags = 3,
-      b = ForecastOracle.EnbpiB, seed = ForecastOracle.EnbpiSeed)
-    val q = graft.ops.Conformal.enbpiQuantiles(model)
-      .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
-    enbpi = Some((model.coefs, q))
+    pin("arma") {
+      arma = Some(series.map { case (u, ys) =>
+        val f = Arima.fitArma(ys, 1, 1)
+        (u, f.phi(0), f.theta(0), f.c)
+      })
+    }
+    pin("autoEts") {
+      autoEts = Some(series.map { case (u, ys) => (u, Arima.autoEtsFit(ys, m = 24)) })
+    }
+    pin("garch") {
+      garch = Some(series.map { case (u, ys) =>
+        // same returns construction as Advanced.garchForecast
+        val returns = ys.indices.drop(1).map(i => ys(i) - ys(i - 1)).toArray
+        val p = Garch.fitForecast(returns, 1)._1
+        (u, p(0), p(1), p(2))
+      })
+    }
+    pin("enbpi") {
+      val model = graft.ops.Conformal.enbpiFit(ev, lags = 3,
+        b = ForecastOracle.EnbpiB, seed = ForecastOracle.EnbpiSeed)
+      val q = graft.ops.Conformal.enbpiQuantiles(model)
+        .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+      enbpi = Some((model.coefs, q))
+    }
     // regime: full-panel EM fits (decode replays in SQL)
     val allSeries: Seq[(Long, Array[Double])] = Panel.grouped(ev)
       .select(col("user_id"), col("ys")).collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    regime = Some(allSeries.filter(_._2.length >= 6)
-      .map { case (u, ys) => (u, graft.kernels.Hmm.fitParams(ys, 2)) })
+    pin("regime") {
+      regime = Some(allSeries.filter(_._2.length >= 6)
+        .map { case (u, ys) => (u, graft.kernels.Hmm.fitParams(ys, 2)) })
+    }
     // iforest: same clean frame + params as the ts_iforest query
-    val lagged = graft.ops.Features.lagFeatures(ev, Seq(1, 2))
-    val featureCols = Seq("value", "value_lag_1", "value_lag_2")
-    val (trees, _) = graft.ops.Outliers.iforestFitTrees(
-      lagged.na.drop(featureCols), featureCols,
-      nTrees = IforestTrees, psi = IforestPsi, sampleSize = 4096, seed = 42L)
-    iforest = Some(flattenForest(trees, IforestPsi))
+    pin("iforest") {
+      val lagged = graft.ops.Features.lagFeatures(ev, Seq(1, 2))
+      val featureCols = Seq("value", "value_lag_1", "value_lag_2")
+      val (trees, _) = graft.ops.Outliers.iforestFitTrees(
+        lagged.na.drop(featureCols), featureCols,
+        nTrees = IforestTrees, psi = IforestPsi, sampleSize = 4096, seed = 42L)
+      iforest = Some(flattenForest(trees, IforestPsi))
+    }
     // Minnesota BVAR: the same daily event_type pivot the query builds
-    val wide = ev.groupBy(org.apache.spark.sql.functions.date_trunc("day", col("ts")).as("ts"))
-      .pivot("event_type").agg(org.apache.spark.sql.functions.avg("value"))
-      .na.fill(0.0)
-    val wcols = wide.columns.filter(_ != "ts").sorted.take(3).toSeq
-    val wrows = wide.orderBy(col("ts"))
-      .select(wcols.map(c => col(c).cast("double")): _*).collect()
-      .map(r => Array.tabulate(wcols.length)(i => r.getDouble(i)))
-    bvarMinnesota = Some(graft.kernels.Bayesian.minnesotaV0Inv(wrows, p = 2))
+    pin("bvarMinnesota") {
+      val wide = ev.groupBy(org.apache.spark.sql.functions.date_trunc("day", col("ts")).as("ts"))
+        .pivot("event_type").agg(org.apache.spark.sql.functions.avg("value"))
+        .na.fill(0.0)
+      val wcols = wide.columns.filter(_ != "ts").sorted.take(3).toSeq
+      val wrows = wide.orderBy(col("ts"))
+        .select(wcols.map(c => col(c).cast("double")): _*).collect()
+        .map(r => Array.tabulate(wcols.length)(i => r.getDouble(i)))
+      bvarMinnesota = Some(graft.kernels.Bayesian.minnesotaV0Inv(wrows, p = 2))
+    }
     // IVF quantizer: same corpus + seed as the emb_knn_ivf query → the
     // sampled Lloyd fit lands on identical centroid doubles
-    ivfCenters = Some(graft.ops.Similarity.ivfCentroids(IO.embeddings(spark, sfDir)))
+    pin("ivf") {
+      ivfCenters = Some(graft.ops.Similarity.ivfCentroids(IO.embeddings(spark, sfDir)))
+    }
     // IVFADC residual codebooks over those centroids (same fit as the
     // emb_knn_ivfpq query)
-    ivfPq = Some(graft.ops.Similarity.ivfPqFit(
-      IO.embeddings(spark, sfDir), ivfCenters.get))
+    pin("ivfPq") {
+      ivfCenters.foreach(c => ivfPq = Some(graft.ops.Similarity.ivfPqFit(
+        IO.embeddings(spark, sfDir), c)))
+    }
     // BPE: same corpus + seed + defaults as the doc_bpe_tokens query's
     // fit — deterministic (hash-ordered sample, lexicographic tie-break)
-    bpe = Some(graft.ops.Bpe.bpeFit(IO.documents(spark, sfDir)))
+    pin("bpe") {
+      bpe = Some(graft.ops.Bpe.bpeFit(IO.documents(spark, sfDir)))
+    }
     // PCA: same corpus + k as the emb_pca queries; the queries refit, so
     // the compare proves the distributed Gram reproduces this fit
-    pca = Some(graft.ops.Embeddings.pcaFit(IO.embeddings(spark, sfDir), k = 4))
+    pin("pca") {
+      pca = Some(graft.ops.Embeddings.pcaFit(IO.embeddings(spark, sfDir), k = 4))
+    }
     // PQ: same corpus + seed + defaults as the emb_pq queries' fit
-    pq = Some(graft.ops.Embeddings.pqFit(IO.embeddings(spark, sfDir)))
+    pin("pq") {
+      pq = Some(graft.ops.Embeddings.pqFit(IO.embeddings(spark, sfDir)))
+    }
     // Quantile ridge: the same pooled IRLS fit the ts_quantile_fc query
     // performs. The Gram sums are distributed float aggregations, so the
     // two fits can differ in the last ulps — absorbed by the shared
     // round(·+1e-9, 6) discipline on the forecasts.
-    val qModel = graft.ops.Probabilistic.fitQuantileRidge(ev, lags = 3,
-      quantiles = Seq(0.1, 0.5, 0.9))
-    quantile = Some(qModel.quantiles.map(q => q -> qModel.coef(q)))
+    pin("quantile") {
+      val qModel = graft.ops.Probabilistic.fitQuantileRidge(ev, lags = 3,
+        quantiles = Seq(0.1, 0.5, 0.9))
+      quantile = Some(qModel.quantiles.map(q => q -> qModel.coef(q)))
+    }
     // auto-ARIMA: the same KPSS-d + AICc(p,q ≤ 2) selection the query's
     // kernel performs per series; only the selected model is pinned — the
     // search stays Scala-side (replaying it in SQL measured >8 min)
-    autoArima = Some(allSeries.map { case (u, ys) =>
-      val (p, d, q, fit) = Arima.autoFit(ys, maxP = 2, maxQ = 2)
-      val phi = fit.phi.padTo(2, 0.0)
-      val th = fit.theta.padTo(2, 0.0)
-      (u, d, math.max(p, q), phi(0), phi(1), th(0), th(1), fit.c)
-    })
+    pin("autoArima") {
+      autoArima = Some(allSeries.map { case (u, ys) =>
+        val (p, d, q, fit) = Arima.autoFit(ys, maxP = 2, maxQ = 2)
+        val phi = fit.phi.padTo(2, 0.0)
+        val th = fit.theta.padTo(2, 0.0)
+        (u, d, math.max(p, q), phi(0), phi(1), th(0), th(1), fit.c)
+      })
+    }
     // SCUM legs: full-panel ETS + CES fits (ARIMA leg reuses `autoArima`,
     // the theta leg replays without pins)
-    autoEtsFull = Some(allSeries.map { case (u, ys) => (u, Arima.autoEtsFit(ys, m = 24)) })
-    ces = Some(allSeries.map { case (u, ys) =>
-      val p = Arima.cesFit(ys); (u, p(0), p(1))
-    })
+    pin("autoEtsFull") {
+      autoEtsFull = Some(allSeries.map { case (u, ys) => (u, Arima.autoEtsFit(ys, m = 24)) })
+    }
+    pin("ces") {
+      ces = Some(allSeries.map { case (u, ys) =>
+        val p = Arima.cesFit(ys); (u, p(0), p(1))
+      })
+    }
     // scientist: re-run the agent's curate→plan→backtest selection and pin
     // only the winner name; the oracle replays clean + winner forecast
-    scientist = Some(graft.ops.Agents.scientist(ev, horizon = 7)._2.bestModel)
+    pin("scientist") {
+      scientist = Some(graft.ops.Agents.scientist(ev, horizon = 7)._2.bestModel)
+    }
     // rocket classifier: the same mod-3 labels + fit the query performs
-    val rkLabels = ev.select(col("user_id")).distinct()
-      .withColumn("label",
-        org.apache.spark.sql.functions.pmod(col("user_id"),
-          org.apache.spark.sql.functions.lit(3)).cast("string"))
-    rocket = Some(graft.ops.Classification.rocketFit(ev, rkLabels, nKernels = 20))
+    pin("rocket") {
+      val rkLabels = ev.select(col("user_id")).distinct()
+        .withColumn("label",
+          org.apache.spark.sql.functions.pmod(col("user_id"),
+            org.apache.spark.sql.functions.lit(3)).cast("string"))
+      rocket = Some(graft.ops.Classification.rocketFit(ev, rkLabels, nKernels = 20))
+    }
     // clustering: IDENTICAL fits to the ts_kshape / ts_kmeans_dba /
     // ts_kasba / ts_spectral queries; only (minLen, the centroids used
     // for the final assignment) is pinned — the oracle replays the
     // assignment argmin (VERDICT r6 ask #1)
-    val ksf = graft.ops.Clustering.kshapeFitFull(ev, k = 3)
-    kshape = Some((ksf._2, ksf._3))
-    val dbf = graft.ops.Clustering.kmeansDbaFitFull(ev, k = 3, maxIter = 5)
-    kmeansDba = Some((dbf._2, dbf._3))
-    val kbf = graft.ops.Clustering.kasbaFitFull(ev, k = 3, maxIter = 5)
-    kasba = Some((kbf._2, kbf._3))
-    val (sids, sm) = graft.ops.Clustering.collectMatrix(
-      graft.ops.Distances.pairwise(ev, "sbd"), "sbd")
-    val semb = graft.kernels.Cluster.spectralEmbedding(sm, 3)
-    spectral = Some((sids, semb, graft.kernels.Cluster.lloydFit(semb, 3, 42L)._2))
+    pin("kshape") {
+      val ksf = graft.ops.Clustering.kshapeFitFull(ev, k = 3)
+      kshape = Some((ksf._2, ksf._3))
+    }
+    pin("kmeansDba") {
+      val dbf = graft.ops.Clustering.kmeansDbaFitFull(ev, k = 3, maxIter = 5)
+      kmeansDba = Some((dbf._2, dbf._3))
+    }
+    pin("kasba") {
+      val kbf = graft.ops.Clustering.kasbaFitFull(ev, k = 3, maxIter = 5)
+      kasba = Some((kbf._2, kbf._3))
+    }
+    pin("sbd-matrix clustering") {
+      val (sids, sm) = graft.ops.Clustering.collectMatrix(
+        graft.ops.Distances.pairwise(ev, "sbd"), "sbd")
+      pin("spectral") {
+        val semb = graft.kernels.Cluster.spectralEmbedding(sm, 3)
+        spectral = Some((sids, semb, graft.kernels.Cluster.lloydFit(semb, 3, 42L)._2))
+      }
     // clustering tail (VERDICT r7 ask #1): clara / clarans / hdbscan on
     // the SAME full-panel SBD matrix the queries build; only the medoid
     // ids / condensed tree reach the oracle — distances and the EOM cut
     // replay in SQL
-    clara = Some(graft.kernels.Cluster.clara(sm, k = 3, sampleSize = 40)._2.map(sids))
-    clarans = Some(graft.kernels.Cluster.claransFit(sm, k = 3)._2.map(sids))
-    val (_, htree) = graft.kernels.Cluster.hdbscanFit(sm, minClusterSize = 5)
-    hdbscan = Some(ClusterOracles.HdbscanPin(htree.parent, htree.stability,
-      htree.root, sids.zip(htree.memberCluster)))
-    val shf = graft.ops.Clustering.shapeletFitFull(ev, k = 3)
-    shapelet = Some((shf._2, shf._3, shf._4))
+      pin("clara") {
+        clara = Some(graft.kernels.Cluster.clara(sm, k = 3, sampleSize = 40)._2.map(sids))
+      }
+      pin("clarans") {
+        clarans = Some(graft.kernels.Cluster.claransFit(sm, k = 3)._2.map(sids))
+      }
+      pin("hdbscan") {
+        val (_, htree) = graft.kernels.Cluster.hdbscanFit(sm, minClusterSize = 5)
+        hdbscan = Some(ClusterOracles.HdbscanPin(htree.parent, htree.stability,
+          htree.root, sids.zip(htree.memberCluster)))
+      }
+    }
+    pin("shapelet") {
+      val shf = graft.ops.Clustering.shapeletFitFull(ev, k = 3)
+      shapelet = Some((shf._2, shf._3, shf._4))
+    }
     // auto-cluster: the 6 grid fits the query performs on the 60-series
     // subset matrix; silhouettes + selection replay in SQL
-    val (aids, am) = graft.ops.Clustering.collectMatrix(
-      graft.ops.Distances.pairwise(
-        ev.filter(org.apache.spark.sql.functions.expr(ElasticOracle.SeriesFilter)),
-        "sbd"), "sbd")
-    autoCluster = Some(for {
-      k <- Seq(2, 3, 4)
-      (method, labels) <- Seq(
-        "kmedoids" -> graft.kernels.Cluster.pam(am, k)._1,
-        "agglomerative" -> graft.kernels.Cluster.agglomerative(am, k))
-    } yield (method, k, aids.zip(labels)))
+    pin("autoCluster") {
+      val (aids, am) = graft.ops.Clustering.collectMatrix(
+        graft.ops.Distances.pairwise(
+          ev.filter(org.apache.spark.sql.functions.expr(ElasticOracle.SeriesFilter)),
+          "sbd"), "sbd")
+      autoCluster = Some(for {
+        k <- Seq(2, 3, 4)
+        (method, labels) <- Seq(
+          "kmedoids" -> graft.kernels.Cluster.pam(am, k)._1,
+          "agglomerative" -> graft.kernels.Cluster.agglomerative(am, k))
+      } yield (method, k, aids.zip(labels)))
+    }
     // auto-ARIMA order-search candidates (5-series, maxP = maxQ = 1):
     // the four per-series candidate fits are pinned; d-selection, AICc
     // and the grid argmin replay in SQL (AutoArimaOracle)
-    autoArimaCands = Some(series.filter(_._1 < 5).map { case (u, ys) =>
-      val d = Arima.selectD(ys)
-      var cur = ys
-      for (_ <- 0 until d)
-        cur = Array.tabulate(cur.length - 1)(i => cur(i + 1) - cur(i))
-      val cands = for {
-        p <- 0 to 1
-        q <- 0 to 1
-        if cur.length > math.max(p, q) + p + q + 4
-        f <- (try Some(Arima.fitArma(cur, p, q))
-              catch { case _: Exception => None }).toSeq
-      } yield (p, q, f.phi.headOption.getOrElse(0.0),
-        f.theta.headOption.getOrElse(0.0), f.c)
-      (u, cands)
-    })
+    pin("autoArimaCands") {
+      autoArimaCands = Some(series.filter(_._1 < 5).map { case (u, ys) =>
+        val d = Arima.selectD(ys)
+        var cur = ys
+        for (_ <- 0 until d)
+          cur = Array.tabulate(cur.length - 1)(i => cur(i + 1) - cur(i))
+        val cands = for {
+          p <- 0 to 1
+          q <- 0 to 1
+          if cur.length > math.max(p, q) + p + q + 4
+          f <- (try Some(Arima.fitArma(cur, p, q))
+                catch { case _: Exception => None }).toSeq
+        } yield (p, q, f.phi.headOption.getOrElse(0.0),
+          f.theta.headOption.getOrElse(0.0), f.c)
+        (u, cands)
+      })
+    }
     // MCMC chain init: the exact x0 the ts_mcmc_fc UDF builds per series
     // (subset) — mean/sd + OLS AR(2) fit; the MH chain replays in SQL
-    mcmcX0 = Some(series.map { case (u, ys) =>
-      val n = ys.length
-      val mean = ys.sum / n
-      val sd = math.sqrt(ys.map(v => (v - mean) * (v - mean)).sum / n)
-      val x0 = new Array[Double](4)
-      x0(0) = if (sd > 0) sd else 1.0
-      x0(1) = mean
-      try {
-        val arc = graft.kernels.ArimaLite.arFit(ys, 2)
-        x0(2) = arc(0); x0(3) = arc(1)
-      } catch { case _: Exception => }
-      (u, x0)
-    })
+    pin("mcmcX0") {
+      mcmcX0 = Some(series.map { case (u, ys) =>
+        val n = ys.length
+        val mean = ys.sum / n
+        val sd = math.sqrt(ys.map(v => (v - mean) * (v - mean)).sum / n)
+        val x0 = new Array[Double](4)
+        x0(0) = if (sd > 0) sd else 1.0
+        x0(1) = mean
+        try {
+          val arc = graft.kernels.ArimaLite.arFit(ys, 2)
+          x0(2) = arc(0); x0(3) = arc(1)
+        } catch { case _: Exception => }
+        (u, x0)
+      })
+    }
     // bayesian ETS: the same per-series MAP NM search the query's kernel
     // runs (bayesianEtsMap is shared); only (α, level₀) is pinned — the
     // oracle replays the SES level recursion over the data
-    bayesEts = Some(allSeries.map { case (u, ys) =>
-      val m = graft.kernels.Bayesian.bayesianEtsMap(ys)
-      (u, 1.0 / (1.0 + math.exp(-m(0))), m(1))
-    })
+    pin("bayesEts") {
+      bayesEts = Some(allSeries.map { case (u, ys) =>
+        val m = graft.kernels.Bayesian.bayesianEtsMap(ys)
+        (u, 1.0 / (1.0 + math.exp(-m(0))), m(1))
+      })
+    }
     // intervals twin: raw MAP triple (the MH chain proposes in raw space)
     // + the transformed α for the plug-in point-forecast replay
-    bayesEtsChain = Some(series.map { case (u, ys) =>
-      val m = graft.kernels.Bayesian.bayesianEtsMap(ys)
-      (u, Array(m(0), m(1), m(2), 1.0 / (1.0 + math.exp(-m(0)))))
-    })
+    pin("bayesEtsChain") {
+      bayesEtsChain = Some(series.map { case (u, ys) =>
+        val m = graft.kernels.Bayesian.bayesianEtsMap(ys)
+        (u, Array(m(0), m(1), m(2), 1.0 / (1.0 + math.exp(-m(0)))))
+      })
+    }
   }
 
   /** Flatten trees to (tree, node, feat, split, lch, rch, plen) rows with
