@@ -299,52 +299,69 @@ object Bayesian {
   def enkfLocalLevelDet(y: Array[Double], q: Double, r: Double,
       nEnsemble: Int, seed: Long): (Array[Double], Array[Double]) = {
     val sc = DetRng.seedConst(seed)
-    val lp = math.sqrt(1.0 + 1e-10)
-    val lq = math.sqrt(q + 1e-10)
-    val sr = math.sqrt(r)
-    val x0 = y.headOption.getOrElse(0.0)
-    var ens = Array.tabulate(nEnsemble)(i =>
-      x0 + lp * DetRng.gauss(sc, DetRng.ctr(0, 0, i)))
+    var ens = enkfInitEnsemble(y.headOption.getOrElse(0.0), nEnsemble, sc)
     val t = y.length
     val outM = new Array[Double](t)
     val outV = new Array[Double](t)
     var ti = 0
     while (ti < t) {
-      val prev = ens
-      ens = Array.tabulate(nEnsemble)(i =>
-        prev(i) + lq * DetRng.gauss(sc, DetRng.ctr(1, ti, i)))
-      if (!y(ti).isNaN) {
-        var hMean = 0.0
-        var i = 0
-        while (i < nEnsemble) { hMean += ens(i); i += 1 }
-        hMean /= nEnsemble
-        var pyy = r
-        var pxy = 0.0
-        i = 0
-        while (i < nEnsemble) {
-          val dy = ens(i) - hMean
-          pyy += dy * dy / (nEnsemble - 1.0)
-          pxy += dy * (dy / (nEnsemble - 1.0))
-          i += 1
-        }
-        val k = pxy / pyy
-        val base = ens
-        ens = Array.tabulate(nEnsemble)(i =>
-          base(i) + k * (y(ti) + sr * DetRng.gauss(sc, DetRng.ctr(2, ti, i)) - base(i)))
-      }
-      var m0 = 0.0
-      var i = 0
-      while (i < nEnsemble) { m0 += ens(i); i += 1 }
-      m0 /= nEnsemble
-      var v0 = 0.0
-      i = 0
-      while (i < nEnsemble) { val d = ens(i) - m0; v0 += d * d; i += 1 }
-      v0 /= (nEnsemble - 1.0)
+      val (next, m0, v0) = enkfStepDet(ens, y(ti), ti.toLong, q, r, sc)
+      ens = next
       outM(ti) = m0
       outV(ti) = v0
       ti += 1
     }
     (outM, outV)
+  }
+
+  /** Seeded init ensemble around the first observation (stream 0) —
+    * shared by the batch kernel and the streaming operator so
+    * stream ≡ batch holds bit-for-bit. */
+  def enkfInitEnsemble(y0: Double, nEnsemble: Int, seedC: Long): Array[Double] = {
+    val lp = math.sqrt(1.0 + 1e-10)
+    Array.tabulate(nEnsemble)(i =>
+      y0 + lp * DetRng.gauss(seedC, DetRng.ctr(0, 0, i)))
+  }
+
+  /** One EnKF step at 0-based position `ti` (propagate stream 1 →
+    * perturbed-observation update stream 2): returns (next ensemble,
+    * filtered mean, filtered variance). Pure function of its inputs —
+    * the unit a keyed streaming state advances per arrival. */
+  def enkfStepDet(ens0: Array[Double], y: Double, ti: Long, q: Double,
+      r: Double, seedC: Long): (Array[Double], Double, Double) = {
+    val nEnsemble = ens0.length
+    val lq = math.sqrt(q + 1e-10)
+    val sr = math.sqrt(r)
+    var ens = Array.tabulate(nEnsemble)(i =>
+      ens0(i) + lq * DetRng.gauss(seedC, DetRng.ctr(1, ti, i)))
+    if (!y.isNaN) {
+      var hMean = 0.0
+      var i = 0
+      while (i < nEnsemble) { hMean += ens(i); i += 1 }
+      hMean /= nEnsemble
+      var pyy = r
+      var pxy = 0.0
+      i = 0
+      while (i < nEnsemble) {
+        val dy = ens(i) - hMean
+        pyy += dy * dy / (nEnsemble - 1.0)
+        pxy += dy * (dy / (nEnsemble - 1.0))
+        i += 1
+      }
+      val k = pxy / pyy
+      val base = ens
+      ens = Array.tabulate(nEnsemble)(i =>
+        base(i) + k * (y + sr * DetRng.gauss(seedC, DetRng.ctr(2, ti, i)) - base(i)))
+    }
+    var m0 = 0.0
+    var i = 0
+    while (i < nEnsemble) { m0 += ens(i); i += 1 }
+    m0 /= nEnsemble
+    var v0 = 0.0
+    i = 0
+    while (i < nEnsemble) { val d = ens(i) - m0; v0 += d * d; i += 1 }
+    v0 /= (nEnsemble - 1.0)
+    (ens, m0, v0)
   }
 
   // ── Particle filter (bayesian/particle_filter.py:149-290) ────────────────

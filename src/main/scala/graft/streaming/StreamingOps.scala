@@ -75,6 +75,39 @@ object StreamingOps {
         })
   }
 
+  case class EnkfState(ens: Array[Double], t: Long)
+  case class EnkfOutput(uniqueId: String, ts: Timestamp, y: Double,
+    filtered: Double, filteredVar: Double)
+
+  /** Streaming ensemble Kalman filter (local level): per-key ensemble
+    * state advanced one [[graft.kernels.Bayesian.enkfStepDet]] per
+    * arrival. Because every draw is a counter-based DetRng function of
+    * (seed, stream, step, member), the streamed outputs are BIT-IDENTICAL
+    * to the batch kernel regardless of how the series is split across
+    * micro-batches — the stream≡batch contract StreamingEnkfSpec pins.
+    * State is one `nEnsemble`-double array per key (bounded). */
+  def streamingEnkf(input: Dataset[Obs], q: Double = 1e-3, r: Double = 1.0,
+      nEnsemble: Int = 30, seed: Long = 42L): Dataset[EnkfOutput] = {
+    import input.sparkSession.implicits._
+    val sc = graft.kernels.DetRng.seedConst(seed)
+    input.groupByKey(_.uniqueId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (id: String, rows: Iterator[Obs], state: GroupState[EnkfState]) => {
+          var s = state.getOption.orNull
+          val out = rows.toSeq.sortBy(o => (o.ts.getTime, o.tie)).map { o =>
+            if (s == null)
+              s = EnkfState(
+                graft.kernels.Bayesian.enkfInitEnsemble(o.y, nEnsemble, sc), 0L)
+            val (ens, m, v) =
+              graft.kernels.Bayesian.enkfStepDet(s.ens, o.y, s.t, q, r, sc)
+            s = EnkfState(ens, s.t + 1)
+            EnkfOutput(id, o.ts, o.y, m, v)
+          }
+          state.update(s)
+          out.iterator
+        })
+  }
+
   case class WindowState(values: Array[Double], lastTs: Long)
   case class WindowOutput(uniqueId: String, ts: Timestamp, window: Array[Double],
       windowLen: Int)
