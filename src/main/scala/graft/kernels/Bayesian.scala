@@ -611,33 +611,49 @@ object Bayesian {
 
   /** Per-row two-sided posterior-predictive p-values from an online
     * Normal-Inverse-Gamma model; first `warmup` rows only update. */
+  /** Online NIG posterior state: (μ, κ, α, β, observations seen). */
+  case class NigState(mu: Double, kappa: Double, alpha: Double, beta: Double,
+    t: Long)
+
+  def nigInit(y0: Double, priorMu: Option[Double] = None,
+      priorKappa: Double = 1.0, priorAlpha: Double = 2.0,
+      priorBeta: Double = 1.0): NigState =
+    NigState(priorMu.getOrElse(y0), priorKappa, priorAlpha, priorBeta, 0L)
+
+  /** One online NIG update: score the arrival against the posterior
+    * predictive (two-sided t p-value; 1.0 during warmup), then absorb
+    * it. Pure function of (state, value) — the unit a keyed streaming
+    * state advances per arrival (shared with the batch kernel so
+    * stream ≡ batch exactly). */
+  def nigStep(s: NigState, v: Double, warmup: Int = 10): (NigState, Double) = {
+    val p =
+      if (s.t < warmup) 1.0
+      else {
+        val scale = math.sqrt(s.beta * (s.kappa + 1) / (s.alpha * s.kappa))
+        if (scale <= 0) 1.0
+        else {
+          val ts = (v - s.mu) / scale
+          val pl = tCdf(ts, 2.0 * s.alpha)
+          2.0 * math.min(pl, 1.0 - pl)
+        }
+      }
+    val kappaNew = s.kappa + 1
+    val muNew = (s.kappa * s.mu + v) / kappaNew
+    val betaNew = s.beta + 0.5 * s.kappa * (v - s.mu) * (v - s.mu) / kappaNew
+    (NigState(muNew, kappaNew, s.alpha + 0.5, betaNew, s.t + 1), p)
+  }
+
   def nigPValues(y: Array[Double], priorMu: Option[Double] = None,
       priorKappa: Double = 1.0, priorAlpha: Double = 2.0,
       priorBeta: Double = 1.0, warmup: Int = 10): Array[Double] = {
-    var mu = priorMu.getOrElse(y.headOption.getOrElse(0.0))
-    var kappa = priorKappa
-    var alpha = priorAlpha
-    var beta = priorBeta
+    var s = nigInit(y.headOption.getOrElse(0.0), priorMu, priorKappa,
+      priorAlpha, priorBeta)
     val out = new Array[Double](y.length)
     var t = 0
     while (t < y.length) {
-      val v = y(t)
-      if (t < warmup) out(t) = 1.0
-      else {
-        val scale = math.sqrt(beta * (kappa + 1) / (alpha * kappa))
-        out(t) =
-          if (scale <= 0) 1.0
-          else {
-            val ts = (v - mu) / scale
-            val pl = tCdf(ts, 2.0 * alpha)
-            2.0 * math.min(pl, 1.0 - pl)
-          }
-      }
-      val kappaNew = kappa + 1
-      val muNew = (kappa * mu + v) / kappaNew
-      alpha += 0.5
-      beta += 0.5 * kappa * (v - mu) * (v - mu) / kappaNew
-      mu = muNew; kappa = kappaNew
+      val (next, p) = nigStep(s, y(t), warmup)
+      s = next
+      out(t) = p
       t += 1
     }
     out

@@ -108,6 +108,34 @@ object StreamingOps {
         })
   }
 
+  case class AnomalyOutput(uniqueId: String, ts: Timestamp, y: Double,
+    pValue: Double, isAnomaly: Boolean)
+
+  /** Streaming Bayesian anomaly scoring (reference bayesian/anomaly.py's
+    * online NIG model as keyed state): each arrival is scored against the
+    * posterior predictive, then absorbed — one
+    * [[graft.kernels.Bayesian.nigStep]] per row, the exact batch
+    * recursion, so stream ≡ batch holds bit-for-bit (deterministic, no
+    * draws). State is 4 doubles + a counter per key. */
+  def streamingNigAnomaly(input: Dataset[Obs], threshold: Double = 0.01,
+      warmup: Int = 10): Dataset[AnomalyOutput] = {
+    import input.sparkSession.implicits._
+    input.groupByKey(_.uniqueId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (id: String, rows: Iterator[Obs],
+         state: GroupState[graft.kernels.Bayesian.NigState]) => {
+          var s = state.getOption.orNull
+          val out = rows.toSeq.sortBy(o => (o.ts.getTime, o.tie)).map { o =>
+            if (s == null) s = graft.kernels.Bayesian.nigInit(o.y)
+            val (next, p) = graft.kernels.Bayesian.nigStep(s, o.y, warmup)
+            s = next
+            AnomalyOutput(id, o.ts, o.y, p, p < threshold)
+          }
+          state.update(s)
+          out.iterator
+        })
+  }
+
   case class WindowState(values: Array[Double], lastTs: Long)
   case class WindowOutput(uniqueId: String, ts: Timestamp, window: Array[Double],
       windowLen: Int)
