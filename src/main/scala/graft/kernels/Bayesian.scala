@@ -431,54 +431,72 @@ object Bayesian {
       : (Array[Double], Array[Double], Array[Double]) = {
     val sc = DetRng.seedConst(seed)
     val t = y.length
-    val np = nParticles
-    var particles = Array.tabulate(np)(i =>
-      y.headOption.getOrElse(0.0) + DetRng.gauss(sc, DetRng.ctr(0, 0, i)))
-    var weights = Array.fill(np)(1.0 / np)
+    var particles = pfInitParticles(y.headOption.getOrElse(0.0), nParticles, sc)
     val outM = new Array[Double](t)
     val outV = new Array[Double](t)
     val outEss = new Array[Double](t)
-    val logNorm = -0.5 * math.log(2 * math.Pi * sigmaObs * sigmaObs)
-    var ti = 0
+    var ti = 0L
     while (ti < t) {
-      if (ti > 0) {
-        val prev = particles
-        particles = Array.tabulate(np)(i =>
-          prev(i) + sigmaLevel * DetRng.gauss(sc, DetRng.ctr(1, ti, i)))
-      }
-      val logW = particles.map { p =>
-        val d = (y(ti) - p) / sigmaObs
-        logNorm - 0.5 * d * d
-      }
-      val maxW = logW.max
-      val w = logW.map(lw => math.exp(lw - maxW))
-      val wSum = w.sum
-      weights =
-        if (wSum > 0) w.map(_ / wSum)
-        else Array.fill(np)(1.0 / np)
-      var m = 0.0
-      for (i <- 0 until np) m += particles(i) * weights(i)
-      var v = 0.0
-      for (i <- 0 until np) { val d = particles(i) - m; v += d * d * weights(i) }
-      val ess = 1.0 / weights.map(x => x * x).sum
-      outM(ti) = m; outV(ti) = v; outEss(ti) = ess
-      if (ess < resampleThreshold * np) {
-        val positions = Array.tabulate(np)(i =>
-          (i + DetRng.uniform(sc, DetRng.ctr(2, ti, i))) / np)
-        val cums = weights.scanLeft(0.0)(_ + _).tail
-        val next = new Array[Double](np)
-        var i = 0; var j = 0
-        while (i < np) {
-          while (j < np - 1 && cums(j) < positions(i)) j += 1
-          next(i) = particles(j)
-          i += 1
-        }
-        particles = next
-        weights = Array.fill(np)(1.0 / np)
-      }
+      val (next, m, v, ess) = pfStepDet(particles, y(ti.toInt), ti,
+        sigmaLevel, sigmaObs, resampleThreshold, sc)
+      particles = next
+      outM(ti.toInt) = m; outV(ti.toInt) = v; outEss(ti.toInt) = ess
       ti += 1
     }
     (outM, outV, outEss)
+  }
+
+  /** Seeded init particle cloud around the first observation (stream 0)
+    * — shared by the batch kernel and the streaming operator. */
+  def pfInitParticles(y0: Double, nParticles: Int, seedC: Long): Array[Double] =
+    Array.tabulate(nParticles)(i => y0 + DetRng.gauss(seedC, DetRng.ctr(0, 0, i)))
+
+  /** One bootstrap-particle-filter step at 0-based position `ti`:
+    * propagate (stream 1, skipped at ti = 0 like the batch loop), weight,
+    * summarize, systematic-resample (stream 2) when ESS collapses.
+    * Returns (next particles, weighted mean, weighted var, ESS). Pure
+    * function of its inputs — the keyed streaming state unit. */
+  def pfStepDet(parts0: Array[Double], y: Double, ti: Long,
+      sigmaLevel: Double, sigmaObs: Double, resampleThreshold: Double,
+      seedC: Long): (Array[Double], Double, Double, Double) = {
+    val np = parts0.length
+    val logNorm = -0.5 * math.log(2 * math.Pi * sigmaObs * sigmaObs)
+    val particles =
+      if (ti > 0) {
+        val prev = parts0
+        Array.tabulate(np)(i =>
+          prev(i) + sigmaLevel * DetRng.gauss(seedC, DetRng.ctr(1, ti, i)))
+      } else parts0
+    val logW = particles.map { p =>
+      val d = (y - p) / sigmaObs
+      logNorm - 0.5 * d * d
+    }
+    val maxW = logW.max
+    val w = logW.map(lw => math.exp(lw - maxW))
+    val wSum = w.sum
+    val weights =
+      if (wSum > 0) w.map(_ / wSum)
+      else Array.fill(np)(1.0 / np)
+    var m = 0.0
+    for (i <- 0 until np) m += particles(i) * weights(i)
+    var v = 0.0
+    for (i <- 0 until np) { val d = particles(i) - m; v += d * d * weights(i) }
+    val ess = 1.0 / weights.map(x => x * x).sum
+    val next =
+      if (ess < resampleThreshold * np) {
+        val positions = Array.tabulate(np)(i =>
+          (i + DetRng.uniform(seedC, DetRng.ctr(2, ti, i))) / np)
+        val cums = weights.scanLeft(0.0)(_ + _).tail
+        val res = new Array[Double](np)
+        var i = 0; var j = 0
+        while (i < np) {
+          while (j < np - 1 && cums(j) < positions(i)) j += 1
+          res(i) = particles(j)
+          i += 1
+        }
+        res
+      } else particles
+    (next, m, v, ess)
   }
 
   // ── MH-MCMC forecaster (bayesian/mcmc.py + samplers + forecast) ─────────

@@ -108,6 +108,38 @@ object StreamingOps {
         })
   }
 
+  case class PfState(particles: Array[Double], t: Long)
+  case class PfOutput(uniqueId: String, ts: Timestamp, y: Double,
+    filtered: Double, filteredVar: Double, ess: Double)
+
+  /** Streaming bootstrap particle filter (local level): per-key particle
+    * cloud advanced one [[graft.kernels.Bayesian.pfStepDet]] per arrival
+    * — counter-based draws make the streamed outputs bit-identical to
+    * the batch kernel under any micro-batch split (StreamingPfSpec).
+    * State is `nParticles` doubles per key (bounded). */
+  def streamingParticleFilter(input: Dataset[Obs], nParticles: Int = 200,
+      sigmaLevel: Double = 1.0, sigmaObs: Double = 1.0,
+      resampleThreshold: Double = 0.5, seed: Long = 42L): Dataset[PfOutput] = {
+    import input.sparkSession.implicits._
+    val sc = graft.kernels.DetRng.seedConst(seed)
+    input.groupByKey(_.uniqueId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (id: String, rows: Iterator[Obs], state: GroupState[PfState]) => {
+          var s = state.getOption.orNull
+          val out = rows.toSeq.sortBy(o => (o.ts.getTime, o.tie)).map { o =>
+            if (s == null)
+              s = PfState(
+                graft.kernels.Bayesian.pfInitParticles(o.y, nParticles, sc), 0L)
+            val (parts, m, v, ess) = graft.kernels.Bayesian.pfStepDet(
+              s.particles, o.y, s.t, sigmaLevel, sigmaObs, resampleThreshold, sc)
+            s = PfState(parts, s.t + 1)
+            PfOutput(id, o.ts, o.y, m, v, ess)
+          }
+          state.update(s)
+          out.iterator
+        })
+  }
+
   case class AnomalyOutput(uniqueId: String, ts: Timestamp, y: Double,
     pValue: Double, isAnomaly: Boolean)
 
