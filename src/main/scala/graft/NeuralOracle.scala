@@ -1,0 +1,268 @@
+package graft
+
+import graft.kernels.DeepModels.{ClassifierFit, DeepFit}
+import graft.kernels.NeuralNet._
+
+/** DuckDB oracles for the neural tier (DEC / IDEC / contrastive
+  * clustering, ResNet / InceptionTime classification, vision embeddings).
+  *
+  * Unlike the pinned elastic-clustering oracles — which replay only the
+  * final assignment — these replay the ENTIRE eval-mode forward pass:
+  * the trained weights are inlined as `%.17e` literals and each layer of
+  * the [[graft.kernels.NeuralNet.NOp]] spec becomes one CTE over
+  * `DOUBLE[]` feature-map columns (one column per channel). Because the
+  * Scala interpreter (`NeuralNet.evalForward`) and this generator share
+  * an accumulation-order contract (conv taps summed (channel, tap)
+  * ascending left-to-right, GAP as a 0-seeded left fold, linear as
+  * bias-then-ascending, batchnorm as ((x − rm)/sqrt(rv + ε))·γ + β),
+  * both engines produce bit-identical doubles, and the cluster/class
+  * decision (argmin distance / argmax logit, first index on ties)
+  * hash-matches without tolerance.
+  */
+object NeuralOracle {
+
+  private def dlit(v: Double): String =
+    if (v == Double.NegativeInfinity) "'-infinity'::DOUBLE"
+    else "%.17e".format(v)
+
+  /** Stateful CTE-chain builder; `cols` are the current tensor's channel
+    * columns (DOUBLE[] in map mode, scalar DOUBLE after NGap). */
+  private final class Gen {
+    val ctes = collection.mutable.ArrayBuffer.empty[String]
+    private var n = 0
+    def fresh(): String = { n += 1; s"nn$n" }
+  }
+
+  private final case class T(cte: String, cols: Vector[String], len: Int,
+      scalar: Boolean = false)
+
+  private def zeroList(pad: Int): String =
+    (1 to pad).map(_ => "0.0").mkString("[", ", ", "]") + "::DOUBLE[]"
+
+  private def infList(pad: Int): String =
+    (1 to pad).map(_ => "'-infinity'::DOUBLE").mkString("[", ", ", "]")
+
+  private def genOps(g: Gen, ops: Seq[NOp], in: T): T =
+    ops.foldLeft(in)((t, op) => genOp(g, op, t))
+
+  private def genOp(g: Gen, op: NOp, in: T): T = op match {
+    case NConv(w, pad) =>
+      val src = if (pad == 0) in else {
+        val name = g.fresh()
+        val cols = in.cols.indices.map(i => s"${name}_c$i").toVector
+        g.ctes += s"$name AS (SELECT user_id, " +
+          in.cols.zip(cols).map { case (c, nc) =>
+            s"${zeroList(pad)} || $c || ${zeroList(pad)} AS $nc"
+          }.mkString(", ") + s" FROM ${in.cte})"
+        T(name, cols, in.len + 2 * pad)
+      }
+      val k = w(0)(0).length
+      val outLen = in.len + 2 * pad - k + 1
+      val name = g.fresh()
+      val cols = w.indices.map(i => s"${name}_c$i").toVector
+      g.ctes += s"$name AS (SELECT user_id, " +
+        w.indices.map { co =>
+          val terms = for (ci <- w(co).indices; t <- 0 until k) yield {
+            val idx = if (t == 0) "p" else s"p + $t"
+            s"${dlit(w(co)(ci)(t))} * ${src.cols(ci)}[$idx]"
+          }
+          s"list_transform(generate_series(1, $outLen), p -> ${terms.mkString(" + ")}) AS ${cols(co)}"
+        }.mkString(",\n  ") + s" FROM ${src.cte})"
+      T(name, cols, outLen)
+    case NBn(rm, rv, ga, be) =>
+      val name = g.fresh()
+      val cols = in.cols.indices.map(i => s"${name}_c$i").toVector
+      g.ctes += s"$name AS (SELECT user_id, " +
+        in.cols.zipWithIndex.map { case (c, i) =>
+          s"list_transform($c, v -> (v - ${dlit(rm(i))}) / sqrt(${dlit(rv(i))} + 1e-05) " +
+            s"* ${dlit(ga(i))} + ${dlit(be(i))}) AS ${cols(i)}"
+        }.mkString(",\n  ") + s" FROM ${in.cte})"
+      T(name, cols, in.len)
+    case NRelu =>
+      val name = g.fresh()
+      val cols = in.cols.indices.map(i => s"${name}_c$i").toVector
+      g.ctes += s"$name AS (SELECT user_id, " +
+        in.cols.zip(cols).map { case (c, nc) =>
+          s"list_transform($c, v -> CASE WHEN v > 0.0 THEN v ELSE 0.0 END) AS $nc"
+        }.mkString(", ") + s" FROM ${in.cte})"
+      T(name, cols, in.len)
+    case NMaxPool(k, pad) =>
+      val padded = if (pad == 0) in else {
+        val name = g.fresh()
+        val cols = in.cols.indices.map(i => s"${name}_c$i").toVector
+        g.ctes += s"$name AS (SELECT user_id, " +
+          in.cols.zip(cols).map { case (c, nc) =>
+            s"${infList(pad)} || $c || ${infList(pad)} AS $nc"
+          }.mkString(", ") + s" FROM ${in.cte})"
+        T(name, cols, in.len + 2 * pad)
+      }
+      val outLen = in.len + 2 * pad - k + 1
+      val name = g.fresh()
+      val cols = in.cols.indices.map(i => s"${name}_c$i").toVector
+      g.ctes += s"$name AS (SELECT user_id, " +
+        padded.cols.zip(cols).map { case (c, nc) =>
+          val args = (0 until k).map(t => if (t == 0) s"$c[p]" else s"$c[p + $t]")
+          s"list_transform(generate_series(1, $outLen), p -> greatest(${args.mkString(", ")})) AS $nc"
+        }.mkString(", ") + s" FROM ${padded.cte})"
+      T(name, cols, outLen)
+    case NGap =>
+      val name = g.fresh()
+      val cols = in.cols.indices.map(i => s"${name}_c$i").toVector
+      g.ctes += s"$name AS (SELECT user_id, " +
+        in.cols.zip(cols).map { case (c, nc) =>
+          s"list_reduce(list_prepend(0.0::DOUBLE, $c), (a, b) -> a + b) / ${in.len}.0 AS $nc"
+        }.mkString(", ") + s" FROM ${in.cte})"
+      T(name, cols, 1, scalar = true)
+    case NLinear(w, b) =>
+      require(in.scalar, "NLinear expects the post-GAP scalar tensor")
+      val name = g.fresh()
+      val cols = w.indices.map(i => s"${name}_c$i").toVector
+      g.ctes += s"$name AS (SELECT user_id, " +
+        w.indices.map { j =>
+          val terms = w(j).indices.map(i => s"${dlit(w(j)(i))} * ${in.cols(i)}")
+          s"${dlit(b(j))} + ${terms.mkString(" + ")} AS ${cols(j)}"
+        }.mkString(",\n  ") + s" FROM ${in.cte})"
+      T(name, cols, 1, scalar = true)
+    case NResidual(main, shortcut) =>
+      val m = genOps(g, main, in)
+      val s = if (shortcut.isEmpty) in else genOps(g, shortcut, in)
+      val len = math.min(m.len, s.len)
+      val name = g.fresh()
+      val cols = m.cols.indices.map(i => s"${name}_c$i").toVector
+      g.ctes += s"$name AS (SELECT m.user_id, " +
+        m.cols.indices.map { c =>
+          val sum = s"m.${m.cols(c)}[p] + s.${s.cols(c)}[p]"
+          s"list_transform(generate_series(1, $len), p -> " +
+            s"CASE WHEN $sum > 0.0 THEN $sum ELSE 0.0 END) AS ${cols(c)}"
+        }.mkString(",\n  ") +
+        s" FROM ${m.cte} m JOIN ${s.cte} s ON m.user_id = s.user_id)"
+      T(name, cols, len)
+    case NConcat(branches) =>
+      val outs = branches.map(genOps(g, _, in))
+      val len = outs.map(_.len).min
+      val name = g.fresh()
+      val total = outs.map(_.cols.length).sum
+      val cols = (0 until total).map(i => s"${name}_c$i").toVector
+      val aliases = outs.indices.map(i => s"b$i")
+      var idx = -1
+      val selects = outs.zip(aliases).flatMap { case (o, a) =>
+        o.cols.map { c => idx += 1; s"$a.$c[1:$len] AS ${cols(idx)}" }
+      }
+      val joins = outs.zip(aliases).tail
+        .map { case (o, a) => s"JOIN ${o.cte} $a ON b0.user_id = $a.user_id" }
+      g.ctes += s"$name AS (SELECT b0.user_id, ${selects.mkString(",\n  ")} " +
+        s"FROM ${outs.head.cte} b0 ${joins.mkString(" ")})"
+      T(name, cols, len)
+  }
+
+  /** Shared input: series listed in repo order, zero-padded to the fit's
+    * seqLen, normalized with the pinned mean/std. */
+  private def inputCtes(g: Gen, mean: Double, std: Double, seqLen: Int): T = {
+    g.ctes += "s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs" +
+      " FROM events GROUP BY user_id)"
+    val name = g.fresh()
+    g.ctes += s"$name AS (SELECT user_id, list_transform(generate_series(1, $seqLen), " +
+      s"i -> (CASE WHEN i <= len(vs) THEN vs[i] ELSE 0.0 END - ${dlit(mean)}) / ${dlit(std)}) " +
+      s"AS ${name}_c0 FROM s)"
+    T(name, Vector(s"${name}_c0"), seqLen)
+  }
+
+  /** DEC / IDEC / contrastive replay: full encoder forward, then nearest
+    * pinned centroid (Student-t argmax ≡ argmin squared distance, first
+    * index on ties). Output: (user_id, cluster). */
+  def clusterAssignSql(fit: DeepFit): String = {
+    val g = new Gen
+    val z = genOps(g, fit.spec, inputCtes(g, fit.mean, fit.std, fit.seqLen))
+    require(z.scalar, "cluster spec must end at the bottleneck vector")
+    val d = fit.centroids(0).length
+    val cent = fit.centroids.zipWithIndex.map { case (m, c) =>
+      s"($c::INT, ${m.map(dlit).mkString(", ")})"
+    }.mkString(",\n  ")
+    val mCols = (0 until d).map(i => s"m$i")
+    g.ctes += s"cent AS (SELECT * FROM (VALUES\n  $cent) AS __c(cluster, ${mCols.mkString(", ")}))"
+    val dd = (0 until d)
+      .map(i => s"(${z.cols(i)} - m$i) * (${z.cols(i)} - m$i)").mkString(" + ")
+    s"""WITH ${g.ctes.mkString(",\n")},
+       |dist AS (SELECT user_id, cluster, $dd AS dd FROM ${z.cte} CROSS JOIN cent)
+       |SELECT user_id, cluster FROM (
+       |  SELECT user_id, cluster,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY dd, cluster) AS rk
+       |  FROM dist) WHERE rk = 1""".stripMargin
+  }
+
+  /** ResNet / InceptionTime replay: full conv-tower forward, argmax logit
+    * (first class on ties). Output: (user_id, predicted_label). */
+  def classifySql(fit: ClassifierFit): String = {
+    val g = new Gen
+    val lo = genOps(g, fit.spec, inputCtes(g, fit.mean, fit.std, fit.seqLen))
+    require(lo.scalar, "classifier spec must end at the logit vector")
+    val cls = fit.classes.zipWithIndex
+      .map { case (c, i) => s"($i::INT, '${c.replace("'", "''")}')" }
+      .mkString(",\n  ")
+    g.ctes += s"cls AS (SELECT * FROM (VALUES\n  $cls) AS __k(idx, label))"
+    val logit = "CASE idx " + fit.classes.indices
+      .map(i => s"WHEN $i THEN ${lo.cols(i)}").mkString(" ") + " END"
+    s"""WITH ${g.ctes.mkString(",\n")},
+       |scored AS (SELECT user_id, label,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY $logit DESC, idx) AS rk
+       |  FROM ${lo.cte} CROSS JOIN cls)
+       |SELECT user_id, label AS predicted_label FROM scored WHERE rk = 1""".stripMargin
+  }
+
+  /** Vision-embedding replay (ops.VisionEmbed.forward): z-norm →
+    * recurrence plot → counter-seeded 3×3 conv bank (out-of-bounds taps
+    * contribute exact zero) → ReLU → quadrant means (flat-index-ascending
+    * scan) → random projection, rounded 6dp with the 1e-9 nudge.
+    * Output: (user_id, emb_0..emb_{d−1}). */
+  def visionEmbedSql(nFilters: Int, embDim: Int, eps: Double, seed: Long): String = {
+    val (conv, lin) = graft.ops.VisionEmbed.weights(nFilters, embDim, seed)
+    val zn =
+      """s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+        |  FROM events GROUP BY user_id),
+        |m1 AS (SELECT *, list_reduce(vs, (a, b) -> a + b)/len(vs) AS __mu FROM s),
+        |m2 AS (SELECT *, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(vs, v -> (v - __mu)*(v - __mu))), (a, b) -> a + b)/len(vs)) AS __sd
+        |  FROM m1),
+        |z AS (SELECT user_id, len(vs) AS ll,
+        |  CASE WHEN __sd = 0.0 THEN list_transform(vs, v -> 0.0::DOUBLE)
+        |       ELSE list_transform(vs, v -> (v - __mu)/__sd) END AS za
+        |  FROM m2)""".stripMargin
+    val img =
+      s"""img AS (SELECT user_id, ll, list_transform(generate_series(0, ll*ll - 1), i ->
+         |  CASE WHEN abs(za[(i // ll)::INT + 1] - za[(i % ll)::INT + 1]) <= ${dlit(eps)}
+         |       THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) AS im FROM z)""".stripMargin
+    val convCols = conv.indices.map { f =>
+      val terms = for (dr <- 0 until 3; dc <- 0 until 3) yield {
+        val d0 = dr - 1; val d1 = dc - 1
+        s"""CASE WHEN (i // ll) + ($d0) >= 0 AND (i // ll) + ($d0) < ll
+           | AND (i % ll) + ($d1) >= 0 AND (i % ll) + ($d1) < ll
+           | THEN ${dlit(conv(f)(dr)(dc))} * im[(((i // ll) + ($d0)) * ll + (i % ll) + ($d1))::INT + 1]
+           | ELSE 0.0 END""".stripMargin.replaceAll("\n", "")
+      }
+      s"list_transform(generate_series(0, ll*ll - 1), i -> " +
+        s"CASE WHEN ${terms.mkString(" + ")} > 0.0 THEN ${terms.mkString(" + ")} ELSE 0.0 END) AS cv$f"
+    }
+    val cv = s"cv AS (SELECT user_id, ll, ${convCols.mkString(",\n  ")} FROM img)"
+    // quadrant means, flat scan with region mask (h = ll // 2)
+    val featCols = for (f <- conv.indices; q <- 0 until 4) yield {
+      val rCond = if (q < 2) "(i // ll) < h" else "(i // ll) >= h"
+      val cCond = if (q % 2 == 0) "(i % ll) < h" else "(i % ll) >= h"
+      val cnt = (if (q < 2) "h" else "(ll - h)") + " * " + (if (q % 2 == 0) "h" else "(ll - h)")
+      s"CASE WHEN $cnt > 0 THEN list_reduce(list_prepend(0.0::DOUBLE, " +
+        s"list_transform(generate_series(0, ll*ll - 1), i -> " +
+        s"CASE WHEN $rCond AND $cCond THEN cv$f[i::INT + 1] ELSE 0.0 END)), " +
+        s"(a, b) -> a + b) / ($cnt) ELSE 0.0 END AS ft${f * 4 + q}"
+    }
+    val ft = s"ft AS (SELECT user_id, ${featCols.mkString(",\n  ")} " +
+      "FROM (SELECT *, ll // 2 AS h FROM cv))"
+    val embCols = lin.indices.map { j =>
+      val terms = lin(j).indices.map(i => s"${dlit(lin(j)(i))} * ft$i")
+      s"round(${terms.mkString(" + ")} + 1e-9, 6) AS emb_$j"
+    }
+    s"""WITH $zn,
+       |$img,
+       |$cv,
+       |$ft
+       |SELECT user_id, ${embCols.mkString(",\n  ")} FROM ft""".stripMargin
+  }
+}

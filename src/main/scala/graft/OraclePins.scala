@@ -98,12 +98,37 @@ object OraclePins {
     * ts_bayesian_ets_intervals chain replay (subset series). */
   @volatile var bayesEtsChain: Option[Seq[(Long, Array[Double])]] = None
 
+  /** Per-series MAP (logitα, level₀, logσ, α) for the
+    * ts_bayesian_ets_intervals chain replay (subset series). — neural
+    * tier pins below follow the same pin-the-fit discipline. */
+  /** DEC / IDEC encoder spec + centroids for ts_dec / ts_idec. */
+  @volatile var dec: Option[graft.kernels.DeepModels.DeepFit] = None
+  @volatile var idec: Option[graft.kernels.DeepModels.DeepFit] = None
+  /** Contrastive encoder spec + k-means centers for ts_contrastive. */
+  @volatile var contrastive: Option[graft.kernels.DeepModels.DeepFit] = None
+  /** Trained CNN classifier specs for ts_resnet/inception_classify. */
+  @volatile var resnetCls: Option[graft.kernels.DeepModels.ClassifierFit] = None
+  @volatile var inceptionCls: Option[graft.kernels.DeepModels.ClassifierFit] = None
+
   /** ts_iforest query parameters (shared with SparkEntry so the pinned
     * forest and the query's forest cannot drift). Smaller than the op
     * defaults to keep the pinned node table ~100 KB of SQL; the default
     * 100×256 forest runs rows-only in ts_iforest_e2e. */
   val IforestTrees = 20
   val IforestPsi = 128
+
+  /** Neural-tier query configs (shared with SparkEntry so query fit and
+    * pin fit cannot drift). Smaller than the reference's 32-filter /
+    * 64-dim / 50-epoch defaults: the oracled queries keep the full
+    * architecture shape but bounded so the paired fits (query + pin)
+    * stay ~1 s each at Verify time and the generated forward-pass SQL
+    * stays inside the per-query DuckDB budget. */
+  val DecCfg = graft.kernels.DeepModels.DeepCfg(k = 3, embeddingDim = 4,
+    nFilters = 4, pretrainEpochs = 8, finetuneEpochs = 5)
+  val ContrastiveCfgPin = graft.kernels.DeepModels.ContrastiveCfg(k = 3,
+    embeddingDim = 4, projectionDim = 4, nFilters = 4, maxEpochs = 8)
+  val ResnetCfg = graft.kernels.DeepModels.ClassifierCfg(nFilters = 4, maxEpochs = 20)
+  val InceptionCfg = graft.kernels.DeepModels.ClassifierCfg(nFilters = 2, maxEpochs = 20)
 
   /** Per-pin isolation: one fit blowing up must not zero every OTHER
     * pinned oracle's correctness row — the failed pin's oracles fall
@@ -338,6 +363,27 @@ object OraclePins {
         } catch { case _: Exception => }
         (u, x0)
       })
+    }
+    // neural tier: IDENTICAL fits to the ts_dec / ts_idec /
+    // ts_contrastive / ts_*_classify queries (deterministic counter-based
+    // training); the oracle replays the FULL eval-mode forward pass from
+    // these weights, so a query/pin fit divergence hash-fails
+    pin("dec") {
+      val xs = graft.ops.DeepClustering.collectSeries(ev).map(_._2)
+      dec = Some(graft.kernels.DeepModels.decFit(xs, DecCfg, idec = false))
+      idec = Some(graft.kernels.DeepModels.decFit(xs, DecCfg, idec = true))
+      contrastive = Some(graft.kernels.DeepModels.contrastiveFit(xs, ContrastiveCfgPin))
+    }
+    pin("cnnClassifiers") {
+      val rkLabels = ev.select(col("user_id")).distinct()
+        .withColumn("label",
+          org.apache.spark.sql.functions.pmod(col("user_id"),
+            org.apache.spark.sql.functions.lit(3)).cast("string"))
+      val rows = graft.ops.Classification.collectLabeled(ev, rkLabels)
+      resnetCls = Some(graft.kernels.DeepModels.resnetFit(
+        rows.map(_._2), rows.map(_._3), ResnetCfg))
+      inceptionCls = Some(graft.kernels.DeepModels.inceptionFit(
+        rows.map(_._2), rows.map(_._3), InceptionCfg))
     }
     // bayesian ETS: the same per-series MAP NM search the query's kernel
     // runs (bayesianEtsMap is shared); only (α, level₀) is pinned — the

@@ -869,6 +869,35 @@ object SparkEntry {
         nKernels = 20)
     }),
 
+    // ── neural tier (deterministic NeuralNet kernel; full forward-pass
+    //    oracles via NeuralOracle) ────────────────────────────────────────
+    "ts_dec" -> ((s, dir) =>
+      DeepClustering.decCluster(IO.events(s, dir), k = 3, OraclePins.DecCfg)),
+
+    "ts_idec" -> ((s, dir) =>
+      DeepClustering.idecCluster(IO.events(s, dir), k = 3, OraclePins.DecCfg)),
+
+    "ts_contrastive" -> ((s, dir) =>
+      DeepClustering.contrastiveCluster(IO.events(s, dir), k = 3,
+        OraclePins.ContrastiveCfgPin)),
+
+    "ts_resnet_classify" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+      val labels = ev.select(col("user_id")).distinct()
+        .withColumn("label", pmod(col("user_id"), lit(3)).cast("string"))
+      Classification.resnetClassify(ev, labels, ev, OraclePins.ResnetCfg)
+    }),
+
+    "ts_inception_classify" -> ((s, dir) => {
+      val ev = IO.events(s, dir)
+      val labels = ev.select(col("user_id")).distinct()
+        .withColumn("label", pmod(col("user_id"), lit(3)).cast("string"))
+      Classification.inceptionClassify(ev, labels, ev, OraclePins.InceptionCfg)
+    }),
+
+    "ts_vision_embed" -> ((s, dir) =>
+      VisionEmbed.visionEmbeddings(IO.events(s, dir))),
+
     // ── causal tier ─────────────────────────────────────────────────────
     "ts_causal_impact" -> ((s, dir) => {
       val ev = IO.events(s, dir)
@@ -2352,6 +2381,17 @@ object SparkEntry {
       ForecastOracle.scientistSqlPinned(w).map("ts_scientist" -> _)) ++
     OraclePins.rocket.map { case (ml, cls, cf) =>
       "ts_rocket_classify" -> ForecastOracle.rocketClassifySql(ml, cls, cf) } ++
+    OraclePins.dec.map(f => "ts_dec" -> NeuralOracle.clusterAssignSql(f)) ++
+    OraclePins.idec.map(f => "ts_idec" -> NeuralOracle.clusterAssignSql(f)) ++
+    OraclePins.contrastive.map(f =>
+      "ts_contrastive" -> NeuralOracle.clusterAssignSql(f)) ++
+    OraclePins.resnetCls.map(f =>
+      "ts_resnet_classify" -> NeuralOracle.classifySql(f)) ++
+    OraclePins.inceptionCls.map(f =>
+      "ts_inception_classify" -> NeuralOracle.classifySql(f)) ++
+    Map("ts_vision_embed" -> NeuralOracle.visionEmbedSql(
+      ops.VisionEmbed.DefaultFilters, ops.VisionEmbed.DefaultEmbDim,
+      ops.VisionEmbed.DefaultEps, 42L)) ++
     OraclePins.kshape.map { case (l, c) =>
       "ts_kshape" -> ClusterOracles.kshapeSql(l, c) } ++
     OraclePins.kmeansDba.map { case (l, c) =>

@@ -114,6 +114,68 @@ object Classification {
     (minLen, classes, coefs)
   }
 
+  /** Collect (id, series, label) for a driver-side CNN fit, ordered by
+    * the native id (reference `_dl_utils.extract_classification_data`
+    * sorts by id_col before grouping). Bounded by `cap` via the same
+    * hash-stable sample as DeepClustering.collectSeries. */
+  def collectLabeled(train: DataFrame, labels: DataFrame, cap: Int = 2048)(
+      implicit pc: PanelCols): Seq[(String, Array[Double], String)] = {
+    val g = Panel.grouped(train).select(pc.idCol.as("__nid"), col("ys"))
+      .join(labels.select(pc.idCol.cast("string").as("__ids"),
+        col("label").cast("string").as("__label")),
+        col("__nid").cast("string") === col("__ids"))
+    val capped =
+      if (g.count() <= cap) g
+      else g.orderBy(xxhash64(col("__nid").cast("string")), col("__nid")).limit(cap)
+    capped.orderBy(col("__nid"))
+      .select(col("__nid").cast("string"), col("ys"), col("__label"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getSeq[Double](1).toArray, r.getString(2)))
+  }
+
+  /** Shared CNN predict: broadcast eval spec, per-series forward + argmax
+    * logit (first index on ties — strict `>` scan). */
+  private def cnnPredict(test: DataFrame, fit: graft.kernels.DeepModels.ClassifierFit)(
+      implicit pc: PanelCols): DataFrame = {
+    val spark = test.sparkSession
+    val bc = spark.sparkContext.broadcast(fit)
+    val predictUdf = udf((ys: Seq[Double]) => {
+      val f = bc.value
+      val x = graft.kernels.NeuralNet.padTo(ys.toArray, f.seqLen)
+        .map(v => (v - f.mean) / f.std)
+      val logits = graft.kernels.NeuralNet.evalVector(f.spec, Array(x))
+      var best = 0
+      var i = 1
+      while (i < logits.length) { if (logits(i) > logits(best)) best = i; i += 1 }
+      f.classes(best)
+    })
+    Panel.grouped(test).select(pc.idCol.as("__tid"), col("ys"))
+      .select(col("__tid").as(pc.id), predictUdf(col("ys")).as("predicted_label"))
+  }
+
+  /** 1D ResNet classifier (reference classification/resnet_classifier.py:
+    * 72-180), trained with the deterministic NeuralNet kernel on a
+    * bounded collected sample; predict is a broadcast-weights narrow map. */
+  def resnetClassify(train: DataFrame, labels: DataFrame, test: DataFrame,
+      cfg: graft.kernels.DeepModels.ClassifierCfg =
+        graft.kernels.DeepModels.ClassifierCfg())(
+      implicit pc: PanelCols): DataFrame = {
+    val rows = collectLabeled(train, labels)
+    val fit = graft.kernels.DeepModels.resnetFit(rows.map(_._2), rows.map(_._3), cfg)
+    cnnPredict(test, fit)
+  }
+
+  /** InceptionTime classifier (reference classification/inception_time.py:
+    * 98-208), same fit/predict split as [[resnetClassify]]. */
+  def inceptionClassify(train: DataFrame, labels: DataFrame, test: DataFrame,
+      cfg: graft.kernels.DeepModels.ClassifierCfg =
+        graft.kernels.DeepModels.ClassifierCfg())(
+      implicit pc: PanelCols): DataFrame = {
+    val rows = collectLabeled(train, labels)
+    val fit = graft.kernels.DeepModels.inceptionFit(rows.map(_._2), rows.map(_._3), cfg)
+    cnnPredict(test, fit)
+  }
+
   def rocketClassify(train: DataFrame, labels: DataFrame, test: DataFrame,
       nKernels: Int = 50, l2: Double = 1.0, seed: Long = 42L)(
       implicit pc: PanelCols): DataFrame = {
