@@ -159,6 +159,19 @@ object Bench {
       "curation_funnel" -> (() => mat(
         SparkEntry.queries("doc_curation_pipeline")(spark, sfDir))))
 
+    // round-8 neural tier — benched OUTSIDE both totals (own field) so
+    // "value"/"total_full" stay round-over-round comparable. These time
+    // the production-scale paths: the broadcast-spec per-series forward
+    // (assignment) and the zero-shuffle image-conv embedding map. The
+    // small DEC fit runs once, untimed (bounded-sample driver cost).
+    val decFitForBench = graft.kernels.DeepModels.decFit(
+      DeepClustering.collectSeries(events, cap = 256).map(_._2),
+      graft.kernels.DeepModels.DeepCfg(k = 3, embeddingDim = 4, nFilters = 4,
+        pretrainEpochs = 2, finetuneEpochs = 1), idec = false)
+    val neuralBenches: Seq[(String, () => Unit)] = Seq(
+      "neural_assign" -> (() => mat(DeepClustering.assign(events, decFitForBench))),
+      "vision_embed" -> (() => mat(VisionEmbed.visionEmbeddings(events))))
+
     // warmup: absorb JIT/codegen first-run cost on a small slice
     mat(Features.lagFeatures(events.limit(1000), Seq(1)))
     mat(ForecastBaselines.ses(events.limit(2000), h = 2))
@@ -193,7 +206,7 @@ object Bench {
     val trailing = trailingMedians()
     val nCpus = cpus.toInt
     val loadThreshold = 1.25 * nCpus
-    val allRuns = (benches ++ curationBenches).toMap
+    val allRuns = (benches ++ curationBenches ++ neuralBenches).toMap
     def adjudicate(rs: Seq[QRes]): Seq[QRes] = rs.map { r =>
       trailing.get(r.name) match {
         case Some(m) if r.secs > 2.0 * m &&
@@ -208,8 +221,9 @@ object Bench {
     }
     val results = adjudicate(timeAll(benches))
     val curation = adjudicate(timeAll(curationBenches))
+    val neural = adjudicate(timeAll(neuralBenches))
     val loadEnd = loadAvg()
-    val all = results ++ curation
+    val all = results ++ curation ++ neural
     val qs = all.map(r => "\"" + r.name + "\":" + r.secs).mkString("{", ",", "}")
     val loads = all.map(r =>
       "\"" + r.name + "\":[" + r.loadBefore + "," + r.loadAfter + "]")
@@ -218,8 +232,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_.secs).filter(_ >= 0).sum
     val totalFull = total + curation.map(_.secs).filter(_ >= 0).sum
+    val totalNeural = neural.map(_.secs).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iterations":$iters,"total_full":$totalFull,"load":$loads,"load_start":$loadStart,"load_end":$loadEnd,"reruns":$reruns,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iterations":$iters,"total_full":$totalFull,"total_neural":$totalNeural,"load":$loads,"load_start":$loadStart,"load_end":$loadEnd,"reruns":$reruns,"sf":"$sfDir"}"""
     // sentinel-prefixed line FIRST (unambiguous to scrape out of the sbt
     // [info] noise that left BENCH_r05-r07 "parsed": null), then the bare
     // JSON line (legacy scrape), then the file (robust path)

@@ -98,9 +98,8 @@ object OraclePins {
     * ts_bayesian_ets_intervals chain replay (subset series). */
   @volatile var bayesEtsChain: Option[Seq[(Long, Array[Double])]] = None
 
-  /** Per-series MAP (logitα, level₀, logσ, α) for the
-    * ts_bayesian_ets_intervals chain replay (subset series). — neural
-    * tier pins below follow the same pin-the-fit discipline. */
+  // Neural-tier pins (round 8): same pin-the-fit discipline; the oracle
+  // replays the FULL eval-mode forward pass from the pinned weights.
   /** DEC / IDEC encoder spec + centroids for ts_dec / ts_idec. */
   @volatile var dec: Option[graft.kernels.DeepModels.DeepFit] = None
   @volatile var idec: Option[graft.kernels.DeepModels.DeepFit] = None
