@@ -209,6 +209,111 @@ object NeuralOracle {
        |SELECT user_id, label AS predicted_label FROM scored WHERE rk = 1""".stripMargin
   }
 
+  /** N-BEATS replay (kernels.NBeats.forward): leading-zero-padded
+    * normalized context, per-block ReLU fc stack → theta heads → (pinned
+    * literal) basis expansion, residual subtraction chained block to
+    * block, forecasts 0-seeded block-ascending summed, denormalized and
+    * rounded 6dp with the 1e-9 nudge, unpivoted onto the repo's
+    * min-gap future-date scaffold. Output: (user_id, step, ts, y_hat). */
+  def nbeatsSql(fit: graft.kernels.NBeats.Fit): String = {
+    val in = fit.inputSize; val h = fit.h
+    val ctes = collection.mutable.ArrayBuffer.empty[String]
+    ctes += "s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs" +
+      " FROM events GROUP BY user_id)"
+    ctes += """meta AS (SELECT user_id, max(us) AS last_us, min(us - lus) AS freq FROM
+      |  (SELECT user_id, epoch_us(ts) AS us,
+      |     lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lus
+      |   FROM events) GROUP BY user_id)""".stripMargin
+    val xCols = (0 until in).map(i => s"x$i")
+    ctes += s"ctx AS (SELECT user_id, " + (0 until in).map { i =>
+      val p = i + 1
+      s"""(CASE WHEN len(vs) >= $in THEN vs[len(vs) - $in + $p]
+         | WHEN $p <= $in - len(vs) THEN 0.0
+         | ELSE vs[$p - ($in - len(vs))] END - ${dlit(fit.mean)}) / ${dlit(fit.std)} AS x$i"""
+        .stripMargin.replaceAll("\n", "")
+    }.mkString(",\n  ") + " FROM s)"
+
+    var resCte = "ctx"
+    var resCols: Seq[String] = xCols
+    val heads = collection.mutable.ArrayBuffer.empty[(String, Seq[String])]
+    fit.blocks.zipWithIndex.foreach { case (blk, k) =>
+      var cur = resCte
+      var hidCols: Seq[String] = resCols
+      blk.fc.zipWithIndex.foreach { case ((w, b), li) =>
+        val lin = s"b${k}l$li"
+        val linCols = w.indices.map(j => s"${lin}_h$j")
+        ctes += s"$lin AS (SELECT user_id, ${resCols.mkString(", ")}, " +
+          w.indices.map { j =>
+            val terms = w(j).indices.map(i => s"${dlit(w(j)(i))} * ${hidCols(i)}")
+            s"${dlit(b(j))} + ${terms.mkString(" + ")} AS ${linCols(j)}"
+          }.mkString(",\n  ") + s" FROM $cur)"
+        val rl = s"${lin}r"
+        val rlCols = w.indices.map(j => s"${rl}_h$j")
+        ctes += s"$rl AS (SELECT user_id, ${resCols.mkString(", ")}, " +
+          linCols.zip(rlCols).map { case (c, nc) =>
+            s"CASE WHEN $c > 0.0 THEN $c ELSE 0.0 END AS $nc"
+          }.mkString(", ") + s" FROM $lin)"
+        cur = rl
+        hidCols = rlCols
+      }
+      // theta heads (generic: theta IS backcast/forecast)
+      val th = s"b${k}t"
+      val (wb, bb) = blk.thetaB
+      val (wf, bf) = blk.thetaF
+      val tbCols = wb.indices.map(j => s"${th}_tb$j")
+      val tfCols = wf.indices.map(j => s"${th}_tf$j")
+      def linExprs(w: Array[Array[Double]], b: Array[Double], cols: Seq[String]) =
+        w.indices.map { j =>
+          val terms = w(j).indices.map(i => s"${dlit(w(j)(i))} * ${hidCols(i)}")
+          s"${dlit(b(j))} + ${terms.mkString(" + ")} AS ${cols(j)}"
+        }
+      ctes += s"$th AS (SELECT user_id, ${resCols.mkString(", ")}, " +
+        (linExprs(wb, bb, tbCols) ++ linExprs(wf, bf, tfCols)).mkString(",\n  ") +
+        s" FROM $cur)"
+      // expand + residual update
+      val ex = s"b${k}e"
+      val newRes = (0 until in).map(i => s"${ex}_r$i")
+      val fcCols = (0 until h).map(i => s"${ex}_f$i")
+      val bcExpr: Int => String = blk.basisBack match {
+        case None => i => tbCols(i)
+        case Some(bm) => i =>
+          "(" + bm.indices.map(d => s"${tbCols(d)} * ${dlit(bm(d)(i))}")
+            .mkString("0.0 + ", " + ", "") + ")"
+      }
+      val fcExpr: Int => String = blk.basisFore match {
+        case None => i => tfCols(i)
+        case Some(bm) => i =>
+          "(" + bm.indices.map(d => s"${tfCols(d)} * ${dlit(bm(d)(i))}")
+            .mkString("0.0 + ", " + ", "") + ")"
+      }
+      ctes += s"$ex AS (SELECT user_id, " +
+        ((0 until in).map(i => s"${resCols(i)} - ${bcExpr(i)} AS ${newRes(i)}") ++
+         (0 until h).map(i => s"${fcExpr(i)} AS ${fcCols(i)}")).mkString(",\n  ") +
+        s" FROM $th)"
+      heads += ((ex, fcCols))
+      resCte = ex
+      resCols = newRes
+    }
+    val aliases = heads.indices.map(i => s"hd$i")
+    val joins = heads.zip(aliases).tail
+      .map { case ((c, _), a) => s"JOIN $c $a ON hd0.user_id = $a.user_id" }
+    val fCols = (0 until h).map { i =>
+      val sum = heads.zip(aliases).map { case ((_, fc), a) => s"$a.${fc(i)}" }
+        .mkString("0.0 + ", " + ", "")
+      s"round(($sum) * ${dlit(fit.std)} + ${dlit(fit.mean)} + 1e-9, 6) AS f$i"
+    }
+    ctes += s"fcast AS (SELECT hd0.user_id, ${fCols.mkString(",\n  ")} " +
+      s"FROM ${heads.head._1} hd0 ${joins.mkString(" ")})"
+    val stepCase = "CASE st.step " +
+      (0 until h).map(i => s"WHEN ${i + 1} THEN f$i").mkString(" ") + " END"
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT f.user_id, st.step,
+       |  make_timestamp(m.last_us + st.step * m.freq) AS ts,
+       |  $stepCase AS y_hat
+       |FROM fcast f JOIN meta m ON f.user_id = m.user_id
+       |CROSS JOIN (SELECT unnest(generate_series(1, $h)) AS step) st""".stripMargin
+  }
+
   /** Vision-embedding replay (ops.VisionEmbed.forward): z-norm →
     * recurrence plot → counter-seeded 3×3 conv bank (out-of-bounds taps
     * contribute exact zero) → ReLU → quadrant means (flat-index-ascending

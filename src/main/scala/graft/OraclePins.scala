@@ -108,6 +108,9 @@ object OraclePins {
   /** Trained CNN classifier specs for ts_resnet/inception_classify. */
   @volatile var resnetCls: Option[graft.kernels.DeepModels.ClassifierFit] = None
   @volatile var inceptionCls: Option[graft.kernels.DeepModels.ClassifierFit] = None
+  /** N-BEATS global-model fits for ts_nbeats_fc / ts_nbeats_generic_fc. */
+  @volatile var nbeatsInterp: Option[graft.kernels.NBeats.Fit] = None
+  @volatile var nbeatsGeneric: Option[graft.kernels.NBeats.Fit] = None
 
   /** ts_iforest query parameters (shared with SparkEntry so the pinned
     * forest and the query's forest cannot drift). Smaller than the op
@@ -128,6 +131,15 @@ object OraclePins {
     embeddingDim = 4, projectionDim = 4, nFilters = 4, maxEpochs = 8)
   val ResnetCfg = graft.kernels.DeepModels.ClassifierCfg(nFilters = 4, maxEpochs = 20)
   val InceptionCfg = graft.kernels.DeepModels.ClassifierCfg(nFilters = 2, maxEpochs = 20)
+  /** N-BEATS: interpretable (trend + seasonality basis) and generic
+    * twins; hidden 16 / 10 epochs keep fit ~1 s and the replay SQL
+    * ~80 KB (reference defaults are hidden 128 / 100 epochs). */
+  val NbeatsInterpCfg = graft.kernels.NBeats.Cfg(h = 6, inputSize = 24,
+    hiddenSize = 16, nBlocks = 1, stackTypes = Seq("trend", "seasonality"),
+    maxEpochs = 10, nHarmonics = 3)
+  val NbeatsGenericCfg = graft.kernels.NBeats.Cfg(h = 6, inputSize = 24,
+    hiddenSize = 16, nBlocks = 1, stackTypes = Seq("generic", "generic"),
+    maxEpochs = 10)
 
   /** Per-pin isolation: one fit blowing up must not zero every OTHER
     * pinned oracle's correctness row — the failed pin's oracles fall
@@ -372,6 +384,11 @@ object OraclePins {
       dec = Some(graft.kernels.DeepModels.decFit(xs, DecCfg, idec = false))
       idec = Some(graft.kernels.DeepModels.decFit(xs, DecCfg, idec = true))
       contrastive = Some(graft.kernels.DeepModels.contrastiveFit(xs, ContrastiveCfgPin))
+    }
+    pin("nbeats") {
+      val xs = graft.ops.DeepClustering.collectSeries(ev).map(_._2)
+      nbeatsInterp = Some(graft.kernels.NBeats.fit(xs, NbeatsInterpCfg))
+      nbeatsGeneric = Some(graft.kernels.NBeats.fit(xs, NbeatsGenericCfg))
     }
     pin("cnnClassifiers") {
       val rkLabels = ev.select(col("user_id")).distinct()

@@ -898,6 +898,20 @@ object SparkEntry {
     "ts_vision_embed" -> ((s, dir) =>
       VisionEmbed.visionEmbeddings(IO.events(s, dir))),
 
+    // N-BEATS global deep forecaster (dl/nbeats.py): interpretable
+    // (trend + seasonality basis) and generic variants
+    "ts_nbeats_fc" -> ((s, dir) =>
+      DeepForecast.nbeatsForecast(IO.events(s, dir), OraclePins.NbeatsInterpCfg)),
+
+    "ts_nbeats_generic_fc" -> ((s, dir) =>
+      DeepForecast.nbeatsForecast(IO.events(s, dir), OraclePins.NbeatsGenericCfg)),
+
+    // RL forecast environment (adapters/rl_env.py): real reset/step
+    // episode per series, forecast-following policy, naive forecasts —
+    // the oracle replays the closed-form reward stream
+    "ts_rl_rollout" -> ((s, dir) =>
+      Adapters.rolloutNaive(IO.events(s, dir))),
+
     // ── causal tier ─────────────────────────────────────────────────────
     "ts_causal_impact" -> ((s, dir) => {
       val ev = IO.events(s, dir)
@@ -2389,9 +2403,25 @@ object SparkEntry {
       "ts_resnet_classify" -> NeuralOracle.classifySql(f)) ++
     OraclePins.inceptionCls.map(f =>
       "ts_inception_classify" -> NeuralOracle.classifySql(f)) ++
+    OraclePins.nbeatsInterp.map(f =>
+      "ts_nbeats_fc" -> NeuralOracle.nbeatsSql(f)) ++
+    OraclePins.nbeatsGeneric.map(f =>
+      "ts_nbeats_generic_fc" -> NeuralOracle.nbeatsSql(f)) ++
     Map("ts_vision_embed" -> NeuralOracle.visionEmbedSql(
       ops.VisionEmbed.DefaultFilters, ops.VisionEmbed.DefaultEmbDim,
       ops.VisionEmbed.DefaultEps, 42L)) ++
+    // ts_rl_rollout: the env's reward accumulation replayed in the same
+    // fold order (0-seeded, step-ascending adds of −|actual − action|
+    // with naive forecasts: action(idx) = v[idx−1])
+    Map("ts_rl_rollout" ->
+      """WITH s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, (len(vs) - 10)::INT AS steps,
+        |  round(list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(generate_series(11, len(vs)), i ->
+        |      -abs(vs[i::INT] - vs[i::INT - 1]))), (a, b) -> a + b) + 1e-9, 6)
+        |    AS total_reward
+        |FROM s""".stripMargin) ++
     OraclePins.kshape.map { case (l, c) =>
       "ts_kshape" -> ClusterOracles.kshapeSql(l, c) } ++
     OraclePins.kmeansDba.map { case (l, c) =>
