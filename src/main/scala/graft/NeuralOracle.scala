@@ -314,6 +314,267 @@ object NeuralOracle {
        |CROSS JOIN (SELECT unnest(generate_series(1, $h)) AS step) st""".stripMargin
   }
 
+  // ==================== transformer forecasters ======================
+
+  /** Generate the post-norm encoder stack over token scalar columns
+    * `tokCols(t)(c)` in `inCte`; returns (outCte, outCols). Mirrors
+    * `Transformer.encode` term-for-term. The ONLY transcendental is
+    * softmax's exp (JVM/DuckDB agree to ≤1 ulp; the 6-decimal output
+    * rounding absorbs it — this oracle family is exact-to-rounding,
+    * not bit-exact). */
+  private def encoderSql(ctes: collection.mutable.ArrayBuffer[String],
+      enc: graft.kernels.Transformer.EncoderFit,
+      inCte: String, tokCols: Seq[Seq[String]],
+      tag: String): (String, Seq[Seq[String]]) = {
+    val t = tokCols.length
+    val d = tokCols.head.length
+    var cur = inCte
+    var cols = tokCols
+    enc.layers.zipWithIndex.foreach { case (l, li) =>
+      val p = s"${tag}l$li"
+      val dh = d / l.nHeads
+      def denseCols(name: String, dn: graft.kernels.Transformer.Dense,
+          in: Seq[Seq[String]], from: String): Seq[Seq[String]] = {
+        val out = (0 until t).map(ti => dn.w.indices.map(j => s"${name}_t${ti}_$j"))
+        ctes += s"$name AS (SELECT user_id, " +
+          (for (ti <- 0 until t; j <- dn.w.indices) yield {
+            val terms = dn.w(j).indices.map(i => s"${dlit(dn.w(j)(i))} * ${in(ti)(i)}")
+            s"${dlit(dn.b(j))} + ${terms.mkString(" + ")} AS ${out(ti)(j)}"
+          }).mkString(",\n  ") + s" FROM $from)"
+        out
+      }
+      // q/k/v are three parallel CTEs over the layer input; the score
+      // and attention CTEs join them on user_id
+      val qC = denseCols(s"${p}q", l.wq, cols, cur)
+      val kC = denseCols(s"${p}k", l.wk, cols, cur)
+      val vC = denseCols(s"${p}v", l.wv, cols, cur)
+      val sc = s"${p}s"
+      val sCols = Array.tabulate(l.nHeads, t, t)((h, i, j) => s"${sc}_h${h}_i${i}_j$j")
+      ctes += s"$sc AS (SELECT q.user_id, " +
+        (for (h <- 0 until l.nHeads; i <- 0 until t; j <- 0 until t) yield {
+          val off = h * dh
+          val dot = (0 until dh)
+            .map(c => s"q.${qC(i)(off + c)} * k.${kC(j)(off + c)}").mkString(" + ")
+          s"($dot) / sqrt(${dh.toDouble}) AS ${sCols(h)(i)(j)}"
+        }).mkString(",\n  ") +
+        s" FROM ${p}q q JOIN ${p}k k ON q.user_id = k.user_id)"
+      val sm = s"${p}p"
+      val pCols = Array.tabulate(l.nHeads, t, t)((h, i, j) => s"${sm}_h${h}_i${i}_j$j")
+      // softmax: exp(s − greatest(row))/rowsum — expand inline per cell
+      ctes += s"$sm AS (SELECT user_id, " +
+        (for (h <- 0 until l.nHeads; i <- 0 until t) yield {
+          val row = (0 until t).map(j => sCols(h)(i)(j))
+          val mx = s"greatest(${row.mkString(", ")})"
+          val exps = row.map(c => s"exp($c - $mx)")
+          val sum = exps.mkString(" + ")
+          (0 until t).map(j => s"${exps(j)} / ($sum) AS ${pCols(h)(i)(j)}").mkString(",\n  ")
+        }).mkString(",\n  ") + s" FROM $sc)"
+      val ao = s"${p}a"
+      val aCols = (0 until t).map(ti => (0 until d).map(c => s"${ao}_t${ti}_$c"))
+      ctes += s"$ao AS (SELECT p.user_id, " +
+        (for (ti <- 0 until t; c <- 0 until d) yield {
+          val h = c / dh
+          val terms = (0 until t).map(j => s"p.${pCols(h)(ti)(j)} * v.${vC(j)(c)}")
+          s"${terms.mkString(" + ")} AS ${aCols(ti)(c)}"
+        }).mkString(",\n  ") +
+        s" FROM $sm p JOIN ${p}v v ON p.user_id = v.user_id)"
+      val wo = denseCols(s"${p}o", l.wo, aCols, ao)
+      // residual 1 + layernorm 1
+      val (n1Cte, n1Cols) = layerNormSql(ctes, s"${p}n1",
+        (ti: Int, c: Int) => s"r.${cols(ti)(c)} + o.${wo(ti)(c)}",
+        s"$cur r JOIN ${p}o o ON r.user_id = o.user_id", t, d, l.ln1g, l.ln1b)
+      // FFN
+      val f1 = denseCols(s"${p}f1", l.ff1, n1Cols, n1Cte)
+      val rl = s"${p}rl"
+      val rlCols = (0 until t).map(ti => l.ff1.w.indices.map(j => s"${rl}_t${ti}_$j"))
+      ctes += s"$rl AS (SELECT user_id, " +
+        (for (ti <- 0 until t; j <- l.ff1.w.indices) yield
+          s"CASE WHEN ${f1(ti)(j)} > 0.0 THEN ${f1(ti)(j)} ELSE 0.0 END AS ${rlCols(ti)(j)}")
+          .mkString(", ") + s" FROM ${p}f1)"
+      val f2 = denseCols(s"${p}f2", l.ff2, rlCols, rl)
+      val (n2Cte, n2Cols) = layerNormSql(ctes, s"${p}n2",
+        (ti: Int, c: Int) => s"r.${n1Cols(ti)(c)} + o.${f2(ti)(c)}",
+        s"$n1Cte r JOIN ${p}f2 o ON r.user_id = o.user_id", t, d, l.ln2g, l.ln2b)
+      cur = n2Cte
+      cols = n2Cols
+    }
+    (cur, cols)
+  }
+
+  /** residual-sum → per-token mean/var → normalized affine, in three
+    * chained CTEs (matches Transformer.layerNorm's accumulation). */
+  private def layerNormSql(ctes: collection.mutable.ArrayBuffer[String],
+      p: String, sumExpr: (Int, Int) => String, from: String, t: Int, d: Int,
+      g: Array[Double], b: Array[Double]): (String, Seq[Seq[String]]) = {
+    val rCols = (0 until t).map(ti => (0 until d).map(c => s"${p}r_t${ti}_$c"))
+    ctes += s"${p}r AS (SELECT r.user_id, " +
+      (for (ti <- 0 until t; c <- 0 until d) yield
+        s"${sumExpr(ti, c)} AS ${rCols(ti)(c)}").mkString(",\n  ") + s" FROM $from)"
+    val mCols = (0 until t).map(ti => s"${p}m_t$ti")
+    val vCols = (0 until t).map(ti => s"${p}v_t$ti")
+    ctes += s"${p}m AS (SELECT user_id, " +
+      ((0 until t).map { ti =>
+        s"(${rCols(ti).mkString(" + ")}) / ${d.toDouble} AS ${mCols(ti)}"
+      } ++ (0 until t).map { ti => s"${rCols(ti).mkString(", ")}" })
+        .mkString(", ") + s" FROM ${p}r)"
+    ctes += s"${p}v AS (SELECT user_id, ${(0 until t).flatMap(ti => rCols(ti)).mkString(", ")}, ${mCols.mkString(", ")}, " +
+      (0 until t).map { ti =>
+        val sq = rCols(ti).map(c => s"($c - ${mCols(ti)}) * ($c - ${mCols(ti)})")
+        s"(${sq.mkString(" + ")}) / ${d.toDouble} AS ${vCols(ti)}"
+      }.mkString(",\n  ") + s" FROM ${p}m)"
+    val nCols = (0 until t).map(ti => (0 until d).map(c => s"${p}n_t${ti}_$c"))
+    ctes += s"${p}n AS (SELECT user_id, " +
+      (for (ti <- 0 until t; c <- 0 until d) yield
+        s"(${rCols(ti)(c)} - ${mCols(ti)}) / sqrt(${vCols(ti)} + 1e-05) " +
+          s"* ${dlit(g(c))} + ${dlit(b(c))} AS ${nCols(ti)(c)}")
+        .mkString(",\n  ") + s" FROM ${p}v)"
+    (s"${p}n", nCols)
+  }
+
+  /** PatchTST replay (Transformer.patchForward): context → patch
+    * projection + positional embedding → encoder → flatten → head →
+    * denormalize, rounded 6dp + 1e-9, on the future-date scaffold.
+    * Output: (user_id, step, ts, y_hat). */
+  def patchTstSql(fit: graft.kernels.Transformer.PatchFit): String = {
+    val in = fit.inputSize; val h = fit.h; val pl = fit.patchLen
+    val nP = in / pl
+    val d = fit.proj.w.length
+    val ctes = collection.mutable.ArrayBuffer.empty[String]
+    ctes += "s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs" +
+      " FROM events GROUP BY user_id)"
+    ctes += """meta AS (SELECT user_id, max(us) AS last_us, min(us - lus) AS freq FROM
+      |  (SELECT user_id, epoch_us(ts) AS us,
+      |     lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lus
+      |   FROM events) GROUP BY user_id)""".stripMargin
+    ctes += s"ctx AS (SELECT user_id, " + (0 until in).map { i =>
+      val p = i + 1
+      s"""(CASE WHEN len(vs) >= $in THEN vs[len(vs) - $in + $p]
+         | WHEN $p <= $in - len(vs) THEN 0.0
+         | ELSE vs[$p - ($in - len(vs))] END - ${dlit(fit.mean)}) / ${dlit(fit.std)} AS x$i"""
+        .stripMargin.replaceAll("\n", "")
+    }.mkString(",\n  ") + " FROM s)"
+    // tokens: dense(proj, patch) + posEmbed (pos term LAST, matching
+    // `dense(...) then + pos` in patchForward)
+    val tokCols = (0 until nP).map(t => (0 until d).map(c => s"tok_t${t}_$c"))
+    ctes += "tok AS (SELECT user_id, " +
+      (for (t <- 0 until nP; c <- 0 until d) yield {
+        val terms = (0 until pl).map(i =>
+          s"${dlit(fit.proj.w(c)(i))} * x${t * pl + i}")
+        s"${dlit(fit.proj.b(c))} + ${terms.mkString(" + ")} + " +
+          s"${dlit(fit.enc.posEmbed(t)(c))} AS ${tokCols(t)(c)}"
+      }).mkString(",\n  ") + " FROM ctx)"
+    val (encCte, encCols) = encoderSql(ctes, fit.enc, "tok", tokCols, "e")
+    // head over the row-major flatten, denormalized
+    val fCols = (0 until h).map { j =>
+      val terms = (0 until nP * d).map { i =>
+        val t = i / d; val c = i % d
+        s"${dlit(fit.head.w(j)(i))} * ${encCols(t)(c)}"
+      }
+      s"round((${dlit(fit.head.b(j))} + ${terms.mkString(" + ")}) * " +
+        s"${dlit(fit.std)} + ${dlit(fit.mean)} + 1e-9, 6) AS f$j"
+    }
+    ctes += s"fcast AS (SELECT user_id, ${fCols.mkString(",\n  ")} FROM $encCte)"
+    val stepCase = "CASE st.step " +
+      (0 until h).map(i => s"WHEN ${i + 1} THEN f$i").mkString(" ") + " END"
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT f.user_id, st.step,
+       |  make_timestamp(m.last_us + st.step * m.freq) AS ts,
+       |  $stepCase AS y_hat
+       |FROM fcast f JOIN meta m ON f.user_id = m.user_id
+       |CROSS JOIN (SELECT unnest(generate_series(1, $h)) AS step) st""".stripMargin
+  }
+
+  /** MultivariatePatchTST / iTransformer replay
+    * (Transformer.mvForward): hourly event_type pivot (the only
+    * engine-divergent step — Spark and DuckDB sum `avg` in different
+    * orders, ~1e-16 relative on the inputs, absorbed by the 6-decimal
+    * output rounding), leading-zero-padded per-variable normalization,
+    * kind-specific tokenization, shared encoder replay, per-variable
+    * head + denormalization. Output:
+    * (user_id='events', step, ts, <var>_hat...). */
+  def mvTransformerSql(fit: graft.kernels.Transformer.MvFit,
+      names: Array[String]): String = {
+    val in = fit.inputSize; val h = fit.h; val v = fit.nVars
+    val d = fit.proj.w.length
+    val ctes = collection.mutable.ArrayBuffer.empty[String]
+    ctes += "w AS (SELECT 'events' AS user_id, date_trunc('hour', ts) AS hh, " +
+      names.zipWithIndex.map { case (n, i) =>
+        s"coalesce(avg(value) FILTER (WHERE event_type = '$n'), 0.0) AS v$i"
+      }.mkString(", ") + " FROM events WHERE event_type IN (" +
+      names.map(n => s"'$n'").mkString(", ") + ") GROUP BY 1, 2)"
+    ctes += s"l AS (SELECT user_id, " +
+      names.indices.map(i => s"list(v$i ORDER BY hh) AS s$i").mkString(", ") +
+      ", list(epoch_us(hh) ORDER BY hh) AS hs FROM w GROUP BY user_id)"
+    ctes += """meta AS (SELECT user_id, hs[len(hs)] AS last_us,
+      |  list_min(list_transform(generate_series(2, len(hs)), i ->
+      |    hs[i::INT] - hs[i::INT - 1])) AS freq FROM l)""".stripMargin
+    // normalized context: x_{row}_{var}, leading-zero rows for short data
+    ctes += "ctx AS (SELECT user_id, " +
+      (for (r <- 0 until in; vi <- 0 until v) yield {
+        val p = r + 1
+        s"""(CASE WHEN len(s$vi) >= $in THEN s$vi[len(s$vi) - $in + $p]
+           | WHEN $p <= $in - len(s$vi) THEN 0.0
+           | ELSE s$vi[$p - ($in - len(s$vi))] END - ${dlit(fit.mean(vi))}) / ${dlit(fit.std(vi))} AS x_${r}_$vi"""
+          .stripMargin.replaceAll("\n", "")
+      }).mkString(",\n  ") + " FROM l)"
+    // tokens per kind (posEmbed term last, as in mvTokens)
+    val nP = fit.enc.posEmbed.length
+    val tokCols = (0 until nP).map(t => (0 until d).map(c => s"tok_t${t}_$c"))
+    val tokExprs = fit.kind match {
+      case "mvpatch" =>
+        val pl = fit.patchLen
+        val start = in - nP * pl
+        for (t <- 0 until nP; c <- 0 until d) yield {
+          val terms = (0 until pl * v).map { i =>
+            val r = i / v; val vi = i % v
+            s"${dlit(fit.proj.w(c)(i))} * x_${start + t * pl + r}_$vi"
+          }
+          s"${dlit(fit.proj.b(c))} + ${terms.mkString(" + ")} + " +
+            s"${dlit(fit.enc.posEmbed(t)(c))} AS ${tokCols(t)(c)}"
+        }
+      case _ =>
+        for (t <- 0 until nP; c <- 0 until d) yield {
+          val terms = (0 until in).map(r =>
+            s"${dlit(fit.proj.w(c)(r))} * x_${r}_$t")
+          s"${dlit(fit.proj.b(c))} + ${terms.mkString(" + ")} + " +
+            s"${dlit(fit.enc.posEmbed(t)(c))} AS ${tokCols(t)(c)}"
+        }
+    }
+    ctes += s"tok AS (SELECT user_id, ${tokExprs.mkString(",\n  ")} FROM ctx)"
+    val (encCte, encCols) = encoderSql(ctes, fit.enc, "tok", tokCols, "e")
+    // head + denorm per (step, var)
+    val outExprs = fit.kind match {
+      case "mvpatch" =>
+        for (t <- 0 until h; vi <- 0 until v) yield {
+          val o = t * v + vi
+          val terms = (0 until nP * d).map { i =>
+            s"${dlit(fit.head.w(o)(i))} * ${encCols(i / d)(i % d)}"
+          }
+          s"round((${dlit(fit.head.b(o))} + ${terms.mkString(" + ")}) * " +
+            s"${dlit(fit.std(vi))} + ${dlit(fit.mean(vi))} + 1e-9, 6) AS f_${t}_$vi"
+        }
+      case _ =>
+        for (t <- 0 until h; vi <- 0 until v) yield {
+          val terms = (0 until d).map(c =>
+            s"${dlit(fit.head.w(t)(c))} * ${encCols(vi)(c)}")
+          s"round((${dlit(fit.head.b(t))} + ${terms.mkString(" + ")}) * " +
+            s"${dlit(fit.std(vi))} + ${dlit(fit.mean(vi))} + 1e-9, 6) AS f_${t}_$vi"
+        }
+    }
+    ctes += s"fcast AS (SELECT user_id, ${outExprs.mkString(",\n  ")} FROM $encCte)"
+    val varCols = names.zipWithIndex.map { case (n, vi) =>
+      "CASE st.step " +
+        (0 until h).map(t => s"WHEN ${t + 1} THEN f_${t}_$vi").mkString(" ") +
+        s" END AS ${n}_hat"
+    }
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT f.user_id, st.step,
+       |  make_timestamp(m.last_us + st.step * m.freq) AS ts,
+       |  ${varCols.mkString(",\n  ")}
+       |FROM fcast f JOIN meta m ON f.user_id = m.user_id
+       |CROSS JOIN (SELECT unnest(generate_series(1, $h)) AS step) st""".stripMargin
+  }
+
   /** Vision-embedding replay (ops.VisionEmbed.forward): z-norm →
     * recurrence plot → counter-seeded 3×3 conv bank (out-of-bounds taps
     * contribute exact zero) → ReLU → quadrant means (flat-index-ascending

@@ -111,6 +111,11 @@ object OraclePins {
   /** N-BEATS global-model fits for ts_nbeats_fc / ts_nbeats_generic_fc. */
   @volatile var nbeatsInterp: Option[graft.kernels.NBeats.Fit] = None
   @volatile var nbeatsGeneric: Option[graft.kernels.NBeats.Fit] = None
+  /** PatchTST global-model fit for ts_patchtst_fc. */
+  @volatile var patchTst: Option[graft.kernels.Transformer.PatchFit] = None
+  /** (var names, fit) for ts_mvpatchtst_fc / ts_itransformer_fc. */
+  @volatile var mvPatch: Option[(Array[String], graft.kernels.Transformer.MvFit)] = None
+  @volatile var iTrans: Option[(Array[String], graft.kernels.Transformer.MvFit)] = None
 
   /** ts_iforest query parameters (shared with SparkEntry so the pinned
     * forest and the query's forest cannot drift). Smaller than the op
@@ -140,6 +145,19 @@ object OraclePins {
   val NbeatsGenericCfg = graft.kernels.NBeats.Cfg(h = 6, inputSize = 24,
     hiddenSize = 16, nBlocks = 1, stackTypes = Seq("generic", "generic"),
     maxEpochs = 10)
+  /** PatchTST: d_model 8 / 1 layer / 8 epochs (reference defaults are
+    * d_model 64 / 2 layers / 100 epochs) — full architecture shape,
+    * bounded fit time and replay-SQL size. */
+  val PatchTstCfg = graft.kernels.Transformer.PatchCfg(h = 6, inputSize = 32,
+    patchLen = 8, dModel = 8, nHeads = 2, nLayers = 1, maxEpochs = 8)
+  /** Multivariate transformers over the global hourly event_type pivot,
+    * restricted to 3 of the 5 types (the NmSubsetUsers discipline:
+    * V = 5 pushed the MV replay's DuckDB PLANNING time past the
+    * per-query budget — ~330 KB of generated expressions; V = 3 halves
+    * the tree). */
+  val MvCfgPin = graft.kernels.Transformer.MvCfg(h = 6, inputSize = 32,
+    patchLen = 8, dModel = 8, nHeads = 2, nLayers = 1, maxEpochs = 15)
+  val MvTypes = Seq("click", "error", "purchase")
 
   /** Per-pin isolation: one fit blowing up must not zero every OTHER
     * pinned oracle's correctness row — the failed pin's oracles fall
@@ -389,6 +407,17 @@ object OraclePins {
       val xs = graft.ops.DeepClustering.collectSeries(ev).map(_._2)
       nbeatsInterp = Some(graft.kernels.NBeats.fit(xs, NbeatsInterpCfg))
       nbeatsGeneric = Some(graft.kernels.NBeats.fit(xs, NbeatsGenericCfg))
+      pin("patchTst") {
+        patchTst = Some(graft.kernels.Transformer.patchFit(xs, PatchTstCfg))
+      }
+    }
+    pin("mvTransformers") {
+      val (names, mat, _) = graft.ops.DeepForecast.mvSeries(
+        ev.filter(col("event_type").isin(MvTypes: _*)))
+      mvPatch = Some((names,
+        graft.kernels.Transformer.mvFit(Seq(mat), MvCfgPin, "mvpatch")))
+      iTrans = Some((names,
+        graft.kernels.Transformer.mvFit(Seq(mat), MvCfgPin, "itransformer")))
     }
     pin("cnnClassifiers") {
       val rkLabels = ev.select(col("user_id")).distinct()

@@ -906,6 +906,22 @@ object SparkEntry {
     "ts_nbeats_generic_fc" -> ((s, dir) =>
       DeepForecast.nbeatsForecast(IO.events(s, dir), OraclePins.NbeatsGenericCfg)),
 
+    // PatchTST patch-transformer global forecaster (dl/patchtst.py)
+    "ts_patchtst_fc" -> ((s, dir) =>
+      DeepForecast.patchTstForecast(IO.events(s, dir), OraclePins.PatchTstCfg)),
+
+    // multivariate transformers over the hourly event_type pivot
+    // (dl/multivariate.py): channel-mixing PatchTST + iTransformer
+    "ts_mvpatchtst_fc" -> ((s, dir) =>
+      DeepForecast.mvPatchTstForecast(
+        IO.events(s, dir).filter(col("event_type").isin(OraclePins.MvTypes: _*)),
+        OraclePins.MvCfgPin)),
+
+    "ts_itransformer_fc" -> ((s, dir) =>
+      DeepForecast.iTransformerForecast(
+        IO.events(s, dir).filter(col("event_type").isin(OraclePins.MvTypes: _*)),
+        OraclePins.MvCfgPin)),
+
     // RL forecast environment (adapters/rl_env.py): real reset/step
     // episode per series, forecast-following policy, naive forecasts —
     // the oracle replays the closed-form reward stream
@@ -2407,6 +2423,12 @@ object SparkEntry {
       "ts_nbeats_fc" -> NeuralOracle.nbeatsSql(f)) ++
     OraclePins.nbeatsGeneric.map(f =>
       "ts_nbeats_generic_fc" -> NeuralOracle.nbeatsSql(f)) ++
+    OraclePins.patchTst.map(f =>
+      "ts_patchtst_fc" -> NeuralOracle.patchTstSql(f)) ++
+    OraclePins.mvPatch.map { case (n, f) =>
+      "ts_mvpatchtst_fc" -> NeuralOracle.mvTransformerSql(f, n) } ++
+    OraclePins.iTrans.map { case (n, f) =>
+      "ts_itransformer_fc" -> NeuralOracle.mvTransformerSql(f, n) } ++
     Map("ts_vision_embed" -> NeuralOracle.visionEmbedSql(
       ops.VisionEmbed.DefaultFilters, ops.VisionEmbed.DefaultEmbDim,
       ops.VisionEmbed.DefaultEps, 42L)) ++

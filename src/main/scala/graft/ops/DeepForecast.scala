@@ -32,11 +32,86 @@ object DeepForecast {
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(fit)
     val fcUdf = udf((ys: Seq[Double]) => NBeats.forward(bc.value, ys.toArray).toSeq)
+    stepScaffold(df, fit.h, fcUdf)
+  }
+
+  private def stepScaffold(df: DataFrame, h: Int,
+      fcUdf: org.apache.spark.sql.expressions.UserDefinedFunction)(
+      implicit pc: PanelCols): DataFrame = {
     val fc = Panel.grouped(df).select(pc.idCol.as(pc.id), col("ys"))
       .select(col(pc.id), posexplode(fcUdf(col("ys"))).as(Seq("__p", "__v")))
       .select(col(pc.id), (col("__p") + 1).cast("long").as("step"),
         round(col("__v") + lit(1e-9), 6).as("y_hat"))
-    Panel.futureDates(df, fit.h).join(fc, Seq(pc.id, "step"))
+    Panel.futureDates(df, h).join(fc, Seq(pc.id, "step"))
       .select(pc.idCol, col("step"), col(pc.time), col("y_hat"))
   }
+
+  /** PatchTST fit + distributed forecast (reference dl/patchtst.py:
+    * 104-266): same global-model regime and output scaffold as
+    * [[nbeatsForecastFull]]. */
+  def patchTstForecastFull(df: DataFrame, cfg: graft.kernels.Transformer.PatchCfg)(
+      implicit pc: PanelCols): (DataFrame, graft.kernels.Transformer.PatchFit) = {
+    val fit = graft.kernels.Transformer.patchFit(
+      DeepClustering.collectSeries(df).map(_._2), cfg)
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(fit)
+    val fcUdf = udf((ys: Seq[Double]) =>
+      graft.kernels.Transformer.patchForward(bc.value, ys.toArray).toSeq)
+    (stepScaffold(df, fit.h, fcUdf), fit)
+  }
+
+  def patchTstForecast(df: DataFrame, cfg: graft.kernels.Transformer.PatchCfg)(
+      implicit pc: PanelCols): DataFrame = patchTstForecastFull(df, cfg)._1
+
+  /** Global hourly multivariate series: pivot `event_type` → one
+    * (nHours, V) matrix with sorted variable names and hour epochs. The
+    * pivot aggregation is fully distributed; only the tiny pivoted
+    * series (≤ hours × V doubles) reaches the driver. */
+  def mvSeries(df: DataFrame)(implicit pc: PanelCols)
+      : (Array[String], Array[Array[Double]], Array[Long]) = {
+    val wide = df.groupBy(date_trunc("hour", pc.timeCol).as("__hh"))
+      .pivot("event_type").agg(avg(pc.targetCol)).na.fill(0.0)
+    val names = wide.columns.filter(_ != "__hh").sorted
+    val rows = wide.orderBy(col("__hh"))
+      .select(unix_micros(col("__hh").cast("timestamp")).as("__us") +:
+        names.map(n => col(n).cast("double")): _*)
+      .collect()
+    val mat = rows.map(r => Array.tabulate(names.length)(v => r.getDouble(v + 1)))
+    val us = rows.map(_.getLong(0))
+    (names, mat, us)
+  }
+
+  /** Multivariate transformer forecast (reference dl/multivariate.py:
+    * 250-523): kind ∈ {"mvpatch", "itransformer"}. One global series →
+    * h rows of per-variable forecasts `[user_id='events', step, ts,
+    * <var>_hat...]`. */
+  def mvTransformerForecastFull(df: DataFrame,
+      cfg: graft.kernels.Transformer.MvCfg, kind: String)(implicit pc: PanelCols)
+      : (DataFrame, graft.kernels.Transformer.MvFit, Array[String]) = {
+    val spark = df.sparkSession
+    val (names, mat, us) = mvSeries(df)
+    val fit = graft.kernels.Transformer.mvFit(Seq(mat), cfg, kind)
+    val fc = graft.kernels.Transformer.mvForward(fit, mat)
+    val lastUs = us.max
+    val freq = us.sorted.sliding(2).map(p => p(1) - p(0)).min
+    import spark.implicits._
+    val rows = (1 to fit.h).map(step =>
+      (("events", step.toLong, lastUs + step * freq), fc(step - 1)))
+    val base = rows.map { case ((id, step, t), vs) => (id, step, t, vs.toSeq) }
+      .toDF(pc.id, "step", "__us", "__vs")
+    val out = base.select(col(pc.id) +: col("step") +:
+      timestamp_micros(col("__us")).cast("timestamp_ntz").as(pc.time) +:
+      names.zipWithIndex.map { case (n, v) =>
+        round(element_at(col("__vs"), v + 1) + lit(1e-9), 6).as(s"${n}_hat")
+      }: _*)
+    (out, fit, names)
+  }
+
+  def mvPatchTstForecast(df: DataFrame, cfg: graft.kernels.Transformer.MvCfg)(
+      implicit pc: PanelCols): DataFrame =
+    mvTransformerForecastFull(df, cfg, "mvpatch")._1
+
+  def iTransformerForecast(df: DataFrame, cfg: graft.kernels.Transformer.MvCfg)(
+      implicit pc: PanelCols): DataFrame =
+    mvTransformerForecastFull(df, cfg, "itransformer")._1
 }
