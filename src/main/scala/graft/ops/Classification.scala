@@ -124,10 +124,9 @@ object Classification {
       .join(labels.select(pc.idCol.cast("string").as("__ids"),
         col("label").cast("string").as("__label")),
         col("__nid").cast("string") === col("__ids"))
-    val capped =
-      if (g.count() <= cap) g
-      else g.orderBy(xxhash64(col("__nid").cast("string")), col("__nid")).limit(cap)
-    capped.orderBy(col("__nid"))
+    // unconditional hash-ordered top-K — no count() pre-pass
+    g.orderBy(xxhash64(col("__nid").cast("string")), col("__nid")).limit(cap)
+      .orderBy(col("__nid"))
       .select(col("__nid").cast("string"), col("ys"), col("__label"))
       .collect().toSeq
       .map(r => (r.getString(0), r.getSeq[Double](1).toArray, r.getString(2)))

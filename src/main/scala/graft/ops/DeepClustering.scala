@@ -27,12 +27,13 @@ object DeepClustering {
     * partitioning, reproducible across engines). */
   def collectSeries(df: DataFrame, cap: Int = 2048)(
       implicit pc: PanelCols): Seq[(String, Array[Double])] = {
-    val g = Panel.grouped(df)
+    // unconditional hash-ordered top-K: one TakeOrdered job (no count
+    // pre-pass — the Distances.pairwise nSeriesHint lesson); identical
+    // membership to an explicit n ≤ cap branch
+    Panel.grouped(df)
       .select(pc.idCol.cast("string").as("__id"), col("ys"))
-    val capped =
-      if (g.count() <= cap) g
-      else g.orderBy(xxhash64(col("__id")), col("__id")).limit(cap)
-    capped.collect().toSeq
+      .orderBy(xxhash64(col("__id")), col("__id")).limit(cap)
+      .collect().toSeq
       .map(r => (r.getString(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
   }

@@ -196,6 +196,39 @@ object StreamingOps {
         })
   }
 
+  case class NeuralFcOutput(uniqueId: String, ts: Timestamp,
+      forecast: Array[Double])
+
+  /** Streaming N-BEATS inference: the offline-trained global model is
+    * shipped into the closure (broadcast by Spark's task serialization)
+    * and each key keeps only the last `fit.inputSize` values — O(input)
+    * state per key at ANY corpus size, because `NBeats.forward` only
+    * ever reads that tail (`NBeats.context`). Every arrival emits the
+    * refreshed h-step forecast. Inference-only: the fit happens offline
+    * on pooled windows (the global-model serving split). Stream output
+    * is provably equal to the batch forward on each prefix — the tail
+    * buffer loses nothing — which StreamingNeuralSpec pins under
+    * micro-batch splits. */
+  def streamingNeuralForecast(input: Dataset[Obs], fit: graft.kernels.NBeats.Fit)
+      : Dataset[NeuralFcOutput] = {
+    import input.sparkSession.implicits._
+    input.groupByKey(_.uniqueId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (id: String, rows: Iterator[Obs], state: GroupState[WindowState]) => {
+          var s = state.getOption.getOrElse(WindowState(Array.empty, Long.MinValue))
+          val out = rows.toSeq.sortBy(o => (o.ts.getTime, o.tie)).map { o =>
+            val appended = s.values :+ o.y
+            val kept =
+              if (appended.length > fit.inputSize) appended.takeRight(fit.inputSize)
+              else appended
+            s = WindowState(kept, o.ts.getTime)
+            NeuralFcOutput(id, o.ts, graft.kernels.NBeats.forward(fit, kept))
+          }
+          state.update(s)
+          out.iterator
+        })
+  }
+
   case class FeatureRow(uniqueId: String, ts: Timestamp, y: Double,
       features: Array[Double])
 
