@@ -27,7 +27,7 @@ object DeepForecast {
 
   /** Broadcast-fit per-series forward: context window → h forecasts,
     * joined to the future-date scaffold. */
-  private[ops] def forecastWith(df: DataFrame, fit: NBeats.Fit)(
+  private[graft] def forecastWith(df: DataFrame, fit: NBeats.Fit)(
       implicit pc: PanelCols): DataFrame = {
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(fit)

@@ -101,6 +101,26 @@ object PlanAudit {
     audit("temperature sample (expect broadcast plan join + group rank)",
       Sampling.temperatureSample(IO.documents(spark, dir), "source",
         "doc_id", budget = 300, alpha = 0.5))
+    // round-8 neural tier: fit on driver, inference must stay a single
+    // grouped exchange + broadcast-weights narrow map
+    audit("neural DEC assignment (expect 1 grouped exchange, broadcast spec)", {
+      val fit = graft.kernels.DeepModels.decFit(
+        DeepClustering.collectSeries(ev, cap = 64).map(_._2),
+        graft.kernels.DeepModels.DeepCfg(k = 2, embeddingDim = 3, nFilters = 2,
+          pretrainEpochs = 2, finetuneEpochs = 1), idec = false)
+      DeepClustering.assign(ev, fit)
+    })
+    audit("vision embed (expect 1 grouped exchange, narrow conv map)",
+      VisionEmbed.visionEmbeddings(ev))
+    audit("nbeats forecast (expect grouped panel + scaffold join, no driver loop)", {
+      val fit = graft.kernels.NBeats.fit(
+        DeepClustering.collectSeries(ev, cap = 64).map(_._2),
+        graft.kernels.NBeats.Cfg(h = 3, inputSize = 12, hiddenSize = 8,
+          nBlocks = 1, stackTypes = Seq("generic"), maxEpochs = 2))
+      DeepForecast.forecastWith(ev, fit)
+    })
+    audit("rl rollout (expect 1 grouped exchange, per-series episode map)",
+      Adapters.rolloutNaive(ev))
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(s"\nPLAN AUDIT FAILED — zero whole-stage codegen " +
