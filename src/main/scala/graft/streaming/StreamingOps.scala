@@ -210,7 +210,23 @@ object StreamingOps {
     * buffer loses nothing — which StreamingNeuralSpec pins under
     * micro-batch splits. */
   def streamingNeuralForecast(input: Dataset[Obs], fit: graft.kernels.NBeats.Fit)
-      : Dataset[NeuralFcOutput] = {
+      : Dataset[NeuralFcOutput] =
+    streamingModelForecast(input, fit.inputSize,
+      ys => graft.kernels.NBeats.forward(fit, ys))
+
+  /** PatchTST twin of [[streamingNeuralForecast]] — same bounded-tail
+    * state, transformer forward. */
+  def streamingPatchTstForecast(input: Dataset[Obs],
+      fit: graft.kernels.Transformer.PatchFit): Dataset[NeuralFcOutput] =
+    streamingModelForecast(input, fit.inputSize,
+      ys => graft.kernels.Transformer.patchForward(fit, ys))
+
+  /** Generic bounded-tail streaming inference: keep the last `inputSize`
+    * values per key (all any context-window forward ever reads), emit
+    * `forward(tail)` per arrival. `forward` must be serializable
+    * (broadcast weights captured in the closure). */
+  def streamingModelForecast(input: Dataset[Obs], inputSize: Int,
+      forward: Array[Double] => Array[Double]): Dataset[NeuralFcOutput] = {
     import input.sparkSession.implicits._
     input.groupByKey(_.uniqueId)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
@@ -219,10 +235,10 @@ object StreamingOps {
           val out = rows.toSeq.sortBy(o => (o.ts.getTime, o.tie)).map { o =>
             val appended = s.values :+ o.y
             val kept =
-              if (appended.length > fit.inputSize) appended.takeRight(fit.inputSize)
+              if (appended.length > inputSize) appended.takeRight(inputSize)
               else appended
             s = WindowState(kept, o.ts.getTime)
-            NeuralFcOutput(id, o.ts, graft.kernels.NBeats.forward(fit, kept))
+            NeuralFcOutput(id, o.ts, forward(kept))
           }
           state.update(s)
           out.iterator

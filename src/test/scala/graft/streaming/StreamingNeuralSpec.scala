@@ -59,4 +59,30 @@ class StreamingNeuralSpec extends AnyFunSuite {
       assert(streamed == batch, s"prefix $i diverged")
     }
   }
+
+  test("streaming PatchTST matches the batch transformer forward") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cfg = graft.kernels.Transformer.PatchCfg(h = 3, inputSize = 12,
+      patchLen = 4, dModel = 8, nHeads = 2, nLayers = 1, dropout = 0.0,
+      maxEpochs = 3)
+    val fit = graft.kernels.Transformer.patchFit((0 until 3).map(series(_, 30)), cfg)
+    val source = MemoryStream[Obs]
+    val out = StreamingOps.streamingPatchTstForecast(source.toDS(), fit)
+    val query = out.writeStream.format("memory").queryName("pt_fc")
+      .outputMode("append").start()
+    try {
+      val ys = series(0, 25)
+      source.addData((0 until 11).map(i => obs("p0", i, ys(i))): _*)
+      query.processAllAvailable()
+      source.addData((11 until 25).map(i => obs("p0", i, ys(i))): _*)
+      query.processAllAvailable()
+      val rows = spark.table("pt_fc").as[StreamingOps.NeuralFcOutput].collect()
+        .map(o => o.ts.getTime -> o.forecast.toSeq).toMap
+      (0 until 25).foreach { i =>
+        val batch = graft.kernels.Transformer.patchForward(fit, ys.take(i + 1)).toSeq
+        assert(rows(1704067200000L + i * 3600000L) == batch, s"prefix $i diverged")
+      }
+    } finally query.stop()
+  }
 }
