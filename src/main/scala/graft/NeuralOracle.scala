@@ -597,7 +597,10 @@ object NeuralOracle {
       s"""img AS (SELECT user_id, ll, list_transform(generate_series(0, ll*ll - 1), i ->
          |  CASE WHEN abs(za[(i // ll)::INT + 1] - za[(i % ll)::INT + 1]) <= ${dlit(eps)}
          |       THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) AS im FROM z)""".stripMargin
-    val convCols = conv.indices.map { f =>
+    // raw conv sums in one CTE, ReLU as a column map in the next — the
+    // inline-CASE version evaluated every 9-term sum twice (half the
+    // oracle's runtime was that duplication)
+    val convRawCols = conv.indices.map { f =>
       val terms = for (dr <- 0 until 3; dc <- 0 until 3) yield {
         val d0 = dr - 1; val d1 = dc - 1
         s"""CASE WHEN (i // ll) + ($d0) >= 0 AND (i // ll) + ($d0) < ll
@@ -606,9 +609,12 @@ object NeuralOracle {
            | ELSE 0.0 END""".stripMargin.replaceAll("\n", "")
       }
       s"list_transform(generate_series(0, ll*ll - 1), i -> " +
-        s"CASE WHEN ${terms.mkString(" + ")} > 0.0 THEN ${terms.mkString(" + ")} ELSE 0.0 END) AS cv$f"
+        s"${terms.mkString(" + ")}) AS cw$f"
     }
-    val cv = s"cv AS (SELECT user_id, ll, ${convCols.mkString(",\n  ")} FROM img)"
+    val cvRaw = s"cvr AS (SELECT user_id, ll, ${convRawCols.mkString(",\n  ")} FROM img)"
+    val cv = s"cv AS (SELECT user_id, ll, " + conv.indices.map(f =>
+      s"list_transform(cw$f, v -> CASE WHEN v > 0.0 THEN v ELSE 0.0 END) AS cv$f")
+      .mkString(", ") + " FROM cvr)"
     // quadrant means, flat scan with region mask (h = ll // 2)
     val featCols = for (f <- conv.indices; q <- 0 until 4) yield {
       val rCond = if (q < 2) "(i // ll) < h" else "(i // ll) >= h"
@@ -627,6 +633,7 @@ object NeuralOracle {
     }
     s"""WITH $zn,
        |$img,
+       |$cvRaw,
        |$cv,
        |$ft
        |SELECT user_id, ${embCols.mkString(",\n  ")} FROM ft""".stripMargin
