@@ -80,5 +80,18 @@ object syntax {
     def kmedoids(k: Int, metric: String = "dtw"): DataFrame =
       Clustering.kmedoids(df, k, metric)
     def kshape(k: Int): DataFrame = Clustering.kshapeCluster(df, k)
+
+    // neural tier (round 8): deep clustering + global deep forecasters
+    def decCluster(k: Int): DataFrame = DeepClustering.decCluster(df, k)
+    def idecCluster(k: Int): DataFrame = DeepClustering.idecCluster(df, k)
+    def contrastiveCluster(k: Int): DataFrame =
+      DeepClustering.contrastiveCluster(df, k)
+    def nbeats(h: Int, inputSize: Int = 36): DataFrame =
+      DeepForecast.nbeatsForecast(df,
+        graft.kernels.NBeats.Cfg(h = h, inputSize = inputSize))
+    def patchTst(h: Int, inputSize: Int = 64): DataFrame =
+      DeepForecast.patchTstForecast(df,
+        graft.kernels.Transformer.PatchCfg(h = h, inputSize = inputSize))
+    def visionEmbeddings(): DataFrame = VisionEmbed.visionEmbeddings(df)
   }
 }
