@@ -111,6 +111,23 @@ class TransformerSpec extends AnyFunSuite {
     }
   }
 
+  test("different seeds give different fits; invalid configs fail loudly") {
+    val xs = synth(4, 40)
+    val f1 = Transformer.patchFit(xs, cfg.copy(maxEpochs = 2))
+    val f2 = Transformer.patchFit(xs, cfg.copy(maxEpochs = 2, seed = 43L))
+    assert(!Transformer.patchForward(f1, xs.head)
+      .sameElements(Transformer.patchForward(f2, xs.head)))
+    // input_size not divisible by patch_len → loud failure (reference
+    // patchtst.py:47-49 raises the same)
+    intercept[IllegalArgumentException] {
+      Transformer.patchFit(xs, cfg.copy(inputSize = 15))
+    }
+    // series too short for any window → loud failure
+    intercept[IllegalArgumentException] {
+      Transformer.patchFit(Seq(Array(1.0, 2.0)), cfg)
+    }
+  }
+
   test("mvContext pads leading rows with zeros") {
     val short = Array(Array(1.0, 2.0), Array(3.0, 4.0))
     val c = Transformer.mvContext(short, 4, 2)
