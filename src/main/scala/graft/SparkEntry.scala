@@ -898,6 +898,21 @@ object SparkEntry {
     "ts_vision_embed" -> ((s, dir) =>
       VisionEmbed.visionEmbeddings(IO.events(s, dir))),
 
+    // production twins at fuller configs (rows-only by design, like the
+    // other _e2e twins: the pinned queries above keep the architecture
+    // shape but bound fit time + replay-SQL size; these prove the
+    // larger-capacity path runs end-to-end)
+    "ts_dec_e2e" -> ((s, dir) =>
+      DeepClustering.decCluster(IO.events(s, dir), k = 3,
+        graft.kernels.DeepModels.DeepCfg(k = 3, embeddingDim = 16,
+          nFilters = 8, pretrainEpochs = 15, finetuneEpochs = 8))),
+
+    "ts_patchtst_e2e" -> ((s, dir) =>
+      DeepForecast.patchTstForecast(IO.events(s, dir),
+        graft.kernels.Transformer.PatchCfg(h = 6, inputSize = 32,
+          patchLen = 8, dModel = 16, nHeads = 4, nLayers = 1,
+          maxEpochs = 15))),
+
     // N-BEATS global deep forecaster (dl/nbeats.py): interpretable
     // (trend + seasonality basis) and generic variants
     "ts_nbeats_fc" -> ((s, dir) =>
