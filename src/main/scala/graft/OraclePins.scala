@@ -76,6 +76,8 @@ object OraclePins {
   @volatile var ivfPq: Option[Array[Array[Array[Double]]]] = None
   /** Ranked BPE merge table for doc_bpe_tokens. */
   @volatile var bpe: Option[graft.ops.Bpe.Merges] = None
+  /** Hashed-n-gram logistic quality classifier for doc_quality_classifier. */
+  @volatile var textClassifier: Option[graft.ops.Selection.TextClassifierModel] = None
   /** CLARA winning medoid series ids (sorted-index cluster order) for
     * ts_clara. */
   @volatile var clara: Option[Array[String]] = None
@@ -246,6 +248,15 @@ object OraclePins {
     // fit — deterministic (hash-ordered sample, lexicographic tie-break)
     pin("bpe") {
       bpe = Some(graft.ops.Bpe.bpeFit(IO.documents(spark, sfDir)))
+    }
+    // round-9 quality classifier: the same lang-target logistic fit the
+    // doc_quality_classifier query consumes; weights pinned as literals,
+    // the oracle replays the entire hashed-gram scoring pass, and
+    // doc_classifier_refit_audit closes the circularity loop
+    pin("textClassifier") {
+      textClassifier = Some(graft.ops.Selection.textClassifierFit(
+        IO.documents(spark, sfDir), col("lang") === "en",
+        buckets = 64, sampleCap = 1000))
     }
     // PCA: same corpus + k as the emb_pca queries; the queries refit, so
     // the compare proves the distributed Gram reproduces this fit

@@ -226,6 +226,48 @@ object SparkEntry {
       Dedup.simhash(IO.documents(s, dir))
         .select("doc_id", "simhash")),
 
+    // ── round-9 data-selection tier ─────────────────────────────────────
+    // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    // models, target slice = English docs, raw = full corpus. No pinned
+    // state: the oracle replays BOTH bucket models from scratch.
+    "doc_dsir_weights" -> ((s, dir) =>
+      Selection.dsirWeights(IO.documents(s, dir), col("lang") === "en",
+        buckets = 64)
+        .select(col("doc_id"), col("n_grams"), r6n(col("log_w")).as("log_w"))),
+
+    // DSIR Gumbel top-k resample: deterministic FNV/fmix64 Gumbel keys,
+    // distributed TakeOrdered top-100
+    "doc_dsir_resample" -> ((s, dir) =>
+      Selection.dsirResample(IO.documents(s, dir), col("lang") === "en",
+        k = 100, buckets = 64)
+        .select(col("doc_id"), col("n_grams"),
+          r6n(col("log_w")).as("log_w"),
+          r6n(col("gumbel_key")).as("gumbel_key"))),
+
+    // fastText-style hashed-gram logistic quality score under the pinned
+    // fit (the oracle inlines the 64 weights and replays the full
+    // distributed scoring pass; the fit itself is audited below)
+    "doc_quality_classifier" -> ((s, dir) => {
+      val m = OraclePins.textClassifier.getOrElse(
+        Selection.textClassifierFit(IO.documents(s, dir),
+          col("lang") === "en", buckets = 64, sampleCap = 1000))
+      Selection.textClassifierScore(IO.documents(s, dir), m)
+        .select(col("doc_id"), col("n_grams"),
+          r6n(col("quality_prob")).as("quality_prob"))
+    }),
+
+    // refit-vs-pin audit (the emb_pca_var pattern): the deterministic
+    // logistic fit re-runs from scratch and must land on the pin exactly
+    "doc_classifier_refit_audit" -> ((s, dir) => {
+      val refit = Selection.textClassifierFit(IO.documents(s, dir),
+        col("lang") === "en", buckets = 64, sampleCap = 1000)
+      val pin = OraclePins.textClassifier.getOrElse(refit)
+      val diff = math.max(math.abs(refit.bias - pin.bias),
+        refit.weights.zip(pin.weights).map(t => math.abs(t._1 - t._2)).max)
+      import s.implicits._
+      Seq((refit.buckets, r6dbl(diff))).toDF("buckets", "max_abs_diff")
+    }),
+
     "emb_knn_brute" -> ((s, dir) => {
       val emb = IO.embeddings(s, dir)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 3)
@@ -2235,6 +2277,49 @@ object SparkEntry {
       .stripMargin.replace("\n", "")
   }
 
+  // ── round-9 data-selection oracle builders ───────────────────────────
+  // Hashed unigram+bigram gram rows over `documents`, mirroring
+  // Selection.bucketed: ws → unigrams ∪ bigrams → FNV bucket in
+  // [0, buckets). `t` = the DSIR target-slice flag (lang = 'en').
+  private def dsirGramCtes(buckets: Int): String =
+    s"""ws AS (SELECT doc_id, lang = 'en' AS t,
+       |  list_filter(string_split_regex(lower(text), '[^\\p{L}]+'),
+       |    w -> w <> '') AS ws FROM documents),
+       |g AS (
+       |  SELECT doc_id, t, unnest(ws) AS gram FROM ws
+       |  UNION ALL
+       |  SELECT doc_id, t, ws[i::INT] || ' ' || ws[(i + 1)::INT] AS gram
+       |  FROM ws, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS u(i)),
+       |gb AS (SELECT doc_id, t,
+       |  (((${fnvSql("gram")}) % $buckets) + $buckets) % $buckets AS b
+       |  FROM g)""".stripMargin
+
+  // Laplace-smoothed target/raw bucket models + per-doc importance
+  // log-weight sums (Selection.dsirWeights replay, no pinned state).
+  private def dsirModelCtes(buckets: Int): String =
+    s"""${dsirGramCtes(buckets)},
+       |counts AS (SELECT b, count(*) AS cr,
+       |  count(*) FILTER (WHERE t) AS ct FROM gb GROUP BY b),
+       |tot AS (SELECT sum(cr)::DOUBLE AS tr, sum(ct)::DOUBLE AS tt FROM counts),
+       |llr AS (SELECT b, ln((ct + 1.0) / (tt + $buckets)) -
+       |  ln((cr + 1.0) / (tr + $buckets)) AS llr FROM counts, tot),
+       |scored AS (SELECT doc_id, count(*)::BIGINT AS n_grams, sum(llr) AS lw
+       |  FROM gb JOIN llr USING (b) GROUP BY doc_id)""".stripMargin
+
+  /** doc_quality_classifier replay: pinned logistic weights inlined as a
+    * VALUES table; the whole distributed scoring pass re-runs in SQL. */
+  private def classifierScoreSql(m: Selection.TextClassifierModel): String = {
+    def d(v: Double): String = "%.17e".format(v)
+    val vals = m.weights.zipWithIndex
+      .map { case (w, i) => s"($i, ${d(w)}::DOUBLE)" }.mkString(", ")
+    s"""WITH wts(b, w) AS (VALUES $vals),
+       |${dsirGramCtes(m.buckets)}
+       |SELECT doc_id, count(*)::BIGINT AS n_grams,
+       |  round(1.0 / (1.0 + exp(-(sum(w) / count(*) + ${d(m.bias)}::DOUBLE)))
+       |    + 1e-9, 6) AS quality_prob
+       |FROM gb JOIN wts USING (b) GROUP BY doc_id""".stripMargin
+  }
+
   // Holt level/trend fold step (Ets.holt): state [level, trend], input [v, _].
   private val holtL = "0.3 * x[1] + (1.0::DOUBLE - 0.3) * (acc[1] + acc[2])"
 
@@ -2402,6 +2487,8 @@ object SparkEntry {
     (for { c <- OraclePins.ivfCenters; b <- OraclePins.ivfPq }
       yield "emb_knn_ivfpq" -> AnnOracle.ivfPqTopKSql(c, b, nprobe = 4, k = 3)) ++
     OraclePins.bpe.map(m => "doc_bpe_tokens" -> Bpe.tokensSql(m)) ++
+    OraclePins.textClassifier.map(m =>
+      "doc_quality_classifier" -> classifierScoreSql(m)) ++
     OraclePins.ivfCenters.map(c =>
       "emb_topic_assign" -> AnnOracle.topicAssignSql(c)) ++
     OraclePins.ivfCenters.map(c =>
@@ -3100,6 +3187,28 @@ object SparkEntry {
     "doc_simhash" ->
       s"""WITH ${simhashOracleCtes("documents")}
          |SELECT doc_id, simhash FROM sig""".stripMargin,
+
+    // DSIR weights: full two-model replay (target + raw bucket LMs),
+    // nothing pinned
+    "doc_dsir_weights" ->
+      s"""WITH ${dsirModelCtes(64)}
+         |SELECT doc_id, n_grams, round(lw + 1e-9, 6) AS log_w
+         |FROM scored""".stripMargin,
+
+    // DSIR Gumbel top-k: deterministic fmix64 uniform → Gumbel keys,
+    // ORDER BY key DESC LIMIT k mirrors Spark's TakeOrdered
+    "doc_dsir_resample" ->
+      s"""WITH ${dsirModelCtes(64)},
+         |keyed AS (SELECT doc_id, n_grams, lw,
+         |  lw - ln(-ln(${uniformSql("'dsir:' || doc_id::VARCHAR")})) AS gk
+         |  FROM scored)
+         |SELECT doc_id, n_grams, round(lw + 1e-9, 6) AS log_w,
+         |  round(gk + 1e-9, 6) AS gumbel_key
+         |FROM keyed ORDER BY gk DESC, doc_id LIMIT 100""".stripMargin,
+
+    // the deterministic logistic refit must reproduce the pin exactly
+    "doc_classifier_refit_audit" ->
+      "SELECT 64::INT AS buckets, 0.0::DOUBLE AS max_abs_diff",
 
     "doc_simhash_pairs" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents
