@@ -18,13 +18,40 @@ import org.apache.spark.sql.functions._
 object Decontam {
 
   /** All word `n`-grams of normalized text (lowercased, whitespace-split)
-    * as space-joined strings; empty array when the doc has < n words. */
+    * as space-joined strings; empty array when the doc has < n words.
+    *
+    * One tight per-document UDF pass, not a
+    * `transform(sequence, slice+concat_ws)` expression chain: Spark
+    * evaluates higher-order functions interpreted per element, and that
+    * chain was ~80% of the curation funnel's wall time (the
+    * minhashSigFromText lesson). Values are identical, so the gram-string
+    * oracles are unchanged. */
   def wordGrams(text: Column, n: Int): Column = {
-    val words = filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)
-    when(size(words) >= n,
-      transform(sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", slice(words, i + lit(1), lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    val u = udf((s: String) => {
+      if (s == null) Array.empty[String]
+      else {
+        val words = s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        if (words.length < n) Array.empty[String]
+        else {
+          val out = new Array[String](words.length - n + 1)
+          val sb = new java.lang.StringBuilder()
+          var i = 0
+          while (i < out.length) {
+            sb.setLength(0)
+            var j = 0
+            while (j < n) {
+              if (j > 0) sb.append(' ')
+              sb.append(words(i + j))
+              j += 1
+            }
+            out(i) = sb.toString
+            i += 1
+          }
+          out
+        }
+      }
+    })
+    u(text)
   }
 
   /** Per-training-doc count of distinct n-grams that also occur anywhere
