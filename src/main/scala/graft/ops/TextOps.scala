@@ -68,16 +68,39 @@ object TextOps {
 
   def languageId(df: DataFrame, textCol: String = "text",
       outCol: String = "lang_pred"): DataFrame = {
-    val words = split(lower(col(textCol)), "[^\\p{L}]+")
-    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      val hits = size(filter(words, w => markers.map(lit(_) === w).reduce(_ || _)))
-      struct(hits.as("hits"), lit(lang).as("lang"))
-    }
-    // array_max on (hits, lang) structs → lexicographic max = most hits,
-    // ties broken by language code; 'und' when zero hits.
-    val best = array_max(array(scored: _*))
-    df.withColumn(outCol,
-      when(best.getField("hits") > 0, best.getField("lang")).otherwise("und"))
+    // one tight pass per document (the per-language filter() HOF chain ran
+    // interpreted — the wordGrams lesson); semantics identical to
+    // lexicographic max over (hits, lang): most marker hits wins, ties
+    // break toward the larger language code, 'und' on zero hits
+    val langs = langMarkers.toSeq.sortBy(_._1)
+      .map { case (l, ms) => (l, ms.toSet) }.toArray
+    val u = udf((text: String) => {
+      if (text == null) "und"
+      else {
+        val words = text.toLowerCase.split("[^\\p{L}]+")
+        val hits = new Array[Int](langs.length)
+        var i = 0
+        while (i < words.length) {
+          val w = words(i)
+          if (w.nonEmpty) {
+            var j = 0
+            while (j < langs.length) {
+              if (langs(j)._2.contains(w)) hits(j) += 1
+              j += 1
+            }
+          }
+          i += 1
+        }
+        var bestJ = 0
+        var j = 1
+        while (j < langs.length) {
+          if (hits(j) >= hits(bestJ)) bestJ = j // ascending scan: ties → larger code
+          j += 1
+        }
+        if (hits(bestJ) > 0) langs(bestJ)._1 else "und"
+      }
+    })
+    df.withColumn(outCol, u(col(textCol)))
   }
 
   /** First-failing-gate curation verdict over the fused metric columns

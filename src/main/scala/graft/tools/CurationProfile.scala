@@ -45,6 +45,12 @@ object CurationProfile {
         joined.select(col("doc_id"), reason.as("reason"),
           (reason === "keep").as("keep"), col("split"))
       })),
+      "metrics_lang_only" -> (() =>
+        mat(TextOps.languageId(docs.drop("n_chars")))),
+      "metrics_pii_only" -> (() =>
+        mat(TextOps.piiMetrics(docs.drop("n_chars")))),
+      "metrics_rep_only" -> (() =>
+        mat(TextOps.repetitionMetrics(docs.drop("n_chars")))),
       "overlap_train_explode" -> (() => mat(
         docs.select(col("doc_id"), explode_outer(
           array_distinct(Decontam.wordGrams(col("text"), 5))).as("gram")))),
@@ -61,10 +67,37 @@ object CurationProfile {
         lazy val c = Similarity.ivfCentroids(emb)
         () => mat(Similarity.semDedup(emb, c, threshold = 0.95))
       },
+      "semdedup_pairs_only" -> {
+        lazy val c = Similarity.ivfCentroids(emb)
+        () => mat({
+          val bc = spark.sparkContext.broadcast(c)
+          val nearestCell = udf((v: Seq[Double]) => {
+            val cs = bc.value
+            var best = 0; var bd = Double.MaxValue
+            var ci = 0
+            while (ci < cs.length) {
+              var dd = 0.0; var j = 0
+              val cv = cs(ci)
+              while (j < cv.length && j < v.length) { val t = v(j) - cv(j); dd += t * t; j += 1 }
+              if (dd < bd) { bd = dd; best = ci }
+              ci += 1
+            }
+            best
+          })
+          val v = emb.select(col("vec_id").as("__id"),
+              col("embedding").cast("array<double>").as("__v"))
+            .withColumn("cell", nearestCell(col("__v")))
+          v.as("a").join(v.as("b"),
+            col("a.cell") === col("b.cell") && col("a.__id") < col("b.__id"))
+            .select(col("a.__id"), col("b.__id"))
+        })
+      },
       "minhash_signatures" -> (() =>
         mat(docs.select(col("doc_id"),
           Dedup.minhashSigFromText(col("text"), n = 5, k = 64).as("sig")))),
-      "minhash_full" -> (() => mat(Dedup.minhashLsh(docs, threshold = 0.5))))
+      "minhash_full" -> (() => mat(Dedup.minhashLsh(docs, threshold = 0.5))),
+      "minhash_no_valve" -> (() => mat(
+        Dedup.minhashLsh(docs, threshold = 0.5, maxBucketSize = None))))
 
     mat(docs.limit(100)) // warmup
     for ((name, run) <- stages) {
