@@ -268,6 +268,24 @@ object SparkEntry {
       Seq((refit.buckets, r6dbl(diff))).toDF("buckets", "max_abs_diff")
     }),
 
+    // RefinedWeb-style cross-corpus line dedup on a deterministically
+    // "lined" corpus (8-word chunks + boilerplate lines injected into
+    // doc_id%3 / doc_id%4 slices — the raw word-soup docs have no \n)
+    "doc_line_dedup" -> ((s, dir) => {
+      Dedup.lineDedup(linedDocs(IO.documents(s, dir)), minDocs = 2)
+        .select(col("doc_id"), col("n_lines"), col("n_removed"),
+          col("clean_text"))
+    }),
+
+    // CCNet perplexity filter, bigram Kneser-Ney edition: corpus-fit
+    // hashed-bigram KN model, per-doc perplexity, head/middle/tail
+    // tercile bucket from the binned histogram (no corpus-wide sort)
+    "doc_kn_perplexity" -> ((s, dir) =>
+      TextOps.knPerplexity(IO.documents(s, dir), buckets = 4096)
+        .select(col("doc_id"), col("n_bigrams"),
+          r6n(col("avg_logp")).as("avg_logp"),
+          r6n(col("ppl")).as("ppl"), col("bucket"))),
+
     "emb_knn_brute" -> ((s, dir) => {
       val emb = IO.embeddings(s, dir)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 3)
@@ -2277,6 +2295,37 @@ object SparkEntry {
       .stripMargin.replace("\n", "")
   }
 
+  /** Deterministic "lined" corpus for the line-dedup query: text rebuilt
+    * as 8-word chunk lines, with two boilerplate lines injected into the
+    * doc_id%3 and doc_id%4 slices (the synthetic docs carry no newlines
+    * of their own). Mirrored exactly by [[linedDocsSql]]. */
+  private def linedDocs(docs: DataFrame): DataFrame = {
+    val ws = filter(split(col("text"), "\\s+"), w => w =!= "")
+    val lastChunk = greatest(
+      floor((size(ws) - 1) / lit(8.0)).cast("int"), lit(0))
+    val chunks = transform(sequence(lit(0), lastChunk),
+      c => array_join(slice(ws, c * 8 + 1, lit(8)), " "))
+    docs.withColumn("text", concat_ws("\n",
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        lit("subscribe to our newsletter today")),
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        lit("all rights reserved worldwide")),
+      array_join(chunks, "\n")))
+  }
+
+  /** DuckDB twin of [[linedDocs]] — a `lined(doc_id, text)` CTE body. */
+  private def linedDocsSql: String =
+    s"""ws0 AS (SELECT doc_id,
+       |  list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+       |  FROM documents),
+       |lined AS (SELECT doc_id, concat_ws(chr(10),
+       |  CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter today' END,
+       |  CASE WHEN doc_id % 4 = 0 THEN 'all rights reserved worldwide' END,
+       |  array_to_string(list_transform(
+       |    generate_series(0, greatest(floor((len(ws) - 1) / 8.0)::INT, 0)),
+       |    c -> array_to_string(ws[(c * 8 + 1)::INT:(c * 8 + 8)::INT], ' ')),
+       |    chr(10))) AS text FROM ws0)""".stripMargin
+
   // ── round-9 data-selection oracle builders ───────────────────────────
   // Hashed unigram+bigram gram rows over `documents`, mirroring
   // Selection.bucketed: ws → unigrams ∪ bigrams → FNV bucket in
@@ -3209,6 +3258,65 @@ object SparkEntry {
     // the deterministic logistic refit must reproduce the pin exactly
     "doc_classifier_refit_audit" ->
       "SELECT 64::INT AS buckets, 0.0::DOUBLE AS max_abs_diff",
+
+    // RefinedWeb line dedup: full replay — lined-corpus reconstruction,
+    // cross-doc line document-frequency, drop lines in >= 2 distinct docs,
+    // rebuild surviving text in original line order
+    "doc_line_dedup" ->
+      s"""WITH $linedDocsSql,
+         |lsrc AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM lined),
+         |lines AS (SELECT doc_id, i::INT AS pos, parts[i::INT] AS line,
+         |    trim(parts[i::INT]) AS tl
+         |  FROM lsrc, unnest(generate_series(1, len(parts))) AS u(i)),
+         |freq AS (SELECT tl FROM lines WHERE tl <> ''
+         |  GROUP BY tl HAVING count(DISTINCT doc_id) >= 2),
+         |marked AS (SELECT l.doc_id, l.pos, l.line,
+         |    (f.tl IS NOT NULL) AS dropd
+         |  FROM lines l LEFT JOIN freq f ON l.tl = f.tl)
+         |SELECT doc_id, count(*)::BIGINT AS n_lines,
+         |  count(*) FILTER (WHERE dropd)::BIGINT AS n_removed,
+         |  coalesce(string_agg(CASE WHEN NOT dropd THEN line END, chr(10)
+         |    ORDER BY pos), '') AS clean_text
+         |FROM marked GROUP BY doc_id""".stripMargin,
+
+    // CCNet bigram-KN perplexity: full model replay (hashed bigram counts,
+    // context/continuation tables, interpolated-KN log-probs), per-doc
+    // perplexity, binned-histogram tercile buckets
+    "doc_kn_perplexity" ->
+      s"""WITH ws AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[^\\p{L}]+'),
+         |    w -> w <> '') AS ws FROM documents),
+         |pairs AS (SELECT doc_id,
+         |  (((${fnvSql("ws[i::INT]")}) % 4096) + 4096) % 4096 AS bv,
+         |  (((${fnvSql("ws[(i + 1)::INT]")}) % 4096) + 4096) % 4096 AS bw
+         |  FROM ws, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS u(i)),
+         |cbg AS (SELECT bv, bw, count(*) AS cvw FROM pairs GROUP BY bv, bw),
+         |ctx AS (SELECT bv, sum(cvw)::DOUBLE AS cv, count(*) AS n1f
+         |  FROM cbg GROUP BY bv),
+         |cont AS (SELECT bw, count(*) AS n1b FROM cbg GROUP BY bw),
+         |btot AS (SELECT count(*)::DOUBLE AS b FROM cbg),
+         |model AS (SELECT bv, bw,
+         |    ln((cvw - 0.75) / cv + 0.75 * n1f / cv * n1b / b) AS logp
+         |  FROM cbg JOIN ctx USING (bv) JOIN cont USING (bw), btot),
+         |scored AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         |    avg(logp) AS avg_logp, exp(-avg(logp)) AS ppl
+         |  FROM pairs JOIN model USING (bv, bw) GROUP BY doc_id),
+         |bins AS (SELECT round(ppl, 3) AS bin, count(*) AS c
+         |  FROM scored GROUP BY 1),
+         |cum AS (SELECT bin,
+         |    sum(c) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW)::DOUBLE / (SELECT sum(c) FROM bins) AS cumf
+         |  FROM bins),
+         |th AS (SELECT min(CASE WHEN cumf >= 1.0/3 THEN bin END) AS t1,
+         |    min(CASE WHEN cumf >= 2.0/3 THEN bin END) AS t2 FROM cum)
+         |SELECT d.doc_id, coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+         |  round(s.avg_logp + 1e-9, 6) AS avg_logp,
+         |  round(s.ppl + 1e-9, 6) AS ppl,
+         |  CASE WHEN s.doc_id IS NULL THEN 'na'
+         |    WHEN round(s.ppl, 3) <= t.t1 THEN 'head'
+         |    WHEN round(s.ppl, 3) <= t.t2 THEN 'middle'
+         |    ELSE 'tail' END AS bucket
+         |FROM documents d LEFT JOIN scored s USING (doc_id), th t""".stripMargin,
 
     "doc_simhash_pairs" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents

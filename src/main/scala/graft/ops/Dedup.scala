@@ -71,6 +71,48 @@ object Dedup {
       .withColumn("flagged", col("dup_frac") > threshold)
   }
 
+  /** Cross-corpus duplicated-line removal — the RefinedWeb/Falcon line
+    * dedup stage (Penedo et al. 2023, arXiv:2306.01116 §3; also The Pile's
+    * boilerplate strip): a line (split on `\n`, compared after `trim`)
+    * that occurs in at least `minDocs` DISTINCT documents is boilerplate
+    * (headers, nav bars, cookie banners, license footers) and is removed
+    * from every document that contains it. Returns one row per document:
+    * `n_lines`, `n_removed`, and `clean_text` (surviving lines rejoined in
+    * original order). Empty/whitespace-only lines are never counted as
+    * duplicates (they are kept verbatim).
+    *
+    * Scale: lines shuffle for the document-frequency aggregation as
+    * (64-bit FNV hash, doc_id) pairs — never text — with map-side combine;
+    * the frequency table is filtered to `freq >= minDocs` BEFORE the join
+    * back (boilerplate lines are a tiny fraction of distinct lines), and
+    * that join is hash-co-partitioned. The only text-bearing shuffle is
+    * the final per-document reassembly, which any rebuild-the-text
+    * operator needs. Hash collisions (~|lines|²/2⁶⁴) are negligible. */
+  def lineDedup(df: DataFrame, minDocs: Int = 2, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__nonblank", length(trim(col("__line"))) > 0)
+      .withColumn("__h", when(col("__nonblank"),
+        TextOps.fnvHash(trim(col("__line")))))
+    val boiler = lines.filter(col("__nonblank"))
+      .groupBy("__h").agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__h"), lit(true).as("__dup"))
+    lines.join(boiler, Seq("__h"), "left")
+      .withColumn("__drop", coalesce(col("__dup"), lit(false)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__drop"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("__drop"), struct(col("__pos"), col("__line"))))),
+            s => s.getField("__line")),
+          "\n").as("clean_text"))
+  }
+
   /** Character shingles (n-gram set) of normalized text. */
   def shingles(text: Column, n: Int = 5): Column = {
     val norm = regexp_replace(lower(trim(text)), "\\s+", " ")

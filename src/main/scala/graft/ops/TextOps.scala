@@ -158,6 +158,82 @@ object TextOps {
         avg(coalesce(col("__logp"), lit(oov))).as("avg_logp"))
   }
 
+  /** CCNet-style LM perplexity filter, bigram Kneser-Ney edition (Wenzek
+    * et al. 2020 §4.3 score with a 5-gram KenLM and bucket the corpus into
+    * head/middle/tail; this is the same filter with an interpolated
+    * Kneser-Ney bigram model — Kneser & Ney 1995; Chen & Goodman 1999
+    * eq. 4.21 — fit on the corpus itself, hashed to `buckets` word ids so
+    * model state is bounded at any corpus size):
+    *
+    *   p_KN(w|v) = (c(vw) − d)/c(v) + d·N1+(v·)/c(v) · N1+(·w)/B
+    *
+    * with d = `discount`, N1+(v·)/N1+(·w) the distinct-successor /
+    * distinct-predecessor counts and B the distinct-bigram total. Every
+    * scored bigram was observed (self-scoring), so c(vw) ≥ 1 > d and the
+    * max(·,0) of the textbook form never binds. Output per document:
+    * `n_bigrams`, `avg_logp`, `ppl` = exp(−avg_logp), and the CCNet
+    * `bucket` — 'head'/'middle'/'tail' terciles of ppl (head = lowest
+    * perplexity, i.e. most fluent), 'na' for documents with no bigram.
+    *
+    * Scale: the model is three groupBys over hashed-bigram rows (map-side
+    * combine, ≤ observed-bigram-bucket rows — bounded by `buckets`²
+    * regardless of corpus size) joined into one broadcast score table;
+    * scoring is one (doc)-keyed aggregation. Tercile thresholds come from
+    * a fixed-grid histogram of round(ppl, 3) bins — a ≤bins-row cumulative
+    * window, never a corpus-wide sort/ntile (the binned-quantile pattern
+    * that survives 10¹¹ documents). */
+  def knPerplexity(df: DataFrame, buckets: Int = 4096,
+      discount: Double = 0.75, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
+    val ws = Selection.wordsOf(col(textCol))
+    // (doc, v, w) bigram rows; words hash to [0, buckets) AFTER the
+    // explode (UDFs can't run inside higher-order-function lambdas)
+    val pairs = df.select(col(idCol),
+        explode(when(size(ws) >= 2,
+          transform(sequence(lit(1), size(ws) - 1),
+            i => struct(element_at(ws, i).as("v"), element_at(ws, i + 1).as("w"))))
+          .otherwise(lit(null))).as("__bg")) // explode(null) -> no rows
+      .select(col(idCol),
+        pmod(fnvHash(col("__bg.v")), lit(buckets.toLong)).cast("int").as("__bv"),
+        pmod(fnvHash(col("__bg.w")), lit(buckets.toLong)).cast("int").as("__bw"))
+    val cbg = pairs.groupBy("__bv", "__bw").agg(count(lit(1)).as("__cvw"))
+    val ctx = cbg.groupBy("__bv")
+      .agg(sum("__cvw").as("__cv"), count(lit(1)).as("__n1f"))
+    val cont = cbg.groupBy("__bw").agg(count(lit(1)).as("__n1b"))
+    val bTotal = cbg.count().toDouble // distinct-bigram total: one scalar job
+    val model = cbg.join(ctx, Seq("__bv")).join(cont, Seq("__bw"))
+      .select(col("__bv"), col("__bw"),
+        log((col("__cvw") - discount) / col("__cv") +
+          lit(discount) * col("__n1f") / col("__cv") * col("__n1b") / bTotal)
+          .as("__logp"))
+    val scored = pairs.join(broadcast(model), Seq("__bv", "__bw"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), avg("__logp").as("avg_logp"))
+      .withColumn("ppl", exp(-col("avg_logp")))
+    // binned terciles: cumulative doc share over the ≤bins-row histogram
+    val Win = org.apache.spark.sql.expressions.Window
+    val bins = scored.groupBy(round(col("ppl"), 3).as("__bin"))
+      .agg(count(lit(1)).as("__c"))
+    val wAll = Win.orderBy("__bin")
+      .rowsBetween(Win.unboundedPreceding, Win.currentRow)
+    val cum = bins.withColumn("__cum",
+      sum("__c").over(wAll) / sum("__c").over(Win.partitionBy()))
+    val thresholds = cum.agg(
+      min(when(col("__cum") >= 1.0 / 3, col("__bin"))).as("__t1"),
+      min(when(col("__cum") >= 2.0 / 3, col("__bin"))).as("__t2"))
+    val out = scored.crossJoin(broadcast(thresholds))
+      .withColumn("bucket",
+        when(round(col("ppl"), 3) <= col("__t1"), "head")
+          .when(round(col("ppl"), 3) <= col("__t2"), "middle")
+          .otherwise("tail"))
+      .drop("__t1", "__t2")
+    df.select(col(idCol)).join(out, Seq(idCol), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("bucket", coalesce(col("bucket"), lit("na")))
+  }
+
   /** 64-bit FNV-1a rolling fingerprint of normalized text (lowercased,
     * whitespace collapsed) — a deterministic cheap document identity for
     * exact-dup detection across shards. */
