@@ -162,6 +162,36 @@ object AnnOracle {
     s"""SELECT vec_id, topic, round(dist + 1e-9, 6) AS centroid_dist
        |FROM (${topicCellsSql(centers)})""".stripMargin
 
+  /** emb_prototype_prune replay with pinned centroids (Sorscher et al.
+    * 2022 prototype-difficulty pruning): argmin cell, cosine to the
+    * winning prototype picked by an ordered CASE over the same cells,
+    * difficulty = 1 − cos, keep-threshold from the round(difficulty, 4)
+    * histogram cumulative — the binned (1−keepFrac) quantile, exactly the
+    * operator's bin arithmetic. */
+  def prototypePruneSql(centers: Array[Array[Double]],
+      keepFrac: Double): String = {
+    val cosCase = s"(CASE topic ${centers.zipWithIndex.map { case (c, i) =>
+      s"WHEN $i THEN list_cosine_similarity(v, ${planeList(c)})"
+    }.mkString(" ")} END)"
+    s"""WITH cells AS (
+       |  SELECT t.vec_id, t.topic, e.embedding::DOUBLE[] AS v
+       |  FROM (${topicCellsSql(centers)}) t
+       |  JOIN embeddings e USING (vec_id)),
+       |scored AS (SELECT vec_id, topic AS cell, $cosCase AS pc,
+       |    1.0 - $cosCase AS diff FROM cells),
+       |bins AS (SELECT round(diff, 4) AS bin, count(*) AS c
+       |  FROM scored GROUP BY 1),
+       |cum AS (SELECT bin,
+       |    sum(c) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW)::DOUBLE / (SELECT sum(c) FROM bins) AS cumf
+       |  FROM bins),
+       |th AS (SELECT min(CASE WHEN cumf >= ${1.0 - keepFrac} THEN bin END)
+       |  AS t FROM cum)
+       |SELECT s.vec_id, s.cell, round(s.pc + 1e-9, 6) AS proto_cos,
+       |  round(s.diff, 4) >= th.t AS keep
+       |FROM scored s, th""".stripMargin
+  }
+
   /** emb_pca replay with pinned components: pcⱼ = x·cⱼ − (μ·cⱼ), the
     * mean offset precomputed driver-side with the same sequential dot the
     * projection UDF uses. `list_dot_product` accumulates sequentially, so

@@ -1941,6 +1941,17 @@ object SparkEntry {
         .select("vec_id", "topic")
     }),
 
+    // prototype-difficulty pruning (Sorscher et al. 2022): difficulty =
+    // 1 − cosine to the nearest k-means prototype (shared centroid pin),
+    // keep the hardest 70% via the binned-quantile threshold
+    "emb_prototype_prune" -> ((s, dir) => {
+      val emb = IO.embeddings(s, dir).select("vec_id", "embedding")
+      Similarity.prototypePrune(emb, Similarity.ivfCentroids(emb),
+          keepFrac = 0.7)
+        .select(col("vec_id"), col("cell"),
+          r6n(col("proto_cos")).as("proto_cos"), col("keep"))
+    }),
+
     // recall audit for the near-dup LSH path: exact all-pairs ground
     // truth at the same threshold vs the bucketed candidates (the
     // emb_knn_recall pattern extended to pairs)
@@ -2540,6 +2551,8 @@ object SparkEntry {
       "doc_quality_classifier" -> classifierScoreSql(m)) ++
     OraclePins.ivfCenters.map(c =>
       "emb_topic_assign" -> AnnOracle.topicAssignSql(c)) ++
+    OraclePins.ivfCenters.map(c =>
+      "emb_prototype_prune" -> AnnOracle.prototypePruneSql(c, keepFrac = 0.7)) ++
     OraclePins.ivfCenters.map(c =>
       "emb_topic_sample" ->
         s"""SELECT vec_id, topic FROM (

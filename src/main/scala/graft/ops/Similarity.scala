@@ -381,6 +381,73 @@ object Similarity {
     Sampling.stratifiedQuota(
       topicAssign(df, centers, idCol, vecCol), "topic", idCol, quota, seed)
 
+  /** Prototype-difficulty data pruning (Sorscher, Geirhos et al. 2022,
+    * "Beyond neural scaling laws", arXiv:2206.14486 §4 — the
+    * self-supervised pruning metric): each vector is assigned to its
+    * nearest k-means prototype (L2 argmin, first-index tie-break) and its
+    * difficulty is 1 − cosine(v, prototype); easy examples (close to a
+    * prototype) are redundant when data is abundant, so the hardest
+    * `keepFrac` is kept. The keep threshold comes from a fixed-grid
+    * histogram of round(difficulty, 4) bins — a ≤bins-row cumulative
+    * window, never a corpus-wide sort/ntile (the binned-quantile pattern).
+    * Output: (idCol, cell, proto_cos, difficulty, keep).
+    *
+    * Scale: assignment + scoring is one narrow broadcast-centroid map;
+    * the histogram is a map-side-combined ≤bins-row shuffle; the
+    * threshold broadcasts back. Nothing driver-side beyond the bounded
+    * sampled-Lloyd fit the caller provides. */
+  def prototypePrune(df: DataFrame, centers: Array[Array[Double]],
+      keepFrac: Double = 0.7, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1, s"keepFrac in (0,1], got $keepFrac")
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(centers)
+    // strict-< argmin scan (ties break low) + cosine to the winner, one pass
+    val assign = udf((v: Array[Double]) => {
+      val cs = bc.value
+      var best = 0; var bd = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var dd = 0.0; var j = 0
+        val cv = cs(c)
+        while (j < cv.length && j < v.length) { val t = v(j) - cv(j); dd += t * t; j += 1 }
+        if (dd < bd) { bd = dd; best = c }
+        c += 1
+      }
+      val cv = cs(best)
+      val n = math.min(cv.length, v.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var j = 0
+      while (j < n) {
+        val x = v(j); val y = cv(j)
+        dot += x * y; na += x * x; nb += y * y
+        j += 1
+      }
+      val cos = if (na == 0.0 || nb == 0.0) 0.0
+        else dot / (math.sqrt(na) * math.sqrt(nb))
+      (best, cos)
+    })
+    val scored = df
+      .withColumn("__p", assign(col(vecCol).cast("array<double>")))
+      .select(col(idCol), col("__p._1").as("cell"),
+        col("__p._2").as("proto_cos"))
+      .withColumn("difficulty", lit(1.0) - col("proto_cos"))
+    val Win = Window
+    val bins = scored.groupBy(round(col("difficulty"), 4).as("__bin"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = bins.withColumn("__cum",
+      sum("__c").over(Win.orderBy("__bin")
+          .rowsBetween(Win.unboundedPreceding, Win.currentRow)) /
+        sum("__c").over(Win.partitionBy()))
+    // t = the (1−keepFrac) quantile bin: everything at/above it is kept,
+    // so the kept share is ≥ keepFrac (bin-granular, deterministic)
+    val thr = cum.agg(
+      min(when(col("__cum") >= 1.0 - keepFrac, col("__bin"))).as("__t"))
+    scored.crossJoin(broadcast(thr))
+      .withColumn("keep", round(col("difficulty"), 4) >= col("__t"))
+      .drop("__t")
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate join
     * (id_a < id_b within a hyperplane bucket) verified by exact cosine ≥
     * threshold — the vector analogue of MinHash near-dup detection.
