@@ -121,6 +121,18 @@ object PlanAudit {
     })
     audit("rl rollout (expect 1 grouped exchange, per-series episode map)",
       Adapters.rolloutNaive(ev))
+    // round-9 curation additions
+    audit("line dedup (expect hash-keyed freq shuffle; boilerplate set filtered BEFORE join-back)",
+      Dedup.lineDedup(IO.documents(spark, dir)))
+    audit("kn perplexity (expect bounded model aggs + broadcast score join; histogram terciles, no corpus sort)",
+      TextOps.knPerplexity(IO.documents(spark, dir), buckets = 1024))
+    audit("prototype prune (expect narrow broadcast-centroid map + <=bins-row histogram)", {
+      val emb = IO.embeddings(spark, dir).select("vec_id", "embedding")
+      Similarity.prototypePrune(emb, Similarity.ivfCentroids(emb), keepFrac = 0.7)
+    })
+    audit("dsir weights (expect <=buckets-row model shuffle, broadcast llr join)",
+      Selection.dsirWeights(IO.documents(spark, dir), col("lang") === "en",
+        buckets = 64))
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(s"\nPLAN AUDIT FAILED — zero whole-stage codegen " +
