@@ -96,6 +96,34 @@ object Selection {
       .agg(count(lit(1)).as("n_grams"), sum("__llr").as("log_w"))
   }
 
+  /** Collected DSIR model: the per-bucket log-likelihood ratio as a dense
+    * `buckets`-length array — the broadcastable form a stateless
+    * streaming scorer needs ([[graft.streaming.StreamingOps
+    * .streamingDsirScore]]). Buckets unobserved at fit time get the
+    * Laplace default `ln((tr+B)/(tt+B))` (set c_t = c_r = 0 in the
+    * smoothed ratio), so NEW documents hashing into fresh buckets score
+    * consistently. The collect is the ≤`buckets`-row count table — O(1)
+    * in corpus size. */
+  def dsirModelArray(df: DataFrame, isTarget: Column, buckets: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): Array[Double] = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val counts = bucketed(df, idCol, textCol, buckets,
+        extra = Seq("__t" -> isTarget))
+      .groupBy("__b").agg(
+        count(lit(1)).as("__cr"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val tr = counts.map(_._2).sum.toDouble
+    val tt = counts.map(_._3).sum.toDouble
+    val llr = Array.fill(buckets)(
+      math.log(1.0 / (tt + buckets)) - math.log(1.0 / (tr + buckets)))
+    counts.foreach { case (b, cr, ct) =>
+      llr(b) = math.log((ct + 1.0) / (tt + buckets)) -
+        math.log((cr + 1.0) / (tr + buckets))
+    }
+    llr
+  }
+
   /** DSIR Gumbel top-k resampling: key = log_w + Gumbel(0,1) with the
     * Gumbel drawn from the deterministic FNV/fmix64 uniform of the doc id
     * (−ln(−ln u)); the k largest keys are an exact without-replacement

@@ -242,7 +242,7 @@ object TextOps {
     fnv64Udf(norm)
   }
 
-  private[ops] val fnv64 = (s: String) => {
+  private[graft] val fnv64 = (s: String) => {
     var h = 0xcbf29ce484222325L
     if (s != null) { var i = 0
       while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 } }

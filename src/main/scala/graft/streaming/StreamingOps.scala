@@ -447,6 +447,80 @@ object StreamingOps {
         (reason === "keep").as("keep"), col("split"))
   }
 
+  /** Shared per-row hashed-gram walker for the stateless selection
+    * scorers: tokenizes exactly like [[graft.ops.Selection.wordsOf]]
+    * (lowercase, letters-only split), walks unigrams + bigrams exactly
+    * like `Selection.gramsOf` (unigrams first, then bigrams — the same
+    * accumulation order, so float sums match the batch twin to reduce
+    * order), and folds each gram's bucket weight into (sum, count). */
+  private def gramFold(text: String, buckets: Int,
+      weightOf: Int => Double): (Double, Long) = {
+    if (text == null) return (0.0, 0L)
+    val ws = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+    def bucketOf(g: String): Int = {
+      val x = graft.ops.TextOps.fnv64(g) % buckets
+      (if (x < 0) x + buckets else x).toInt
+    }
+    var s = 0.0
+    var i = 0
+    while (i < ws.length) { s += weightOf(bucketOf(ws(i))); i += 1 }
+    i = 0
+    while (i < ws.length - 1) {
+      s += weightOf(bucketOf(ws(i) + " " + ws(i + 1)))
+      i += 1
+    }
+    (s, ws.length.toLong + math.max(ws.length - 1, 0).toLong)
+  }
+
+  /** Stateless streaming quality-classifier inference: the offline-fit
+    * hashed-gram logistic model ([[graft.ops.Selection.textClassifierFit]],
+    * the `doc_quality_classifier` pin) rides a broadcast weight array and
+    * each arriving document scores in one per-row pass — no state store,
+    * no watermark, no shuffle; linear scale-out on a firehose. Emits
+    * `n_grams` and `quality_prob` (null on gram-less docs — the batch
+    * scorer emits no row for those; filter on `quality_prob IS NOT NULL`
+    * for the exact batch set). Batch twin: `textClassifierScore` — same
+    * grams, same buckets, same σ(Σw/n + bias); the spec pins equality. */
+  def streamingClassifierScore(input: DataFrame,
+      model: graft.ops.Selection.TextClassifierModel,
+      textCol: String = "text"): DataFrame = {
+    val spark = input.sparkSession
+    val bcW = spark.sparkContext.broadcast(model.weights)
+    val buckets = model.buckets
+    val bias = model.bias
+    val score = udf((text: String) => {
+      val (s, n) = gramFold(text, buckets, bcW.value(_))
+      if (n == 0L) None
+      else Some((n, 1.0 / (1.0 + math.exp(-(s / n + bias)))))
+    })
+    input.withColumn("__s", score(col(textCol)))
+      .withColumn("n_grams", col("__s._1"))
+      .withColumn("quality_prob", col("__s._2"))
+      .drop("__s")
+  }
+
+  /** Stateless streaming DSIR importance scoring: the collected
+    * log-likelihood-ratio array ([[graft.ops.Selection.dsirModelArray]])
+    * broadcasts and each arriving document's `log_w` is one per-row gram
+    * walk — the streaming form of `dsirWeights` for scoring a live feed
+    * against an offline-fit target/raw model pair. Unseen buckets carry
+    * the Laplace default, so out-of-corpus documents score consistently.
+    * Zero state, zero shuffle. */
+  def streamingDsirScore(input: DataFrame, llr: Array[Double],
+      textCol: String = "text"): DataFrame = {
+    val spark = input.sparkSession
+    val bcL = spark.sparkContext.broadcast(llr)
+    val buckets = llr.length
+    val score = udf((text: String) => {
+      val (s, n) = gramFold(text, buckets, bcL.value(_))
+      if (n == 0L) None else Some((n, s))
+    })
+    input.withColumn("__s", score(col(textCol)))
+      .withColumn("n_grams", col("__s._1"))
+      .withColumn("log_w", col("__s._2"))
+      .drop("__s")
+  }
+
   /** Full streaming curation funnel (VERDICT r6 ask #9): first-seen exact
     * dedup → Bloom-prefiltered exact decontamination → the stateless
     * curation gate, composed into ONE streaming plan.
