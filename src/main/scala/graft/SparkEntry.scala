@@ -244,6 +244,20 @@ object SparkEntry {
           r6n(col("log_w")).as("log_w"),
           r6n(col("gumbel_key")).as("gumbel_key"))),
 
+    // score-aware domain mixture: per-source mean DSIR importance weight
+    // softmaxed (T=2) into mixture weights + budget-300 quotas
+    "doc_domain_mix" -> ((s, dir) => {
+      val docs = IO.documents(s, dir)
+      val scored = Selection.dsirWeights(docs, col("lang") === "en",
+          buckets = 64)
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      Selection.domainMixWeights(scored, "source", "log_w",
+          temperature = 2.0, budget = 300L)
+        .select(col("source"), col("n_docs"),
+          r6n(col("mean_score")).as("mean_score"),
+          r6n(col("mix_weight")).as("mix_weight"), col("quota"))
+    }),
+
     // fastText-style hashed-gram logistic quality score under the pinned
     // fit (the oracle inlines the 64 weights and replays the full
     // distributed scoring pass; the fit itself is audited below)
@@ -3271,6 +3285,21 @@ object SparkEntry {
     // the deterministic logistic refit must reproduce the pin exactly
     "doc_classifier_refit_audit" ->
       "SELECT 64::INT AS buckets, 0.0::DOUBLE AS max_abs_diff",
+
+    // score-aware domain mix: DSIR scoring replayed from scratch, then
+    // the per-source softmax (max-subtracted, T=2) and budget-300 quotas
+    "doc_domain_mix" ->
+      s"""WITH ${dsirModelCtes(64)},
+         |src AS (SELECT s.doc_id, d.source, s.lw
+         |  FROM scored s JOIN documents d USING (doc_id)),
+         |dom AS (SELECT source, count(*)::BIGINT AS n_docs, avg(lw) AS ms
+         |  FROM src GROUP BY source),
+         |sm AS (SELECT *, exp((ms - max(ms) OVER ()) / 2.0) AS ee FROM dom),
+         |w AS (SELECT *, ee / sum(ee) OVER () AS mw FROM sm)
+         |SELECT source, n_docs, round(ms + 1e-9, 6) AS mean_score,
+         |  round(mw + 1e-9, 6) AS mix_weight,
+         |  floor(mw * 300 + 1e-9)::BIGINT AS quota
+         |FROM w""".stripMargin,
 
     // RefinedWeb line dedup: full replay — lined-corpus reconstruction,
     // cross-doc line document-frequency, drop lines in >= 2 distinct docs,

@@ -141,6 +141,37 @@ object Selection {
       .limit(k)
   }
 
+  /** Score-aware domain mixture weights: per domain, the doc count and
+    * mean document score (any per-doc signal — DSIR log-weight,
+    * classifier probability, negative perplexity), softmaxed at
+    * `temperature` into mixture weights and a per-domain sampling quota
+    * `floor(budget · w)`. The quality-aware counterpart of
+    * [[Sampling.temperatureMixPlan]] (which mixes on counts alone) — the
+    * "upweight domains that look like the target" knob of a pre-training
+    * mix (Brown et al. 2020 §2.2 weight corpora by quality; Chowdhery
+    * et al. 2022 Table 2 hand-set mixture proportions — this computes
+    * them from a score instead).
+    *
+    * Scale: one map-side-combined groupBy to a ≤|domains|-row frame; the
+    * softmax windows run over that tiny frame only. Max-subtraction keeps
+    * exp() in range for any score magnitude. */
+  def domainMixWeights(df: DataFrame, groupCol: String, scoreCol: String,
+      temperature: Double = 1.0, budget: Long = 1000L): DataFrame = {
+    require(temperature > 0, s"temperature must be > 0, got $temperature")
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), avg(col(scoreCol)).as("mean_score"))
+    val wAll = Window.partitionBy()
+    g.withColumn("__e",
+        exp((col("mean_score") - max("mean_score").over(wAll)) / temperature))
+      .withColumn("mix_weight", col("__e") / sum("__e").over(wAll))
+      // +1e-9 before floor: a sum-order ulp in the softmax must not flip
+      // a quota across an integer boundary between engines
+      .withColumn("quota",
+        floor(col("mix_weight") * budget + 1e-9).cast("long"))
+      .drop("__e")
+  }
+
   /** Hashed bag-of-n-grams logistic model: `buckets` term-frequency
     * weights + bias (fastText's linear classifier with the hashing trick,
     * Joulin et al. 2016 §2; Weinberger et al. 2009). */

@@ -90,6 +90,34 @@ class SelectionSpec extends AnyFunSuite {
     assert(w(3L) == 3L) // 2 unigrams + 1 bigram
   }
 
+  test("domain mix weights: softmax favors high-score domains, quotas bound") {
+    import spark.implicits._
+    val df = Seq(
+      ("web", 2.0), ("web", 2.2), ("web", 1.8),
+      ("books", 0.0), ("books", 0.2),
+      ("junk", -3.0), ("junk", -2.8)).toDF("source", "score")
+    val w = Selection.domainMixWeights(df, "source", "score",
+      temperature = 1.0, budget = 100L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getAs[Double]("mix_weight"), r.getLong(4))).toMap
+    assert(w.keySet == Set("web", "books", "junk"))
+    assert(w("web")._1 == 3 && w("books")._1 == 2)
+    // softmax ordering follows mean score; weights sum to 1
+    assert(w("web")._2 > w("books")._2 && w("books")._2 > w("junk")._2)
+    assert(math.abs(w.values.map(_._2).sum - 1.0) < 1e-12)
+    // hand softmax: means (2.0, 0.1, -2.9), max-subtracted
+    val es = Seq(2.0, 0.1, -2.9).map(m => math.exp(m - 2.0))
+    assert(math.abs(w("web")._2 - es(0) / es.sum) < 1e-12)
+    // quotas: floor(budget*w) — never exceed budget in total
+    assert(w.values.map(_._3).sum <= 100L)
+    assert(w("web")._3 >= w("books")._3 && w("books")._3 >= w("junk")._3)
+    // higher temperature flattens the mix
+    val flat = Selection.domainMixWeights(df, "source", "score",
+      temperature = 100.0, budget = 100L)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("mix_weight")).toMap
+    assert(flat("web") - flat("junk") < w("web")._2 - w("junk")._2)
+  }
+
   test("quality classifier separates the dialects and refits identically") {
     val df = corpus()
     val m = Selection.textClassifierFit(df, col("is_target"), buckets = 64,
