@@ -2,7 +2,7 @@ package graft
 
 import graft.core.PanelCols
 import graft.ops._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** The reference's `df.pts.*` namespace (polars-ts registers a Polars
   * plugin namespace; Spark-side the same UX is an implicit enrichment):
@@ -93,5 +93,58 @@ object syntax {
       DeepForecast.patchTstForecast(df,
         graft.kernels.Transformer.PatchCfg(h = h, inputSize = inputSize))
     def visionEmbeddings(): DataFrame = VisionEmbed.visionEmbeddings(df)
+  }
+
+  /** Corpus-curation namespace for document tables (`doc_id`, `text`) —
+    * the training-data pipeline tier. Same delegation-only contract as
+    * [[Pts]]:
+    *
+    * {{{
+    * import graft.syntax._
+    * docs.corpus.lineDedup().corpus.qualityMetrics()
+    * }}}
+    */
+  implicit class PtsCorpusDataFrame(private val df: DataFrame) extends AnyVal {
+    def corpus: Corpus = new Corpus(df)
+  }
+
+  final class Corpus(df: DataFrame) {
+    // dedup
+    def dedupExact(): DataFrame = Dedup.exact(df)
+    def dedupCanonical(): DataFrame = Dedup.canonical(df)
+    def lineDedup(minDocs: Int = 2): DataFrame = Dedup.lineDedup(df, minDocs)
+    def minhashLsh(threshold: Double = 0.7): DataFrame =
+      Dedup.minhashLsh(df, threshold = threshold)
+    def simhash(): DataFrame = Dedup.simhash(df)
+    def dupNgramCoverage(n: Int = 5): DataFrame = Dedup.dupNgramCoverage(df, n)
+    // quality & filters
+    def qualityMetrics(): DataFrame = TextOps.qualityMetrics(df)
+    def languageId(): DataFrame = TextOps.languageId(df)
+    def unigramLogProb(vocabSize: Int = 1000): DataFrame =
+      TextOps.unigramLogProb(df, vocabSize = vocabSize)
+    def knPerplexity(buckets: Int = 4096): DataFrame =
+      TextOps.knPerplexity(df, buckets)
+    def piiMetrics(): DataFrame = TextOps.piiMetrics(df)
+    def lineFilters(minLineWords: Int = 3): DataFrame =
+      TextOps.lineFilters(df, minLineWords = minLineWords)
+    def repetitionMetrics(): DataFrame = TextOps.repetitionMetrics(df)
+    def curate(): DataFrame = TextOps.curationMetrics(df)
+    // selection
+    def dsirWeights(isTarget: Column, buckets: Int = 64): DataFrame =
+      Selection.dsirWeights(df, isTarget, buckets)
+    def dsirResample(isTarget: Column, k: Int, buckets: Int = 64): DataFrame =
+      Selection.dsirResample(df, isTarget, k, buckets)
+    def qualityClassifierScore(m: Selection.TextClassifierModel): DataFrame =
+      Selection.textClassifierScore(df, m)
+    def domainMixWeights(groupCol: String, scoreCol: String,
+        temperature: Double = 1.0, budget: Long = 1000L): DataFrame =
+      Selection.domainMixWeights(df, groupCol, scoreCol, temperature, budget)
+    // decontamination & downstream prep
+    def decontaminate(bench: DataFrame, n: Int = 5): DataFrame =
+      Decontam.ngramOverlap(df, bench, n)
+    def packPlan(seqLen: Int, nShards: Int): DataFrame =
+      Packing.packPlan(df, seqLen = seqLen, nShards = nShards)
+    def chunkPlan(chunkTokens: Int = 64, stride: Int = 48): DataFrame =
+      Packing.chunkPlan(df, chunkTokens, stride)
   }
 }

@@ -68,6 +68,26 @@ class OpsSpec extends AnyFunSuite {
     assert(twoSeries.pts.naive(2).count() == 4)
   }
 
+  test("df.corpus namespace chains and matches the operator objects") {
+    import graft.syntax._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared boilerplate\nthe quick brown fox", "src0"),
+      (2L, "shared boilerplate\njumps over the dog", "src0"),
+      (3L, "unique content here entirely", "src1"))
+      .toDF("doc_id", "text", "source")
+    val viaNs = docs.corpus.lineDedup()
+    val direct = graft.ops.Dedup.lineDedup(docs)
+    assert(viaNs.columns.toSeq == direct.columns.toSeq)
+    assert(viaNs.exceptAll(direct).count() == 0)
+    // chaining: quality metrics over dedup output
+    val chained = viaNs.withColumnRenamed("clean_text", "text")
+      .corpus.qualityMetrics()
+    assert(chained.columns.contains("quality_score"))
+    assert(docs.corpus.knPerplexity(buckets = 64).count() == 3)
+    assert(docs.corpus.domainMixWeights("source", "doc_id").count() == 2)
+  }
+
   test("middle-out keeps middle forecasts and yields a coherent hierarchy") {
     import spark.implicits._
     val edges = Seq(("total", "m1"), ("total", "m2"),
