@@ -208,7 +208,12 @@ object TextOps {
         log((col("__cvw") - discount) / col("__cv") +
           lit(discount) * col("__n1f") / col("__cv") * col("__n1b") / bTotal)
           .as("__logp"))
-    val scored = pairs.join(broadcast(model), Seq("__bv", "__bw"))
+    // no broadcast hint: the model is ≤ observed-bigram-bucket rows —
+    // tiny at default buckets, but it saturates toward buckets² on a web
+    // corpus (4096² ≈ 16.7M), where a hinted broadcast would OOM the
+    // driver. AQE picks BHJ when the aggregate lands small, SMJ co-
+    // partitioned on (bv,bw) when it doesn't — both correct.
+    val scored = pairs.join(model, Seq("__bv", "__bw"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), avg("__logp").as("avg_logp"))
       .withColumn("ppl", exp(-col("avg_logp")))
