@@ -172,6 +172,27 @@ object Bench {
       "neural_assign" -> (() => mat(DeepClustering.assign(events, decFitForBench))),
       "vision_embed" -> (() => mat(VisionEmbed.visionEmbeddings(events))))
 
+    // round-9 selection/curation tier — own field (total_selection) so the
+    // earlier totals stay round-over-round comparable. Bounded fits
+    // (classifier weights, IVF centroids) run once, untimed — the timed
+    // paths are the distributed scoring/dedup passes a 100 TB run repeats.
+    val docsB = IO.documents(spark, sfDir).cache()
+    docsB.count()
+    val embB = IO.embeddings(spark, sfDir).select("vec_id", "embedding").cache()
+    embB.count()
+    val clfModel = Selection.textClassifierFit(docsB, col("lang") === "en",
+      buckets = 64, sampleCap = 1000)
+    val protoCenters = Similarity.ivfCentroids(embB)
+    val selectionBenches: Seq[(String, () => Unit)] = Seq(
+      "line_dedup" -> (() => mat(Dedup.lineDedup(SparkEntry.linedDocs(docsB)))),
+      "kn_perplexity" -> (() => mat(TextOps.knPerplexity(docsB, buckets = 4096))),
+      "dsir_weights" -> (() => mat(
+        Selection.dsirWeights(docsB, col("lang") === "en", buckets = 64))),
+      "classifier_score" -> (() => mat(
+        Selection.textClassifierScore(docsB, clfModel))),
+      "prototype_prune" -> (() => mat(
+        Similarity.prototypePrune(embB, protoCenters, keepFrac = 0.7))))
+
     // warmup: absorb JIT/codegen first-run cost on a small slice
     mat(Features.lagFeatures(events.limit(1000), Seq(1)))
     mat(ForecastBaselines.ses(events.limit(2000), h = 2))
@@ -206,7 +227,8 @@ object Bench {
     val trailing = trailingMedians()
     val nCpus = cpus.toInt
     val loadThreshold = 1.25 * nCpus
-    val allRuns = (benches ++ curationBenches ++ neuralBenches).toMap
+    val allRuns =
+      (benches ++ curationBenches ++ neuralBenches ++ selectionBenches).toMap
     def adjudicate(rs: Seq[QRes]): Seq[QRes] = rs.map { r =>
       trailing.get(r.name) match {
         case Some(m) if r.secs > 2.0 * m &&
@@ -222,8 +244,9 @@ object Bench {
     val results = adjudicate(timeAll(benches))
     val curation = adjudicate(timeAll(curationBenches))
     val neural = adjudicate(timeAll(neuralBenches))
+    val selection = adjudicate(timeAll(selectionBenches))
     val loadEnd = loadAvg()
-    val all = results ++ curation ++ neural
+    val all = results ++ curation ++ neural ++ selection
     val qs = all.map(r => "\"" + r.name + "\":" + r.secs).mkString("{", ",", "}")
     val loads = all.map(r =>
       "\"" + r.name + "\":[" + r.loadBefore + "," + r.loadAfter + "]")
@@ -233,8 +256,9 @@ object Bench {
     val total = results.map(_.secs).filter(_ >= 0).sum
     val totalFull = total + curation.map(_.secs).filter(_ >= 0).sum
     val totalNeural = neural.map(_.secs).filter(_ >= 0).sum
+    val totalSelection = selection.map(_.secs).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iterations":$iters,"total_full":$totalFull,"total_neural":$totalNeural,"load":$loads,"load_start":$loadStart,"load_end":$loadEnd,"reruns":$reruns,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iterations":$iters,"total_full":$totalFull,"total_neural":$totalNeural,"total_selection":$totalSelection,"load":$loads,"load_start":$loadStart,"load_end":$loadEnd,"reruns":$reruns,"sf":"$sfDir"}"""
     // sentinel-prefixed line FIRST (unambiguous to scrape out of the sbt
     // [info] noise that left BENCH_r05-r07 "parsed": null), then the bare
     // JSON line (legacy scrape), then the file (robust path)

@@ -2324,18 +2324,24 @@ object SparkEntry {
     * as 8-word chunk lines, with two boilerplate lines injected into the
     * doc_id%3 and doc_id%4 slices (the synthetic docs carry no newlines
     * of their own). Mirrored exactly by [[linedDocsSql]]. */
-  private def linedDocs(docs: DataFrame): DataFrame = {
-    val ws = filter(split(col("text"), "\\s+"), w => w =!= "")
+  private[graft] def linedDocs(docs: DataFrame): DataFrame = {
+    // bind the words array to a real column BEFORE the chunk lambda —
+    // a captured expression re-evaluates (re-splits the text) inside
+    // every lambda element (the wordGrams O(n²) lesson)
+    val ws = col("__ws")
     val lastChunk = greatest(
       floor((size(ws) - 1) / lit(8.0)).cast("int"), lit(0))
     val chunks = transform(sequence(lit(0), lastChunk),
       c => array_join(slice(ws, c * 8 + 1, lit(8)), " "))
-    docs.withColumn("text", concat_ws("\n",
-      when(pmod(col("doc_id"), lit(3)) === 0,
-        lit("subscribe to our newsletter today")),
-      when(pmod(col("doc_id"), lit(4)) === 0,
-        lit("all rights reserved worldwide")),
-      array_join(chunks, "\n")))
+    docs
+      .withColumn("__ws", filter(split(col("text"), "\\s+"), w => w =!= ""))
+      .withColumn("text", concat_ws("\n",
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("subscribe to our newsletter today")),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit("all rights reserved worldwide")),
+        array_join(chunks, "\n")))
+      .drop("__ws")
   }
 
   /** DuckDB twin of [[linedDocs]] — a `lined(doc_id, text)` CTE body. */

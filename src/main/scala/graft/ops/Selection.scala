@@ -38,31 +38,43 @@ import org.apache.spark.sql.functions._
   */
 object Selection {
 
-  /** Lowercased letters-only word array of a text column (the shared
-    * tokenization of TextOps.unigramLogProb / languageId, so every text
-    * operator and its DuckDB oracle agree on token boundaries). */
-  private[ops] def wordsOf(text: Column): Column =
-    filter(split(lower(text), "[^\\p{L}]+"), w => w =!= "")
-
-  /** Unigram + bigram list ("w" and "w w2") from a word array — the DSIR
-    * paper's feature set. */
-  private[ops] def gramsOf(ws: Column): Column = concat(
-    ws,
-    when(size(ws) >= 2,
-      transform(sequence(lit(0), size(ws) - 2),
-        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))))
-      .otherwise(array().cast("array<string>")))
+  /** One-pass gram-bucket walker over the tier's shared tokenization
+    * (lowercase, letters-only `[^\p{L}]+` split — the same boundaries
+    * TextOps.unigramLogProb / languageId and every DuckDB oracle use):
+    * walk unigrams then bigrams ("w", then "w w2" — the DSIR paper's
+    * feature set), FNV-bucket each gram — a single UDF per document
+    * instead of a string-gram explode + per-row hash UDF. The earlier
+    * HOF formulation re-evaluated the captured words array inside every
+    * lambda element (the wordGrams O(n²) lesson, Decontam), and shuffled
+    * gram STRINGS; this emits the int buckets directly. */
+  private[graft] def gramBucketsUdf(buckets: Int) = udf((s: String) => {
+    if (s == null) Array.empty[Int]
+    else {
+      val ws = s.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+      val out = new Array[Int](ws.length + math.max(ws.length - 1, 0))
+      def b(g: String): Int = {
+        val x = TextOps.fnv64(g) % buckets
+        (if (x < 0) x + buckets else x).toInt
+      }
+      var i = 0
+      while (i < ws.length) { out(i) = b(ws(i)); i += 1 }
+      i = 0
+      while (i < ws.length - 1) {
+        out(ws.length + i) = b(ws(i) + " " + ws(i + 1))
+        i += 1
+      }
+      out
+    }
+  })
 
   /** Exploded (id, extra..., bucket) gram rows: each n-gram FNV-hashed
-    * into [0, buckets). Narrow — no shuffle. */
+    * into [0, buckets). Narrow — no shuffle; int buckets, never gram
+    * strings, cross the stage boundary. */
   private def bucketed(df: DataFrame, idCol: String, textCol: String,
       buckets: Int, extra: Seq[(String, Column)] = Nil): DataFrame = {
     val cols = col(idCol) +: extra.map { case (n, c) => c.as(n) } :+
-      explode(gramsOf(wordsOf(col(textCol)))).as("__gram")
+      explode(gramBucketsUdf(buckets)(col(textCol))).as("__b")
     df.select(cols: _*)
-      .withColumn("__b",
-        pmod(TextOps.fnvHash(col("__gram")), lit(buckets.toLong)).cast("int"))
-      .drop("__gram")
   }
 
   /** DSIR importance log-weights (Xie et al. 2023, §2-3): per document,

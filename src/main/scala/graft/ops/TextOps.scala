@@ -187,17 +187,31 @@ object TextOps {
       idCol: String = "doc_id"): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
-    val ws = Selection.wordsOf(col(textCol))
-    // (doc, v, w) bigram rows; words hash to [0, buckets) AFTER the
-    // explode (UDFs can't run inside higher-order-function lambdas)
+    // (doc, bv, bw) bigram-bucket rows from ONE UDF pass per document
+    // (each word hashed once, pairs emitted as int structs — the HOF
+    // element_at formulation re-evaluated the words array per lambda
+    // element, O(n²) per doc, and shuffled strings)
+    val bigramBuckets = udf((s: String) => {
+      if (s == null) Array.empty[(Int, Int)]
+      else {
+        val ws = s.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+        if (ws.length < 2) Array.empty[(Int, Int)]
+        else {
+          val bs = new Array[Int](ws.length)
+          var i = 0
+          while (i < ws.length) {
+            val x = fnv64(ws(i)) % buckets
+            bs(i) = (if (x < 0) x + buckets else x).toInt
+            i += 1
+          }
+          Array.tabulate(ws.length - 1)(j => (bs(j), bs(j + 1)))
+        }
+      }
+    })
     val pairs = df.select(col(idCol),
-        explode(when(size(ws) >= 2,
-          transform(sequence(lit(1), size(ws) - 1),
-            i => struct(element_at(ws, i).as("v"), element_at(ws, i + 1).as("w"))))
-          .otherwise(lit(null))).as("__bg")) // explode(null) -> no rows
+        explode(bigramBuckets(col(textCol))).as("__bg"))
       .select(col(idCol),
-        pmod(fnvHash(col("__bg.v")), lit(buckets.toLong)).cast("int").as("__bv"),
-        pmod(fnvHash(col("__bg.w")), lit(buckets.toLong)).cast("int").as("__bw"))
+        col("__bg._1").as("__bv"), col("__bg._2").as("__bw"))
     val cbg = pairs.groupBy("__bv", "__bw").agg(count(lit(1)).as("__cvw"))
     val ctx = cbg.groupBy("__bv")
       .agg(sum("__cvw").as("__cv"), count(lit(1)).as("__n1f"))

@@ -448,11 +448,11 @@ object StreamingOps {
   }
 
   /** Shared per-row hashed-gram walker for the stateless selection
-    * scorers: tokenizes exactly like [[graft.ops.Selection.wordsOf]]
-    * (lowercase, letters-only split), walks unigrams + bigrams exactly
-    * like `Selection.gramsOf` (unigrams first, then bigrams — the same
-    * accumulation order, so float sums match the batch twin to reduce
-    * order), and folds each gram's bucket weight into (sum, count). */
+    * scorers: tokenizes and walks grams exactly like
+    * [[graft.ops.Selection.gramBucketsUdf]] (lowercase letters-only
+    * split; unigrams first, then bigrams — the same accumulation order,
+    * so float sums match the batch twin to reduce order), and folds each
+    * gram's bucket weight into (sum, count). */
   private def gramFold(text: String, buckets: Int,
       weightOf: Int => Double): (Double, Long) = {
     if (text == null) return (0.0, 0L)
