@@ -113,14 +113,6 @@ object Dedup {
           "\n").as("clean_text"))
   }
 
-  /** Character shingles (n-gram set) of normalized text. */
-  def shingles(text: Column, n: Int = 5): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
-    array_distinct(transform(
-      sequence(lit(0), greatest(length(norm) - n, lit(0))),
-      i => norm.substr(i + lit(1), lit(n))))
-  }
-
   /** MinHash signature of a shingle set: k independent permutations via the
     * classic (a·x + b) mod p universal hash. The expensive string work
     * (shingling + base xxhash64) must be materialized ONCE into a long
@@ -362,9 +354,12 @@ object Dedup {
     * quadratic verifier; run it on LSH candidates, never the full corpus. */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 3): DataFrame = {
-    val words = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
-    val grams = df2Grams(words, n)
-    val g = docs.select(col(idCol).as("__id"), grams.as("__grams"))
+    // bind the words array to a real column before the gram lambda — a
+    // captured raw expression re-runs regexp_replace+split per element
+    val g = docs
+      .withColumn("__w",
+        split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " "))
+      .select(col(idCol).as("__id"), df2Grams(col("__w"), n).as("__grams"))
     pairs
       .join(g.withColumnRenamed("__grams", "__ga"), col("id_a") === col("__id")).drop("__id")
       .join(g.withColumnRenamed("__grams", "__gb"), col("id_b") === col("__id")).drop("__id")
