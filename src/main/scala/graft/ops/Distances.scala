@@ -70,15 +70,18 @@ object Distances {
     val kernel = univariate.getOrElse(metric,
       throw new IllegalArgumentException(
         s"Unknown metric '$metric'. Choose from ${univariate.keys.toSeq.sorted.mkString(", ")}"))
-    val dist = udf((a: Seq[Double], b: Seq[Double]) =>
-      kernel(a.toArray, b.toArray, params))
+    // Array[Double] (not Seq[Double]) parameters: one primitive
+    // toDoubleArray copy per input instead of boxing every element — the
+    // same ~70%-of-wall-time lesson as the cosine UDF (Similarity)
+    val dist = udf((a: Array[Double], b: Array[Double]) =>
+      kernel(a, b, params))
     val g0 = Panel.grouped(df).select(pc.idCol, col("ys"))
     // LB_Keogh prefilter is sound for the Sakoe-Chiba DTW kernel (L1 cost)
     val lbWindow = if (metric == "dtw") params.get("window").map(_.toInt) else None
     val useLb = maxDist.isDefined && lbWindow.isDefined
     val g = if (useLb) {
       val w = lbWindow.get
-      val envUdf = udf((ys: Seq[Double]) => Elastic.envelope(ys.toArray, w))
+      val envUdf = udf((ys: Array[Double]) => Elastic.envelope(ys, w))
       g0.withColumn("__env", envUdf(col("ys")))
     } else g0
     val doBroadcast = broadcastRight
@@ -90,8 +93,8 @@ object Distances {
     val right = if (doBroadcast) broadcast(g) else g
     val joined = g.as("a").join(right.as("b"), col(s"a.${pc.id}") < col(s"b.${pc.id}"))
     val pruned = if (useLb) {
-      val lbUdf = udf((a: Seq[Double], env: Seq[Double]) =>
-        Elastic.lbKeogh(a.toArray, env.toArray))
+      val lbUdf = udf((a: Array[Double], env: Array[Double]) =>
+        Elastic.lbKeogh(a, env))
       joined.filter(lbUdf(col("a.ys"), col("b.__env")) <= maxDist.get)
     } else joined
     val withD = pruned
@@ -140,8 +143,8 @@ object Distances {
       params: Map[String, Double] = Map.empty, topK: Int = 0)(
       implicit pc: PanelCols): DataFrame = {
     val kernel = univariate(metric)
-    val dist = udf((a: Seq[Double], b: Seq[Double]) =>
-      kernel(a.toArray, b.toArray, params))
+    val dist = udf((a: Array[Double], b: Array[Double]) =>
+      kernel(a, b, params))
     val gl = Panel.grouped(left).select(pc.idCol.as("id_1"), col("ys").as("__ys1"))
     val gr = Panel.grouped(right).select(pc.idCol.as("id_2"), col("ys").as("__ys2"))
     val all = gl.join(broadcast(gr), col("id_1") =!= col("id_2"))
