@@ -114,7 +114,7 @@ object Similarity {
     val spark = corpus.sparkSession
     val centers = ivfCentroids(corpus, nCells, sampleSize, seed, idCol, vecCol)
     val bc = spark.sparkContext.broadcast(centers)
-    val nearestCell = udf((v: Seq[Double]) => {
+    val nearestCell = udf((v: Array[Double]) => {
       val cs = bc.value
       var best = 0; var bd = Double.MaxValue
       var c = 0
@@ -127,7 +127,7 @@ object Similarity {
       }
       best
     })
-    val probeCells = udf((v: Seq[Double]) => {
+    val probeCells = udf((v: Array[Double]) => {
       val cs = bc.value
       cs.indices.map { c =>
         var dd = 0.0; var j = 0
@@ -164,7 +164,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
     val spark = corpus.sparkSession
     val bc = spark.sparkContext.broadcast(centers)
-    val residUdf = udf((v: Seq[Double]) => {
+    val residUdf = udf((v: Array[Double]) => {
       val cc = bc.value(nearestCellIdx(v, bc.value))
       Array.tabulate(v.length)(i => v(i) - cc(i))
     })
@@ -175,7 +175,7 @@ object Similarity {
 
   /** Argmin-cell scan shared by the IVFADC paths: squared euclidean,
     * strict-< first-index tie-break (the ivfTopK convention). */
-  private def nearestCellIdx(v: Seq[Double], cs: Array[Array[Double]]): Int = {
+  private def nearestCellIdx(v: Array[Double], cs: Array[Array[Double]]): Int = {
     var best = 0; var bd = Double.MaxValue
     var c = 0
     while (c < cs.length) {
@@ -206,7 +206,7 @@ object Similarity {
     val spark = corpus.sparkSession
     val bcC = spark.sparkContext.broadcast(centers)
     val bcB = spark.sparkContext.broadcast(codebooks)
-    val cellAndCodes = udf((v: Seq[Double]) => {
+    val cellAndCodes = udf((v: Array[Double]) => {
       val cs = bcC.value
       val cb = bcB.value
       val cell = nearestCellIdx(v, cs)
@@ -229,7 +229,7 @@ object Similarity {
       }
       (cell, codes)
     })
-    val probeCells = udf((v: Seq[Double]) => {
+    val probeCells = udf((v: Array[Double]) => {
       val cs = bcC.value
       cs.indices.map { c =>
         var dd = 0.0; var j = 0
@@ -238,7 +238,7 @@ object Similarity {
         (dd, c)
       }.sortBy(_._1).take(nprobe).map(_._2).toArray
     })
-    val adc = udf((qv: Seq[Double], cell: Int, codes: Seq[Int]) => {
+    val adc = udf((qv: Array[Double], cell: Int, codes: Array[Int]) => {
       val cc = bcC.value(cell)
       val cb = bcB.value
       val dsub = cb(0)(0).length
@@ -304,7 +304,7 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(centers)
-    val nearestCell = udf((v: Seq[Double]) => {
+    val nearestCell = udf((v: Array[Double]) => {
       val cs = bc.value
       var best = 0; var bd = Double.MaxValue
       var c = 0
@@ -350,7 +350,7 @@ object Similarity {
     val bc = spark.sparkContext.broadcast(centers)
     // strict-< scan → first index attains the min (ties break low, the
     // same convention the oracle's ordered CASE replays)
-    val assign = udf((v: Seq[Double]) => {
+    val assign = udf((v: Array[Double]) => {
       val cs = bc.value
       var best = 0; var bd = Double.MaxValue
       var c = 0
@@ -490,8 +490,8 @@ object Similarity {
     val bucket = (v: Column) => hyperplaneBucket(v, dim, bits, seed)
     // same plane sequence as hyperplaneBucket (same source)
     val planes = hyperplanes(dim, bits, seed)
-    val qBucketsUdf = udf((v: Seq[Double]) => {
-      val arr = v.toArray
+    val qBucketsUdf = udf((v: Array[Double]) => {
+      val arr = v
       val dots = planes.map { p =>
         var d = 0.0; var i = 0
         val n = math.min(p.length, arr.length)
