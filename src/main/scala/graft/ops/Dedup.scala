@@ -113,6 +113,20 @@ object Dedup {
           "\n").as("clean_text"))
   }
 
+  /** Packed band key for band `b` of a k-length signature column — the
+    * exact key [[minhashLsh]] buckets on, shared with the streaming
+    * novelty filter. Signature minima are < 2³¹, so each PAIR of band
+    * values packs losslessly into one long (v·2³¹ + w) —
+    * engine-reproducible (the oracle computes the same arithmetic) and
+    * as cheap to shuffle as a hashed key, with zero collision risk. */
+  def packedBandKey(sig: Column, b: Int, rowsPerBand: Int): Column = {
+    require(rowsPerBand % 2 == 0, "rowsPerBand must be even for key packing")
+    struct((0 until rowsPerBand / 2).map { p =>
+      (element_at(sig, b * rowsPerBand + 2 * p + 1) * lit(2147483648L) +
+        element_at(sig, b * rowsPerBand + 2 * p + 2)).as(s"k$p")
+    }: _*)
+  }
+
   /** MinHash signature of a shingle set: k independent permutations via the
     * classic (a·x + b) mod p universal hash. The expensive string work
     * (shingling + base xxhash64) must be materialized ONCE into a long
@@ -241,18 +255,9 @@ object Dedup {
       .select(col(idCol).as("__id"),
         minhashSigFromText(col(textCol), shingleN, k).as("__sig"))
       .cache()
-    // band key: signature minima are < 2³¹, so each PAIR of band values
-    // packs losslessly into one long (v·2³¹ + w) — engine-reproducible
-    // (the oracle computes the same arithmetic) and as cheap to shuffle
-    // as a hashed key, with zero collision risk
-    require(rowsPerBand % 2 == 0, "rowsPerBand must be even for key packing")
-    def packed(b: Int, pair: Int): org.apache.spark.sql.Column =
-      element_at(col("__sig"), b * rowsPerBand + 2 * pair + 1) * lit(2147483648L) +
-        element_at(col("__sig"), b * rowsPerBand + 2 * pair + 2)
     val banded0 = sigs.select(col("__id"), posexplode(
       array((0 until bands).map(b =>
-        struct((0 until rowsPerBand / 2).map(p =>
-          packed(b, p).as(s"k$p")): _*)): _*))
+        packedBandKey(col("__sig"), b, rowsPerBand)): _*))
       .as(Seq("__band", "__bk")))
     val banded = maxBucketSize match {
       case None => banded0

@@ -521,6 +521,50 @@ object StreamingOps {
       .drop("__s")
   }
 
+  /** Streaming MinHash near-dup novelty: each arriving document's LSH
+    * band keys (the batch [[graft.ops.Dedup.minhashLsh]] signature —
+    * same shingles, same permutations, same packed band keys) are
+    * checked against watermark-bounded band-key state; the op emits, per
+    * document, how many of its `bands` keys were NOVEL (first seen).
+    * `novel_bands = bands` ⇒ no band collides with any earlier doc —
+    * certainly not a near-dup at the LSH threshold; fewer ⇒ a candidate
+    * near-dup of something earlier (the batch path would jaccard-verify;
+    * a streaming filter keeps candidates out or routes them to a batch
+    * verifier). Documents whose EVERY band was already seen emit no row
+    * (all their band rows are suppressed) — absent ⇒ strongest dup
+    * signal.
+    *
+    * Plan shape: one narrow signature pass → posexplode to `bands`
+    * keyed rows → `dropDuplicatesWithinWatermark` on the band key
+    * (stateful stage 1, state = one row per distinct band key inside
+    * the watermark horizon) → event-time tumbling-window count per doc
+    * (stateful stage 2, the Spark 3.5+ chained-stateful-operator
+    * support). Emission waits for the watermark to pass the window end
+    * — the usual append-mode latency contract. Within one micro-batch,
+    * which colliding doc survives is engine-order arbitrary (same
+    * caveat as [[streamingDedup]]); across triggers the state makes
+    * suppression deterministic. */
+  def streamingNearDupNovelty(input: Dataset[Doc], bands: Int = 16,
+      rowsPerBand: Int = 4, shingleN: Int = 5,
+      watermarkDelay: String = "1 hour",
+      windowLength: String = "10 minutes"): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = graft.ops.Dedup.minhashSigFromText(col("text"), shingleN, k)
+    val banded = input.toDF()
+      .withColumn("__sig", sig)
+      .select(col("docId").as("doc_id"), col("ts"), posexplode(
+        org.apache.spark.sql.functions.array((0 until bands).map { b =>
+          graft.ops.Dedup.packedBandKey(col("__sig"), b, rowsPerBand)
+        }: _*)).as(Seq("__band", "__bk")))
+      .withWatermark("ts", watermarkDelay)
+    banded
+      .dropDuplicatesWithinWatermark("__band", "__bk")
+      .groupBy(window(col("ts"), windowLength), col("doc_id"))
+      .agg(count(lit(1)).as("novel_bands"))
+      .select(col("doc_id"), col("novel_bands"),
+        (col("novel_bands") === bands).as("is_novel"))
+  }
+
   /** Full streaming curation funnel (VERDICT r6 ask #9): first-seen exact
     * dedup → Bloom-prefiltered exact decontamination → the stateless
     * curation gate, composed into ONE streaming plan.
