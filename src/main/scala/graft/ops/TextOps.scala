@@ -187,31 +187,7 @@ object TextOps {
       idCol: String = "doc_id"): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
-    // (doc, bv, bw) bigram-bucket rows from ONE UDF pass per document
-    // (each word hashed once, pairs emitted as int structs — the HOF
-    // element_at formulation re-evaluated the words array per lambda
-    // element, O(n²) per doc, and shuffled strings)
-    val bigramBuckets = udf((s: String) => {
-      if (s == null) Array.empty[(Int, Int)]
-      else {
-        val ws = s.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
-        if (ws.length < 2) Array.empty[(Int, Int)]
-        else {
-          val bs = new Array[Int](ws.length)
-          var i = 0
-          while (i < ws.length) {
-            val x = fnv64(ws(i)) % buckets
-            bs(i) = (if (x < 0) x + buckets else x).toInt
-            i += 1
-          }
-          Array.tabulate(ws.length - 1)(j => (bs(j), bs(j + 1)))
-        }
-      }
-    })
-    val pairs = df.select(col(idCol),
-        explode(bigramBuckets(col(textCol))).as("__bg"))
-      .select(col(idCol),
-        col("__bg._1").as("__bv"), col("__bg._2").as("__bw"))
+    val pairs = knBigramPairs(df, buckets, textCol, idCol)
     val cbg = pairs.groupBy("__bv", "__bw").agg(count(lit(1)).as("__cvw"))
     val ctx = cbg.groupBy("__bv")
       .agg(sum("__cvw").as("__cv"), count(lit(1)).as("__n1f"))
@@ -251,6 +227,90 @@ object TextOps {
     df.select(col(idCol)).join(out, Seq(idCol), "left")
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
       .withColumn("bucket", coalesce(col("bucket"), lit("na")))
+  }
+
+  /** Collected KN bigram model — the broadcastable form the stateless
+    * streaming scorer needs. `logp` keys pack (bv, bw) as bv·buckets+bw;
+    * `ctx` maps bv → (c(v), N1+(v·)); `cont` maps bw → N1+(·w). Bounded
+    * by observed-bigram buckets (≤ buckets² worst case — size `buckets`
+    * to what the driver can hold; 4096 ⇒ ≤16.7M entries at web scale,
+    * smaller corpora are far sparser). */
+  case class KnModel(buckets: Int, discount: Double,
+      logp: Map[Long, Double], ctx: Map[Int, (Long, Long)],
+      cont: Map[Int, Long], bTotal: Double)
+
+  /** Fit the collected KN model with exactly [[knPerplexity]]'s count
+    * tables (same tokenization, same bucketing, same interpolation), for
+    * streaming inference over a live feed. */
+  def knModelFit(df: DataFrame, buckets: Int = 4096,
+      discount: Double = 0.75, textCol: String = "text",
+      idCol: String = "doc_id"): KnModel = {
+    require(buckets >= 2 && discount > 0 && discount < 1)
+    val cbg = knBigramPairs(df, buckets, textCol, idCol)
+      .groupBy("__bv", "__bw").agg(count(lit(1)).as("__cvw"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val ctx = cbg.groupBy(_._1).map { case (v, rs) =>
+      v -> (rs.map(_._3).sum, rs.length.toLong)
+    }
+    val cont = cbg.groupBy(_._2).map { case (w, rs) => w -> rs.length.toLong }
+    val b = cbg.length.toDouble
+    val logp = cbg.map { case (v, w, c) =>
+      val (cv, n1f) = ctx(v)
+      (v.toLong * buckets + w) ->
+        math.log((c - discount) / cv + discount * n1f / cv * cont(w) / b)
+    }.toMap
+    KnModel(buckets, discount, logp, ctx, cont, b)
+  }
+
+  /** p_KN(w|v) under a collected model, extended off-corpus: observed
+    * bigrams replay the batch interpolation exactly; an unseen bigram in
+    * a seen context keeps the continuation term only; an unseen context
+    * backs off to the continuation unigram N1+(·w)/B; everything floors
+    * at 0.5/B (the unigramLogProb OOV convention) so fresh vocabulary
+    * scores finite. */
+  def knLogProb(m: KnModel, bv: Int, bw: Int): Double = {
+    val floor = 0.5 / m.bTotal
+    m.logp.get(bv.toLong * m.buckets + bw).getOrElse {
+      val contP = m.cont.getOrElse(bw, 0L) / m.bTotal
+      val p = m.ctx.get(bv) match {
+        case Some((cv, n1f)) => m.discount * n1f / cv * contP
+        case None => contP
+      }
+      math.log(math.max(p, floor))
+    }
+  }
+
+  /** Shared (doc, bv, bw) bigram-bucket rows — one UDF pass per document
+    * (each word hashed once; the HOF element_at formulation re-evaluated
+    * the words array per lambda element, O(n²) per doc, and shuffled
+    * strings). */
+  private[graft] def knBigramPairs(df: DataFrame, buckets: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val bigramBuckets = udf((s: String) => knBigramWalk(s, buckets))
+    df.select(col(idCol), explode(bigramBuckets(col(textCol))).as("__bg"))
+      .select(col(idCol),
+        col("__bg._1").as("__bv"), col("__bg._2").as("__bw"))
+  }
+
+  /** The per-document bigram-bucket walk itself — shared verbatim by the
+    * batch pair builder and the streaming scorer so the two can never
+    * drift. */
+  private[graft] def knBigramWalk(s: String, buckets: Int): Array[(Int, Int)] = {
+    if (s == null) Array.empty[(Int, Int)]
+    else {
+      val ws = s.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+      if (ws.length < 2) Array.empty[(Int, Int)]
+      else {
+        val bs = new Array[Int](ws.length)
+        var i = 0
+        while (i < ws.length) {
+          val x = fnv64(ws(i)) % buckets
+          bs(i) = (if (x < 0) x + buckets else x).toInt
+          i += 1
+        }
+        Array.tabulate(ws.length - 1)(j => (bs(j), bs(j + 1)))
+      }
+    }
   }
 
   /** 64-bit FNV-1a rolling fingerprint of normalized text (lowercased,

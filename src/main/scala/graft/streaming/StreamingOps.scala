@@ -521,6 +521,41 @@ object StreamingOps {
       .drop("__s")
   }
 
+  /** Stateless streaming KN-perplexity scoring: the corpus-fit bigram
+    * Kneser-Ney model ([[graft.ops.TextOps.knModelFit]]) broadcasts and
+    * each arriving document's perplexity is one per-row bigram walk —
+    * observed bigrams replay the batch [[graft.ops.TextOps.knPerplexity]]
+    * interpolation exactly; fresh vocabulary backs off through the
+    * continuation distribution with the 0.5/B floor
+    * ([[graft.ops.TextOps.knLogProb]]), so out-of-corpus docs score
+    * finite instead of crashing. Zero state, zero shuffle. Emits
+    * `n_bigrams`, `avg_logp`, `ppl` (nulls for bigram-less docs). */
+  def streamingKnScore(input: DataFrame, model: graft.ops.TextOps.KnModel,
+      textCol: String = "text"): DataFrame = {
+    val spark = input.sparkSession
+    val bcM = spark.sparkContext.broadcast(model)
+    val score = udf((text: String) => {
+      val m = bcM.value
+      val pairs = graft.ops.TextOps.knBigramWalk(text, m.buckets)
+      if (pairs.isEmpty) None
+      else {
+        var s = 0.0
+        var i = 0
+        while (i < pairs.length) {
+          s += graft.ops.TextOps.knLogProb(m, pairs(i)._1, pairs(i)._2)
+          i += 1
+        }
+        val avg = s / pairs.length
+        Some((pairs.length.toLong, avg, math.exp(-avg)))
+      }
+    })
+    input.withColumn("__s", score(col(textCol)))
+      .withColumn("n_bigrams", col("__s._1"))
+      .withColumn("avg_logp", col("__s._2"))
+      .withColumn("ppl", col("__s._3"))
+      .drop("__s")
+  }
+
   /** Streaming MinHash near-dup novelty: each arriving document's LSH
     * band keys (the batch [[graft.ops.Dedup.minhashLsh]] signature —
     * same shingles, same permutations, same packed band keys) are

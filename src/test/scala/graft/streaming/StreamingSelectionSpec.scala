@@ -88,6 +88,42 @@ class StreamingSelectionSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming KN score equals batch perplexity; fresh vocab finite") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val df = corpus()
+    val m = graft.ops.TextOps.knModelFit(df, buckets = 256)
+    val batch = graft.ops.TextOps.knPerplexity(df, buckets = 256)
+      .filter(col("n_bigrams") > 0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("ppl"))).toMap
+
+    val source = MemoryStream[(Long, String)]
+    val out = StreamingOps.streamingKnScore(
+      source.toDS().toDF("doc_id", "text"), m)
+      .select("doc_id", "n_bigrams", "ppl")
+    val query = out.writeStream.format("memory").queryName("kn_out")
+      .outputMode("append").start()
+    try {
+      source.addData(df.select("doc_id", "text").as[(Long, String)].collect(): _*)
+      source.addData((300L, "zyzzyva qoph xylem wort"), (301L, "single"))
+      query.processAllAvailable()
+      val streamed = spark.table("kn_out").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) None
+           else Some((r.getLong(1), r.getDouble(2))))).toMap
+      batch.foreach { case (id, (n, ppl)) =>
+        val (sn, sppl) = streamed(id).get
+        assert(sn == n, s"doc $id bigram count")
+        assert(math.abs(sppl - ppl) < 1e-9, s"doc $id stream $sppl vs $ppl")
+      }
+      val (fn, fppl) = streamed(300L).get
+      assert(fn == 3L && !fppl.isNaN && !fppl.isInfinite && fppl > 1.0,
+        s"fresh-vocab doc must score finite, got $fppl")
+      assert(streamed(301L).isEmpty, "bigram-less doc emits nulls")
+    } finally query.stop()
+  }
+
   test("unseen-vocabulary docs score via the Laplace default") {
     import spark.implicits._
     val df = corpus()
