@@ -300,6 +300,19 @@ object SparkEntry {
           r6n(col("avg_logp")).as("avg_logp"),
           r6n(col("ppl")).as("ppl"), col("bucket"))),
 
+    // refit-vs-pin audit for the IVF coarse quantizer — the pin behind
+    // emb_knn_ivf / emb_knn_ivfpq / emb_semdedup / emb_topic_* /
+    // emb_prototype_prune; the deterministic sampled-Lloyd fit must
+    // land on the pinned doubles exactly
+    "emb_ivf_refit_audit" -> ((s, dir) => {
+      val emb = IO.embeddings(s, dir).select("vec_id", "embedding")
+      val refit = Similarity.ivfCentroids(emb)
+      val pin = OraclePins.ivfCenters.getOrElse(refit)
+      import s.implicits._
+      Seq((refit.length, r6dbl(maxAbsDiff2(refit, pin))))
+        .toDF("n_cells", "max_abs_diff")
+    }),
+
     "emb_knn_brute" -> ((s, dir) => {
       val emb = IO.embeddings(s, dir)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 3)
@@ -2573,6 +2586,9 @@ object SparkEntry {
       "emb_topic_assign" -> AnnOracle.topicAssignSql(c)) ++
     OraclePins.ivfCenters.map(c =>
       "emb_prototype_prune" -> AnnOracle.prototypePruneSql(c, keepFrac = 0.7)) ++
+    OraclePins.ivfCenters.map(_ =>
+      "emb_ivf_refit_audit" ->
+        "SELECT 16::INT AS n_cells, 0.0::DOUBLE AS max_abs_diff") ++
     OraclePins.ivfCenters.map(c =>
       "emb_topic_sample" ->
         s"""SELECT vec_id, topic FROM (
