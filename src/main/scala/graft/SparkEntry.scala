@@ -282,6 +282,20 @@ object SparkEntry {
       Seq((refit.buckets, r6dbl(diff))).toDF("buckets", "max_abs_diff")
     }),
 
+    // Unicode normalization over a deterministically-dirtied corpus:
+    // combining accents (NFC), NBSP/zero-width/BEL/CRLF/tab injection —
+    // the cleanup pass before fingerprinting
+    "doc_normalize" -> ((s, dir) => {
+      val messy = concat(
+        lit("Cafe\u0301 du\u00A0monde\u200B \u0007 line one \r\n\ttab  end "),
+        col("text"))
+      TextOps.normalizeText(
+          IO.documents(s, dir).withColumn("text", messy))
+        .select(col("doc_id"), col("norm_text"),
+          length(col("text")).cast("long").as("raw_len"),
+          length(col("norm_text")).cast("long").as("norm_len"))
+    }),
+
     // RefinedWeb-style cross-corpus line dedup on a deterministically
     // "lined" corpus (8-word chunks + boilerplate lines injected into
     // doc_id%3 / doc_id%4 slices — the raw word-soup docs have no \n)
@@ -3322,6 +3336,31 @@ object SparkEntry {
          |  round(mw + 1e-9, 6) AS mix_weight,
          |  floor(mw * 300 + 1e-9)::BIGINT AS quota
          |FROM w""".stripMargin,
+
+    // Unicode normalization replay: same dirty prefix via chr() codes,
+    // nfc_normalize (same UAX#15 NFC java.text.Normalizer implements),
+    // then the identical RE2-safe regexp chain
+    "doc_normalize" ->
+      s"""WITH messy AS (SELECT doc_id,
+         |  'Cafe' || chr(769) || ' du' || chr(160) || 'monde' || chr(8203) ||
+         |  ' ' || chr(7) || ' line one ' || chr(13) || chr(10) || chr(9) ||
+         |  'tab  end ' || text AS text FROM documents),
+         |n AS (SELECT doc_id, text, trim(
+         |  regexp_replace(
+         |  regexp_replace(
+         |  regexp_replace(
+         |  regexp_replace(
+         |  regexp_replace(
+         |  regexp_replace(
+         |    replace(nfc_normalize(text), chr(13) || chr(10), chr(10)),
+         |    '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}\\x{00AD}]', '', 'g'),
+         |    '[\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]', ' ', 'g'),
+         |    '[\\x{0001}-\\x{0008}\\x{000B}-\\x{001F}\\x{007F}]', '', 'g'),
+         |    '[ \\t]+', ' ', 'g'),
+         |    ' ?\\n ?', chr(10), 'g'),
+         |    '^\\n+|\\n+$$', '', 'g')) AS norm_text FROM messy)
+         |SELECT doc_id, norm_text, length(text)::BIGINT AS raw_len,
+         |  length(norm_text)::BIGINT AS norm_len FROM n""".stripMargin,
 
     // RefinedWeb line dedup: full replay — lined-corpus reconstruction,
     // cross-doc line document-frequency, drop lines in >= 2 distinct docs,

@@ -229,6 +229,40 @@ object TextOps {
       .withColumn("bucket", coalesce(col("bucket"), lit("na")))
   }
 
+  /** Unicode text normalization — the cleanup pass a curation pipeline
+    * runs BEFORE fingerprinting/dedup/tokenization (C4 and CCNet both
+    * normalize before hashing; without it, visually-identical docs hash
+    * apart): NFC composition (é as one codepoint, not e + combining
+    * acute), CRLF → LF, zero-width characters and soft hyphens stripped,
+    * Unicode spaces mapped to ASCII space, remaining C0/C1 controls
+    * (except tab/newline) stripped, space/tab runs collapsed, spaces
+    * trimmed around newlines and at the ends. NFC runs in a UDF
+    * (`java.text.Normalizer` — the same Unicode standard DuckDB's
+    * `nfc_normalize` implements, so the oracle replays it exactly); the
+    * rest is pure regexp expressions restricted to syntax valid in both
+    * Java regex and RE2 (the PII-regex discipline). Zero shuffle — scans
+    * at parquet speed. */
+  def normalizeText(df: DataFrame, textCol: String = "text",
+      outCol: String = "norm_text"): DataFrame = {
+    val nfcUdf = udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    val t0 = nfcUdf(col(textCol))
+    val t1 = regexp_replace(t0, "\\r\\n", "\n")
+    // zero-width space/non-joiner/joiner, BOM, soft hyphen
+    val t2 = regexp_replace(t1, "[\u200B\u200C\u200D\uFEFF\u00AD]", "")
+    // NBSP, ogham space, en/em/thin/etc spaces, line/para separators,
+    // narrow NBSP, math space, ideographic space
+    val t3 = regexp_replace(t2,
+      "[\u00A0\u1680\u2000-\u200A\u2028\u2029\u202F\u205F\u3000]", " ")
+    // C0 controls except tab/newline (CR already folded), DEL
+    val t4 = regexp_replace(t3, "[\u0000-\u0008\u000B-\u001F\u007F]", "")
+    val t5 = regexp_replace(t4, "[ \t]+", " ")
+    val t6 = regexp_replace(t5, " ?\n ?", "\n")
+    val t7 = regexp_replace(t6, "^\n+|\n+$", "")
+    df.withColumn(outCol, trim(t7))
+  }
+
   /** Collected KN bigram model — the broadcastable form the stateless
     * streaming scorer needs. `logp` keys pack (bv, bw) as bv·buckets+bw;
     * `ctx` maps bv → (c(v), N1+(v·)); `cont` maps bw → N1+(·w). Bounded

@@ -118,6 +118,7 @@ object syntax {
     def simhash(): DataFrame = Dedup.simhash(df)
     def dupNgramCoverage(n: Int = 5): DataFrame = Dedup.dupNgramCoverage(df, n)
     // quality & filters
+    def normalizeText(): DataFrame = TextOps.normalizeText(df)
     def qualityMetrics(): DataFrame = TextOps.qualityMetrics(df)
     def languageId(): DataFrame = TextOps.languageId(df)
     def unigramLogProb(vocabSize: Int = 1000): DataFrame =

@@ -54,6 +54,26 @@ class CurationTextSpec extends AnyFunSuite {
     assert(at4.values.forall(_ == 0L), "below minDocs nothing is removed")
   }
 
+  test("normalizeText: NFC, zero-width/control strip, whitespace canon") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Cafe\u0301"), // combining acute -> precomposed
+      (2L, "a\u200Bb\u00ADc"), // zero-width space + soft hyphen vanish
+      (3L, "x\u00A0y\u3000z"), // NBSP + ideographic space -> ASCII
+      (4L, "one \r\n two \r\n"), // CRLF -> LF, spaces trimmed around newline
+      (5L, "bell\u0007 and\ttab   runs"),
+      (6L, "  padded  ")).toDF("doc_id", "text")
+    val out = TextOps.normalizeText(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("norm_text")).toMap
+    assert(out(1L) == "Caf\u00E9")
+    assert(out(1L).length == 4)
+    assert(out(2L) == "abc")
+    assert(out(3L) == "x y z")
+    assert(out(4L) == "one\ntwo")
+    assert(out(5L) == "bell and tab runs")
+    assert(out(6L) == "padded")
+  }
+
   /** KN model sanity on a corpus small enough to check by hand is brittle
     * (hash buckets), so assert distributional invariants instead. */
   test("knPerplexity: proper distribution, fluent docs score head") {
