@@ -296,6 +296,19 @@ object SparkEntry {
           length(col("norm_text")).cast("long").as("norm_len"))
     }),
 
+    // Lee et al. span dedup over a corpus with an injected shared tail
+    // (doc_id%3 slice): runs of >= 4 consecutive cross-doc-duplicated
+    // 5-gram windows are deleted word-spans
+    "doc_span_dedup" -> ((s, dir) => {
+      val boiler = " the quick brown fox jumps over the lazy dog today"
+      val docs = IO.documents(s, dir).withColumn("text",
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"), lit(boiler))).otherwise(col("text")))
+      Dedup.spanDedup(docs)
+        .select(col("doc_id"), col("n_words"), col("n_removed_words"),
+          col("clean_text"))
+    }),
+
     // RefinedWeb-style cross-corpus line dedup on a deterministically
     // "lined" corpus (8-word chunks + boilerplate lines injected into
     // doc_id%3 / doc_id%4 slices — the raw word-soup docs have no \n)
@@ -3361,6 +3374,40 @@ object SparkEntry {
          |    '^\\n+|\\n+$$', '', 'g')) AS norm_text FROM messy)
          |SELECT doc_id, norm_text, length(text)::BIGINT AS raw_len,
          |  length(norm_text)::BIGINT AS norm_len FROM n""".stripMargin,
+
+    // span dedup: full replay — windows, cross-doc frequency,
+    // gaps-and-islands run detection, interval-union word removal,
+    // ordered reassembly
+    "doc_span_dedup" ->
+      s"""WITH msy AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN text ||
+         |    ' the quick brown fox jumps over the lazy dog today'
+         |  ELSE text END AS text FROM documents),
+         |wsd AS (SELECT doc_id,
+         |  list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')
+         |  AS words FROM msy),
+         |lws AS (SELECT doc_id,
+         |  list_transform(words, w -> lower(w)) AS lw FROM wsd),
+         |wins AS (SELECT doc_id, i - 1 AS pos,
+         |    array_to_string(lw[i::INT:(i + 4)::INT], ' ') AS gram
+         |  FROM lws, unnest(generate_series(1, greatest(len(lw) - 4, 0))) AS u(i)),
+         |freq AS (SELECT gram FROM wins GROUP BY gram
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |dup AS (SELECT w.doc_id, w.pos FROM wins w JOIN freq USING (gram)),
+         |isl AS (SELECT doc_id, pos, pos - row_number()
+         |  OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dup),
+         |runs AS (SELECT doc_id, min(pos) AS a, max(pos) AS b FROM isl
+         |  GROUP BY doc_id, grp HAVING count(*) >= 4),
+         |rem AS (SELECT DISTINCT r.doc_id, u.i AS pos
+         |  FROM runs r, unnest(generate_series(r.a, r.b + 4)) AS u(i)),
+         |wpos AS (SELECT doc_id, i - 1 AS pos, words[i::INT] AS w
+         |  FROM wsd, unnest(generate_series(1, len(words))) AS u(i))
+         |SELECT w.doc_id, count(*)::BIGINT AS n_words,
+         |  count(*) FILTER (WHERE r.pos IS NOT NULL)::BIGINT AS n_removed_words,
+         |  coalesce(string_agg(CASE WHEN r.pos IS NULL THEN w.w END,
+         |    ' ' ORDER BY w.pos), '') AS clean_text
+         |FROM wpos w LEFT JOIN rem r ON w.doc_id = r.doc_id AND w.pos = r.pos
+         |GROUP BY w.doc_id""".stripMargin,
 
     // RefinedWeb line dedup: full replay — lined-corpus reconstruction,
     // cross-doc line document-frequency, drop lines in >= 2 distinct docs,

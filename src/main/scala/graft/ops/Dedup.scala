@@ -113,6 +113,65 @@ object Dedup {
           "\n").as("clean_text"))
   }
 
+  /** Cross-document span dedup — the REMOVAL step of Lee et al. 2022
+    * (arXiv:2107.06499 §4 delete duplicated substrings of ≥ 50 tokens;
+    * their suffix-array spans approximated here with fixed word n-gram
+    * windows, the [[dupNgramCoverage]] machinery): a window is duplicated
+    * when its n-gram occurs in ≥ 2 DISTINCT documents; a maximal run of
+    * ≥ `minRun` consecutive duplicated windows marks the word span
+    * `[runStart, runEnd + n − 1]` (≥ n + minRun − 1 words) for deletion.
+    * Within-document repetition alone never triggers deletion (document
+    * frequency counts distinct docs). Output per document: `n_words`,
+    * `n_removed_words`, `clean_text` (surviving words rejoined in order).
+    *
+    * Scale: windows shuffle as (doc_id, pos, 64-bit gram hash) — never
+    * text; the document-frequency aggregation map-side combines; the
+    * per-doc dup-position list is bounded by document length and joins
+    * back to the words on the doc key. Gram tokenization matches
+    * [[Decontam.wordGrams]] (trim, lowercase, `\s+` split) so coverage
+    * and removal agree on window identity. */
+  def spanDedup(df: DataFrame, n: Int = 5, minRun: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1 && minRun >= 1)
+    val win = df.select(col(idCol),
+        posexplode_outer(Decontam.wordGrams(col(textCol), n))
+          .as(Seq("__pos", "__gram")))
+      .select(col(idCol), col("__pos"),
+        when(col("__gram").isNotNull, TextOps.fnvHash(col("__gram"))).as("__h"))
+    val freq = win.filter(col("__h").isNotNull)
+      .groupBy("__h").agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= 2).select(col("__h"), lit(true).as("__dup"))
+    val dupPos = win.join(freq, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(when(col("__dup"), col("__pos"))))
+        .as("__dups"))
+    val rebuild = udf((text: String, dups: Seq[Int]) => {
+      val words = if (text == null) Array.empty[String]
+        else text.trim.split("\\s+").filter(_.nonEmpty)
+      val drop = new Array[Boolean](words.length)
+      if (dups != null && dups.nonEmpty) {
+        var i = 0
+        while (i < dups.length) {
+          var j = i
+          while (j + 1 < dups.length && dups(j + 1) == dups(j) + 1) j += 1
+          if (j - i + 1 >= minRun) {
+            var w = dups(i)
+            val end = math.min(dups(j) + n - 1, words.length - 1)
+            while (w <= end) { drop(w) = true; w += 1 }
+          }
+          i = j + 1
+        }
+      }
+      val kept = words.indices.filterNot(drop).map(words)
+      (words.length.toLong, (words.length - kept.length).toLong,
+        kept.mkString(" "))
+    })
+    df.join(dupPos, Seq(idCol), "left")
+      .withColumn("__r", rebuild(col(textCol), col("__dups")))
+      .select(col(idCol), col("__r._1").as("n_words"),
+        col("__r._2").as("n_removed_words"), col("__r._3").as("clean_text"))
+  }
+
   /** Packed band key for band `b` of a k-length signature column — the
     * exact key [[minhashLsh]] buckets on, shared with the streaming
     * novelty filter. Signature minima are < 2³¹, so each PAIR of band

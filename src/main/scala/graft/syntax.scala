@@ -113,6 +113,8 @@ object syntax {
     def dedupExact(): DataFrame = Dedup.exact(df)
     def dedupCanonical(): DataFrame = Dedup.canonical(df)
     def lineDedup(minDocs: Int = 2): DataFrame = Dedup.lineDedup(df, minDocs)
+    def spanDedup(n: Int = 5, minRun: Int = 4): DataFrame =
+      Dedup.spanDedup(df, n, minRun)
     def minhashLsh(threshold: Double = 0.7): DataFrame =
       Dedup.minhashLsh(df, threshold = threshold)
     def simhash(): DataFrame = Dedup.simhash(df)

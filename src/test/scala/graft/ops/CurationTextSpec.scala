@@ -54,6 +54,33 @@ class CurationTextSpec extends AnyFunSuite {
     assert(at4.values.forall(_ == 0L), "below minDocs nothing is removed")
   }
 
+  test("spanDedup deletes long shared spans, keeps short overlaps and self-repeats") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 words
+    val df = Seq(
+      (1L, s"intro one two $shared outro"),
+      (2L, s"different opening words here $shared closing"),
+      // only a 5-word overlap -> single dup window, below minRun
+      (3L, "alpha beta gamma delta epsilon standalone tail words here"),
+      (4L, "unique content with no duplication at all present"),
+      // within-doc repetition only: df counts distinct docs -> kept
+      (5L, "rep one two three four rep one two three four rep one two three four"))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(df, n = 5, minRun = 4).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[String]("clean_text"))).toMap
+    // docs 1 and 2: the 8-word shared span gives 4 consecutive dup
+    // windows -> the span (8 words) is deleted from both
+    assert(out(1L)._2 >= 8, s"doc1 removed ${out(1L)._2}")
+    assert(!out(1L)._3.contains("gamma") && out(1L)._3.contains("intro"))
+    assert(!out(2L)._3.contains("delta") && out(2L)._3.contains("different"))
+    // doc 3 shares only one 5-gram window with docs 1/2 (run of 1 < 4)
+    assert(out(3L)._2 == 0, s"doc3 removed ${out(3L)._2}")
+    assert(out(4L)._2 == 0)
+    assert(out(5L)._2 == 0, "within-doc repeats never trigger removal")
+    assert(out(5L)._3 == df.collect().find(_.getLong(0) == 5L).get.getString(1))
+  }
+
   test("normalizeText: NFC, zero-width/control strip, whitespace canon") {
     import spark.implicits._
     val df = Seq(
