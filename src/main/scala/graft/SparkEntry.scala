@@ -318,6 +318,20 @@ object SparkEntry {
           col("clean_text"))
     }),
 
+    // true-CCNet cross-perplexity: KN model fit on the TARGET slice
+    // (lang = en) only, every document scored under it — unseen bigrams
+    // back off through the continuation distribution with the 0.5/B
+    // floor (TextOps.knLogProb); the oracle replays fit, backoff and
+    // floor from scratch
+    "doc_kn_target_ppl" -> ((s, dir) => {
+      val docs = IO.documents(s, dir)
+      val m = TextOps.knModelFit(docs.filter(col("lang") === "en"),
+        buckets = 2048)
+      graft.streaming.StreamingOps.streamingKnScore(docs, m)
+        .select(col("doc_id"), col("n_bigrams"),
+          r6n(col("avg_logp")).as("avg_logp"), r6n(col("ppl")).as("ppl"))
+    }),
+
     // CCNet perplexity filter, bigram Kneser-Ney edition: corpus-fit
     // hashed-bigram KN model, per-doc perplexity, head/middle/tail
     // tercile bucket from the binned histogram (no corpus-wide sort)
@@ -3428,6 +3442,43 @@ object SparkEntry {
          |  coalesce(string_agg(CASE WHEN NOT dropd THEN line END, chr(10)
          |    ORDER BY pos), '') AS clean_text
          |FROM marked GROUP BY doc_id""".stripMargin,
+
+    // cross-perplexity: target-slice KN fit + all-docs scoring with the
+    // continuation backoff and 0.5/B floor replayed from scratch
+    "doc_kn_target_ppl" ->
+      s"""WITH ws AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[^\\p{L}]+'),
+         |    w -> w <> '') AS ws FROM documents),
+         |pairs AS (SELECT doc_id,
+         |  (((${fnvSql("ws[i::INT]")}) % 2048) + 2048) % 2048 AS bv,
+         |  (((${fnvSql("ws[(i + 1)::INT]")}) % 2048) + 2048) % 2048 AS bw
+         |  FROM ws, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS u(i)),
+         |tp AS (SELECT p.* FROM pairs p JOIN documents d USING (doc_id)
+         |  WHERE d.lang = 'en'),
+         |cbg AS (SELECT bv, bw, count(*) AS cvw FROM tp GROUP BY bv, bw),
+         |ctx AS (SELECT bv, sum(cvw)::DOUBLE AS cv, count(*) AS n1f
+         |  FROM cbg GROUP BY bv),
+         |cont AS (SELECT bw, count(*) AS n1b FROM cbg GROUP BY bw),
+         |btot AS (SELECT count(*)::DOUBLE AS b FROM cbg),
+         |sp AS (SELECT p.doc_id,
+         |  CASE WHEN m.cvw IS NOT NULL THEN
+         |    ln((m.cvw - 0.75) / c.cv + 0.75 * c.n1f / c.cv * n.n1b / t.b)
+         |  ELSE ln(greatest(
+         |    CASE WHEN c.bv IS NOT NULL
+         |      THEN 0.75 * c.n1f / c.cv * (coalesce(n.n1b, 0) / t.b)
+         |      ELSE coalesce(n.n1b, 0) / t.b END,
+         |    0.5 / t.b)) END AS lp
+         |  FROM pairs p
+         |  LEFT JOIN cbg m ON p.bv = m.bv AND p.bw = m.bw
+         |  LEFT JOIN ctx c ON p.bv = c.bv
+         |  LEFT JOIN cont n ON p.bw = n.bw
+         |  CROSS JOIN btot t),
+         |agg AS (SELECT doc_id, count(*)::BIGINT AS n, avg(lp) AS al
+         |  FROM sp GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n, 0)::BIGINT AS n_bigrams,
+         |  round(a.al + 1e-9, 6) AS avg_logp,
+         |  round(exp(-a.al) + 1e-9, 6) AS ppl
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // CCNet bigram-KN perplexity: full model replay (hashed bigram counts,
     // context/continuation tables, interpolated-KN log-probs), per-doc
