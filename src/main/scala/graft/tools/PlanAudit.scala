@@ -133,6 +133,11 @@ object PlanAudit {
     audit("dsir weights (expect <=buckets-row model shuffle, broadcast llr join)",
       Selection.dsirWeights(IO.documents(spark, dir), col("lang") === "en",
         buckets = 64))
+    audit("span dedup (expect hash-keyed window shuffle + doc-keyed flag join; text never in the freq shuffle)",
+      Dedup.spanDedup(IO.documents(spark, dir)))
+    audit("normalize text (expect scan-only: 0 exchanges, regex project)",
+      TextOps.normalizeText(IO.documents(spark, dir))
+        .select("doc_id", "norm_text"))
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(s"\nPLAN AUDIT FAILED — zero whole-stage codegen " +
