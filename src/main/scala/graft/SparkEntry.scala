@@ -2009,6 +2009,16 @@ object SparkEntry {
         .select("vec_id", "topic")
     }),
 
+    // semantic decontamination: max cosine of each corpus vector to the
+    // vec_id%25==0 "benchmark" slice (plus its own members at cos 1.0)
+    "emb_semantic_decontam" -> ((s, dir) => {
+      val emb = IO.embeddings(s, dir).select("vec_id", "embedding")
+      Decontam.semanticOverlap(emb, emb.filter(pmod(col("vec_id"), lit(25)) === 0),
+          threshold = 0.9)
+        .select(col("vec_id"), r6n(col("max_bench_cosine")).as("max_bench_cosine"),
+          col("contaminated"))
+    }),
+
     // prototype-difficulty pruning (Sorscher et al. 2022): difficulty =
     // 1 − cosine to the nearest k-means prototype (shared centroid pin),
     // keep the hardest 70% via the binned-quantile threshold
@@ -3388,6 +3398,17 @@ object SparkEntry {
          |    '^\\n+|\\n+$$', '', 'g')) AS norm_text FROM messy)
          |SELECT doc_id, norm_text, length(text)::BIGINT AS raw_len,
          |  length(norm_text)::BIGINT AS norm_len FROM n""".stripMargin,
+
+    // semantic decontamination: exact all-pairs max-cosine replay
+    "emb_semantic_decontam" ->
+      """WITH b AS (SELECT embedding::DOUBLE[] AS bv FROM embeddings
+        |  WHERE vec_id % 25 = 0),
+        |sc AS (SELECT e.vec_id,
+        |    max(list_cosine_similarity(e.embedding::DOUBLE[], b.bv)) AS mx
+        |  FROM embeddings e CROSS JOIN b GROUP BY e.vec_id)
+        |SELECT vec_id, round(mx + 1e-9, 6) AS max_bench_cosine,
+        |  mx >= 0.9 AS contaminated
+        |FROM sc""".stripMargin,
 
     // span dedup: full replay — windows, cross-doc frequency,
     // gaps-and-islands run detection, interval-union word removal,

@@ -54,7 +54,32 @@ object Decontam {
     u(text)
   }
 
-  /** Per-training-doc count of distinct n-grams that also occur anywhere
+    /** Semantic decontamination (the embedding-space complement of the
+    * n-gram overlap check — paraphrased or lightly-reworded benchmark
+    * items evade exact n-gram matching but stay cosine-close in
+    * embedding space; the eval-contamination analogue of SemDeDup's
+    * near-dup criterion): every corpus vector is scored by its maximum
+    * cosine to ANY benchmark vector and flagged at `threshold`.
+    *
+    * Scale: benchmark suites are MBs against a 100 TB corpus, so the
+    * bench side broadcasts and the corpus streams once — a narrow
+    * broadcast nested-loop scoring pass, no shuffle of corpus vectors.
+    * Cost is |corpus|·|bench| cosines; for large benches, pre-bucket
+    * with the LSH/IVF machinery first. */
+  def semanticOverlap(corpus: DataFrame, bench: DataFrame,
+      threshold: Double = 0.95, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val b = bench.select(col(vecCol).cast("array<double>").as("__bv"))
+    c.join(broadcast(b))
+      .groupBy(col(idCol))
+      .agg(max(Similarity.cosine(col("__cv"), col("__bv")))
+        .as("max_bench_cosine"))
+      .withColumn("contaminated", col("max_bench_cosine") >= threshold)
+  }
+
+/** Per-training-doc count of distinct n-grams that also occur anywhere
     * in `bench`, plus a contaminated flag. Output: (idCol, n_overlap,
     * contaminated), one row per training doc (zero-overlap docs kept:
     * `explode_outer` emits a null-gram row per gramless/overlap-free doc,
