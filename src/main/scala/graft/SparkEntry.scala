@@ -296,6 +296,13 @@ object SparkEntry {
           length(col("norm_text")).cast("long").as("norm_len"))
     }),
 
+    // pack materialization: the actual fixed-length training sequences
+    // (per (shard, seq): position-ordered FNV-vocab token ids)
+    "doc_pack_execute" -> ((s, dir) =>
+      Packing.executePack(IO.documents(s, dir), seqLen = 128, nShards = 8)
+        .select(col("shard"), col("seq_index"), col("n_tokens"),
+          col("token_ids"))),
+
     // Lee et al. span dedup over a corpus with an injected shared tail
     // (doc_id%3 slice): runs of >= 4 consecutive cross-doc-duplicated
     // 5-gram windows are deleted word-spans
@@ -3398,6 +3405,28 @@ object SparkEntry {
          |    '^\\n+|\\n+$$', '', 'g')) AS norm_text FROM messy)
          |SELECT doc_id, norm_text, length(text)::BIGINT AS raw_len,
          |  length(norm_text)::BIGINT AS norm_len FROM n""".stripMargin,
+
+    // pack materialization: shard/offset plan + per-token placement +
+    // ordered id aggregation replayed end to end
+    "doc_pack_execute" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')
+         |  AS toks FROM documents),
+         |p AS (SELECT doc_id,
+         |  (((${fnvSql("doc_id::VARCHAR")}) % 8) + 8) % 8 AS shard,
+         |  len(toks) AS n FROM t),
+         |cum AS (SELECT doc_id, shard,
+         |  sum(n) OVER (PARTITION BY shard ORDER BY doc_id) - n AS start_tok
+         |  FROM p),
+         |tok AS (SELECT doc_id, i - 1 AS ti, toks[i::INT] AS tk
+         |  FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+         |off AS (SELECT c.shard, c.start_tok + k.ti AS o,
+         |  (((${fnvSql("tk")}) % 32768) + 32768) % 32768 AS tid
+         |  FROM tok k JOIN cum c USING (doc_id))
+         |SELECT shard, (o // 128)::BIGINT AS seq_index,
+         |  count(*)::BIGINT AS n_tokens,
+         |  string_agg(tid::VARCHAR, ',' ORDER BY o) AS token_ids
+         |FROM off GROUP BY shard, (o // 128)""".stripMargin,
 
     // semantic decontamination: exact all-pairs max-cosine replay
     "emb_semantic_decontam" ->

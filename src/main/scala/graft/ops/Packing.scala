@@ -42,6 +42,45 @@ object Packing {
         least(col("start_tok") + chunkTokens, col("n_tokens")))
   }
 
+  /** Materialize the pack: the step after [[packPlan]] that actually
+    * emits fixed-length training sequences. Each document's ordered
+    * tokens take global shard offsets `start_tok + i`; token t lands in
+    * sequence `offset / seqLen` at position `offset % seqLen`; token
+    * ids are FNV(token) mod `vocab` (swap in BPE ids by passing the
+    * encoded array as `tokensCol`). Output one row per (shard,
+    * seq_index): `n_tokens` and the position-ordered id list as a CSV
+    * string (`token_ids`) — the tensor a trainer's data loader reads;
+    * the final sequence of a shard is emitted unpadded.
+    *
+    * Scale: tokens shuffle twice — once joined to the ≤|docs|-row plan
+    * on the doc key, once grouped to (shard, seq) — carrying (int, long)
+    * pairs, never text; each output row is exactly `seqLen` ids. */
+  def executePack(df: DataFrame, seqLen: Int, nShards: Int = 32,
+      vocab: Int = 32768, textCol: String = "text",
+      idCol: String = "doc_id",
+      tokensCol: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(vocab > 0)
+    val toksArr = tokensCol.getOrElse(
+      filter(split(trim(col(textCol)), "\\s+"), t => t =!= ""))
+    val withToks = df.select(col(idCol), toksArr.as("__toks"))
+    val plan = packPlan(withToks, seqLen, nShards, idCol = idCol,
+        tokens = Some(size(col("__toks"))))
+      .select(col(idCol), col("shard"), col("start_tok"))
+    withToks
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("__ti", "__tok")))
+      .join(plan, Seq(idCol))
+      .withColumn("__off", col("start_tok") + col("__ti"))
+      .withColumn("seq_index", floor(col("__off") / seqLen).cast("long"))
+      .withColumn("__pos", pmod(col("__off"), lit(seqLen.toLong)))
+      .withColumn("__tid", pmod(TextOps.fnvHash(col("__tok")), lit(vocab.toLong)))
+      .groupBy(col("shard"), col("seq_index"))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("__pos"), col("__tid")))),
+            s => s.getField("__tid").cast("string")),
+          ",").as("token_ids"))
+  }
+
   def packPlan(df: DataFrame, seqLen: Int, nShards: Int = 32,
       textCol: String = "text", idCol: String = "doc_id",
       tokens: Option[org.apache.spark.sql.Column] = None): DataFrame = {

@@ -147,6 +147,8 @@ object syntax {
       Decontam.ngramOverlap(df, bench, n)
     def packPlan(seqLen: Int, nShards: Int): DataFrame =
       Packing.packPlan(df, seqLen = seqLen, nShards = nShards)
+    def executePack(seqLen: Int, nShards: Int = 32): DataFrame =
+      Packing.executePack(df, seqLen, nShards)
     def chunkPlan(chunkTokens: Int = 64, stride: Int = 48): DataFrame =
       Packing.chunkPlan(df, chunkTokens, stride)
   }
