@@ -101,6 +101,24 @@ class CurationTextSpec extends AnyFunSuite {
     assert(out(6L) == "padded")
   }
 
+  test("executePack: concat-and-split layout, per-shard order by doc id") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c"), (2L, "d e"), (3L, "f g h i")).toDF("doc_id", "text")
+    val out = Packing.executePack(df, seqLen = 4, nShards = 1, vocab = 1 << 20)
+      .orderBy("seq_index").collect()
+    // 9 tokens -> sequences of 4, 4, 1
+    assert(out.map(_.getAs[Long]("n_tokens")).toSeq == Seq(4L, 4L, 1L))
+    def ids(text: String) = text.trim.split("\\s+").map { t =>
+      val x = TextOps.fnv64(t) % (1 << 20)
+      if (x < 0) x + (1 << 20) else x
+    }
+    val stream = ids("a b c") ++ ids("d e") ++ ids("f g h i")
+    val packed = out.flatMap(_.getAs[String]("token_ids").split(",").map(_.toLong))
+    assert(packed.toSeq == stream.toSeq,
+      "token stream must be docs concatenated in doc-id order, split at seqLen")
+  }
+
   /** KN model sanity on a corpus small enough to check by hand is brittle
     * (hash buckets), so assert distributional invariants instead. */
   test("knPerplexity: proper distribution, fluent docs score head") {
