@@ -352,7 +352,7 @@ object TextOps {
     * exact-dup detection across shards. */
   def fingerprint(text: Column): Column = {
     val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
-    fnv64Udf(norm)
+    graft.plans.Fnv64(norm)
   }
 
   private[graft] val fnv64 = (s: String) => {
@@ -361,12 +361,13 @@ object TextOps {
       while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 } }
     h
   }
-  private val fnv64Udf = udf(fnv64)
-
   /** Engine-reproducible 64-bit hash of any column (FNV-1a of its string
     * form) — the deterministic-shuffle key used where the oracle must
-    * replay the permutation (xxhash64 would be Spark-only). */
-  def fnvHash(c: Column): Column = fnv64Udf(c.cast("string"))
+    * replay the permutation (xxhash64 would be Spark-only). Backed by
+    * the native codegen expression [[graft.plans.Fnv64]] — the hash
+    * stays inside whole-stage codegen instead of crossing a ScalaUDF
+    * boundary on every dedup/shard/fingerprint key. */
+  def fnvHash(c: Column): Column = graft.plans.Fnv64(c.cast("string"))
 
   /** PII patterns: a deliberately conservative regex family restricted to
     * syntax valid in BOTH Java regex (Spark) and RE2 (the DuckDB oracle) —
