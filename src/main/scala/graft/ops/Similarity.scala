@@ -26,19 +26,10 @@ object Similarity {
   // via one primitive toDoubleArray copy instead of boxing every element
   // into a Seq — on pair-quadratic paths (semDedup, brute-force top-k)
   // the boxing was ~70% of query wall time.
-  private val cosineUdf = udf((a: Array[Double], b: Array[Double]) => {
-    val n = math.min(a.length, b.length)
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val x = a(i); val y = b(i)
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
-  })
-
-  def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
+  // Now a native codegen BinaryExpression (graft.plans.CosineSim): reads
+  // ArrayData in place — no per-row primitive-array copy, no UDF
+  // boundary; the accumulation order (and thus every oracle) unchanged.
+  def cosine(a: Column, b: Column): Column = graft.plans.CosineSim(a, b)
 
   /** Brute-force cosine top-k: for each query vector, the k most similar
     * corpus vectors (excluding self). Queries are broadcast — the corpus
