@@ -19,16 +19,11 @@ object Sampling {
     * bits barely avalanche on short keys ("42:7"), skewing the uniform by
     * >10×; fmix64's xor-shift-multiply chain is wrap-arithmetic the
     * DuckDB oracle replays exactly with HUGEINT mod-2⁶⁴ math. */
-  private val uniformUdf = udf((s: String) => {
-    var h = TextOps.fnv64(s)
-    h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL
-    h ^= (h >>> 33); h *= 0xc4ceb9fe1a85ec53L
-    h ^= (h >>> 33)
-    (h >>> 11).toDouble / (1L << 53).toDouble
-  })
-
+  // Now the native codegen expression graft.plans.StableUniformExpr —
+  // identical arithmetic, no UDF boundary on the per-row membership draw.
   def stableUniform(id: Column, seed: Long): Column =
-    uniformUdf(concat_ws(":", lit(seed.toString), id.cast("string")))
+    graft.plans.StableUniformExpr(
+      concat_ws(":", lit(seed.toString), id.cast("string")))
 
   /** Keep each row independently iff u(id) < rate. Stable: a document's
     * membership depends only on (seed, id). */
