@@ -299,6 +299,55 @@ object ElasticOracle {
     "sakoe" -> (sakoeSql, false),
     "msm_multi" -> (msmMultiSql, false))
 
+  /** ts_pairwise_fastdtw_sub oracle (VERDICT r8 ask #3): the final-level
+    * constrained DP replayed with the sakoe/itakura banded machinery,
+    * per-pair bands pinned from [[graft.kernels.Elastic.fastDtwBand]]
+    * (the multiresolution projection is a deterministic data
+    * intermediate; the banded DP over its output IS the fastDtw value).
+    * Cells outside [lo(i), hi(i)] pin to the 1e300 sentinel exactly like
+    * the sakoe band. With no pin (unit-test context) the replay falls
+    * back to the full grid — i.e. exact DTW — which only matches where
+    * fastDtw finds the exact path; Verify always computes pins first. */
+  def fastdtwSubSql(
+      pins: Option[Seq[(Long, Long, Array[Int], Array[Int])]]): String = {
+    val bandCell =
+      s"CASE WHEN (xj[1]) < lo[($I)] OR (xj[1]) > hi[($I)] THEN 1e300::DOUBLE " +
+        s"ELSE abs($AI - $BJ) + $minOfThree END"
+    val dp = sentinelDp(bandCell, infRow, "[1e300::DOUBLE]", "[m+1]")
+    val values = pins match {
+      case Some(ps) => ps.map { case (u1, u2, lo, hi) =>
+        s"($u1, $u2, ${lo.mkString("[", ",", "]")}, ${hi.mkString("[", ",", "]")})"
+      }.mkString(",\n    ")
+      case None => "(NULL, NULL, NULL, NULL)"
+    }
+    val joinW = pins match {
+      case Some(_) =>
+        "JOIN w ON w.wid1 = a.user_id AND w.wid2 = b.user_id"
+      case None => "" // full-grid fallback: lo/hi synthesized below
+    }
+    val loHiSel = pins match {
+      case Some(_) => "w.lo AS lo, w.hi AS hi"
+      case None =>
+        "list_transform(a.vs, x -> 1) AS lo, " +
+          "list_transform(a.vs, x -> len(b.vs)::INT) AS hi"
+    }
+    val wCte = pins match {
+      case Some(_) =>
+        s"w AS (SELECT * FROM (VALUES\n    $values) AS t(wid1, wid2, lo, hi)),\n"
+      case None => ""
+    }
+    s"""WITH s AS (
+       |  SELECT user_id, list(value $W) AS vs
+       |  FROM events WHERE user_id < ${OraclePins.FastDtwSubsetUsers}
+       |  GROUP BY user_id),
+       |$wCte
+       |p AS (SELECT a.user_id AS id_1, b.user_id AS id_2,
+       |  a.vs AS va, b.vs AS vb,
+       |  len(a.vs)::INT AS n, len(b.vs)::INT AS m, $loHiSel
+       |  FROM s a JOIN s b ON a.user_id < b.user_id $joinW)
+       |SELECT id_1, id_2, round(($dp) + 1e-9, 6) AS dtw FROM p""".stripMargin
+  }
+
   /** Full oracle query for one metric: `[id_1, id_2, round(d+1e-9, 6)]`.
     * `outCol` overrides the output column name (the Itakura query's
     * Spark column is `dtw` — the dispatcher names by base metric). */

@@ -99,6 +99,15 @@ object OraclePins {
   /** Per-series MAP (logitα, level₀, logσ, α) for the
     * ts_bayesian_ets_intervals chain replay (subset series). */
   @volatile var bayesEtsChain: Option[Seq[(Long, Array[Double])]] = None
+  /** Per-pair final-level FastDTW bands (id_1, id_2, lo[], hi[]; 1-based
+    * inclusive per-row column bounds) for ts_pairwise_fastdtw_sub — the
+    * multiresolution projection runs here, the oracle replays the final
+    * constrained DP with the sakoe/itakura banded machinery (VERDICT r8
+    * ask #3). Not a fitted model: a deterministic intermediate of the
+    * data, and the QUERY side never consumes it (it runs the full
+    * fastDtw recursion independently), so a wrong pin shows up as a
+    * hash mismatch rather than hiding in circularity. */
+  @volatile var fastdtw: Option[Seq[(Long, Long, Array[Int], Array[Int])]] = None
 
   // Neural-tier pins (round 8): same pin-the-fit discipline; the oracle
   // replays the FULL eval-mode forward pass from the pinned weights.
@@ -125,6 +134,12 @@ object OraclePins {
     * 100×256 forest runs rows-only in ts_iforest_e2e. */
   val IforestTrees = 20
   val IforestPsi = 128
+
+  /** ts_pairwise_fastdtw_sub parameters (shared with SparkEntry so the
+    * pinned bands and the query's recursion cannot drift): 12 series →
+    * 66 pairs, radius matching the full-panel rows-only query. */
+  val FastDtwSubsetUsers = 12L
+  val FastDtwRadius = 5
 
   /** Neural-tier query configs (shared with SparkEntry so query fit and
     * pin fit cannot drift). Smaller than the reference's 32-filter /
@@ -184,6 +199,15 @@ object OraclePins {
       arma = Some(series.map { case (u, ys) =>
         val f = Arima.fitArma(ys, 1, 1)
         (u, f.phi(0), f.theta(0), f.c)
+      })
+    }
+    pin("fastdtw") {
+      val sub = series.filter(_._1 < FastDtwSubsetUsers)
+      fastdtw = Some(for {
+        (u1, a) <- sub; (u2, b) <- sub if u1 < u2
+      } yield {
+        val (lo, hi) = graft.kernels.Elastic.fastDtwBand(a, b, FastDtwRadius)
+        (u1, u2, lo, hi)
       })
     }
     pin("autoEts") {

@@ -151,6 +151,48 @@ object Elastic {
     dtwWithWindow(a, b, window)
   }
 
+  /** The FINAL-level FastDTW search band: 1-based inclusive per-row
+    * column bounds [lo(i), hi(i)] of the projected-and-expanded window
+    * the top-resolution DP is constrained to. Exposed so the correctness
+    * oracle can replay the final constrained DP with the sakoe/itakura
+    * banded machinery (VERDICT r8 ask #3) — the multiresolution
+    * recursion itself stays Scala-side, but its OUTPUT (this band) is a
+    * deterministic function of the data, and the banded DP over it IS
+    * the fastDtw result. For series at or below the radius+2 base size
+    * fastDtw degenerates to exact DTW, so the band is the full grid.
+    * Each expanded-window row is a single contiguous interval (boxes of
+    * half-width `radius` ≥ 1 around a monotone projected path overlap);
+    * the per-row scan below asserts that contract, so [lo, hi] encodes
+    * the window exactly — never a superset. */
+  def fastDtwBand(a: Array[Double], b: Array[Double],
+      radius: Int): (Array[Int], Array[Int]) = {
+    val n = a.length; val m = b.length
+    val minSize = radius + 2
+    if (n <= minSize || m <= minSize)
+      return (Array.fill(n)(1), Array.fill(n)(m))
+    val path = fastDtwPath(reduceByHalf(a), reduceByHalf(b), radius)
+    val window = expandWindow(path, n, m, radius)
+    val lo = Array.fill(n)(Int.MaxValue)
+    val hi = Array.fill(n)(Int.MinValue)
+    window.foreach { cell =>
+      val i = (cell / m).toInt; val j = (cell % m).toInt
+      if (j + 1 < lo(i)) lo(i) = j + 1
+      if (j + 1 > hi(i)) hi(i) = j + 1
+    }
+    var i = 0
+    while (i < n) {
+      require(lo(i) <= hi(i), s"fastDtwBand: empty window row $i")
+      var j = lo(i)
+      while (j <= hi(i)) {
+        require(window.contains(i.toLong * m + (j - 1)),
+          s"fastDtwBand: non-contiguous window at row $i col $j")
+        j += 1
+      }
+      i += 1
+    }
+    (lo, hi)
+  }
+
   private def expandWindow(path: IndexedSeq[(Int, Int)], n: Int, m: Int,
       radius: Int): mutable.HashSet[Long] = {
     val window = new mutable.HashSet[Long]

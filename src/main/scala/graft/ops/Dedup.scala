@@ -91,8 +91,13 @@ object Dedup {
   def lineDedup(df: DataFrame, minDocs: Int = 2, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    // coalesce: a null text must still yield an output row (as one blank
+    // line, same as an empty string) — posexplode of a null split emits
+    // nothing, which would silently drop the document from a chained
+    // pipeline while spanDedup/knPerplexity keep it (ADVICE r8)
     val lines = df.select(col(idCol),
-        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("__pos", "__line")))
       .withColumn("__nonblank", length(trim(col("__line"))) > 0)
       .withColumn("__h", when(col("__nonblank"),
         TextOps.fnvHash(trim(col("__line")))))

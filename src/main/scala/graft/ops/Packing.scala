@@ -48,9 +48,11 @@ object Packing {
     * sequence `offset / seqLen` at position `offset % seqLen`; token
     * ids are FNV(token) mod `vocab` (swap in BPE ids by passing the
     * encoded array as `tokensCol`). Output one row per (shard,
-    * seq_index): `n_tokens` and the position-ordered id list as a CSV
-    * string (`token_ids`) — the tensor a trainer's data loader reads;
-    * the final sequence of a shard is emitted unpadded.
+    * seq_index): `n_tokens`, the position-ordered ids as BOTH
+    * `token_id_arr` (`array<int>` — the tensor shape a trainer's data
+    * loader reads straight into a batch) and `token_ids` (the same ids
+    * as a CSV string, kept for the cross-engine hash oracle); the final
+    * sequence of a shard is emitted unpadded.
     *
     * Scale: tokens shuffle twice — once joined to the ≤|docs|-row plan
     * on the doc key, once grouped to (shard, seq) — carrying (int, long)
@@ -75,10 +77,10 @@ object Packing {
       .withColumn("__tid", pmod(TextOps.fnvHash(col("__tok")), lit(vocab.toLong)))
       .groupBy(col("shard"), col("seq_index"))
       .agg(count(lit(1)).as("n_tokens"),
-        array_join(
-          transform(sort_array(collect_list(struct(col("__pos"), col("__tid")))),
-            s => s.getField("__tid").cast("string")),
-          ",").as("token_ids"))
+        transform(sort_array(collect_list(struct(col("__pos"), col("__tid")))),
+          s => s.getField("__tid").cast("int")).as("token_id_arr"))
+      .withColumn("token_ids",
+        array_join(transform(col("token_id_arr"), t => t.cast("string")), ","))
   }
 
   def packPlan(df: DataFrame, seqLen: Int, nShards: Int = 32,

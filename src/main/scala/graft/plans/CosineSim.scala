@@ -17,7 +17,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Index-aligned sequential accumulation, identical float order to the
   * UDF and to DuckDB's `list_cosine_similarity` — so every oracle holds.
   * Null ARRAYS propagate null (standard binary-expression semantics);
-  * element nulls are out of contract (inputs are cast parquet vectors). */
+  * a null ELEMENT throws — parquet vectors carry containsNull=true in
+  * their schema even when no null is present, so the type check accepts
+  * them, and the loud per-element check below keeps the failure mode
+  * identical to the replaced UDF (which NPE'd on unboxing) instead of
+  * silently reading 0.0 out of UnsafeArrayData. */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -47,7 +51,8 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 object CosineSim {
-  /** Called from generated code: sequential dot/norm accumulation. */
+  /** Called from generated code: sequential dot/norm accumulation.
+    * Fails loudly on a null element — never reads it as 0.0. */
   def compute(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
@@ -55,6 +60,10 @@ object CosineSim {
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_cosine_sim: null element at index $i — embedding vectors " +
+            "must be dense; impute or filter null components upstream")
       val x = a.getDouble(i)
       val y = b.getDouble(i)
       dot += x * y

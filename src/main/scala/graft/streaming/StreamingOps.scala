@@ -450,9 +450,12 @@ object StreamingOps {
   /** Shared per-row hashed-gram walker for the stateless selection
     * scorers: tokenizes and walks grams exactly like
     * [[graft.ops.Selection.gramBucketsUdf]] (lowercase letters-only
-    * split; unigrams first, then bigrams — the same accumulation order,
-    * so float sums match the batch twin to reduce order), and folds each
-    * gram's bucket weight into (sum, count). */
+    * split; unigrams first, then bigrams — the same PER-DOCUMENT gram
+    * enumeration order as the batch twin; the batch side then reduces via
+    * a distributed sum() whose partition/shuffle order is unspecified, so
+    * stream-vs-batch equality holds up to float summation order of that
+    * aggregate — the specs assert 1e-9 tolerance, not bit equality), and
+    * folds each gram's bucket weight into (sum, count). */
   private def gramFold(text: String, buckets: Int,
       weightOf: Int => Double): (Double, Long) = {
     if (text == null) return (0.0, 0L)

@@ -117,6 +117,11 @@ class CurationTextSpec extends AnyFunSuite {
     val packed = out.flatMap(_.getAs[String]("token_ids").split(",").map(_.toLong))
     assert(packed.toSeq == stream.toSeq,
       "token stream must be docs concatenated in doc-id order, split at seqLen")
+    // tensor-shaped twin (VERDICT r8 ask #9): array<int> ids must mirror
+    // the CSV column element for element
+    val arr = out.flatMap(_.getAs[scala.collection.Seq[Int]]("token_id_arr")
+      .map(_.toLong))
+    assert(arr.toSeq == packed.toSeq)
   }
 
   /** KN model sanity on a corpus small enough to check by hand is brittle
@@ -212,5 +217,55 @@ class CurationTextSpec extends AnyFunSuite {
     assert(a == c, "bucketing must not depend on partitioning")
     assert(a(100L) == (0L, "na"))
     assert(a(101L) == (0L, "na"))
+  }
+
+  test("lineDedup and spanDedup keep null-text documents as rows (ADVICE r8)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("shared line\nalpha")),
+      (2L, Some("shared line\nbeta")),
+      (3L, None: Option[String])).toDF("doc_id", "text")
+    val ld = Dedup.lineDedup(df, minDocs = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(ld.keySet == Set(1L, 2L, 3L),
+      "a null text must not drop the document from the output")
+    assert(ld(3L).getAs[Long]("n_lines") == 1L) // one blank line, like ""
+    assert(ld(3L).getAs[Long]("n_removed") == 0L)
+    assert(ld(3L).getAs[String]("clean_text") == "")
+    assert(ld(1L).getAs[String]("clean_text") == "alpha")
+    val sd = Dedup.spanDedup(df, n = 2, minRun = 1).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(sd.keySet == Set(1L, 2L, 3L))
+    assert(sd(3L).getAs[Long]("n_words") == 0L)
+    assert(sd(3L).getAs[String]("clean_text") == "")
+  }
+
+  test("knModelFit driver collect is bounded by maxEntries, top-count head") {
+    import spark.implicits._
+    // "a b" appears in 3 docs (count 3), "b c" twice, the rest once
+    val df = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a b"),
+      (4L, "d e"), (5L, "f g")).toDF("doc_id", "text")
+    val full = TextOps.knModelFit(df, buckets = 64)
+    val capped = TextOps.knModelFit(df, buckets = 64, maxEntries = 2)
+    // under the cap the fit is exact: identical model maps
+    assert(TextOps.knModelFit(df, buckets = 64, maxEntries = 2000000).logp
+      == full.logp)
+    // the capped fit holds exactly maxEntries entries - the highest-count
+    // bigrams (a b: 3, b c: 2) - and bTotal still reflects the FULL
+    // distinct-bigram table so backoff mass is scaled correctly
+    assert(capped.logp.size == 2)
+    assert(capped.bTotal == full.bTotal)
+    def key(v: String, w: String): Long = {
+      def b(g: String): Int = {
+        val x = TextOps.fnv64(g) % 64; (if (x < 0) x + 64 else x).toInt
+      }
+      b(v).toLong * 64 + b(w)
+    }
+    assert(capped.logp.contains(key("a", "b")))
+    assert(capped.logp.contains(key("b", "c")))
+    // dropped tail still scores finite via the backoff
+    val lp = TextOps.knLogProb(capped, 5, 9)
+    assert(lp < 0 && java.lang.Double.isFinite(lp))
   }
 }
