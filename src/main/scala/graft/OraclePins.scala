@@ -179,10 +179,14 @@ object OraclePins {
   /** Per-pin isolation: one fit blowing up must not zero every OTHER
     * pinned oracle's correctness row — the failed pin's oracles fall
     * back (or go rows-only) while the rest of the gate stays green. */
-  private def pin(name: String)(f: => Unit): Unit =
-    try f catch { case e: Throwable =>
+  private def pin(name: String)(f: => Unit): Unit = {
+    val t0 = System.nanoTime()
+    try { f
+      System.err.println(f"[pins] $name done in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    } catch { case e: Throwable =>
       System.err.println(s"[pins] $name failed (its oracles fall back): ${e.getMessage}")
     }
+  }
 
   /** Fit everything the pinned oracles need; each pin is isolated via
     * [[pin]] so a single failure degrades only its own queries. */

@@ -2200,6 +2200,85 @@ object SparkEntry {
           col("__r._4").as("s_sum"), col("__r._5").as("s_sumsq"),
           col("__r._6").as("zero_cross"))
     }),
+
+    // REAL video frame extraction: deterministic 4:2:0 frames → spec-valid
+    // YUV4MPEG2 stream → REAL container decode → per-sampled-frame plane
+    // aggregates. As with the PNG/WAV twins, the oracle replays only the
+    // frame-generation arithmetic; a hash match proves the container
+    // roundtrip reconstructs every plane byte.
+    "mm_video_frames" -> ((s, dir) => {
+      val base = IO.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      val mk = udf((docId: Long, nChars: Long) => {
+        val w = 2 * ((nChars % 8).toInt + 2)
+        val h = 2 * (((nChars / 8) % 6).toInt + 2)
+        val nf = (docId % 5).toInt + 2
+        val fb = w * h * 3 / 2
+        val frames = (0 until nf).map { f =>
+          val buf = new Array[Byte](fb)
+          var i = 0
+          while (i < fb) {
+            buf(i) = (((docId * 97L + f * 13L + i * 31L) % 256L) & 0xff).toByte
+            i += 1
+          }
+          buf
+        }
+        Multimodal.y4mEncode(w, h, "C420", frames)
+      })
+      Multimodal.extractFrames(
+        base.withColumn("video", mk(col("doc_id"), col("n_chars"))),
+        "video", stride = 2)
+    }),
+
+    // REAL baseline-JPEG decode (ITU T.81): DC-only quantized
+    // coefficients (entropy coding is LOSSLESS over them) → spec-valid
+    // JFIF via our encoder (Annex K tables, differential DC, EOB runs)
+    // → our REAL decoder (marker walk, Huffman, dequant, integer IDCT,
+    // 4:2:0 replication upsample, integer YCbCr→RGB). A DC-only block
+    // decodes to clamp(((dc·q + 4) >> 3) + 128), so the oracle is pure
+    // integer arithmetic; the full AC path is cross-validated against
+    // the JDK's independent ImageIO codec in JpegCodecSpec.
+    "mm_jpeg_features" -> ((s, dir) => {
+      val base = IO.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      val u = udf((docId: Long, nChars: Long) => {
+        val w = (nChars % 40).toInt + 9
+        val h = ((nChars / 40) % 40).toInt + 9
+        val gray = docId % 2 == 0
+        def dc(c: Int, by: Int, bx: Int): Int =
+          (((docId * 31L + c * 7L + by * 5L + bx * 3L) % 111L) - 55L).toInt
+        def grid(c: Int, nbx: Int, nby: Int): Array[Array[Int]] =
+          Array.tabulate(nby * nbx) { i =>
+            val blk = new Array[Int](64)
+            blk(0) = dc(c, i / nbx, i % nbx); blk
+          }
+        val jpg =
+          if (gray) {
+            val nbx = (w + 7) / 8; val nby = (h + 7) / 8
+            Jpeg.encodeFromCoeffs(w, h, Seq(grid(0, nbx, nby)), Seq((1, 1)))
+          } else {
+            val mx = (w + 15) / 16; val my = (h + 15) / 16
+            Jpeg.encodeFromCoeffs(w, h,
+              Seq(grid(0, 2 * mx, 2 * my), grid(1, mx, my), grid(2, mx, my)),
+              Seq((2, 2), (1, 1), (1, 1)))
+          }
+        Jpeg.decode(jpg) match {
+          case Some(r) =>
+            var sum = 0L; var mn = 255; var mxv = 0
+            var i = 0
+            while (i < r.pixels.length) {
+              val v = r.pixels(i) & 0xff
+              sum += v; if (v < mn) mn = v; if (v > mxv) mxv = v
+              i += 1
+            }
+            (r.width, r.height, r.channels, sum, mn, mxv)
+          case None => (-1, -1, -1, -1L, -1, -1)
+        }
+      })
+      base.withColumn("__r", u(col("doc_id"), col("n_chars")))
+        .select(col("doc_id"), col("__r._1").as("width"),
+          col("__r._2").as("height"), col("__r._3").as("channels"),
+          col("__r._4").as("px_sum"), col("__r._5").as("px_min"),
+          col("__r._6").as("px_max"))
+    }),
   )
 
   /** Persistence forecast with synthetic quantile bands — shared input for
@@ -3418,6 +3497,53 @@ object SparkEntry {
         |    ((doc_id * 131 + (i - ch) * 17) % 65536 - 32768 >= 0))
         |    THEN 1 ELSE 0 END)::BIGINT AS zero_cross
         |FROM s GROUP BY doc_id, ch, n""".stripMargin,
+
+    // real-Y4M roundtrip ground truth: frame-generation arithmetic only
+    "mm_video_frames" ->
+      """WITH b AS (SELECT doc_id,
+        |  (2 * ((n_chars % 8) + 2))::INT AS w,
+        |  (2 * (((n_chars // 8) % 6) + 2))::INT AS h,
+        |  ((doc_id % 5) + 2)::INT AS nf FROM documents),
+        |fr AS (SELECT doc_id, w, h,
+        |  unnest(generate_series(0, nf - 1, 2)) AS fi FROM b),
+        |g AS (SELECT doc_id, w, h, fi,
+        |  unnest(generate_series(0, (w * h * 3) // 2 - 1)) AS i FROM fr),
+        |px AS (SELECT doc_id, w, h, fi, i,
+        |  (doc_id * 97 + fi * 13 + i * 31) % 256 AS v FROM g)
+        |SELECT doc_id, fi::INT AS frame_index,
+        |  sum(CASE WHEN i < w * h THEN v END)::BIGINT AS y_sum,
+        |  sum(CASE WHEN i >= w * h THEN v END)::BIGINT AS c_sum,
+        |  min(CASE WHEN i < w * h THEN v END)::INT AS y_min,
+        |  max(CASE WHEN i < w * h THEN v END)::INT AS y_max
+        |FROM px GROUP BY doc_id, fi""".stripMargin,
+
+    // real-JPEG roundtrip ground truth: the DC-only closed form
+    // clamp(((dc·q + 4) >> 3) + 128) per block + the integer JFIF
+    // YCbCr→RGB formulas — never the JPEG bytes
+    "mm_jpeg_features" ->
+      """WITH b AS (SELECT doc_id,
+        |  ((n_chars % 40) + 9)::INT AS w, (((n_chars // 40) % 40) + 9)::INT AS h,
+        |  (doc_id % 2 = 0) AS gray FROM documents),
+        |xs AS (SELECT doc_id, w, h, gray,
+        |  unnest(generate_series(0, w - 1)) AS x FROM b),
+        |g AS (SELECT doc_id, w, h, gray, x,
+        |  unnest(generate_series(0, h - 1)) AS y FROM xs),
+        |px AS (SELECT doc_id, w, h, gray,
+        |  floor(((((doc_id*31 + (y//8)*5 + (x//8)*3) % 111) - 55) * 16 + 4) / 8.0) + 128 AS yv,
+        |  floor(((((doc_id*31 + 7 + (y//16)*5 + (x//16)*3) % 111) - 55) * 17 + 4) / 8.0) + 128 AS cbv,
+        |  floor(((((doc_id*31 + 14 + (y//16)*5 + (x//16)*3) % 111) - 55) * 17 + 4) / 8.0) + 128 AS crv
+        |  FROM g),
+        |v AS (
+        |  SELECT doc_id, w, h, 1 AS channels, yv::BIGINT AS val FROM px WHERE gray
+        |  UNION ALL SELECT doc_id, w, h, 3, least(255, greatest(0,
+        |    yv + floor((91881*(crv-128) + 32768)/65536.0)))::BIGINT FROM px WHERE NOT gray
+        |  UNION ALL SELECT doc_id, w, h, 3, least(255, greatest(0,
+        |    yv + floor((-22554*(cbv-128) - 46802*(crv-128) + 32768)/65536.0)))::BIGINT FROM px WHERE NOT gray
+        |  UNION ALL SELECT doc_id, w, h, 3, least(255, greatest(0,
+        |    yv + floor((116130*(cbv-128) + 32768)/65536.0)))::BIGINT FROM px WHERE NOT gray)
+        |SELECT doc_id, w AS width, h AS height, channels,
+        |  sum(val)::BIGINT AS px_sum, min(val)::INT AS px_min, max(val)::INT AS px_max
+        |FROM v GROUP BY doc_id, w, h, channels""".stripMargin,
 
     "emb_knn_classify" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

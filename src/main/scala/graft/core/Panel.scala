@@ -32,6 +32,17 @@ case class PanelCols(
 
 object Panel {
 
+  /** Constant-zero partition key for windows over BOUNDED tiny frames
+    * (≤|models|, ≤|bins|, ≤|domains| rows — never panel- or corpus-
+    * sized). Declares the single partition intentional: a bare
+    * `Window.orderBy` logs WindowExec's missing-partition warning, and a
+    * foldable `lit(0)` is constant-folded out of the partition spec and
+    * warns anyway — so derive 0 non-foldably from any column. Execution
+    * is identical (one partition either way); the point is that every
+    * REMAINING single-partition window in the engine is one that names a
+    * column and asserts boundedness at the call site. */
+  def tinyFramePartition(c: Column): Column = pmod(crc32(c.cast("string")), lit(1))
+
   /** Canonical scale partitioning contract: one shuffle by series id up
     * front, after which every window operator is shuffle-free. On a real
     * cluster pair this with enough partitions that a single series' rows

@@ -471,6 +471,91 @@ object Multimodal {
     out
   }
 
+  // ── REAL Y4M (YUV4MPEG2) video container codec ──────────────────────
+
+  /** Decoded video: dimensions, colorspace tag, and raw per-frame plane
+    * bytes (Y then Cb then Cr for 4:2:0/4:4:4; Y only for mono). */
+  final case class Y4mVideo(width: Int, height: Int, colorspace: String,
+      frames: Array[Array[Byte]])
+
+  /** Bytes per frame for a Y4M colorspace at `w`×`h` (spec: the
+    * mjpegtools YUV4MPEG2 format). 4:2:0 needs even dimensions. */
+  private def y4mFrameBytes(w: Int, h: Int, cs: String): Int = cs match {
+    case "C420" | "C420jpeg" | "C420mpeg2" | "C420paldv" =>
+      if (w % 2 != 0 || h % 2 != 0) -1 else w * h + 2 * ((w / 2) * (h / 2))
+    case "C422" => if (w % 2 != 0) -1 else w * h + 2 * ((w / 2) * h)
+    case "C444" => 3 * w * h
+    case "Cmono" => w * h
+    case _ => -1
+  }
+
+  /** REAL YUV4MPEG2 decode: parses the stream header (`YUV4MPEG2` magic
+    * + W/H/C parameters), then walks `FRAME` markers extracting each
+    * frame's raw planes. Supports C420 variants, C422, C444, and Cmono
+    * at 8-bit.
+    * Returns None on bad magic, missing/invalid W/H, unknown
+    * colorspace, or a truncated frame (fail loudly, never partial). */
+  def decodeY4m(bytes: Array[Byte]): Option[Y4mVideo] = {
+    if (bytes == null || bytes.length < 11) return None
+    val magic = "YUV4MPEG2"
+    var i = 0
+    while (i < magic.length) {
+      if (bytes(i) != magic.charAt(i).toByte) return None
+      i += 1
+    }
+    // stream header: space-separated parameters up to '\n'
+    var eol = magic.length
+    while (eol < bytes.length && bytes(eol) != '\n') eol += 1
+    if (eol >= bytes.length) return None
+    val header = new String(bytes, magic.length, eol - magic.length,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    var w = -1; var h = -1; var cs = "C420" // spec default is 4:2:0
+    header.trim.split("\\s+").filter(_.nonEmpty).foreach { p =>
+      p.charAt(0) match {
+        case 'W' => w = try p.substring(1).toInt catch { case _: NumberFormatException => -1 }
+        case 'H' => h = try p.substring(1).toInt catch { case _: NumberFormatException => -1 }
+        case 'C' => cs = p
+        case _ => () // F (rate), I (interlace), A (aspect), X (extension) unused
+      }
+    }
+    if (w <= 0 || h <= 0) return None
+    val fb = y4mFrameBytes(w, h, cs)
+    if (fb <= 0) return None
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var off = eol + 1
+    while (off < bytes.length) {
+      // FRAME marker + optional parameters up to '\n'
+      if (off + 5 > bytes.length ||
+          bytes(off) != 'F' || bytes(off + 1) != 'R' || bytes(off + 2) != 'A' ||
+          bytes(off + 3) != 'M' || bytes(off + 4) != 'E') return None
+      var fe = off + 5
+      while (fe < bytes.length && bytes(fe) != '\n') fe += 1
+      if (fe >= bytes.length || fe + 1 + fb > bytes.length) return None
+      frames += java.util.Arrays.copyOfRange(bytes, fe + 1, fe + 1 + fb)
+      off = fe + 1 + fb
+    }
+    Some(Y4mVideo(w, h, cs, frames.toArray))
+  }
+
+  /** REAL Y4M encode (fixture + roundtrip partner for [[decodeY4m]]):
+    * spec-valid stream header + `FRAME` markers + raw planes. Each
+    * frame must be exactly [[y4mFrameBytes]] long. */
+  def y4mEncode(w: Int, h: Int, colorspace: String,
+      frames: Seq[Array[Byte]], fpsNum: Int = 25, fpsDen: Int = 1): Array[Byte] = {
+    val fb = y4mFrameBytes(w, h, colorspace)
+    require(fb > 0, s"unsupported geometry ${w}x$h $colorspace")
+    frames.foreach(f => require(f.length == fb,
+      s"frame has ${f.length} bytes, want $fb"))
+    val out = new java.io.ByteArrayOutputStream(64 + frames.length * (6 + fb))
+    val hdr = s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen Ip A1:1 $colorspace\n"
+    out.write(hdr.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    frames.foreach { f =>
+      out.write("FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      out.write(f, 0, fb)
+    }
+    out.toByteArray
+  }
+
   /** Decode + feature-extract: binary → fixed-dim double vector. A real
     * PNG payload goes through the REAL decoder and the features measure
     * genuinely decoded pixels — `dim` slots fill with [overall mean,
@@ -487,6 +572,7 @@ object Multimodal {
 
   private[ops] def decodeAnyFeatures(b: Array[Byte], dim: Int): Array[Double] =
     decodePng(b).map(r => pixelFeatures(r, dim))
+      .orElse(Jpeg.decode(b).map(r => pixelFeatures(r, dim)))
       .orElse(decodeWav(b).map(p => audioFeatures(p, dim)))
       .getOrElse(fakeDecode(b, dim))
 
@@ -538,6 +624,39 @@ object Multimodal {
       feats += (if (chN(c) > 0) chSum(c) / chN(c) else 0.0); c += 1
     }
     java.util.Arrays.copyOf(feats.toArray, dim)
+  }
+
+  /** REAL frame extraction: decode a Y4M payload with [[decodeY4m]] and
+    * emit one row per `stride`-th frame with integer-exact plane
+    * aggregates (luma sum/min/max, chroma sum). Non-Y4M payloads yield
+    * no rows (a frame extractor has nothing to extract). Zero-shuffle:
+    * the decode + per-frame fold runs inside one partition-parallel UDF
+    * and the explode is narrow. */
+  def extractFrames(df: DataFrame, binCol: String, stride: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(stride > 0)
+    val u = udf((b: Array[Byte]) => decodeY4m(b).map { v =>
+      val ySize = v.width * v.height
+      (0 until v.frames.length by stride).map { fi =>
+        val f = v.frames(fi)
+        var ySum = 0L; var cSum = 0L; var yMin = 255; var yMax = 0
+        var i = 0
+        while (i < f.length) {
+          val px = f(i) & 0xff
+          if (i < ySize) {
+            ySum += px
+            if (px < yMin) yMin = px
+            if (px > yMax) yMax = px
+          } else cSum += px
+          i += 1
+        }
+        (fi, ySum, cSum, yMin, yMax)
+      }.toArray
+    }.getOrElse(Array.empty[(Int, Long, Long, Int, Int)]))
+    df.withColumn("__fr", explode(u(col(binCol))))
+      .select(col(idCol), col("__fr._1").as("frame_index"),
+        col("__fr._2").as("y_sum"), col("__fr._3").as("c_sum"),
+        col("__fr._4").as("y_min"), col("__fr._5").as("y_max"))
   }
 
   /** Frame-sampling plan for a "video" payload: emits (frame_index,

@@ -338,8 +338,12 @@ object Pipeline {
         .withColumn("model", lit(name))
     }
     val all = results.reduce(_ unionByName _)
+    // intentional single partition: the frame is one aggregated row per
+    // model (≤ |models|), never panel-sized
     all.withColumn("rank", row_number().over(
-      org.apache.spark.sql.expressions.Window.orderBy(col("mae"))))
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(graft.core.Panel.tinyFramePartition(col("model")))
+        .orderBy(col("mae"))))
       .select(col("rank"), col("model"), col("mae"), col("rmse"))
   }
 

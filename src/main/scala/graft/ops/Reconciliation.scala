@@ -231,20 +231,18 @@ object Reconciliation {
   def minTraceCv(forecasts: DataFrame, edges: Seq[(String, String)],
       train: DataFrame, nFolds: Int = 3, yhatCol: String = "y_hat")(
       implicit pc: PanelCols): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (nodes, _, _) = hierarchy(edges)
     val mN = nodes.length
-    // rank distinct times (string order = chronological for ISO casts);
-    // the single-partition window sorts only distinct timestamps, not rows
-    val times = train.select(pc.timeCol.cast("string").as("__t")).distinct()
-    val ranked = times.withColumn("__r",
-      row_number().over(Window.orderBy(col("__t"))) - 1)
+    // dense rank over distinct times via the bucketed index (same
+    // machinery as the CV splitters — no single-partition WindowExec;
+    // epoch order ≡ the old ISO-string order)
+    val ranked = Validation.timeIndex(train)
+      .withColumn("__r", col("__tidx") - 1)
     val nT = ranked.count().toInt
     val folds = math.max(1, math.min(nFolds, nT))
     val foldSize = math.max(1, nT / folds)
     val withFold = train
-      .withColumn("__t", pc.timeCol.cast("string"))
-      .join(ranked, Seq("__t"))
+      .join(ranked, Seq(pc.time))
       .withColumn("__fold",
         least(floor(col("__r") / foldSize), lit(folds - 1)).cast("int"))
     val grams = foldGrams(withFold.withColumnRenamed(pc.target, "__y"),

@@ -96,9 +96,9 @@ object Selection {
     val counts = grams.groupBy("__b").agg(
       count(lit(1)).as("__cr"),
       sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"))
-    // totals: a window over the ≤buckets-row count table — single
-    // partition by construction, but of a bounded tiny frame
-    val w = Window.partitionBy()
+    // totals: a window over the ≤buckets-row count table; intentional
+    // single partition (graft.core.Panel.tinyFramePartition doc)
+    val w = Window.partitionBy(graft.core.Panel.tinyFramePartition(col("__b")))
     val llr = counts.select(col("__b"),
       (log((col("__ct") + lit(1.0)) / (sum("__ct").over(w) + lit(buckets.toDouble))) -
         log((col("__cr") + lit(1.0)) / (sum("__cr").over(w) + lit(buckets.toDouble))))
@@ -173,7 +173,9 @@ object Selection {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     val g = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"), avg(col(scoreCol)).as("mean_score"))
-    val wAll = Window.partitionBy()
+    // intentional single partition over the ≤|domains|-row frame
+    val wAll = Window.partitionBy(
+      graft.core.Panel.tinyFramePartition(col(groupCol)))
     g.withColumn("__e",
         exp((col("mean_score") - max("mean_score").over(wAll)) / temperature))
       .withColumn("mix_weight", col("__e") / sum("__e").over(wAll))

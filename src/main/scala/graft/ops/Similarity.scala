@@ -426,10 +426,12 @@ object Similarity {
     val Win = Window
     val bins = scored.groupBy(round(col("difficulty"), 4).as("__bin"))
       .agg(count(lit(1)).as("__c"))
+    // intentional single partition over the bounded ≤|bins|-row histogram
+    val p1 = graft.core.Panel.tinyFramePartition(col("__bin"))
     val cum = bins.withColumn("__cum",
-      sum("__c").over(Win.orderBy("__bin")
+      sum("__c").over(Win.partitionBy(p1).orderBy("__bin")
           .rowsBetween(Win.unboundedPreceding, Win.currentRow)) /
-        sum("__c").over(Win.partitionBy()))
+        sum("__c").over(Win.partitionBy(p1)))
     // t = the (1−keepFrac) quantile bin: everything at/above it is kept,
     // so the kept share is ≥ keepFrac (bin-granular, deterministic)
     val thr = cum.agg(

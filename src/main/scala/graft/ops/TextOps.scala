@@ -219,10 +219,12 @@ object TextOps {
     val Win = org.apache.spark.sql.expressions.Window
     val bins = scored.groupBy(round(col("ppl"), 3).as("__bin"))
       .agg(count(lit(1)).as("__c"))
-    val wAll = Win.orderBy("__bin")
+    // intentional single partition over the bounded ≤|bins|-row histogram
+    val p1 = graft.core.Panel.tinyFramePartition(col("__bin"))
+    val wAll = Win.partitionBy(p1).orderBy("__bin")
       .rowsBetween(Win.unboundedPreceding, Win.currentRow)
     val cum = bins.withColumn("__cum",
-      sum("__c").over(wAll) / sum("__c").over(Win.partitionBy()))
+      sum("__c").over(wAll) / sum("__c").over(Win.partitionBy(p1)))
     val thresholds = cum.agg(
       min(when(col("__cum") >= 1.0 / 3, col("__bin"))).as("__t1"),
       min(when(col("__cum") >= 2.0 / 3, col("__bin"))).as("__t2"))

@@ -24,7 +24,7 @@ object Validation {
     * bucket-count table (bounded work, no WindowExec at all). The result
     * is identical to the global row_number: buckets are ordered by time,
     * so offset + within-bucket rank is the global dense rank. */
-  private def timeIndex(df: DataFrame)(implicit pc: PanelCols): DataFrame = {
+  private[ops] def timeIndex(df: DataFrame)(implicit pc: PanelCols): DataFrame = {
     val nBuckets = 1024
     val d = df.select(pc.timeCol).distinct()
       .withColumn("__e", unix_micros(col(pc.time).cast("timestamp")))

@@ -99,6 +99,38 @@ class CodecRoundtripSpec extends AnyFunSuite {
     assert(Multimodal.decodeWav(nonPcm).isEmpty)
   }
 
+  test("Y4M roundtrip: every colorspace, frames survive byte-exact") {
+    for (cs <- Seq("C420", "C420jpeg", "C422", "C444", "Cmono")) {
+      val (w, h) = (8, 6)
+      val fb = cs match {
+        case "C444" => 3 * w * h
+        case "C422" => w * h + 2 * ((w / 2) * h)
+        case "Cmono" => w * h
+        case _ => w * h * 3 / 2
+      }
+      val frames = (0 until 4).map(f => pix(fb, f * 1000L + cs.hashCode))
+      val y4m = Multimodal.y4mEncode(w, h, cs, frames)
+      val dec = Multimodal.decodeY4m(y4m)
+      assert(dec.isDefined, s"$cs failed to decode")
+      val v = dec.get
+      assert(v.width == w && v.height == h && v.colorspace == cs)
+      assert(v.frames.length == 4)
+      frames.zip(v.frames).foreach { case (a, b) => assert(a.sameElements(b), cs) }
+    }
+  }
+
+  test("Y4M decode: rejects bad magic, odd-dim 420, truncated frames") {
+    assert(Multimodal.decodeY4m(null).isEmpty)
+    assert(Multimodal.decodeY4m("YUV4MPEG3 W8 H6 C420\n".getBytes).isEmpty)
+    // 4:2:0 requires even dims — hand-build a header claiming 7x6
+    assert(Multimodal.decodeY4m(
+      ("YUV4MPEG2 W7 H6 F25:1 C420\nFRAME\n" + "x" * 63).getBytes).isEmpty)
+    val ok = Multimodal.y4mEncode(8, 6, "C420", Seq(pix(72, 1L), pix(72, 2L)))
+    assert(Multimodal.decodeY4m(ok.take(ok.length - 5)).isEmpty,
+      "truncated last frame must fail loudly")
+    assert(Multimodal.decodeY4m(ok).exists(_.frames.length == 2))
+  }
+
   test("extractFeatures routes real PNG/WAV through real decoders") {
     val (w, h, ch) = (6, 5, 3)
     val px = pix(w * h * ch, 11L)
