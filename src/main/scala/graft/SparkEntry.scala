@@ -2279,6 +2279,51 @@ object SparkEntry {
           col("__r._4").as("px_sum"), col("__r._5").as("px_min"),
           col("__r._6").as("px_max"))
     }),
+
+    // Multimodal CURATION FUNNEL — the showcase composition: a mixed
+    // corpus (real PNG / real DC-only JPEG / real WAV / opaque bytes)
+    // flows through decode-classify → quality stats → keep/drop in ONE
+    // narrow partition-parallel pass (no shuffle until the consumer
+    // aggregates). Keep rules read REAL decoded values: images need
+    // dynamic range ≥ 32 over ≥ 64 pixels; audio needs ≥ 100 samples
+    // with ≥ 10 zero crossings; undecodable payloads drop. The oracle
+    // replays every branch arithmetically.
+    "mm_curation_funnel" -> ((s, dir) => {
+      val base = IO.documents(s, dir).select(col("doc_id"), col("n_chars"),
+        col("text"))
+      val mk = udf((docId: Long, nChars: Long, text: String) => {
+        (docId % 4) match {
+          case 0 =>
+            val w = (nChars % 16).toInt + 2; val h = ((nChars / 16) % 16).toInt + 2
+            val px = Array.tabulate(w * h)(i =>
+              (((docId * 2654435761L + i * 97L) % 256L) & 0xff).toByte)
+            Multimodal.pngEncode(w, h, 1, px, filterMode = -1)
+          case 1 =>
+            val w = (nChars % 24).toInt + 9; val h = ((nChars / 24) % 24).toInt + 9
+            val nbx = (w + 7) / 8; val nby = (h + 7) / 8
+            val grid = Array.tabulate(nby * nbx) { i =>
+              val b = new Array[Int](64)
+              b(0) = (((docId * 31L + (i / nbx) * 5L + (i % nbx) * 3L) % 111L) - 55L).toInt
+              b
+            }
+            Jpeg.encodeFromCoeffs(w, h, Seq(grid), Seq((1, 1)))
+          case 2 =>
+            // step 7919 (prime ≈ 65536/8.3): the sawtooth crosses zero
+            // every ~8 samples, so zero-cross counts scale with n and
+            // the keep rule actually discriminates
+            val n = (nChars % 300).toInt + 40
+            Multimodal.wavEncodePcm16(16000, 1, Array.tabulate(n)(i =>
+              (((docId * 131L + i * 7919L) % 65536L) - 32768L).toInt))
+          case _ =>
+            if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
+        }
+      })
+      Multimodal.mediaFunnel(
+        base.withColumn("payload", mk(col("doc_id"), col("n_chars"), col("text"))),
+        "payload")
+        .select(col("doc_id"), col("media_type"), col("n_units"),
+          col("stat"), col("keep"))
+    }),
   )
 
   /** Persistence forecast with synthetic quantile bands — shared input for
@@ -3544,6 +3589,52 @@ object SparkEntry {
         |SELECT doc_id, w AS width, h AS height, channels,
         |  sum(val)::BIGINT AS px_sum, min(val)::INT AS px_min, max(val)::INT AS px_max
         |FROM v GROUP BY doc_id, w, h, channels""".stripMargin,
+
+    // multimodal curation funnel ground truth: every branch replayed
+    // arithmetically (PNG raster formula; JPEG DC-only closed form per
+    // block; WAV int16 sawtooth zero crossings; opaque drops)
+    "mm_curation_funnel" ->
+      """WITH png_b AS (SELECT doc_id,
+        |  ((n_chars % 16) + 2) * (((n_chars // 16) % 16) + 2) AS n
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |png_g AS (SELECT doc_id, n,
+        |  unnest(generate_series(0, n - 1)) AS i FROM png_b),
+        |png AS (SELECT doc_id, 'png' AS media_type, n AS n_units,
+        |  (max((doc_id * 2654435761 + i * 97) % 256) -
+        |   min((doc_id * 2654435761 + i * 97) % 256))::BIGINT AS stat
+        |  FROM png_g GROUP BY doc_id, n),
+        |jpg_b AS (SELECT doc_id,
+        |  ((n_chars % 24) + 9) * (((n_chars // 24) % 24) + 9) AS n,
+        |  ((n_chars % 24) + 9 + 7) // 8 AS nbx,
+        |  (((n_chars // 24) % 24) + 9 + 7) // 8 AS nby
+        |  FROM documents WHERE doc_id % 4 = 1),
+        |jpg_g AS (SELECT doc_id, n, nbx,
+        |  unnest(generate_series(0, nbx * nby - 1)) AS bi FROM jpg_b),
+        |jpg AS (SELECT doc_id, 'jpeg' AS media_type, n AS n_units,
+        |  (max(floor(((((doc_id * 31 + (bi // nbx) * 5 + (bi % nbx) * 3) % 111) - 55) * 16 + 4) / 8.0)) -
+        |   min(floor(((((doc_id * 31 + (bi // nbx) * 5 + (bi % nbx) * 3) % 111) - 55) * 16 + 4) / 8.0)))::BIGINT AS stat
+        |  FROM jpg_g GROUP BY doc_id, n),
+        |wav_b AS (SELECT doc_id, ((n_chars % 300) + 40) AS n
+        |  FROM documents WHERE doc_id % 4 = 2),
+        |wav_g AS (SELECT doc_id, n,
+        |  unnest(generate_series(1, n - 1)) AS i FROM wav_b),
+        |wav AS (SELECT doc_id, 'wav' AS media_type, n AS n_units,
+        |  sum(CASE WHEN
+        |    (((doc_id * 131 + i * 7919) % 65536 - 32768 >= 0) <>
+        |     ((doc_id * 131 + (i - 1) * 7919) % 65536 - 32768 >= 0))
+        |    THEN 1 ELSE 0 END)::BIGINT AS stat
+        |  FROM wav_g GROUP BY doc_id, n),
+        |opq AS (SELECT doc_id, 'opaque' AS media_type, 0 AS n_units,
+        |  0::BIGINT AS stat FROM documents WHERE doc_id % 4 = 3),
+        |u AS (SELECT * FROM png UNION ALL SELECT * FROM jpg
+        |      UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM opq)
+        |SELECT doc_id, media_type, n_units::INT AS n_units, stat,
+        |  CASE media_type
+        |    WHEN 'png' THEN stat >= 32 AND n_units >= 64
+        |    WHEN 'jpeg' THEN stat >= 32 AND n_units >= 64
+        |    WHEN 'wav' THEN n_units >= 100 AND stat >= 10
+        |    ELSE FALSE END AS keep
+        |FROM u""".stripMargin,
 
     "emb_knn_classify" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -659,6 +659,54 @@ object Multimodal {
         col("__fr._4").as("y_min"), col("__fr._5").as("y_max"))
   }
 
+  /** Multimodal curation-funnel stage: decode-classify a binary payload
+    * with the REAL decoders (PNG → JPEG → WAV, then opaque), compute
+    * integer quality stats from the decoded values, and apply keep
+    * rules — images need dynamic range ≥ `minRange` over ≥ `minPixels`
+    * pixels; audio needs ≥ `minSamples` samples with ≥ `minZeroCross`
+    * zero crossings; undecodable payloads drop. One narrow
+    * partition-parallel pass, stateless — the same columns work under
+    * Structured Streaming unchanged. Appends `media_type`, `n_units`,
+    * `stat`, `keep`. */
+  def mediaFunnel(df: DataFrame, binCol: String, minRange: Int = 32,
+      minPixels: Int = 64, minSamples: Int = 100, minZeroCross: Int = 10): DataFrame = {
+    val u = udf((b: Array[Byte]) => classifyMedia(b, minRange, minPixels,
+      minSamples, minZeroCross))
+    df.withColumn("__f", u(col(binCol)))
+      .withColumn("media_type", col("__f._1"))
+      .withColumn("n_units", col("__f._2"))
+      .withColumn("stat", col("__f._3"))
+      .withColumn("keep", col("__f._4"))
+      .drop("__f")
+  }
+
+  private[ops] def classifyMedia(b: Array[Byte], minRange: Int, minPixels: Int,
+      minSamples: Int, minZeroCross: Int): (String, Int, Long, Boolean) = {
+    def imageStats(r: Raster, kind: String): (String, Int, Long, Boolean) = {
+      var mn = 255; var mx = 0; var i = 0
+      while (i < r.pixels.length) {
+        val v = r.pixels(i) & 0xff
+        if (v < mn) mn = v; if (v > mx) mx = v
+        i += 1
+      }
+      val range = (mx - mn).toLong
+      (kind, r.pixels.length, range,
+        range >= minRange && r.pixels.length >= minPixels)
+    }
+    decodePng(b).map(imageStats(_, "png"))
+      .orElse(Jpeg.decode(b).map(imageStats(_, "jpeg")))
+      .orElse(decodeWav(b).map { p =>
+        var zc = 0L; var j = p.channels
+        while (j < p.samples.length) {
+          if ((p.samples(j) >= 0) != (p.samples(j - p.channels) >= 0)) zc += 1
+          j += 1
+        }
+        ("wav", p.samples.length, zc,
+          p.samples.length >= minSamples && zc >= minZeroCross)
+      })
+      .getOrElse(("opaque", 0, 0L, false))
+  }
+
   /** Frame-sampling plan for a "video" payload: emits (frame_index,
     * byte_offset) rows for every `stride`-th frame — the shuffle-free
     * explode a real frame extractor would follow. */
