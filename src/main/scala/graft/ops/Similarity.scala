@@ -283,12 +283,15 @@ object Similarity {
     * Scale design: the quantizer trains on a bounded driver sample
     * (`ivfCentroids`), the assignment is a narrow broadcast map, and the
     * only wide ops are one shuffle of (cell, id, vec) and the
-    * within-cell self-join — never an all-pairs join. The paper's k
-    * grows with corpus size (k ∝ √n holds expected cell size at √n), so
-    * the pairwise term stays n·(n/k); at 100 TB you raise `nCells`, not
-    * the join width. Pass `centers` to pin the quantizer (the oracle
-    * replays those exact doubles); the overload without it trains on
-    * `df` itself.
+    * within-cell self-join — never an all-pairs join. The pairwise term
+    * is n·(n/k), so the SCALE CONTRACT is k ∝ n (constant expected cell
+    * size → total work linear in the corpus). ANN indexes pick k ∝ √n
+    * for query latency; dedup must not copy that rule — k ∝ √n leaves
+    * within-cell pairs growing as n^1.5 (measured 13.7× at 10× data in
+    * the r9 scale proof vs ~linear with k ∝ n). At 100 TB you raise
+    * `nCells` with the corpus, never the join width. Pass `centers` to
+    * pin the quantizer (the oracle replays those exact doubles); the
+    * overload without it trains on `df` itself.
     */
   def semDedup(df: DataFrame, centers: Array[Array[Double]],
       threshold: Double = 0.95, idCol: String = "vec_id",

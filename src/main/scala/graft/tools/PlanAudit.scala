@@ -138,6 +138,25 @@ object PlanAudit {
     audit("normalize text (expect scan-only: 0 exchanges, regex project)",
       TextOps.normalizeText(IO.documents(spark, dir))
         .select("doc_id", "norm_text"))
+    // round-9 codec tier: real decode must stay a zero-exchange narrow map
+    audit("media funnel (expect scan-only: 0 exchanges, decode UDF project)",
+      Multimodal.mediaFunnel(
+        IO.documents(spark, dir).withColumn("payload", encode(col("text"), "UTF-8")),
+        "payload").select("doc_id", "media_type", "keep"))
+    // engine-wide invariant (r9): no WindowExec may run with an empty
+    // partition spec — every single-partition window either got a real
+    // partitioned rewrite (bucketed time index) or declares boundedness
+    // via Panel.tinyFramePartition
+    audit("media frames (expect narrow decode + explode; the 1 exchange is the audit fixture's own limit(50), not the operator)", {
+      val mkVid = udf { (id: Long) =>
+        Multimodal.y4mEncode(8, 6, "C420",
+          Seq(Array.tabulate(72)(i => ((id * 7 + i) % 256).toByte)))
+      }
+      Multimodal.extractFrames(
+        IO.documents(spark, dir).limit(50)
+          .withColumn("video", mkVid(col("doc_id"))),
+        "video", stride = 1)
+    })
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(s"\nPLAN AUDIT FAILED — zero whole-stage codegen " +
