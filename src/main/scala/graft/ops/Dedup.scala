@@ -265,38 +265,10 @@ object Dedup {
     * per-shingle (a·h + b) % p minima don't care about dedup order — so
     * the oracle SQL is unchanged. */
   def minhashSigFromText(text: Column, n: Int = 5, k: Int = 64,
-      seed: Int = 42): Column = {
-    val p = 2147483647L
-    val (as, bs) = minhashParams(k, seed)
-    val u = udf((text: String) => {
-      if (text == null) Array.fill(k)(Long.MaxValue)
-      else {
-        val norm = text.trim.toLowerCase.replaceAll("\\s+", " ")
-        val seen = new java.util.HashSet[Long]()
-        val mins = Array.fill(k)(Long.MaxValue)
-        var i = 0
-        val last = math.max(norm.length - n, 0)
-        while (i <= last) {
-          var h = 0xcbf29ce484222325L
-          var j = i
-          val end = math.min(i + n, norm.length)
-          while (j < end) { h ^= norm.charAt(j); h *= 1099511628211L; j += 1 }
-          val m = ((h % p) + p) % p
-          if (seen.add(m)) {
-            var t = 0
-            while (t < k) {
-              val v = (as(t) * m + bs(t)) % p
-              if (v < mins(t)) mins(t) = v
-              t += 1
-            }
-          }
-          i += 1
-        }
-        mins
-      }
-    })
-    u(text)
-  }
+      seed: Int = 42): Column =
+    // native codegen expression (graft.plans.MinhashSigExpr) — identical
+    // values to the former ScalaUDF, no udf boundary on the hot path
+    graft.plans.MinhashSigExpr(text, n, k, seed)
 
   /** MinHash-LSH near-dup candidate pairs: signatures banded into
     * `bands` groups of `rowsPerBand`; docs sharing any band hash become

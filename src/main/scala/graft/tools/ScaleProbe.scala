@@ -17,15 +17,25 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val docs = IO.documents(spark, dir)
 
-    def repDocs(reps: Int): DataFrame =
+    // current scale-proof fixture: bijective per-domain character cipher
+    // (see Bench.repDocs — the earlier word-suffix remap manufactured
+    // 4.7M fake near-dup pairs; this probe found it)
+    def repDocs(reps: Int): DataFrame = {
+      val lower = "abcdefghijklmnopqrstuvwxyz"
+      val upper = lower.toUpperCase
+      val digits = "0123456789"
+      def rot(s: String, r: Int) = s.drop(r % s.length) + s.take(r % s.length)
+      val from = lower + upper + digits
+      val ciphered = (1 until reps).foldLeft(
+        when(col("__rep") === 0, col("text"))) { (acc, r) =>
+        acc.when(col("__rep") === r,
+          translate(col("text"), from, rot(lower, r) + rot(upper, r) + rot(digits, r)))
+      }
       docs.withColumn("__rep", explode(sequence(lit(0), lit(reps - 1))))
         .withColumn("doc_id", col("doc_id").cast("long") * reps + col("__rep"))
-        .withColumn("text", concat_ws("\n",
-          transform(split(coalesce(col("text"), lit("")), "\n"), ln =>
-            concat_ws(" ", transform(
-              filter(split(ln, " "), w => w =!= ""),
-              w => concat(w, lit("r"), col("__rep").cast("string")))))))
+        .withColumn("text", ciphered.otherwise(col("text")))
         .drop("__rep")
+    }
 
     val tmp = java.nio.file.Files.createTempDirectory("probe").toString
     repDocs(1).write.mode("overwrite").parquet(s"$tmp/docs1")
