@@ -201,6 +201,17 @@ object Bench {
     // corpus) — the timed kn_target_ppl path is the distributed scoring map
     val knTargetModel = TextOps.knModelFit(
       docsB.filter(col("lang") === "en"), buckets = 1024)
+    // round-9 media tier — own field (total_media): the real-codec
+    // decode paths (encode fixture + decode + stats inside one narrow
+    // UDF pass over the corpus)
+    val mediaBenches: Seq[(String, () => Unit)] = Seq(
+      "media_funnel" -> (() => mat(
+        SparkEntry.queries("mm_curation_funnel")(spark, sfDir))),
+      "media_pixels" -> (() => mat(
+        SparkEntry.queries("mm_pixel_features")(spark, sfDir))),
+      "media_jpeg" -> (() => mat(
+        SparkEntry.queries("mm_jpeg_features")(spark, sfDir))))
+
     val selectionBenches: Seq[(String, () => Unit)] = Seq(
       "line_dedup" -> (() => mat(Dedup.lineDedup(SparkEntry.linedDocs(docsB)))),
       "span_dedup" -> (() => mat(Dedup.spanDedup(docsB))),
@@ -258,7 +269,8 @@ object Bench {
     // separate "burned more cycles" from "waited on a busy box".
     val trailing = trailingMedians()
     val allRuns =
-      (benches ++ curationBenches ++ neuralBenches ++ selectionBenches).toMap
+      (benches ++ curationBenches ++ neuralBenches ++ selectionBenches ++
+        mediaBenches).toMap
     def adjudicate(rs: Seq[QRes]): Seq[QRes] = rs.map { r =>
       trailing.get(r.name) match {
         case Some(m) if r.secs > 2.0 * m =>
@@ -274,6 +286,7 @@ object Bench {
     val curation = adjudicate(timeAll(curationBenches))
     val neural = adjudicate(timeAll(neuralBenches))
     val selection = adjudicate(timeAll(selectionBenches))
+    val media = adjudicate(timeAll(mediaBenches))
 
     // ---- 10× scale-proof (VERDICT r8 ask #2) ----------------------------
     // Replicates the sf docs/embeddings 10× IN-ENGINE and times the
@@ -416,7 +429,7 @@ object Bench {
     }
 
     val loadEnd = loadAvg()
-    val all = results ++ curation ++ neural ++ selection
+    val all = results ++ curation ++ neural ++ selection ++ media
     val qs = all.map(r => "\"" + r.name + "\":" + r.secs).mkString("{", ",", "}")
     val cpus_ = all.map(r => "\"" + r.name + "\":" + r.cpuSecs)
       .mkString("{", ",", "}")
@@ -434,8 +447,9 @@ object Bench {
     val totalFull = total + curation.map(_.secs).filter(_ >= 0).sum
     val totalNeural = neural.map(_.secs).filter(_ >= 0).sum
     val totalSelection = selection.map(_.secs).filter(_ >= 0).sum
+    val totalMedia = media.map(_.secs).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpus_,"iterations":$iters,"total_full":$totalFull,"total_neural":$totalNeural,"total_selection":$totalSelection,"load":$loads,"load_start":$loadStart,"load_end":$loadEnd,"reruns":$reruns,"scale10x":$scaleJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpus_,"iterations":$iters,"total_full":$totalFull,"total_neural":$totalNeural,"total_selection":$totalSelection,"total_media":$totalMedia,"load":$loads,"load_start":$loadStart,"load_end":$loadEnd,"reruns":$reruns,"scale10x":$scaleJson,"sf":"$sfDir"}"""
     // sentinel-prefixed line FIRST (unambiguous to scrape out of the sbt
     // [info] noise that left BENCH_r05-r07 "parsed": null), then the bare
     // JSON line (legacy scrape), then the file (robust path)

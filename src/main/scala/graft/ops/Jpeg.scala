@@ -401,6 +401,8 @@ object Jpeg {
           h = be16(bytes, pos + 3); w = be16(bytes, pos + 5)
           val nf = bytes(pos + 7) & 0xff
           if (w <= 0 || h <= 0 || (nf != 1 && nf != 3)) return None
+          // allocation guard against hostile SOF dimensions
+          if (w.toLong * h > (1L << 28)) return None
           comps = (0 until nf).map { i =>
             val o = pos + 8 + 3 * i
             val hv = bytes(o + 1) & 0xff

@@ -213,6 +213,9 @@ object Multimodal {
           val interlace = bytes(off + 20) & 0xff
           if (w <= 0 || h <= 0 || bitDepth != 8 || channels <= 0 || interlace != 0)
             return None
+          // allocation guard: a hostile IHDR must not drive w·h·ch into
+          // Int overflow / a multi-GB allocation — cap at 2^28 samples
+          if (w.toLong * h * channels > (1L << 28)) return None
           sawIhdr = true
         case "IDAT" =>
           if (!sawIhdr) return None
@@ -480,13 +483,18 @@ object Multimodal {
 
   /** Bytes per frame for a Y4M colorspace at `w`×`h` (spec: the
     * mjpegtools YUV4MPEG2 format). 4:2:0 needs even dimensions. */
-  private def y4mFrameBytes(w: Int, h: Int, cs: String): Int = cs match {
-    case "C420" | "C420jpeg" | "C420mpeg2" | "C420paldv" =>
-      if (w % 2 != 0 || h % 2 != 0) -1 else w * h + 2 * ((w / 2) * (h / 2))
-    case "C422" => if (w % 2 != 0) -1 else w * h + 2 * ((w / 2) * h)
-    case "C444" => 3 * w * h
-    case "Cmono" => w * h
-    case _ => -1
+  private def y4mFrameBytes(w: Int, h: Int, cs: String): Int = {
+    // hostile-header guard: keep w·h long-math so 3·w·h cannot wrap
+    // around Int and sneak past the <= 0 rejection
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 28)) return -1
+    cs match {
+      case "C420" | "C420jpeg" | "C420mpeg2" | "C420paldv" =>
+        if (w % 2 != 0 || h % 2 != 0) -1 else w * h + 2 * ((w / 2) * (h / 2))
+      case "C422" => if (w % 2 != 0) -1 else w * h + 2 * ((w / 2) * h)
+      case "C444" => 3 * w * h
+      case "Cmono" => w * h
+      case _ => -1
+    }
   }
 
   /** REAL YUV4MPEG2 decode: parses the stream header (`YUV4MPEG2` magic
