@@ -411,7 +411,14 @@ object Bench {
           () => mat(Similarity.semDedup(emb10, centSem10, threshold = 0.95))),
         ("prototype_prune",
           () => mat(Similarity.prototypePrune(emb1, cent1, keepFrac = 0.7)),
-          () => mat(Similarity.prototypePrune(emb10, centProto10, keepFrac = 0.7))))
+          () => mat(Similarity.prototypePrune(emb10, centProto10, keepFrac = 0.7))),
+        // HNSW: per-partition graph builds are the dominant cost and
+        // amortize across fixed partitions — ~linear in corpus size
+        ("knn_hnsw",
+          () => mat(Similarity.hnswTopK(emb1,
+            emb1.filter(col("vec_id") < 20), k = 3, numPartitions = 32)),
+          () => mat(Similarity.hnswTopK(emb10,
+            emb10.filter(col("vec_id") < 20), k = 3, numPartitions = 32))))
       def best2(run: () => Unit): Double = {
         val ts = Seq(timeOnce("scale", run)._1, timeOnce("scale", run)._1)
           .filter(_ >= 0)

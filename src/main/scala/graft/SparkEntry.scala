@@ -1929,7 +1929,23 @@ object SparkEntry {
         .unionByName(recall(Similarity.ivfTopK(emb, q, k = 3, nCells = 16, nprobe = 8), "ivf"))
         .unionByName(recall(Similarity.ivfPqTopK(emb, q, k = 3, centers,
           Similarity.ivfPqFit(emb, centers), nprobe = 8), "ivfpq"))
+        .unionByName(recall(
+          Similarity.hnswTopK(emb, q, k = 3, numPartitions = 4), "hnsw"))
         .select(col("method"), col("recall"))
+    }),
+
+    // HNSW graph ANN (beyond-reference tier; r9): partition-local
+    // deterministic small-world graphs + broadcast-query ef-search +
+    // global top-k merge. Graph search is not SQL-expressible, so this
+    // runs rows-only like the recall audits; determinism, structure
+    // invariants, and >=0.9/0.95 recall are pinned in HnswSpec, and the
+    // hnsw leg of emb_knn_recall records the measured recall each gate.
+    "emb_knn_hnsw" -> ((s, dir) => {
+      val emb = IO.embeddings(s, dir)
+      Similarity.hnswTopK(emb, emb.filter(col("vec_id") < 20), k = 3,
+          numPartitions = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          r6n(col("cosine")).as("cosine"), col("rank"))
     }),
 
     // IVFADC — the missing 100 TB ANN composition (VERDICT r6 ask #3):

@@ -51,6 +51,59 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** HNSW top-k (graph ANN — [[graft.kernels.Hnsw]]): each corpus
+    * partition builds its own deterministic small-world graph
+    * (embarrassingly parallel, zero global state — the scale path: a
+    * 1000-executor build is 1000 independent graphs), queries broadcast
+    * into every partition's ef-search, and the per-partition local
+    * top-k merge under one |queries|·k-row rank. Recall is the UNION of
+    * per-partition searches, so partitioning can only help recall at
+    * equal ef (each graph is smaller than a monolith). Determinism:
+    * corpus is hash-repartitioned on the id and sorted within
+    * partitions, and the kernel's level draws/tie-breaks are pure
+    * functions — same inputs, same graphs, same rows on any cluster.
+    * Queries collect to the driver (bounded query batch, same contract
+    * as [[bruteForceTopK]]'s broadcast side). */
+  def hnswTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+      efConstruction: Int = 64, efSearch: Int = 48, numPartitions: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows: Array[(Long, Array[Double])] = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val qB = spark.sparkContext.broadcast(qRows)
+    val params = graft.kernels.Hnsw.Params(m, efConstruction)
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val local = corpus
+      .select(col(idCol).cast("long").as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .repartition(parts, col("__id"))
+      .sortWithinPartitions("__id")
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (ids, vecs) = it.toArray.unzip
+        if (ids.isEmpty) Iterator.empty
+        else {
+          val ix = graft.kernels.Hnsw.build(ids, vecs, params)
+          qB.value.iterator.flatMap { case (qid, qv) =>
+            graft.kernels.Hnsw.search(ix, qv, k + 1, math.max(efSearch, k + 1))
+              .iterator.filter(_._1 != qid).take(k)
+              .map { case (nid, cos) => (qid, nid, cos) }
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cosine")
+    local
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
   /** Seeded Gaussian hyperplanes, row-major fill order. The single source
     * for [[hyperplaneBucket]] and [[lshTopK]] — and for AnnOracle, which
     * inlines these exact doubles as SQL literals so DuckDB replays the
