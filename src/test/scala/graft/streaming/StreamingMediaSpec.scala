@@ -70,4 +70,35 @@ class StreamingMediaSpec extends AnyFunSuite {
     assert(batch.count(_._5) >= 2, "fixture must keep at least png+jpeg")
     assert(!batch.find(_._1 == 4L).get._5, "short wav must drop")
   }
+
+  test("streaming extractFrames == batch (stateless explode twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def y4m(seed: Int, nf: Int): Array[Byte] = {
+      val fb = 8 * 6 * 3 / 2
+      Multimodal.y4mEncode(8, 6, "C420", (0 until nf).map(f =>
+        Array.tabulate(fb)(i => ((seed * 31 + f * 13 + i * 7) % 256).toByte)))
+    }
+    val rows = Seq(
+      MediaRow(1L, y4m(3, 5)),
+      MediaRow(2L, y4m(9, 1)),
+      MediaRow(3L, "not a video".getBytes("UTF-8"))) // yields no frames
+    val cols = Seq("doc_id", "frame_index", "y_sum", "c_sum", "y_min", "y_max")
+    val batch = Multimodal.extractFrames(rows.toDF(), "payload", stride = 2)
+      .select(cols.head, cols.tail: _*)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val source = MemoryStream[MediaRow]
+    val query = Multimodal.extractFrames(source.toDF(), "payload", stride = 2)
+      .select(cols.head, cols.tail: _*)
+      .writeStream.format("memory").queryName("frames_out")
+      .outputMode("append").start()
+    try {
+      source.addData(rows: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("frames_out")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(streamed.toSeq == batch.toSeq)
+    assert(batch.length == 4, "5-frame stride-2 doc + 1-frame doc = 3+1 rows")
+  }
 }
