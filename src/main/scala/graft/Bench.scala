@@ -212,6 +212,37 @@ object Bench {
       "media_jpeg" -> (() => mat(
         SparkEntry.queries("mm_jpeg_features")(spark, sfDir))))
 
+    // round-9 temporal-join tier — own field (total_temporal). Times the
+    // one-exchange window as-of join, the bucketed equi range join, and
+    // gap sessionization on the sf events table (the shapes a feature
+    // pipeline runs per training snapshot).
+    val eventsSf = IO.events(spark, sfDir)
+    val temporalBenches: Seq[(String, () => Unit)] = Seq(
+      "asof_join" -> (() => mat {
+        val l = eventsSf.filter(col("event_type") === "purchase")
+          .select("user_id", "event_id", "ts")
+        val r = eventsSf.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+            col("value").as("click_value"))
+        TemporalJoins.asofJoin(l, r, Seq("user_id"), "ts", "ts",
+          Seq("click_id", "click_value"))
+      }),
+      "range_join" -> (() => mat {
+        val err = eventsSf.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("error_id"),
+            col("ts").as("w_start"),
+            (col("ts") + expr("INTERVAL 1 DAY")).as("w_end"))
+        val clk = eventsSf.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+        TemporalJoins.rangeJoin(clk, err, Seq("user_id"), "ts",
+          "w_start", "w_end", bucketUs = 6L * 3600 * 1000000)
+      }),
+      "sessionize" -> (() => mat(
+        TemporalJoins.sessionize(eventsSf, Seq("user_id"), "ts",
+            gapUs = 6L * 3600 * 1000000, tieBreak = Seq("event_id"))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(min("ts").as("session_start"), count(lit(1)).as("n_events")))))
+
     val selectionBenches: Seq[(String, () => Unit)] = Seq(
       "line_dedup" -> (() => mat(Dedup.lineDedup(SparkEntry.linedDocs(docsB)))),
       "span_dedup" -> (() => mat(Dedup.spanDedup(docsB))),
@@ -270,7 +301,7 @@ object Bench {
     val trailing = trailingMedians()
     val allRuns =
       (benches ++ curationBenches ++ neuralBenches ++ selectionBenches ++
-        mediaBenches).toMap
+        mediaBenches ++ temporalBenches).toMap
     def adjudicate(rs: Seq[QRes]): Seq[QRes] = rs.map { r =>
       trailing.get(r.name) match {
         case Some(m) if r.secs > 2.0 * m =>
@@ -287,6 +318,7 @@ object Bench {
     val neural = adjudicate(timeAll(neuralBenches))
     val selection = adjudicate(timeAll(selectionBenches))
     val media = adjudicate(timeAll(mediaBenches))
+    val temporal = adjudicate(timeAll(temporalBenches))
 
     // ---- 10× scale-proof (VERDICT r8 ask #2) ----------------------------
     // Replicates the sf docs/embeddings 10× IN-ENGINE and times the
@@ -362,6 +394,22 @@ object Bench {
       val centSem10 = Similarity.ivfCentroids(emb10, nCells = 160)
       val centProto10 = Similarity.ivfCentroids(emb10, nCells = 50)
       val enCond = col("lang") === "en"
+      // temporal-join scale legs: split a synthetic panel into odd/even
+      // hours so both join sides scale with the series count
+      def asofOnPanel(nSeries: Int): DataFrame = {
+        val p = synthPanel(spark, nSeries, 1000)
+        val hr = (unix_micros(col("ts").cast("timestamp")) / 3600000000L) % 2
+        TemporalJoins.asofJoin(
+          p.filter(hr === 0).select("user_id", "ts", "value"),
+          p.filter(hr === 1).select(col("user_id"), col("ts"),
+            col("value").as("rv")),
+          Seq("user_id"), "ts", "ts", Seq("rv"))
+      }
+      def sessionizeOnPanel(nSeries: Int): DataFrame =
+        TemporalJoins.sessionize(synthPanel(spark, nSeries, 1000),
+            Seq("user_id"), "ts", gapUs = 2L * 3600 * 1000000)
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"))
       val spSuite: Seq[(String, () => Unit, () => Unit)] = Seq(
         // time-series tier: the grouped-panel contract says work scales
         // with rows (pelt/mk/ets: 10× series) and with PAIRS for the
@@ -418,7 +466,13 @@ object Bench {
           () => mat(Similarity.hnswTopK(emb1,
             emb1.filter(col("vec_id") < 20), k = 3, numPartitions = 32)),
           () => mat(Similarity.hnswTopK(emb10,
-            emb10.filter(col("vec_id") < 20), k = 3, numPartitions = 32))))
+            emb10.filter(col("vec_id") < 20), k = 3, numPartitions = 32))),
+        // temporal joins: one exchange on the by-key + window carry —
+        // rows AND keys scale 10×, so the plan's contract is ~linear
+        ("asof_join", () => mat(asofOnPanel(1000)),
+          () => mat(asofOnPanel(10000))),
+        ("sessionize", () => mat(sessionizeOnPanel(1000)),
+          () => mat(sessionizeOnPanel(10000))))
       def best2(run: () => Unit): Double = {
         val ts = Seq(timeOnce("scale", run)._1, timeOnce("scale", run)._1)
           .filter(_ >= 0)
@@ -436,7 +490,7 @@ object Bench {
     }
 
     val loadEnd = loadAvg()
-    val all = results ++ curation ++ neural ++ selection ++ media
+    val all = results ++ curation ++ neural ++ selection ++ media ++ temporal
     val qs = all.map(r => "\"" + r.name + "\":" + r.secs).mkString("{", ",", "}")
     val cpus_ = all.map(r => "\"" + r.name + "\":" + r.cpuSecs)
       .mkString("{", ",", "}")
@@ -455,8 +509,9 @@ object Bench {
     val totalNeural = neural.map(_.secs).filter(_ >= 0).sum
     val totalSelection = selection.map(_.secs).filter(_ >= 0).sum
     val totalMedia = media.map(_.secs).filter(_ >= 0).sum
+    val totalTemporal = temporal.map(_.secs).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpus_,"iterations":$iters,"total_full":$totalFull,"total_neural":$totalNeural,"total_selection":$totalSelection,"total_media":$totalMedia,"load":$loads,"load_start":$loadStart,"load_end":$loadEnd,"reruns":$reruns,"scale10x":$scaleJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpus_,"iterations":$iters,"total_full":$totalFull,"total_neural":$totalNeural,"total_selection":$totalSelection,"total_media":$totalMedia,"total_temporal":$totalTemporal,"load":$loads,"load_start":$loadStart,"load_end":$loadEnd,"reruns":$reruns,"scale10x":$scaleJson,"sf":"$sfDir"}"""
     // sentinel-prefixed line FIRST (unambiguous to scrape out of the sbt
     // [info] noise that left BENCH_r05-r07 "parsed": null), then the bare
     // JSON line (legacy scrape), then the file (robust path)

@@ -1652,6 +1652,95 @@ object SparkEntry {
         "dtw", Map("window" -> graft.kernels.ElasticParams.SakoeWindow.toDouble))
         .select(col("id_1"), col("id_2"), r6n(col("dtw")).as("dtw"))),
 
+    // ── temporal joins & sessionization (round-9): the polars
+    // `join_asof` / interval-join / gap-session surface a reference user
+    // gets from the host engine, re-expressed Spark-first (one hash
+    // exchange + window carry; bucketed equi range join — see
+    // ops/TemporalJoins.scala scaladoc for the scale design) ────────────
+    "ts_asof_backward" -> ((s, dir) => {
+      val e = IO.events(s, dir)
+      val l = e.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+      val r = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      TemporalJoins.asofJoin(l, r, Seq("user_id"), "ts", "ts",
+          Seq("click_id", "click_value"))
+        .select("user_id", "event_id", "ts", "asof_ts", "click_id", "click_value")
+    }),
+
+    "ts_asof_tolerance" -> ((s, dir) => {
+      val e = IO.events(s, dir)
+      val l = e.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+      val r = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      TemporalJoins.asofJoin(l, r, Seq("user_id"), "ts", "ts",
+          Seq("click_id", "click_value"),
+          toleranceUs = Some(86400000000L)) // 1 day
+        .select("user_id", "event_id", "ts", "asof_ts", "click_id", "click_value")
+    }),
+
+    "ts_asof_forward" -> ((s, dir) => {
+      val e = IO.events(s, dir)
+      val l = e.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+      val r = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id").as("error_id"))
+      TemporalJoins.asofJoin(l, r, Seq("user_id"), "ts", "ts",
+          Seq("error_id"), direction = "forward")
+        .select("user_id", "event_id", "ts", "asof_ts", "error_id")
+    }),
+
+    "ts_asof_nearest" -> ((s, dir) => {
+      val e = IO.events(s, dir)
+      val l = e.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+      val r = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id").as("signup_id"))
+      TemporalJoins.asofJoin(l, r, Seq("user_id"), "ts", "ts",
+          Seq("signup_id"), direction = "nearest")
+        .select("user_id", "event_id", "ts", "asof_ts", "signup_id")
+    }),
+
+    // strict mode (pandas merge_asof allow_exact_matches=False) on a
+    // SECOND table: each order's previous order date for the same
+    // customer. Right side pre-aggregated per (custkey, date) so
+    // duplicate order dates carry a deterministic key.
+    "ts_asof_strict" -> ((s, dir) => {
+      val o = IO.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate")
+      val r = o.groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max("o_orderkey").as("prev_orderkey"))
+      TemporalJoins.asofJoin(o, r, Seq("o_custkey"),
+          "o_orderdate", "o_orderdate", Seq("prev_orderkey"),
+          allowExactMatches = false)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "asof_ts",
+          "prev_orderkey")
+    }),
+
+    // clicks inside the 1-day window after each error, per user —
+    // bucketUs = 6h so each window explodes into ≤ 5 buckets
+    "ts_range_join" -> ((s, dir) => {
+      val e = IO.events(s, dir)
+      val err = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 1 DAY")).as("w_end"))
+      val clk = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+      TemporalJoins.rangeJoin(clk, err, Seq("user_id"), "ts",
+          "w_start", "w_end", bucketUs = 6L * 3600 * 1000000)
+        .select("user_id", "click_id", "error_id")
+    }),
+
+    "ts_sessionize" -> ((s, dir) =>
+      TemporalJoins.sessionize(IO.events(s, dir), Seq("user_id"), "ts",
+          gapUs = 6L * 3600 * 1000000, tieBreak = Seq("event_id"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+          count(lit(1)).as("n_events"), r6(sum("value")).as("sum_value"))),
+
     // ── batch E: imaging, kshape, arima-lite, importance, kaboudan ──────
     "ts_impute_seasonal" -> ((s, dir) =>
       Impute.impute(withSynthNulls(IO.events(s, dir)), "seasonal", period = 24)
@@ -3460,6 +3549,88 @@ object SparkEntry {
         |  last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS value
         |FROM j""".stripMargin,
+
+    // ── temporal joins & sessionization (round-9): DuckDB has native
+    // ASOF JOIN, making these first-class hash oracles ──────────────────
+    "ts_asof_backward" ->
+      """WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |     r AS (SELECT user_id, ts, event_id AS click_id, value AS click_value
+        |           FROM events WHERE event_type = 'click')
+        |SELECT l.user_id, l.event_id, l.ts, r.ts AS asof_ts, r.click_id, r.click_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "ts_asof_tolerance" ->
+      """WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |     r AS (SELECT user_id, ts, event_id AS click_id, value AS click_value
+        |           FROM events WHERE event_type = 'click'),
+        |     j AS (SELECT l.user_id, l.event_id, l.ts, r.ts AS mt,
+        |                  r.click_id AS mc, r.click_value AS mv
+        |           FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts)
+        |SELECT user_id, event_id, ts,
+        |  CASE WHEN ts - mt <= INTERVAL 1 DAY THEN mt END AS asof_ts,
+        |  CASE WHEN ts - mt <= INTERVAL 1 DAY THEN mc END AS click_id,
+        |  CASE WHEN ts - mt <= INTERVAL 1 DAY THEN mv END AS click_value
+        |FROM j""".stripMargin,
+
+    "ts_asof_forward" ->
+      """WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |     r AS (SELECT user_id, ts, event_id AS error_id
+        |           FROM events WHERE event_type = 'error')
+        |SELECT l.user_id, l.event_id, l.ts, r.ts AS asof_ts, r.error_id
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
+
+    // nearest = backward and forward ASOF joins + closest-side pick;
+    // exact-distance ties go backward (the operator's documented contract)
+    "ts_asof_nearest" ->
+      """WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |     r AS (SELECT user_id, ts, event_id AS signup_id
+        |           FROM events WHERE event_type = 'signup'),
+        |     b AS (SELECT l.event_id, r.ts AS bt, r.signup_id AS bid
+        |           FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts),
+        |     f AS (SELECT l.event_id, r.ts AS ft, r.signup_id AS fid
+        |           FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts)
+        |SELECT l.user_id, l.event_id, l.ts,
+        |  CASE WHEN bt IS NULL THEN ft WHEN ft IS NULL THEN bt
+        |       WHEN date_diff('microseconds', bt, l.ts) <=
+        |            date_diff('microseconds', l.ts, ft) THEN bt ELSE ft END AS asof_ts,
+        |  CASE WHEN bt IS NULL THEN fid WHEN ft IS NULL THEN bid
+        |       WHEN date_diff('microseconds', bt, l.ts) <=
+        |            date_diff('microseconds', l.ts, ft) THEN bid ELSE fid END AS signup_id
+        |FROM l JOIN b ON l.event_id = b.event_id JOIN f ON l.event_id = f.event_id""".stripMargin,
+
+    // DuckDB's ASOF with a STRICT (>) comparator is the native oracle for
+    // allowExactMatches=false
+    "ts_asof_strict" ->
+      """WITH r AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS prev_orderkey
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT l.o_custkey, l.o_orderkey, l.o_orderdate,
+        |       r.o_orderdate AS asof_ts, r.prev_orderkey
+        |FROM orders l ASOF LEFT JOIN r
+        |  ON l.o_custkey = r.o_custkey AND l.o_orderdate > r.o_orderdate""".stripMargin,
+
+    "ts_range_join" ->
+      """WITH err AS (SELECT user_id, event_id AS error_id, ts AS w_start,
+        |                    ts + INTERVAL 1 DAY AS w_end
+        |             FROM events WHERE event_type = 'error'),
+        |     clk AS (SELECT user_id, event_id AS click_id, ts
+        |             FROM events WHERE event_type = 'click')
+        |SELECT c.user_id, c.click_id, e.error_id
+        |FROM clk c JOIN err e ON c.user_id = e.user_id
+        |  AND c.ts >= e.w_start AND c.ts < e.w_end""".stripMargin,
+
+    "ts_sessionize" ->
+      """WITH o AS (SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 6 HOUR THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |     s AS (SELECT user_id, ts, value,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM o)
+        |SELECT user_id, session_id, min(ts) AS session_start,
+        |  max(ts) AS session_end, count(*) AS n_events,
+        |  round(sum(value), 6) AS sum_value
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     "ts_time_embeddings" ->
       """SELECT event_id,

@@ -1,0 +1,216 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+/** Temporal joins & sessionization — the time-series data-processing
+  * primitives a reference (Polars) user gets from the host engine
+  * (`DataFrame.join_asof`, interval filters, gap-based grouping) and a
+  * Spark user needs re-expressed shuffle-consciously.
+  *
+  * Scale design, per operator:
+  *
+  *  - '''asofJoin''': never a non-equi join. Both sides are tagged and
+  *    unioned, hash-partitioned on the `by` keys (ONE exchange), sorted
+  *    within partitions, and the match is a `last(_, ignoreNulls)` running
+  *    carry inside a codegen'd WindowExec. `nearest` adds a second sort
+  *    (descending) over the same exchange, not a second shuffle. A
+  *    broadcast-range join would need the right side small; this form
+  *    scales to both sides huge, skew-bounded by the hottest `by` key.
+  *  - '''rangeJoin''': intervals explode into fixed-width time buckets and
+  *    the join becomes an equi-join on (by, bucket) + exact residual
+  *    filter — the classic bucketed range join. Each (left, right) pair
+  *    meets in exactly one bucket (the left row's), so no post-dedup. A
+  *    `raise_error` guard fails loudly if an interval spans more than
+  *    `maxBucketsPerInterval` buckets instead of silently exploding.
+  *  - '''sessionize''': lag + running-sum over one window (one exchange);
+  *    the Structured Streaming twin uses Spark's native
+  *    `session_window` + watermark (see StreamingOps).
+  *
+  * The reference gets as-of joins from Polars itself
+  * (polars `DataFrame.join_asof`; used in time-series feature pipelines
+  * alongside polars_ts); this file is the Spark-first equivalent.
+  */
+object TemporalJoins {
+
+  /** Epoch-µs view of a time column (timestamp or numeric). NTZ casts
+    * through LTZ under the session's UTC zone, value-preserving. */
+  private def micros(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col(c).cast("timestamp"))
+      case _ => col(c).cast("long")
+    }
+
+  /** As-of join: for each left row, the latest right row at-or-before
+    * (`backward`), the earliest at-or-after (`forward`), or the closest in
+    * either direction (`nearest`, ties → backward) within the same `by`
+    * keys; optionally only if within `toleranceUs` (else the carried
+    * columns are null, like polars `join_asof(tolerance=)`).
+    *
+    * Output = all left columns + `matchedTime` (the matched right
+    * timestamp, null when unmatched) + `rightCols` (suffixed `_right` on
+    * name collision with a left column).
+    *
+    * Duplicate right timestamps within a `by` group make the match
+    * ambiguous (any engine picks one arbitrarily) — pre-aggregate the
+    * right side per (by, time) if that matters, as the gate queries do.
+    *
+    * `by` must be non-empty: a global as-of would funnel everything
+    * through one window partition. Pre-bucket the time axis and carry
+    * boundary rows if a keyless as-of is ever needed at scale.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, by: Seq[String],
+               leftTime: String, rightTime: String, rightCols: Seq[String],
+               direction: String = "backward",
+               toleranceUs: Option[Long] = None,
+               matchedTime: String = "asof_ts",
+               allowExactMatches: Boolean = true): DataFrame = {
+    require(by.nonEmpty,
+      "asofJoin: empty `by` would single-partition the window; supply keys")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"asofJoin: unknown direction '$direction'")
+    require(rightCols.nonEmpty, "asofJoin: no right columns to carry")
+    toleranceUs.foreach(t => require(t >= 0, "asofJoin: negative tolerance"))
+
+    val outNames = rightCols.map(c =>
+      if (left.columns.contains(c)) c + "_right" else c)
+
+    // Right payload rides inside ONE struct so the ignoreNulls carry skips
+    // left rows (whose payload is null) but never a right row whose value
+    // columns happen to be null — polars semantics, not "last non-null".
+    val payload = struct(
+      (col(rightTime).as("__rt") +: micros(right, rightTime).as("__rtu") +:
+        rightCols.map(col)): _*)
+    val rTagged = right.select(
+      (by.map(col) :+ micros(right, rightTime).as("__tu") :+
+        payload.as("__p") :+ lit(0).as("__tag")): _*)
+    val lTagged = left
+      .withColumn("__tu", micros(left, leftTime))
+      .withColumn("__tag", lit(1))
+    val uni = lTagged.unionByName(rTagged, allowMissingColumns = true)
+
+    // Equal timestamps: with allowExactMatches the right row (tag 0)
+    // sorts first in BOTH orders, so matches are inclusive (>= / <=)
+    // like the oracle's ASOF JOIN; with allowExactMatches=false (pandas
+    // merge_asof's strict mode) the left row sorts first, so an
+    // equal-ts right row is not yet visible — strictly-before/after.
+    val tagOrder =
+      if (allowExactMatches) col("__tag").asc else col("__tag").desc
+    val part = Window.partitionBy(by.map(col): _*)
+    val frame = (w: org.apache.spark.sql.expressions.WindowSpec) =>
+      w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val back = last(when(col("__tag") === 0, col("__p")), ignoreNulls = true)
+      .over(frame(part.orderBy(col("__tu").asc, tagOrder)))
+    val fwd = last(when(col("__tag") === 0, col("__p")), ignoreNulls = true)
+      .over(frame(part.orderBy(col("__tu").desc, tagOrder)))
+
+    val carried = direction match {
+      case "backward" => uni.withColumn("__m", back)
+      case "forward" => uni.withColumn("__m", fwd)
+      case "nearest" =>
+        uni.withColumn("__mb", back).withColumn("__mf", fwd)
+          .withColumn("__m",
+            when(col("__mb").isNull, col("__mf"))
+              .when(col("__mf").isNull, col("__mb"))
+              .when(col("__tu") - col("__mb.__rtu") <=
+                    col("__mf.__rtu") - col("__tu"), col("__mb"))
+              .otherwise(col("__mf")))
+    }
+
+    val withinTol = toleranceUs match {
+      case Some(t) =>
+        when(col("__m").isNotNull &&
+          abs(col("__tu") - col("__m.__rtu")) <= t, col("__m"))
+      case None => col("__m")
+    }
+    val outCols =
+      left.columns.toSeq.map(col) ++
+        (col("__mok.__rt").as(matchedTime) +:
+          rightCols.zip(outNames).map { case (c, o) =>
+            col("__mok").getField(c).as(o)
+          })
+    carried.filter(col("__tag") === 1)
+      .withColumn("__mok", withinTol)
+      .select(outCols: _*)
+  }
+
+  /** Interval (range) join: left rows whose `leftTime` falls in the right
+    * side's `[startCol, endCol)` (or `[..]` with `inclusiveEnd`) under
+    * equal `by` keys. Returns left columns + right columns (right names
+    * colliding with left ones suffixed `_right`; `by` keys emitted once).
+    *
+    * Bucketed: `bucketUs` is the time-bucket width — size it near the
+    * typical interval length so each interval explodes into a handful of
+    * buckets. Intervals spanning more than `maxBucketsPerInterval`
+    * buckets raise an error (fail-loud valve) rather than exploding.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, by: Seq[String],
+                leftTime: String, startCol: String, endCol: String,
+                bucketUs: Long, inclusiveEnd: Boolean = false,
+                maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(bucketUs > 0, "rangeJoin: bucketUs must be positive")
+    // floor-div through double: exact for |µs| < 2^53 (≈ year 2255)
+    def bucketOf(c: Column): Column =
+      floor(c / lit(bucketUs.toDouble)).cast("long")
+
+    val renames = right.columns.filter(c =>
+      !by.contains(c) && left.columns.contains(c)).map(c => c -> (c + "_right"))
+    val rRenamed = renames.foldLeft(right) { case (d, (from, to)) =>
+      d.withColumnRenamed(from, to)
+    }
+    def rName(c: String): String =
+      renames.find(_._1 == c).map(_._2).getOrElse(c)
+
+    val sTu = micros(rRenamed, rName(startCol))
+    val eTu = micros(rRenamed, rName(endCol))
+    val rBuck = rRenamed
+      .withColumn("__stu", sTu).withColumn("__etu", eTu)
+      .withColumn("__sb", bucketOf(col("__stu")))
+      .withColumn("__eb", bucketOf(col("__etu")))
+      .withColumn("__nb", col("__eb") - col("__sb") + lit(1L))
+      // assert_true rides inside __b's dependency chain so column pruning
+      // can't eliminate the fail-loud valve (a free-standing guard column
+      // would be pruned as dead code)
+      .withColumn("__ebChecked",
+        when(assert_true(col("__nb") <= maxBucketsPerInterval,
+          concat(lit("rangeJoin: interval spans "), col("__nb"),
+            lit(s" buckets > maxBucketsPerInterval=$maxBucketsPerInterval; " +
+              "widen bucketUs or split the interval"))).isNull, col("__eb")))
+      .withColumn("__b", explode(sequence(col("__sb"), col("__ebChecked"))))
+    val lBuck = left
+      .withColumn("__ltu", micros(left, leftTime))
+      .withColumn("__b", bucketOf(col("__ltu")))
+
+    val endCond =
+      if (inclusiveEnd) col("__ltu") <= col("__etu")
+      else col("__ltu") < col("__etu")
+    val joined = lBuck.join(rBuck,
+      by :+ "__b", "inner")
+      .filter(col("__ltu") >= col("__stu") && endCond)
+    val rightOut = rRenamed.columns.toSeq.filterNot(by.contains)
+    joined.select((left.columns.toSeq ++ rightOut).map(col): _*)
+  }
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * previous row (per `by` keys, ordered by `timeCol` then `tieBreak`)
+    * exceeds `gapUs` strictly. Adds `session_id` (1-based per key).
+    * One exchange + one sort; session summaries are a groupBy on top. */
+  def sessionize(df: DataFrame, by: Seq[String], timeCol: String,
+                 gapUs: Long, tieBreak: Seq[String] = Nil): DataFrame = {
+    require(by.nonEmpty, "sessionize: empty `by` would single-partition")
+    require(gapUs > 0, "sessionize: gapUs must be positive")
+    val order = col("__tu").asc +: tieBreak.map(col(_).asc)
+    val w = Window.partitionBy(by.map(col): _*).orderBy(order: _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__tu", micros(df, timeCol))
+      .withColumn("__new",
+        when(lag(col("__tu"), 1).over(w).isNull ||
+          col("__tu") - lag(col("__tu"), 1).over(w) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("__new")).over(run))
+      .drop("__tu", "__new")
+  }
+}

@@ -429,6 +429,71 @@ object StreamingOps {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Streaming gap-sessionization: Spark's native `session_window`
+    * grouped aggregation — the streaming twin of
+    * [[graft.ops.TemporalJoins.sessionize]] summaries. The watermark
+    * bounds state (a session closes once the watermark passes its end),
+    * so state is O(open sessions), not O(events).
+    *
+    * Boundary convention: `session_window` merges events strictly closer
+    * than `gap` (the window is half-open `[start, last + gap)`), while
+    * the batch operator keeps an exactly-`gap` successor in the same
+    * session. Equal-to-gap inter-arrival times are measure-zero on real
+    * µs data; the stream≡batch spec avoids the boundary and asserts
+    * `session_end(stream) = session_end(batch) + gap` on everything else.
+    *
+    * Emits one row per CLOSED session (append mode): key, start, end,
+    * event count, value sum. */
+  def streamingSessionize(input: Dataset[Obs], gap: String,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    input.toDF()
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("uniqueId"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum("y").as("sum_value"))
+      .select(col("uniqueId"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Tagged observation for [[streamingAsofEnrich]]: `isRight` marks the
+    * enrichment side (the side whose latest value is carried). */
+  case class TaggedObs(uniqueId: String, ts: Timestamp, isRight: Boolean,
+      y: Double, tie: Long = 0L)
+  case class AsofOut(uniqueId: String, ts: Timestamp, y: Double,
+      asofTs: Option[Timestamp], asofY: Option[Double])
+
+  /** Streaming backward as-of enrichment — the online twin of
+    * [[graft.ops.TemporalJoins.asofJoin]] (direction = backward): each
+    * left row emits with the most recent right-side (ts, value)
+    * at-or-before it for the same key. State is O(1) per key (just the
+    * latest right payload), vs a stream-stream interval join's
+    * O(window × rate) buffered rows.
+    *
+    * Ordering contract: rows within a trigger are folded in (ts, side,
+    * tie) order with right before left on equal ts (the batch operator's
+    * inclusive convention); ACROSS triggers delivery must be per-key
+    * event-time in-order — a right row arriving after a left row it
+    * should have matched is not retroactively applied. Out-of-order
+    * backfills belong to the batch operator. */
+  def streamingAsofEnrich(input: Dataset[TaggedObs]): Dataset[AsofOut] = {
+    import input.sparkSession.implicits._
+    input.groupByKey(_.uniqueId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (id: String, rows: Iterator[TaggedObs],
+         state: GroupState[(Long, Double)]) => {
+          var s = state.getOption
+          val out = rows.toSeq
+            .sortBy(o => (o.ts.getTime, if (o.isRight) 0 else 1, o.tie))
+            .flatMap { o =>
+              if (o.isRight) { s = Some((o.ts.getTime, o.y)); None }
+              else Some(AsofOut(id, o.ts, o.y,
+                s.map(p => new Timestamp(p._1)), s.map(_._2)))
+            }
+          s.foreach(state.update)
+          out.iterator
+        })
+  }
+
   /** Streaming curation gate: the batch funnel's metric stack and verdict
     * chain are pure column expressions
     * ([[graft.ops.TextOps.curationMetrics]] /
