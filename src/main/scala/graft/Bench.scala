@@ -241,7 +241,12 @@ object Bench {
         TemporalJoins.sessionize(eventsSf, Seq("user_id"), "ts",
             gapUs = 6L * 3600 * 1000000, tieBreak = Seq("event_id"))
           .groupBy(col("user_id"), col("session_id"))
-          .agg(min("ts").as("session_start"), count(lit(1)).as("n_events")))))
+          .agg(min("ts").as("session_start"), count(lit(1)).as("n_events")))),
+      // z-order rewrite: the range-exchange + sort a layout OPTIMIZE pays
+      "zorder_layout" -> (() => mat(
+        Layout.zorderBy(eventsSf.withColumn("hr",
+            expr("(unix_micros(cast(ts as timestamp)) div 3600000000) % 4096")),
+          Seq("user_id", "hr"), numFiles = 32, bits = 12))))
 
     val selectionBenches: Seq[(String, () => Unit)] = Seq(
       "line_dedup" -> (() => mat(Dedup.lineDedup(SparkEntry.linedDocs(docsB)))),

@@ -1741,6 +1741,15 @@ object SparkEntry {
         .agg(min("ts").as("session_start"), max("ts").as("session_end"),
           count(lit(1)).as("n_events"), r6(sum("value")).as("sum_value"))),
 
+    // Morton interleave key for z-order layout clustering (the pure bit
+    // fold — the repartitionByRange rewrite on top is plan-shaped, not
+    // value-shaped, so the KEY is what the oracle hashes)
+    "ts_zorder_key" -> ((s, dir) =>
+      IO.events(s, dir).select(col("event_id"),
+        Layout.zorderKey(Seq(col("user_id"),
+          expr("(unix_micros(cast(ts as timestamp)) div 3600000000) % 4096")),
+          bits = 12).as("zkey"))),
+
     // ── batch E: imaging, kshape, arima-lite, importance, kaboudan ──────
     "ts_impute_seasonal" -> ((s, dir) =>
       Impute.impute(withSynthNulls(IO.events(s, dir)), "seasonal", period = 24)
@@ -3631,6 +3640,16 @@ object SparkEntry {
         |  max(ts) AS session_end, count(*) AS n_events,
         |  round(sum(value), 6) AS sum_value
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // Morton fold replayed bit by bit (generated, so oracle and operator
+    // share the same interleave layout by construction)
+    "ts_zorder_key" -> {
+      val terms = for (b <- 0 until 12; (c, i) <- Seq("user_id", "hr").zipWithIndex)
+        yield s"(((CAST($c AS BIGINT) >> $b) & 1) << ${b * 2 + i})"
+      s"""WITH e AS (SELECT event_id, user_id,
+         |  (epoch_us(ts) // 3600000000) % 4096 AS hr FROM events)
+         |SELECT event_id, ${terms.mkString(" | ")} AS zkey FROM e""".stripMargin
+    },
 
     "ts_time_embeddings" ->
       """SELECT event_id,

@@ -93,6 +93,22 @@ object syntax {
       DeepForecast.patchTstForecast(df,
         graft.kernels.Transformer.PatchCfg(h = h, inputSize = inputSize))
     def visionEmbeddings(): DataFrame = VisionEmbed.visionEmbeddings(df)
+
+    // temporal joins & sessionization (round 9) — the polars
+    // `join_asof` / interval / gap-session surface; panel defaults from
+    // PanelCols (by = id, time = time col)
+    def asofJoin(right: DataFrame, rightCols: Seq[String],
+        direction: String = "backward", toleranceUs: Option[Long] = None,
+        allowExactMatches: Boolean = true): DataFrame =
+      TemporalJoins.asofJoin(df, right, Seq(pc.id), pc.time, pc.time,
+        rightCols, direction, toleranceUs, allowExactMatches = allowExactMatches)
+    def rangeJoin(right: DataFrame, startCol: String, endCol: String,
+        bucketUs: Long): DataFrame =
+      TemporalJoins.rangeJoin(df, right, Seq(pc.id), pc.time,
+        startCol, endCol, bucketUs)
+    def sessionize(gapUs: Long): DataFrame =
+      TemporalJoins.sessionize(df, Seq(pc.id), pc.time, gapUs,
+        tieBreak = pc.tieBreak)
   }
 
   /** Corpus-curation namespace for document tables (`doc_id`, `text`) —
