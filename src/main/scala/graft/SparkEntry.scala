@@ -1741,6 +1741,23 @@ object SparkEntry {
         .agg(min("ts").as("session_start"), max("ts").as("session_end"),
           count(lit(1)).as("n_events"), r6(sum("value")).as("sum_value"))),
 
+    // interval×interval: overlapping 1-day activity windows of errors vs
+    // purchases per user (both sides explode into 6h buckets; the
+    // max-start-bucket residual keeps each pair exactly once)
+    "ts_overlap_join" -> ((s, dir) => {
+      val e = IO.events(s, dir)
+      def win(t: String, idAs: String) = e.filter(col("event_type") === t)
+        .select(col("user_id"), col("event_id").as(idAs),
+          col("ts").as(s"${idAs}_start"),
+          (col("ts") + expr("INTERVAL 1 DAY")).as(s"${idAs}_end"))
+      TemporalJoins.overlapJoin(
+          win("error", "error_id"), win("purchase", "purchase_id"),
+          Seq("user_id"), "error_id_start", "error_id_end",
+          "purchase_id_start", "purchase_id_end",
+          bucketUs = 6L * 3600 * 1000000)
+        .select("user_id", "error_id", "purchase_id")
+    }),
+
     // Morton interleave key for z-order layout clustering (the pure bit
     // fold — the repartitionByRange rewrite on top is plan-shaped, not
     // value-shaped, so the KEY is what the oracle hashes)
@@ -3640,6 +3657,17 @@ object SparkEntry {
         |  max(ts) AS session_end, count(*) AS n_events,
         |  round(sum(value), 6) AS sum_value
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "ts_overlap_join" ->
+      """WITH er AS (SELECT user_id, event_id AS error_id, ts AS es,
+        |                   ts + INTERVAL 1 DAY AS ee
+        |            FROM events WHERE event_type = 'error'),
+        |     pu AS (SELECT user_id, event_id AS purchase_id, ts AS ps,
+        |                   ts + INTERVAL 1 DAY AS pe
+        |            FROM events WHERE event_type = 'purchase')
+        |SELECT er.user_id, er.error_id, pu.purchase_id
+        |FROM er JOIN pu ON er.user_id = pu.user_id
+        |  AND er.es < pu.pe AND pu.ps < er.ee""".stripMargin,
 
     // Morton fold replayed bit by bit (generated, so oracle and operator
     // share the same interleave layout by construction)

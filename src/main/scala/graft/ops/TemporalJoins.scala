@@ -194,6 +194,54 @@ object TemporalJoins {
     joined.select((left.columns.toSeq ++ rightOut).map(col): _*)
   }
 
+  /** Interval-overlap join: pairs whose half-open intervals
+    * `[leftStart, leftEnd)` and `[rightStart, rightEnd)` overlap under
+    * equal `by` keys (`lS < rE && rS < lE`). Same bucketed design as
+    * [[rangeJoin]], but BOTH sides explode into covered buckets — a pair
+    * then meets once per shared bucket, so the join keeps only the first
+    * shared one (`bucket == max(startBucket_l, startBucket_r)`), the
+    * standard dedup-free overlap-join residual. Right columns colliding
+    * with left names are suffixed `_right`; `by` keys emitted once. */
+  def overlapJoin(left: DataFrame, right: DataFrame, by: Seq[String],
+                  leftStart: String, leftEnd: String,
+                  rightStart: String, rightEnd: String,
+                  bucketUs: Long,
+                  maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(bucketUs > 0, "overlapJoin: bucketUs must be positive")
+    def bucketOf(c: Column): Column =
+      floor(c / lit(bucketUs.toDouble)).cast("long")
+    def explodeBuckets(df: DataFrame, sTu: Column, eTu: Column,
+                       pfx: String): DataFrame =
+      df.withColumn(s"${pfx}stu", sTu).withColumn(s"${pfx}etu", eTu)
+        .withColumn(s"${pfx}sb", bucketOf(col(s"${pfx}stu")))
+        .withColumn(s"${pfx}eb", bucketOf(col(s"${pfx}etu")))
+        .withColumn(s"${pfx}nb", col(s"${pfx}eb") - col(s"${pfx}sb") + lit(1L))
+        .withColumn(s"${pfx}ebChecked",
+          when(assert_true(col(s"${pfx}nb") <= maxBucketsPerInterval,
+            concat(lit("overlapJoin: interval spans "), col(s"${pfx}nb"),
+              lit(s" buckets > maxBucketsPerInterval=$maxBucketsPerInterval")))
+            .isNull, col(s"${pfx}eb")))
+        .withColumn("__b", explode(sequence(col(s"${pfx}sb"), col(s"${pfx}ebChecked"))))
+
+    val renames = right.columns.filter(c =>
+      !by.contains(c) && left.columns.contains(c)).map(c => c -> (c + "_right"))
+    val rRenamed = renames.foldLeft(right) { case (d, (from, to)) =>
+      d.withColumnRenamed(from, to)
+    }
+    def rName(c: String): String =
+      renames.find(_._1 == c).map(_._2).getOrElse(c)
+
+    val lExp = explodeBuckets(left,
+      micros(left, leftStart), micros(left, leftEnd), "__l")
+    val rExp = explodeBuckets(rRenamed,
+      micros(rRenamed, rName(rightStart)), micros(rRenamed, rName(rightEnd)), "__r")
+    val joined = lExp.join(rExp, by :+ "__b", "inner")
+      .filter(col("__lstu") < col("__retu") && col("__rstu") < col("__letu") &&
+        col("__b") === greatest(col("__lsb"), col("__rsb")))
+    val rightOut = rRenamed.columns.toSeq.filterNot(by.contains)
+    joined.select((left.columns.toSeq ++ rightOut).map(col): _*)
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous row (per `by` keys, ordered by `timeCol` then `tieBreak`)
     * exceeds `gapUs` strictly. Adds `session_id` (1-based per key).

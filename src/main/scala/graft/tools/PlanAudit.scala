@@ -157,6 +157,33 @@ object PlanAudit {
           .withColumn("video", mkVid(col("doc_id"))),
         "video", stride = 1)
     })
+    // round-9 temporal & layout tier
+    audit("asof join (expect ONE hash exchange + window carry, ZERO join operators)", {
+      val l = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+      val r = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value").as("rv"))
+      TemporalJoins.asofJoin(l, r, Seq("user_id"), "ts", "ts", Seq("rv"))
+    })
+    audit("range join (expect equi join on (key,bucket) — no BroadcastNestedLoopJoin)", {
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"),
+          col("ts").as("w_start"), (col("ts") + expr("INTERVAL 1 DAY")).as("w_end"))
+      val clk = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+      TemporalJoins.rangeJoin(clk, err, Seq("user_id"), "ts",
+        "w_start", "w_end", bucketUs = 6L * 3600 * 1000000)
+    })
+    audit("sessionize summary (expect grouped window + reused partitioning for the agg)",
+      TemporalJoins.sessionize(ev, Seq("user_id"), "ts",
+          gapUs = 6L * 3600 * 1000000, tieBreak = Seq("event_id"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events")))
+    audit("zorder rewrite (expect ONE range exchange + in-partition sort, codegen key)",
+      Layout.zorderBy(ev.withColumn("hr",
+          expr("(unix_micros(cast(ts as timestamp)) div 3600000000) % 4096")),
+        Seq("user_id", "hr"), numFiles = 4, bits = 12))
+
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(s"\nPLAN AUDIT FAILED — zero whole-stage codegen " +

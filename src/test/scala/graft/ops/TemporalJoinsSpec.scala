@@ -208,6 +208,29 @@ class TemporalJoinsSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("maxBucketsPerInterval")))
   }
 
+  test("overlapJoin: half-open overlap, shared-bucket dedup, key separation") {
+    import spark.implicits._
+    val hour = 3600L * 1000000
+    val l = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")),
+      (1L, 11L, ts("2024-01-01 13:00:00"), ts("2024-01-01 14:00:00")),
+      (2L, 12L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00"))
+    ).toDF("k", "lid", "l_start", "l_end")
+    val r = Seq(
+      (1L, 20L, ts("2024-01-01 11:00:00"), ts("2024-01-01 15:00:00")), // overlaps 10 (and 11)
+      (1L, 21L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:30:00")), // touches 10's end: NO overlap
+      (1L, 22L, ts("2024-01-01 01:00:00"), ts("2024-01-01 23:00:00"))  // 22-bucket span: overlaps both
+    ).toDF("k", "rid", "r_start", "r_end")
+    val out = TemporalJoins.overlapJoin(l, r, Seq("k"),
+      "l_start", "l_end", "r_start", "r_end", bucketUs = hour)
+    val pairs = out.select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    // no duplicates despite many shared buckets
+    assert(pairs.length == pairs.distinct.length, s"duplicated pairs: ${pairs.toSeq}")
+    assert(pairs.toSet == Set((10L, 20L), (11L, 20L), (10L, 22L), (11L, 22L)),
+      s"got ${pairs.toSet}")
+  }
+
   test("sessionize: new session strictly beyond gap; tie-break total order") {
     import spark.implicits._
     val gap = 600L * 1000000 // 10 min
