@@ -1347,6 +1347,18 @@ object SparkEntry {
       Dedup.minhashLsh(docs.unionByName(dups), threshold = 0.5)
     }),
 
+    // incremental ingest-batch dedup: the +100000 near-dups arrive as the
+    // NEW slice and are deduped against the originals' persisted
+    // signature table — output must equal the full run's pairs touching
+    // the new slice (the oracle is the full-run SQL, filtered)
+    "doc_minhash_incremental" -> ((s, dir) => {
+      val docs = IO.documents(s, dir).select("doc_id", "text")
+      val dups = docs.withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(col("text"), lit(" near duplicate suffix")))
+      Dedup.minhashLshIncremental(dups, Dedup.minhashSignatures(docs),
+        threshold = 0.5)
+    }),
+
     "doc_repetition" -> ((s, dir) =>
       TextOps.repetitionMetrics(IO.documents(s, dir))
         .select(col("doc_id"),
@@ -4342,6 +4354,9 @@ object SparkEntry {
     // SAME (a, b) permutation constants as the Spark kernel (generated by
     // the shared Dedup.minhashParams), band join on raw signature slices.
     "doc_minhash_lsh" -> minhashLshOracleSql,
+    "doc_minhash_incremental" ->
+      s"""SELECT * FROM ($minhashLshOracleSql) __full
+         |WHERE id_a >= 100000 OR id_b >= 100000""".stripMargin,
 
     // Gopher repetition signals: line metrics via list ops, top-ngram via
     // unnest + group-by max of count·word-chars (gram chars exclude the

@@ -327,6 +327,77 @@ object Dedup {
     verified.select(col("id_a"), col("id_b"), col("jaccard_est"))
   }
 
+  /** MinHash signature table `(__id, __sig)` for [[minhashLshIncremental]]:
+    * compute once per ingest batch and persist next to the corpus — the
+    * signatures, not the text, are the dedup state a growing corpus keeps. */
+  def minhashSignatures(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleN: Int = 5, k: Int = 64): DataFrame =
+    df.select(col(idCol).as("__id"),
+      minhashSigFromText(col(textCol), shingleN, k).as("__sig"))
+
+  /** Incremental MinHash-LSH: near-dup pairs INVOLVING a new ingest slice
+    * only — new×new plus new×existing — against a persisted signature
+    * table, without recomputing existing×existing. The production shape
+    * for a growing 100 TB corpus: per-batch cost is O(|new| + touched
+    * buckets), not O(corpus); existing documents' TEXT is never read.
+    *
+    * Equivalence contract (spec-pinned): with disjoint id spaces,
+    * `minhashLshIncremental(new, minhashSignatures(old))` equals
+    * `minhashLsh(old ∪ new)` restricted to pairs touching `new` — the
+    * band bucketing, the skew-cap (applied to COMBINED bucket sizes, so
+    * a capped bucket is capped identically in both forms), and the
+    * signature-agreement verify are all shared machinery. */
+  def minhashLshIncremental(newDocs: DataFrame, existingSigs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      shingleN: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.7,
+      maxBucketSize: Option[Int] = Some(10000)): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigsNew = minhashSignatures(newDocs, textCol, idCol, shingleN, k).cache()
+    val sigsOld = existingSigs.select(col("__id"), col("__sig"))
+    def bandify(s: DataFrame, isNew: Boolean) =
+      s.select(col("__id"), lit(isNew).as("__isnew"), posexplode(
+        array((0 until bands).map(b =>
+          packedBandKey(col("__sig"), b, rowsPerBand)): _*))
+        .as(Seq("__band", "__bk")))
+    val bAll0 = bandify(sigsNew, isNew = true)
+      .unionByName(bandify(sigsOld, isNew = false))
+    val bAll = maxBucketSize match {
+      case None => bAll0
+      case Some(cap) =>
+        val logDrop = udf((band: Int, sz: Long) => {
+          System.err.println(s"[graft.Dedup.minhashLshIncremental] dropping " +
+            s"band=$band bucket of $sz docs (cap=$cap)")
+          true
+        })
+        val oversized = bAll0.groupBy(col("__band"), col("__bk"))
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") > cap)
+          .filter(logDrop(col("__band"), col("__bsz")))
+          .select(col("__band"), col("__bk"))
+        bAll0.join(oversized, Seq("__band", "__bk"), "left_anti")
+    }
+    // a-side = new rows only; b-side = everything. New×new pairs order by
+    // id (each counted once); new×old pairs normalize via least/greatest.
+    val pairs = bAll.filter(col("__isnew")).as("a").join(bAll.as("b"),
+        col("a.__band") === col("b.__band") &&
+        col("a.__bk") === col("b.__bk") &&
+        (!col("b.__isnew") || col("a.__id") < col("b.__id")))
+      .select(least(col("a.__id"), col("b.__id")).as("id_a"),
+        greatest(col("a.__id"), col("b.__id")).as("id_b")).distinct()
+    val sigsAll = sigsNew.unionByName(sigsOld)
+    pairs
+      .join(sigsAll.withColumnRenamed("__sig", "__sig_a"),
+        col("id_a") === col("__id")).drop("__id")
+      .join(sigsAll.withColumnRenamed("__sig", "__sig_b"),
+        col("id_b") === col("__id")).drop("__id")
+      .withColumn("jaccard_est",
+        size(filter(zip_with(col("__sig_a"), col("__sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / lit(k.toDouble))
+      .filter(col("jaccard_est") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard_est"))
+  }
+
   /** 64-bit SimHash over whitespace tokens of normalized text: sign-sum of
     * per-token FNV-64 bits. FNV-1a (not xxhash64) so independent engines
     * can reproduce signatures bit-for-bit — the DuckDB oracle mirrors the

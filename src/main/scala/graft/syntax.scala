@@ -133,6 +133,10 @@ object syntax {
       Dedup.spanDedup(df, n, minRun)
     def minhashLsh(threshold: Double = 0.7): DataFrame =
       Dedup.minhashLsh(df, threshold = threshold)
+    def minhashSignatures(): DataFrame = Dedup.minhashSignatures(df)
+    def minhashIncremental(existingSigs: DataFrame,
+        threshold: Double = 0.7): DataFrame =
+      Dedup.minhashLshIncremental(df, existingSigs, threshold = threshold)
     def simhash(): DataFrame = Dedup.simhash(df)
     def dupNgramCoverage(n: Int = 5): DataFrame = Dedup.dupNgramCoverage(df, n)
     // quality & filters

@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Equivalence contract of the incremental dedup path: against a
+  * persisted signature table, `minhashLshIncremental(new, sigs(old))`
+  * must equal the full `minhashLsh(old ∪ new)` restricted to pairs
+  * touching the new slice — including under the skew cap, where the
+  * combined bucket size decides for both forms. */
+class IncrementalDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Deterministic corpus with planted near-dup structure across the
+    * old/new boundary: doc i and i+1000 share a long prefix. */
+  private def corpus(n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).flatMap { i =>
+      val bodyWords = (0 until 30).map(w => s"w${(i * 7 + w * 13) % 50}")
+      val body = s"shared stable prefix text for group ${i % 20} " + bodyWords.mkString(" ")
+      Seq((i.toLong, body), (i.toLong + 1000, body + " tail variation " + i))
+    }.toDF("doc_id", "text")
+  }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("incremental == full restricted to pairs touching the new slice") {
+    val all = corpus(60)
+    val old = all.filter(col("doc_id") < 1000)
+    val fresh = all.filter(col("doc_id") >= 1000)
+    val full = Dedup.minhashLsh(all, threshold = 0.5)
+      .filter(col("id_a") >= 1000 || col("id_b") >= 1000)
+    val inc = Dedup.minhashLshIncremental(fresh,
+      Dedup.minhashSignatures(old), threshold = 0.5)
+    val (f, i) = (pairSet(full), pairSet(inc))
+    assert(f.nonEmpty, "fixture must plant cross-boundary near-dups")
+    assert(f == i, s"full-minus-old=${f.diff(i)} inc-extra=${i.diff(f)}")
+  }
+
+  test("skew cap applies to combined buckets in both forms") {
+    import spark.implicits._
+    // 30 identical docs split across the boundary → one flooded bucket
+    val flood = (0 until 30).map(i =>
+      (if (i < 15) i.toLong else i.toLong + 1000,
+        "identical flooded document body repeated words alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val old = flood.filter(col("doc_id") < 1000)
+    val fresh = flood.filter(col("doc_id") >= 1000)
+    val full = Dedup.minhashLsh(flood, threshold = 0.5, maxBucketSize = Some(10))
+      .filter(col("id_a") >= 1000 || col("id_b") >= 1000)
+    val inc = Dedup.minhashLshIncremental(fresh, Dedup.minhashSignatures(old),
+      threshold = 0.5, maxBucketSize = Some(10))
+    assert(pairSet(full) == pairSet(inc))
+    assert(inc.count() == 0, "combined bucket of 30 > cap 10 must drop everywhere")
+  }
+}
