@@ -1347,10 +1347,28 @@ object SparkEntry {
       Dedup.minhashLsh(docs.unionByName(dups), threshold = 0.5)
     }),
 
-    // incremental ingest-batch dedup: the +100000 near-dups arrive as the
-    // NEW slice and are deduped against the originals' persisted
-    // signature table — output must equal the full run's pairs touching
-    // the new slice (the oracle is the full-run SQL, filtered)
+    // incremental ingest-batch dedup tier: a NEW slice arrives and is
+    // deduped against the originals' persisted state (fingerprints /
+    // simhashes / minhash signatures) — outputs must equal the full
+    // run's result restricted to the new slice (oracles filter the full
+    // SQL, so the equivalence is hash-checked, not just spec'd)
+    "doc_dedup_exact_incremental" -> ((s, dir) => {
+      val docs = IO.documents(s, dir).select("doc_id", "text")
+      val fresh = docs.withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" fresh"))))
+      Dedup.exactIncremental(fresh, Dedup.exactFingerprints(docs))
+        .select("doc_id", "is_duplicate")
+    }),
+
+    "doc_simhash_incremental" -> ((s, dir) => {
+      val docs = IO.documents(s, dir).select("doc_id", "text")
+      val fresh = docs.withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(col("text"), lit(" tail")))
+      Dedup.simhashIncremental(fresh,
+        Dedup.simhash(docs).select("doc_id", "simhash"), maxHamming = 7)
+    }),
+
     "doc_minhash_incremental" -> ((s, dir) => {
       val docs = IO.documents(s, dir).select("doc_id", "text")
       val dups = docs.withColumn("doc_id", col("doc_id") + 100000)
@@ -2928,6 +2946,20 @@ object SparkEntry {
        |SELECT id_a, id_b, jaccard_est FROM est WHERE jaccard_est >= 0.5""".stripMargin
   }
 
+  // SimHash pairs oracle body, shared by doc_simhash_pairs and the
+  // incremental-slice filter doc_simhash_incremental.
+  private lazy val simhashPairsOracleSql: String =
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 100000 AS doc_id, text || ' tail' AS text FROM documents),
+       |${simhashOracleCtes("corpus")},
+       |banded AS (SELECT doc_id, simhash, cs.c, (simhash >> (cs.c * 8)) & 255 AS cv
+       |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS c) cs),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM banded a JOIN banded b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 7""".stripMargin
+
   def oracleSql: Map[String, String] = elasticOracles ++ Map(
     "ts_theta_fc" -> ForecastOracle.thetaSql,
     "ts_var_fc" -> ForecastOracle.varSql,
@@ -3325,6 +3357,19 @@ object SparkEntry {
         |g AS (SELECT t, min(doc_id) AS keep, count(*) AS c FROM norm GROUP BY t)
         |SELECT n.doc_id, g.c AS dup_count, n.doc_id <> g.keep AS is_duplicate
         |FROM norm n JOIN g ON n.t = g.t""".stripMargin,
+
+    "doc_dedup_exact_incremental" ->
+      """WITH newd AS (SELECT doc_id + 100000 AS doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN text ELSE text || ' fresh' END AS text
+        |  FROM documents),
+        |oldn AS (SELECT DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |nn AS (SELECT doc_id,
+        |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM newd),
+        |bm AS (SELECT t, min(doc_id) AS keep FROM nn GROUP BY t)
+        |SELECT nn.doc_id,
+        |  (oldn.t IS NOT NULL OR nn.doc_id <> bm.keep) AS is_duplicate
+        |FROM nn JOIN bm ON nn.t = bm.t LEFT JOIN oldn ON nn.t = oldn.t""".stripMargin,
 
     "doc_quality" ->
       """WITH m AS (SELECT doc_id, text,
@@ -4163,17 +4208,10 @@ object SparkEntry {
          |    ELSE 'tail' END AS bucket
          |FROM documents d LEFT JOIN scored s USING (doc_id), th t""".stripMargin,
 
-    "doc_simhash_pairs" ->
-      s"""WITH corpus AS (SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 100000 AS doc_id, text || ' tail' AS text FROM documents),
-         |${simhashOracleCtes("corpus")},
-         |banded AS (SELECT doc_id, simhash, cs.c, (simhash >> (cs.c * 8)) & 255 AS cv
-         |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS c) cs),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    a.simhash AS sa, b.simhash AS sb
-         |  FROM banded a JOIN banded b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
-         |FROM cand WHERE bit_count(xor(sa, sb)) <= 7""".stripMargin,
+    "doc_simhash_pairs" -> simhashPairsOracleSql,
+    "doc_simhash_incremental" ->
+      s"""SELECT * FROM ($simhashPairsOracleSql) __full
+         |WHERE id_a >= 100000 OR id_b >= 100000""".stripMargin,
 
     "doc_ngram_jaccard" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents

@@ -40,6 +40,30 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** Persisted fingerprint state for [[exactIncremental]]: the 64-bit
+    * normalized-text fingerprints of the existing corpus. */
+  def exactFingerprints(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol).as("__id"),
+      TextOps.fingerprint(col(textCol)).as("__fp"))
+
+  /** Incremental exact dedup: flags a new ingest batch against the
+    * persisted fingerprint table — duplicate if the fingerprint already
+    * exists, or repeats within the batch (lowest id survives). Existing
+    * text is never re-read; the join moves 8-byte fingerprints only. */
+  def exactIncremental(newDocs: DataFrame, existingFps: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val withFp = newDocs.withColumn("__fp", TextOps.fingerprint(col(textCol)))
+    val oldFp = existingFps.select(col("__fp")).distinct()
+      .withColumn("__inOld", lit(true))
+    val batchMin = withFp.groupBy(col("__fp")).agg(min(col(idCol)).as("__keep"))
+    withFp.join(batchMin, Seq("__fp"))
+      .join(oldFp, Seq("__fp"), "left")
+      .withColumn("is_duplicate",
+        coalesce(col("__inOld"), lit(false)) || col(idCol) =!= col("__keep"))
+      .drop("__fp", "__keep", "__inOld")
+  }
+
   /** Duplicate n-gram coverage — the window-level signal of
     * cross-document substring duplication (Lee et al. 2022,
     * "Deduplicating Training Data Makes LMs Better", arXiv:2107.06499,
@@ -455,6 +479,47 @@ object Dedup {
         col("a.__cv") === col("b.__cv") &&
         col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.simhash").as("__sa"), col("b.simhash").as("__sb"))
+      .distinct()
+    cand.withColumn("hamming", bit_count(col("__sa").bitwiseXOR(col("__sb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Incremental SimHash near-dup pairs: new×new + new×existing within
+    * `maxHamming` bit flips against a persisted `(id, simhash)` table —
+    * the same chunk-banding as [[simhashPairs]] (pigeonhole recall),
+    * without recomputing existing×existing. Same equivalence contract as
+    * [[minhashLshIncremental]]: with disjoint ids, output equals the
+    * full run restricted to pairs touching the new slice. */
+  def simhashIncremental(newDocs: DataFrame, existingSims: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming must be in [0, 31], got $maxHamming")
+    val nChunks = maxHamming + 1
+    val base = 64 / nChunks
+    val rem = 64 % nChunks
+    val widths = Array.tabulate(nChunks)(c => if (c < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    val sigsNew = simhash(newDocs, textCol)
+      .select(col(idCol).as("__id"), col("simhash"), lit(true).as("__isnew"))
+    val sigsOld = existingSims
+      .select(col(idCol).as("__id"), col("simhash"), lit(false).as("__isnew"))
+    val banded = sigsNew.unionByName(sigsOld)
+      .select(col("__id"), col("simhash"), col("__isnew"),
+        posexplode(array((0 until nChunks).map(c =>
+          shiftrightunsigned(col("simhash"), offsets(c))
+            .bitwiseAND(lit((1L << widths(c)) - 1L))): _*))
+          .as(Seq("__chunk", "__cv")))
+    // a-side = new only; (n,o) pairs have one orientation, (n,n') pairs
+    // are ordered — so distinct over the normalized ids is pair-unique
+    val cand = banded.filter(col("__isnew")).as("a").join(banded.as("b"),
+        col("a.__chunk") === col("b.__chunk") &&
+        col("a.__cv") === col("b.__cv") &&
+        (!col("b.__isnew") || col("a.__id") < col("b.__id")))
+      .select(least(col("a.__id"), col("b.__id")).as("id_a"),
+        greatest(col("a.__id"), col("b.__id")).as("id_b"),
         col("a.simhash").as("__sa"), col("b.simhash").as("__sb"))
       .distinct()
     cand.withColumn("hamming", bit_count(col("__sa").bitwiseXOR(col("__sb"))))

@@ -137,6 +137,12 @@ object syntax {
     def minhashIncremental(existingSigs: DataFrame,
         threshold: Double = 0.7): DataFrame =
       Dedup.minhashLshIncremental(df, existingSigs, threshold = threshold)
+    def exactFingerprints(): DataFrame = Dedup.exactFingerprints(df)
+    def dedupExactIncremental(existingFps: DataFrame): DataFrame =
+      Dedup.exactIncremental(df, existingFps)
+    def simhashIncremental(existingSims: DataFrame,
+        maxHamming: Int = 3): DataFrame =
+      Dedup.simhashIncremental(df, existingSims, maxHamming = maxHamming)
     def simhash(): DataFrame = Dedup.simhash(df)
     def dupNgramCoverage(n: Int = 5): DataFrame = Dedup.dupNgramCoverage(df, n)
     // quality & filters

@@ -40,6 +40,39 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(f == i, s"full-minus-old=${f.diff(i)} inc-extra=${i.diff(f)}")
   }
 
+  test("exactIncremental == full exact restricted to the new slice") {
+    val all = corpus(40)
+    val old = all.filter(col("doc_id") < 1000)
+    val fresh = all.filter(col("doc_id") >= 1000)
+      // plant exact dups of old docs: strip the tail from every 3rd
+      .withColumn("text", when(col("doc_id") % 3 === 0,
+        regexp_replace(col("text"), " tail variation \\d+$", ""))
+        .otherwise(col("text")))
+    val full = Dedup.exact(old.unionByName(fresh))
+      .filter(col("doc_id") >= 1000)
+      .select("doc_id", "is_duplicate").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val inc = Dedup.exactIncremental(fresh, Dedup.exactFingerprints(old))
+      .select("doc_id", "is_duplicate").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(full.values.count(identity) > 0, "fixture must plant exact dups")
+    assert(inc == full, s"diff=${inc.toSet.diff(full.toSet)}")
+  }
+
+  test("simhashIncremental == full simhashPairs restricted to the new slice") {
+    val all = corpus(40)
+    val old = all.filter(col("doc_id") < 1000)
+    val fresh = all.filter(col("doc_id") >= 1000)
+    val full = Dedup.simhashPairs(all, maxHamming = 7)
+      .filter(col("id_a") >= 1000 || col("id_b") >= 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val inc = Dedup.simhashIncremental(fresh,
+        Dedup.simhash(old).select("doc_id", "simhash"), maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full.nonEmpty, "fixture must produce cross-slice simhash pairs")
+    assert(inc == full, s"full-minus-inc=${full.diff(inc)} inc-extra=${inc.diff(full)}")
+  }
+
   test("skew cap applies to combined buckets in both forms") {
     import spark.implicits._
     // 30 identical docs split across the boundary → one flooded bucket
