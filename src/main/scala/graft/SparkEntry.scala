@@ -2169,6 +2169,20 @@ object SparkEntry {
           r6n(col("max_prior_cosine")).as("max_prior_cosine"))
     }),
 
+    // incremental SemDeDup: the +100000 dup vectors arrive as the NEW
+    // slice against the originals' persisted (id, cell, vector) state
+    // under the SAME pinned quantizer — oracle = full-run SQL filtered
+    "emb_semdedup_incremental" -> ((s, dir) => {
+      val emb = IO.embeddings(s, dir).select("vec_id", "embedding")
+      val dups = emb.filter(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 100000)
+      val centers = Similarity.ivfCentroids(emb)
+      Similarity.semDedupIncremental(dups,
+          Similarity.semDedupState(emb, centers), centers, threshold = 0.95)
+        .select(col("vec_id"), col("cell"), col("is_dup"),
+          r6n(col("max_prior_cosine")).as("max_prior_cosine"))
+    }),
+
     // topic buckets over the embedding corpus: the IVF cells reread as
     // curation strata (same base-corpus quantizer fit → shared centroid
     // pin with emb_knn_ivf/emb_semdedup)
@@ -3028,6 +3042,9 @@ object SparkEntry {
       "emb_knn_ivf" -> AnnOracle.ivfTopKSql(c, nprobe = 4, k = 3)) ++
     OraclePins.ivfCenters.map(c =>
       "emb_semdedup" -> AnnOracle.semDedupSql(c, threshold = 0.95)) ++
+    OraclePins.ivfCenters.map(c => "emb_semdedup_incremental" ->
+      s"""SELECT * FROM (${AnnOracle.semDedupSql(c, threshold = 0.95)}) __full
+         |WHERE vec_id >= 100000""".stripMargin) ++
     (for { c <- OraclePins.ivfCenters; b <- OraclePins.ivfPq }
       yield "emb_knn_ivfpq" -> AnnOracle.ivfPqTopKSql(c, b, nprobe = 4, k = 3)) ++
     OraclePins.bpe.map(m => "doc_bpe_tokens" -> Bpe.tokensSql(m)) ++

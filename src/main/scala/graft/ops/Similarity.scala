@@ -346,11 +346,11 @@ object Similarity {
     * pin the quantizer (the oracle replays those exact doubles); the
     * overload without it trains on `df` itself.
     */
-  def semDedup(df: DataFrame, centers: Array[Array[Double]],
-      threshold: Double = 0.95, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(centers)
+  /** Shared coarse-quantizer assignment: (__id, __v, cell) with the
+    * strict-< first-index tie-break the oracles replay. */
+  private def assignCells(df: DataFrame, centers: Array[Array[Double]],
+      idCol: String, vecCol: String): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(centers)
     val nearestCell = udf((v: Array[Double]) => {
       val cs = bc.value
       var best = 0; var bd = Double.MaxValue
@@ -364,9 +364,15 @@ object Similarity {
       }
       best
     })
-    val v = df.select(col(idCol).as("__id"),
+    df.select(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__v"))
       .withColumn("cell", nearestCell(col("__v")))
+  }
+
+  def semDedup(df: DataFrame, centers: Array[Array[Double]],
+      threshold: Double = 0.95, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = assignCells(df, centers, idCol, vecCol)
     val marks = v.as("a").join(v.as("b"),
         col("a.cell") === col("b.cell") && col("a.__id") < col("b.__id"))
       .withColumn("__cos", cosine(col("a.__v"), col("b.__v")))
@@ -381,6 +387,41 @@ object Similarity {
 
   def semDedup(df: DataFrame, nCells: Int, threshold: Double): DataFrame =
     semDedup(df, ivfCentroids(df, nCells), threshold)
+
+  /** Persisted semantic-dedup state: the corpus's (id, cell, vector)
+    * assignment under the PINNED quantizer `centers` — store it next to
+    * the embeddings and feed it to [[semDedupIncremental]] per ingest
+    * batch. The quantizer must stay pinned across batches (re-training
+    * re-shuffles cells and invalidates the state). */
+  def semDedupState(df: DataFrame, centers: Array[Array[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignCells(df, centers, idCol, vecCol)
+
+  /** Incremental SemDeDup: mark each NEW vector a duplicate iff a
+    * smaller-id same-cell vector (existing or earlier-in-batch) sits
+    * at/above the cosine threshold — the greedy first-survivor semantics
+    * of [[semDedup]], restricted to the new slice, without recomputing
+    * existing×existing. Per-batch work is |new| × (touched-cell
+    * occupancy); with ingest-time monotone ids, existing vectors are
+    * never re-marked. Equivalence with the full run (restricted to new
+    * ids) is hash-checked by the gate. */
+  def semDedupIncremental(newDf: DataFrame, existingState: DataFrame,
+      centers: Array[Array[Double]], threshold: Double = 0.95,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val vNew = assignCells(newDf, centers, idCol, vecCol)
+    val vOld = existingState.select(col("__id"), col("cell"), col("__v"))
+    val all = vNew.unionByName(vOld)
+    val marks = all.as("a").join(vNew.as("b"),
+        col("a.cell") === col("b.cell") && col("a.__id") < col("b.__id"))
+      .withColumn("__cos", cosine(col("a.__v"), col("b.__v")))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col("b.__id").as("__id"))
+      .agg(max(col("__cos")).as("max_prior_cosine"))
+    vNew.join(marks, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("cell"),
+        col("max_prior_cosine").isNotNull.as("is_dup"),
+        col("max_prior_cosine"))
+  }
 
   /** Topic assignment: each vector's nearest coarse-quantizer centroid
     * (the IVF cells reread as topic buckets — the cluster-based data

@@ -73,6 +73,29 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(inc == full, s"full-minus-inc=${full.diff(inc)} inc-extra=${inc.diff(full)}")
   }
 
+  test("semDedupIncremental == full semDedup restricted to the new slice") {
+    import spark.implicits._
+    // deterministic 8-dim vectors; every 4th new vector copies an old one
+    def vec(i: Long, copyOf: Option[Long]): Array[Double] = {
+      val s = copyOf.getOrElse(i)
+      Array.tabulate(8)(d => math.sin(s * 13.0 + d * 7.0))
+    }
+    val old = (0L until 40L).map(i => (i, vec(i, None))).toDF("vec_id", "embedding")
+    val fresh = (0L until 20L).map { j =>
+      val id = 1000L + j
+      (id, vec(id, if (j % 4 == 0) Some(j) else None))
+    }.toDF("vec_id", "embedding")
+    val centers = Similarity.ivfCentroids(old, nCells = 4)
+    val full = Similarity.semDedup(old.unionByName(fresh), centers, threshold = 0.95)
+      .filter(col("vec_id") >= 1000).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    val inc = Similarity.semDedupIncremental(fresh,
+        Similarity.semDedupState(old, centers), centers, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    assert(full.exists(_._3), "fixture must plant semantic dups")
+    assert(inc == full, s"diff=${inc.diff(full)} / ${full.diff(inc)}")
+  }
+
   test("skew cap applies to combined buckets in both forms") {
     import spark.implicits._
     // 30 identical docs split across the boundary → one flooded bucket
