@@ -146,6 +146,22 @@ object SparkEntry {
       Resample.downsample(IO.events(s, dir), "hour", "mean")
         .select(col("user_id"), col("ts"), r6(col("value")).as("value"))),
 
+    // polars group_by_dynamic: 2h windows sliding every 30m (each row in
+    // 4 windows) — Spark's native window() is the operator
+    "ts_group_dynamic" -> ((s, dir) =>
+      Resample.groupByDynamic(IO.events(s, dir),
+          every = "30 minutes", period = "2 hours")
+        .select(col("user_id"), col("ts"), r6(col("value")).as("value"),
+          col("n_obs"))),
+
+    // polars rolling_*_by: trailing 6h half-open time window per row
+    "ts_rolling_by_time" -> ((s, dir) =>
+      Features.rollingByTime(IO.events(s, dir), windowUs = 6L * 3600 * 1000000,
+          aggs = Seq("mean", "count"))
+        .select(col("user_id"), col("event_id"),
+          r6n(col("value_troll_mean")).as("troll_mean"),
+          col("value_troll_count").as("troll_n"))),
+
     "ts_cusum" -> ((s, dir) =>
       Changepoint.cusum(IO.events(s, dir))
         .select(col("user_id"), col("event_id"), r6n(col("cusum")).as("cusum"))),
@@ -3272,6 +3288,25 @@ object SparkEntry {
     "ts_resample_hour" ->
       """SELECT user_id, date_trunc('hour', ts) AS ts, round(avg(value), 6) AS value
         |FROM events GROUP BY user_id, date_trunc('hour', ts)""".stripMargin,
+
+    // window starts = every·k, membership start <= t < start + period →
+    // k in [floor((t-period)/every)+1, floor(t/every)] (µs arithmetic)
+    "ts_group_dynamic" ->
+      """WITH e AS (SELECT user_id, value, epoch_us(ts) AS tu FROM events),
+        |k AS (SELECT user_id, value,
+        |    unnest(generate_series((tu - 7200000000) // 1800000000 + 1,
+        |                           tu // 1800000000)) AS kk FROM e)
+        |SELECT user_id, make_timestamp(kk * 1800000000) AS ts,
+        |  round(avg(value), 6) AS value, count(*) AS n_obs
+        |FROM k GROUP BY 1, 2""".stripMargin,
+
+    "ts_rolling_by_time" ->
+      """SELECT user_id, event_id,
+        |  round(avg(value) OVER w + 1e-9, 6) AS troll_mean,
+        |  count(value) OVER w AS troll_n
+        |FROM (SELECT user_id, event_id, value, epoch_us(ts) AS tu FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tu
+        |  RANGE BETWEEN 21599999999 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "ts_cusum" ->
       s"""WITH z AS (SELECT user_id, event_id, ts, value,

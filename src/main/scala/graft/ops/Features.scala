@@ -34,6 +34,37 @@ object Features {
     * centred window (odd window sizes). Reference features/rolling.py:12-72.
     * All aggs — including median (exact percentile) — run as window
     * aggregates inside whole-stage codegen; no per-group collection. */
+  /** Duration-based rolling aggregates — polars `rolling_*_by`: each row
+    * aggregates over the trailing half-open time window `(t − windowUs, t]`
+    * regardless of row density (irregular series included). A RANGE frame
+    * over epoch-µs, not a ROWS frame — so the one shuffle + sort is the
+    * same as any per-series window, and duplicate timestamps are peers in
+    * BOTH engines (deterministic oracle). */
+  def rollingByTime(df: DataFrame, windowUs: Long,
+      aggs: Seq[String] = Seq("mean", "min", "max", "count"))(
+      implicit pc: PanelCols): DataFrame = {
+    require(windowUs > 0, "rollingByTime: windowUs must be positive")
+    aggs.foreach(a => require(supportedRollingAggs(a) || a == "count",
+      s"Unsupported aggregation '$a'"))
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy(pc.idCol)
+      .orderBy(unix_micros(pc.timeCol.cast("timestamp")))
+      .rangeBetween(-(windowUs - 1), 0)
+    aggs.foldLeft(df) { (d, agg) =>
+      val e = agg match {
+        case "mean" => avg(pc.targetCol).over(frame)
+        case "std" => stddev_samp(pc.targetCol).over(frame)
+        case "var" => var_samp(pc.targetCol).over(frame)
+        case "min" => min(pc.targetCol).over(frame)
+        case "max" => max(pc.targetCol).over(frame)
+        case "sum" => sum(pc.targetCol).over(frame)
+        case "count" => count(pc.targetCol).over(frame)
+        case "median" => percentile(pc.targetCol, lit(0.5)).over(frame)
+      }
+      d.withColumn(s"${pc.target}_troll_$agg", e)
+    }
+  }
+
   def rollingFeatures(df: DataFrame, windows: Seq[Int], aggs: Seq[String] = Seq("mean", "std", "min", "max"),
       center: Boolean = false, minSamples: Int = -1)(implicit pc: PanelCols): DataFrame = {
     aggs.foreach(a => require(supportedRollingAggs(a), s"Unsupported aggregation '$a'"))

@@ -36,6 +36,33 @@ object Resample {
       .agg(aggExpr.as(pc.target))
   }
 
+  /** Dynamic time grouping — polars `group_by_dynamic`: windows of
+    * `period` sliding by `every` (tumbling when equal), epoch-aligned
+    * (plus `offset`); a row belongs to every window with
+    * `start <= t < start + period`. Spark's built-in `window()` IS this
+    * operator (one shuffle on (id, window), map-side combined; a sliding
+    * row replicates into period/every windows at the scan, never a
+    * cross-join). Requires `every <= period` (Spark's slide constraint —
+    * gapped windows compose as tumbling + filter). Output: (id, time =
+    * window start, target = agg, n_obs). */
+  def groupByDynamic(df: DataFrame, every: String, period: String,
+      offset: String = "0 seconds", agg: String = "mean")(
+      implicit pc: PanelCols): DataFrame = {
+    val y = pc.targetCol
+    val aggExpr = agg match {
+      case "mean" => avg(y)
+      case "sum" => sum(y)
+      case "min" => min(y)
+      case "max" => max(y)
+      case "count" => count(y)
+      case other => throw new IllegalArgumentException(s"Unsupported agg '$other'")
+    }
+    df.groupBy(pc.idCol,
+        window(pc.timeCol, period, every, offset).as("__w"))
+      .agg(aggExpr.as(pc.target), count(lit(1)).as("n_obs"))
+      .select(pc.idCol, col("__w.start").as(pc.time), col(pc.target), col("n_obs"))
+  }
+
   /** Upsample to a regular `stepUs`-microsecond grid per series between each
     * series' min and max timestamp, filling gaps with forward-fill or
     * linear interpolation. Pure SQL: sequence() scaffold + join + Impute. */

@@ -31,6 +31,12 @@ object syntax {
     def treatOutliers(method: String = "clip"): DataFrame = Outliers.treat(df, method)
     def downsample(unit: String, agg: String = "mean"): DataFrame =
       Resample.downsample(df, unit, agg)
+    def groupByDynamic(every: String, period: String,
+        agg: String = "mean"): DataFrame =
+      Resample.groupByDynamic(df, every, period, agg = agg)
+    def rollingByTime(windowUs: Long,
+        aggs: Seq[String] = Seq("mean", "min", "max", "count")): DataFrame =
+      Features.rollingByTime(df, windowUs, aggs)
     def logTransform(): DataFrame = Transforms.logTransform(df)
     def boxcox(lambda: Double): DataFrame = Transforms.boxcoxTransform(df, lambda)
     def difference(d: Int = 1, m: Int = 1): DataFrame = Transforms.difference(df, d, m)
