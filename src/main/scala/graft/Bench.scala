@@ -246,7 +246,13 @@ object Bench {
       "zorder_layout" -> (() => mat(
         Layout.zorderBy(eventsSf.withColumn("hr",
             expr("(unix_micros(cast(ts as timestamp)) div 3600000000) % 4096")),
-          Seq("user_id", "hr"), numFiles = 32, bits = 12))))
+          Seq("user_id", "hr"), numFiles = 32, bits = 12))),
+      "group_dynamic" -> (() => mat(
+        Resample.groupByDynamic(eventsSf, every = "30 minutes",
+          period = "2 hours"))),
+      "rolling_by_time" -> (() => mat(
+        Features.rollingByTime(eventsSf, windowUs = 6L * 3600 * 1000000,
+          aggs = Seq("mean", "count")))))
 
     val selectionBenches: Seq[(String, () => Unit)] = Seq(
       "line_dedup" -> (() => mat(Dedup.lineDedup(SparkEntry.linedDocs(docsB)))),

@@ -455,6 +455,21 @@ object StreamingOps {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming dynamic time grouping — the stream twin of
+    * [[graft.ops.Resample.groupByDynamic]]: the SAME native `window()`
+    * operator under a watermark, so sliding/tumbling window aggregates
+    * emit once closed (append mode) with state bounded by
+    * period + lateness. Semantics are identical to batch by
+    * construction (same operator, same alignment). */
+  def streamingGroupByDynamic(input: Dataset[Obs], every: String,
+      period: String, watermarkDelay: String = "1 hour"): DataFrame =
+    input.toDF()
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("uniqueId"), window(col("ts"), period, every).as("__w"))
+      .agg(avg("y").as("y_mean"), count(lit(1)).as("n_obs"))
+      .select(col("uniqueId"), col("__w.start").as("ts"),
+        col("y_mean"), col("n_obs"))
+
   /** Tagged observation for [[streamingAsofEnrich]]: `isRight` marks the
     * enrichment side (the side whose latest value is carried). */
   case class TaggedObs(uniqueId: String, ts: Timestamp, isRight: Boolean,

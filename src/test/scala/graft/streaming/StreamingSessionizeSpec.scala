@@ -22,6 +22,39 @@ class StreamingSessionizeSpec extends AnyFunSuite {
   private def obs(id: String, mins: Long, y: Double) =
     Obs(id, new Timestamp(base + mins * 60000L), y)
 
+  test("streaming groupByDynamic matches batch sliding windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val pc: graft.core.PanelCols =
+      graft.core.PanelCols("uniqueId", "ts", "y")
+    val data = (0 until 8).map(i => StreamingOps.Obs("a", new Timestamp(
+      base + i * 20 * 60000L), i.toDouble)) // every 20 min over 2h20m
+    val source = MemoryStream[StreamingOps.Obs]
+    val out = StreamingOps.streamingGroupByDynamic(source.toDS(),
+      every = "30 minutes", period = "1 hour", watermarkDelay = "0 seconds")
+    val query = out.writeStream.format("memory").queryName("gbd_out")
+      .outputMode("append").start()
+    try {
+      source.addData(data: _*)
+      query.processAllAvailable()
+      source.addData(StreamingOps.Obs("zf", new Timestamp(base + 86400000L), 0.0))
+      query.processAllAvailable()
+      val streamed = spark.table("gbd_out")
+        .filter(col("uniqueId") === "a")
+        .collect()
+        .map(r => (r.getTimestamp(1).getTime, r.getDouble(2), r.getLong(3)))
+        .sortBy(_._1)
+      val batch = graft.ops.Resample.groupByDynamic(
+          data.toDF("uniqueId", "ts", "y", "tie"),
+          every = "30 minutes", period = "1 hour")
+        .collect()
+        .map(r => (r.getTimestamp(1).getTime, r.getDouble(2), r.getLong(3)))
+        .sortBy(_._1)
+      assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq,
+        s"stream=${streamed.toSeq}\nbatch=${batch.toSeq}")
+    } finally query.stop()
+  }
+
   test("streaming session_window matches batch sessionize sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
