@@ -154,6 +154,13 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), r6(col("value")).as("value"),
           col("n_obs"))),
 
+    // polars ewm_mean/ewm_var (adjusted): weighted-moment Horner fold
+    "ts_ewm" -> ((s, dir) =>
+      Features.ewmFeatures(IO.events(s, dir), alpha = 0.3)
+        .select(col("user_id"), col("ts"),
+          r6n(col("value_ewm_mean")).as("ewm_mean"),
+          r6n(col("value_ewm_var")).as("ewm_var"))),
+
     // polars rolling_*_by: trailing 6h half-open time window per row
     "ts_rolling_by_time" -> ((s, dir) =>
       Features.rollingByTime(IO.events(s, dir), windowUs = 6L * 3600 * 1000000,
@@ -3299,6 +3306,22 @@ object SparkEntry {
         |SELECT user_id, make_timestamp(kk * 1800000000) AS ts,
         |  round(avg(value), 6) AS value, count(*) AS n_obs
         |FROM k GROUP BY 1, 2""".stripMargin,
+
+    // adjusted EWM as explicit weighted moments (the engine's Horner fold
+    // is the same algebra; r6n absorbs the summation-order ulps)
+    "ts_ewm" ->
+      """WITH o AS (SELECT user_id, event_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |s AS (SELECT a.user_id, a.ts,
+        |    sum(power(0.7, a.rn - b.rn) * b.value) AS s1,
+        |    sum(power(0.7, a.rn - b.rn) * b.value * b.value) AS s2,
+        |    sum(power(0.7, a.rn - b.rn)) AS den
+        |  FROM o a JOIN o b ON a.user_id = b.user_id AND b.rn <= a.rn
+        |  GROUP BY a.user_id, a.ts)
+        |SELECT user_id, ts, round(s1 / den + 1e-9, 6) AS ewm_mean,
+        |  round(greatest(s2 / den - (s1 / den) * (s1 / den), 0) + 1e-9, 6) AS ewm_var
+        |FROM s""".stripMargin,
 
     "ts_rolling_by_time" ->
       """SELECT user_id, event_id,

@@ -34,6 +34,54 @@ object Features {
     * centred window (odd window sizes). Reference features/rolling.py:12-72.
     * All aggs — including median (exact percentile) — run as window
     * aggregates inside whole-stage codegen; no per-group collection. */
+  /** Exponentially weighted moving mean/variance — polars
+    * `ewm_mean`/`ewm_var`. `adjust = true` (polars default) computes the
+    * weighted-moment form `Σ(1−α)^(t−i)·y_i / Σ(1−α)^(t−i)` via a Horner
+    * fold of the numerators (no `(1−α)^−i` blow-up, so arbitrarily long
+    * series are safe); `adjust = false` is the `m_t = (1−α)m + αy`
+    * recursion seeded at `y_0`. Variance is the biased weighted second
+    * moment, clamped at 0. One grouped shuffle; the fold is sequential
+    * per series — the contract every per-series kernel in this engine
+    * shares. Output adds `<target>_ewm_mean`, `<target>_ewm_var`. */
+  def ewmFeatures(df: DataFrame, alpha: Double, adjust: Boolean = true)(
+      implicit pc: PanelCols): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"ewm alpha must be in (0,1], got $alpha")
+    val fold = udf((ys: Seq[Double]) => {
+      val n = ys.length
+      val out = new Array[Array[Double]](n)
+      if (adjust) {
+        var num = 0.0; var num2 = 0.0; var den = 0.0
+        var i = 0
+        while (i < n) {
+          num = (1 - alpha) * num + ys(i)
+          num2 = (1 - alpha) * num2 + ys(i) * ys(i)
+          den = (1 - alpha) * den + 1.0
+          val m = num / den
+          out(i) = Array(m, math.max(num2 / den - m * m, 0.0))
+          i += 1
+        }
+      } else if (n > 0) {
+        var m = ys(0); var m2 = ys(0) * ys(0)
+        out(0) = Array(m, 0.0)
+        var i = 1
+        while (i < n) {
+          m = (1 - alpha) * m + alpha * ys(i)
+          m2 = (1 - alpha) * m2 + alpha * ys(i) * ys(i)
+          out(i) = Array(m, math.max(m2 - m * m, 0.0))
+          i += 1
+        }
+      }
+      out
+    })
+    graft.core.Panel.grouped(df)
+      .withColumn("__ewm", fold(col("ys")))
+      .select(pc.idCol, posexplode(arrays_zip(col("ts"), col("__ewm")))
+        .as(Seq("__i", "__z")))
+      .select(pc.idCol, col("__z.ts").as(pc.time),
+        col("__z.__ewm").getItem(0).as(s"${pc.target}_ewm_mean"),
+        col("__z.__ewm").getItem(1).as(s"${pc.target}_ewm_var"))
+  }
+
   /** Duration-based rolling aggregates — polars `rolling_*_by`: each row
     * aggregates over the trailing half-open time window `(t − windowUs, t]`
     * regardless of row density (irregular series included). A RANGE frame

@@ -37,6 +37,8 @@ object syntax {
     def rollingByTime(windowUs: Long,
         aggs: Seq[String] = Seq("mean", "min", "max", "count")): DataFrame =
       Features.rollingByTime(df, windowUs, aggs)
+    def ewm(alpha: Double, adjust: Boolean = true): DataFrame =
+      Features.ewmFeatures(df, alpha, adjust)
     def logTransform(): DataFrame = Transforms.logTransform(df)
     def boxcox(lambda: Double): DataFrame = Transforms.boxcoxTransform(df, lambda)
     def difference(d: Int = 1, m: Int = 1): DataFrame = Transforms.difference(df, d, m)

@@ -32,6 +32,30 @@ class DynamicWindowSpec extends AnyFunSuite {
     assert(t.length == 1 && t.head.getTimestamp(1) == ts("2024-01-01 02:00:00"))
   }
 
+  test("ewmFeatures: adjusted matches closed form, unadjusted matches recursion") {
+    import spark.implicits._
+    val ys = Seq(1.0, 4.0, 2.0, 8.0, 3.0)
+    val a = 0.4
+    val df = ys.zipWithIndex.map { case (y, i) =>
+      (1L, ts(f"2024-01-01 00:0$i:00"), y)
+    }.toDF("user_id", "ts", "value")
+    val adj = Features.ewmFeatures(df, a).collect()
+      .sortBy(_.getTimestamp(1).getTime).map(r => (r.getDouble(2), r.getDouble(3)))
+    // closed form: m_t = Σ(1-a)^(t-i) y_i / Σ(1-a)^(t-i)
+    ys.indices.foreach { t =>
+      val w = (0 to t).map(i => math.pow(1 - a, t - i))
+      val m = w.zip(ys).map { case (wi, yi) => wi * yi }.sum / w.sum
+      val v = math.max(
+        w.zip(ys).map { case (wi, yi) => wi * yi * yi }.sum / w.sum - m * m, 0.0)
+      assert(math.abs(adj(t)._1 - m) < 1e-12, s"adjusted mean at $t")
+      assert(math.abs(adj(t)._2 - v) < 1e-12, s"adjusted var at $t")
+    }
+    val un = Features.ewmFeatures(df, a, adjust = false).collect()
+      .sortBy(_.getTimestamp(1).getTime).map(_.getDouble(2))
+    val expect = ys.tail.scanLeft(ys.head)((m, y) => (1 - a) * m + a * y)
+    un.zip(expect).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
+  }
+
   test("rollingByTime: half-open trailing window (t-w, t]") {
     import spark.implicits._
     val w = 3600L * 1000000 // 1h
