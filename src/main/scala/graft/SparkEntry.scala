@@ -154,6 +154,15 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), r6(col("value")).as("value"),
           col("n_obs"))),
 
+    // semi-structured scan surface: the events props JSON parsed ONCE
+    // per row with an explicit schema (from_json, codegen'd — at 100 TB
+    // the one-pass schema'd parse beats per-path get_json_object calls)
+    "ts_json_props" -> ((s, dir) =>
+      IO.events(s, dir)
+        .withColumn("k", from_json(col("props"), lit("k INT")).getField("k"))
+        .groupBy("user_id", "event_type")
+        .agg(sum(col("k").cast("long")).as("k_sum"), count(lit(1)).as("n"))),
+
     // polars ewm_mean/ewm_var (adjusted): weighted-moment Horner fold
     "ts_ewm" -> ((s, dir) =>
       Features.ewmFeatures(IO.events(s, dir), alpha = 0.3)
@@ -3306,6 +3315,12 @@ object SparkEntry {
         |SELECT user_id, make_timestamp(kk * 1800000000) AS ts,
         |  round(avg(value), 6) AS value, count(*) AS n_obs
         |FROM k GROUP BY 1, 2""".stripMargin,
+
+    "ts_json_props" ->
+      """SELECT user_id, event_type,
+        |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // adjusted EWM as explicit weighted moments (the engine's Horner fold
     // is the same algebra; r6n absorbs the summation-order ulps)

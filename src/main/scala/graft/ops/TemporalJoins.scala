@@ -61,6 +61,10 @@ object TemporalJoins {
     * `by` must be non-empty: a global as-of would funnel everything
     * through one window partition. Pre-bucket the time axis and carry
     * boundary rows if a keyless as-of is ever needed at scale.
+    *
+    * Null times: right rows with a null time are ignored; left rows with
+    * a null time are kept, unmatched (polars drops them — keeping the
+    * row with null carries is the lossless superset).
     */
   def asofJoin(left: DataFrame, right: DataFrame, by: Seq[String],
                leftTime: String, rightTime: String, rightCols: Seq[String],
@@ -87,6 +91,7 @@ object TemporalJoins {
     val rTagged = right.select(
       (by.map(col) :+ micros(right, rightTime).as("__tu") :+
         payload.as("__p") :+ lit(0).as("__tag")): _*)
+      .filter(col("__tu").isNotNull)
     val lTagged = left
       .withColumn("__tu", micros(left, leftTime))
       .withColumn("__tag", lit(1))
@@ -120,11 +125,13 @@ object TemporalJoins {
               .otherwise(col("__mf")))
     }
 
+    // null-time left rows never match (their sort position is
+    // direction-dependent, so the carry must not leak into them)
     val withinTol = toleranceUs match {
       case Some(t) =>
-        when(col("__m").isNotNull &&
+        when(col("__tu").isNotNull && col("__m").isNotNull &&
           abs(col("__tu") - col("__m.__rtu")) <= t, col("__m"))
-      case None => col("__m")
+      case None => when(col("__tu").isNotNull, col("__m"))
     }
     val outCols =
       left.columns.toSeq.map(col) ++

@@ -125,6 +125,25 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(m("x") == (Some(ts("2024-01-01 09:00:00")), None))
   }
 
+  test("asofJoin: null times — right rows ignored, left rows unmatched") {
+    import spark.implicits._
+    val l = Seq(
+      (1L, Some(ts("2024-01-01 10:00:00")), "x"),
+      (1L, None: Option[Timestamp], "nullt")
+    ).toDF("k", "t", "lv")
+    val r = Seq(
+      (1L, Some(ts("2024-01-01 09:00:00")), 1.0),
+      (1L, None: Option[Timestamp], 99.0) // null-time right: must be ignored
+    ).toDF("k", "t", "rv")
+    for (d <- Seq("backward", "forward", "nearest")) {
+      val m = collectByLv(TemporalJoins.asofJoin(l, r, Seq("k"), "t", "t",
+        Seq("rv"), direction = d))
+      assert(m("nullt") == (None, None), s"null-time left must be unmatched ($d)")
+      assert(m("x")._2 != Some(99.0), s"null-time right must never match ($d)")
+      assert(m.size == 2, s"left rows preserved ($d)")
+    }
+  }
+
   test("asofJoin: right column colliding with left name gets _right suffix") {
     import spark.implicits._
     val l = Seq((1L, ts("2024-01-01 10:00:00"), 5.0)).toDF("k", "t", "v")
