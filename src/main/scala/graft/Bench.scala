@@ -421,6 +421,24 @@ object Bench {
             Seq("user_id"), "ts", gapUs = 2L * 3600 * 1000000)
           .groupBy(col("user_id"), col("session_id"))
           .agg(count(lit(1)).as("n_events"))
+      // every 24th row opens a 6h interval; both sides scale with rows
+      def rangeOnPanel(nSeries: Int): DataFrame = {
+        val p = synthPanel(spark, nSeries, 1000)
+        val ivs = p.filter(pmod(unix_micros(col("ts").cast("timestamp")) /
+            3600000000L, lit(24)) === 0)
+          .select(col("user_id"), col("ts").as("w_start"),
+            (col("ts") + expr("INTERVAL 6 HOURS")).as("w_end"))
+        TemporalJoins.rangeJoin(p.select("user_id", "ts", "value"), ivs,
+          Seq("user_id"), "ts", "w_start", "w_end",
+          bucketUs = 6L * 3600 * 1000000)
+      }
+      def groupDynOnPanel(nSeries: Int): DataFrame =
+        Resample.groupByDynamic(synthPanel(spark, nSeries, 1000),
+          every = "30 minutes", period = "2 hours")
+      def zorderOnPanel(nSeries: Int): DataFrame =
+        Layout.zorderBy(synthPanel(spark, nSeries, 1000).withColumn("hr",
+            expr("(unix_micros(cast(ts as timestamp)) div 3600000000) % 4096")),
+          Seq("user_id", "hr"), numFiles = 32, bits = 12)
       val spSuite: Seq[(String, () => Unit, () => Unit)] = Seq(
         // time-series tier: the grouped-panel contract says work scales
         // with rows (pelt/mk/ets: 10× series) and with PAIRS for the
@@ -483,7 +501,15 @@ object Bench {
         ("asof_join", () => mat(asofOnPanel(1000)),
           () => mat(asofOnPanel(10000))),
         ("sessionize", () => mat(sessionizeOnPanel(1000)),
-          () => mat(sessionizeOnPanel(10000))))
+          () => mat(sessionizeOnPanel(10000))),
+        ("range_join", () => mat(rangeOnPanel(1000)),
+          () => mat(rangeOnPanel(10000))),
+        ("group_dynamic", () => mat(groupDynOnPanel(1000)),
+          () => mat(groupDynOnPanel(10000))),
+        // range exchange + sort: n log n with sampled bounds — the one
+        // intentionally super-constant op; ratio documents the sort cost
+        ("zorder_layout", () => mat(zorderOnPanel(1000)),
+          () => mat(zorderOnPanel(10000))))
       def best2(run: () => Unit): Double = {
         val ts = Seq(timeOnce("scale", run)._1, timeOnce("scale", run)._1)
           .filter(_ >= 0)

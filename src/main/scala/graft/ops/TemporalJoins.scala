@@ -144,6 +144,22 @@ object TemporalJoins {
       .select(outCols: _*)
   }
 
+  /** Feature-store point-in-time join: as-of join a spine (entity, time)
+    * against several feature tables in sequence — the leakage-free
+    * training-snapshot assembly (each feature value is the latest
+    * at-or-before the spine row's time, never a future one). One
+    * backward [[asofJoin]] per feature table: each is one hash exchange
+    * on the same `by` keys, so the spine's partitioning is reused
+    * between steps. The i-th table's matched timestamp lands in
+    * `asof_ts_i`. */
+  def pointInTimeJoin(spine: DataFrame, by: Seq[String], spineTime: String,
+      features: Seq[(DataFrame, String, Seq[String], Option[Long])]): DataFrame =
+    features.zipWithIndex.foldLeft(spine) {
+      case (acc, ((ft, timeCol, cols, tol), i)) =>
+        asofJoin(acc, ft, by, spineTime, timeCol, cols,
+          toleranceUs = tol, matchedTime = s"asof_ts_$i")
+    }
+
   /** Interval (range) join: left rows whose `leftTime` falls in the right
     * side's `[startCol, endCol)` (or `[..]` with `inclusiveEnd`) under
     * equal `by` keys. Returns left columns + right columns (right names

@@ -163,6 +163,26 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
   }
 
+  test("pointInTimeJoin: multi-table snapshot, leakage-free") {
+    import spark.implicits._
+    val spine = Seq((1L, ts("2024-01-01 12:00:00"), "label"))
+      .toDF("k", "t", "y")
+    val f1 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0),
+      (1L, ts("2024-01-01 13:00:00"), 99.0)  // FUTURE: must never leak
+    ).toDF("k", "t", "score")
+    val f2 = Seq((1L, ts("2024-01-01 06:00:00"), 7.0)).toDF("k", "t", "risk")
+    val out = TemporalJoins.pointInTimeJoin(spine, Seq("k"), "t", Seq(
+      (f1, "t", Seq("score"), None),
+      (f2, "t", Seq("risk"), Some(3L * 3600 * 1000000)) // 3h tol: 6h gap → null
+    ))
+    val row = out.collect().head
+    assert(row.getAs[Double]("score") == 10.0, "future feature row leaked")
+    assert(row.getAs[Timestamp]("asof_ts_0") == ts("2024-01-01 10:00:00"))
+    assert(row.getAs[Any]("risk") == null, "tolerance must null stale features")
+    assert(out.count() == 1)
+  }
+
   test("rangeJoin: matches [start,end) exactly, incl. bucket boundaries") {
     import spark.implicits._
     val hour = 3600L * 1000000
