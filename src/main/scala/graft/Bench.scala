@@ -393,6 +393,13 @@ object Bench {
       repDocs(10).write.mode("overwrite").parquet(s"$scaleDir/docs10")
       repEmb(1).write.mode("overwrite").parquet(s"$scaleDir/emb1")
       repEmb(10).write.mode("overwrite").parquet(s"$scaleDir/emb10")
+      // release the timed tiers' cached corpora before the scale legs: a
+      // JVM still pinning docsB/embB (+ shuffle blocks) puts GC pressure
+      // squarely on the 10x legs — one run recorded pelt at 13.8x where
+      // a fresh-JVM probe measures 5.1x, pure heap-state noise
+      docsB.unpersist(blocking = true)
+      embB.unpersist(blocking = true)
+      spark.sqlContext.clearCache()
       val docs1 = spark.read.parquet(s"$scaleDir/docs1")
       val docs10 = spark.read.parquet(s"$scaleDir/docs10")
       val emb1 = spark.read.parquet(s"$scaleDir/emb1")
