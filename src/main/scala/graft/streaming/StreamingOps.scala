@@ -470,6 +470,25 @@ object StreamingOps {
       .select(col("uniqueId"), col("__w.start").as("ts"),
         col("y_mean"), col("n_obs"))
 
+  /** Streaming interval join — the stream twin of
+    * [[graft.ops.TemporalJoins.rangeJoin]] for two live streams: Spark's
+    * native stream-stream inner join with an equality key plus an
+    * event-time range condition. Both sides carry watermarks, so each
+    * side's buffered state is bounded by `watermarkDelay` + the window
+    * width (Spark evicts rows that can no longer match). `left` rows
+    * match `right` rows with `r.ts ∈ [l.ts, l.ts + windowUs)` for the
+    * same key — "events within the window opened by each left event". */
+  def streamingIntervalJoin(left: DataFrame, right: DataFrame,
+      key: String, windowUs: Long,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay).alias("l")
+    val r = right.withWatermark("ts", watermarkDelay).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") < col("l.ts") + expr(s"INTERVAL ${windowUs / 1000000} SECONDS"))
+  }
+
   /** Tagged observation for [[streamingAsofEnrich]]: `isRight` marks the
     * enrichment side (the side whose latest value is carried). */
   case class TaggedObs(uniqueId: String, ts: Timestamp, isRight: Boolean,

@@ -73,6 +73,29 @@ class TemporalJoinsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sessionize == brute force on random colliding data") {
+    import spark.implicits._
+    val rng = new Random(99L)
+    for (trial <- 0 until 3; gap <- Seq(15L, 100L)) {
+      val rows = gen(rng, 80, 5, 30).zipWithIndex
+        .map { case (r, i) => (r.k, r.t, i.toLong) } // tie = unique index
+      val out = TemporalJoins.sessionize(rows.toDF("k", "tu", "tie"),
+          Seq("k"), "tu", gapUs = gap, tieBreak = Seq("tie"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+          r.getAs[Long]("session_id")).toMap
+      // brute force: sort per key by (t, tie), split on diff > gap
+      rows.groupBy(_._1).foreach { case (_, ks) =>
+        val sorted = ks.sortBy(r => (r._2, r._3))
+        var sid = 0L; var prev = Long.MinValue
+        sorted.foreach { r =>
+          if (prev == Long.MinValue || r._2 - prev > gap) sid += 1
+          prev = r._2
+          assert(out(r) == sid, s"trial=$trial gap=$gap row=$r")
+        }
+      }
+    }
+  }
+
   test("rangeJoin/overlapJoin == brute force across bucket widths") {
     import spark.implicits._
     val rng = new Random(7L)
