@@ -404,6 +404,16 @@ object Bench {
       val docs10 = spark.read.parquet(s"$scaleDir/docs10")
       val emb1 = spark.read.parquet(s"$scaleDir/emb1")
       val emb10 = spark.read.parquet(s"$scaleDir/emb10")
+      // persisted signature stores for the incremental-dedup leg
+      Dedup.minhashSignatures(docs1).write.mode("overwrite")
+        .parquet(s"$scaleDir/sigs1")
+      Dedup.minhashSignatures(docs10).write.mode("overwrite")
+        .parquet(s"$scaleDir/sigs10")
+      val sigs1 = spark.read.parquet(s"$scaleDir/sigs1")
+      val sigs10 = spark.read.parquet(s"$scaleDir/sigs10")
+      val ingestBatch = docs1.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+        .withColumn("text", concat(col("text"), lit(" ingest tail")))
       val cent1 = Similarity.ivfCentroids(emb1, nCells = 16)
       // ANN query-latency tuning is k ∝ √n, but DEDUP's scale contract
       // is k ∝ n (constant cell size → linear within-cell pairs — see
@@ -516,7 +526,17 @@ object Bench {
         // range exchange + sort: n log n with sampled bounds — the one
         // intentionally super-constant op; ratio documents the sort cost
         ("zorder_layout", () => mat(zorderOnPanel(1000)),
-          () => mat(zorderOnPanel(10000))))
+          () => mat(zorderOnPanel(10000))),
+        // incremental-dedup contract: a CONSTANT ingest batch against a
+        // 10× corpus signature store — the ratio measures corpus-growth
+        // sensitivity of per-batch cost (claim: touched buckets only,
+        // far below 10×). Signatures are the persisted state: computed
+        // and written untimed, read from parquet like a real store.
+        ("minhash_incremental",
+          () => mat(Dedup.minhashLshIncremental(ingestBatch, sigs1,
+            threshold = 0.5)),
+          () => mat(Dedup.minhashLshIncremental(ingestBatch, sigs10,
+            threshold = 0.5))))
       def best2(run: () => Unit): Double = {
         val ts = Seq(timeOnce("scale", run)._1, timeOnce("scale", run)._1)
           .filter(_ >= 0)
