@@ -22,9 +22,11 @@ import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
   *  - '''rangeJoin''': intervals explode into fixed-width time buckets and
   *    the join becomes an equi-join on (by, bucket) + exact residual
   *    filter — the classic bucketed range join. Each (left, right) pair
-  *    meets in exactly one bucket (the left row's), so no post-dedup. A
-  *    `raise_error` guard fails loudly if an interval spans more than
-  *    `maxBucketsPerInterval` buckets instead of silently exploding.
+  *    meets in exactly one bucket (the left row's), so no post-dedup. An
+  *    `assert_true` valve (inside the explode's dependency chain, so
+  *    column pruning can't drop it) fails loudly if an interval spans
+  *    more than `maxBucketsPerInterval` buckets instead of silently
+  *    exploding.
   *  - '''sessionize''': lag + running-sum over one window (one exchange);
   *    the Structured Streaming twin uses Spark's native
   *    `session_window` + watermark (see StreamingOps).
@@ -35,11 +37,13 @@ import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
   */
 object TemporalJoins {
 
-  /** Epoch-µs view of a time column (timestamp or numeric). NTZ casts
-    * through LTZ under the session's UTC zone, value-preserving. */
+  /** Epoch-µs view of a time column (timestamp, date, or numeric). NTZ
+    * and DATE cast through LTZ under the session's UTC zone,
+    * value-preserving. */
   private def micros(df: DataFrame, c: String): Column =
     df.schema(c).dataType match {
-      case TimestampType | TimestampNTZType =>
+      case TimestampType | TimestampNTZType |
+           org.apache.spark.sql.types.DateType =>
         unix_micros(col(c).cast("timestamp"))
       case _ => col(c).cast("long")
     }
@@ -268,7 +272,9 @@ object TemporalJoins {
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous row (per `by` keys, ordered by `timeCol` then `tieBreak`)
     * exceeds `gapUs` strictly. Adds `session_id` (1-based per key).
-    * One exchange + one sort; session summaries are a groupBy on top. */
+    * One exchange + one sort; session summaries are a groupBy on top.
+    * Null-time rows sort first and each opens its own session (a null
+    * gap can't be compared) — filter them upstream if that matters. */
   def sessionize(df: DataFrame, by: Seq[String], timeCol: String,
                  gapUs: Long, tieBreak: Seq[String] = Nil): DataFrame = {
     require(by.nonEmpty, "sessionize: empty `by` would single-partition")
