@@ -1401,6 +1401,23 @@ object SparkEntry {
         Dedup.simhash(docs).select("doc_id", "simhash"), maxHamming = 7)
     }),
 
+    // incremental group maintenance on top of the incremental pairs: old
+    // endpoints contract to their stored group label, propagation runs on
+    // the batch-touched subgraph only; output = new docs' group ids
+    // (hash = full-run recursive closure restricted to the new slice)
+    "doc_dedup_groups_incremental" -> ((s, dir) => {
+      val docs = IO.documents(s, dir).select("doc_id", "text")
+      val dups = docs.withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(col("text"), lit(" near duplicate suffix")))
+      val oldProp = Dedup.duplicateGroups(Dedup.minhashLsh(docs, threshold = 0.5))
+      val oldGroups = docs.select(col("doc_id"))
+        .join(oldProp, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("group_id"), col("doc_id")).as("group_id"))
+      val newPairs = Dedup.minhashLshIncremental(dups,
+        Dedup.minhashSignatures(docs), threshold = 0.5)
+      Dedup.duplicateGroupsIncremental(newPairs, oldGroups)._1
+    }),
+
     "doc_minhash_incremental" -> ((s, dir) => {
       val docs = IO.documents(s, dir).select("doc_id", "text")
       val dups = docs.withColumn("doc_id", col("doc_id") + 100000)
@@ -2991,6 +3008,17 @@ object SparkEntry {
        |  JOIN sig sb ON sb.doc_id = c.id_b)
        |SELECT id_a, id_b, jaccard_est FROM est WHERE jaccard_est >= 0.5""".stripMargin
   }
+
+  // Duplicate-groups oracle body (recursive closure over the minhash
+  // pairs), shared by doc_dedup_groups and the incremental-slice filter.
+  private lazy val dedupGroupsOracleSql: String =
+    s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($minhashLshOracleSql) __mh),
+       |und AS (SELECT id_a AS src, id_b AS dst FROM p
+       |  UNION SELECT id_b, id_a FROM p),
+       |reach AS (SELECT src, dst FROM und
+       |  UNION SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src)
+       |SELECT src AS doc_id, least(src, min(dst)) AS group_id
+       |FROM reach GROUP BY src""".stripMargin
 
   // SimHash pairs oracle body, shared by doc_simhash_pairs and the
   // incremental-slice filter doc_simhash_incremental.
@@ -4811,14 +4839,13 @@ object SparkEntry {
 
     // transitive closure of the same pair list → min-id component labels
     // (Dedup.duplicateGroups' unique fixpoint)
-    "doc_dedup_groups" ->
-      s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($minhashLshOracleSql) __mh),
-         |und AS (SELECT id_a AS src, id_b AS dst FROM p
-         |  UNION SELECT id_b, id_a FROM p),
-         |reach AS (SELECT src, dst FROM und
-         |  UNION SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src)
-         |SELECT src AS doc_id, least(src, min(dst)) AS group_id
-         |FROM reach GROUP BY src""".stripMargin,
+    "doc_dedup_groups" -> dedupGroupsOracleSql,
+    // incremental assignments = the same transitive closure, restricted
+    // to the new slice (the min-label contraction preserves component
+    // minima, so full and incremental labels agree by construction)
+    "doc_dedup_groups_incremental" ->
+      s"""SELECT * FROM ($dedupGroupsOracleSql) __g
+         |WHERE doc_id >= 100000""".stripMargin,
 
     // O(n²) DFT per series, top-5 harmonics extrapolated (FftForecast)
     "ts_fft_fc" ->

@@ -601,4 +601,46 @@ object Dedup {
         "has diameter > maxIter; raise maxIter")
     labels.select(col("id").as("doc_id"), col("group_id"))
   }
+
+  /** Incremental duplicate-group maintenance: fold a new ingest batch's
+    * near-dup pairs (from [[minhashLshIncremental]] etc.) into a stored
+    * `(doc_id, group_id)` table WITHOUT re-propagating the old graph.
+    * Each old endpoint contracts to its group label (a supernode), so
+    * min-label propagation runs on new docs + touched groups only —
+    * O(batch), not O(corpus). Labels are min ids and contraction
+    * preserves component minima, so the result equals a full re-run's.
+    *
+    * Returns `(assignments, remaps)`:
+    *  - `assignments` — `(doc_id, group_id)` for every new doc appearing
+    *    in `newPairs` (isolated new docs are their own group, as in the
+    *    full operator);
+    *  - `remaps` — `(old_group_id, group_id)` for existing groups whose
+    *    label changed because new links merged them; apply as a
+    *    join-update to the stored table. Untouched groups never appear.
+    * Requires new-doc ids disjoint from existing ids (ingest-time
+    * monotone ids satisfy this), and `existingGroups` must label EVERY
+    * existing doc — singletons as themselves — else an unlabeled old doc
+    * touched by a new pair is indistinguishable from a new doc. */
+  def duplicateGroupsIncremental(newPairs: DataFrame, existingGroups: DataFrame,
+      idA: String = "id_a", idB: String = "id_b",
+      maxIter: Int = 20): (DataFrame, DataFrame) = {
+    val eg = existingGroups.select(col("doc_id").cast("long").as("doc_id"),
+      col("group_id").cast("long").as("group_id"))
+    val contracted = newPairs
+      .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+      .join(eg.select(col("doc_id").as("src"), col("group_id").as("__gs")),
+        Seq("src"), "left")
+      .join(eg.select(col("doc_id").as("dst"), col("group_id").as("__gd")),
+        Seq("dst"), "left")
+      .select(coalesce(col("__gs"), col("src")).as("id_a"),
+        coalesce(col("__gd"), col("dst")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val labels = duplicateGroups(contracted, maxIter = maxIter)
+    val oldGroupIds = eg.select(col("group_id").as("doc_id")).distinct()
+    val remaps = labels.join(oldGroupIds, Seq("doc_id"))
+      .filter(col("group_id") =!= col("doc_id"))
+      .select(col("doc_id").as("old_group_id"), col("group_id"))
+    val assignments = labels.join(oldGroupIds, Seq("doc_id"), "left_anti")
+    (assignments, remaps)
+  }
 }

@@ -73,6 +73,42 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(inc == full, s"full-minus-inc=${full.diff(inc)} inc-extra=${inc.diff(full)}")
   }
 
+  test("duplicateGroupsIncremental: assignments + remaps == full re-run") {
+    import spark.implicits._
+    val all = corpus(60)
+    val old = all.filter(col("doc_id") < 1000)
+    val fresh = all.filter(col("doc_id") >= 1000)
+    val fullGroups = Dedup.duplicateGroups(Dedup.minhashLsh(all, threshold = 0.5))
+    val oldProp = Dedup.duplicateGroups(Dedup.minhashLsh(old, threshold = 0.5))
+    val oldGroups = old.select(col("doc_id"))
+      .join(oldProp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("group_id"), col("doc_id")).as("group_id"))
+    val newPairs = Dedup.minhashLshIncremental(fresh,
+      Dedup.minhashSignatures(old), threshold = 0.5)
+    val (assign, remaps) = Dedup.duplicateGroupsIncremental(newPairs, oldGroups)
+
+    val fullMap = fullGroups.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val assignMap = assign.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every new doc in pairs gets exactly the full-run label
+    assert(assignMap.nonEmpty && assignMap.keys.forall(_ >= 1000))
+    assignMap.foreach { case (id, g) =>
+      assert(fullMap(id) == g, s"new doc $id: incremental $g vs full ${fullMap(id)}")
+    }
+    assert(assignMap.keySet == fullMap.keySet.filter(_ >= 1000),
+      "assignment coverage must match the full run's new-slice rows")
+    // remapped old groups: applying remaps to the stored table must
+    // reproduce the full-run labels for every old doc the full run labels
+    val remapMap = remaps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val updatedOld = oldGroups.collect().map { r =>
+      val (id, g) = (r.getLong(0), r.getLong(1))
+      id -> remapMap.getOrElse(g, g)
+    }.toMap
+    fullMap.filter(_._1 < 1000).foreach { case (id, g) =>
+      assert(updatedOld(id) == g, s"old doc $id: updated ${updatedOld(id)} vs full $g")
+    }
+  }
+
   test("semDedupIncremental == full semDedup restricted to the new slice") {
     import spark.implicits._
     // deterministic 8-dim vectors; every 4th new vector copies an old one
