@@ -94,9 +94,19 @@ object Features {
     require(windowUs > 0, "rollingByTime: windowUs must be positive")
     aggs.foreach(a => require(supportedRollingAggs(a) || a == "count",
       s"Unsupported aggregation '$a'"))
+    // epoch-µs ordering key: timestamps convert via unix_micros; numeric
+    // time columns are taken as µs directly (casting a long through
+    // TIMESTAMP would silently reinterpret it as SECONDS)
+    val orderKey = df.schema(pc.time).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType |
+           org.apache.spark.sql.types.DateType =>
+        unix_micros(pc.timeCol.cast("timestamp"))
+      case _ => pc.timeCol.cast("long")
+    }
     val frame = org.apache.spark.sql.expressions.Window
       .partitionBy(pc.idCol)
-      .orderBy(unix_micros(pc.timeCol.cast("timestamp")))
+      .orderBy(orderKey)
       .rangeBetween(-(windowUs - 1), 0)
     aggs.foldLeft(df) { (d, agg) =>
       val e = agg match {

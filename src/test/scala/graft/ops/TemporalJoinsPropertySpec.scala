@@ -96,6 +96,51 @@ class TemporalJoinsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rollingByTime / groupByDynamic == brute force on random data") {
+    import spark.implicits._
+    import graft.core.PanelCols
+    implicit val pc: PanelCols = PanelCols("k", "tu", "v")
+    val rng = new Random(4242L)
+    for (trial <- 0 until 3) {
+      // distinct (k, tu) so RANGE peers don't enter (peer semantics are
+      // pinned separately in DynamicWindowSpec); µs-scale grid
+      val rows = gen(rng, 70, 4, 200).map(r => ((r.k, r.t), r.v))
+        .groupBy(_._1).map { case ((k, t), vs) => (k, t, vs.head._2) }.toSeq
+      val df = rows.toDF("k", "tu", "v")
+      val w = 55L
+      val roll = Features.rollingByTime(df, w, aggs = Seq("mean", "count"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getDouble(3), r.getLong(4)))).toMap
+      rows.foreach { case (k, t, _) =>
+        val win = rows.filter(r => r._1 == k && r._2 > t - w && r._2 <= t)
+        val exp = (win.map(_._3).sum / win.size, win.size.toLong)
+        val got = roll((k, t))
+        assert(math.abs(got._1 - exp._1) < 1e-9 && got._2 == exp._2,
+          s"trial=$trial roll($k,$t): $got vs $exp")
+      }
+      // groupByDynamic on a seconds grid (string durations are coarse):
+      // every=30s, period=120s over second-scaled timestamps
+      val tsDf = rows.map { case (k, t, v) =>
+        (k, new java.sql.Timestamp(1704067200000L + t * 1000L), v)
+      }.toDF("k", "tu", "v")
+      val dyn = Resample.groupByDynamic(tsDf, "30 seconds", "120 seconds")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime) ->
+          ((r.getDouble(2), r.getLong(3)))).toMap
+      val expDyn = rows.flatMap { case (k, t, v) =>
+        val tMs = 1704067200000L + t * 1000L
+        val kMax = Math.floorDiv(tMs, 30000L)
+        val kMin = Math.floorDiv(tMs - 120000L, 30000L) + 1
+        (kMin to kMax).map(kk => (k, kk * 30000L) -> v)
+      }.groupBy(_._1).map { case (key, vs) =>
+        key -> ((vs.map(_._2).sum / vs.size, vs.size.toLong)) }
+      assert(dyn.keySet == expDyn.keySet, s"trial=$trial window-key sets differ")
+      expDyn.foreach { case (key, (m, n)) =>
+        val (gm, gn) = dyn(key)
+        assert(math.abs(gm - m) < 1e-9 && gn == n, s"trial=$trial dyn$key")
+      }
+    }
+  }
+
   test("rangeJoin/overlapJoin == brute force across bucket widths") {
     import spark.implicits._
     val rng = new Random(7L)
