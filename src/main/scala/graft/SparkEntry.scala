@@ -1563,6 +1563,33 @@ object SparkEntry {
       Sampling.stableSample(IO.documents(s, dir), "doc_id", rate = 0.25)
         .select("doc_id", "source")),
 
+    // ── SQL surface: the registered native expressions via spark.sql ────
+    // (graft.plans.GraftFunctions / GraftExtensions). Same Catalyst
+    // expressions the Column API attaches, resolved through the function
+    // registry instead — so the gate pins that a pure-SQL user gets
+    // bit-identical fingerprints and sampling draws.
+    "doc_sql_surface" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      IO.documents(s, dir).createOrReplaceTempView("graft_sql_docs")
+      s.sql(
+        """SELECT doc_id,
+          |  graft_fnv64(text) AS fp,
+          |  graft_stable_uniform(concat('42:', CAST(doc_id AS STRING))) AS draw
+          |FROM graft_sql_docs""".stripMargin)
+    }),
+
+    "emb_sql_cosine" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      IO.embeddings(s, dir).select("vec_id", "embedding")
+        .createOrReplaceTempView("graft_sql_emb")
+      s.sql(
+        """SELECT a.vec_id,
+          |  graft_cosine_sim(CAST(a.embedding AS ARRAY<DOUBLE>),
+          |                   CAST(b.embedding AS ARRAY<DOUBLE>)) AS cos
+          |FROM graft_sql_emb a JOIN graft_sql_emb b ON b.vec_id = a.vec_id + 1
+          |WHERE a.vec_id < 200""".stripMargin)
+    }),
+
     "doc_sample_split" -> ((s, dir) =>
       Sampling.stableSplit(IO.documents(s, dir), "doc_id")
         .select("doc_id", "split")),
@@ -4800,6 +4827,19 @@ object SparkEntry {
     "doc_sample_stable" ->
       s"""SELECT doc_id, source FROM documents
          |WHERE ${uniformSql("doc_id::VARCHAR")} < 0.25""".stripMargin,
+
+    // SQL-surface twins: same FNV / fmix64-uniform / cosine replays the
+    // Column-API queries use, against the spark.sql registration path
+    "doc_sql_surface" ->
+      s"""SELECT doc_id, ${fnvSql("text")} AS fp,
+         |  ${uniformSql("doc_id::VARCHAR")} AS draw
+         |FROM documents""".stripMargin,
+
+    "emb_sql_cosine" ->
+      s"""SELECT a.vec_id,
+         |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+         |WHERE a.vec_id < 200""".stripMargin,
 
     // split thresholds use the Scala-computed sums (0.8 + 0.1 is NOT 0.9
     // in doubles — the oracle inlines the exact boundary the op compares)

@@ -1,0 +1,108 @@
+package graft.plans
+
+import graft.TestSpark
+import graft.ops.TextOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL registration tier must expose exactly the native expressions
+  * the Column API uses — same builders on both paths — so a
+  * `spark.sql(...)` user gets bit-identical keys/similarities/draws. */
+class GraftExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    GraftFunctions.register(s)
+    s
+  }
+
+  test("graft_fnv64 in SQL is bit-identical to the Column API and kernel") {
+    import spark.implicits._
+    Seq("", "a", "hello world", "Café ümlaut", "x" * 200).toDF("t")
+      .createOrReplaceTempView("fnv_in")
+    val rows = spark.sql(
+      "SELECT t, graft_fnv64(t) AS h FROM fnv_in").collect()
+    rows.foreach(r =>
+      assert(r.getLong(1) == TextOps.fnv64(r.getString(0))))
+    // null quirk survives the SQL path
+    val nh = spark.sql("SELECT graft_fnv64(CAST(NULL AS STRING)) AS h")
+      .collect()(0).getLong(0)
+    assert(nh == Fnv64.NullHash)
+  }
+
+  test("graft_stable_uniform matches the Column API draw") {
+    import spark.implicits._
+    Seq("doc-1", "doc-2", "doc-3").toDF("t").createOrReplaceTempView("su_in")
+    val viaSql = spark.sql(
+      "SELECT t, graft_stable_uniform(t) AS u FROM su_in")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaCol = spark.table("su_in")
+      .select(col("t"), StableUniformExpr(col("t")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaSql == viaCol)
+    viaSql.values.foreach(u => assert(u >= 0.0 && u < 1.0))
+  }
+
+  test("graft_cosine_sim matches the Column API on array<double> pairs") {
+    import spark.implicits._
+    Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0)),
+        (Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0)),
+        (Array(0.5, -0.25, 4.0), Array(-1.0, 2.0, 0.125)))
+      .toDF("a", "b").createOrReplaceTempView("cos_in")
+    val viaSql = spark.sql(
+      "SELECT graft_cosine_sim(a, b) AS c FROM cos_in ORDER BY c")
+      .collect().map(_.getDouble(0))
+    val viaCol = spark.table("cos_in")
+      .select(CosineSim(col("a"), col("b")).as("c")).orderBy("c")
+      .collect().map(_.getDouble(0))
+    assert(viaSql.sameElements(viaCol))
+    assert(math.abs(viaSql.last - 1.0) < 1e-12) // identical vectors
+  }
+
+  test("graft_minhash_sig takes foldable int params and matches the API") {
+    import spark.implicits._
+    Seq("the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs")
+      .toDF("t").createOrReplaceTempView("mh_in")
+    val viaSql = spark.sql(
+      "SELECT t, graft_minhash_sig(t, 5, 16, 42) AS sig FROM mh_in")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val viaCol = spark.table("mh_in")
+      .select(col("t"), MinhashSigExpr(col("t"), 5, 16, 42).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql == viaCol)
+    viaSql.values.foreach(sig => assert(sig.size == 16))
+    // a foldable arithmetic parameter is honored like a literal
+    val folded = spark.sql(
+      "SELECT graft_minhash_sig(t, 5, 8 + 8, 42) AS sig FROM mh_in LIMIT 1")
+      .collect()(0).getSeq[Long](0)
+    assert(folded.size == 16)
+  }
+
+  test("arity and parameter errors fail loudly at analysis") {
+    val e1 = intercept[Exception](
+      spark.sql("SELECT graft_fnv64('a', 'b')").collect())
+    assert(e1.getMessage.contains("graft_fnv64"))
+    val e2 = intercept[Exception](
+      spark.sql("SELECT graft_minhash_sig('a', rand(), 16, 42)").collect())
+    assert(e2.getMessage.toLowerCase.contains("foldable"))
+  }
+
+  test("session built WITH the extensions class resolves the functions") {
+    // reuse the shared SparkContext but force a NEW session so
+    // withExtensions actually applies (getOrCreate would return the
+    // active session and skip them)
+    TestSpark.spark // ensure the context exists
+    SparkSession.clearActiveSession()
+    val fresh = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val h = fresh.sql("SELECT graft_fnv64('abc') AS h")
+        .collect()(0).getLong(0)
+      assert(h == TextOps.fnv64("abc"))
+    } finally {
+      SparkSession.setActiveSession(TestSpark.spark)
+    }
+  }
+}
