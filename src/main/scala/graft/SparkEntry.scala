@@ -328,6 +328,14 @@ object SparkEntry {
           length(col("norm_text")).cast("long").as("norm_len"))
     }),
 
+    // HTML → plain text (C4/RefinedWeb entry stage) over a
+    // deterministically-marked-up corpus: script/style/comment removal,
+    // block tags → newlines, entity decode, whitespace normalization
+    "doc_html_strip" -> ((s, dir) =>
+      TextOps.htmlStrip(htmlDocs(IO.documents(s, dir)))
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("text_len"))),
+
     // pack materialization: the actual fixed-length training sequences
     // (per (shard, seq): position-ordered FNV-vocab token ids)
     "doc_pack_execute" -> ((s, dir) =>
@@ -2895,6 +2903,58 @@ object SparkEntry {
        |    c -> array_to_string(ws[(c * 8 + 1)::INT:(c * 8 + 8)::INT], ' ')),
        |    chr(10))) AS text FROM ws0)""".stripMargin
 
+  /** Deterministic HTML'd corpus for the markup-extraction query (the
+    * synthetic docs carry no markup of their own): each doc becomes a
+    * page — head words as `<h1>`, the rest in `<p>`, plus a script block
+    * (doc_id%3, containing a raw `<` and `&&`), a style block (%4), a
+    * comment (%5), and an entity-bearing boilerplate paragraph on every
+    * doc. Mirrored exactly by [[htmlDocsSql]]. */
+  private[graft] def htmlDocs(docs: DataFrame): DataFrame = {
+    val ws = col("__ws")
+    docs
+      .withColumn("__ws", filter(split(col("text"), "\\s+"), w => w =!= ""))
+      .withColumn("text", concat(
+        lit("<html><body>"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("<script type=\"text/javascript\">var a = 1 < 2 && b;</script>"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit("<style>.main { width: 50%; }</style>")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit("<!-- rendered by pagegen 2.1 -->")).otherwise(lit("")),
+        lit("<h1>"), array_join(slice(ws, 1, 4), " "),
+        lit("</h1>\n<div class=\"content\"><p>"),
+        array_join(slice(ws, lit(5), greatest(size(ws) - 4, lit(0))), " "),
+        lit("</p><p>Tom &amp; Jerry &lt;3 &quot;cats&quot; " +
+          "&#39;dogs&#39;&nbsp;forever</p><br/></div>"),
+        lit("</body></html>")))
+      .drop("__ws")
+  }
+
+  /** DuckDB twin of [[htmlDocs]] — an `html(doc_id, text)` CTE body.
+    * NOTE: this pre-stripped fragment is interpolated into oracle
+    * strings whose own `.stripMargin` runs AFTER interpolation, so no
+    * line here may START with `|` (a leading `||` concat would lose a
+    * pipe to the outer strip) — concatenation operators go at EOL. */
+  private def htmlDocsSql: String =
+    s"""hws AS (SELECT doc_id,
+       |  list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+       |  FROM documents),
+       |html AS (SELECT doc_id, '<html><body>' ||
+       |  CASE WHEN doc_id % 3 = 0 THEN
+       |    '<script type="text/javascript">var a = 1 < 2 && b;</script>'
+       |    ELSE '' END ||
+       |  CASE WHEN doc_id % 4 = 0 THEN '<style>.main { width: 50%; }</style>'
+       |    ELSE '' END ||
+       |  CASE WHEN doc_id % 5 = 0 THEN '<!-- rendered by pagegen 2.1 -->'
+       |    ELSE '' END ||
+       |  '<h1>' || array_to_string(ws[1:4], ' ') ||
+       |  '</h1>' || chr(10) || '<div class="content"><p>' ||
+       |  array_to_string(ws[5:len(ws)], ' ') ||
+       |  '</p><p>Tom &amp; Jerry &lt;3 &quot;cats&quot; ' ||
+       |  '&#39;dogs&#39;&nbsp;forever</p><br/></div>' ||
+       |  '</body></html>' AS text FROM hws)""".stripMargin
+
   // ── round-9 data-selection oracle builders ───────────────────────────
   // Hashed unigram+bigram gram rows over `documents`, mirroring
   // Selection.bucketed: ws → unigrams ∪ bigrams → FNV bucket in
@@ -4189,6 +4249,37 @@ object SparkEntry {
          |    '^\\n+|\\n+$$', '', 'g')) AS norm_text FROM messy)
          |SELECT doc_id, norm_text, length(text)::BIGINT AS raw_len,
          |  length(norm_text)::BIGINT AS norm_len FROM n""".stripMargin,
+
+    // HTML extraction: the same regex/replace chain over the same
+    // deterministically-marked-up corpus (htmlDocsSql twin). The regex
+    // subset is chosen to mean the same thing under Java regex (Spark)
+    // and RE2 (DuckDB): no backreferences, no lookarounds.
+    "doc_html_strip" ->
+      s"""WITH $htmlDocsSql,
+         |s4 AS (SELECT doc_id,
+         |  regexp_replace(
+         |  regexp_replace(
+         |  regexp_replace(
+         |  regexp_replace(text,
+         |    '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+         |    '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+         |    '(?s)<!--.*?-->', ' ', 'g'),
+         |    '(?i)</(p|h[1-6]|div|li|ul|ol|table|tr)>|<br\\b[^>]*>', chr(10), 'g')
+         |  AS t FROM html),
+         |s5 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t
+         |  FROM s4),
+         |s6 AS (SELECT doc_id,
+         |  replace(replace(replace(replace(replace(replace(replace(replace(t,
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+         |    '&#39;', ''''), '&#34;', '"'), '&nbsp;', ' '), '&amp;', '&') AS t
+         |  FROM s5),
+         |s9 AS (SELECT doc_id,
+         |  regexp_replace(
+         |  regexp_replace(
+         |  regexp_replace(t, '[ \\t\\r\\f]+', ' ', 'g'),
+         |    ' *\\n[ \\n]*', chr(10), 'g'),
+         |    '(^\\s+)|(\\s+$$)', '', 'g') AS t FROM s6)
+         |SELECT doc_id, t AS text, length(t)::BIGINT AS text_len FROM s9""".stripMargin,
 
     // pack materialization: shard/offset plan + per-token placement +
     // ordered id aggregation replayed end to end

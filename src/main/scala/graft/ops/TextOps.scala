@@ -273,6 +273,46 @@ object TextOps {
     df.withColumn(outCol, trim(t7))
   }
 
+  /** HTML → plain-text extraction — the C4/RefinedWeb ENTRY stage (web
+    * corpora arrive as markup; every downstream filter assumes text).
+    * Pure expressions, one narrow map:
+    *
+    *   1. `<script>`/`<style>` blocks (content AND tags) and comments
+    *      removed — boilerplate code must not leak into the text;
+    *   2. block-closing tags (`</p> </h1..6> </div> </li> </ul> </ol>
+    *      </table> </tr>` and `<br>`) become newlines so paragraph
+    *      structure survives for the line-level stages (lineDedup,
+    *      lineFilters); every other tag becomes a space;
+    *   3. the high-frequency entities decode (`&lt; &gt; &quot; &apos;
+    *      &#39; &#34; &nbsp;`, and `&amp;` LAST — the standard order so
+    *      `&amp;lt;` yields the literal text `&lt;`, never a `<` that a
+    *      second pass would re-decode); unknown entities pass through;
+    *   4. horizontal whitespace collapses, newlines dedupe, ends trim.
+    *
+    * Regex subset chosen to behave identically under Java regex and
+    * RE2 (the DuckDB oracle): no backreferences, no lookarounds.
+    * Malformed markup contract: an unclosed `<tag` without `>` is left
+    * as text (fail-visible, not silently swallowed to end-of-doc). */
+  def htmlStrip(df: DataFrame, textCol: String = "text",
+      outCol: String = "text"): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val t2 = regexp_replace(t1, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val t3 = regexp_replace(t2, "(?s)<!--.*?-->", " ")
+    val t4 = regexp_replace(t3,
+      "(?i)</(p|h[1-6]|div|li|ul|ol|table|tr)>|<br\\b[^>]*>", "\n")
+    val t5 = regexp_replace(t4, "<[^>]*>", " ")
+    val t6 = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&apos;" -> "'", "&#39;" -> "'", "&#34;" -> "\"", "&nbsp;" -> " ",
+      "&amp;" -> "&").foldLeft(t5) { case (c, (e, r)) =>
+      replace(c, lit(e), lit(r)) // plain substring replace on both engines
+    }
+    val t7 = regexp_replace(t6, "[ \t\r\f]+", " ")
+    val t8 = regexp_replace(t7, " *\n[ \n]*", "\n")
+    val t9 = regexp_replace(t8, "(^\\s+)|(\\s+$)", "")
+    df.withColumn(outCol, t9)
+  }
+
   /** Collected KN bigram model — the broadcastable form the stateless
     * streaming scorer needs. `logp` keys pack (bv, bw) as bv·buckets+bw;
     * `ctx` maps bv → (c(v), N1+(v·)); `cont` maps bw → N1+(·w). Bounded
