@@ -255,6 +255,8 @@ object Bench {
           aggs = Seq("mean", "count")))))
 
     val selectionBenches: Seq[(String, () => Unit)] = Seq(
+      "html_strip" -> (() => mat(
+        TextOps.htmlStrip(SparkEntry.htmlDocs(docsB)))),
       "line_dedup" -> (() => mat(Dedup.lineDedup(SparkEntry.linedDocs(docsB)))),
       "span_dedup" -> (() => mat(Dedup.spanDedup(docsB))),
       "kn_perplexity" -> (() => mat(TextOps.knPerplexity(docsB, buckets = 4096))),

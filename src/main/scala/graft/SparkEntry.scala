@@ -2488,6 +2488,54 @@ object SparkEntry {
         "video", stride = 2)
     }),
 
+    // REAL raster resize on the decode path: formula pixels → PNG encode
+    // → REAL decode → box half-downsample (truncating integer block
+    // mean) → PNG re-encode → decode again → stats; plus a non-integer
+    // nearest-neighbor leg pinning the floor(out·src/out_dim) index map.
+    // The oracle replays the box/nearest arithmetic from the pixel
+    // formula — wrong decode, resize, or re-encode all break the hash.
+    "mm_resize" -> ((s, dir) => {
+      val base = IO.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      val u = udf((docId: Long, nChars: Long) => {
+        val w = 2 * ((nChars % 12).toInt + 2)
+        val h = 2 * (((nChars / 24) % 12).toInt + 2)
+        val ch = (docId % 3).toInt + 1
+        val px = new Array[Byte](w * h * ch)
+        var i = 0
+        while (i < px.length) {
+          px(i) = (((docId * 2654435761L + i * 97L) % 256L) & 0xff).toByte
+          i += 1
+        }
+        val r0 = Multimodal.decodePng(
+          Multimodal.pngEncode(w, h, ch, px, filterMode = -1,
+            idatChunkLen = 512)).get
+        val half = Multimodal.resizeRaster(r0, w / 2, h / 2, "box")
+        // re-encode + decode the resized raster: pins the encode leg too
+        val r2 = Multimodal.decodePng(Multimodal.pngEncode(
+          half.width, half.height, half.channels, half.pixels)).get
+        var sum = 0L; var mn = 255; var mx = 0
+        var j = 0
+        while (j < r2.pixels.length) {
+          val v = r2.pixels(j) & 0xff
+          sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+          j += 1
+        }
+        val nn = Multimodal.resizeRaster(r0, w / 2 + 1, h / 2 + 1, "nearest")
+        var nnSum = 0L
+        j = 0
+        while (j < nn.pixels.length) { nnSum += nn.pixels(j) & 0xff; j += 1 }
+        (w, h, ch, r2.width, r2.height, sum, mn, mx,
+          nn.width, nn.height, nnSum)
+      })
+      base.withColumn("__r", u(col("doc_id"), col("n_chars")))
+        .select(col("doc_id"), col("__r._1").as("width"),
+          col("__r._2").as("height"), col("__r._3").as("channels"),
+          col("__r._4").as("half_w"), col("__r._5").as("half_h"),
+          col("__r._6").as("box_sum"), col("__r._7").as("box_min"),
+          col("__r._8").as("box_max"), col("__r._9").as("nn_w"),
+          col("__r._10").as("nn_h"), col("__r._11").as("nn_sum"))
+    }),
+
     // REAL baseline-JPEG decode (ITU T.81): DC-only quantized
     // coefficients (entropy coding is LOSSLESS over them) → spec-valid
     // JFIF via our encoder (Annex K tables, differential DC, EOB runs)
@@ -4023,6 +4071,44 @@ object SparkEntry {
         |SELECT doc_id, width, height, channels, sum(v)::BIGINT AS px_sum,
         |  min(v)::INT AS px_min, max(v)::INT AS px_max
         |FROM px GROUP BY doc_id, width, height, channels""".stripMargin,
+
+    // resize ground truth: box = truncating integer mean of each 2x2
+    // source block; nearest = floor(out*src/out_dim) index map — both
+    // replayed directly from the pixel formula
+    "mm_resize" ->
+      """WITH b AS (SELECT doc_id,
+        |  (2 * ((n_chars % 12) + 2))::INT AS w,
+        |  (2 * (((n_chars // 24) % 12) + 2))::INT AS h,
+        |  ((doc_id % 3) + 1)::INT AS ch FROM documents),
+        |boxg AS (SELECT doc_id, w, h, ch, x, y, c,
+        |  ((doc_id * 2654435761 + ((2*y*w + 2*x)*ch + c) * 97) % 256 +
+        |   (doc_id * 2654435761 + ((2*y*w + 2*x + 1)*ch + c) * 97) % 256 +
+        |   (doc_id * 2654435761 + (((2*y + 1)*w + 2*x)*ch + c) * 97) % 256 +
+        |   (doc_id * 2654435761 + (((2*y + 1)*w + 2*x + 1)*ch + c) * 97) % 256)
+        |  // 4 AS v
+        |  FROM b,
+        |  unnest(generate_series(0, w // 2 - 1)) AS gx(x),
+        |  unnest(generate_series(0, h // 2 - 1)) AS gy(y),
+        |  unnest(generate_series(0, ch - 1)) AS gc(c)),
+        |boxa AS (SELECT doc_id, sum(v)::BIGINT AS box_sum,
+        |  min(v)::INT AS box_min, max(v)::INT AS box_max
+        |  FROM boxg GROUP BY doc_id),
+        |nng AS (SELECT doc_id,
+        |  (doc_id * 2654435761 +
+        |   ((((y2 * h) // (h // 2 + 1)) * w + ((x2 * w) // (w // 2 + 1)))
+        |    * ch + c) * 97) % 256 AS v
+        |  FROM b,
+        |  unnest(generate_series(0, w // 2)) AS gx(x2),
+        |  unnest(generate_series(0, h // 2)) AS gy(y2),
+        |  unnest(generate_series(0, ch - 1)) AS gc(c)),
+        |nna AS (SELECT doc_id, sum(v)::BIGINT AS nn_sum FROM nng
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id, w AS width, h AS height, ch AS channels,
+        |  (w // 2)::INT AS half_w, (h // 2)::INT AS half_h,
+        |  box_sum, box_min, box_max,
+        |  (w // 2 + 1)::INT AS nn_w, (h // 2 + 1)::INT AS nn_h, nn_sum
+        |FROM b JOIN boxa ON boxa.doc_id = b.doc_id
+        |JOIN nna ON nna.doc_id = b.doc_id""".stripMargin,
 
     // real-WAV roundtrip ground truth: integer PCM arithmetic only
     "mm_audio_features" ->

@@ -584,6 +584,98 @@ object Multimodal {
       .orElse(decodeWav(b).map(p => audioFeatures(p, dim)))
       .getOrElse(fakeDecode(b, dim))
 
+  /** Deterministic raster resize — the training-pipeline downsample step
+    * between decode and feature/embedding extraction.
+    *
+    *   - `box`: area-average downsample for INTEGER shrink factors
+    *     (width % outW == 0, height % outH == 0; required loudly). Each
+    *     output pixel is the truncating integer mean of its fx×fy source
+    *     block — pure integer arithmetic, so the result is bit-exact
+    *     across JVMs and replayable in oracle SQL.
+    *   - `nearest`: index-map resize for arbitrary ratios (up or down),
+    *     source index `floor(out_coord * src_dim / out_dim)` — the PIL
+    *     NEAREST convention.
+    *
+    * Channels are preserved; interleaved layout in, interleaved out. */
+  def resizeRaster(r: Raster, outW: Int, outH: Int,
+      method: String = "box"): Raster = {
+    require(outW >= 1 && outH >= 1, s"bad output dims ${outW}x$outH")
+    val ch = r.channels
+    val out = new Array[Byte](outW * outH * ch)
+    method match {
+      case "nearest" =>
+        var y = 0
+        while (y < outH) {
+          val sy = (y.toLong * r.height / outH).toInt
+          var x = 0
+          while (x < outW) {
+            val sx = (x.toLong * r.width / outW).toInt
+            var c = 0
+            while (c < ch) {
+              out((y * outW + x) * ch + c) =
+                r.pixels((sy * r.width + sx) * ch + c)
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+      case "box" =>
+        require(r.width % outW == 0 && r.height % outH == 0,
+          s"box resize needs integer shrink factors: " +
+            s"${r.width}x${r.height} -> ${outW}x$outH (use method=nearest)")
+        val fx = r.width / outW
+        val fy = r.height / outH
+        val area = fx * fy
+        var y = 0
+        while (y < outH) {
+          var x = 0
+          while (x < outW) {
+            var c = 0
+            while (c < ch) {
+              var sum = 0
+              var dy = 0
+              while (dy < fy) {
+                val rowBase = ((y * fy + dy) * r.width + x * fx) * ch + c
+                var dx = 0
+                while (dx < fx) {
+                  sum += r.pixels(rowBase + dx * ch) & 0xff
+                  dx += 1
+                }
+                dy += 1
+              }
+              out((y * outW + x) * ch + c) = (sum / area).toByte
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+      case other => throw new IllegalArgumentException(
+        s"resizeRaster: unknown method '$other' (box | nearest)")
+    }
+    Raster(outW, outH, ch, out)
+  }
+
+  /** Corpus-level image resize: decode (PNG or baseline JPEG) → resize →
+    * re-encode PNG, one narrow map — no shuffle, binary in/binary out,
+    * undecodable rows yield null (filter or route them, never crash the
+    * batch). The PNG re-encode makes the output self-describing for any
+    * downstream consumer of the `binary` column contract. */
+  def resizeImages(df: DataFrame, binCol: String, outW: Int, outH: Int,
+      method: String = "box", outCol: String = "resized"): DataFrame = {
+    val u = udf((b: Array[Byte]) =>
+      if (b == null) null
+      else decodePng(b).orElse(Jpeg.decode(b))
+        .flatMap { r =>
+          try {
+            val rr = resizeRaster(r, outW, outH, method)
+            Some(pngEncode(rr.width, rr.height, rr.channels, rr.pixels))
+          } catch { case _: IllegalArgumentException => None }
+        }.orNull)
+    df.withColumn(outCol, u(col(binCol)))
+  }
+
   /** Features over a REAL decoded raster: [mean, ch-means…, min, max,
     * first-row mean], zero-padded/truncated to `dim`. */
   private[ops] def pixelFeatures(r: Raster, dim: Int): Array[Double] = {
