@@ -626,14 +626,16 @@ object Multimodal {
             s"${r.width}x${r.height} -> ${outW}x$outH (use method=nearest)")
         val fx = r.width / outW
         val fy = r.height / outH
-        val area = fx * fy
+        // Long accumulation: an Int sum wraps once the block area passes
+        // ~8.4M pixels (255·fx·fy > 2³¹−1), e.g. a 3000×3000 → 1×1 shrink
+        val area = fx.toLong * fy
         var y = 0
         while (y < outH) {
           var x = 0
           while (x < outW) {
             var c = 0
             while (c < ch) {
-              var sum = 0
+              var sum = 0L
               var dy = 0
               while (dy < fy) {
                 val rowBase = ((y * fy + dy) * r.width + x * fx) * ch + c
@@ -664,6 +666,14 @@ object Multimodal {
     * downstream consumer of the `binary` column contract. */
   def resizeImages(df: DataFrame, binCol: String, outW: Int, outH: Int,
       method: String = "box", outCol: String = "resized"): DataFrame = {
+    // configuration errors fail HERE, at plan time — the per-row catch
+    // below must only absorb data-dependent failures (non-integer box
+    // factors for a row's dims), never turn a typo'd method or zero
+    // output dim into a silent all-null column
+    require(outW >= 1 && outH >= 1,
+      s"resizeImages: bad output dims ${outW}x$outH")
+    require(method == "box" || method == "nearest",
+      s"resizeImages: unknown method '$method' (box | nearest)")
     val u = udf((b: Array[Byte]) =>
       if (b == null) null
       else decodePng(b).orElse(Jpeg.decode(b))

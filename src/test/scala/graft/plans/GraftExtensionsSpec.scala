@@ -89,20 +89,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
   }
 
   test("session built WITH the extensions class resolves the functions") {
-    // reuse the shared SparkContext but force a NEW session so
-    // withExtensions actually applies (getOrCreate would return the
-    // active session and skip them)
-    TestSpark.spark // ensure the context exists
+    // reuse the shared SparkContext but force a genuinely NEW session:
+    // BOTH the active and the default session must be cleared, or
+    // getOrCreate silently returns the existing one and ignores
+    // withExtensions — leaving the injectFunction path untested
+    val shared = TestSpark.spark // ensure the context exists
     SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val fresh = SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     try {
+      assert(!(fresh eq shared),
+        "getOrCreate returned the shared session; extensions not applied")
       val h = fresh.sql("SELECT graft_fnv64('abc') AS h")
         .collect()(0).getLong(0)
       assert(h == TextOps.fnv64("abc"))
     } finally {
-      SparkSession.setActiveSession(TestSpark.spark)
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
     }
   }
 }
