@@ -2488,6 +2488,38 @@ object SparkEntry {
         "video", stride = 2)
     }),
 
+    // Scene-change detection (cut detection by luma-mean delta) over
+    // Y4M fixtures built with real scene structure: the luma level
+    // steps by 96 every 3 frames, so boundaries are detectable at
+    // threshold 48 while in-scene noise (a mod-128 texture) is not.
+    // The oracle replays frame means from the formula + the lag window.
+    "mm_scene_changes" -> ((s, dir) => {
+      val base = IO.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      val mk = udf((docId: Long, nChars: Long) => {
+        val w = 2 * ((nChars % 8).toInt + 2)
+        val h = 2 * (((nChars / 8) % 6).toInt + 2)
+        val nf = (docId % 4).toInt * 3 + 6
+        val fb = w * h * 3 / 2
+        val frames = (0 until nf).map { f =>
+          val level = if ((f / 3) % 2 == 0) 0 else 96
+          val buf = new Array[Byte](fb)
+          var i = 0
+          while (i < fb) {
+            buf(i) = ((level +
+              (docId * 97L + f * 13L + i * 31L) % 128L) & 0xff).toByte
+            i += 1
+          }
+          buf
+        }
+        Multimodal.y4mEncode(w, h, "C420", frames)
+      })
+      Multimodal.sceneChanges(
+        base.withColumn("video", mk(col("doc_id"), col("n_chars"))),
+        "video", threshold = 48.0)
+        .select(col("doc_id"), col("frame_index"), col("y_mean"),
+          col("delta"), col("is_scene_change"))
+    }),
+
     // REAL raster resize on the decode path: formula pixels → PNG encode
     // → REAL decode → box half-downsample (truncating integer block
     // mean) → PNG re-encode → decode again → stats; plus a non-integer
@@ -4071,6 +4103,30 @@ object SparkEntry {
         |SELECT doc_id, width, height, channels, sum(v)::BIGINT AS px_sum,
         |  min(v)::INT AS px_min, max(v)::INT AS px_max
         |FROM px GROUP BY doc_id, width, height, channels""".stripMargin,
+
+    // scene-change ground truth: Y-plane means from the stepped-level
+    // formula, then the same lag-window delta + threshold in SQL
+    "mm_scene_changes" ->
+      """WITH b AS (SELECT doc_id,
+        |  (2 * ((n_chars % 8) + 2))::INT AS w,
+        |  (2 * (((n_chars // 8) % 6) + 2))::INT AS h,
+        |  ((doc_id % 4) * 3 + 6)::INT AS nf FROM documents),
+        |fr AS (SELECT doc_id, w, h,
+        |  unnest(generate_series(0, nf - 1)) AS fi FROM b),
+        |g AS (SELECT doc_id, w, h, fi,
+        |  unnest(generate_series(0, w * h - 1)) AS i FROM fr),
+        |px AS (SELECT doc_id, w, h, fi,
+        |  CASE WHEN (fi // 3) % 2 = 0 THEN 0 ELSE 96 END +
+        |    (doc_id * 97 + fi * 13 + i * 31) % 128 AS v FROM g),
+        |m AS (SELECT doc_id, fi::INT AS frame_index,
+        |  sum(v)::DOUBLE / (w * h) AS y_mean
+        |  FROM px GROUP BY doc_id, fi, w, h),
+        |d AS (SELECT doc_id, frame_index, y_mean,
+        |  y_mean - lag(y_mean) OVER
+        |    (PARTITION BY doc_id ORDER BY frame_index) AS delta FROM m)
+        |SELECT doc_id, frame_index, y_mean, delta,
+        |  (delta IS NULL OR abs(delta) > 48.0) AS is_scene_change
+        |FROM d""".stripMargin,
 
     // resize ground truth: box = truncating integer mean of each 2x2
     // source block; nearest = floor(out*src/out_dim) index map — both

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column plumbing for training-data
@@ -767,6 +768,37 @@ object Multimodal {
       .select(col(idCol), col("__fr._1").as("frame_index"),
         col("__fr._2").as("y_sum"), col("__fr._3").as("c_sum"),
         col("__fr._4").as("y_min"), col("__fr._5").as("y_max"))
+  }
+
+  /** Scene-change detection over a Y4M video column — the frame-level
+    * segmentation step a video-curation pipeline runs before sampling
+    * (cut detection by luma-mean delta, the classic first-pass
+    * heuristic). One narrow decode UDF emits (frame_index, y_mean) per
+    * frame; a lag window per video marks frames whose mean-luma jump
+    * exceeds `threshold` (the first frame always opens a scene). The
+    * only exchange is the per-video window partition — and frames of
+    * one video land in one partition, so the window never crosses
+    * videos. Non-Y4M payloads yield no rows, like [[extractFrames]]. */
+  def sceneChanges(df: DataFrame, binCol: String, threshold: Double,
+      idCol: String = "doc_id"): DataFrame = {
+    require(threshold > 0, "sceneChanges: threshold must be positive")
+    val u = udf((b: Array[Byte]) => decodeY4m(b).map { v =>
+      val ySize = v.width * v.height
+      v.frames.indices.map { fi =>
+        val f = v.frames(fi)
+        var s = 0L
+        var i = 0
+        while (i < ySize) { s += f(i) & 0xff; i += 1 }
+        (fi, s.toDouble / ySize)
+      }.toArray
+    }.getOrElse(Array.empty[(Int, Double)]))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("frame_index"))
+    df.withColumn("__fr", explode(u(col(binCol))))
+      .select(col(idCol), col("__fr._1").as("frame_index"),
+        col("__fr._2").as("y_mean"))
+      .withColumn("delta", col("y_mean") - lag(col("y_mean"), 1).over(w))
+      .withColumn("is_scene_change",
+        col("delta").isNull || abs(col("delta")) > threshold)
   }
 
   /** Multimodal curation-funnel stage: decode-classify a binary payload
