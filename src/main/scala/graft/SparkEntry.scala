@@ -2488,6 +2488,31 @@ object SparkEntry {
         "video", stride = 2)
     }),
 
+    // Audio activity segmentation over WAV fixtures with real silence
+    // structure (512-sample silent spans every third span): per-frame
+    // mean-square energy, active flag, alternating segment numbering.
+    // int16 energies are exact dyadic rationals — bit-replayable.
+    "mm_audio_segments" -> ((s, dir) => {
+      val base = IO.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      val mk = udf((docId: Long, nChars: Long) => {
+        val ch = (docId % 2).toInt + 1
+        val n = ((nChars % 400).toInt + 200) * ch
+        val smp = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          smp(i) = if ((i / 512) % 3 == 0) 0
+            else ((docId * 131 + i * 17) % 65536 - 32768).toInt
+          i += 1
+        }
+        Multimodal.wavEncodePcm16(16000, ch, smp)
+      })
+      Multimodal.audioSegments(
+        base.withColumn("audio", mk(col("doc_id"), col("n_chars"))),
+        "audio", energyThreshold = 0.1)
+        .select(col("doc_id"), col("frame_index"), col("energy"),
+          col("is_active"), col("segment_id"))
+    }),
+
     // Scene-change detection (cut detection by luma-mean delta) over
     // Y4M fixtures built with real scene structure: the luma level
     // steps by 96 every 3 frames, so boundaries are detectable at
@@ -4103,6 +4128,33 @@ object SparkEntry {
         |SELECT doc_id, width, height, channels, sum(v)::BIGINT AS px_sum,
         |  min(v)::INT AS px_min, max(v)::INT AS px_max
         |FROM px GROUP BY doc_id, width, height, channels""".stripMargin,
+
+    // audio-segmentation ground truth: exact dyadic frame energies from
+    // the silence-masked sample formula, then the same flip/cumsum
+    // segment numbering in SQL
+    "mm_audio_segments" ->
+      """WITH b AS (SELECT doc_id, ((doc_id % 2) + 1)::INT AS ch,
+        |  (((n_chars % 400) + 200) * ((doc_id % 2) + 1))::INT AS n
+        |  FROM documents),
+        |g AS (SELECT doc_id, n,
+        |  unnest(generate_series(0, n - 1)) AS i FROM b),
+        |s AS (SELECT doc_id, i // 256 AS fi,
+        |  CASE WHEN (i // 512) % 3 = 0 THEN 0
+        |    ELSE (doc_id * 131 + i * 17) % 65536 - 32768 END AS v FROM g),
+        |e AS (SELECT doc_id, fi::INT AS frame_index,
+        |  sum((v / 32768.0) * (v / 32768.0)) / count(*) AS energy
+        |  FROM s GROUP BY doc_id, fi),
+        |a AS (SELECT doc_id, frame_index, energy,
+        |  energy > 0.1 AS is_active FROM e),
+        |f AS (SELECT doc_id, frame_index, energy, is_active,
+        |  CASE WHEN lag(is_active) OVER w IS NULL
+        |    OR lag(is_active) OVER w <> is_active THEN 1 ELSE 0 END AS flip
+        |  FROM a WINDOW w AS (PARTITION BY doc_id ORDER BY frame_index))
+        |SELECT doc_id, frame_index, energy, is_active,
+        |  sum(flip) OVER (PARTITION BY doc_id ORDER BY frame_index
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS segment_id
+        |FROM f""".stripMargin,
 
     // scene-change ground truth: Y-plane means from the stepped-level
     // formula, then the same lag-window delta + threshold in SQL

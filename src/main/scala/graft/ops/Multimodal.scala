@@ -801,6 +801,46 @@ object Multimodal {
         col("delta").isNull || abs(col("delta")) > threshold)
   }
 
+  /** Energy-based audio activity segmentation over a WAV column — the
+    * silence-detection first pass an audio-curation pipeline runs before
+    * transcription or sampling. One narrow decode UDF emits per-frame
+    * mean-square energy (frames of `frameSamples` consecutive samples of
+    * the raw interleaved stream; the last frame may be partial and is
+    * normalized by its true length); a per-file lag window marks
+    * active/silent flips and numbers the alternating segments (1-based).
+    * All energies are exact dyadic rationals for int16 PCM (s²/2³⁰ sums
+    * stay under 2⁵³), so the arithmetic is order-independent and
+    * bit-replayable. Non-WAV payloads yield no rows. */
+  def audioSegments(df: DataFrame, binCol: String, energyThreshold: Double,
+      frameSamples: Int = 256, idCol: String = "doc_id"): DataFrame = {
+    require(frameSamples > 0, "audioSegments: frameSamples must be positive")
+    require(energyThreshold >= 0, "audioSegments: negative threshold")
+    val u = udf((b: Array[Byte]) => decodeWav(b).map { p =>
+      val n = p.samples.length
+      val nf = (n + frameSamples - 1) / frameSamples
+      (0 until nf).map { fi =>
+        val from = fi * frameSamples
+        val to = math.min(from + frameSamples, n)
+        var e = 0.0
+        var i = from
+        while (i < to) { val v = p.samples(i); e += v * v; i += 1 }
+        (fi, e / (to - from))
+      }.toArray
+    }.getOrElse(Array.empty[(Int, Double)]))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("frame_index"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__fr", explode(u(col(binCol))))
+      .select(col(idCol), col("__fr._1").as("frame_index"),
+        col("__fr._2").as("energy"))
+      .withColumn("is_active", col("energy") > energyThreshold)
+      .withColumn("__flip",
+        when(lag(col("is_active"), 1).over(w).isNull ||
+          lag(col("is_active"), 1).over(w) =!= col("is_active"), 1L)
+          .otherwise(0L))
+      .withColumn("segment_id", sum(col("__flip")).over(run))
+      .drop("__flip")
+  }
+
   /** Multimodal curation-funnel stage: decode-classify a binary payload
     * with the REAL decoders (PNG → JPEG → WAV, then opaque), compute
     * integer quality stats from the decoded values, and apply keep
