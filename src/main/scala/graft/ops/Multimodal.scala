@@ -773,32 +773,36 @@ object Multimodal {
   /** Scene-change detection over a Y4M video column — the frame-level
     * segmentation step a video-curation pipeline runs before sampling
     * (cut detection by luma-mean delta, the classic first-pass
-    * heuristic). One narrow decode UDF emits (frame_index, y_mean) per
-    * frame; a lag window per video marks frames whose mean-luma jump
-    * exceeds `threshold` (the first frame always opens a scene). The
-    * only exchange is the per-video window partition — and frames of
-    * one video land in one partition, so the window never crosses
-    * videos. Non-Y4M payloads yield no rows, like [[extractFrames]]. */
+    * heuristic). ZERO-shuffle: all frames of a video come from ONE input
+    * row, so the delta/flag sequence is computed inside the decode UDF's
+    * sequential frame walk and exploded ready-made — a lag window per
+    * video would re-exchange data that is already co-located by
+    * construction. Stateless per row, so the same column works under
+    * Structured Streaming unchanged. The first frame always opens a
+    * scene (null delta). Non-Y4M payloads yield no rows, like
+    * [[extractFrames]]. */
   def sceneChanges(df: DataFrame, binCol: String, threshold: Double,
       idCol: String = "doc_id"): DataFrame = {
     require(threshold > 0, "sceneChanges: threshold must be positive")
     val u = udf((b: Array[Byte]) => decodeY4m(b).map { v =>
       val ySize = v.width * v.height
+      var prev = 0.0
       v.frames.indices.map { fi =>
         val f = v.frames(fi)
         var s = 0L
         var i = 0
         while (i < ySize) { s += f(i) & 0xff; i += 1 }
-        (fi, s.toDouble / ySize)
+        val mean = s.toDouble / ySize
+        val delta: java.lang.Double =
+          if (fi == 0) null else java.lang.Double.valueOf(mean - prev)
+        prev = mean
+        (fi, mean, delta, fi == 0 || math.abs(delta) > threshold)
       }.toArray
-    }.getOrElse(Array.empty[(Int, Double)]))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("frame_index"))
+    }.getOrElse(Array.empty[(Int, Double, java.lang.Double, Boolean)]))
     df.withColumn("__fr", explode(u(col(binCol))))
       .select(col(idCol), col("__fr._1").as("frame_index"),
-        col("__fr._2").as("y_mean"))
-      .withColumn("delta", col("y_mean") - lag(col("y_mean"), 1).over(w))
-      .withColumn("is_scene_change",
-        col("delta").isNull || abs(col("delta")) > threshold)
+        col("__fr._2").as("y_mean"), col("__fr._3").as("delta"),
+        col("__fr._4").as("is_scene_change"))
   }
 
   /** Energy-based audio activity segmentation over a WAV column — the
@@ -815,30 +819,32 @@ object Multimodal {
       frameSamples: Int = 256, idCol: String = "doc_id"): DataFrame = {
     require(frameSamples > 0, "audioSegments: frameSamples must be positive")
     require(energyThreshold >= 0, "audioSegments: negative threshold")
+    // ZERO-shuffle, like sceneChanges: every frame of a file comes from
+    // ONE input row, so the flip/segment numbering is a sequential fold
+    // inside the decode UDF — no window exchange over already-co-located
+    // frames; stateless per row and therefore streaming-safe as-is
     val u = udf((b: Array[Byte]) => decodeWav(b).map { p =>
       val n = p.samples.length
       val nf = (n + frameSamples - 1) / frameSamples
+      var seg = 0L
+      var prevActive = false
       (0 until nf).map { fi =>
         val from = fi * frameSamples
         val to = math.min(from + frameSamples, n)
         var e = 0.0
         var i = from
         while (i < to) { val v = p.samples(i); e += v * v; i += 1 }
-        (fi, e / (to - from))
+        val energy = e / (to - from)
+        val active = energy > energyThreshold
+        if (fi == 0 || active != prevActive) seg += 1
+        prevActive = active
+        (fi, energy, active, seg)
       }.toArray
-    }.getOrElse(Array.empty[(Int, Double)]))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("frame_index"))
-    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    }.getOrElse(Array.empty[(Int, Double, Boolean, Long)]))
     df.withColumn("__fr", explode(u(col(binCol))))
       .select(col(idCol), col("__fr._1").as("frame_index"),
-        col("__fr._2").as("energy"))
-      .withColumn("is_active", col("energy") > energyThreshold)
-      .withColumn("__flip",
-        when(lag(col("is_active"), 1).over(w).isNull ||
-          lag(col("is_active"), 1).over(w) =!= col("is_active"), 1L)
-          .otherwise(0L))
-      .withColumn("segment_id", sum(col("__flip")).over(run))
-      .drop("__flip")
+        col("__fr._2").as("energy"), col("__fr._3").as("is_active"),
+        col("__fr._4").as("segment_id"))
   }
 
   /** Multimodal curation-funnel stage: decode-classify a binary payload
