@@ -210,7 +210,13 @@ object Bench {
       "media_pixels" -> (() => mat(
         SparkEntry.queries("mm_pixel_features")(spark, sfDir))),
       "media_jpeg" -> (() => mat(
-        SparkEntry.queries("mm_jpeg_features")(spark, sfDir))))
+        SparkEntry.queries("mm_jpeg_features")(spark, sfDir))),
+      "media_resize" -> (() => mat(
+        SparkEntry.queries("mm_resize")(spark, sfDir))),
+      "media_scenes" -> (() => mat(
+        SparkEntry.queries("mm_scene_changes")(spark, sfDir))),
+      "media_audio_seg" -> (() => mat(
+        SparkEntry.queries("mm_audio_segments")(spark, sfDir))))
 
     // round-9 temporal-join tier — own field (total_temporal). Times the
     // one-exchange window as-of join, the bucketed equi range join, and
