@@ -328,6 +328,18 @@ object SparkEntry {
           length(col("norm_text")).cast("long").as("norm_len"))
     }),
 
+    // GPT-2-style pre-tokenization (the stage before BPE merges):
+    // count + fingerprint of the full token stream pins both the
+    // pattern semantics and the token ORDER across engines
+    "doc_pretokenize" -> ((s, dir) => {
+      val toks = col("pre_tokens")
+      TextOps.preTokenize(IO.documents(s, dir))
+        .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+          graft.plans.Fnv64(array_join(toks, "\u0001")).as("tok_fp"),
+          coalesce(array_max(transform(toks, t => length(t))), lit(0))
+            .cast("long").as("max_tok_len"))
+    }),
+
     // HTML → plain text (C4/RefinedWeb entry stage) over a
     // deterministically-marked-up corpus: script/style/comment removal,
     // block tags → newlines, entity decode, whitespace normalization
@@ -4443,6 +4455,20 @@ object SparkEntry {
          |    '^\\n+|\\n+$$', '', 'g')) AS norm_text FROM messy)
          |SELECT doc_id, norm_text, length(text)::BIGINT AS raw_len,
          |  length(norm_text)::BIGINT AS norm_len FROM n""".stripMargin,
+
+    // pre-tokenization ground truth: the same lookahead-free gpt2
+    // pattern in RE2, the chr(1)-joined stream FNV-fingerprinted (the
+    // separator pins token BOUNDARIES — separator-less concatenation
+    // would just reconstruct the text)
+    "doc_pretokenize" ->
+      s"""WITH t AS (SELECT doc_id, regexp_extract_all(text,
+         |  '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')
+         |  AS toks FROM documents)
+         |SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |  ${fnvSql("array_to_string(toks, chr(1))")} AS tok_fp,
+         |  coalesce(list_max(list_transform(toks, x -> len(x))), 0)::BIGINT
+         |    AS max_tok_len
+         |FROM t""".stripMargin,
 
     // HTML extraction: the same regex/replace chain over the same
     // deterministically-marked-up corpus (htmlDocsSql twin). The regex

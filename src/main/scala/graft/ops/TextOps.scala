@@ -22,6 +22,29 @@ object TextOps {
     size(filter(split(text, "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"),
       t => length(t) > 0 && t =!= " "))
 
+  /** GPT-2-style pre-tokenizer pattern, LOOKAHEAD-FREE variant: the
+    * published gpt2 regex minus its `\s+(?!\S)` trailing-whitespace
+    * lookahead (RE2 — the oracle engine — has no lookarounds; the only
+    * behavioral difference: a run of n ≥ 2 whitespace chars before a
+    * token splits as (run of n, 'tok') where gpt2 yields
+    * (run of n−1, ' tok') — single spaces still attach to the following
+    * token, the dominant case). Alternation order is the published one:
+    * contractions, space-prefixed letter runs, space-prefixed digit
+    * runs, space-prefixed punctuation runs, whitespace runs. Both Java
+    * regex and RE2 honor leftmost alternation preference, so the token
+    * stream is engine-portable. */
+  val PreTokenPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Pre-tokenize `textCol` into the GPT-2-ish token pieces (the stage
+    * before BPE merges in a real tokenizer pipeline): one narrow
+    * `regexp_extract_all`, tokens in document order, empty text → empty
+    * array. Use [[Bpe]] on top for corpus-trained merges. */
+  def preTokenize(df: DataFrame, textCol: String = "text",
+      outCol: String = "pre_tokens"): DataFrame =
+    df.withColumn(outCol,
+      regexp_extract_all(col(textCol), lit(PreTokenPattern), lit(0)))
+
   /** Character-class ratio helpers. */
   def ratio(matchedLen: Column, total: Column): Column =
     when(total > 0, matchedLen.cast("double") / total.cast("double")).otherwise(0.0)
