@@ -183,6 +183,32 @@ object PlanAudit {
       Layout.zorderBy(ev.withColumn("hr",
           expr("(unix_micros(cast(ts as timestamp)) div 3600000000) % 4096")),
         Seq("user_id", "hr"), numFiles = 4, bits = 12))
+    // round-9 segmentation ops: the lag/segment fold lives INSIDE the
+    // decode UDF (frames of one file come from one row) — these plans
+    // must stay zero-exchange narrow maps, never a per-file window
+    audit("scene changes (expect ZERO exchanges: fold inside the decode walk)", {
+      val mkVid = udf { (id: Long) =>
+        Multimodal.y4mEncode(8, 6, "C420", (0 until 4).map(f =>
+          Array.tabulate(72)(i => ((id * 7 + f * 50 + i) % 256).toByte)))
+      }
+      Multimodal.sceneChanges(
+        IO.documents(spark, dir).filter(col("doc_id") < 50)
+          .withColumn("video", mkVid(col("doc_id"))), "video", 30.0)
+    })
+    audit("audio segments (expect ZERO exchanges: fold inside the decode walk)", {
+      val mkWav = udf { (id: Long) =>
+        Multimodal.wavEncodePcm16(16000, 1,
+          Array.tabulate(600)(i => if ((i / 256) % 2 == 0) 0 else 12000))
+      }
+      Multimodal.audioSegments(
+        IO.documents(spark, dir).filter(col("doc_id") < 50)
+          .withColumn("audio", mkWav(col("doc_id"))), "audio", 0.05)
+    })
+    audit("pretokenize (expect scan-only: 0 exchanges, regex project)",
+      TextOps.preTokenize(IO.documents(spark, dir))
+        .select(col("doc_id"), size(col("pre_tokens")).as("n")))
+    audit("html strip (expect scan-only: 0 exchanges, regex project)",
+      TextOps.htmlStrip(IO.documents(spark, dir)).select("doc_id", "text"))
 
     spark.stop()
     if (failures.nonEmpty) {
