@@ -4117,13 +4117,15 @@ object SparkEntry {
         |SELECT fold, split, count(*) AS n_rows FROM marked
         |WHERE split IS NOT NULL GROUP BY fold, split""".stripMargin,
 
+    // zero-frame payloads emit NO rows (r9 review fix: the old greatest
+    // clamp emitted a phantom frame_index-0 row for sub-frame payloads)
     "mm_frame_sample" ->
       """WITH b AS (SELECT doc_id, octet_length(text::BLOB) AS len FROM documents),
         |n AS (SELECT doc_id, (len // 100)::INT AS nf FROM b)
         |SELECT doc_id,
-        |  unnest(generate_series(0, greatest(nf - 1, 0), 2)) AS frame_index,
-        |  unnest(generate_series(0, greatest(nf - 1, 0), 2)) * 100 AS byte_offset
-        |FROM n""".stripMargin,
+        |  unnest(generate_series(0, nf - 1, 2)) AS frame_index,
+        |  unnest(generate_series(0, nf - 1, 2)) * 100 AS byte_offset
+        |FROM n WHERE nf > 0""".stripMargin,
 
     // real-PNG roundtrip ground truth: the raster-generation arithmetic
     // only — the Spark side must reconstruct it through genuine PNG

@@ -177,9 +177,21 @@ object Hnsw {
       p: Params = Params()): Index = {
     require(ids.length == rawVecs.length)
     val n = ids.length
+    // ragged embedding lengths (a common upstream data bug) would make
+    // dist() silently truncate to the shared prefix and return bogus
+    // neighbors the recall audit can't see per-pair — fail loudly here
+    if (n > 0) {
+      val d0 = rawVecs(0).length
+      var i = 1
+      while (i < n) {
+        require(rawVecs(i).length == d0,
+          s"hnsw: vector for id ${ids(i)} has dim ${rawVecs(i).length}, " +
+            s"corpus dim is $d0")
+        i += 1
+      }
+    }
     val vecs = rawVecs.map(normalize)
     val levels = Array.tabulate(n)(i => levelOf(ids(i), p))
-    val maxLevelOverall = if (n == 0) 0 else levels.max
     val neigh = Array.tabulate(n)(i =>
       Array.fill(levels(i) + 1)(Array.emptyIntArray))
     var entry = -1
@@ -214,10 +226,10 @@ object Hnsw {
         // greedy descent through layers above the node's level
         var lc = entryLevel
         while (lc > l) {
-          if (lc <= entryLevel) {
-            val r = searchLayer(vecs, neigh, math.min(lc, entryLevel), vecs(i), Seq(ep), 1)
-            if (r.nonEmpty) ep = r(0)._2
-          }
+          // lc starts at entryLevel and only decreases, so it is always
+          // a valid layer of the current entry point
+          val r = searchLayer(vecs, neigh, lc, vecs(i), Seq(ep), 1)
+          if (r.nonEmpty) ep = r(0)._2
           lc -= 1
         }
         // insert at each layer from min(l, entryLevel) down to 0

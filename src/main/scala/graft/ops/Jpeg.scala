@@ -229,7 +229,10 @@ object Jpeg {
 
   /** Magnitude category of a value (T.81 F.1.2.1.1). */
   private def category(v: Int): Int = {
-    var a = math.abs(v); var n = 0
+    // Long abs: math.abs(Int.MinValue) stays negative and would make
+    // the shift loop spin forever (unreachable after the range require
+    // in encodeFromCoeffs, but kept total on principle)
+    var a = math.abs(v.toLong); var n = 0
     while (a != 0) { a >>= 1; n += 1 }
     n
   }
@@ -636,6 +639,22 @@ object Jpeg {
       val need = (mcusX * sampling(ci)._1) * (mcusY * sampling(ci)._2)
       require(coeffs(ci).length == need,
         s"component $ci: ${coeffs(ci).length} blocks, want $need")
+    }
+    // T.81 8-bit-precision range: quantized coefficients live in
+    // [-1023, 1023] (AC categories <= 10, DC-diff categories <= 11 —
+    // exactly the Annex K table domains). An out-of-range value would
+    // index a MISSING Huffman symbol (lenOf = 0) and emit a silently
+    // undecodable stream, so the contract is enforced loudly here.
+    coeffs.zipWithIndex.foreach { case (blocks, ci) =>
+      blocks.foreach { blk =>
+        var i = 0
+        while (i < blk.length) {
+          require(blk(i) >= -1023 && blk(i) <= 1023,
+            s"component $ci: coefficient ${blk(i)} outside the T.81 " +
+              "8-bit range [-1023, 1023]")
+          i += 1
+        }
+      }
     }
     val out = new java.io.ByteArrayOutputStream(1024)
     def wByte(v: Int): Unit = out.write(v & 0xff)

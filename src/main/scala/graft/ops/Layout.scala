@@ -49,15 +49,15 @@ object Layout {
     * be log-transformed first. */
   def zorderRank(df: DataFrame, c: String, buckets: Int = 1 << 16): DataFrame = {
     require(buckets >= 2, "zorderRank: buckets must be >= 2")
-    val mm = df.agg(min(col(c)).cast("double").as("lo"),
-      max(col(c)).cast("double").as("hi"))
+    val mm = df.agg(min(col(c)).cast("double").as("__zlo"),
+      max(col(c)).cast("double").as("__zhi"))
     df.crossJoin(broadcast(mm))
       .withColumn(s"${c}_zrank",
-        when(col("hi") === col("lo"), lit(0L)).otherwise(
+        when(col("__zhi") === col("__zlo"), lit(0L)).otherwise(
           least(lit(buckets - 1L),
-            floor((col(c).cast("double") - col("lo")) /
-              ((col("hi") - col("lo")) / buckets)).cast("long"))))
-      .drop("lo", "hi")
+            floor((col(c).cast("double") - col("__zlo")) /
+              ((col("__zhi") - col("__zlo")) / buckets)).cast("long"))))
+      .drop("__zlo", "__zhi")
   }
 
   /** Cluster `df` into `numFiles` range partitions of the Morton key and

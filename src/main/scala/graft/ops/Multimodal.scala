@@ -200,7 +200,9 @@ object Multimodal {
     var sawIhdr = false; var sawIend = false
     while (off + 8 <= bytes.length && !sawIend) {
       val len = be32(bytes, off)
-      if (len < 0 || off + 12 + len > bytes.length) return None
+      // Long arithmetic: a hostile len near 2^31 would wrap `off+12+len`
+      // negative and slip past an Int comparison into an AIOOBE
+      if (len < 0 || off.toLong + 12L + len > bytes.length) return None
       val tag = new String(bytes, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
       tag match {
         case "IHDR" =>
@@ -239,7 +241,10 @@ object Multimodal {
       var filled = 0
       while (filled < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, filled, raw.length - filled)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // truncated stream, or a preset-dictionary (FDICT) request we
+        // never serve — without the needsDictionary check a crafted
+        // zlib header would spin this loop forever
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
         filled += n
       }
       if (filled < raw.length) return None
@@ -288,6 +293,8 @@ object Multimodal {
     require(channels >= 1 && channels <= 4, s"bad channels $channels")
     require(pixels.length == w * h * channels,
       s"pixels ${pixels.length} != ${w * h * channels}")
+    // 0 would emit empty IDATs forever (p never advances); negative throws
+    require(idatChunkLen > 0, s"bad idatChunkLen $idatChunkLen")
     require(filterMode >= -1 && filterMode <= 4)
     val colorType = channels match { case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6 }
     val bpp = channels
@@ -387,7 +394,9 @@ object Multimodal {
     while (off + 8 <= bytes.length && samples == null) {
       val tag = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val len = le32(bytes, off + 4)
-      if (len < 0 || off + 8 + len > bytes.length) return None
+      // Long arithmetic: a near-2^31 chunk length would wrap the Int sum
+      // negative, pass this guard, and drive a multi-GB allocation/AIOOBE
+      if (len < 0 || off.toLong + 8L + len > bytes.length) return None
       tag match {
         case "fmt " =>
           if (len < 16) return None
@@ -901,10 +910,14 @@ object Multimodal {
   def sampleFrames(df: DataFrame, binCol: String, frameSize: Int,
       stride: Int): DataFrame = {
     require(frameSize > 0 && stride > 0)
+    // sequence() needs stop >= start, so a zero-frame payload must be
+    // filtered BEFORE the explode — clamping the stop to 0 instead would
+    // emit a phantom frame_index-0 row pointing past the payload end
     df.withColumn("__nframes",
         (length(col(binCol)) / frameSize).cast("int"))
+      .filter(col("__nframes") > 0)
       .withColumn("frame_index",
-        explode(sequence(lit(0), greatest(col("__nframes") - 1, lit(0)), lit(stride))))
+        explode(sequence(lit(0), col("__nframes") - 1, lit(stride))))
       .withColumn("byte_offset", col("frame_index").cast("long") * frameSize)
       .drop("__nframes")
   }

@@ -195,6 +195,10 @@ object TemporalJoins {
     val eTu = micros(rRenamed, rName(endCol))
     val rBuck = rRenamed
       .withColumn("__stu", sTu).withColumn("__etu", eTu)
+      // null-bound intervals are ignored, matching asofJoin's null-time
+      // contract — without this filter the assert_true valve fires on a
+      // null __nb and one dirty row aborts the whole job
+      .filter(col("__stu").isNotNull && col("__etu").isNotNull)
       .withColumn("__sb", bucketOf(col("__stu")))
       .withColumn("__eb", bucketOf(col("__etu")))
       .withColumn("__nb", col("__eb") - col("__sb") + lit(1L))
@@ -240,6 +244,9 @@ object TemporalJoins {
     def explodeBuckets(df: DataFrame, sTu: Column, eTu: Column,
                        pfx: String): DataFrame =
       df.withColumn(s"${pfx}stu", sTu).withColumn(s"${pfx}etu", eTu)
+        // null-bound intervals ignored (asofJoin's null-time contract);
+        // a null would otherwise abort the job via the assert_true valve
+        .filter(col(s"${pfx}stu").isNotNull && col(s"${pfx}etu").isNotNull)
         .withColumn(s"${pfx}sb", bucketOf(col(s"${pfx}stu")))
         .withColumn(s"${pfx}eb", bucketOf(col(s"${pfx}etu")))
         .withColumn(s"${pfx}nb", col(s"${pfx}eb") - col(s"${pfx}sb") + lit(1L))

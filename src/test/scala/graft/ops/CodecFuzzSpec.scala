@@ -42,6 +42,38 @@ class CodecFuzzSpec extends AnyFunSuite {
       decodeAll(m ++ randomBytes(64 + i, 5000L + i))
   }
 
+  test("near-2^31 chunk lengths and FDICT streams return None, not crash") {
+    // r9 review regressions: Int-overflow in the chunk-length guards and
+    // an unserved zlib preset-dictionary request (infinite inflate loop)
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    def be(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    // PNG chunk claiming len=0x7ffffff0: off+12+len wraps negative on Int
+    val hugeChunk = pngSig ++ be(0x7ffffff0) ++ "IHDR".getBytes ++
+      randomBytes(40, 7L)
+    assert(Multimodal.decodePng(hugeChunk).isEmpty)
+    // WAV data chunk claiming ~2^31 bytes
+    def le(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte,
+      (v >> 24).toByte)
+    val fmt = "fmt ".getBytes ++ le(16) ++
+      Array[Byte](1, 0, 1, 0) ++ le(16000) ++ le(32000) ++
+      Array[Byte](2, 0, 16, 0)
+    val hugeWav = "RIFF".getBytes ++ le(100) ++ "WAVE".getBytes ++ fmt ++
+      "data".getBytes ++ le(0x7ffffff0) ++ randomBytes(64, 8L)
+    assert(Multimodal.decodeWav(hugeWav).isEmpty)
+    // valid PNG container but IDAT zlib header sets FDICT (0x78 0xf9 +
+    // 4 dict-id bytes): must return None promptly, not loop forever
+    val good = Multimodal.pngEncode(4, 4, 1, randomBytes(16, 9L))
+    val fdictIdat = Array[Byte](0x78.toByte, 0xf9.toByte) ++
+      randomBytes(16, 10L)
+    val forged = Multimodal.pngContainer(4, 4, 0, fdictIdat)
+    val t0 = System.nanoTime()
+    assert(Multimodal.decodePng(forged).isEmpty)
+    assert((System.nanoTime() - t0) / 1e9 < 5.0, "FDICT hang")
+    assert(Multimodal.decodePng(good).isDefined) // sanity: real one still ok
+  }
+
   test("forged huge-dimension headers are rejected, not allocated") {
     // PNG IHDR claiming 65535 x 65535 RGBA
     val hugePng = Multimodal.pngContainer(65535, 65535, 6, randomBytes(32, 1L))
