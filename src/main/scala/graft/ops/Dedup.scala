@@ -311,6 +311,13 @@ object Dedup {
       shingleN: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.7, maxBucketSize: Option[Int] = Some(10000)): DataFrame = {
     val k = bands * rowsPerBand
+    // cache lifetime note: the signatures feed the banding pass AND two
+    // verification joins inside the RETURNED lazy plan, so this cache
+    // cannot be unpersisted here (the caller hasn't run the plan yet).
+    // Blocks stay until session end or LRU eviction — recoverable
+    // storage, recomputed if evicted. Pipelines that run many dedup
+    // passes in one session should persist signatures explicitly via
+    // [[minhashSignatures]] instead (the incremental-state pattern).
     val sigs = df
       .select(col(idCol).as("__id"),
         minhashSigFromText(col(textCol), shingleN, k).as("__sig"))
@@ -458,6 +465,12 @@ object Dedup {
     * `bit_count(xor)` verification. Signatures shuffle, documents don't.
     * Larger `maxHamming` → narrower chunks → denser candidate buckets:
     * keep it ≤ ~7 at corpus scale (the default 3 gives 16-bit chunks). */
+  /** All-ones mask of the low `w` bits. `(1L << 64) - 1` is NOT it —
+    * JVM shifts mask the count mod 64, so w = 64 (the maxHamming = 0
+    * single-chunk case) would produce 0 and collapse every document
+    * into one bucket (an O(N^2) self-join at corpus scale). */
+  private def chunkMask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1L
+
   def simhashPairs(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
@@ -472,7 +485,7 @@ object Dedup {
     val banded = sigs.select(col("__id"), col("simhash"),
       posexplode(array((0 until nChunks).map(c =>
         shiftrightunsigned(col("simhash"), offsets(c))
-          .bitwiseAND(lit((1L << widths(c)) - 1L))): _*))
+          .bitwiseAND(lit(chunkMask(widths(c))))): _*))
         .as(Seq("__chunk", "__cv")))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.__chunk") === col("b.__chunk") &&
@@ -510,7 +523,7 @@ object Dedup {
       .select(col("__id"), col("simhash"), col("__isnew"),
         posexplode(array((0 until nChunks).map(c =>
           shiftrightunsigned(col("simhash"), offsets(c))
-            .bitwiseAND(lit((1L << widths(c)) - 1L))): _*))
+            .bitwiseAND(lit(chunkMask(widths(c))))): _*))
           .as(Seq("__chunk", "__cv")))
     // a-side = new only; (n,o) pairs have one orientation, (n,n') pairs
     // are ordered — so distinct over the normalized ids is pair-unique
@@ -566,8 +579,22 @@ object Dedup {
     * fixpoint (min id reachable) is unique regardless of join order, so
     * the result is exactly reproducible — the oracle replays it as a
     * transitive-closure recursive CTE. */
+  private def integralIdType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
+  }
+
   def duplicateGroups(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    // ids must be integral: a permissive cast("long") would turn string
+    // ids into nulls and SILENTLY collapse every group into one
+    // meaningless (null, null) row — fail at plan time instead
+    Seq(idA, idB).foreach { c =>
+      val dt = pairs.schema(c).dataType
+      require(integralIdType(dt),
+        s"duplicateGroups: $c must be an integral id column, got $dt — " +
+          "fingerprint non-numeric ids (e.g. TextOps.fnvHash) first")
+    }
     val edges = pairs.select(col(idA).cast("long").as("src"),
       col(idB).cast("long").as("dst"))
     val und = edges.unionByName(
@@ -624,6 +651,13 @@ object Dedup {
   def duplicateGroupsIncremental(newPairs: DataFrame, existingGroups: DataFrame,
       idA: String = "id_a", idB: String = "id_b",
       maxIter: Int = 20): (DataFrame, DataFrame) = {
+    // same integral-id contract as duplicateGroups (a permissive cast
+    // would null out string ids and corrupt the contraction silently)
+    Seq(newPairs.schema(idA).dataType, newPairs.schema(idB).dataType,
+      existingGroups.schema("doc_id").dataType,
+      existingGroups.schema("group_id").dataType).foreach(dt =>
+      require(integralIdType(dt),
+        s"duplicateGroupsIncremental: integral id columns required, got $dt"))
     val eg = existingGroups.select(col("doc_id").cast("long").as("doc_id"),
       col("group_id").cast("long").as("group_id"))
     val contracted = newPairs

@@ -42,7 +42,14 @@ object Features {
     * recursion seeded at `y_0`. Variance is the biased weighted second
     * moment, clamped at 0. One grouped shuffle; the fold is sequential
     * per series — the contract every per-series kernel in this engine
-    * shares. Output adds `<target>_ewm_mean`, `<target>_ewm_var`. */
+    * shares.
+    *
+    * Output is the NARROW frame `(id, time, <target>_ewm_mean,
+    * <target>_ewm_var)` — unlike the window-based siblings (lag/rolling),
+    * the grouped fold does not carry covariate columns; join back on
+    * `(id, time)` to attach them. (Appending in place would need the
+    * tie-break columns threaded through the grouped explode — not worth
+    * a schema break while the oracle pins this shape.) */
   def ewmFeatures(df: DataFrame, alpha: Double, adjust: Boolean = true)(
       implicit pc: PanelCols): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"ewm alpha must be in (0,1], got $alpha")
@@ -255,7 +262,11 @@ object Features {
       distance: Boolean = false)(implicit pc: PanelCols): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val h = holidays.map(_.toString).toDF("__hdate").withColumn("__is_h", lit(1))
+    // distinct: a date present twice (e.g. two merged calendars) would
+    // fan out every panel row on it through the join, silently
+    // duplicating rows in all downstream aggregates
+    val h = holidays.map(_.toString).distinct
+      .toDF("__hdate").withColumn("__is_h", lit(1))
     val base = df.withColumn("__hdate", date_format(pc.timeCol, "yyyy-MM-dd"))
       .join(broadcast(h), Seq("__hdate"), "left")
       .withColumn("is_holiday", coalesce(col("__is_h"), lit(0)).cast("tinyint"))

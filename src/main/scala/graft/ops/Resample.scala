@@ -68,6 +68,7 @@ object Resample {
     * linear interpolation. Pure SQL: sequence() scaffold + join + Impute. */
   def upsample(df: DataFrame, stepUs: Long, fill: String = "forward_fill")(
       implicit pc: PanelCols): DataFrame = {
+    require(stepUs > 0, s"upsample: stepUs must be positive, got $stepUs")
     val grid = df.groupBy(pc.idCol)
       .agg(unix_micros(min(pc.timeCol)).as("__lo"), unix_micros(max(pc.timeCol)).as("__hi"))
       .select(pc.idCol,

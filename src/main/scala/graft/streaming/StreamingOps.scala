@@ -260,7 +260,13 @@ object StreamingOps {
     require(lags.nonEmpty && lags.forall(_ > 0), "lags must be positive")
     import input.sparkSession.implicits._
     val maxLag = lags.max
-    val keep = math.max(windowSize, maxLag + 1)
+    // per-key state only ever reads the last maxLag values — the old
+    // max(windowSize, maxLag+1) inflated every key's state store
+    // ~windowSize/maxLag-fold (100 doubles for lags=1,2) for data
+    // nothing consumes; windowSize is kept for signature compatibility
+    // but no longer drives state size
+    val _ = windowSize
+    val keep = maxLag
     input.groupByKey(_.uniqueId)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (id: String, rows: Iterator[Obs], state: GroupState[WindowState]) => {
@@ -332,7 +338,13 @@ object StreamingOps {
         row
       }.iterator
     }
-    val gramRow = feats.toDF().agg(gramColumns(p).head, gramColumns(p).tail: _*).head()
+    val cols = gramColumns(p)
+    val gramRow = feats.toDF().agg(cols.head, cols.tail: _*).head()
+    // no series long enough for a single feature row → the sums are all
+    // null; fail with the actual problem, not a getDouble NPE
+    require(!gramRow.isNullAt(0),
+      s"globalRidgeBatch: no training rows — every series is shorter " +
+        s"than max(lags) = ${lags.max}")
     solveRidgeFromGram(gramRow, p)
   }
 
@@ -486,7 +498,9 @@ object StreamingOps {
     l.join(r,
       col(s"l.$key") === col(s"r.$key") &&
         col("r.ts") >= col("l.ts") &&
-        col("r.ts") < col("l.ts") + expr(s"INTERVAL ${windowUs / 1000000} SECONDS"))
+        // MICROSECOND interval: dividing down to whole seconds truncated
+        // sub-second windows to zero (always-false join) and 1.5s to 1s
+        col("r.ts") < col("l.ts") + expr(s"INTERVAL $windowUs MICROSECOND"))
   }
 
   /** Tagged observation for [[streamingAsofEnrich]]: `isRight` marks the
