@@ -4381,10 +4381,13 @@ object SparkEntry {
         |  FROM counts ORDER BY cnt DESC, tok LIMIT 500),
         |scored AS (SELECT t.doc_id,
         |    coalesce(v.logp, ln(0.5 / (SELECT total FROM tot))) AS lp
-        |  FROM toks t LEFT JOIN vocab v USING (tok))
-        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  FROM toks t LEFT JOIN vocab v USING (tok)),
+        |agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
         |  round(avg(lp) + 1e-9, 6) AS avg_logp
-        |FROM scored GROUP BY doc_id""".stripMargin,
+        |FROM scored GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+        |  a.avg_logp
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "doc_simhash" ->
       s"""WITH ${simhashOracleCtes("documents")}
@@ -4448,7 +4451,7 @@ object SparkEntry {
          |  regexp_replace(
          |  regexp_replace(
          |  regexp_replace(
-         |    replace(nfc_normalize(text), chr(13) || chr(10), chr(10)),
+         |    regexp_replace(nfc_normalize(text), '\\r\\n?', chr(10), 'g'),
          |    '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}\\x{00AD}]', '', 'g'),
          |    '[\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]', ' ', 'g'),
          |    '[\\x{0001}-\\x{0008}\\x{000B}-\\x{001F}\\x{007F}]', '', 'g'),
@@ -4993,17 +4996,22 @@ object SparkEntry {
          |FROM fr""".stripMargin
     },
 
+    // counts follow the progressive-redaction contract: each class is
+    // counted on the text its pass actually sees (r9 review fix)
     "doc_pii" ->
       s"""WITH a AS (SELECT doc_id, $synthPiiSql AS text FROM documents),
+         |s1 AS (SELECT doc_id, text,
+         |  regexp_replace(text, '${TextOps.emailRegex}', '[EMAIL]', 'g') AS r1
+         |  FROM a),
+         |s2 AS (SELECT doc_id, text, r1,
+         |  regexp_replace(r1, '${TextOps.ipv4Regex}', '[IP]', 'g') AS r2
+         |  FROM s1),
          |r AS (SELECT doc_id,
          |  len(regexp_extract_all(text, '${TextOps.emailRegex}')) AS n_emails,
-         |  len(regexp_extract_all(text, '${TextOps.ipv4Regex}')) AS n_ipv4,
-         |  len(regexp_extract_all(text, '${TextOps.phoneRegex}')) AS n_phones,
-         |  regexp_replace(regexp_replace(regexp_replace(text,
-         |    '${TextOps.emailRegex}', '[EMAIL]', 'g'),
-         |    '${TextOps.ipv4Regex}', '[IP]', 'g'),
-         |    '${TextOps.phoneRegex}', '[PHONE]', 'g') AS red
-         |  FROM a)
+         |  len(regexp_extract_all(r1, '${TextOps.ipv4Regex}')) AS n_ipv4,
+         |  len(regexp_extract_all(r2, '${TextOps.phoneRegex}')) AS n_phones,
+         |  regexp_replace(r2, '${TextOps.phoneRegex}', '[PHONE]', 'g') AS red
+         |  FROM s2)
          |SELECT doc_id, n_emails::BIGINT AS n_emails, n_ipv4::BIGINT AS n_ipv4,
          |  n_phones::BIGINT AS n_phones,
          |  (n_emails + n_ipv4 + n_phones) > 0 AS pii_flag,

@@ -121,19 +121,27 @@ object Decontam {
   def ngramOverlapBloom(train: DataFrame, bench: DataFrame, n: Int = 8,
       fpp: Double = 0.01, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    // cached: the gram table feeds three consumers (count, bloom fit,
+    // verify join) — uncached it re-tokenized the bench thrice
     val benchGrams = bench
       .select(explode(array_distinct(wordGrams(col(textCol), n))).as("gram"))
-      .distinct()
+      .distinct().cache()
     val expected = math.max(benchGrams.count(), 1L)
     val bloom = benchGrams.stat.bloomFilter("gram", expected, fpp)
     val bc = train.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((g: String) =>
       g != null && bc.value.mightContainString(g))
+    // NO broadcast hint on the verify join: the Bloom exists precisely
+    // because the bench gram STRINGS may outgrow a broadcast (10^8+
+    // grams) — a forced broadcast would OOM at exactly that scale. The
+    // Bloom prefilter shrinks the train side to survivors first; AQE
+    // broadcasts the gram table when it IS small, and shuffles the
+    // (already Bloom-thinned) survivors when it is not.
     val hits = train
       .select(col(idCol),
         explode(array_distinct(wordGrams(col(textCol), n))).as("gram"))
       .filter(mightContain(col("gram")))
-      .join(broadcast(benchGrams.select(col("gram"))), Seq("gram"))
+      .join(benchGrams.select(col("gram")), Seq("gram"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("__c"))
     train.select(col(idCol))

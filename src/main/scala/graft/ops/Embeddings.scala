@@ -251,15 +251,26 @@ object Embeddings {
   def pcaProject(df: DataFrame, model: PcaModel, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(model)
+    // the mean offset mu·c_j is constant per component — precomputed ONCE
+    // here (same accumulation order, so bit-identical results) instead of
+    // re-deriving it inside every row of a 100 TB narrow map, which
+    // doubled the projection's multiply-adds
+    val offsets = model.components.map { c =>
+      var off = 0.0
+      var i = 0
+      val n = math.min(c.length, model.mean.length)
+      while (i < n) { off += model.mean(i) * c(i); i += 1 }
+      off
+    }
+    val bc = spark.sparkContext.broadcast((model, offsets))
     val proj = udf((v: Seq[Double]) => {
-      val m = bc.value
-      m.components.map { c =>
-        var dot = 0.0; var off = 0.0
+      val (m, offs) = bc.value
+      m.components.zipWithIndex.map { case (c, j) =>
+        var dot = 0.0
         var i = 0
         val n = math.min(c.length, v.length)
-        while (i < n) { dot += v(i) * c(i); off += m.mean(i) * c(i); i += 1 }
-        dot - off
+        while (i < n) { dot += v(i) * c(i); i += 1 }
+        dot - offs(j)
       }
     })
     val k = model.components.length

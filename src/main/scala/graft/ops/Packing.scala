@@ -31,6 +31,11 @@ object Packing {
       textCol: String = "text", idCol: String = "doc_id",
       tokens: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(chunkTokens > 0 && stride > 0)
+    // stride > chunkTokens would leave token gaps AND emit a final chunk
+    // whose start_tok lies past n_tokens (start > end, negative length) —
+    // an invalid manifest row; overlap chunking means stride <= chunk
+    require(stride <= chunkTokens,
+      s"chunkPlan: stride $stride must be <= chunkTokens $chunkTokens")
     val n = tokens.getOrElse(TextOps.tokenCount(col(textCol))).cast("long")
     df.select(col(idCol), n.as("n_tokens"))
       .withColumn("chunk_id", explode(sequence(lit(0L),
@@ -87,7 +92,13 @@ object Packing {
       textCol: String = "text", idCol: String = "doc_id",
       tokens: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(seqLen > 0 && nShards > 0)
+    // ROWS frame, not the default RANGE: two rows sharing an id would be
+    // RANGE peers and BOTH get the combined end_tok — overlapping
+    // start_toks that let executePack write two tokens into the same
+    // (shard, seq, pos) slot. With ROWS a duplicated id is at worst
+    // locally wrong, never a silent cross-doc corruption.
     val w = Window.partitionBy("shard").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(idCol),
         pmod(TextOps.fnvHash(col(idCol)), lit(nShards.toLong)).as("shard"),
         tokens.getOrElse(TextOps.tokenCount(col(textCol)))

@@ -115,7 +115,12 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket id: sign-bit signature of `bits`
-    * Gaussian projections (seeded, deterministic). */
+    * Gaussian projections (seeded, deterministic). A vector whose length
+    * differs from `dim` fails LOUDLY: zip_with would pad with nulls,
+    * null the dot product, and silently send EVERY mismatched row to
+    * bucket 0 — collapsing the LSH index into one O(n²) bucket (and, on
+    * the query side, into near-zero recall). Null vectors yield a null
+    * bucket (filter upstream). */
   def hyperplaneBucket(vec: Column, dim: Int, bits: Int = 12, seed: Long = 42L): Column = {
     val planes = hyperplanes(dim, bits, seed)
     val bitCols = planes.zipWithIndex.map { case (plane, b) =>
@@ -123,7 +128,12 @@ object Similarity {
         zip_with(vec, typedLit(plane.toSeq), (x, p) => x * p), lit(0.0), _ + _)
       when(dot >= 0.0, lit(1L << b)).otherwise(0L)
     }
-    bitCols.reduce((a, c) => a.bitwiseOR(c))
+    val bucket = bitCols.reduce((a, c) => a.bitwiseOR(c))
+    when(vec.isNull, lit(null).cast("long")).otherwise(
+      when(assert_true(size(vec) === dim,
+        concat(lit(s"hyperplaneBucket: vector of dim "), size(vec),
+          lit(s" does not match the configured dim=$dim"))).isNull,
+        bucket))
   }
 
   /** IVF (inverted-file) ANN: a small sampled Lloyd k-means trains the
@@ -158,28 +168,9 @@ object Similarity {
     val spark = corpus.sparkSession
     val centers = ivfCentroids(corpus, nCells, sampleSize, seed, idCol, vecCol)
     val bc = spark.sparkContext.broadcast(centers)
-    val nearestCell = udf((v: Array[Double]) => {
-      val cs = bc.value
-      var best = 0; var bd = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        var dd = 0.0; var j = 0
-        val cv = cs(c)
-        while (j < cv.length && j < v.length) { val t = v(j) - cv(j); dd += t * t; j += 1 }
-        if (dd < bd) { bd = dd; best = c }
-        c += 1
-      }
-      best
-    })
-    val probeCells = udf((v: Array[Double]) => {
-      val cs = bc.value
-      cs.indices.map { c =>
-        var dd = 0.0; var j = 0
-        val cv = cs(c)
-        while (j < cv.length && j < v.length) { val t = v(j) - cv(j); dd += t * t; j += 1 }
-        (dd, c)
-      }.sortBy(_._1).take(nprobe).map(_._2).toArray
-    })
+    val nearestCell = udf((v: Array[Double]) => nearestCellIdx(v, bc.value))
+    val probeCells = udf((v: Array[Double]) =>
+      probeCellIds(v, bc.value, nprobe))
     val c = corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("__cv"))
       .withColumn("__cell", nearestCell(col("__cv")))
@@ -217,9 +208,13 @@ object Similarity {
       m, ksub, sampleSize, seed, idCol, "__resid")
   }
 
-  /** Argmin-cell scan shared by the IVFADC paths: squared euclidean,
-    * strict-< first-index tie-break (the ivfTopK convention). */
-  private def nearestCellIdx(v: Array[Double], cs: Array[Array[Double]]): Int = {
+  /** Argmin-cell scan shared by EVERY nearest-centroid path (ivfTopK,
+    * assignCells, topicAssign, prototypePrune, IVFADC): squared
+    * euclidean, strict-< first-index tie-break — one definition so the
+    * tie-break/metric contract the oracles replay cannot drift between
+    * call sites. Returns (cell index, squared distance). */
+  private def nearestCellWithDist(v: Array[Double],
+      cs: Array[Array[Double]]): (Int, Double) = {
     var best = 0; var bd = Double.MaxValue
     var c = 0
     while (c < cs.length) {
@@ -229,8 +224,22 @@ object Similarity {
       if (dd < bd) { bd = dd; best = c }
       c += 1
     }
-    best
+    (best, bd)
   }
+
+  private def nearestCellIdx(v: Array[Double], cs: Array[Array[Double]]): Int =
+    nearestCellWithDist(v, cs)._1
+
+  /** The `nprobe` nearest cells by squared euclidean (ivfTopK / IVFADC
+    * query fan-out) — shared for the same no-drift reason. */
+  private def probeCellIds(v: Array[Double], cs: Array[Array[Double]],
+      nprobe: Int): Array[Int] =
+    cs.indices.map { c =>
+      var dd = 0.0; var j = 0
+      val cv = cs(c)
+      while (j < cv.length && j < v.length) { val t = v(j) - cv(j); dd += t * t; j += 1 }
+      (dd, c)
+    }.sortBy(_._1).take(nprobe).map(_._2).toArray
 
   /** IVFADC top-k with exact re-ranking (Jégou et al. 2011 §V + §V-D —
     * the production trillion-row ANN shape): corpus rows carry (cell,
@@ -273,15 +282,8 @@ object Similarity {
       }
       (cell, codes)
     })
-    val probeCells = udf((v: Array[Double]) => {
-      val cs = bcC.value
-      cs.indices.map { c =>
-        var dd = 0.0; var j = 0
-        val cv = cs(c)
-        while (j < cv.length && j < v.length) { val t = v(j) - cv(j); dd += t * t; j += 1 }
-        (dd, c)
-      }.sortBy(_._1).take(nprobe).map(_._2).toArray
-    })
+    val probeCells = udf((v: Array[Double]) =>
+      probeCellIds(v, bcC.value, nprobe))
     val adc = udf((qv: Array[Double], cell: Int, codes: Array[Int]) => {
       val cc = bcC.value(cell)
       val cb = bcB.value
@@ -351,19 +353,7 @@ object Similarity {
   private def assignCells(df: DataFrame, centers: Array[Array[Double]],
       idCol: String, vecCol: String): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(centers)
-    val nearestCell = udf((v: Array[Double]) => {
-      val cs = bc.value
-      var best = 0; var bd = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        var dd = 0.0; var j = 0
-        val cv = cs(c)
-        while (j < cv.length && j < v.length) { val t = v(j) - cv(j); dd += t * t; j += 1 }
-        if (dd < bd) { bd = dd; best = c }
-        c += 1
-      }
-      best
-    })
+    val nearestCell = udf((v: Array[Double]) => nearestCellIdx(v, bc.value))
     df.select(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__v"))
       .withColumn("cell", nearestCell(col("__v")))
@@ -439,16 +429,7 @@ object Similarity {
     // strict-< scan → first index attains the min (ties break low, the
     // same convention the oracle's ordered CASE replays)
     val assign = udf((v: Array[Double]) => {
-      val cs = bc.value
-      var best = 0; var bd = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        var dd = 0.0; var j = 0
-        val cv = cs(c)
-        while (j < cv.length && j < v.length) { val t = v(j) - cv(j); dd += t * t; j += 1 }
-        if (dd < bd) { bd = dd; best = c }
-        c += 1
-      }
+      val (best, bd) = nearestCellWithDist(v, bc.value)
       (best, math.sqrt(bd))
     })
     df.withColumn("__t", assign(col(vecCol).cast("array<double>")))
@@ -493,15 +474,7 @@ object Similarity {
     // strict-< argmin scan (ties break low) + cosine to the winner, one pass
     val assign = udf((v: Array[Double]) => {
       val cs = bc.value
-      var best = 0; var bd = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        var dd = 0.0; var j = 0
-        val cv = cs(c)
-        while (j < cv.length && j < v.length) { val t = v(j) - cv(j); dd += t * t; j += 1 }
-        if (dd < bd) { bd = dd; best = c }
-        c += 1
-      }
+      val best = nearestCellIdx(v, cs)
       val cv = cs(best)
       val n = math.min(cv.length, v.length)
       var dot = 0.0; var na = 0.0; var nb = 0.0

@@ -17,10 +17,13 @@ object TextOps {
     when(length(trim(text)) === 0, 0)
       .otherwise(size(split(trim(text), "\\s+")))
 
-  /** BPE-ish subword proxy: words + digits + punctuation as separate tokens. */
+  /** BPE-ish subword proxy: words + digits + punctuation as separate
+    * tokens (see [[preTokenize]] for the full gpt2-style stream). The
+    * filter drops ALL whitespace-only pieces — the old `t =!= " "` kept
+    * newline/tab pieces, inflating multiline counts by one per line. */
   def bpeishTokenCount(text: Column): Column =
     size(filter(split(text, "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"),
-      t => length(t) > 0 && t =!= " "))
+      t => length(trim(t)) > 0))
 
   /** GPT-2-style pre-tokenizer pattern, LOOKAHEAD-FREE variant: the
     * published gpt2 regex minus its `\s+(?!\S)` trailing-whitespace
@@ -168,17 +171,27 @@ object TextOps {
         explode(split(lower(col(textCol)), "[^\\p{L}]+")).as("__tok"))
       .filter(col("__tok") =!= "")
     val counts = toks.groupBy("__tok").agg(count(lit(1)).as("__cnt"))
-    val total = counts.agg(sum("__cnt")).collect()(0).getLong(0).toDouble
+    val totalRow = counts.agg(sum("__cnt")).collect()(0)
+    // sum over zero rows is null — surface the real problem, not an NPE
+    require(!totalRow.isNullAt(0),
+      "unigramLogProb: corpus contains no letter tokens")
+    val total = totalRow.getLong(0).toDouble
     // orderBy+limit → TakeOrderedAndProject: a distributed top-K, not a
     // single-partition window over the whole type table
     val vocab = counts.orderBy(col("__cnt").desc, col("__tok"))
       .limit(vocabSize)
       .select(col("__tok"), log(col("__cnt") / total).as("__logp"))
     val oov = math.log(0.5 / total)
-    toks.join(broadcast(vocab), Seq("__tok"), "left")
+    val scored = toks.join(broadcast(vocab), Seq("__tok"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         avg(coalesce(col("__logp"), lit(oov))).as("avg_logp"))
+    // left-join back (knPerplexity's contract): a doc with zero letter
+    // tokens must still yield a row — n_tokens 0, null avg_logp — not
+    // silently vanish from a chained pipeline
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("avg_logp"))
   }
 
   /** CCNet-style LM perplexity filter, bigram Kneser-Ney edition (Wenzek
@@ -281,7 +294,10 @@ object TextOps {
       if (s == null) null
       else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
     val t0 = nfcUdf(col(textCol))
-    val t1 = regexp_replace(t0, "\\r\\n", "\n")
+    // \r\n? folds BOTH CRLF and lone CR (old-Mac endings) to \n — a
+    // lone \r previously fell through to the control strip, silently
+    // fusing the two lines it separated into one word run
+    val t1 = regexp_replace(t0, "\\r\\n?", "\n")
     // zero-width space/non-joiner/joiner, BOM, soft hyphen
     val t2 = regexp_replace(t1, "[\u200B\u200C\u200D\uFEFF\u00AD]", "")
     // NBSP, ogham space, en/em/thin/etc spaces, line/para separators,
@@ -475,15 +491,17 @@ object TextOps {
     * scans at parquet speed, no shuffle, no UDF. */
   def piiMetrics(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val redacted =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(t, emailRegex, "[EMAIL]"),
-          ipv4Regex, "[IP]"),
-        phoneRegex, "[PHONE]")
+    // counts run on the PROGRESSIVELY redacted text so each count equals
+    // the number of replacements its pass performs — counting every
+    // class on the raw text disagreed with the redaction for nested PII
+    // (the dotted quad inside "x@1.2.3.4.com" counted as an IP that the
+    // email pass had already swallowed)
+    val r1 = regexp_replace(t, emailRegex, "[EMAIL]")
+    val r2 = regexp_replace(r1, ipv4Regex, "[IP]")
+    val redacted = regexp_replace(r2, phoneRegex, "[PHONE]")
     df.withColumn("n_emails", size(regexp_extract_all(t, lit(emailRegex), lit(0))).cast("long"))
-      .withColumn("n_ipv4", size(regexp_extract_all(t, lit(ipv4Regex), lit(0))).cast("long"))
-      .withColumn("n_phones", size(regexp_extract_all(t, lit(phoneRegex), lit(0))).cast("long"))
+      .withColumn("n_ipv4", size(regexp_extract_all(r1, lit(ipv4Regex), lit(0))).cast("long"))
+      .withColumn("n_phones", size(regexp_extract_all(r2, lit(phoneRegex), lit(0))).cast("long"))
       .withColumn("pii_flag",
         col("n_emails") + col("n_ipv4") + col("n_phones") > 0)
       .withColumn("redacted_text", redacted)
