@@ -1627,6 +1627,17 @@ object SparkEntry {
         .select(col("source"), col("n_docs"), r6n(col("p")).as("p"),
           col("quota"))),
 
+    // data-constrained-scaling mix: epoch-capped token allocation with
+    // the shortfall surfaced (Muennighoff et al. 2023); budget 54000 at
+    // maxEpochs 2 makes the cap BIND for the smaller sources and not the
+    // larger — both branches exercised
+    "doc_epoch_mix" -> ((s, dir) =>
+      Sampling.epochCapMixPlan(IO.documents(s, dir), "source",
+          budgetTokens = 54000, maxEpochs = 2.0, alpha = 0.5)
+        .select(col("source"), col("tokens_available"), r6n(col("p")).as("p"),
+          col("allocated_tokens"), r6n(col("epochs")).as("epochs"),
+          r6n(col("shortfall")).as("shortfall"))),
+
     "doc_mix_sample" -> ((s, dir) =>
       Sampling.temperatureSample(IO.documents(s, dir), "source", "doc_id",
           budget = 300, alpha = 0.5)
@@ -5185,6 +5196,28 @@ object SparkEntry {
         |  round(wt / (SELECT tw FROM t) + 1e-9, 6) AS p,
         |  least(n, floor(wt / (SELECT tw FROM t) * 300 + 0.5))::BIGINT AS quota
         |FROM w""".stripMargin,
+
+    // epoch-cap ground truth: same tokenization, same sqrt-temperature
+    // weights, closed-form min(desired, maxEpochs*T) cap, shortfall as
+    // the rounded double difference of the two sums
+    "doc_epoch_mix" ->
+      """WITH tk AS (SELECT source,
+        |  sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> x <> '')))::DOUBLE AS t
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, t, pow(t, 0.5) AS wt FROM tk),
+        |tw AS (SELECT sum(wt) AS tw FROM w),
+        |pl AS (SELECT source, t, wt / (SELECT tw FROM tw) AS p,
+        |  wt / (SELECT tw FROM tw) * 54000 AS desired FROM w),
+        |al AS (SELECT source, t, p, desired,
+        |  least(desired, t * 2.0) AS alloc FROM pl),
+        |sh AS (SELECT sum(desired) - sum(alloc) AS s FROM al)
+        |SELECT source, t::BIGINT AS tokens_available,
+        |  round(p + 1e-9, 6) AS p,
+        |  floor(alloc)::BIGINT AS allocated_tokens,
+        |  round(alloc / t + 1e-9, 6) AS epochs,
+        |  round((SELECT s FROM sh) + 1e-9, 6) AS shortfall
+        |FROM al""".stripMargin,
 
     "doc_mix_sample" ->
       s"""WITH c AS (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY source),

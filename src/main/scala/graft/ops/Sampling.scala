@@ -67,6 +67,50 @@ object Sampling {
         least(col("__n"), floor(col("p") * budget + 0.5)).cast("long").as("quota"))
   }
 
+  /** Epoch-capped token allocation — the data-constrained-scaling mix
+    * plan (Muennighoff et al. 2023, arXiv:2305.16264: past ~4 epochs,
+    * repeated tokens stop contributing; cap repetition per source and
+    * surface the shortfall instead of silently over-repeating).
+    *
+    * Per domain: `tokens_available` T_d (sum of per-doc token counts),
+    * temperature weight `p` ∝ T_d^alpha, desired = p·budget, and
+    * `allocated_tokens` = min(desired, maxEpochs·T_d) — the closed-form
+    * cap with NO redistribution, so the plan is exactly replayable and
+    * the operator-facing `shortfall` column (Σ desired − Σ allocated,
+    * same value on every row) says how many budgeted tokens the caps
+    * left unplaced (raise alpha, maxEpochs, or add data). `epochs` =
+    * allocated/T_d ≤ maxEpochs.
+    *
+    * Scale: one groupBy over (domain, doc-token) rows + a ≤#domains
+    * broadcast — the temperatureMixPlan shape. */
+  def epochCapMixPlan(df: DataFrame, groupCol: String, budgetTokens: Long,
+      maxEpochs: Double, alpha: Double = 0.5,
+      tokens: Option[Column] = None, textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0, "epochCapMixPlan: budgetTokens must be positive")
+    require(maxEpochs > 0, "epochCapMixPlan: maxEpochs must be positive")
+    val tok = tokens.getOrElse(TextOps.tokenCount(col(textCol))).cast("long")
+    val counts = df.groupBy(groupCol)
+      .agg(sum(tok).cast("double").as("__t"))
+      .withColumn("__w", pow(col("__t"), alpha))
+    val tot = counts.agg(sum("__w").as("__tw"))
+    val planned = counts.crossJoin(broadcast(tot))
+      .withColumn("p", col("__w") / col("__tw"))
+      .withColumn("__desired", col("p") * budgetTokens)
+      .withColumn("allocated_tokens",
+        least(col("__desired"), col("__t") * maxEpochs))
+    val short = planned.agg(
+      (sum("__desired") - sum("allocated_tokens")).as("__s"))
+    planned.crossJoin(broadcast(short))
+      .select(col(groupCol), col("__t").cast("long").as("tokens_available"),
+        col("p"),
+        floor(col("allocated_tokens")).cast("long").as("allocated_tokens"),
+        (col("allocated_tokens") / col("__t")).as("epochs"),
+        // double, not floored: a difference of two distributed float
+        // sums sits within ulps of the true value, and a floor there
+        // would be engine-order-sensitive; round at the consumer
+        col("__s").as("shortfall"))
+  }
+
   /** Materialize a [[temperatureMixPlan]]: keep the first `quota` rows of
     * each group in stable hash order — the stratifiedQuota rank with a
     * per-group quota joined in (broadcast; the plan is #groups rows). */
