@@ -81,11 +81,14 @@ object NeuralOracle {
     case NRelu =>
       val name = g.fresh()
       val cols = in.cols.indices.map(i => s"${name}_c$i").toVector
+      // post-GAP tensors carry one scalar DOUBLE per channel (the MLP
+      // stages of the LLM-PS decoder); map-form tensors carry lists
       g.ctes += s"$name AS (SELECT user_id, " +
         in.cols.zip(cols).map { case (c, nc) =>
-          s"list_transform($c, v -> CASE WHEN v > 0.0 THEN v ELSE 0.0 END) AS $nc"
+          if (in.scalar) s"CASE WHEN $c > 0.0 THEN $c ELSE 0.0 END AS $nc"
+          else s"list_transform($c, v -> CASE WHEN v > 0.0 THEN v ELSE 0.0 END) AS $nc"
         }.mkString(", ") + s" FROM ${in.cte})"
-      T(name, cols, in.len)
+      T(name, cols, in.len, scalar = in.scalar)
     case NMaxPool(k, pad) =>
       val padded = if (pad == 0) in else {
         val name = g.fresh()
@@ -139,6 +142,7 @@ object NeuralOracle {
       T(name, cols, len)
     case NConcat(branches) =>
       val outs = branches.map(genOps(g, _, in))
+      val allScalar = outs.forall(_.scalar)
       val len = outs.map(_.len).min
       val name = g.fresh()
       val total = outs.map(_.cols.length).sum
@@ -146,13 +150,18 @@ object NeuralOracle {
       val aliases = outs.indices.map(i => s"b$i")
       var idx = -1
       val selects = outs.zip(aliases).flatMap { case (o, a) =>
-        o.cols.map { c => idx += 1; s"$a.$c[1:$len] AS ${cols(idx)}" }
+        // scalar branches (e.g. all ending in NGap) concat plain DOUBLEs
+        o.cols.map { c =>
+          idx += 1
+          if (allScalar) s"$a.$c AS ${cols(idx)}"
+          else s"$a.$c[1:$len] AS ${cols(idx)}"
+        }
       }
       val joins = outs.zip(aliases).tail
         .map { case (o, a) => s"JOIN ${o.cte} $a ON b0.user_id = $a.user_id" }
       g.ctes += s"$name AS (SELECT b0.user_id, ${selects.mkString(",\n  ")} " +
         s"FROM ${outs.head.cte} b0 ${joins.mkString(" ")})"
-      T(name, cols, len)
+      T(name, cols, len, scalar = allScalar)
   }
 
   /** Shared input: series listed in repo order, zero-padded to the fit's
@@ -637,5 +646,173 @@ object NeuralOracle {
        |$cv,
        |$ft
        |SELECT user_id, ${embCols.mkString(",\n  ")} FROM ft""".stripMargin
+  }
+
+  // ============== Time-LLM / LLM-PS (per-window-norm inputs) ==========
+
+  /** Appends s/meta + the EDGE-padded raw context (TimeLlm.edgeContext:
+    * the truncated window's first value repeats at the front) + the
+    * per-series window stats (population mean/std + 1e-8, ascending
+    * accumulation — TimeLlm.windowStats). Returns (statsCte, rawCols):
+    * `statsCte` carries user_id, r0.., mu, sd. */
+  private def edgeStatCtes(ctes: collection.mutable.ArrayBuffer[String],
+      in: Int): (String, Seq[String]) = {
+    ctes += "s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs" +
+      " FROM events GROUP BY user_id)"
+    ctes += """meta AS (SELECT user_id, max(us) AS last_us, min(us - lus) AS freq FROM
+      |  (SELECT user_id, epoch_us(ts) AS us,
+      |     lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lus
+      |   FROM events) GROUP BY user_id)""".stripMargin
+    val rCols = (0 until in).map(i => s"r$i")
+    ctes += s"ctxr AS (SELECT user_id, " + (0 until in).map { i =>
+      val p = i + 1
+      // len >= in → plain tail window; shorter → edge-pad with vs[1]
+      s"""CASE WHEN len(vs) >= $in THEN vs[len(vs) - $in + $p]
+         | WHEN $p <= $in - len(vs) THEN vs[1]
+         | ELSE vs[$p - ($in - len(vs))] END AS r$i"""
+        .stripMargin.replaceAll("\n", "")
+    }.mkString(",\n  ") + " FROM s)"
+    ctes += s"stm AS (SELECT user_id, ${rCols.mkString(", ")}, " +
+      s"(${rCols.mkString(" + ")}) / ${in.toDouble} AS mu FROM ctxr)"
+    ctes += s"sts AS (SELECT user_id, ${rCols.mkString(", ")}, mu, " +
+      s"sqrt((${rCols.map(c => s"($c - mu) * ($c - mu)").mkString(" + ")}) " +
+      s"/ ${in.toDouble}) + 1e-8 AS sd FROM stm)"
+    ("sts", rCols)
+  }
+
+  /** Shared closing select: h forecast columns f0..f{h−1} in `fCte`,
+    * denormalized with sts.mu/sd, rounded 6dp + 1e-9, unpivoted onto
+    * the future-date scaffold. Output: (user_id, step, ts, y_hat). */
+  private def denormScaffoldSql(ctes: collection.mutable.ArrayBuffer[String],
+      fCte: String, fCols: Seq[String], h: Int): String = {
+    val stepCase = "CASE st.step " + fCols.zipWithIndex.map { case (c, i) =>
+      s"WHEN ${i + 1} THEN round(f.$c * n.sd + n.mu + 1e-9, 6)"
+    }.mkString(" ") + " END"
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT f.user_id, st.step,
+       |  make_timestamp(m.last_us + st.step * m.freq) AS ts,
+       |  $stepCase AS y_hat
+       |FROM $fCte f JOIN sts n ON f.user_id = n.user_id
+       |JOIN meta m ON f.user_id = m.user_id
+       |CROSS JOIN (SELECT unnest(generate_series(1, $h)) AS step) st""".stripMargin
+  }
+
+  /** Time-LLM replay (TimeLlm.forward): edge-padded per-window-normalized
+    * context → patch projection → cross-attention against the pinned
+    * prototypes (K/V are pure literals: dense(wk/wv, proto_j) folds at
+    * SQL-build time) → out-projection → flatten → ReLU MLP decoder →
+    * denormalize. Output: (user_id, step, ts, y_hat). */
+  def timeLlmSql(fit: graft.kernels.TimeLlm.Fit): String = {
+    val in = fit.inputSize; val pl = fit.patchLen; val h = fit.h
+    val nP = fit.nPatches; val usable = nP * pl; val skip = in - usable
+    val d = fit.proj.w.length
+    val nH = fit.nHeads; val dh = d / nH
+    val nProto = fit.proto.length
+    def denseLit(dn: graft.kernels.Transformer.Dense,
+        x: Array[Double]): Array[Double] =
+      Array.tabulate(dn.w.length) { j =>
+        var acc = dn.b(j)
+        var i = 0
+        while (i < dn.w(j).length) { acc += dn.w(j)(i) * x(i); i += 1 }
+        acc
+      }
+    val kLit = fit.proto.map(denseLit(fit.wk, _))
+    val vLit = fit.proto.map(denseLit(fit.wv, _))
+    val ctes = collection.mutable.ArrayBuffer.empty[String]
+    val (_, rCols) = edgeStatCtes(ctes, in)
+    // normalized usable tail
+    val xCols = (0 until usable).map(i => s"x$i")
+    ctes += s"ctx AS (SELECT user_id, " + (0 until usable).map { i =>
+      s"(${rCols(skip + i)} - mu) / sd AS x$i"
+    }.mkString(", ") + " FROM sts)"
+    // tokens: dense(proj, patch)
+    val tokCols = (0 until nP).map(t => (0 until d).map(c => s"tok_t${t}_$c"))
+    ctes += "tok AS (SELECT user_id, " +
+      (for (t <- 0 until nP; c <- 0 until d) yield {
+        val terms = (0 until pl).map(i =>
+          s"${dlit(fit.proj.w(c)(i))} * ${xCols(t * pl + i)}")
+        s"${dlit(fit.proj.b(c))} + ${terms.mkString(" + ")} AS ${tokCols(t)(c)}"
+      }).mkString(",\n  ") + " FROM ctx)"
+    // queries
+    val qCols = (0 until nP).map(t => (0 until d).map(c => s"q_t${t}_$c"))
+    ctes += "q AS (SELECT user_id, " +
+      (for (t <- 0 until nP; c <- 0 until d) yield {
+        val terms = (0 until d).map(i =>
+          s"${dlit(fit.wq.w(c)(i))} * ${tokCols(t)(i)}")
+        s"${dlit(fit.wq.b(c))} + ${terms.mkString(" + ")} AS ${qCols(t)(c)}"
+      }).mkString(",\n  ") + " FROM tok)"
+    // scores vs literal keys, per head
+    val sCols = Array.tabulate(nH, nP, nProto)((hh, i, j) => s"sc_h${hh}_i${i}_j$j")
+    ctes += "sc AS (SELECT user_id, " +
+      (for (hh <- 0 until nH; i <- 0 until nP; j <- 0 until nProto) yield {
+        val off = hh * dh
+        val dot = (0 until dh)
+          .map(c => s"${qCols(i)(off + c)} * ${dlit(kLit(j)(off + c))}")
+          .mkString(" + ")
+        s"($dot) / sqrt(${dh.toDouble}) AS ${sCols(hh)(i)(j)}"
+      }).mkString(",\n  ") + " FROM q)"
+    // softmax rows over the prototype axis
+    val pCols = Array.tabulate(nH, nP, nProto)((hh, i, j) => s"p_h${hh}_i${i}_j$j")
+    ctes += "sm AS (SELECT user_id, " +
+      (for (hh <- 0 until nH; i <- 0 until nP) yield {
+        val row = (0 until nProto).map(j => sCols(hh)(i)(j))
+        val mx = s"greatest(${row.mkString(", ")})"
+        val exps = row.map(c => s"exp($c - $mx)")
+        val sum = exps.mkString(" + ")
+        (0 until nProto).map(j =>
+          s"${exps(j)} / ($sum) AS ${pCols(hh)(i)(j)}").mkString(",\n  ")
+      }).mkString(",\n  ") + " FROM sc)"
+    // attention output against literal values, then out-projection
+    val aCols = (0 until nP).map(t => (0 until d).map(c => s"a_t${t}_$c"))
+    ctes += "ao AS (SELECT user_id, " +
+      (for (t <- 0 until nP; c <- 0 until d) yield {
+        val hh = c / dh
+        val terms = (0 until nProto).map(j =>
+          s"${pCols(hh)(t)(j)} * ${dlit(vLit(j)(c))}")
+        s"${terms.mkString(" + ")} AS ${aCols(t)(c)}"
+      }).mkString(",\n  ") + " FROM sm)"
+    val oCols = (0 until nP).map(t => (0 until d).map(c => s"o_t${t}_$c"))
+    ctes += "wo AS (SELECT user_id, " +
+      (for (t <- 0 until nP; c <- 0 until d) yield {
+        val terms = (0 until d).map(i =>
+          s"${dlit(fit.wo.w(c)(i))} * ${aCols(t)(i)}")
+        s"${dlit(fit.wo.b(c))} + ${terms.mkString(" + ")} AS ${oCols(t)(c)}"
+      }).mkString(",\n  ") + " FROM ao)"
+    // decoder: flatten row-major → dense → ReLU → dense
+    val hidCols = (0 until d).map(c => s"hid$c")
+    ctes += "dec AS (SELECT user_id, " +
+      (0 until d).map { c =>
+        val terms = (0 until nP * d).map { i =>
+          val t = i / d; val cc = i % d
+          s"${dlit(fit.dec1.w(c)(i))} * ${oCols(t)(cc)}"
+        }
+        val lin = s"${dlit(fit.dec1.b(c))} + ${terms.mkString(" + ")}"
+        s"CASE WHEN $lin > 0.0 THEN $lin ELSE 0.0 END AS ${hidCols(c)}"
+      }.mkString(",\n  ") + " FROM wo)"
+    val fCols = (0 until h).map(j => s"f$j")
+    ctes += "fcast AS (SELECT user_id, " +
+      (0 until h).map { j =>
+        val terms = (0 until d).map(c =>
+          s"${dlit(fit.dec2.w(j)(c))} * ${hidCols(c)}")
+        s"${dlit(fit.dec2.b(j))} + ${terms.mkString(" + ")} AS f$j"
+      }.mkString(",\n  ") + " FROM dec)"
+    denormScaffoldSql(ctes, "fcast", fCols, h)
+  }
+
+  /** LLM-PS replay (LlmPs.forward): edge-padded per-window-normalized
+    * context → the trained net's full NOp spec through the generic
+    * renderer (multi-scale conv branches → GAP concat → ReLU MLP) →
+    * denormalize. Output: (user_id, step, ts, y_hat). */
+  def llmPsSql(fit: graft.kernels.LlmPs.Fit): String = {
+    val in = fit.inputSize; val h = fit.h
+    val g = new Gen
+    val (_, rCols) = edgeStatCtes(g.ctes, in)
+    g.ctes += "ctxn AS (SELECT user_id, [" +
+      rCols.map(c => s"($c - mu) / sd").mkString(", ") +
+      "]::DOUBLE[] AS c0 FROM sts)"
+    val out = genOps(g, fit.spec, T("ctxn", Vector("c0"), in))
+    require(out.scalar && out.cols.length == h,
+      s"LLM-PS spec must end at the $h-vector, got ${out.cols.length}")
+    denormScaffoldSql(g.ctes, out.cte, out.cols, h)
   }
 }

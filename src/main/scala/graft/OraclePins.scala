@@ -124,6 +124,11 @@ object OraclePins {
   @volatile var nbeatsGeneric: Option[graft.kernels.NBeats.Fit] = None
   /** PatchTST global-model fit for ts_patchtst_fc. */
   @volatile var patchTst: Option[graft.kernels.Transformer.PatchFit] = None
+  /** Time-LLM / LLM-PS global-model fits for ts_timellm_fc /
+    * ts_llmps_fc (adapters/llm_forecast.py — locally trained nets, not
+    * external-model bridges). */
+  @volatile var timeLlm: Option[graft.kernels.TimeLlm.Fit] = None
+  @volatile var llmPs: Option[graft.kernels.LlmPs.Fit] = None
   /** (var names, fit) for ts_mvpatchtst_fc / ts_itransformer_fc. */
   @volatile var mvPatch: Option[(Array[String], graft.kernels.Transformer.MvFit)] = None
   @volatile var iTrans: Option[(Array[String], graft.kernels.Transformer.MvFit)] = None
@@ -167,6 +172,13 @@ object OraclePins {
     * bounded fit time and replay-SQL size. */
   val PatchTstCfg = graft.kernels.Transformer.PatchCfg(h = 6, inputSize = 32,
     patchLen = 8, dModel = 8, nHeads = 2, nLayers = 1, maxEpochs = 8)
+  /** Oracle-sized Time-LLM / LLM-PS configs (same replay-budget
+    * discipline as PatchTstCfg; production defaults stay in the Cfg
+    * case classes). */
+  val TimeLlmCfg = graft.kernels.TimeLlm.Cfg(h = 6, inputSize = 24,
+    patchLen = 8, dModel = 16, nHeads = 4, nProto = 8, maxEpochs = 8)
+  val LlmPsCfg = graft.kernels.LlmPs.Cfg(h = 6, inputSize = 24,
+    kernelSizes = Seq(3, 5, 7), dModel = 8, maxEpochs = 8)
   /** Multivariate transformers over the global hourly event_type pivot,
     * restricted to 3 of the 5 types (the NmSubsetUsers discipline:
     * V = 5 pushed the MV replay's DuckDB PLANNING time past the
@@ -448,6 +460,10 @@ object OraclePins {
       nbeatsGeneric = Some(graft.kernels.NBeats.fit(xs, NbeatsGenericCfg))
       pin("patchTst") {
         patchTst = Some(graft.kernels.Transformer.patchFit(xs, PatchTstCfg))
+      }
+      pin("llmForecast") {
+        timeLlm = Some(graft.kernels.TimeLlm.fit(xs, TimeLlmCfg))
+        llmPs = Some(graft.kernels.LlmPs.fit(xs, LlmPsCfg))
       }
     }
     pin("mvTransformers") {

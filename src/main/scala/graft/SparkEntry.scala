@@ -1112,6 +1112,16 @@ object SparkEntry {
     "ts_patchtst_fc" -> ((s, dir) =>
       DeepForecast.patchTstForecast(IO.events(s, dir), OraclePins.PatchTstCfg)),
 
+    // Time-LLM / LLM-PS forecasters (adapters/llm_forecast.py): the
+    // reference's "LLM adapters" train every parameter locally — no
+    // pretrained weights — so both are real engine ops, trained here
+    // with the neural tier's deterministic counter-based machinery
+    "ts_timellm_fc" -> ((s, dir) =>
+      DeepForecast.timeLlmForecast(IO.events(s, dir), OraclePins.TimeLlmCfg)),
+
+    "ts_llmps_fc" -> ((s, dir) =>
+      DeepForecast.llmPsForecast(IO.events(s, dir), OraclePins.LlmPsCfg)),
+
     // multivariate transformers over the hourly event_type pivot
     // (dl/multivariate.py): channel-mixing PatchTST + iTransformer
     "ts_mvpatchtst_fc" -> ((s, dir) =>
@@ -3368,6 +3378,10 @@ object SparkEntry {
       "ts_nbeats_generic_fc" -> NeuralOracle.nbeatsSql(f)) ++
     OraclePins.patchTst.map(f =>
       "ts_patchtst_fc" -> NeuralOracle.patchTstSql(f)) ++
+    OraclePins.timeLlm.map(f =>
+      "ts_timellm_fc" -> NeuralOracle.timeLlmSql(f)) ++
+    OraclePins.llmPs.map(f =>
+      "ts_llmps_fc" -> NeuralOracle.llmPsSql(f)) ++
     OraclePins.mvPatch.map { case (n, f) =>
       "ts_mvpatchtst_fc" -> NeuralOracle.mvTransformerSql(f, n) } ++
     OraclePins.iTrans.map { case (n, f) =>

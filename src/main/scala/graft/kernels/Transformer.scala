@@ -48,7 +48,7 @@ object Transformer {
 
   // ======================= eval forward ==============================
 
-  private def dense(d: Dense, x: Array[Double]): Array[Double] =
+  private[kernels] def dense(d: Dense, x: Array[Double]): Array[Double] =
     Array.tabulate(d.w.length) { j =>
       var acc = d.b(j)
       var i = 0
@@ -133,7 +133,7 @@ object Transformer {
   // ======================= training layers ===========================
 
   /** Per-token linear with backprop; x (B, T, inD). */
-  private final class TDense(inD: Int, outD: Int, seedC: Long, stream: Long) {
+  private[kernels] final class TDense(inD: Int, outD: Int, seedC: Long, stream: Long) {
     val w = new Param(NeuralNetInit.uniform(seedC, stream, outD * inD, inD))
     val b = new Param(NeuralNetInit.uniform(seedC, stream + 1, outD, inD))
     private var xc: Tok = _

@@ -63,6 +63,40 @@ object DeepForecast {
   def patchTstForecast(df: DataFrame, cfg: graft.kernels.Transformer.PatchCfg)(
       implicit pc: PanelCols): DataFrame = patchTstForecastFull(df, cfg)._1
 
+  /** Time-LLM fit + distributed forecast (reference
+    * adapters/llm_forecast.py:163-286): patch → cross-attention with
+    * learned prototypes → MLP decoder. Same global-model regime and
+    * output scaffold as [[nbeatsForecastFull]]; per-series per-window
+    * normalization happens inside the broadcast forward. */
+  def timeLlmForecastFull(df: DataFrame, cfg: graft.kernels.TimeLlm.Cfg)(
+      implicit pc: PanelCols): (DataFrame, graft.kernels.TimeLlm.Fit) = {
+    val fit = graft.kernels.TimeLlm.fit(
+      DeepClustering.collectSeries(df).map(_._2), cfg)
+    val bc = df.sparkSession.sparkContext.broadcast(fit)
+    val fcUdf = udf((ys: Seq[Double]) =>
+      graft.kernels.TimeLlm.forward(bc.value, ys.toArray).toSeq)
+    (stepScaffold(df, fit.h, fcUdf), fit)
+  }
+
+  def timeLlmForecast(df: DataFrame, cfg: graft.kernels.TimeLlm.Cfg)(
+      implicit pc: PanelCols): DataFrame = timeLlmForecastFull(df, cfg)._1
+
+  /** LLM-PS fit + distributed forecast (reference
+    * adapters/llm_forecast.py:294-407): multi-scale conv pattern
+    * extraction → MLP decoder, same scaffold as [[timeLlmForecastFull]]. */
+  def llmPsForecastFull(df: DataFrame, cfg: graft.kernels.LlmPs.Cfg)(
+      implicit pc: PanelCols): (DataFrame, graft.kernels.LlmPs.Fit) = {
+    val fit = graft.kernels.LlmPs.fit(
+      DeepClustering.collectSeries(df).map(_._2), cfg)
+    val bc = df.sparkSession.sparkContext.broadcast(fit)
+    val fcUdf = udf((ys: Seq[Double]) =>
+      graft.kernels.LlmPs.forward(bc.value, ys.toArray).toSeq)
+    (stepScaffold(df, fit.h, fcUdf), fit)
+  }
+
+  def llmPsForecast(df: DataFrame, cfg: graft.kernels.LlmPs.Cfg)(
+      implicit pc: PanelCols): DataFrame = llmPsForecastFull(df, cfg)._1
+
   /** Global hourly multivariate series: pivot `event_type` → one
     * (nHours, V) matrix with sorted variable names and hour epochs. The
     * pivot aggregation is fully distributed; only the tiny pivoted
