@@ -1122,6 +1122,20 @@ object SparkEntry {
     "ts_llmps_fc" -> ((s, dir) =>
       DeepForecast.llmPsForecast(IO.events(s, dir), OraclePins.LlmPsCfg)),
 
+    // Chronos foundation-adapter tier (adapters/foundation_forecast.py):
+    // the REAL Chronos series→token preprocessing (mean-|y| scaling +
+    // uniform binning, paper defaults) over the full panel — the stage a
+    // 100 TB corpus runs to become foundation-model training data —
+    // plus the sample-path forecaster on the NM-subset discipline
+    // (context-fitted token LM standing in for the pretrained backbone,
+    // documented in ops.Foundation's honesty boundary)
+    "ts_chronos_tokens" -> ((s, dir) =>
+      Foundation.chronosTokenize(IO.events(s, dir))),
+
+    "ts_chronos_fc" -> ((s, dir) => Foundation.chronosForecast(
+      IO.events(s, dir).filter(col("user_id") < ForecastOracle.NmSubsetUsers),
+      Foundation.ChronosForecastCfg(h = 6))),
+
     // multivariate transformers over the hourly event_type pivot
     // (dl/multivariate.py): channel-mixing PatchTST + iTransformer
     "ts_mvpatchtst_fc" -> ((s, dir) =>
@@ -3382,6 +3396,35 @@ object SparkEntry {
       "ts_timellm_fc" -> NeuralOracle.timeLlmSql(f)) ++
     OraclePins.llmPs.map(f =>
       "ts_llmps_fc" -> NeuralOracle.llmPsSql(f)) ++
+    // Chronos tokenization: closed-form arithmetic, no pins; the scale
+    // is round-6 on both sides (summation-order ulps on the un-rounded
+    // mean could flip a floor boundary — measure-zero after rounding)
+    Map("ts_chronos_tokens" -> {
+      val q = graft.ops.Foundation.ChronosCfg()
+      val w = "%.17e".format(q.width)
+      val lo = "%.17e".format(q.low)
+      val hi = "%.17e".format(q.high)
+      s"""WITH b AS (SELECT user_id, value,
+         |    round(avg(abs(value)) OVER (PARTITION BY user_id), 6) AS m,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+         |  FROM events),
+         |t AS (SELECT user_id, pos, value,
+         |    CASE WHEN m > 0.0 THEN m ELSE 1.0 END AS scale FROM b),
+         |tok AS (SELECT user_id, pos, scale,
+         |    least(${q.nBins - 1}, floor((least($hi, greatest($lo,
+         |      value / scale)) - $lo) / $w))::INT AS token_id FROM t)
+         |SELECT user_id, pos, token_id, round(scale, 6) AS scale,
+         |  round(($lo + (token_id + 0.5) * $w) * scale + 1e-9, 6) AS recon
+         |FROM tok""".stripMargin
+    }) ++
+    // Chronos sample-path forecaster: fully data-driven replay (token
+    // CDFs + unrolled DetRng inverse-CDF steps), no pins
+    Map("ts_chronos_fc" -> {
+      val c = graft.ops.Foundation.ChronosForecastCfg(h = 6)
+      StochOracle.chronosFcSql(c.h, c.numSamples, c.coverage,
+        c.quant.nBins, c.quant.low, c.quant.high, c.seed,
+        ForecastOracle.NmSubsetUsers)
+    }) ++
     OraclePins.mvPatch.map { case (n, f) =>
       "ts_mvpatchtst_fc" -> NeuralOracle.mvTransformerSql(f, n) } ++
     OraclePins.iTrans.map { case (n, f) =>

@@ -391,4 +391,93 @@ object StochOracle {
        |FROM agg a JOIN lastt l ON l.user_id = a.user_id
        |JOIN d ON d.user_id = a.user_id""".stripMargin
   }
+
+  /** ts_chronos_fc replay (ops.Foundation.chronosSample): Chronos
+    * tokenization (ascending-fold mean-|y| scale, clip, uniform bins) →
+    * context-fitted bigram/unigram CDF tables → h unrolled
+    * autoregressive steps, each picking the first ascending token whose
+    * inclusive cumulative fraction reaches the step's DetRng uniform
+    * (unigram backoff on an unseen previous token, SAME draw) → bin-
+    * center de-quantization → np-style linear-interpolation quantiles
+    * over the sample paths (rank/frac literals computed with the
+    * kernel's own arithmetic). Output:
+    * (user_id, step, ts, y_hat, y_hat_lower, y_hat_upper). */
+  def chronosFcSql(h: Int, numSamples: Int, coverage: Double, nBins: Int,
+      low: Double, high: Double, seed: Long, subsetUsers: Long): String = {
+    val sc = DetRng.seedConst(seed)
+    val w = (high - low) / nBins
+    val ctes = collection.mutable.ArrayBuffer.empty[String]
+    ctes += s"s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs" +
+      s" FROM events WHERE user_id < $subsetUsers GROUP BY user_id)"
+    ctes += """meta AS (SELECT user_id, max(us) AS last_us, min(us - lus) AS freq FROM
+      |  (SELECT user_id, epoch_us(ts) AS us,
+      |     lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lus
+      |   FROM events) GROUP BY user_id)""".stripMargin
+    // mean-|y| scale: ascending list fold (meanAbsScale order)
+    ctes += """scm AS (SELECT user_id, vs,
+      |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(vs, v -> abs(v))),
+      |    (a, b) -> a + b) / len(vs) AS m FROM s)""".stripMargin
+    ctes += "scl AS (SELECT user_id, vs, CASE WHEN m > 0.0 AND isfinite(m) " +
+      "THEN m ELSE 1.0 END AS scale FROM scm)"
+    ctes += s"tk AS (SELECT user_id, scale, list_transform(vs, v -> " +
+      s"least(${nBins - 1}, floor((least(${dlit(high)}, greatest(${dlit(low)}, " +
+      s"v / scale)) - ${dlit(low)}) / ${dlit(w)}))::INT) AS toks FROM scl)"
+    // bigram transition CDF (ascending next-token order, inclusive cumsum)
+    ctes += "ix AS (SELECT user_id, toks, " +
+      "unnest(generate_series(1, len(toks) - 1)) AS i FROM tk)"
+    ctes += "tcnt AS (SELECT user_id, toks[i::INT] AS prev, " +
+      "toks[i::INT + 1] AS nxt, count(*)::BIGINT AS c FROM ix GROUP BY 1, 2, 3)"
+    ctes += """tcdf AS (SELECT user_id, prev, nxt,
+      |  sum(c) OVER (PARTITION BY user_id, prev ORDER BY nxt)::DOUBLE AS cum,
+      |  sum(c) OVER (PARTITION BY user_id, prev)::DOUBLE AS tot FROM tcnt)""".stripMargin
+    // unigram backoff CDF
+    ctes += "ut AS (SELECT user_id, unnest(toks) AS t FROM tk)"
+    ctes += "ucnt AS (SELECT user_id, t, count(*)::BIGINT AS c FROM ut GROUP BY 1, 2)"
+    ctes += """ucdf AS (SELECT user_id, t AS nxt,
+      |  sum(c) OVER (PARTITION BY user_id ORDER BY t)::DOUBLE AS cum,
+      |  sum(c) OVER (PARTITION BY user_id)::DOUBLE AS tot FROM ucnt)""".stripMargin
+    ctes += s"st0 AS (SELECT tk.user_id, k.samp, toks[len(toks)] AS prev " +
+      s"FROM tk CROSS JOIN (SELECT unnest(generate_series(0, ${numSamples - 1})) " +
+      s"AS samp) k)"
+    for (j <- 1 to h) {
+      val u = uniformExpr(ctr(55, j.toString, "s.samp"), sc)
+      ctes += s"""st$j AS (SELECT s.user_id, s.samp,
+        |  coalesce(
+        |    (SELECT min(c.nxt) FROM tcdf c WHERE c.user_id = s.user_id
+        |       AND c.prev = s.prev AND c.cum / c.tot >= $u),
+        |    (SELECT min(c.nxt) FROM ucdf c WHERE c.user_id = s.user_id
+        |       AND c.cum / c.tot >= $u)) AS prev
+        |  FROM st${j - 1} s)""".stripMargin
+    }
+    ctes += (1 to h).map(j =>
+      s"SELECT user_id, samp, $j AS step, prev AS tok FROM st$j")
+      .mkString("vals AS (", " UNION ALL ", ")")
+    ctes += s"vv AS (SELECT v.user_id, v.step, v.samp, " +
+      s"(${dlit(low)} + (v.tok + 0.5) * ${dlit(w)}) * t.scale AS val " +
+      s"FROM vals v JOIN tk t ON v.user_id = t.user_id)"
+    ctes += "rk AS (SELECT user_id, step, val, row_number() OVER " +
+      "(PARTITION BY user_id, step ORDER BY val) AS rk FROM vv)"
+    // np.quantile linear interpolation with the kernel's own rank/frac
+    // arithmetic baked in as literals
+    def qsel(q: Double, as: String): String = {
+      val r = (numSamples - 1) * q
+      val lo = math.floor(r).toInt
+      val hi = math.min(lo + 1, numSamples - 1)
+      val frac = r - lo
+      val a = s"max(CASE WHEN rk = ${lo + 1} THEN val END)"
+      val b = s"max(CASE WHEN rk = ${hi + 1} THEN val END)"
+      s"$a + ${dlit(frac)} * ($b - $a) AS $as"
+    }
+    val alpha = (1 - coverage) / 2
+    ctes += s"qs AS (SELECT user_id, step, ${qsel(0.5, "med")}, " +
+      s"${qsel(alpha, "lov")}, ${qsel(1 - alpha, "hiv")} " +
+      "FROM rk GROUP BY user_id, step)"
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT q.user_id, q.step::BIGINT AS step,
+       |  make_timestamp(m.last_us + q.step * m.freq) AS ts,
+       |  round(q.med + 1e-9, 6) AS y_hat,
+       |  round(q.lov + 1e-9, 6) AS y_hat_lower,
+       |  round(q.hiv + 1e-9, 6) AS y_hat_upper
+       |FROM qs q JOIN meta m ON q.user_id = m.user_id""".stripMargin
+  }
 }

@@ -1,0 +1,242 @@
+package graft.ops
+
+import graft.core.{Panel, PanelCols}
+import graft.kernels.DetRng
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Foundation-model forecasting adapter surface (reference
+  * `polars_ts/adapters/foundation_forecast.py`): the Chronos-style
+  * series→token preprocessing as first-class engine ops, the
+  * sample-path quantile assembly, and the `foundation_forecast`
+  * dispatcher.
+  *
+  * Honesty boundary, stated up front: the reference's three forecasters
+  * wrap PUBLISHED PRETRAINED backbones (Chronos T5 / TimesFM / Moirai)
+  * that cannot ship into a zero-egress JVM. What IS implementable — and
+  * is implemented here for real — is everything around the backbone:
+  * the Chronos tokenizer (mean-absolute scaling + uniform binning into
+  * a fixed token vocabulary, Ansari et al. 2024 §3.1, arXiv:2403.07815
+  * — the exact preprocessing a 100 TB corpus needs to BECOME
+  * foundation-model training data), the de-tokenizer, the per-series
+  * autoregressive token sampler, and the reference's sample-path →
+  * median/quantile-interval output assembly
+  * (foundation_forecast.py:165-190). The backbone slot is filled by a
+  * context-fitted bigram token LM — a real autoregressive sampler over
+  * the Chronos token space, deterministic via counter-based [[DetRng]]
+  * draws, documented as a LOCAL SURROGATE (not a pretrained model).
+  *
+  * Scale design: tokenization is one per-series aggregate (the scale)
+  * joined back to a narrow pure-expression map — no UDF, fully
+  * codegen, embarrassingly parallel. The forecaster is the panel
+  * tier's standard grouped-series narrow map. */
+object Foundation {
+
+  /** Chronos quantization config. `nBins` defaults to the paper's 4094
+    * value-token vocabulary; [low, high] is the paper's clipped
+    * scaled-value support. */
+  final case class ChronosCfg(nBins: Int = 4094, low: Double = -15.0,
+      high: Double = 15.0) {
+    require(nBins >= 2 && high > low)
+    def width: Double = (high - low) / nBins
+    def center(tok: Int): Double = low + (tok + 0.5) * width
+    /** Scaled value → token id (clamped to the vocabulary). */
+    def token(z: Double): Int = {
+      val zc = math.min(high, math.max(low, z))
+      math.min(nBins - 1, math.floor((zc - low) / width).toInt)
+    }
+  }
+
+  /** Mean-absolute context scale with the Chronos degenerate-context
+    * convention: an all-zero (or empty) context scales by 1. */
+  def meanAbsScale(ys: Array[Double]): Double = {
+    if (ys.isEmpty) return 1.0
+    var s = 0.0
+    var i = 0
+    while (i < ys.length) { s += math.abs(ys(i)); i += 1 }
+    val m = s / ys.length
+    if (m > 0.0 && java.lang.Double.isFinite(m)) m else 1.0
+  }
+
+  /** Chronos tokenization as a distributed pure-expression map: one
+    * per-series mean-|y| aggregate (rounded to 6dp so the token ids are
+    * engine-reproducible — summation-order ulps on the un-rounded mean
+    * could flip a floor() boundary; after rounding a flip needs the
+    * mean within an ulp of a 0.5e-6 edge, the repo's accepted
+    * measure-zero class), then token/center arithmetic inline. Output:
+    * (id, pos, token_id, scale, recon) where `recon` is the
+    * de-tokenized (bin-center × scale) reconstruction. */
+  def chronosTokenize(df: DataFrame, cfg: ChronosCfg = ChronosCfg())(
+      implicit pc: PanelCols): DataFrame = {
+    val w = Window.partitionBy(pc.idCol)
+    val ord = Window.partitionBy(pc.idCol)
+      .orderBy((pc.timeCol +: pc.tieBreak.map(col)): _*)
+    val m = round(avg(abs(pc.targetCol)).over(w), 6)
+    val scale = when(m > 0.0, m).otherwise(lit(1.0))
+    val z = least(lit(cfg.high),
+      greatest(lit(cfg.low), pc.targetCol.cast("double") / scale))
+    val tok = least(lit(cfg.nBins - 1),
+      floor((z - cfg.low) / cfg.width)).cast("int")
+    df.select((Seq(pc.idCol, pc.timeCol) ++ pc.tieBreak.map(col) :+
+        pc.targetCol): _*)
+      .withColumn("scale", scale)
+      .withColumn("pos", row_number().over(ord))
+      .withColumn("token_id", tok)
+      .withColumn("recon",
+        round((lit(cfg.low) + (col("token_id") + 0.5) * cfg.width) *
+          col("scale") + 1e-9, 6))
+      .select(pc.idCol, col("pos"), col("token_id"),
+        round(col("scale"), 6).as("scale"), col("recon"))
+  }
+
+  /** De-tokenize a (id, pos, token_id, scale) frame back to values —
+    * the inverse map, pure expressions. */
+  def chronosDetokenize(tokens: DataFrame, cfg: ChronosCfg = ChronosCfg())(
+      implicit pc: PanelCols): DataFrame =
+    tokens.withColumn("value",
+      (lit(cfg.low) + (col("token_id") + 0.5) * cfg.width) * col("scale"))
+
+  // ================== sample-path forecaster =========================
+
+  final case class ChronosForecastCfg(
+      h: Int = 12,
+      numSamples: Int = 20,
+      coverage: Double = 0.9,
+      quant: ChronosCfg = ChronosCfg(nBins = 64),
+      seed: Long = 42L) {
+    require(numSamples >= 1 && coverage > 0 && coverage < 1 && h >= 1)
+  }
+
+  /** np.quantile linear interpolation over an UNSORTED sample array
+    * (sorted copy inside): lo + frac·(hi − lo) at rank (n−1)·q. */
+  def npQuantile(xs: Array[Double], q: Double): Double = {
+    val s = xs.sorted
+    val r = (s.length - 1) * q
+    val lo = math.floor(r).toInt
+    val hi = math.min(lo + 1, s.length - 1)
+    s(lo) + (r - lo) * (s(hi) - s(lo))
+  }
+
+  /** Per-series token-space sampler: context-fitted bigram counts, h
+    * autoregressive steps × numSamples paths, counter-based inverse-CDF
+    * draws. A previous token with no observed outgoing transition backs
+    * off to the context's unigram distribution USING THE SAME DRAW.
+    * Returns (h, 3): y_hat (median), lower, upper — the reference's
+    * sample-path assembly — in RAW scale. */
+  def chronosSample(ys: Array[Double], cfg: ChronosForecastCfg): Array[Array[Double]] = {
+    val q = cfg.quant
+    val seedC = DetRng.seedConst(cfg.seed)
+    val s = meanAbsScale(ys)
+    val toks = ys.map(v => q.token(v / s))
+    // ascending-token CDF tables from the context
+    val uni = toks.groupBy(identity).toArray.sortBy(_._1)
+      .map { case (t, a) => (t, a.length.toLong) }
+    val uniTot = toks.length.toDouble
+    val trans: Map[Int, (Array[(Int, Long)], Double)] =
+      toks.dropRight(1).zip(toks.drop(1))
+        .groupBy(_._1)
+        .map { case (p, pairs) =>
+          val cdf = pairs.groupBy(_._2).toArray.sortBy(_._1)
+            .map { case (n, a) => (n, a.length.toLong) }
+          p -> (cdf, cdf.map(_._2).sum.toDouble)
+        }
+    // first ascending token whose cumulative fraction reaches u (the
+    // last token catches u unconditionally: its fraction is 1)
+    def pick(cdf: Array[(Int, Long)], tot: Double, u: Double): Int = {
+      var cum = 0L
+      var i = 0
+      while (i < cdf.length - 1 && (cum + cdf(i)._2).toDouble / tot < u) {
+        cum += cdf(i)._2; i += 1
+      }
+      cdf(i)._1
+    }
+    val paths = Array.ofDim[Double](cfg.numSamples, cfg.h)
+    var k = 0
+    while (k < cfg.numSamples) {
+      var prev = toks.last
+      var j = 0
+      while (j < cfg.h) {
+        val u = DetRng.uniform(seedC, DetRng.ctr(55, j.toLong + 1, k.toLong))
+        val next = trans.get(prev) match {
+          case Some((cdf, tot)) => pick(cdf, tot, u)
+          case None => pick(uni, uniTot, u)
+        }
+        paths(k)(j) = q.center(next) * s
+        prev = next
+        j += 1
+      }
+      k += 1
+    }
+    val alpha = (1 - cfg.coverage) / 2
+    Array.tabulate(cfg.h) { j =>
+      val col0 = Array.tabulate(cfg.numSamples)(k0 => paths(k0)(j))
+      Array(npQuantile(col0, 0.5), npQuantile(col0, alpha),
+        npQuantile(col0, 1 - alpha))
+    }
+  }
+
+  /** Chronos-style forecast over the panel: grouped series → per-series
+    * token sampler (narrow map) → future-date scaffold. Output:
+    * (id, step, ds, y_hat, y_hat_lower, y_hat_upper). */
+  def chronosForecast(df: DataFrame, cfg: ChronosForecastCfg = ChronosForecastCfg())(
+      implicit pc: PanelCols): DataFrame = {
+    val fcUdf = udf((ys: Seq[Double]) =>
+      chronosSample(ys.toArray, cfg).map(_.toSeq).toSeq)
+    val fc = Panel.grouped(df).select(pc.idCol.as(pc.id), col("ys"))
+      .select(col(pc.id), posexplode(fcUdf(col("ys"))).as(Seq("__p", "__v")))
+      .select(col(pc.id), (col("__p") + 1).cast("long").as("step"),
+        round(col("__v").getItem(0) + lit(1e-9), 6).as("y_hat"),
+        round(col("__v").getItem(1) + lit(1e-9), 6).as("y_hat_lower"),
+        round(col("__v").getItem(2) + lit(1e-9), 6).as("y_hat_upper"))
+    Panel.futureDates(df, cfg.h).join(fc, Seq(pc.id, "step"))
+      .select(pc.idCol, col("step"), col(pc.time), col("y_hat"),
+        col("y_hat_lower"), col("y_hat_upper"))
+  }
+
+  /** Point-forecast adapter shaped like the reference's TimesFM wrapper
+    * (context-length truncation, y_hat only): the backbone slot is the
+    * engine's locally trained PatchTST — a LOCAL SURROGATE, documented;
+    * the pretrained TimesFM checkpoint is out of engine scope. */
+  def timesFmStyleForecast(df: DataFrame, contextLength: Int,
+      cfg: graft.kernels.Transformer.PatchCfg)(
+      implicit pc: PanelCols): DataFrame = {
+    require(contextLength >= cfg.inputSize,
+      s"contextLength ($contextLength) must cover inputSize (${cfg.inputSize})")
+    val fit = graft.kernels.Transformer.patchFit(
+      DeepClustering.collectSeries(df).map(_._2.takeRight(contextLength)), cfg)
+    val bc = df.sparkSession.sparkContext.broadcast(fit)
+    val fcUdf = udf((ys: Seq[Double]) => graft.kernels.Transformer
+      .patchForward(bc.value, ys.toArray.takeRight(contextLength)).toSeq)
+    val fc = Panel.grouped(df).select(pc.idCol.as(pc.id), col("ys"))
+      .select(col(pc.id), posexplode(fcUdf(col("ys"))).as(Seq("__p", "__v")))
+      .select(col(pc.id), (col("__p") + 1).cast("long").as("step"),
+        round(col("__v") + lit(1e-9), 6).as("y_hat"))
+    Panel.futureDates(df, cfg.h).join(fc, Seq(pc.id, "step"))
+      .select(pc.idCol, col("step"), col(pc.time), col("y_hat"))
+  }
+
+  /** Unified dispatcher (reference foundation_forecast.py:371-408):
+    * model-family aliases route to the engine's local pipelines;
+    * unknown families fail loudly with the supported list. */
+  def foundationForecast(df: DataFrame, model: String, h: Int,
+      numSamples: Int = 20, coverage: Double = 0.9,
+      contextLength: Int = 512)(implicit pc: PanelCols): DataFrame =
+    model.toLowerCase match {
+      case "chronos" | "chronos-2" =>
+        chronosForecast(df, ChronosForecastCfg(h = h,
+          numSamples = numSamples, coverage = coverage))
+      case "moirai" | "moirai-2" =>
+        // same sample-path assembly contract; distinct draw stream
+        chronosForecast(df, ChronosForecastCfg(h = h,
+          numSamples = numSamples, coverage = coverage, seed = 43L))
+      case "timesfm" =>
+        timesFmStyleForecast(df, contextLength,
+          graft.kernels.Transformer.PatchCfg(h = h,
+            inputSize = math.min(contextLength, 32), patchLen = 8,
+            dModel = 8, nHeads = 2, nLayers = 1, maxEpochs = 8))
+      case other => throw new IllegalArgumentException(
+        s"Unknown model '$other'. Supported: chronos, chronos-2, " +
+          "moirai, moirai-2, timesfm")
+    }
+}
