@@ -1514,6 +1514,17 @@ object SparkEntry {
           r6n(col("mean_line_words")).as("mean_line_words"),
           col("has_brace"), col("has_lorem"), col("clean_len"))),
 
+    // bounded-state sketch tier: Count-Min heavy hitters (fixed
+    // depth×width counters, additive merge) and HyperLogLog per-source
+    // distinct tokens (2^b max-merge registers) — the 100 TB substitutes
+    // for data-sized frequency tables / count(DISTINCT) shuffles, both
+    // order-independent and therefore replayed with no pins
+    "doc_cms_heavy" -> ((s, dir) =>
+      Sketches.cmsHeavyHitters(IO.documents(s, dir), minFrac = 0.01)),
+
+    "doc_hll_distinct" -> ((s, dir) =>
+      Sketches.hllDistinctTokens(IO.documents(s, dir))),
+
     // per-source corpus rollup: one shuffle, map-side partial aggregation
     "doc_corpus_stats" -> ((s, dir) =>
       IO.documents(s, dir)
@@ -5112,6 +5123,59 @@ object SparkEntry {
          |  lower(text) LIKE '%lorem ipsum%' AS has_lorem,
          |  coalesce(len(array_to_string(kept, chr(10))), 0)::BIGINT AS clean_len
          |FROM m""".stripMargin,
+
+    "doc_cms_heavy" -> {
+      val depth = 4; val width = 512
+      def slot(i: Int) = {
+        val h = fnvSql(s"'cms$i:' || token")
+        s"((($h % $width) + $width) % $width)"
+      }
+      val sketchRows = (0 until depth).map(i =>
+        s"SELECT $i AS row, ${slot(i)} AS slot FROM t").mkString(" UNION ALL ")
+      val probeRows = (0 until depth).map(i =>
+        s"SELECT token, exact, $i AS row, ${slot(i)} AS slot FROM exact")
+        .mkString(" UNION ALL ")
+      s"""WITH tk AS (SELECT unnest(regexp_split_to_array(lower(text),
+         |    '[^a-z0-9]+')) AS token FROM documents),
+         |t AS (SELECT token FROM tk WHERE token <> ''),
+         |cms AS (SELECT row, slot, count(*)::BIGINT AS cnt FROM
+         |  ($sketchRows) GROUP BY row, slot),
+         |exact AS (SELECT token, count(*)::BIGINT AS exact FROM t GROUP BY token),
+         |pe AS ($probeRows),
+         |j AS (SELECT token, exact, min(cnt) AS est
+         |  FROM pe JOIN cms USING (row, slot) GROUP BY token, exact),
+         |tot AS (SELECT count(*)::BIGINT AS n FROM t)
+         |SELECT token, est, exact FROM j, tot WHERE est >= n * 0.01""".stripMargin
+    },
+
+    "doc_hll_distinct" -> {
+      val m = 256; val mask = 72057594037927936L // 2^56
+      val alpha2 = "%.17e".format(0.7213 / (1.0 + 1.079 / m) * m.toDouble * m)
+      s"""WITH tk AS (SELECT source, unnest(regexp_split_to_array(lower(text),
+         |    '[^a-z0-9]+')) AS token FROM documents),
+         |t AS (SELECT source, token FROM tk WHERE token <> ''),
+         |h0 AS (SELECT source, ${fnvUSql("token")} AS hu0 FROM t),
+         |h AS (SELECT source, ${StochOracle.mixSql("hu0")} AS hu FROM h0),
+         |rr AS (SELECT source, (hu // $mask)::BIGINT AS register,
+         |  CASE WHEN (hu % $mask) = 0 THEN 57
+         |       ELSE 57 - length(bin((hu % $mask)::BIGINT)) END AS rho FROM h),
+         |regs AS (SELECT source, register, max(rho) AS max_rank
+         |  FROM rr GROUP BY source, register),
+         |agg AS (SELECT source, count(*)::BIGINT AS present,
+         |  sum(power(0.5, max_rank)) AS zsum FROM regs GROUP BY source),
+         |fin AS (SELECT source, $m - present AS zero_registers,
+         |  CASE WHEN $alpha2 / (zsum + ($m - present)) <= ${2.5 * m}
+         |         AND $m - present > 0
+         |       THEN $m.0 * ln($m.0 / ($m - present))
+         |       ELSE $alpha2 / (zsum + ($m - present)) END AS est0 FROM agg),
+         |ex AS (SELECT source, count(DISTINCT token)::BIGINT AS exact
+         |  FROM t GROUP BY source)
+         |SELECT f.source, f.zero_registers, round(f.est0 + 1e-9, 6) AS est,
+         |  ex.exact,
+         |  round(abs(round(f.est0 + 1e-9, 6) - ex.exact) / ex.exact + 1e-9, 6)
+         |    AS rel_err
+         |FROM fin f JOIN ex ON f.source = ex.source""".stripMargin
+    },
 
     "doc_corpus_stats" ->
       s"""SELECT source, count(*)::BIGINT AS n_docs,

@@ -50,6 +50,17 @@ object StochOracle {
   def uniformExpr(cExpr: String, seedC: Long): String =
     uniformRawExpr(s"(($cExpr) * 16::BIGINT + 12)", seedC)
 
+  /** Bit-exact splitmix64 finalizer (DetRng.mix / plans.Mix64) over an
+    * UNSIGNED HUGEINT expression in [0, 2⁶⁴); result the same range. */
+  def mixSql(hExpr: String): String =
+    s"""list_transform([($hExpr)::HUGEINT], __ma ->
+       |  list_transform([xor(__ma, __ma >> 30)], __mb ->
+       |    list_transform([${mulwrap("__mb", C1)}], __mc ->
+       |      list_transform([xor(__mc, __mc >> 27)], __md ->
+       |        list_transform([${mulwrap("__md", C2)}], __me ->
+       |          xor(__me, __me >> 31)
+       |        )[1])[1])[1])[1])[1]""".stripMargin
+
   /** DetRng.gauss: Irwin-Hall(12) — 12 uniforms summed in sub-slot order
     * by a left fold, minus 6. */
   def gaussExpr(cExpr: String, seedC: Long): String =

@@ -1,0 +1,152 @@
+package graft.ops
+
+import graft.plans.{Fnv64, Mix64}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bounded-state sketch tier for corpus-scale OLAP: Count-Min frequency
+  * estimation (Cormode & Muthukrishnan 2005, J. Algorithms 55) and
+  * HyperLogLog distinct counting (Flajolet et al. 2007, AofA).
+  *
+  * Why these two, and why here: at 100 TB an exact token-frequency table
+  * or per-group `count(DISTINCT)` shuffles data-sized state; both
+  * sketches shuffle FIXED-size state (depth×width counters /
+  * 2^b registers per group) with map-side combine, and both merge by an
+  * ASSOCIATIVE, COMMUTATIVE operation (counter addition / register max)
+  * — so the result is independent of partitioning and execution order,
+  * which is what makes them exactly DuckDB-replayable: no pins, no
+  * tolerance, the same arithmetic on both engines.
+  *
+  * Engine contracts kept deliberately integer-only: the CMS row hashes
+  * are salted [[Fnv64]] (native codegen) mod width; the HLL register
+  * rank avoids floating log2 entirely — `rho = maxRank − bitlen(low
+  * bits)` with `bitlen` computed as `length(bin(w))`, an exact
+  * string-of-bits length both engines implement identically. The only
+  * floats are the final estimates, rounded on output. */
+object Sketches {
+
+  /** Shared sketch tokenizer: lowercase alphanumeric words. */
+  def tokens(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("token"))
+      .filter(col("token") =!= "")
+
+  private def cmsSlot(row: Int, tok: Column, width: Int): Column =
+    pmod(Fnv64(concat(lit(s"cms$row:"), tok)), lit(width))
+
+  /** Count-Min sketch as a (row, slot, cnt) frame: depth salted hash
+    * rows × width counters. Additive merge: sketches of corpus shards
+    * (or of a stream's batches) sum slot-wise. State ≤ depth·width rows
+    * regardless of corpus size; the aggregation map-side-combines to
+    * that bound before the only shuffle. */
+  def cmsSketch(df: DataFrame, depth: Int = 4, width: Int = 512,
+      textCol: String = "text"): DataFrame = {
+    require(depth >= 1 && width >= 2)
+    val t = tokens(df, textCol)
+    val rows = array((0 until depth).map(i =>
+      struct(lit(i).as("row"), cmsSlot(i, col("token"), width).as("slot"))): _*)
+    t.select(explode(rows).as("rs"))
+      .groupBy(col("rs.row").as("row"), col("rs.slot").as("slot"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query every distinct token against the sketch and join the
+    * exact count for audit: est = min over rows of the hashed counter —
+    * the CMS guarantee is est ≥ exact (never undercounts) with
+    * overshoot ≤ εN w.h.p. The probe join is |vocab|·depth rows against
+    * the ≤ depth·width sketch — broadcast-sized by construction. */
+  def cmsTokenEstimates(df: DataFrame, depth: Int = 4, width: Int = 512,
+      textCol: String = "text"): DataFrame = {
+    val sk = cmsSketch(df, depth, width, textCol)
+    val exact = tokens(df, textCol).groupBy("token")
+      .agg(count(lit(1)).as("exact"))
+    val probes = exact.select(col("token"), col("exact"),
+      posexplode(array((0 until depth).map(i =>
+        cmsSlot(i, col("token"), width)): _*)).as(Seq("row", "slot")))
+    probes.join(broadcast(sk), Seq("row", "slot"))
+      .groupBy("token", "exact")
+      .agg(min("cnt").as("est"))
+      .select(col("token"), col("est"), col("exact"))
+  }
+
+  /** Heavy hitters via the sketch: tokens whose ESTIMATED frequency is
+    * at least `minFrac` of the total token count. One-sided error by
+    * the CMS bound: no true heavy hitter is ever missed. */
+  def cmsHeavyHitters(df: DataFrame, minFrac: Double, depth: Int = 4,
+      width: Int = 512, textCol: String = "text"): DataFrame = {
+    require(minFrac > 0 && minFrac <= 1)
+    val est = cmsTokenEstimates(df, depth, width, textCol)
+    val total = tokens(df, textCol).agg(count(lit(1)).as("__n"))
+    est.crossJoin(broadcast(total))
+      .filter(col("est") >= col("__n") * minFrac)
+      .drop("__n")
+  }
+
+  /** Register index / rank for one 64-bit hash under 2^b registers:
+    * register = top b bits (unsigned); rank ρ = leading zeros of the
+    * remaining 64−b bits + 1 (= 64−b+1 when they are all zero). The
+    * bitlen identity keeps it integer-exact: ρ = (64−b) − bitlen(w) + 1. */
+  private def hllRegRank(h: Column, b: Int): (Column, Column) = {
+    val tail = 64 - b
+    val reg = shiftrightunsigned(h, tail)
+    val w = h.bitwiseAND(lit((1L << tail) - 1L))
+    val rho = when(w === 0L, lit(tail + 1))
+      .otherwise(lit(tail + 1) - length(bin(w)))
+    (reg, rho)
+  }
+
+  /** Per-group HLL register table (group, register, max_rank): the
+    * sketch state — 2^b longs per group at most, max-merge. */
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: Column,
+      b: Int = 8): DataFrame = {
+    require(b >= 4 && b <= 16)
+    // Mix64 finalizer: raw FNV-1a high bits are weakly avalanched on
+    // short keys — registers cut from the top byte would collapse
+    val (reg, rho) = hllRegRank(Mix64(Fnv64(valueCol.cast("string"))), b)
+    df.select(col(groupCol), reg.as("register"), rho.as("rho"))
+      .groupBy(groupCol, "register")
+      .agg(max("rho").as("max_rank"))
+  }
+
+  /** HLL estimate per group from a register table: α_m·m²/Z raw
+    * estimate with the standard small-range linear-counting correction
+    * (Flajolet et al. 2007 Fig. 3). `zero_registers` = V (registers
+    * never hit). */
+  def hllEstimate(registers: DataFrame, groupCol: String, b: Int = 8): DataFrame = {
+    val m = 1 << b
+    val alpha =
+      if (m >= 128) 0.7213 / (1.0 + 1.079 / m)
+      else if (m == 64) 0.709
+      else if (m == 32) 0.697
+      else 0.673
+    registers.groupBy(groupCol)
+      .agg(count(lit(1)).as("__present"),
+        sum(pow(lit(0.5), col("max_rank"))).as("__zsum"))
+      .withColumn("zero_registers", lit(m) - col("__present"))
+      .withColumn("__z", col("__zsum") + col("zero_registers"))
+      .withColumn("__raw", lit(alpha * m.toDouble * m) / col("__z"))
+      .withColumn("est",
+        when(col("__raw") <= 2.5 * m && col("zero_registers") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zero_registers")))
+          .otherwise(col("__raw")))
+      .select(col(groupCol), col("zero_registers"),
+        round(col("est") + 1e-9, 6).as("est"))
+  }
+
+  /** Per-source distinct-token estimate vs exact, one query: the HLL
+    * audit shape the gate hash-checks. */
+  def hllDistinctTokens(df: DataFrame, groupCol: String = "source",
+      textCol: String = "text", b: Int = 8): DataFrame = {
+    val toks = df.select(col(groupCol),
+      explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("token"))
+      .filter(col("token") =!= "")
+    val regs = hllRegisters(toks, groupCol, col("token"), b)
+    val est = hllEstimate(regs, groupCol, b)
+    val exact = toks.groupBy(groupCol)
+      .agg(countDistinct("token").as("exact"))
+    est.join(exact, Seq(groupCol))
+      .withColumn("rel_err",
+        round(abs(col("est") - col("exact")) / col("exact") + 1e-9, 6))
+      .select(col(groupCol), col("zero_registers"), col("est"),
+        col("exact"), col("rel_err"))
+  }
+}
