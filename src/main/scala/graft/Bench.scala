@@ -277,6 +277,17 @@ object Bench {
       "prototype_prune" -> (() => mat(
         Similarity.prototypePrune(embB, protoCenters, keepFrac = 0.7))))
 
+    // round-9 sketch/foundation tier — own field (total_sketch): the
+    // bounded-state aggregations (CMS counters, HLL registers — fixed
+    // shuffle size regardless of corpus) and the Chronos tokenization
+    // map a foundation-training corpus pays per pass
+    val sketchBenches: Seq[(String, () => Unit)] = Seq(
+      "cms_heavy" -> (() => mat(
+        Sketches.cmsHeavyHitters(docsB, minFrac = 0.01))),
+      "hll_distinct" -> (() => mat(Sketches.hllDistinctTokens(docsB))),
+      "chronos_tokens" -> (() => mat(
+        SparkEntry.queries("ts_chronos_tokens")(spark, sfDir))))
+
     // warmup: absorb JIT/codegen first-run cost on a small slice
     mat(Features.lagFeatures(events.limit(1000), Seq(1)))
     mat(ForecastBaselines.ses(events.limit(2000), h = 2))
@@ -320,7 +331,7 @@ object Bench {
     val trailing = trailingMedians()
     val allRuns =
       (benches ++ curationBenches ++ neuralBenches ++ selectionBenches ++
-        mediaBenches ++ temporalBenches).toMap
+        mediaBenches ++ temporalBenches ++ sketchBenches).toMap
     def adjudicate(rs: Seq[QRes]): Seq[QRes] = rs.map { r =>
       trailing.get(r.name) match {
         case Some(m) if r.secs > 2.0 * m =>
@@ -338,6 +349,7 @@ object Bench {
     val selection = adjudicate(timeAll(selectionBenches))
     val media = adjudicate(timeAll(mediaBenches))
     val temporal = adjudicate(timeAll(temporalBenches))
+    val sketch = adjudicate(timeAll(sketchBenches))
 
     // ---- 10× scale-proof (VERDICT r8 ask #2) ----------------------------
     // Replicates the sf docs/embeddings 10× IN-ENGINE and times the
@@ -544,7 +556,16 @@ object Bench {
           () => mat(Dedup.minhashLshIncremental(ingestBatch, sigs1,
             threshold = 0.5)),
           () => mat(Dedup.minhashLshIncremental(ingestBatch, sigs10,
-            threshold = 0.5))))
+            threshold = 0.5))),
+        // sketches: the token scan scales linearly but the shuffled
+        // state is FIXED (depth·width counters / 2^b registers per
+        // group) — the ratio should track the scan, never the shuffle
+        ("cms_sketch",
+          () => mat(Sketches.cmsSketch(docs1)),
+          () => mat(Sketches.cmsSketch(docs10))),
+        ("hll_distinct",
+          () => mat(Sketches.hllDistinctTokens(docs1)),
+          () => mat(Sketches.hllDistinctTokens(docs10))))
       def best2(run: () => Unit): Double = {
         val ts = Seq(timeOnce("scale", run)._1, timeOnce("scale", run)._1)
           .filter(_ >= 0)
@@ -579,7 +600,8 @@ object Bench {
     }
 
     val loadEnd = loadAvg()
-    val all = results ++ curation ++ neural ++ selection ++ media ++ temporal
+    val all = results ++ curation ++ neural ++ selection ++ media ++
+      temporal ++ sketch
     val qs = all.map(r => "\"" + r.name + "\":" + r.secs).mkString("{", ",", "}")
     val cpus_ = all.map(r => "\"" + r.name + "\":" + r.cpuSecs)
       .mkString("{", ",", "}")
@@ -599,8 +621,9 @@ object Bench {
     val totalSelection = selection.map(_.secs).filter(_ >= 0).sum
     val totalMedia = media.map(_.secs).filter(_ >= 0).sum
     val totalTemporal = temporal.map(_.secs).filter(_ >= 0).sum
+    val totalSketch = sketch.map(_.secs).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpus_,"iterations":$iters,"total_full":$totalFull,"total_neural":$totalNeural,"total_selection":$totalSelection,"total_media":$totalMedia,"total_temporal":$totalTemporal,"load":$loads,"load_start":$loadStart,"load_end":$loadEnd,"reruns":$reruns,"scale10x":$scaleJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpus_,"iterations":$iters,"total_full":$totalFull,"total_neural":$totalNeural,"total_selection":$totalSelection,"total_media":$totalMedia,"total_temporal":$totalTemporal,"total_sketch":$totalSketch,"load":$loads,"load_start":$loadStart,"load_end":$loadEnd,"reruns":$reruns,"scale10x":$scaleJson,"sf":"$sfDir"}"""
     // sentinel-prefixed line FIRST (unambiguous to scrape out of the sbt
     // [info] noise that left BENCH_r05-r07 "parsed": null), then the bare
     // JSON line (legacy scrape), then the file (robust path)
