@@ -1136,6 +1136,17 @@ object SparkEntry {
       IO.events(s, dir).filter(col("user_id") < ForecastOracle.NmSubsetUsers),
       Foundation.ChronosForecastCfg(h = 6))),
 
+    // foundation-embedding adapters (adapters/embeddings.py): the real
+    // Chronos tokenizer / RevIN+patchify preprocessing with the
+    // pretrained trunk replaced by a deterministic DetRng projection
+    // table (documented local surrogate) — one row per series, wide
+    // emb_* columns, fully replayed draw-for-draw in DuckDB
+    "ts_chronos_embed" -> ((s, dir) =>
+      Foundation.chronosEmbed(IO.events(s, dir))),
+
+    "ts_moment_embed" -> ((s, dir) =>
+      Foundation.momentEmbed(IO.events(s, dir))),
+
     // multivariate transformers over the hourly event_type pivot
     // (dl/multivariate.py): channel-mixing PatchTST + iTransformer
     "ts_mvpatchtst_fc" -> ((s, dir) =>
@@ -3428,6 +3439,15 @@ object SparkEntry {
          |  round(($lo + (token_id + 0.5) * $w) * scale + 1e-9, 6) AS recon
          |FROM tok""".stripMargin
     }) ++
+    // foundation-embedding adapters: closed-form replay of the full
+    // tokenize→lookup→pool (chronos) and normalize→patchify→project→
+    // softsign→pool (moment) chains — no pins, draws via uniformExpr
+    Map(
+      "ts_chronos_embed" -> {
+        val q = graft.ops.Foundation.ChronosCfg()
+        StochOracle.chronosEmbedSql(16, 7L, q.nBins, q.low, q.high)
+      },
+      "ts_moment_embed" -> StochOracle.momentEmbedSql(8, 8, 11L)) ++
     // Chronos sample-path forecaster: fully data-driven replay (token
     // CDFs + unrolled DetRng inverse-CDF steps), no pins
     Map("ts_chronos_fc" -> {

@@ -491,4 +491,63 @@ object StochOracle {
        |  round(q.hiv + 1e-9, 6) AS y_hat_upper
        |FROM qs q JOIN meta m ON q.user_id = m.user_id""".stripMargin
   }
+
+  /** ts_chronos_embed replay: the ts_chronos_tokens arithmetic (round-6
+    * scale, clamp, floor-bin) feeding a per-token DetRng embedding
+    * lookup, mean-pooled per series. Each emb_j is one avg over
+    * `2·uniform(tok·dim+j)−1` — the draw chain is
+    * [[uniformExpr]], bit-exact to the engine's Mix64 expression. */
+  def chronosEmbedSql(dim: Int, seed: Long, nBins: Int, low: Double,
+      high: Double): String = {
+    val sc = DetRng.seedConst(seed)
+    val w = dlit((high - low) / nBins)
+    val cols = (0 until dim).map { j =>
+      val u = uniformExpr(s"token_id::BIGINT * $dim + $j", sc)
+      s"round(avg(2.0 * $u - 1.0), 6) AS emb_$j"
+    }.mkString(",\n  ")
+    s"""WITH b AS (SELECT user_id, value,
+       |    round(avg(abs(value)) OVER (PARTITION BY user_id), 6) AS m
+       |  FROM events),
+       |t AS (SELECT user_id, value,
+       |    CASE WHEN m > 0.0 THEN m ELSE 1.0 END AS scale FROM b),
+       |tok AS (SELECT user_id,
+       |    least(${nBins - 1}, floor((least(${dlit(high)}, greatest(
+       |      ${dlit(low)}, value / scale)) - ${dlit(low)}) / $w))::INT
+       |      AS token_id FROM t)
+       |SELECT user_id,
+       |  $cols
+       |FROM tok GROUP BY user_id""".stripMargin
+  }
+
+  /** ts_moment_embed replay: round-6 instance normalization, length-P
+    * patchification by position arithmetic, per-patch projection sums
+    * through the same DetRng table, softsign, patch-mean pool. The
+    * softsign (not tanh) keeps the whole chain arithmetic-only — no
+    * libm call whose ulps could differ across engines. */
+  def momentEmbedSql(dim: Int, patchLen: Int, seed: Long): String = {
+    val sc = DetRng.seedConst(seed)
+    val sums = (0 until dim).map { j =>
+      val e = uniformExpr(s"k * $dim + $j", sc)
+      s"sum(z * (2.0 * $e - 1.0)) AS s_$j"
+    }.mkString(",\n  ")
+    val pools = (0 until dim).map { j =>
+      s"round(avg(s_$j / (1.0 + abs(s_$j))), 6) AS emb_$j"
+    }.mkString(",\n  ")
+    s"""WITH b AS (SELECT user_id, value,
+       |    round(avg(value) OVER (PARTITION BY user_id), 6) AS mu,
+       |    round(coalesce(stddev(value) OVER (PARTITION BY user_id),
+       |      0.0), 6) AS sd,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) - 1 AS pos
+       |  FROM events),
+       |z AS (SELECT user_id,
+       |    (value - mu) / (CASE WHEN sd > 0.0 THEN sd ELSE 1.0 END) AS z,
+       |    pos // $patchLen AS p, (pos % $patchLen)::BIGINT AS k FROM b),
+       |ps AS (SELECT user_id, p,
+       |  $sums
+       |  FROM z GROUP BY user_id, p)
+       |SELECT user_id,
+       |  $pools
+       |FROM ps GROUP BY user_id""".stripMargin
+  }
 }

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.core.{Panel, PanelCols}
 import graft.kernels.DetRng
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -96,6 +96,109 @@ object Foundation {
       implicit pc: PanelCols): DataFrame =
     tokens.withColumn("value",
       (lit(cfg.low) + (col("token_id") + 0.5) * cfg.width) * col("scale"))
+
+  // ================== series embeddings ==============================
+  // (reference adapters/embeddings.py:47-127 to_chronos_embeddings,
+  //  :130-193 to_moment_embeddings)
+
+  /** Engine-side [[DetRng.uniform]] as a pure codegen expression over a
+    * long counter column: bit-identical to the kernel and to
+    * `StochOracle.uniformExpr`, so every draw replays in DuckDB. */
+  private def unifCol(c: Column, seedC: Long): Column =
+    shiftrightunsigned(
+      graft.plans.Mix64((c * lit(16L) + lit(12L)).bitwiseXOR(lit(seedC))),
+      11).cast("double") / lit(9007199254740992.0)
+
+  /** Signed embedding-table entry in [−1, 1): row `c` of a deterministic
+    * weight table, component drawn at counter `c` (no stored matrix —
+    * the table IS the counter function, so executors need no broadcast
+    * and the oracle needs no pins). */
+  private def embEntry(c: Column, seedC: Long): Column =
+    unifCol(c, seedC) * 2.0 - 1.0
+
+  /** Chronos-style series embeddings (reference
+    * `adapters/embeddings.py:47` `to_chronos_embeddings`): tokenize each
+    * series with the REAL Chronos quantizer ([[chronosTokenize]] — the
+    * part of the reference path that is engine arithmetic), then
+    * mean-pool a per-token embedding over the sequence, exactly the
+    * reference's `hidden.mean(dim=1)` pooling. The token embedding
+    * table is the documented LOCAL SURROGATE for the pretrained T5
+    * encoder (which cannot ship into a zero-egress JVM): a
+    * deterministic counter-based random table — the same deviation
+    * class as [[graft.ops.VisionEmbed]]'s random-weight CNN. Random
+    * projections of token ids preserve token identity geometry
+    * (Johnson–Lindenstrauss), so downstream clustering over these
+    * embeddings still separates series by their quantized shape.
+    *
+    * Output: one row per series, `[id, emb_0 … emb_{dim−1}]` — the
+    * reference's wide-column shape (`_arrays_to_result`).
+    *
+    * Scale: tokenization is the existing pure-expression map; pooling
+    * is ONE hash aggregation with map-side combine carrying `dim`
+    * doubles per group — no UDF, no broadcast, no driver step; the
+    * whole plan stays inside whole-stage codegen ([[graft.plans.Mix64]]
+    * is a native expression). */
+  def chronosEmbed(df: DataFrame, dim: Int = 16, seed: Long = 7L,
+      cfg: ChronosCfg = ChronosCfg())(implicit pc: PanelCols): DataFrame = {
+    require(dim >= 1 && dim <= 4096, s"dim must be in [1, 4096], got $dim")
+    val seedC = DetRng.seedConst(seed)
+    val ctrBase = col("token_id").cast("long") * dim
+    val aggs = (0 until dim).map { j =>
+      round(avg(embEntry(ctrBase + j, seedC)), 6).as(s"emb_$j")
+    }
+    chronosTokenize(df, cfg)
+      .groupBy(pc.idCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MOMENT-style series embeddings (reference
+    * `adapters/embeddings.py:130` `to_moment_embeddings`): instance-
+    * normalize each series (RevIN's (y−μ)/σ, Goswami et al. 2024
+    * arXiv:2402.03885 §3), patchify into length-`patchLen` patches,
+    * linearly project each patch through a deterministic weight table,
+    * squash, and mean-pool over patches — the MOMENT embedding pipeline
+    * with the pretrained transformer trunk replaced by the documented
+    * local-surrogate projection (same honesty boundary as
+    * [[chronosEmbed]]).
+    *
+    * Two deliberate deviations from the torch wrapper, both stated:
+    * (1) no zero-padding to a batch-wide max length — padding is an
+    * artifact of rectangular tensor batching; a dataflow engine pools
+    * over each series' REAL patches (a trailing partial patch sums only
+    * its real elements, which equals zero-padding within that patch);
+    * (2) the squash is softsign z/(1+|z|), not tanh — arithmetic-only,
+    * so the JVM and DuckDB produce bit-identical values (libm tanh
+    * differs across runtimes by ulps; the engine's RNG discipline keeps
+    * every nonlinearity exactly replayable).
+    *
+    * Scale: two chained hash aggregations — (id, patch) then (id) —
+    * each map-side combined with `dim` doubles of state; μ/σ come from
+    * one per-series window (rounded 6dp so both engines bin
+    * identically). No UDF, no broadcast, no driver step. */
+  def momentEmbed(df: DataFrame, dim: Int = 8, patchLen: Int = 8,
+      seed: Long = 11L)(implicit pc: PanelCols): DataFrame = {
+    require(dim >= 1 && dim <= 4096, s"dim must be in [1, 4096], got $dim")
+    require(patchLen >= 1, s"patchLen must be >= 1, got $patchLen")
+    val seedC = DetRng.seedConst(seed)
+    val mu = round(avg(pc.targetCol).over(pc.wAll), 6)
+    val sd = round(coalesce(stddev(pc.targetCol).over(pc.wAll),
+      lit(0.0)), 6)
+    val base = df
+      .withColumn("__pos", row_number().over(pc.w) - 1)
+      .withColumn("__z", (pc.targetCol.cast("double") - mu) /
+        when(sd > 0.0, sd).otherwise(lit(1.0)))
+      .withColumn("__p", floor(col("__pos") / patchLen))
+      .withColumn("__k", pmod(col("__pos"), lit(patchLen)).cast("long"))
+    val patchAggs = (0 until dim).map { j =>
+      sum(col("__z") * embEntry(col("__k") * dim + j, seedC)).as(s"__s_$j")
+    }
+    val softsign = (0 until dim).map { j =>
+      val s = col(s"__s_$j")
+      round(avg(s / (lit(1.0) + abs(s))), 6).as(s"emb_$j")
+    }
+    base.groupBy(pc.idCol, col("__p"))
+      .agg(patchAggs.head, patchAggs.tail: _*)
+      .groupBy(pc.idCol).agg(softsign.head, softsign.tail: _*)
+  }
 
   // ================== sample-path forecaster =========================
 
