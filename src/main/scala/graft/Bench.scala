@@ -285,8 +285,11 @@ object Bench {
       "cms_heavy" -> (() => mat(
         Sketches.cmsHeavyHitters(docsB, minFrac = 0.01))),
       "hll_distinct" -> (() => mat(Sketches.hllDistinctTokens(docsB))),
+      // cached frame like its tier siblings — timing through
+      // SparkEntry.queries would re-scan parquet every iteration and
+      // make the trailing-median adjudication flap on disk-cache state
       "chronos_tokens" -> (() => mat(
-        SparkEntry.queries("ts_chronos_tokens")(spark, sfDir))))
+        graft.ops.Foundation.chronosTokenize(events))))
 
     // warmup: absorb JIT/codegen first-run cost on a small slice
     mat(Features.lagFeatures(events.limit(1000), Seq(1)))
@@ -563,9 +566,12 @@ object Bench {
         ("cms_sketch",
           () => mat(Sketches.cmsSketch(docs1)),
           () => mat(Sketches.cmsSketch(docs10))),
+        // sketch-only path: hllDistinctTokens also runs the exact
+        // count(DISTINCT) audit, whose shuffle grows with vocabulary —
+        // timing it would measure the audit, not the fixed registers
         ("hll_distinct",
-          () => mat(Sketches.hllDistinctTokens(docs1)),
-          () => mat(Sketches.hllDistinctTokens(docs10))))
+          () => mat(Sketches.hllDistinctSketch(docs1)),
+          () => mat(Sketches.hllDistinctSketch(docs10))))
       def best2(run: () => Unit): Double = {
         val ts = Seq(timeOnce("scale", run)._1, timeOnce("scale", run)._1)
           .filter(_ >= 0)

@@ -143,7 +143,11 @@ object NeuralOracle {
     case NConcat(branches) =>
       val outs = branches.map(genOps(g, _, in))
       val allScalar = outs.forall(_.scalar)
-      val len = outs.map(_.len).min
+      // list length: min over LIST branches only — a scalar branch's
+      // len=1 must not truncate its list siblings, and a scalar column
+      // must never be sliced (DOUBLE[1:n] is a DuckDB type error)
+      val listLens = outs.filterNot(_.scalar).map(_.len)
+      val len = if (listLens.isEmpty) 1 else listLens.min
       val name = g.fresh()
       val total = outs.map(_.cols.length).sum
       val cols = (0 until total).map(i => s"${name}_c$i").toVector
@@ -153,7 +157,7 @@ object NeuralOracle {
         // scalar branches (e.g. all ending in NGap) concat plain DOUBLEs
         o.cols.map { c =>
           idx += 1
-          if (allScalar) s"$a.$c AS ${cols(idx)}"
+          if (o.scalar) s"$a.$c AS ${cols(idx)}"
           else s"$a.$c[1:$len] AS ${cols(idx)}"
         }
       }

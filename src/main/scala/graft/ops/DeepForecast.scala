@@ -35,7 +35,7 @@ object DeepForecast {
     stepScaffold(df, fit.h, fcUdf)
   }
 
-  private def stepScaffold(df: DataFrame, h: Int,
+  private[ops] def stepScaffold(df: DataFrame, h: Int,
       fcUdf: org.apache.spark.sql.expressions.UserDefinedFunction)(
       implicit pc: PanelCols): DataFrame = {
     val fc = Panel.grouped(df).select(pc.idCol.as(pc.id), col("ys"))
@@ -44,6 +44,25 @@ object DeepForecast {
         round(col("__v") + lit(1e-9), 6).as("y_hat"))
     Panel.futureDates(df, h).join(fc, Seq(pc.id, "step"))
       .select(pc.idCol, col("step"), col(pc.time), col("y_hat"))
+  }
+
+  /** Multi-column variant of [[stepScaffold]] for forecasters whose
+    * per-step output is a vector (e.g. median + interval bounds): the
+    * UDF returns h rows of `outCols.length` values each. Same grouped →
+    * posexplode → future-date join skeleton, one definition. */
+  private[ops] def stepScaffoldCols(df: DataFrame, h: Int,
+      fcUdf: org.apache.spark.sql.expressions.UserDefinedFunction,
+      outCols: Seq[String])(implicit pc: PanelCols): DataFrame = {
+    val named = outCols.zipWithIndex.map { case (n, i) =>
+      round(col("__v").getItem(i) + lit(1e-9), 6).as(n)
+    }
+    val fc = Panel.grouped(df).select(pc.idCol.as(pc.id), col("ys"))
+      .select(col(pc.id), posexplode(fcUdf(col("ys"))).as(Seq("__p", "__v")))
+      .select(col(pc.id) +: (col("__p") + 1).cast("long").as("step") +:
+        named: _*)
+    Panel.futureDates(df, h).join(fc, Seq(pc.id, "step"))
+      .select(pc.idCol +: col("step") +: col(pc.time) +:
+        outCols.map(col): _*)
   }
 
   /** PatchTST fit + distributed forecast (reference dl/patchtst.py:

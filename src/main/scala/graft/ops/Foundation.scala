@@ -59,30 +59,37 @@ object Foundation {
     if (m > 0.0 && java.lang.Double.isFinite(m)) m else 1.0
   }
 
-  /** Chronos tokenization as a distributed pure-expression map: one
-    * per-series mean-|y| aggregate (rounded to 6dp so the token ids are
-    * engine-reproducible — summation-order ulps on the un-rounded mean
-    * could flip a floor() boundary; after rounding a flip needs the
-    * mean within an ulp of a 0.5e-6 edge, the repo's accepted
-    * measure-zero class), then token/center arithmetic inline. Output:
-    * (id, pos, token_id, scale, recon) where `recon` is the
-    * de-tokenized (bin-center × scale) reconstruction. */
+  /** Per-series round-6 mean-|y| scale as a window expression (rounded
+    * so the token ids are engine-reproducible — summation-order ulps on
+    * the un-rounded mean could flip a floor() boundary; after rounding
+    * a flip needs the mean within an ulp of a 0.5e-6 edge, the repo's
+    * accepted measure-zero class). */
+  private def scaleCol(cfg: ChronosCfg)(implicit pc: PanelCols): Column = {
+    val m = round(avg(abs(pc.targetCol)).over(pc.wAll), 6)
+    when(m > 0.0, m).otherwise(lit(1.0))
+  }
+
+  /** Clamp-and-bin token id from the target and a bound `scale`
+    * column. */
+  private def tokenCol(cfg: ChronosCfg)(implicit pc: PanelCols): Column = {
+    val z = least(lit(cfg.high),
+      greatest(lit(cfg.low), pc.targetCol.cast("double") / col("scale")))
+    least(lit(cfg.nBins - 1), floor((z - cfg.low) / cfg.width)).cast("int")
+  }
+
+  /** Chronos tokenization as a distributed pure-expression map: the
+    * [[scaleCol]] window aggregate, then token/center arithmetic
+    * inline. Output: (id, pos, token_id, scale, recon) where `recon`
+    * is the de-tokenized (bin-center × scale) reconstruction. */
   def chronosTokenize(df: DataFrame, cfg: ChronosCfg = ChronosCfg())(
       implicit pc: PanelCols): DataFrame = {
-    val w = Window.partitionBy(pc.idCol)
     val ord = Window.partitionBy(pc.idCol)
       .orderBy((pc.timeCol +: pc.tieBreak.map(col)): _*)
-    val m = round(avg(abs(pc.targetCol)).over(w), 6)
-    val scale = when(m > 0.0, m).otherwise(lit(1.0))
-    val z = least(lit(cfg.high),
-      greatest(lit(cfg.low), pc.targetCol.cast("double") / scale))
-    val tok = least(lit(cfg.nBins - 1),
-      floor((z - cfg.low) / cfg.width)).cast("int")
     df.select((Seq(pc.idCol, pc.timeCol) ++ pc.tieBreak.map(col) :+
         pc.targetCol): _*)
-      .withColumn("scale", scale)
+      .withColumn("scale", scaleCol(cfg))
       .withColumn("pos", row_number().over(ord))
-      .withColumn("token_id", tok)
+      .withColumn("token_id", tokenCol(cfg))
       .withColumn("recon",
         round((lit(cfg.low) + (col("token_id") + 0.5) * cfg.width) *
           col("scale") + 1e-9, 6))
@@ -146,7 +153,12 @@ object Foundation {
     val aggs = (0 until dim).map { j =>
       round(avg(embEntry(ctrBase + j, seedC)), 6).as(s"emb_$j")
     }
-    chronosTokenize(df, cfg)
+    // slim tokenize: the pool is order-independent, so skip
+    // chronosTokenize's per-series row_number sort (and recon column) —
+    // this path is scale window + bin arithmetic + ONE hash aggregate
+    df.select(pc.idCol, pc.targetCol)
+      .withColumn("scale", scaleCol(cfg))
+      .withColumn("token_id", tokenCol(cfg))
       .groupBy(pc.idCol).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -286,15 +298,8 @@ object Foundation {
       implicit pc: PanelCols): DataFrame = {
     val fcUdf = udf((ys: Seq[Double]) =>
       chronosSample(ys.toArray, cfg).map(_.toSeq).toSeq)
-    val fc = Panel.grouped(df).select(pc.idCol.as(pc.id), col("ys"))
-      .select(col(pc.id), posexplode(fcUdf(col("ys"))).as(Seq("__p", "__v")))
-      .select(col(pc.id), (col("__p") + 1).cast("long").as("step"),
-        round(col("__v").getItem(0) + lit(1e-9), 6).as("y_hat"),
-        round(col("__v").getItem(1) + lit(1e-9), 6).as("y_hat_lower"),
-        round(col("__v").getItem(2) + lit(1e-9), 6).as("y_hat_upper"))
-    Panel.futureDates(df, cfg.h).join(fc, Seq(pc.id, "step"))
-      .select(pc.idCol, col("step"), col(pc.time), col("y_hat"),
-        col("y_hat_lower"), col("y_hat_upper"))
+    DeepForecast.stepScaffoldCols(df, cfg.h, fcUdf,
+      Seq("y_hat", "y_hat_lower", "y_hat_upper"))
   }
 
   /** Point-forecast adapter shaped like the reference's TimesFM wrapper
@@ -311,12 +316,7 @@ object Foundation {
     val bc = df.sparkSession.sparkContext.broadcast(fit)
     val fcUdf = udf((ys: Seq[Double]) => graft.kernels.Transformer
       .patchForward(bc.value, ys.toArray.takeRight(contextLength)).toSeq)
-    val fc = Panel.grouped(df).select(pc.idCol.as(pc.id), col("ys"))
-      .select(col(pc.id), posexplode(fcUdf(col("ys"))).as(Seq("__p", "__v")))
-      .select(col(pc.id), (col("__p") + 1).cast("long").as("step"),
-        round(col("__v") + lit(1e-9), 6).as("y_hat"))
-    Panel.futureDates(df, cfg.h).join(fc, Seq(pc.id, "step"))
-      .select(pc.idCol, col("step"), col(pc.time), col("y_hat"))
+    DeepForecast.stepScaffold(df, cfg.h, fcUdf)
   }
 
   /** Unified dispatcher (reference foundation_forecast.py:371-408):

@@ -25,9 +25,13 @@ import org.apache.spark.sql.functions._
   * floats are the final estimates, rounded on output. */
 object Sketches {
 
-  /** Shared sketch tokenizer: lowercase alphanumeric words. */
-  def tokens(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("token"))
+  /** Shared sketch tokenizer: lowercase alphanumeric words. `keep`
+    * carries extra columns (e.g. a group key) so every sketch path —
+    * CMS and HLL alike — splits on ONE regex definition. */
+  def tokens(df: DataFrame, textCol: String,
+      keep: Seq[Column] = Nil): DataFrame =
+    df.select(keep :+
+        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("token"): _*)
       .filter(col("token") =!= "")
 
   private def cmsSlot(row: Int, tok: Column, width: Int): Column =
@@ -75,7 +79,10 @@ object Sketches {
       width: Int = 512, textCol: String = "text"): DataFrame = {
     require(minFrac > 0 && minFrac <= 1)
     val est = cmsTokenEstimates(df, depth, width, textCol)
-    val total = tokens(df, textCol).agg(count(lit(1)).as("__n"))
+    // N = Σ exact over the audit table the estimate query already
+    // aggregates — same exchange subtree, so Spark's ReuseExchange
+    // serves both from one tokenize pass instead of a third corpus scan
+    val total = est.agg(sum("exact").as("__n"))
     est.crossJoin(broadcast(total))
       .filter(col("est") >= col("__n") * minFrac)
       .drop("__n")
@@ -134,11 +141,20 @@ object Sketches {
 
   /** Per-source distinct-token estimate vs exact, one query: the HLL
     * audit shape the gate hash-checks. */
+  /** Sketch-only per-group distinct estimate — the production (and
+    * scale-proof) path: one token scan into 2^b registers per group,
+    * NO exact count(DISTINCT) audit, so the only shuffled state is the
+    * fixed register table. */
+  def hllDistinctSketch(df: DataFrame, groupCol: String = "source",
+      textCol: String = "text", b: Int = 8): DataFrame =
+    hllEstimate(
+      hllRegisters(tokens(df, textCol, Seq(col(groupCol))), groupCol,
+        col("token"), b),
+      groupCol, b)
+
   def hllDistinctTokens(df: DataFrame, groupCol: String = "source",
       textCol: String = "text", b: Int = 8): DataFrame = {
-    val toks = df.select(col(groupCol),
-      explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("token"))
-      .filter(col("token") =!= "")
+    val toks = tokens(df, textCol, Seq(col(groupCol)))
     val regs = hllRegisters(toks, groupCol, col("token"), b)
     val est = hllEstimate(regs, groupCol, b)
     val exact = toks.groupBy(groupCol)
