@@ -102,6 +102,16 @@ object syntax {
         graft.kernels.Transformer.PatchCfg(h = h, inputSize = inputSize))
     def visionEmbeddings(): DataFrame = VisionEmbed.visionEmbeddings(df)
 
+    // foundation adapters (round 9): Chronos preprocessing, the
+    // zero-shot-style dispatcher, and the embedding adapters
+    def chronosTokenize(): DataFrame = Foundation.chronosTokenize(df)
+    def foundationForecast(model: String, h: Int): DataFrame =
+      Foundation.foundationForecast(df, model, h)
+    def chronosEmbeddings(dim: Int = 16): DataFrame =
+      Foundation.chronosEmbed(df, dim)
+    def momentEmbeddings(dim: Int = 8, patchLen: Int = 8): DataFrame =
+      Foundation.momentEmbed(df, dim, patchLen)
+
     // temporal joins & sessionization (round 9) — the polars
     // `join_asof` / interval / gap-session surface; panel defaults from
     // PanelCols (by = id, time = time col)
@@ -185,5 +195,11 @@ object syntax {
       Packing.executePack(df, seqLen, nShards)
     def chunkPlan(chunkTokens: Int = 64, stride: Int = 48): DataFrame =
       Packing.chunkPlan(df, chunkTokens, stride)
+
+    // bounded-state sketches (round 9)
+    def cmsHeavyHitters(minFrac: Double = 0.01): DataFrame =
+      Sketches.cmsHeavyHitters(df, minFrac)
+    def hllDistinct(groupCol: String = "source", b: Int = 8): DataFrame =
+      Sketches.hllDistinctSketch(df, groupCol, b = b)
   }
 }

@@ -86,6 +86,21 @@ class OpsSpec extends AnyFunSuite {
     assert(chained.columns.contains("quality_score"))
     assert(docs.corpus.knPerplexity(buckets = 64).count() == 3)
     assert(docs.corpus.domainMixWeights("source", "doc_id").count() == 2)
+    // round-9 sketch sugar
+    assert(docs.corpus.cmsHeavyHitters(minFrac = 0.1).count() >= 1)
+    assert(docs.corpus.hllDistinct("source").count() == 2)
+  }
+
+  test("df.pts foundation-adapter sugar delegates to Foundation") {
+    import graft.syntax._
+    val viaNs = twoSeries.pts.chronosEmbeddings(dim = 3)
+    val direct = graft.ops.Foundation.chronosEmbed(twoSeries, dim = 3)
+    assert(viaNs.columns.toSeq == direct.columns.toSeq)
+    assert(viaNs.exceptAll(direct).count() == 0)
+    assert(twoSeries.pts.momentEmbeddings(dim = 2, patchLen = 2)
+      .columns.count(_.startsWith("emb_")) == 2)
+    assert(twoSeries.pts.chronosTokenize().columns.contains("token_id"))
+    assert(twoSeries.pts.foundationForecast("chronos", h = 2).count() > 0)
   }
 
   test("middle-out keeps middle forecasts and yields a coherent hierarchy") {
