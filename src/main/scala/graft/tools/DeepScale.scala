@@ -1,0 +1,122 @@
+package graft.tools
+
+import graft.core.IO
+import graft.kernels.DetRng
+import graft.ops.{Dedup, Packing, Sketches, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deep scale probe: times the headline curation operators at 1× vs N×
+  * (default 100×) the sf corpus, the two-decade extension of Bench's 10×
+  * scale proof. Usage:
+  *
+  * {{{ runMain graft.tools.DeepScale [sfDir] [factor] }}}
+  *
+  * Prints one `DEEPSCALE_JSON:` line with per-op (t1, tN, ratio).
+  *
+  * Replication fixture: Bench's 10× legs perturb each replica with an
+  * alphabet ROTATION, which is bijective but cycles at 26 — replicas r
+  * and r+26 would carry IDENTICAL text, manufacturing cross-replica
+  * exact duplicates that a dedup op would (correctly) find and a scale
+  * ratio would (incorrectly) charge to the plan. Past 26 the cipher
+  * family must be larger: each replica here gets an independent seeded
+  * Fisher–Yates PERMUTATION of [a-z] (case-lifted to [A-Z]) and of
+  * [0-9] — 26!·10! family, collision-free at any factor, and still a
+  * character bijection, so every intra-replica shingle/Jaccard/token
+  * relationship of the original corpus is preserved exactly while
+  * cross-replica shingles stay disjoint (a permuted English shingle is
+  * not an English shingle). Replica 0 is the identity. */
+object DeepScale {
+
+  /** Seeded Fisher–Yates permutation of a character set (identity at
+    * rep 0), DetRng-keyed so the fixture is reproducible. */
+  private[tools] def perm(chars: String, rep: Int): String = {
+    if (rep == 0) return chars
+    val a = chars.toCharArray
+    val sc = DetRng.seedConst(0xdee9L + rep)
+    var i = a.length - 1
+    while (i > 0) {
+      val j = (DetRng.uniform(sc, i.toLong) * (i + 1)).toInt
+      val t = a(i); a(i) = a(j); a(j) = t
+      i -= 1
+    }
+    new String(a)
+  }
+
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private val Digits = "0123456789"
+  private val From = Lower + Lower.toUpperCase + Digits
+
+  /** One ciphered replica of the corpus: ids offset into a disjoint
+    * range, text through the replica's character bijection. */
+  private[tools] def replica(docs: DataFrame, rep: Int, factor: Int): DataFrame = {
+    val pl = perm(Lower, rep)
+    val to = pl + pl.toUpperCase + perm(Digits, rep)
+    docs.select(
+      (col("doc_id").cast("long") * factor + rep).as("doc_id"),
+      (if (rep == 0) col("text") else translate(col("text"), From, to))
+        .as("text"),
+      col("source"), col("lang"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 100
+    require(factor >= 2, "factor must be >= 2")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = IO.documents(spark, sfDir)
+      .select("doc_id", "text", "source", "lang")
+
+    // materialize both corpora to parquet — operators read from disk,
+    // the way a real corpus arrives (Bench's 10x lesson: timing against
+    // a cached-and-evicted HOF replica pollutes ratios with recompute)
+    val dir = java.nio.file.Files.createTempDirectory("graft_deep").toString
+    replica(docs, 0, 1).write.mode("overwrite").parquet(s"$dir/docs1")
+    (0 until factor).map(replica(docs, _, factor)).reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir/docsN")
+    val docs1 = spark.read.parquet(s"$dir/docs1")
+    val docsN = spark.read.parquet(s"$dir/docsN")
+    val n1 = docs1.count()
+    val nN = docsN.count()
+
+    def mat(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val ops: Seq[(String, DataFrame => Unit)] = Seq(
+      "minhash_lsh" -> (d => mat(Dedup.minhashLsh(d, threshold = 0.5))),
+      "line_dedup" -> (d => mat(Dedup.lineDedup(d))),
+      "kn_perplexity" -> (d => mat(TextOps.knPerplexity(d, buckets = 4096))),
+      "pack_execute" -> (d => mat(Packing.executePack(d, seqLen = 128,
+        nShards = 8))),
+      "curation_metrics" -> (d => mat(TextOps.curationMetrics(d))),
+      "cms_sketch" -> (d => mat(Sketches.cmsSketch(d))),
+      "hll_distinct" -> (d => mat(Sketches.hllDistinctSketch(d))))
+
+    def time(f: () => Unit): Double = {
+      val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+    }
+    val results = ops.map { case (name, f) =>
+      val w = time(() => f(docs1)) // warm codegen/JIT on the small leg
+      val t1 = math.min(w, time(() => f(docs1)))
+      val tN = time(() => f(docsN))
+      // internal caches (e.g. minhashLsh's signature cache) must not
+      // leak memory pressure into the NEXT op's ratio — the probe's own
+      // first run charged minhash 115 s where a clean run costs 61 s
+      spark.sqlContext.clearCache()
+      val ratio = tN / t1
+      println(f"[deepscale] $name%-18s t1=$t1%.2f s  t$factor%d=$tN%.2f s  ratio=$ratio%.1f (linear=$factor%d)")
+      (name, t1, tN, ratio)
+    }
+    val qs = results.map { case (n, t1, tN, r) =>
+      s""""$n":{"t1":${f"$t1%.3f"},"t$factor":${f"$tN%.3f"},"ratio":${f"$r%.2f"}}"""
+    }.mkString("{", ",", "}")
+    val json = s"""{"factor":$factor,"rows1":$n1,"rowsN":$nN,"sf":"$sfDir","ops":$qs}"""
+    println(s"DEEPSCALE_JSON: $json")
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of("deepscale_out.json"), json + "\n")
+    spark.stop()
+  }
+}

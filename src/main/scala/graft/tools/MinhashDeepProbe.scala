@@ -1,0 +1,63 @@
+package graft.tools
+
+import graft.ops.Dedup
+import graft.core.IO
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage probe for the 100x minhash_lsh decade ratio: times the
+  * signature pass, the band-bucket statistics, and the full operator
+  * at 1x vs Nx, plus the persisted-signature variant (the
+  * minhashSignatures incremental pattern) to separate signature
+  * recompute from join cost. */
+object MinhashDeepProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 100
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = IO.documents(spark, sfDir).select("doc_id", "text", "source", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("mh_probe").toString
+    def t(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    Seq(1, factor).foreach { f =>
+      (0 until f).map(DeepScale.replica(docs, _, f)).reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$dir/d$f")
+      val d = spark.read.parquet(s"$dir/d$f")
+      val tSig = t {
+        d.select(col("doc_id"),
+          Dedup.minhashSigFromText(col("text"), 5, 64).as("sig"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      // band-bucket volume: candidate pairs BEFORE verification
+      val sigs = d.select(col("doc_id").as("__id"),
+        Dedup.minhashSigFromText(col("text"), 5, 64).as("__sig"))
+      val banded = sigs.select(col("__id"), posexplode(
+        array((0 until 16).map(b =>
+          Dedup.packedBandKey(col("__sig"), b, 4)): _*))
+        .as(Seq("__band", "__bk")))
+      var stats: org.apache.spark.sql.Row = null
+      val tBand = t {
+        stats = banded.groupBy("__band", "__bk")
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+          .agg(coalesce(count(lit(1)), lit(0L)).as("buckets"),
+            coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0L)).as("cp"),
+            coalesce(max("n"), lit(0L)).as("mx")).collect()(0)
+      }
+      val tFull = t {
+        Dedup.minhashLsh(d, threshold = 0.5)
+          .write.format("noop").mode("overwrite").save()
+      }
+      // persisted-signature variant: signatures from parquet, so the
+      // triple-use cache can never silently recompute the UDF pass
+      sigs.write.mode("overwrite").parquet(s"$dir/sigs$f")
+      spark.sqlContext.clearCache()
+      println(f"[probe] f=$f%3d sig=$tSig%.1fs bandStats=$tBand%.1fs full=$tFull%.1fs " +
+        s"buckets>1=${stats.get(0)} candPairs=${stats.get(1)} maxBucket=${stats.get(2)}")
+    }
+    spark.stop()
+  }
+}

@@ -209,6 +209,15 @@ object PlanAudit {
         .select(col("doc_id"), size(col("pre_tokens")).as("n")))
     audit("html strip (expect scan-only: 0 exchanges, regex project)",
       TextOps.htmlStrip(IO.documents(spark, dir)).select("doc_id", "text"))
+    // round-9 foundation-adapter + sketch tier
+    audit("chronos embed (expect scale window + ONE hash agg, no sort, no UDF)",
+      graft.ops.Foundation.chronosEmbed(ev, dim = 4))
+    audit("moment embed (expect window + two chained hash aggs, dim doubles of state)",
+      graft.ops.Foundation.momentEmbed(ev, dim = 4, patchLen = 8))
+    audit("cms sketch (expect ONE agg exchange bounded at depth*width rows)",
+      Sketches.cmsSketch(IO.documents(spark, dir)))
+    audit("hll distinct sketch (expect register agg exchanges bounded at groups*2^b rows)",
+      Sketches.hllDistinctSketch(IO.documents(spark, dir)))
 
     spark.stop()
     if (failures.nonEmpty) {
