@@ -143,21 +143,25 @@ object NeuralOracle {
     case NConcat(branches) =>
       val outs = branches.map(genOps(g, _, in))
       val allScalar = outs.forall(_.scalar)
-      // list length: min over LIST branches only — a scalar branch's
-      // len=1 must not truncate its list siblings, and a scalar column
-      // must never be sliced (DOUBLE[1:n] is a DuckDB type error)
-      val listLens = outs.filterNot(_.scalar).map(_.len)
-      val len = if (listLens.isEmpty) 1 else listLens.min
+      // kernel contract (NeuralNet.evalOp NConcat): min channel length
+      // over ALL branches — a scalar sibling (len 1) truncates its list
+      // siblings to length 1, exactly the interpreter's take(len)
+      val len = outs.map(_.len).min
       val name = g.fresh()
       val total = outs.map(_.cols.length).sum
       val cols = (0 until total).map(i => s"${name}_c$i").toVector
       val aliases = outs.indices.map(i => s"b$i")
       var idx = -1
       val selects = outs.zip(aliases).flatMap { case (o, a) =>
-        // scalar branches (e.g. all ending in NGap) concat plain DOUBLEs
+        // all-scalar concat stays plain DOUBLEs (the LlmPs shape); in a
+        // MIXED concat a scalar column lifts to a 1-element LIST so the
+        // output is uniformly list-typed (a DOUBLE must never be sliced
+        // — DuckDB type error) while list siblings slice to the kernel's
+        // truncation length
         o.cols.map { c =>
           idx += 1
-          if (o.scalar) s"$a.$c AS ${cols(idx)}"
+          if (allScalar) s"$a.$c AS ${cols(idx)}"
+          else if (o.scalar) s"[$a.$c] AS ${cols(idx)}"
           else s"$a.$c[1:$len] AS ${cols(idx)}"
         }
       }

@@ -139,8 +139,6 @@ object Sketches {
         round(col("est") + 1e-9, 6).as("est"))
   }
 
-  /** Per-source distinct-token estimate vs exact, one query: the HLL
-    * audit shape the gate hash-checks. */
   /** Sketch-only per-group distinct estimate — the production (and
     * scale-proof) path: one token scan into 2^b registers per group,
     * NO exact count(DISTINCT) audit, so the only shuffled state is the
@@ -152,6 +150,9 @@ object Sketches {
         col("token"), b),
       groupCol, b)
 
+  /** Per-source distinct-token estimate vs exact, one query: the HLL
+    * audit shape the gate hash-checks (the exact side is the audit —
+    * use [[hllDistinctSketch]] where only the sketch should run). */
   def hllDistinctTokens(df: DataFrame, groupCol: String = "source",
       textCol: String = "text", b: Int = 8): DataFrame = {
     val toks = tokens(df, textCol, Seq(col(groupCol)))

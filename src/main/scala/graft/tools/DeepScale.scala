@@ -114,9 +114,22 @@ object DeepScale {
       s""""$n":{"t1":${f"$t1%.3f"},"t$factor":${f"$tN%.3f"},"ratio":${f"$r%.2f"}}"""
     }.mkString("{", ",", "}")
     val json = s"""{"factor":$factor,"rows1":$n1,"rowsN":$nN,"sf":"$sfDir","ops":$qs}"""
+    // the sentinel stdout line IS the result; the curated repo record
+    // (SCALE100.json) is updated by hand — the tool never writes into
+    // the repository worktree
     println(s"DEEPSCALE_JSON: $json")
-    java.nio.file.Files.writeString(
-      java.nio.file.Path.of("deepscale_out.json"), json + "\n")
     spark.stop()
+    DeepScale.cleanupScratch(dir)
   }
+
+  /** Best-effort scratch cleanup (Bench's scale-suite pattern): the
+    * replicated corpora are multi-GB at factor 100 and must not leak
+    * per run. */
+  private[tools] def cleanupScratch(dir: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+        .asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
 }

@@ -32,9 +32,12 @@ object MinhashDeepProbe {
           Dedup.minhashSigFromText(col("text"), 5, 64).as("sig"))
           .write.format("noop").mode("overwrite").save()
       }
-      // band-bucket volume: candidate pairs BEFORE verification
+      // band-bucket volume: candidate pairs BEFORE verification —
+      // measured over a MATERIALIZED signature cache so the timed
+      // aggregation doesn't re-run (and double-count) the sig pass
       val sigs = d.select(col("doc_id").as("__id"),
-        Dedup.minhashSigFromText(col("text"), 5, 64).as("__sig"))
+        Dedup.minhashSigFromText(col("text"), 5, 64).as("__sig")).cache()
+      sigs.count()
       val banded = sigs.select(col("__id"), posexplode(
         array((0 until 16).map(b =>
           Dedup.packedBandKey(col("__sig"), b, 4)): _*))
@@ -47,6 +50,7 @@ object MinhashDeepProbe {
             coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0L)).as("cp"),
             coalesce(max("n"), lit(0L)).as("mx")).collect()(0)
       }
+      sigs.unpersist(blocking = true)
       val tFull = t {
         Dedup.minhashLsh(d, threshold = 0.5)
           .write.format("noop").mode("overwrite").save()
@@ -69,5 +73,6 @@ object MinhashDeepProbe {
         s"buckets>1=${stats.get(0)} candPairs=${stats.get(1)} maxBucket=${stats.get(2)}")
     }
     spark.stop()
+    DeepScale.cleanupScratch(dir)
   }
 }
