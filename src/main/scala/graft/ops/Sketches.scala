@@ -53,6 +53,23 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Merge CMS sketches (shards, ingest batches, or persisted state +
+    * a new batch): counters add slot-wise. Associative and commutative,
+    * so `cmsMerge(cmsSketch(shard1), cmsSketch(shard2)) ==
+    * cmsSketch(full)` exactly — the incremental-ingest pattern: persist
+    * the ≤ depth·width-row sketch, merge each arriving batch's sketch,
+    * never re-scan old text. */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("row", "slot").agg(sum("cnt").as("cnt"))
+
+  /** Merge HLL register tables: register-wise max. Same incremental
+    * contract as [[cmsMerge]] — union-of-streams distinct estimates
+    * from persisted ≤ groups·2^b-row state. */
+  def hllMerge(a: DataFrame, b: DataFrame,
+      groupCol: String = "source"): DataFrame =
+    a.unionByName(b).groupBy(groupCol, "register")
+      .agg(max("max_rank").as("max_rank"))
+
   /** Point-query every distinct token against the sketch and join the
     * exact count for audit: est = min over rows of the hashed counter —
     * the CMS guarantee is est ≥ exact (never undercounts) with

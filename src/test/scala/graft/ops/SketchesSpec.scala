@@ -41,14 +41,15 @@ class SketchesSpec extends AnyFunSuite {
     assert(!hh.exists(_.startsWith("rare")))
   }
 
-  test("CMS shard sketches sum to the full-corpus sketch") {
+  test("CMS shard sketches sum to the full-corpus sketch (cmsMerge)") {
     val df = corpus()
     val full = Sketches.cmsSketch(df).collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getAs[Long]("cnt")).toMap
-    val a = Sketches.cmsSketch(df.filter(col("doc_id") < 100)).collect()
-    val b = Sketches.cmsSketch(df.filter(col("doc_id") >= 100)).collect()
-    val merged = (a ++ b).groupBy(r => (r.getInt(0), r.getLong(1)))
-      .view.mapValues(_.map(_.getAs[Long]("cnt")).sum).toMap
+    val merged = Sketches.cmsMerge(
+        Sketches.cmsSketch(df.filter(col("doc_id") < 100)),
+        Sketches.cmsSketch(df.filter(col("doc_id") >= 100)))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getAs[Long]("cnt")).toMap
     assert(merged == full)
   }
 
@@ -66,6 +67,34 @@ class SketchesSpec extends AnyFunSuite {
       .agg(max("max_rank").as("mr")).collect()
       .map(r => r.getLong(0) -> r.getAs[Int]("mr")).toMap
     assert(maxMerged == union)
+  }
+
+  test("hllMerge: persisted state + new batch == full-stream registers") {
+    val df = corpus().withColumn("source", lit("all"))
+    val toks = (d: org.apache.spark.sql.DataFrame) => d.select(col("source"),
+      explode(split(lower(col("text")), "[^a-z0-9]+")).as("token"))
+      .filter(col("token") =!= "")
+    val full = Sketches.hllRegisters(toks(df), "source", col("token"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        r.getAs[Int]("max_rank")).toMap
+    val merged = Sketches.hllMerge(
+        Sketches.hllRegisters(toks(df.filter(col("doc_id") < 100)),
+          "source", col("token")),
+        Sketches.hllRegisters(toks(df.filter(col("doc_id") >= 100)),
+          "source", col("token")))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        r.getAs[Int]("max_rank")).toMap
+    assert(merged == full)
+    // merged estimate == full estimate (what the consumer reads)
+    val estA = Sketches.hllEstimate(Sketches.hllMerge(
+      Sketches.hllRegisters(toks(df.filter(col("doc_id") < 100)),
+        "source", col("token")),
+      Sketches.hllRegisters(toks(df.filter(col("doc_id") >= 100)),
+        "source", col("token"))), "source").collect()
+    val estB = Sketches.hllEstimate(
+      Sketches.hllRegisters(toks(df), "source", col("token")), "source")
+      .collect()
+    assert(estA.map(_.toString).sameElements(estB.map(_.toString)))
   }
 
   test("HLL estimate lands near the exact distinct count") {
