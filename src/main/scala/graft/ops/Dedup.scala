@@ -435,27 +435,9 @@ object Dedup {
     * same fold. One pass per document updating 64 vote counters (faster
     * than a 64-expression vote tree, and the votes never materialize). */
   def simhash(df: DataFrame, textCol: String = "text", outCol: String = "simhash"): DataFrame =
-    df.withColumn(outCol, simhashUdf(col(textCol)))
-
-  private val simhashUdf = udf((text: String) => {
-    val norm = if (text == null) "" else text.trim.toLowerCase.replaceAll("\\s+", " ")
-    val toks = norm.split(" ", -1)
-    val votes = new Array[Int](64)
-    var ti = 0
-    while (ti < toks.length) {
-      val h = TextOps.fnv64(toks(ti))
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
-      }
-      ti += 1
-    }
-    var sig = 0L
-    var b = 0
-    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
-    sig
-  })
+    // native codegen expression (graft.plans.SimhashExpr) — identical
+    // values to the former ScalaUDF, no udf boundary on the corpus scan
+    df.withColumn(outCol, graft.plans.SimhashExpr(col(textCol)))
 
   /** SimHash near-dup pairs within `maxHamming` bit flips. The 64-bit
     * signatures are banded into `maxHamming + 1` chunks: a pair with at

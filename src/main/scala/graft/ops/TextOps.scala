@@ -420,17 +420,20 @@ object TextOps {
     }
   }
 
-  /** Shared (doc, bv, bw) bigram-bucket rows — one UDF pass per document
-    * (each word hashed once; the HOF element_at formulation re-evaluated
-    * the words array per lambda element, O(n²) per doc, and shuffled
-    * strings). */
+  /** Shared (doc, bv, bw) bigram-bucket rows — one native-expression
+    * pass per document (each word hashed once; the HOF element_at
+    * formulation re-evaluated the words array per lambda element, O(n²)
+    * per doc, and shuffled strings; the ScalaUDF this replaces paid a
+    * tuple-encoder boundary per row). The expression packs each pair
+    * into one long (bv·buckets + bw, both < buckets — lossless);
+    * unpacking is integer div/mod in pure expressions. */
   private[graft] def knBigramPairs(df: DataFrame, buckets: Int,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val bigramBuckets = udf((s: String) => knBigramWalk(s, buckets))
-    df.select(col(idCol), explode(bigramBuckets(col(textCol))).as("__bg"))
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol),
+        explode(graft.plans.KnBigramsExpr(col(textCol), buckets)).as("__p"))
       .select(col(idCol),
-        col("__bg._1").as("__bv"), col("__bg._2").as("__bw"))
-  }
+        (col("__p") / buckets).cast("int").as("__bv"),
+        pmod(col("__p"), lit(buckets.toLong)).cast("int").as("__bw"))
 
   /** The per-document bigram-bucket walk itself — shared verbatim by the
     * batch pair builder and the streaming scorer so the two can never
