@@ -105,5 +105,21 @@ object GraftFunctions {
             intArg("graft_minhash_sig", 2, args(1)),
             intArg("graft_minhash_sig", 3, args(2)),
             intArg("graft_minhash_sig", 4, args(3)))
+        }),
+      (FunctionIdentifier("graft_simhash"),
+        info(classOf[SimhashExpr], "graft_simhash",
+          "graft_simhash(text) - 64-bit SimHash (sign-sum of per-token " +
+            "FNV bits over normalized whitespace tokens; never null)."),
+        (args: Seq[Expression]) => {
+          requireArity("graft_simhash", args, 1)
+          SimhashExpr(args.head)
+        }),
+      (FunctionIdentifier("graft_kn_bigrams"),
+        info(classOf[KnBigramsExpr], "graft_kn_bigrams",
+          "graft_kn_bigrams(text, buckets) - adjacent word-bucket bigram " +
+            "pairs, each packed as bv*buckets+bw (buckets: foldable int)."),
+        (args: Seq[Expression]) => {
+          requireArity("graft_kn_bigrams", args, 2)
+          KnBigramsExpr(args.head, intArg("graft_kn_bigrams", 2, args(1)))
         }))
 }

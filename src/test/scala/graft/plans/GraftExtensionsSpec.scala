@@ -79,6 +79,35 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(folded.size == 16)
   }
 
+  test("graft_simhash matches the Column API signature bit-for-bit") {
+    import spark.implicits._
+    Seq("the quick brown fox", "the quick brown fox", "different text", "")
+      .toDF("t").createOrReplaceTempView("sh_in")
+    val viaSql = spark.sql("SELECT t, graft_simhash(t) AS s FROM sh_in")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaCol = spark.table("sh_in")
+      .select(col("t"), SimhashExpr(col("t")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaCol)
+    // null text and empty text share the offset-basis sign pattern
+    val nullSig = spark.sql("SELECT graft_simhash(CAST(NULL AS STRING)) AS s")
+      .collect()(0).getLong(0)
+    assert(nullSig == viaSql(""))
+  }
+
+  test("graft_kn_bigrams packs the shared walk losslessly") {
+    import spark.implicits._
+    Seq("alpha beta gamma alpha").toDF("t").createOrReplaceTempView("kb_in")
+    val packed = spark.sql(
+      "SELECT graft_kn_bigrams(t, 64) AS p FROM kb_in")
+      .collect()(0).getSeq[Long](0)
+    val walk = TextOps.knBigramWalk("alpha beta gamma alpha", 64)
+    assert(packed.length == walk.length)
+    walk.zip(packed).foreach { case ((bv, bw), p) =>
+      assert(p == bv.toLong * 64 + bw)
+    }
+  }
+
   test("arity and parameter errors fail loudly at analysis") {
     val e1 = intercept[Exception](
       spark.sql("SELECT graft_fnv64('a', 'b')").collect())
