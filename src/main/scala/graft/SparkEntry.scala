@@ -3433,8 +3433,9 @@ object SparkEntry {
          |t AS (SELECT user_id, pos, value,
          |    CASE WHEN m > 0.0 THEN m ELSE 1.0 END AS scale FROM b),
          |tok AS (SELECT user_id, pos, scale,
+         |    CASE WHEN value IS NULL THEN NULL ELSE
          |    least(${q.nBins - 1}, floor((least($hi, greatest($lo,
-         |      value / scale)) - $lo) / $w))::INT AS token_id FROM t)
+         |      value / scale)) - $lo) / $w))::INT END AS token_id FROM t)
          |SELECT user_id, pos, token_id, round(scale, 6) AS scale,
          |  round(($lo + (token_id + 0.5) * $w) * scale + 1e-9, 6) AS recon
          |FROM tok""".stripMargin

@@ -511,8 +511,9 @@ object StochOracle {
        |t AS (SELECT user_id, value,
        |    CASE WHEN m > 0.0 THEN m ELSE 1.0 END AS scale FROM b),
        |tok AS (SELECT user_id,
+       |    CASE WHEN value IS NULL THEN NULL ELSE
        |    least(${nBins - 1}, floor((least(${dlit(high)}, greatest(
-       |      ${dlit(low)}, value / scale)) - ${dlit(low)}) / $w))::INT
+       |      ${dlit(low)}, value / scale)) - ${dlit(low)}) / $w))::INT END
        |      AS token_id FROM t)
        |SELECT user_id,
        |  $cols

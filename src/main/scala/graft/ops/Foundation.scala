@@ -70,11 +70,16 @@ object Foundation {
   }
 
   /** Clamp-and-bin token id from the target and a bound `scale`
-    * column. */
+    * column. A NULL measurement stays NULL — Spark's (and DuckDB's)
+    * `greatest` IGNORES nulls, so without the explicit guard a missing
+    * value would silently clamp to the extreme-low token 0 and
+    * masquerade as a real observation in every pooled embedding. */
   private def tokenCol(cfg: ChronosCfg)(implicit pc: PanelCols): Column = {
     val z = least(lit(cfg.high),
       greatest(lit(cfg.low), pc.targetCol.cast("double") / col("scale")))
-    least(lit(cfg.nBins - 1), floor((z - cfg.low) / cfg.width)).cast("int")
+    when(pc.targetCol.isNull, lit(null))
+      .otherwise(least(lit(cfg.nBins - 1),
+        floor((z - cfg.low) / cfg.width)).cast("int"))
   }
 
   /** Chronos tokenization as a distributed pure-expression map: the

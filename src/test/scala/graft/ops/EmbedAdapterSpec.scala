@@ -97,6 +97,27 @@ class EmbedAdapterSpec extends AnyFunSuite {
     }
   }
 
+  test("null target values degrade per-series, never crash or spread") {
+    import spark.implicits._
+    // series 1 has a null value mixed in; series 2 is ALL null
+    val df = Seq(
+      (1L, 0L, Some(2.0), 0L), (1L, 1L, None, 1L), (1L, 2L, Some(4.0), 2L),
+      (2L, 0L, Option.empty[Double], 0L), (2L, 1L, Option.empty[Double], 1L))
+      .toDF("user_id", "ts", "value", "event_id")
+    val ce = Foundation.chronosEmbed(df, dim = 3).orderBy("user_id").collect()
+    assert(ce.length == 2, "every series keeps its output row")
+    // mixed series: null rows drop out of the avg, embedding is finite
+    (0 until 3).foreach(j =>
+      assert(java.lang.Double.isFinite(ce(0).getAs[Double](s"emb_$j"))))
+    // all-null series: no tokens -> null embedding, not a crash
+    (0 until 3).foreach(j => assert(ce(1).isNullAt(ce(1).fieldIndex(s"emb_$j"))))
+    val me = Foundation.momentEmbed(df, dim = 2, patchLen = 2)
+      .orderBy("user_id").collect()
+    assert(me.length == 2)
+    (0 until 2).foreach(j =>
+      assert(java.lang.Double.isFinite(me(0).getAs[Double](s"emb_$j"))))
+  }
+
   test("momentEmbed: partial trailing patch pools like zero-padding") {
     // 5 points at patchLen 4 -> patches (4 real) + (1 real); the short
     // patch must contribute its real-element sum, not be dropped
