@@ -432,7 +432,11 @@ object TextOps {
     df.select(col(idCol),
         explode(graft.plans.KnBigramsExpr(col(textCol), buckets)).as("__p"))
       .select(col(idCol),
-        (col("__p") / buckets).cast("int").as("__bv"),
+        // DIV, not '/': Spark's Divide casts long->double, and at
+        // buckets large enough that bv*buckets+bw exceeds 2^53 the
+        // rounded quotient would corrupt __bv — integer division is
+        // exact at any bucket count
+        expr(s"__p DIV $buckets").cast("int").as("__bv"),
         pmod(col("__p"), lit(buckets.toLong)).cast("int").as("__bw"))
 
   /** The per-document bigram-bucket walk itself — shared verbatim by the

@@ -26,6 +26,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *     columns, in-place ArrayData walk.
   *   - `graft_minhash_sig(text, n, k, seed)` → array<bigint> — k-minhash
   *     signature over n-char shingles; n/k/seed must be foldable ints.
+  *   - `graft_simhash(text)` → bigint — 64-bit SimHash over normalized
+  *     whitespace tokens (null → empty-text sign pattern, never null).
+  *   - `graft_kn_bigrams(text, buckets)` → array<bigint> — adjacent
+  *     word-bucket bigram pairs packed as bv·buckets+bw (buckets a
+  *     foldable int).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =

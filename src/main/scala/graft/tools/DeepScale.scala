@@ -75,6 +75,7 @@ object DeepScale {
     // the way a real corpus arrives (Bench's 10x lesson: timing against
     // a cached-and-evicted HOF replica pollutes ratios with recompute)
     val dir = java.nio.file.Files.createTempDirectory("graft_deep").toString
+    try {
     replica(docs, 0, 1).write.mode("overwrite").parquet(s"$dir/docs1")
     (0 until factor).map(replica(docs, _, factor)).reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$dir/docsN")
@@ -118,18 +119,23 @@ object DeepScale {
     // (SCALE100.json) is updated by hand — the tool never writes into
     // the repository worktree
     println(s"DEEPSCALE_JSON: $json")
-    spark.stop()
-    DeepScale.cleanupScratch(dir)
+    } finally {
+      spark.stop()
+      cleanupScratch(dir)
+    }
   }
 
   /** Best-effort scratch cleanup (Bench's scale-suite pattern): the
     * replicated corpora are multi-GB at factor 100 and must not leak
-    * per run. */
+    * per run — call from `finally`, so a mid-suite OOM/disk-full still
+    * cleans up. Closes the walk stream (Files.walk holds a directory
+    * handle until closed). */
   private[tools] def cleanupScratch(dir: String): Unit =
     try {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
-        .asScala.toSeq.reverse
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
     } catch { case _: Throwable => () }
 }

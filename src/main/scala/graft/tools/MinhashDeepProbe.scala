@@ -23,7 +23,7 @@ object MinhashDeepProbe {
     def t(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    Seq(1, factor).foreach { f =>
+    try Seq(1, factor).foreach { f =>
       (0 until f).map(DeepScale.replica(docs, _, f)).reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$dir/d$f")
       val d = spark.read.parquet(s"$dir/d$f")
@@ -71,8 +71,9 @@ object MinhashDeepProbe {
       spark.sqlContext.clearCache()
       println(f"[probe] f=$f%3d sig=$tSig%.1fs bandStats=$tBand%.1fs full=$tFull%.1fs warmFull=$tWarm%.1fs " +
         s"buckets>1=${stats.get(0)} candPairs=${stats.get(1)} maxBucket=${stats.get(2)}")
+    } finally {
+      spark.stop()
+      DeepScale.cleanupScratch(dir)
     }
-    spark.stop()
-    DeepScale.cleanupScratch(dir)
   }
 }

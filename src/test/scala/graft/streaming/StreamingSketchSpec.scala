@@ -41,8 +41,10 @@ class StreamingSketchSpec extends AnyFunSuite {
     val q = source.toDS().toDF("doc_id", "text", "source").writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sk = Sketches.cmsSketch(batch)
-        state = if (state == null) sk
-          else Sketches.cmsMerge(state, sk).localCheckpoint(true)
+        // ALWAYS checkpoint: a foreachBatch frame is only valid within
+        // its batch, so even the first batch's sketch must materialize
+        state = (if (state == null) sk
+          else Sketches.cmsMerge(state, sk)).localCheckpoint(true)
         ()
       }.start()
     all.grouped(40).foreach { g => source.addData(g); q.processAllAvailable() }
@@ -66,8 +68,8 @@ class StreamingSketchSpec extends AnyFunSuite {
         val regs = Sketches.hllRegisters(
           Sketches.tokens(batch, "text", Seq(col("source"))),
           "source", col("token"))
-        state = if (state == null) regs
-          else Sketches.hllMerge(state, regs).localCheckpoint(true)
+        state = (if (state == null) regs
+          else Sketches.hllMerge(state, regs)).localCheckpoint(true)
         ()
       }.start()
     all.grouped(30).foreach { g => source.addData(g); q.processAllAvailable() }
