@@ -233,6 +233,18 @@ object Bench {
         TemporalJoins.asofJoin(l, r, Seq("user_id"), "ts", "ts",
           Seq("click_id", "click_value"))
       }),
+      // the same as-of shape on the whole-operator tier (AsofJoinExec
+      // sort-merge) — recorded next to asof_join so the two plan shapes'
+      // costs stay comparable round over round
+      "asof_native" -> (() => mat {
+        val l = eventsSf.filter(col("event_type") === "purchase")
+          .select("user_id", "event_id", "ts")
+        val r = eventsSf.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+            col("value").as("click_value"))
+        TemporalJoins.asofJoinNative(l, r, Seq("user_id"), "ts", "ts",
+          Seq("click_id", "click_value"))
+      }),
       "range_join" -> (() => mat {
         val err = eventsSf.filter(col("event_type") === "error")
           .select(col("user_id"), col("event_id").as("error_id"),

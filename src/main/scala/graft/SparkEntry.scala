@@ -1902,6 +1902,44 @@ object SparkEntry {
           "prev_orderkey")
     }),
 
+    // the same as-of semantics on the whole-operator Catalyst tier
+    // (AsofJoin logical node → GraftStrategy → AsofJoinExec sort-merge;
+    // plans/AsofJoinPlan.scala) — same oracles as the composed forms,
+    // so the two plan shapes are pinned to identical results
+    "ts_asof_native_backward" -> ((s, dir) => {
+      val e = IO.events(s, dir)
+      val l = e.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+      val r = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      TemporalJoins.asofJoinNative(l, r, Seq("user_id"), "ts", "ts",
+          Seq("click_id", "click_value"))
+        .select("user_id", "event_id", "ts", "asof_ts", "click_id", "click_value")
+    }),
+
+    "ts_asof_native_nearest" -> ((s, dir) => {
+      val e = IO.events(s, dir)
+      val l = e.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+      val r = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id").as("signup_id"))
+      TemporalJoins.asofJoinNative(l, r, Seq("user_id"), "ts", "ts",
+          Seq("signup_id"), direction = "nearest")
+        .select("user_id", "event_id", "ts", "asof_ts", "signup_id")
+    }),
+
+    "ts_asof_native_strict" -> ((s, dir) => {
+      val o = IO.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate")
+      val r = o.groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max("o_orderkey").as("prev_orderkey"))
+      TemporalJoins.asofJoinNative(o, r, Seq("o_custkey"),
+          "o_orderdate", "o_orderdate", Seq("prev_orderkey"),
+          allowExactMatches = false)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "asof_ts",
+          "prev_orderkey")
+    }),
+
     // clicks inside the 1-day window after each error, per user —
     // bucketUs = 6h so each window explodes into ≤ 5 buckets
     "ts_range_join" -> ((s, dir) => {
@@ -4106,6 +4144,40 @@ object SparkEntry {
     // DuckDB's ASOF with a STRICT (>) comparator is the native oracle for
     // allowExactMatches=false
     "ts_asof_strict" ->
+      """WITH r AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS prev_orderkey
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT l.o_custkey, l.o_orderkey, l.o_orderdate,
+        |       r.o_orderdate AS asof_ts, r.prev_orderkey
+        |FROM orders l ASOF LEFT JOIN r
+        |  ON l.o_custkey = r.o_custkey AND l.o_orderdate > r.o_orderdate""".stripMargin,
+
+    // the native-tier twins share the composed forms' oracles verbatim —
+    // one DuckDB truth, two Spark plan shapes
+    "ts_asof_native_backward" ->
+      """WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |     r AS (SELECT user_id, ts, event_id AS click_id, value AS click_value
+        |           FROM events WHERE event_type = 'click')
+        |SELECT l.user_id, l.event_id, l.ts, r.ts AS asof_ts, r.click_id, r.click_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "ts_asof_native_nearest" ->
+      """WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |     r AS (SELECT user_id, ts, event_id AS signup_id
+        |           FROM events WHERE event_type = 'signup'),
+        |     b AS (SELECT l.event_id, r.ts AS bt, r.signup_id AS bid
+        |           FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts),
+        |     f AS (SELECT l.event_id, r.ts AS ft, r.signup_id AS fid
+        |           FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts)
+        |SELECT l.user_id, l.event_id, l.ts,
+        |  CASE WHEN bt IS NULL THEN ft WHEN ft IS NULL THEN bt
+        |       WHEN date_diff('microseconds', bt, l.ts) <=
+        |            date_diff('microseconds', l.ts, ft) THEN bt ELSE ft END AS asof_ts,
+        |  CASE WHEN bt IS NULL THEN fid WHEN ft IS NULL THEN bid
+        |       WHEN date_diff('microseconds', bt, l.ts) <=
+        |            date_diff('microseconds', l.ts, ft) THEN bid ELSE fid END AS signup_id
+        |FROM l JOIN b ON l.event_id = b.event_id JOIN f ON l.event_id = f.event_id""".stripMargin,
+
+    "ts_asof_native_strict" ->
       """WITH r AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS prev_orderkey
         |           FROM orders GROUP BY 1, 2)
         |SELECT l.o_custkey, l.o_orderkey, l.o_orderdate,

@@ -148,6 +148,84 @@ object TemporalJoins {
       .select(outCols: _*)
   }
 
+  /** [[asofJoin]] on the whole-operator Catalyst tier: builds a
+    * [[graft.plans.AsofJoin]] logical node planned by
+    * [[graft.plans.GraftStrategy]] into the sort-merge
+    * [[graft.plans.AsofJoinExec]]. Identical semantics and output
+    * schema to the composed form (spec-pinned equality on every
+    * direction × tolerance × exact-match combination), different plan:
+    * two per-side exchanges + sorts and a single O(|L|+|R|) merge pass
+    * instead of one union exchange + WindowExec over both sides — the
+    * left side's partitioning/ordering survive to downstream operators,
+    * and deterministic left-side filters written above the join are
+    * pushed below it by [[graft.plans.PushFilterThroughAsofJoin]].
+    *
+    * Registers the strategy/rule on the live session (idempotent), so
+    * it works with or without `spark.sql.extensions=
+    * graft.plans.GraftExtensions`. `rightCols` must be disjoint from
+    * `by` (key columns are already on the left side). */
+  def asofJoinNative(left: DataFrame, right: DataFrame, by: Seq[String],
+                     leftTime: String, rightTime: String,
+                     rightCols: Seq[String],
+                     direction: String = "backward",
+                     toleranceUs: Option[Long] = None,
+                     matchedTime: String = "asof_ts",
+                     allowExactMatches: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.GraftPlanBridge
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    require(by.nonEmpty,
+      "asofJoinNative: empty `by` would single-partition the merge; supply keys")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"asofJoinNative: unknown direction '$direction'")
+    require(rightCols.nonEmpty, "asofJoinNative: no right columns to carry")
+    require(!rightCols.exists(by.contains),
+      "asofJoinNative: rightCols must be disjoint from `by`")
+    toleranceUs.foreach(t =>
+      require(t >= 0, "asofJoinNative: negative tolerance"))
+    val reserved = Seq("__ltu", "__rt", "__rtu")
+    require(!(left.columns ++ rightCols).exists(reserved.contains),
+      s"asofJoinNative: column names ${reserved.mkString(", ")} are reserved")
+
+    val spark = left.sparkSession
+    graft.plans.GraftPlanning.ensure(spark)
+
+    val outNames = rightCols.map(c =>
+      if (left.columns.contains(c)) c + "_right" else c)
+
+    val lPrep = left.withColumn("__ltu", micros(left, leftTime))
+    val rPrep = right.select(
+      (by.map(col) :+ col(rightTime).as("__rt") :+
+        micros(right, rightTime).as("__rtu")) ++ rightCols.map(col): _*)
+    val lChild = GraftPlanBridge.analyzed(lPrep)
+    // fresh exprIds on the right side so a self-join never aliases the
+    // same attribute into both children of the node
+    val rChild0 = GraftPlanBridge.analyzed(rPrep)
+    val rChild = Project(rChild0.output.map(a => Alias(a, a.name)()), rChild0)
+
+    def attr(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+             name: String) =
+      out.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"asofJoinNative: no column $name"))
+    val rOut = rChild.output
+    val carryExprs = attr(rOut, "__rt") +: rightCols.map(attr(rOut, _))
+    val carryAttrs =
+      AttributeReference(matchedTime, attr(rOut, "__rt").dataType,
+        nullable = true)() +:
+        rightCols.zip(outNames).map { case (c, o) =>
+          AttributeReference(o, attr(rOut, c).dataType, nullable = true)()
+        }
+
+    val node = graft.plans.AsofJoin(
+      lChild, rChild,
+      by.map(attr(lChild.output, _)), by.map(attr(rOut, _)),
+      attr(lChild.output, "__ltu"), attr(rOut, "__rtu"),
+      carryExprs, carryAttrs, direction, toleranceUs, allowExactMatches)
+    GraftPlanBridge.ofRows(spark, node)
+      .select((left.columns.toSeq :+ matchedTime).map(col) ++
+        outNames.map(col): _*)
+  }
+
   /** Feature-store point-in-time join: as-of join a spine (entity, time)
     * against several feature tables in sequence — the leakage-free
     * training-snapshot assembly (each feature value is the latest

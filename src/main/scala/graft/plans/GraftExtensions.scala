@@ -33,8 +33,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *     foldable int).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptions.foreach(ext.injectFunction)
+    // whole-operator tier: the AsofJoin logical node's planner strategy
+    // and its left-filter pushdown rule (live-session path:
+    // GraftPlanning.ensure)
+    ext.injectPlannerStrategy(_ => GraftStrategy)
+    ext.injectOptimizerRule(_ => PushFilterThroughAsofJoin)
+  }
 }
 
 object GraftFunctions {
