@@ -233,13 +233,25 @@ object TemporalJoins {
     * backward [[asofJoin]] per feature table: each is one hash exchange
     * on the same `by` keys, so the spine's partitioning is reused
     * between steps. The i-th table's matched timestamp lands in
-    * `asof_ts_i`. */
+    * `asof_ts_i`.
+    *
+    * `native = true` runs each step on the whole-operator tier
+    * ([[asofJoinNative]]) instead of the window carry — the chained
+    * steps then genuinely reuse one exchange: AsofJoinExec reports
+    * `outputPartitioning = left`, so step i+1's left side is already
+    * clustered on `by` and EnsureRequirements inserts no new shuffle
+    * (the union+window form re-shuffles the union every step). */
   def pointInTimeJoin(spine: DataFrame, by: Seq[String], spineTime: String,
-      features: Seq[(DataFrame, String, Seq[String], Option[Long])]): DataFrame =
+      features: Seq[(DataFrame, String, Seq[String], Option[Long])],
+      native: Boolean = false): DataFrame =
     features.zipWithIndex.foldLeft(spine) {
       case (acc, ((ft, timeCol, cols, tol), i)) =>
-        asofJoin(acc, ft, by, spineTime, timeCol, cols,
-          toleranceUs = tol, matchedTime = s"asof_ts_$i")
+        if (native)
+          asofJoinNative(acc, ft, by, spineTime, timeCol, cols,
+            toleranceUs = tol, matchedTime = s"asof_ts_$i")
+        else
+          asofJoin(acc, ft, by, spineTime, timeCol, cols,
+            toleranceUs = tol, matchedTime = s"asof_ts_$i")
     }
 
   /** Interval (range) join: left rows whose `leftTime` falls in the right

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute,
   AttributeSet, Expression, GenericInternalRow, JoinedRow, PredicateHelper,
   RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter,
-  LogicalPlan}
+  LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
   Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -106,6 +106,42 @@ object PushFilterThroughAsofJoin extends Rule[LogicalPlan]
   }
 }
 
+/** Prunes [[AsofJoin]] columns a parent Project doesn't use — on BOTH
+  * sides, below the operator, which is below the per-side exchanges:
+  * the saving is shuffle/sort bytes, not just scan width. Left attrs
+  * feeding the keys/time expressions are always kept (the merge needs
+  * them); right-side pruning keeps keys/time plus the carries that
+  * survive. Fixpoint: a second pass finds nothing unused. */
+object PruneAsofJoinColumns extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(projList, aj: AsofJoin) =>
+      val used = AttributeSet(projList.flatMap(_.references))
+      val lRequired = used ++
+        AttributeSet(aj.leftKeys.flatMap(_.references)) ++
+        aj.leftTimeUs.references
+      val keptLeft = aj.left.output.filter(lRequired.contains)
+      val (keptCarryAttrs, keptCarry) =
+        aj.carryAttrs.zip(aj.rightCarry)
+          .filter { case (a, _) => used.contains(a) }.unzip
+      if (keptLeft.size == aj.left.output.size &&
+          keptCarryAttrs.size == aj.carryAttrs.size) p
+      else {
+        val newLeft =
+          if (keptLeft.size == aj.left.output.size) aj.left
+          else Project(keptLeft, aj.left)
+        val rRequired = AttributeSet(aj.rightKeys.flatMap(_.references)) ++
+          aj.rightTimeUs.references ++
+          AttributeSet(keptCarry.flatMap(_.references))
+        val keptRight = aj.right.output.filter(rRequired.contains)
+        val newRight =
+          if (keptRight.size == aj.right.output.size) aj.right
+          else Project(keptRight, aj.right)
+        Project(projList, aj.copy(left = newLeft, right = newRight,
+          rightCarry = keptCarry, carryAttrs = keptCarryAttrs))
+      }
+  }
+}
+
 /** Live-session registration for the planner tier (the analogue of
   * [[GraftFunctions.register]] for sessions built without
   * `spark.sql.extensions=graft.plans.GraftExtensions`). Idempotent. */
@@ -116,6 +152,8 @@ object GraftPlanning {
       e.extraStrategies = e.extraStrategies :+ GraftStrategy
     if (!e.extraOptimizations.contains(PushFilterThroughAsofJoin))
       e.extraOptimizations = e.extraOptimizations :+ PushFilterThroughAsofJoin
+    if (!e.extraOptimizations.contains(PruneAsofJoinColumns))
+      e.extraOptimizations = e.extraOptimizations :+ PruneAsofJoinColumns
   }
 }
 

@@ -40,6 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // GraftPlanning.ensure)
     ext.injectPlannerStrategy(_ => GraftStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughAsofJoin)
+    ext.injectOptimizerRule(_ => PruneAsofJoinColumns)
   }
 }
 

@@ -23,4 +23,9 @@ object GraftPlanBridge {
     * strategies + optimizer rules) for live-session injection. */
   def experimental(spark: SparkSession): ExperimentalMethods =
     spark.asInstanceOf[classic.SparkSession].experimental
+
+  /** The session planner's full strategy list (spec-side visibility:
+    * proves `withExtensions` injection without running a query). */
+  def plannerStrategies(spark: SparkSession): Seq[execution.SparkStrategy] =
+    spark.asInstanceOf[classic.SparkSession].sessionState.planner.strategies
 }

@@ -138,6 +138,59 @@ class AsofJoinNativeSpec extends AnyFunSuite {
     assert(!rvPushed, "carry-column filter must stay above the join")
   }
 
+  test("PruneAsofJoinColumns drops unused columns below both exchanges") {
+    import spark.implicits._
+    val l = (1 to 40).map(i => ((i % 4).toLong,
+      new Timestamp(1704067200000L + i * 1000L), i.toLong, s"w$i", i * 2.0))
+      .toDF("k", "t", "lid", "wide_l", "extra_l")
+    val r = (1 to 40).map(i => ((i % 4).toLong,
+      new Timestamp(1704067200000L + i * 1300L), i * 1.0, s"v$i"))
+      .toDF("k", "t", "rv", "wide_r")
+    val joined = TemporalJoins.asofJoinNative(l, r, Seq("k"), "t", "t",
+      Seq("rv", "wide_r"))
+    // narrow projection: wide_l/extra_l/wide_r unused
+    val narrow = joined.select("k", "lid", "rv")
+    val aj = narrow.queryExecution.optimizedPlan
+      .collectFirst { case a: AsofJoin => a }.get
+    assert(!aj.left.output.exists(a =>
+      a.name == "wide_l" || a.name == "extra_l"),
+      s"unused left columns not pruned:\n${narrow.queryExecution.optimizedPlan}")
+    assert(!aj.carryAttrs.exists(_.name == "wide_r"),
+      "unused carry not pruned from the node")
+    assert(!aj.right.output.exists(_.name == "wide_r"),
+      "unused carry's source not pruned from the right child")
+    // keys/time survive pruning even though the projection drops them
+    assert(aj.left.output.exists(_.name == "__ltu"))
+    assert(aj.right.output.exists(_.name == "__rtu"))
+    // and the values are unchanged by the rewrite
+    val expected = TemporalJoins.asofJoin(l, r, Seq("k"), "t", "t",
+      Seq("rv", "wide_r")).select("k", "lid", "rv")
+    assert(canon(narrow) === canon(expected))
+  }
+
+  test("native point-in-time join: one spine exchange across chained steps") {
+    import spark.implicits._
+    val spine = (1 to 60).map(i => ((i % 6).toLong,
+      new Timestamp(1704067200000L + i * 1000L), i.toLong)).toDF("k", "t", "sid")
+    val f1 = (1 to 60).map(i => ((i % 6).toLong,
+      new Timestamp(1704067200000L + i * 1100L), i * 1.0)).toDF("k", "t", "f1")
+    val f2 = (1 to 60).map(i => ((i % 6).toLong,
+      new Timestamp(1704067200000L + i * 900L), i * 2.0)).toDF("k", "t", "f2")
+    val feats = Seq((f1, "t", Seq("f1"), None), (f2, "t", Seq("f2"), None))
+    val native = TemporalJoins.pointInTimeJoin(spine, Seq("k"), "t", feats,
+      native = true)
+    native.collect()
+    // AQE's string repeats the tree under "== Initial Plan ==" — count
+    // only the final plan section
+    val s = native.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(exchanges === 3, // spine once + one per feature table, never 4+
+      s"expected 3 exchanges (spine + 2 features), got $exchanges:\n$s")
+    val composed = TemporalJoins.pointInTimeJoin(spine, Seq("k"), "t", feats)
+    assert(canon(native) === canon(composed))
+  }
+
   test("merge output equals composed on the documented doc example") {
     import spark.implicits._
     val l = Seq((1L, ts("2024-01-01 10:00:00"), "a"),

@@ -134,6 +134,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val h = fresh.sql("SELECT graft_fnv64('abc') AS h")
         .collect()(0).getLong(0)
       assert(h == TextOps.fnv64("abc"))
+      // the whole-operator tier rides the same extensions class: the
+      // fresh session's planner already carries GraftStrategy without
+      // any GraftPlanning.ensure call
+      assert(org.apache.spark.sql.GraftPlanBridge.plannerStrategies(fresh)
+          .contains(GraftStrategy),
+        "withExtensions did not inject the planner strategy")
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
