@@ -468,6 +468,15 @@ object Bench {
             col("value").as("rv")),
           Seq("user_id"), "ts", "ts", Seq("rv"))
       }
+      def asofNativeOnPanel(nSeries: Int): DataFrame = {
+        val p = synthPanel(spark, nSeries, 1000)
+        val hr = (unix_micros(col("ts").cast("timestamp")) / 3600000000L) % 2
+        TemporalJoins.asofJoinNative(
+          p.filter(hr === 0).select("user_id", "ts", "value"),
+          p.filter(hr === 1).select(col("user_id"), col("ts"),
+            col("value").as("rv")),
+          Seq("user_id"), "ts", "ts", Seq("rv"))
+      }
       def sessionizeOnPanel(nSeries: Int): DataFrame =
         TemporalJoins.sessionize(synthPanel(spark, nSeries, 1000),
             Seq("user_id"), "ts", gapUs = 2L * 3600 * 1000000)
@@ -552,6 +561,10 @@ object Bench {
         // rows AND keys scale 10×, so the plan's contract is ~linear
         ("asof_join", () => mat(asofOnPanel(1000)),
           () => mat(asofOnPanel(10000))),
+        // the whole-operator tier on the same panel: two per-side
+        // exchanges + one merge pass — same ~linear contract
+        ("asof_native", () => mat(asofNativeOnPanel(1000)),
+          () => mat(asofNativeOnPanel(10000))),
         ("sessionize", () => mat(sessionizeOnPanel(1000)),
           () => mat(sessionizeOnPanel(10000))),
         ("range_join", () => mat(rangeOnPanel(1000)),

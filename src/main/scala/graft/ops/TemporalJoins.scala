@@ -162,8 +162,15 @@ object TemporalJoins {
     *
     * Registers the strategy/rule on the live session (idempotent), so
     * it works with or without `spark.sql.extensions=
-    * graft.plans.GraftExtensions`. `rightCols` must be disjoint from
-    * `by` (key columns are already on the left side). */
+    * graft.plans.GraftExtensions`.
+    *
+    * The merge runs on derived key columns: each `by` key is cast to
+    * the tightest common type of the two sides (the coercion
+    * `unionByName` gives the composed form) and float/double keys are
+    * NaN/-0.0-normalized (what NormalizeFloatingNumbers does for a
+    * window partition key — the custom node is invisible to that
+    * rule), so mixed-width or floating keys match identically on both
+    * plan shapes instead of silently missing across partitions. */
   def asofJoinNative(left: DataFrame, right: DataFrame, by: Seq[String],
                      leftTime: String, rightTime: String,
                      rightCols: Seq[String],
@@ -171,32 +178,84 @@ object TemporalJoins {
                      toleranceUs: Option[Long] = None,
                      matchedTime: String = "asof_ts",
                      allowExactMatches: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.GraftPlanBridge
+    import org.apache.spark.sql.{GraftColumnBridge, GraftPlanBridge}
+    import org.apache.spark.sql.catalyst.analysis.TypeCoercion
     import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    import org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero
     import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
     require(by.nonEmpty,
       "asofJoinNative: empty `by` would single-partition the merge; supply keys")
     require(Seq("backward", "forward", "nearest").contains(direction),
       s"asofJoinNative: unknown direction '$direction'")
     require(rightCols.nonEmpty, "asofJoinNative: no right columns to carry")
-    require(!rightCols.exists(by.contains),
-      "asofJoinNative: rightCols must be disjoint from `by`")
     toleranceUs.foreach(t =>
       require(t >= 0, "asofJoinNative: negative tolerance"))
-    val reserved = Seq("__ltu", "__rt", "__rtu")
-    require(!(left.columns ++ rightCols).exists(reserved.contains),
-      s"asofJoinNative: column names ${reserved.mkString(", ")} are reserved")
 
     val spark = left.sparkSession
     graft.plans.GraftPlanning.ensure(spark)
 
-    val outNames = rightCols.map(c =>
+    // resolve user-supplied names against actual schemas under the
+    // session's case-sensitivity (col() resolution semantics — the
+    // composed form gets this for free from the Column API)
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def resolve(df: DataFrame, name: String, side: String): String =
+      df.columns.find(c =>
+        if (caseSensitive) c == name else c.equalsIgnoreCase(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"asofJoinNative: no column $name on the $side side"))
+    val byL = by.map(resolve(left, _, "left"))
+    val byR = by.map(resolve(right, _, "right"))
+    val lTimeN = resolve(left, leftTime, "left")
+    val rTimeN = resolve(right, rightTime, "right")
+    val rColsN = rightCols.map(resolve(right, _, "right"))
+
+    val keyNames = by.indices.map(i => s"__gk$i")
+    val reserved = "__ltu" +: "__rt" +: "__rtu" +: keyNames
+    require(!(left.columns ++ rColsN).exists(reserved.contains),
+      s"asofJoinNative: column names ${reserved.mkString(", ")} are reserved")
+
+    val outNames = rColsN.map(c =>
       if (left.columns.contains(c)) c + "_right" else c)
 
-    val lPrep = left.withColumn("__ltu", micros(left, leftTime))
+    // derived merge keys: common type + float normalization (see doc)
+    def commonKeyType(i: Int): DataType = {
+      val lt = left.schema(byL(i)).dataType
+      val rt = right.schema(byR(i)).dataType
+      if (lt == rt) lt
+      else TypeCoercion.findTightestCommonType(lt, rt).getOrElse(
+        throw new IllegalArgumentException(
+          s"asofJoinNative: key '${by(i)}' has incompatible types $lt vs $rt"))
+    }
+    def keyCol(name: String, t: DataType): Column = {
+      val cast = col(name).cast(t)
+      t match {
+        case DoubleType | FloatType => GraftColumnBridge.column(
+          NormalizeNaNAndZero(GraftColumnBridge.expression(cast)))
+        case _ => cast
+      }
+    }
+    val keyTypes = by.indices.map(commonKeyType)
+    // derive a left key column ONLY when the cast/normalization changes
+    // it: keying on the original left attribute keeps outputPartitioning
+    // expressed on a SURVIVING output column, so a chained step (e.g.
+    // pointInTimeJoin) reuses the exchange instead of re-shuffling a
+    // pruned-away alias
+    val lDerived = by.indices.map(i =>
+      keyTypes(i) != left.schema(byL(i)).dataType ||
+        keyTypes(i) == DoubleType || keyTypes(i) == FloatType)
+
+    val lPrep = by.indices.foldLeft(
+      left.withColumn("__ltu", micros(left, lTimeN))) { (d, i) =>
+      if (lDerived(i)) d.withColumn(keyNames(i), keyCol(byL(i), keyTypes(i)))
+      else d
+    }
     val rPrep = right.select(
-      (by.map(col) :+ col(rightTime).as("__rt") :+
-        micros(right, rightTime).as("__rtu")) ++ rightCols.map(col): _*)
+      (by.indices.map(i => keyCol(byR(i), keyTypes(i)).as(keyNames(i))) :+
+        col(rTimeN).as("__rt") :+
+        micros(right, rTimeN).as("__rtu")) ++
+        rColsN.distinct.map(col): _*)
     val lChild = GraftPlanBridge.analyzed(lPrep)
     // fresh exprIds on the right side so a self-join never aliases the
     // same attribute into both children of the node
@@ -208,17 +267,19 @@ object TemporalJoins {
       out.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"asofJoinNative: no column $name"))
     val rOut = rChild.output
-    val carryExprs = attr(rOut, "__rt") +: rightCols.map(attr(rOut, _))
+    val carryExprs = attr(rOut, "__rt") +: rColsN.map(attr(rOut, _))
     val carryAttrs =
       AttributeReference(matchedTime, attr(rOut, "__rt").dataType,
         nullable = true)() +:
-        rightCols.zip(outNames).map { case (c, o) =>
+        rColsN.zip(outNames).map { case (c, o) =>
           AttributeReference(o, attr(rOut, c).dataType, nullable = true)()
         }
 
+    val lKeyAttrs = by.indices.map(i =>
+      attr(lChild.output, if (lDerived(i)) keyNames(i) else byL(i)))
     val node = graft.plans.AsofJoin(
       lChild, rChild,
-      by.map(attr(lChild.output, _)), by.map(attr(rOut, _)),
+      lKeyAttrs, keyNames.map(attr(rOut, _)),
       attr(lChild.output, "__ltu"), attr(rOut, "__rtu"),
       carryExprs, carryAttrs, direction, toleranceUs, allowExactMatches)
     GraftPlanBridge.ofRows(spark, node)

@@ -257,7 +257,6 @@ case class AsofJoinExec(
 
       lIter.map { lrow =>
         var mRow: InternalRow = null
-        var mT = 0L
         val ltRow = lTimeProj(lrow)
         if (!ltRow.isNullAt(0)) {
           val lt = ltRow.getLong(0)
@@ -270,11 +269,12 @@ case class AsofJoinExec(
             if (htRow.isNullAt(0)) { rBuf.next() } // null-time right rows ignored
             else {
               val ht = htRow.getLong(0)
-              val c = keyOrd.compare(rKeyProj(h), lk)
+              val hk = rKeyProj(h)
+              val c = keyOrd.compare(hk, lk)
               if (c < 0) { rBuf.next() }
               else if (c == 0 && (ht < lt || (ht == lt && consumeEq))) {
                 if (dir != "forward") // forward never looks behind
-                  retain(rKeyProj(h).copy(), ht, carryProj(h).copy())
+                  retain(hk.copy(), ht, carryProj(h).copy())
                 rBuf.next()
               } else advancing = false
             }
@@ -312,10 +312,10 @@ case class AsofJoinExec(
               else (fRow, fT)
           }
           // tolerance applies to the picked candidate (the composed
-          // operator's contract: pick first, then null out-of-tolerance)
-          if (cRow != null && tol.forall(t => math.abs(lt - cT) <= t)) {
-            mRow = cRow; mT = cT
-          }
+          // operator's contract: pick first, then null out-of-tolerance
+          // — equivalent to filter-first since the pick is min-distance)
+          if (cRow != null && tol.forall(t => math.abs(lt - cT) <= t))
+            mRow = cRow
         }
         joined(lrow, if (mRow != null) mRow else nullCarry)
         resultProj(joined)

@@ -191,6 +191,51 @@ class AsofJoinNativeSpec extends AnyFunSuite {
     assert(canon(native) === canon(composed))
   }
 
+  test("mixed-width keys coerce to the common type (int left, long right)") {
+    import spark.implicits._
+    val l = Seq((5, ts("2024-01-01 10:00:00"), "a"),
+      (7, ts("2024-01-01 10:00:00"), "b")).toDF("k", "t", "lv")
+    val r = Seq((5L, ts("2024-01-01 09:00:00"), 1.0),
+      (7L, ts("2024-01-01 09:30:00"), 2.0)).toDF("k", "t", "rv")
+    val native = TemporalJoins.asofJoinNative(l, r, Seq("k"), "t", "t", Seq("rv"))
+      .collect().map(x => x.getAs[String]("lv") ->
+        Option(x.getAs[java.lang.Double]("rv")).map(_.doubleValue)).toMap
+    assert(native === Map("a" -> Some(1.0), "b" -> Some(2.0)),
+      "int-vs-long keys must hash/compare on the coerced common type")
+  }
+
+  test("floating keys normalize -0.0 = 0.0 like a window partition key") {
+    import spark.implicits._
+    val l = Seq((-0.0, ts("2024-01-01 10:00:00"), "a")).toDF("k", "t", "lv")
+    val r = Seq((0.0, ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "t", "rv")
+    val native = TemporalJoins.asofJoinNative(l, r, Seq("k"), "t", "t", Seq("rv"))
+    val composed = TemporalJoins.asofJoin(l, r, Seq("k"), "t", "t", Seq("rv"))
+    assert(canon(native) === canon(composed))
+    assert(native.collect()(0).getAs[java.lang.Double]("rv") === 1.0,
+      "-0.0 and 0.0 keys must land in one group on both plan shapes")
+  }
+
+  test("case-insensitive name resolution under the default session conf") {
+    import spark.implicits._
+    val l = Seq((1L, ts("2024-01-01 10:00:00"), "a")).toDF("uid", "ts", "lv")
+    val r = Seq((1L, ts("2024-01-01 09:00:00"), 1.0)).toDF("uid", "ts", "rv")
+    val out = TemporalJoins.asofJoinNative(l, r, Seq("UID"), "TS", "Ts",
+      Seq("RV"))
+    assert(out.collect()(0).getAs[java.lang.Double]("rv") === 1.0)
+  }
+
+  test("rightCols may carry a by-key-named column (renamed _right)") {
+    import spark.implicits._
+    val l = Seq((1L, ts("2024-01-01 10:00:00"), "a")).toDF("k", "t", "lv")
+    val r = Seq((1L, ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "t", "rv")
+    val native = TemporalJoins.asofJoinNative(l, r, Seq("k"), "t", "t",
+      Seq("k", "rv"))
+    val composed = TemporalJoins.asofJoin(l, r, Seq("k"), "t", "t",
+      Seq("k", "rv"))
+    assert(native.columns.contains("k_right"))
+    assert(canon(native) === canon(composed))
+  }
+
   test("merge output equals composed on the documented doc example") {
     import spark.implicits._
     val l = Seq((1L, ts("2024-01-01 10:00:00"), "a"),
