@@ -120,6 +120,12 @@ object syntax {
         allowExactMatches: Boolean = true): DataFrame =
       TemporalJoins.asofJoin(df, right, Seq(pc.id), pc.time, pc.time,
         rightCols, direction, toleranceUs, allowExactMatches = allowExactMatches)
+    /** [[asofJoin]] on the whole-operator tier (AsofJoinExec merge). */
+    def asofJoinNative(right: DataFrame, rightCols: Seq[String],
+        direction: String = "backward", toleranceUs: Option[Long] = None,
+        allowExactMatches: Boolean = true): DataFrame =
+      TemporalJoins.asofJoinNative(df, right, Seq(pc.id), pc.time, pc.time,
+        rightCols, direction, toleranceUs, allowExactMatches = allowExactMatches)
     def rangeJoin(right: DataFrame, startCol: String, endCol: String,
         bucketUs: Long): DataFrame =
       TemporalJoins.rangeJoin(df, right, Seq(pc.id), pc.time,

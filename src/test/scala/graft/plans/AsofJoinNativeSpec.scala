@@ -26,15 +26,19 @@ class AsofJoinNativeSpec extends AnyFunSuite {
     import spark.implicits._
     val rng = new scala.util.Random(42)
     val base = ts("2024-01-01 00:00:00").getTime
+    // every ~13th row gets a NULL key: the window carry groups null
+    // keys together, so the merge ordering must treat null = null too
     val l = (1 to 300).map { i =>
-      val k = (rng.nextInt(5) + 1).toLong
+      val k: java.lang.Long =
+        if (i % 13 == 0) null else (rng.nextInt(5) + 1).toLong
       val t =
         if (i % 37 == 0) null
         else new Timestamp(base + rng.nextInt(100000) * 1000L)
       (k, t, i.toLong)
     }.toDF("k", "t", "lid")
     val r0 = (1 to 300).map { i =>
-      val k = (rng.nextInt(5) + 1).toLong
+      val k: java.lang.Long =
+        if (i % 17 == 0) null else (rng.nextInt(5) + 1).toLong
       val t =
         if (i % 41 == 0) null
         else new Timestamp(base + rng.nextInt(100000) * 1000L)
