@@ -255,6 +255,17 @@ object Bench {
         TemporalJoins.rangeJoin(clk, err, Seq("user_id"), "ts",
           "w_start", "w_end", bucketUs = 6L * 3600 * 1000000)
       }),
+      // the same range shape on the whole-operator tier (no explosion)
+      "range_native" -> (() => mat {
+        val err = eventsSf.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("error_id"),
+            col("ts").as("w_start"),
+            (col("ts") + expr("INTERVAL 1 DAY")).as("w_end"))
+        val clk = eventsSf.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+        TemporalJoins.rangeJoinNative(clk, err, Seq("user_id"), "ts",
+          "w_start", "w_end")
+      }),
       "sessionize" -> (() => mat(
         TemporalJoins.sessionize(eventsSf, Seq("user_id"), "ts",
             gapUs = 6L * 3600 * 1000000, tieBreak = Seq("event_id"))
@@ -493,6 +504,15 @@ object Bench {
           Seq("user_id"), "ts", "w_start", "w_end",
           bucketUs = 6L * 3600 * 1000000)
       }
+      def rangeNativeOnPanel(nSeries: Int): DataFrame = {
+        val p = synthPanel(spark, nSeries, 1000)
+        val ivs = p.filter(pmod(unix_micros(col("ts").cast("timestamp")) /
+            3600000000L, lit(24)) === 0)
+          .select(col("user_id"), col("ts").as("w_start"),
+            (col("ts") + expr("INTERVAL 6 HOURS")).as("w_end"))
+        TemporalJoins.rangeJoinNative(p.select("user_id", "ts", "value"), ivs,
+          Seq("user_id"), "ts", "w_start", "w_end")
+      }
       def groupDynOnPanel(nSeries: Int): DataFrame =
         Resample.groupByDynamic(synthPanel(spark, nSeries, 1000),
           every = "30 minutes", period = "2 hours")
@@ -569,6 +589,8 @@ object Bench {
           () => mat(sessionizeOnPanel(10000))),
         ("range_join", () => mat(rangeOnPanel(1000)),
           () => mat(rangeOnPanel(10000))),
+        ("range_native", () => mat(rangeNativeOnPanel(1000)),
+          () => mat(rangeNativeOnPanel(10000))),
         ("group_dynamic", () => mat(groupDynOnPanel(1000)),
           () => mat(groupDynOnPanel(10000))),
         // range exchange + sort: n log n with sampled bounds — the one

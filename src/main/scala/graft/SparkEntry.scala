@@ -1940,6 +1940,23 @@ object SparkEntry {
           "prev_orderkey")
     }),
 
+    // the same range-join semantics on the whole-operator tier
+    // (IntervalJoinExec sort-merge sweep — no interval explosion, no
+    // bucketUs; plans/IntervalJoinPlan.scala), same oracle as the
+    // bucketed form
+    "ts_range_join_native" -> ((s, dir) => {
+      val e = IO.events(s, dir)
+      val err = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 1 DAY")).as("w_end"))
+      val clk = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+      TemporalJoins.rangeJoinNative(clk, err, Seq("user_id"), "ts",
+          "w_start", "w_end")
+        .select("user_id", "click_id", "error_id")
+    }),
+
     // clicks inside the 1-day window after each error, per user —
     // bucketUs = 6h so each window explodes into ≤ 5 buckets
     "ts_range_join" -> ((s, dir) => {
@@ -4184,6 +4201,16 @@ object SparkEntry {
         |       r.o_orderdate AS asof_ts, r.prev_orderkey
         |FROM orders l ASOF LEFT JOIN r
         |  ON l.o_custkey = r.o_custkey AND l.o_orderdate > r.o_orderdate""".stripMargin,
+
+    "ts_range_join_native" ->
+      """WITH err AS (SELECT user_id, event_id AS error_id, ts AS w_start,
+        |                    ts + INTERVAL 1 DAY AS w_end
+        |             FROM events WHERE event_type = 'error'),
+        |     clk AS (SELECT user_id, event_id AS click_id, ts
+        |             FROM events WHERE event_type = 'click')
+        |SELECT c.user_id, c.click_id, e.error_id
+        |FROM clk c JOIN err e ON c.user_id = e.user_id
+        |  AND c.ts >= e.w_start AND c.ts < e.w_end""".stripMargin,
 
     "ts_range_join" ->
       """WITH err AS (SELECT user_id, event_id AS error_id, ts AS w_start,

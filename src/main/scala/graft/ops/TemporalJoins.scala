@@ -148,6 +148,67 @@ object TemporalJoins {
       .select(outCols: _*)
   }
 
+  // ── shared plumbing for the whole-operator tier (asofJoinNative /
+  // rangeJoinNative): name resolution under the session's
+  // case-sensitivity, and merge-key derivation (tightest-common-type
+  // cast + float NaN/-0.0 normalization) ──────────────────────────────
+
+  /** col()-style name resolution (case-insensitive unless the session
+    * says otherwise), returning the ACTUAL column name. */
+  private def resolveName(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, name: String, side: String): String = {
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    df.columns.find(c =>
+      if (caseSensitive) c == name else c.equalsIgnoreCase(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"temporal native join: no column $name on the $side side"))
+  }
+
+  /** Tightest common type per key (the coercion unionByName gives the
+    * composed forms), failing loudly on incompatible pairs. */
+  private def commonKeyTypes(left: DataFrame, right: DataFrame,
+      byL: Seq[String], byR: Seq[String],
+      by: Seq[String]): Seq[org.apache.spark.sql.types.DataType] =
+    by.indices.map { i =>
+      val lt = left.schema(byL(i)).dataType
+      val rt = right.schema(byR(i)).dataType
+      if (lt == rt) lt
+      else org.apache.spark.sql.catalyst.analysis.TypeCoercion
+        .findTightestCommonType(lt, rt).getOrElse(
+          throw new IllegalArgumentException(
+            s"temporal native join: key '${by(i)}' has incompatible " +
+              s"types $lt vs $rt"))
+    }
+
+  /** A merge-key column: cast to the common type, float keys
+    * NaN/-0.0-normalized (NormalizeFloatingNumbers cannot see custom
+    * nodes). */
+  private def mergeKeyCol(name: String,
+      t: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val cast = col(name).cast(t)
+    t match {
+      case DoubleType | FloatType => GraftColumnBridge.column(
+        NormalizeNaNAndZero(GraftColumnBridge.expression(cast)))
+      case _ => cast
+    }
+  }
+
+  /** True when the merge key must be a DERIVED column on the left side
+    * (cast or normalization changes it); otherwise the node keys on the
+    * original left attribute so outputPartitioning stays expressed on a
+    * surviving output column and chained steps reuse the exchange. */
+  private def leftKeyDerived(left: DataFrame, byL: Seq[String],
+      keyTypes: Seq[org.apache.spark.sql.types.DataType]): Seq[Boolean] = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    byL.indices.map(i =>
+      keyTypes(i) != left.schema(byL(i)).dataType ||
+        keyTypes(i) == DoubleType || keyTypes(i) == FloatType)
+  }
+
   /** [[asofJoin]] on the whole-operator Catalyst tier: builds a
     * [[graft.plans.AsofJoin]] logical node planned by
     * [[graft.plans.GraftStrategy]] into the sort-merge
@@ -178,12 +239,9 @@ object TemporalJoins {
                      toleranceUs: Option[Long] = None,
                      matchedTime: String = "asof_ts",
                      allowExactMatches: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.{GraftColumnBridge, GraftPlanBridge}
-    import org.apache.spark.sql.catalyst.analysis.TypeCoercion
+    import org.apache.spark.sql.GraftPlanBridge
     import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
-    import org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero
     import org.apache.spark.sql.catalyst.plans.logical.Project
-    import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
     require(by.nonEmpty,
       "asofJoinNative: empty `by` would single-partition the merge; supply keys")
     require(Seq("backward", "forward", "nearest").contains(direction),
@@ -195,21 +253,11 @@ object TemporalJoins {
     val spark = left.sparkSession
     graft.plans.GraftPlanning.ensure(spark)
 
-    // resolve user-supplied names against actual schemas under the
-    // session's case-sensitivity (col() resolution semantics — the
-    // composed form gets this for free from the Column API)
-    val caseSensitive =
-      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
-    def resolve(df: DataFrame, name: String, side: String): String =
-      df.columns.find(c =>
-        if (caseSensitive) c == name else c.equalsIgnoreCase(name))
-        .getOrElse(throw new IllegalArgumentException(
-          s"asofJoinNative: no column $name on the $side side"))
-    val byL = by.map(resolve(left, _, "left"))
-    val byR = by.map(resolve(right, _, "right"))
-    val lTimeN = resolve(left, leftTime, "left")
-    val rTimeN = resolve(right, rightTime, "right")
-    val rColsN = rightCols.map(resolve(right, _, "right"))
+    val byL = by.map(resolveName(spark, left, _, "left"))
+    val byR = by.map(resolveName(spark, right, _, "right"))
+    val lTimeN = resolveName(spark, left, leftTime, "left")
+    val rTimeN = resolveName(spark, right, rightTime, "right")
+    val rColsN = rightCols.map(resolveName(spark, right, _, "right"))
 
     val keyNames = by.indices.map(i => s"__gk$i")
     val reserved = "__ltu" +: "__rt" +: "__rtu" +: keyNames
@@ -219,40 +267,18 @@ object TemporalJoins {
     val outNames = rColsN.map(c =>
       if (left.columns.contains(c)) c + "_right" else c)
 
-    // derived merge keys: common type + float normalization (see doc)
-    def commonKeyType(i: Int): DataType = {
-      val lt = left.schema(byL(i)).dataType
-      val rt = right.schema(byR(i)).dataType
-      if (lt == rt) lt
-      else TypeCoercion.findTightestCommonType(lt, rt).getOrElse(
-        throw new IllegalArgumentException(
-          s"asofJoinNative: key '${by(i)}' has incompatible types $lt vs $rt"))
-    }
-    def keyCol(name: String, t: DataType): Column = {
-      val cast = col(name).cast(t)
-      t match {
-        case DoubleType | FloatType => GraftColumnBridge.column(
-          NormalizeNaNAndZero(GraftColumnBridge.expression(cast)))
-        case _ => cast
-      }
-    }
-    val keyTypes = by.indices.map(commonKeyType)
-    // derive a left key column ONLY when the cast/normalization changes
-    // it: keying on the original left attribute keeps outputPartitioning
-    // expressed on a SURVIVING output column, so a chained step (e.g.
-    // pointInTimeJoin) reuses the exchange instead of re-shuffling a
-    // pruned-away alias
-    val lDerived = by.indices.map(i =>
-      keyTypes(i) != left.schema(byL(i)).dataType ||
-        keyTypes(i) == DoubleType || keyTypes(i) == FloatType)
+    val keyTypes = commonKeyTypes(left, right, byL, byR, by)
+    val lDerived = leftKeyDerived(left, byL, keyTypes)
 
     val lPrep = by.indices.foldLeft(
       left.withColumn("__ltu", micros(left, lTimeN))) { (d, i) =>
-      if (lDerived(i)) d.withColumn(keyNames(i), keyCol(byL(i), keyTypes(i)))
+      if (lDerived(i))
+        d.withColumn(keyNames(i), mergeKeyCol(byL(i), keyTypes(i)))
       else d
     }
     val rPrep = right.select(
-      (by.indices.map(i => keyCol(byR(i), keyTypes(i)).as(keyNames(i))) :+
+      (by.indices.map(i =>
+        mergeKeyCol(byR(i), keyTypes(i)).as(keyNames(i))) :+
         col(rTimeN).as("__rt") :+
         micros(right, rTimeN).as("__rtu")) ++
         rColsN.distinct.map(col): _*)
@@ -374,6 +400,88 @@ object TemporalJoins {
       .filter(col("__ltu") >= col("__stu") && endCond)
     val rightOut = rRenamed.columns.toSeq.filterNot(by.contains)
     joined.select((left.columns.toSeq ++ rightOut).map(col): _*)
+  }
+
+  /** [[rangeJoin]] on the whole-operator Catalyst tier: a
+    * [[graft.plans.IntervalJoin]] node planned into the sort-merge
+    * sweep [[graft.plans.IntervalJoinExec]]. Same output schema and
+    * semantics as the bucketed form (spec-pinned equality), but NO
+    * interval explosion: both sides shuffle once at their natural row
+    * counts (left sorted by (keys, time), right by (keys, start)) and
+    * a per-partition sweep keeps the currently-overlapping intervals —
+    * state bounded by true concurrent overlap, not interval length.
+    * Consequently there is no `bucketUs` to tune and no
+    * `maxBucketsPerInterval` valve to hit: a 30-day interval costs the
+    * same one shuffled row as a 30-second one. */
+  def rangeJoinNative(left: DataFrame, right: DataFrame, by: Seq[String],
+                      leftTime: String, startCol: String, endCol: String,
+                      inclusiveEnd: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.GraftPlanBridge
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    require(by.nonEmpty,
+      "rangeJoinNative: empty `by` would single-partition the merge; supply keys")
+
+    val spark = left.sparkSession
+    graft.plans.GraftPlanning.ensure(spark)
+
+    val byL = by.map(resolveName(spark, left, _, "left"))
+    val byR = by.map(resolveName(spark, right, _, "right"))
+    val lTimeN = resolveName(spark, left, leftTime, "left")
+    val sColN = resolveName(spark, right, startCol, "right")
+    val eColN = resolveName(spark, right, endCol, "right")
+    // payload = every right column except the by keys (emitted once,
+    // from the left side) — the composed rangeJoin's output contract
+    val payloadN = right.columns.toSeq.filterNot(byR.contains)
+    require(payloadN.nonEmpty, "rangeJoinNative: no right columns to carry")
+
+    val keyNames = by.indices.map(i => s"__gk$i")
+    val reserved = "__ltu" +: "__rsu" +: "__reu" +: keyNames
+    require(!(left.columns.toSeq ++ payloadN).exists(reserved.contains),
+      s"rangeJoinNative: column names ${reserved.mkString(", ")} are reserved")
+
+    val outNames = payloadN.map(c =>
+      if (left.columns.contains(c)) c + "_right" else c)
+
+    val keyTypes = commonKeyTypes(left, right, byL, byR, by)
+    val lDerived = leftKeyDerived(left, byL, keyTypes)
+
+    val lPrep = by.indices.foldLeft(
+      left.withColumn("__ltu", micros(left, lTimeN))) { (d, i) =>
+      if (lDerived(i))
+        d.withColumn(keyNames(i), mergeKeyCol(byL(i), keyTypes(i)))
+      else d
+    }
+    val rPrep = right.select(
+      (by.indices.map(i =>
+        mergeKeyCol(byR(i), keyTypes(i)).as(keyNames(i))) :+
+        micros(right, sColN).as("__rsu") :+
+        micros(right, eColN).as("__reu")) ++
+        payloadN.map(col): _*)
+    val lChild = GraftPlanBridge.analyzed(lPrep)
+    val rChild0 = GraftPlanBridge.analyzed(rPrep)
+    val rChild = Project(rChild0.output.map(a => Alias(a, a.name)()), rChild0)
+
+    def attr(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+             name: String) =
+      out.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"rangeJoinNative: no column $name"))
+    val rOut = rChild.output
+    val payloadExprs = payloadN.map(attr(rOut, _))
+    val payloadAttrs = payloadN.zip(outNames).map { case (c, o) =>
+      AttributeReference(o, attr(rOut, c).dataType, nullable = true)()
+    }
+    val lKeyAttrs = by.indices.map(i =>
+      attr(lChild.output, if (lDerived(i)) keyNames(i) else byL(i)))
+
+    val node = graft.plans.IntervalJoin(
+      lChild, rChild,
+      lKeyAttrs, keyNames.map(attr(rOut, _)),
+      attr(lChild.output, "__ltu"),
+      attr(rOut, "__rsu"), attr(rOut, "__reu"),
+      payloadExprs, payloadAttrs, inclusiveEnd)
+    GraftPlanBridge.ofRows(spark, node)
+      .select(left.columns.toSeq.map(col) ++ outNames.map(col): _*)
   }
 
   /** Interval-overlap join: pairs whose half-open intervals

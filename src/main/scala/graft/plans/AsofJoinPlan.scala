@@ -4,8 +4,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{GraftPlanBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute,
-  AttributeSet, Expression, GenericInternalRow, JoinedRow, PredicateHelper,
-  RowOrdering, SortOrder, UnsafeProjection}
+  AttributeSet, Expression, GenericInternalRow, JoinedRow, NamedExpression,
+  PredicateHelper, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter,
   LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
@@ -81,14 +81,19 @@ object GraftStrategy extends SparkStrategy {
     case AsofJoin(l, r, lk, rk, lt, rt, carry, cAttrs, dir, tol, exact) =>
       AsofJoinExec(lk, rk, lt, rt, carry, cAttrs, dir, tol, exact,
         planLater(l), planLater(r)) :: Nil
+    case IntervalJoin(l, r, lk, rk, lt, rs, re, pay, pAttrs, incl) =>
+      IntervalJoinExec(lk, rk, lt, rs, re, pay, pAttrs, incl,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
-/** Pushes deterministic left-only predicates below [[AsofJoin]].
-  * Sound because the operator emits each left row exactly once with
-  * all left columns unchanged (carried right columns are the only
-  * produced attributes, and they are never referenced by a pushable
+/** Pushes deterministic left-only predicates below [[AsofJoin]] /
+  * [[IntervalJoin]]. Sound because both operators emit every output
+  * row with its left row's columns unchanged — AsofJoin 1:1,
+  * IntervalJoin 1:N — so a left-only predicate selects exactly the
+  * same output rows on either side of the node (carried right columns
+  * are the only produced attributes, never referenced by a pushable
   * predicate). Reaches fixpoint in one pass: after the rewrite the
   * remaining conjuncts reference carry attributes, so the partition
   * yields nothing further to push. */
@@ -96,49 +101,79 @@ object PushFilterThroughAsofJoin extends Rule[LogicalPlan]
   with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, aj: AsofJoin) =>
-      val (push, keep) = splitConjunctivePredicates(cond).partition(p =>
-        p.deterministic && p.references.subsetOf(aj.left.outputSet))
-      if (push.isEmpty) f
-      else {
-        val pushed = aj.copy(left = Filter(push.reduce(And), aj.left))
-        if (keep.isEmpty) pushed else Filter(keep.reduce(And), pushed)
-      }
+      rewrite(f, cond, aj.left,
+        newLeft => aj.copy(left = newLeft))
+    case f @ Filter(cond, ij: IntervalJoin) =>
+      rewrite(f, cond, ij.left,
+        newLeft => ij.copy(left = newLeft))
+  }
+
+  private def rewrite(f: Filter, cond: Expression, left: LogicalPlan,
+                      withLeft: LogicalPlan => LogicalPlan): LogicalPlan = {
+    val (push, keep) = splitConjunctivePredicates(cond).partition(p =>
+      p.deterministic && p.references.subsetOf(left.outputSet))
+    if (push.isEmpty) f
+    else {
+      val pushed = withLeft(Filter(push.reduce(And), left))
+      if (keep.isEmpty) pushed else Filter(keep.reduce(And), pushed)
+    }
   }
 }
 
-/** Prunes [[AsofJoin]] columns a parent Project doesn't use — on BOTH
-  * sides, below the operator, which is below the per-side exchanges:
-  * the saving is shuffle/sort bytes, not just scan width. Left attrs
-  * feeding the keys/time expressions are always kept (the merge needs
-  * them); right-side pruning keeps keys/time plus the carries that
-  * survive. Fixpoint: a second pass finds nothing unused. */
+/** Prunes [[AsofJoin]] / [[IntervalJoin]] columns a parent Project
+  * doesn't use — on BOTH sides, below the operator, which is below the
+  * per-side exchanges: the saving is shuffle/sort bytes, not just scan
+  * width. Left attrs feeding the keys/time expressions are always kept
+  * (the merge needs them); right-side pruning keeps keys/time-bounds
+  * plus the carries that survive. Fixpoint: a second pass finds
+  * nothing unused. */
 object PruneAsofJoinColumns extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case p @ Project(projList, aj: AsofJoin) =>
-      val used = AttributeSet(projList.flatMap(_.references))
-      val lRequired = used ++
-        AttributeSet(aj.leftKeys.flatMap(_.references)) ++
-        aj.leftTimeUs.references
-      val keptLeft = aj.left.output.filter(lRequired.contains)
-      val (keptCarryAttrs, keptCarry) =
-        aj.carryAttrs.zip(aj.rightCarry)
-          .filter { case (a, _) => used.contains(a) }.unzip
-      if (keptLeft.size == aj.left.output.size &&
-          keptCarryAttrs.size == aj.carryAttrs.size) p
-      else {
-        val newLeft =
-          if (keptLeft.size == aj.left.output.size) aj.left
-          else Project(keptLeft, aj.left)
-        val rRequired = AttributeSet(aj.rightKeys.flatMap(_.references)) ++
-          aj.rightTimeUs.references ++
-          AttributeSet(keptCarry.flatMap(_.references))
-        val keptRight = aj.right.output.filter(rRequired.contains)
-        val newRight =
-          if (keptRight.size == aj.right.output.size) aj.right
-          else Project(keptRight, aj.right)
-        Project(projList, aj.copy(left = newLeft, right = newRight,
-          rightCarry = keptCarry, carryAttrs = keptCarryAttrs))
-      }
+      prune(p, projList, aj.left, aj.right,
+        aj.leftKeys, Seq(aj.leftTimeUs),
+        aj.rightKeys, Seq(aj.rightTimeUs),
+        aj.carryAttrs, aj.rightCarry,
+        (l, r, carry, attrs) =>
+          aj.copy(left = l, right = r, rightCarry = carry,
+            carryAttrs = attrs))
+    case p @ Project(projList, ij: IntervalJoin) =>
+      prune(p, projList, ij.left, ij.right,
+        ij.leftKeys, Seq(ij.leftTimeUs),
+        ij.rightKeys, Seq(ij.rightStartUs, ij.rightEndUs),
+        ij.payloadAttrs, ij.rightPayload,
+        (l, r, pay, attrs) =>
+          ij.copy(left = l, right = r, rightPayload = pay,
+            payloadAttrs = attrs))
+  }
+
+  private def prune(p: Project, projList: Seq[NamedExpression],
+      left: LogicalPlan, right: LogicalPlan,
+      leftKeys: Seq[Expression], leftAux: Seq[Expression],
+      rightKeys: Seq[Expression], rightAux: Seq[Expression],
+      carryAttrs: Seq[Attribute], carries: Seq[Expression],
+      rebuild: (LogicalPlan, LogicalPlan, Seq[Expression], Seq[Attribute])
+        => LogicalPlan): LogicalPlan = {
+    val used = AttributeSet(projList.flatMap(_.references))
+    val lRequired = used ++
+      AttributeSet((leftKeys ++ leftAux).flatMap(_.references))
+    val keptLeft = left.output.filter(lRequired.contains)
+    val (keptCarryAttrs, keptCarry) =
+      carryAttrs.zip(carries).filter { case (a, _) => used.contains(a) }.unzip
+    if (keptLeft.size == left.output.size &&
+        keptCarryAttrs.size == carryAttrs.size) p
+    else {
+      val newLeft =
+        if (keptLeft.size == left.output.size) left
+        else Project(keptLeft, left)
+      val rRequired =
+        AttributeSet((rightKeys ++ rightAux ++ keptCarry).flatMap(_.references))
+      val keptRight = right.output.filter(rRequired.contains)
+      val newRight =
+        if (keptRight.size == right.output.size) right
+        else Project(keptRight, right)
+      Project(projList, rebuild(newLeft, newRight, keptCarry, keptCarryAttrs))
+    }
   }
 }
 

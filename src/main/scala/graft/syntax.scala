@@ -130,6 +130,12 @@ object syntax {
         bucketUs: Long): DataFrame =
       TemporalJoins.rangeJoin(df, right, Seq(pc.id), pc.time,
         startCol, endCol, bucketUs)
+    /** [[rangeJoin]] on the whole-operator tier (IntervalJoinExec
+      * sweep — no bucketUs, no interval explosion). */
+    def rangeJoinNative(right: DataFrame, startCol: String, endCol: String,
+        inclusiveEnd: Boolean = false): DataFrame =
+      TemporalJoins.rangeJoinNative(df, right, Seq(pc.id), pc.time,
+        startCol, endCol, inclusiveEnd)
     def sessionize(gapUs: Long): DataFrame =
       TemporalJoins.sessionize(df, Seq(pc.id), pc.time, gapUs,
         tieBreak = pc.tieBreak)
