@@ -1996,6 +1996,22 @@ object SparkEntry {
         .select("user_id", "error_id", "purchase_id")
     }),
 
+    // the same overlap semantics on the whole-operator tier: two
+    // IntervalJoinExec sweeps (left-start-in-right ∪ right-start-
+    // strictly-in-left) — no side explodes; same oracle
+    "ts_overlap_join_native" -> ((s, dir) => {
+      val e = IO.events(s, dir)
+      def win(t: String, idAs: String) = e.filter(col("event_type") === t)
+        .select(col("user_id"), col("event_id").as(idAs),
+          col("ts").as(s"${idAs}_start"),
+          (col("ts") + expr("INTERVAL 1 DAY")).as(s"${idAs}_end"))
+      TemporalJoins.overlapJoinNative(
+          win("error", "error_id"), win("purchase", "purchase_id"),
+          Seq("user_id"), "error_id_start", "error_id_end",
+          "purchase_id_start", "purchase_id_end")
+        .select("user_id", "error_id", "purchase_id")
+    }),
+
     // Morton interleave key for z-order layout clustering (the pure bit
     // fold — the repartitionByRange rewrite on top is plan-shaped, not
     // value-shaped, so the KEY is what the oracle hashes)
@@ -4237,6 +4253,17 @@ object SparkEntry {
         |FROM s GROUP BY 1, 2""".stripMargin,
 
     "ts_overlap_join" ->
+      """WITH er AS (SELECT user_id, event_id AS error_id, ts AS es,
+        |                   ts + INTERVAL 1 DAY AS ee
+        |            FROM events WHERE event_type = 'error'),
+        |     pu AS (SELECT user_id, event_id AS purchase_id, ts AS ps,
+        |                   ts + INTERVAL 1 DAY AS pe
+        |            FROM events WHERE event_type = 'purchase')
+        |SELECT er.user_id, er.error_id, pu.purchase_id
+        |FROM er JOIN pu ON er.user_id = pu.user_id
+        |  AND er.es < pu.pe AND pu.ps < er.ee""".stripMargin,
+
+    "ts_overlap_join_native" ->
       """WITH er AS (SELECT user_id, event_id AS error_id, ts AS es,
         |                   ts + INTERVAL 1 DAY AS ee
         |            FROM events WHERE event_type = 'error'),

@@ -535,6 +535,44 @@ object TemporalJoins {
     joined.select((left.columns.toSeq ++ rightOut).map(col): _*)
   }
 
+  /** [[overlapJoin]] on the whole-operator tier, by COMPOSITION over
+    * [[rangeJoinNative]] (no third physical operator needed): two
+    * intervals overlap iff the left one STARTS inside the right one
+    * (`ls ∈ [rs, re)`, leg 1) or the right one starts STRICTLY inside
+    * the left one (`rs ∈ (ls, le)`, leg 2) — a disjoint, exactly-once
+    * decomposition, so the union needs no dedup. Each leg is one
+    * IntervalJoinExec sweep; a final residual filter
+    * (`ls < re && rs < le`, the composed form's own condition) pins
+    * exactness on degenerate empty intervals. Both sides shuffle at
+    * natural row counts — the composed form explodes BOTH sides into
+    * buckets. Output schema identical to [[overlapJoin]]. */
+  def overlapJoinNative(left: DataFrame, right: DataFrame, by: Seq[String],
+                        leftStart: String, leftEnd: String,
+                        rightStart: String, rightEnd: String): DataFrame = {
+    // pre-rename right's colliding non-by columns to their FINAL output
+    // names so both legs emit identical schemas
+    val renames = right.columns.filter(c =>
+      !by.contains(c) && left.columns.contains(c)).map(c => c -> (c + "_right"))
+    val rRenamed = renames.foldLeft(right) { case (d, (from, to)) =>
+      d.withColumnRenamed(from, to)
+    }
+    def rName(c: String): String =
+      renames.find(_._1 == c).map(_._2).getOrElse(c)
+    val outCols =
+      left.columns.toSeq ++ rRenamed.columns.toSeq.filterNot(by.contains)
+
+    val leg1 = rangeJoinNative(left, rRenamed, by,
+        leftStart, rName(rightStart), rName(rightEnd))
+      .select(outCols.map(col): _*)
+    val leg2 = rangeJoinNative(rRenamed, left, by,
+        rName(rightStart), leftStart, leftEnd)
+      .filter(col(rName(rightStart)) > col(leftStart))
+      .select(outCols.map(col): _*)
+    leg1.unionByName(leg2)
+      .filter(col(leftStart) < col(rName(rightEnd)) &&
+        col(rName(rightStart)) < col(leftEnd))
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous row (per `by` keys, ordered by `timeCol` then `tieBreak`)
     * exceeds `gapUs` strictly. Adds `session_id` (1-based per key).

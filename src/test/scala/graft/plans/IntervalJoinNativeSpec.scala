@@ -118,6 +118,31 @@ class IntervalJoinNativeSpec extends AnyFunSuite {
     assert(got === Seq(1L, 2L, 3L))
   }
 
+  test("overlapJoinNative == composed overlapJoin on randomized intervals") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val base = ts("2024-01-01 00:00:00").getTime
+    def mk(n: Int, seedOff: Int) = (1 to n).map { i =>
+      val k = (rng.nextInt(4) + 1).toLong
+      val s0 = base + rng.nextInt(100000) * 1000L
+      // a few zero-length (degenerate) and many equal-start intervals
+      val len = if (i % 21 == 0) 0L else (rng.nextInt(30000) + 1) * 1000L
+      (k, new Timestamp(s0), new Timestamp(s0 + len), (i + seedOff).toLong)
+    }
+    val l = mk(120, 0).toDF("k", "ls", "le", "lid")
+    val r = mk(120, 1000).toDF("k", "rs", "re", "rid")
+    // force some exact equal-start pairs across sides (the
+    // exactly-once decomposition's boundary case)
+    val l2 = l.unionByName(r.select(col("k"), col("rs").as("ls"),
+      col("re").as("le"), (col("rid") + 5000L).as("lid")))
+    val composed = TemporalJoins.overlapJoin(l2, r, Seq("k"),
+      "ls", "le", "rs", "re", bucketUs = 3600L * 1000000L)
+    val native = TemporalJoins.overlapJoinNative(l2, r, Seq("k"),
+      "ls", "le", "rs", "re")
+    assert(native.columns.toSeq === composed.columns.toSeq)
+    assert(canon(native) === canon(composed))
+  }
+
   test("shared rules fire: left filter pushed below, unused payload pruned") {
     import spark.implicits._
     val l = (1 to 50).map(i => ((i % 5).toLong,
