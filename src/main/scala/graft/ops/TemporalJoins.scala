@@ -37,6 +37,21 @@ import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
   */
 object TemporalJoins {
 
+  /** The `_right`-suffix collision rename all the two-sided joins
+    * share: right columns (except the `by` keys) colliding with a left
+    * name are renamed `c_right`. Returns the renamed frame and the
+    * old-name → emitted-name mapping. ONE definition so the bucketed
+    * and native forms cannot drift. */
+  private def renameCollisions(left: DataFrame, right: DataFrame,
+      by: Seq[String]): (DataFrame, String => String) = {
+    val renames = right.columns.filter(c =>
+      !by.contains(c) && left.columns.contains(c)).map(c => c -> (c + "_right"))
+    val rRenamed = renames.foldLeft(right) { case (d, (from, to)) =>
+      d.withColumnRenamed(from, to)
+    }
+    (rRenamed, c => renames.find(_._1 == c).map(_._2).getOrElse(c))
+  }
+
   /** Epoch-µs view of a time column (timestamp, date, or numeric). NTZ
     * and DATE cast through LTZ under the session's UTC zone,
     * value-preserving. */
@@ -360,13 +375,7 @@ object TemporalJoins {
     def bucketOf(c: Column): Column =
       floor(c / lit(bucketUs.toDouble)).cast("long")
 
-    val renames = right.columns.filter(c =>
-      !by.contains(c) && left.columns.contains(c)).map(c => c -> (c + "_right"))
-    val rRenamed = renames.foldLeft(right) { case (d, (from, to)) =>
-      d.withColumnRenamed(from, to)
-    }
-    def rName(c: String): String =
-      renames.find(_._1 == c).map(_._2).getOrElse(c)
+    val (rRenamed, rName) = renameCollisions(left, right, by)
 
     val sTu = micros(rRenamed, rName(startCol))
     val eTu = micros(rRenamed, rName(endCol))
@@ -516,13 +525,7 @@ object TemporalJoins {
             .isNull, col(s"${pfx}eb")))
         .withColumn("__b", explode(sequence(col(s"${pfx}sb"), col(s"${pfx}ebChecked"))))
 
-    val renames = right.columns.filter(c =>
-      !by.contains(c) && left.columns.contains(c)).map(c => c -> (c + "_right"))
-    val rRenamed = renames.foldLeft(right) { case (d, (from, to)) =>
-      d.withColumnRenamed(from, to)
-    }
-    def rName(c: String): String =
-      renames.find(_._1 == c).map(_._2).getOrElse(c)
+    val (rRenamed, rName) = renameCollisions(left, right, by)
 
     val lExp = explodeBuckets(left,
       micros(left, leftStart), micros(left, leftEnd), "__l")
@@ -549,28 +552,35 @@ object TemporalJoins {
   def overlapJoinNative(left: DataFrame, right: DataFrame, by: Seq[String],
                         leftStart: String, leftEnd: String,
                         rightStart: String, rightEnd: String): DataFrame = {
+    val spark = left.sparkSession
+    // resolve every user-supplied name up front (case semantics as the
+    // native legs), so the collision rename below never misclassifies a
+    // differently-cased by key as a payload collision
+    val byR = by.map(resolveName(spark, right, _, "right"))
+    val lsN = resolveName(spark, left, leftStart, "left")
+    val leN = resolveName(spark, left, leftEnd, "left")
+    val rsN = resolveName(spark, right, rightStart, "right")
+    val reN = resolveName(spark, right, rightEnd, "right")
     // pre-rename right's colliding non-by columns to their FINAL output
     // names so both legs emit identical schemas
-    val renames = right.columns.filter(c =>
-      !by.contains(c) && left.columns.contains(c)).map(c => c -> (c + "_right"))
-    val rRenamed = renames.foldLeft(right) { case (d, (from, to)) =>
-      d.withColumnRenamed(from, to)
-    }
-    def rName(c: String): String =
-      renames.find(_._1 == c).map(_._2).getOrElse(c)
+    val (rRenamed, rName) = renameCollisions(left, right, byR)
+    val rsOut = rName(rsN)
+    val reOut = rName(reN)
     val outCols =
-      left.columns.toSeq ++ rRenamed.columns.toSeq.filterNot(by.contains)
+      left.columns.toSeq ++ rRenamed.columns.toSeq.filterNot(byR.contains)
 
-    val leg1 = rangeJoinNative(left, rRenamed, by,
-        leftStart, rName(rightStart), rName(rightEnd))
+    val leg1 = rangeJoinNative(left, rRenamed, by, lsN, rsOut, reOut)
       .select(outCols.map(col): _*)
-    val leg2 = rangeJoinNative(rRenamed, left, by,
-        rName(rightStart), leftStart, leftEnd)
-      .filter(col(rName(rightStart)) > col(leftStart))
+    // leg 2's strictness and the final residual compare MICROS (what the
+    // sweep and the composed form compare) — raw column comparison would
+    // break mixed numeric-vs-timestamp bounds across sides
+    val leg2raw = rangeJoinNative(rRenamed, left, by, rsOut, lsN, leN)
+    val leg2 = leg2raw
+      .filter(micros(leg2raw, rsOut) > micros(leg2raw, lsN))
       .select(outCols.map(col): _*)
-    leg1.unionByName(leg2)
-      .filter(col(leftStart) < col(rName(rightEnd)) &&
-        col(rName(rightStart)) < col(leftEnd))
+    val uni = leg1.unionByName(leg2)
+    uni.filter(micros(uni, lsN) < micros(uni, reOut) &&
+      micros(uni, rsOut) < micros(uni, leN))
   }
 
   /** Gap-based sessionization: a new session starts when the gap to the

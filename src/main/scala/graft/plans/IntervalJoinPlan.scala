@@ -158,12 +158,20 @@ case class IntervalJoinExec(
               } else advancing = false
             }
           }
-          // expire intervals the sweep has passed
+          // expire intervals the sweep has passed — single-pass in-place
+          // compaction (remove(i) would shift the tail per removal and
+          // turn a mass-expiry probe quadratic in the active-set size)
           if (active.nonEmpty) {
+            var keep = 0
             var i = 0
             while (i < active.length) {
-              if (!alive(active(i)._1, lt)) { active.remove(i) } else i += 1
+              if (alive(active(i)._1, lt)) {
+                if (keep != i) active(keep) = active(i)
+                keep += 1
+              }
+              i += 1
             }
+            if (keep < active.length) active.takeInPlace(keep)
           }
           active.iterator.map { case (_, p) => resultProj(joined(lrow, p)) }
         }

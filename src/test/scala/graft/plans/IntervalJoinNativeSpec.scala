@@ -39,7 +39,11 @@ class IntervalJoinNativeSpec extends AnyFunSuite {
       val len = (rng.nextInt(40000) + 1) * 1000L
       val s: Timestamp =
         if (i % 29 == 0) null else new Timestamp(s0)
-      (k, s, new Timestamp(s0 + len), i.toLong)
+      // null ENDS too: the exec's null-end discard branch must agree
+      // with the composed form's __etu filter
+      val e: Timestamp =
+        if (i % 37 == 0) null else new Timestamp(s0 + len)
+      (k, s, e, i.toLong)
     }.toDF("k", "w_start", "w_end", "iid")
     (l.cache(), r.cache())
   }
