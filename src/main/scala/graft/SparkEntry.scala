@@ -1977,7 +1977,7 @@ object SparkEntry {
           gapUs = 6L * 3600 * 1000000, tieBreak = Seq("event_id"))
         .groupBy(col("user_id"), col("session_id"))
         .agg(min("ts").as("session_start"), max("ts").as("session_end"),
-          count(lit(1)).as("n_events"), r6(sum("value")).as("sum_value"))),
+          count(lit(1)).as("n_events"), r6n(sum("value")).as("sum_value"))),
 
     // interval×interval: overlapping 1-day activity windows of errors vs
     // purchases per user (both sides explode into 6h buckets; the
@@ -3721,7 +3721,7 @@ object SparkEntry {
 
     "ts_json_props" ->
       """SELECT user_id, event_type,
-        |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
         |  count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
 
@@ -4244,12 +4244,13 @@ object SparkEntry {
         |         OR ts - lag(ts) OVER w > INTERVAL 6 HOUR THEN 1 ELSE 0 END AS ns
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |     s AS (SELECT user_id, ts, value,
-        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
         |  FROM o)
         |SELECT user_id, session_id, min(ts) AS session_start,
         |  max(ts) AS session_end, count(*) AS n_events,
-        |  round(sum(value), 6) AS sum_value
+        |  round(sum(value) + 1e-9, 6) AS sum_value
         |FROM s GROUP BY 1, 2""".stripMargin,
 
     "ts_overlap_join" ->

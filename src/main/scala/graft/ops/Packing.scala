@@ -59,31 +59,61 @@ object Packing {
     * as a CSV string, kept for the cross-engine hash oracle); the final
     * sequence of a shard is emitted unpadded.
     *
-    * Scale: tokens shuffle twice — once joined to the ≤|docs|-row plan
-    * on the doc key, once grouped to (shard, seq) — carrying (int, long)
-    * pairs, never text; each output row is exactly `seqLen` ids. */
+    * Scale: NEVER one row per token. Token ids are computed inside the
+    * array (`transform`, codegen'd FNV) before anything moves, so both
+    * shuffles carry int arrays: (1) the per-shard offset window moves one
+    * array row per document; (2) each document is then split by pure
+    * slice arithmetic at the sequence boundaries it crosses and one row
+    * per (doc × touched sequence) — ≈ |docs| + tokens/seqLen rows, each
+    * carrying its id SLICE — shuffles to (shard, seq). A 1000-token doc
+    * crossing two sequences ships 2 array rows, not 1000 scalar rows
+    * (~10²–10³× less shuffle rows than the naive posexplode plan).
+    * Assembly is `flatten(sort_array(...))` on the in-sequence start
+    * position, which is unique per contributing doc by construction. */
   def executePack(df: DataFrame, seqLen: Int, nShards: Int = 32,
       vocab: Int = 32768, textCol: String = "text",
       idCol: String = "doc_id",
       tokensCol: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    require(vocab > 0)
+    require(vocab > 0 && seqLen > 0 && nShards > 0)
     val toksArr = tokensCol.getOrElse(
       filter(split(trim(col(textCol)), "\\s+"), t => t =!= ""))
-    val withToks = df.select(col(idCol), toksArr.as("__toks"))
-    val plan = packPlan(withToks, seqLen, nShards, idCol = idCol,
-        tokens = Some(size(col("__toks"))))
-      .select(col(idCol), col("shard"), col("start_tok"))
-    withToks
-      .select(col(idCol), posexplode(col("__toks")).as(Seq("__ti", "__tok")))
-      .join(plan, Seq(idCol))
-      .withColumn("__off", col("start_tok") + col("__ti"))
-      .withColumn("seq_index", floor(col("__off") / seqLen).cast("long"))
-      .withColumn("__pos", pmod(col("__off"), lit(seqLen.toLong)))
-      .withColumn("__tid", pmod(TextOps.fnvHash(col("__tok")), lit(vocab.toLong)))
+    // same ROWS-frame discipline as packPlan (see comment there)
+    val w = Window.partitionBy("shard").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val L = seqLen.toLong
+    df.select(col(idCol),
+        // hash to ids BEFORE the shuffle: int arrays move, never text
+        transform(toksArr,
+          t => pmod(TextOps.fnvHash(t), lit(vocab.toLong)).cast("int"))
+          .as("__ids"))
+      .withColumn("shard",
+        pmod(TextOps.fnvHash(col(idCol)), lit(nShards.toLong)))
+      .withColumn("__n", size(col("__ids")).cast("long"))
+      // zero-token docs occupy no positions and contribute 0 to every
+      // offset — drop them before the window (sequence(start > stop)
+      // would otherwise generate a DESCENDING seq range)
+      .filter(col("__n") > 0)
+      .withColumn("end_tok", sum("__n").over(w))
+      .withColumn("start_tok", col("end_tok") - col("__n"))
+      // every training sequence this doc's token span [start, end) touches
+      .withColumn("seq_index",
+        explode(sequence(floor(col("start_tok") / L),
+          floor((col("end_tok") - 1) / L))))
+      // token indices of this doc landing in seq q:
+      //   i ∈ [max(0, q·L − start), min(n, (q+1)·L − start))
+      .withColumn("__lo",
+        greatest(lit(0L), col("seq_index") * L - col("start_tok")))
+      .withColumn("__hi",
+        least(col("__n"), (col("seq_index") + 1) * L - col("start_tok")))
+      .withColumn("__seq_pos",
+        col("start_tok") + col("__lo") - col("seq_index") * L)
+      .withColumn("__slice", slice(col("__ids"),
+        (col("__lo") + 1).cast("int"), (col("__hi") - col("__lo")).cast("int")))
       .groupBy(col("shard"), col("seq_index"))
-      .agg(count(lit(1)).as("n_tokens"),
-        transform(sort_array(collect_list(struct(col("__pos"), col("__tid")))),
-          s => s.getField("__tid").cast("int")).as("token_id_arr"))
+      .agg(sum(size(col("__slice")).cast("long")).as("n_tokens"),
+        flatten(transform(
+          sort_array(collect_list(struct(col("__seq_pos"), col("__slice")))),
+          s => s.getField("__slice"))).as("token_id_arr"))
       .withColumn("token_ids",
         array_join(transform(col("token_id_arr"), t => t.cast("string")), ","))
   }

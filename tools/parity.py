@@ -21,6 +21,24 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
+def canonical(df: pd.DataFrame) -> pd.DataFrame:
+    """Dtype-sensitive string canonicalization mirroring the driver's
+    value hash: int64 566 and float64 566.0 must NOT compare equal
+    (DuckDB HUGEINT sums land as float64 in pandas and the driver's
+    hash sees the trailing `.0`). Every cell becomes `str(value)` with
+    NaN/None mapped to a shared sentinel."""
+    def _canon(v):
+        try:
+            if v is None or pd.isna(v):
+                return "\x00NULL"
+        except (TypeError, ValueError):
+            pass  # array-valued cell: str() it below
+        return str(v)
+    out = pd.DataFrame(index=df.index)
+    for c in df.columns:
+        out[c] = df[c].map(_canon)
+    return out
+
 def main(sfdir, outdir):
     con = duckdb.connect()
     for t in TABLES:
@@ -48,18 +66,19 @@ def main(sfdir, outdir):
         if len(s) != len(d):
             bad.append((name, f"rows spark={len(s)} duck={len(d)}"))
             continue
+        cs, cd = canonical(s), canonical(d)
         try:
-            pd.testing.assert_frame_equal(s, d, check_dtype=False,
-                                          check_exact=True)
+            pd.testing.assert_frame_equal(cs, cd, check_exact=True)
             ok.append(name)
         except AssertionError as e:
             # find first differing cell for the report
             diffmsg = str(e).split("\n")[0]
-            for c in s.columns:
-                neq = ~(s[c].eq(d[c]) | (s[c].isna() & d[c].isna()))
+            for c in cs.columns:
+                neq = ~cs[c].eq(cd[c])
                 if neq.any():
                     i = neq.idxmax()
-                    diffmsg = f"col {c} row {i}: spark={s[c][i]!r} duck={d[c][i]!r} ({int(neq.sum())} diffs)"
+                    diffmsg = (f"col {c} row {i}: spark={cs[c][i]!r} "
+                               f"duck={cd[c][i]!r} ({int(neq.sum())} diffs)")
                     break
             bad.append((name, diffmsg))
     print(f"== PARITY {len(ok)} ok / {len(bad)} bad / {len(noracle)} rows-only ==")
