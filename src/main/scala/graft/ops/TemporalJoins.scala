@@ -44,8 +44,13 @@ object TemporalJoins {
     * and native forms cannot drift. */
   private def renameCollisions(left: DataFrame, right: DataFrame,
       by: Seq[String]): (DataFrame, String => String) = {
+    // collision detection must follow the session's resolution rules:
+    // left `Val` vs right `val` IS ambiguous under the default
+    // case-insensitive resolution, so it must get the `_right` rename
+    val eq = nameEq(left.sparkSession)
     val renames = right.columns.filter(c =>
-      !by.contains(c) && left.columns.contains(c)).map(c => c -> (c + "_right"))
+      !by.exists(eq(_, c)) && left.columns.exists(eq(_, c)))
+      .map(c => c -> (c + "_right"))
     val rRenamed = renames.foldLeft(right) { case (d, (from, to)) =>
       d.withColumnRenamed(from, to)
     }
@@ -98,8 +103,9 @@ object TemporalJoins {
     require(rightCols.nonEmpty, "asofJoin: no right columns to carry")
     toleranceUs.foreach(t => require(t >= 0, "asofJoin: negative tolerance"))
 
+    val eq = nameEq(left.sparkSession)
     val outNames = rightCols.map(c =>
-      if (left.columns.contains(c)) c + "_right" else c)
+      if (left.columns.exists(eq(_, c))) c + "_right" else c)
 
     // Right payload rides inside ONE struct so the ignoreNulls carry skips
     // left rows (whose payload is null) but never a right row whose value
@@ -167,6 +173,16 @@ object TemporalJoins {
   // rangeJoinNative): name resolution under the session's
   // case-sensitivity, and merge-key derivation (tightest-common-type
   // cast + float NaN/-0.0 normalization) ──────────────────────────────
+
+  /** Name equality under the session's `spark.sql.caseSensitive` —
+    * the comparison every collision/rename decision must use, because
+    * column RESOLUTION is case-insensitive by default. */
+  private def nameEq(spark: org.apache.spark.sql.SparkSession)
+      : (String, String) => Boolean = {
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    if (caseSensitive) (a, b) => a == b else (a, b) => a.equalsIgnoreCase(b)
+  }
 
   /** col()-style name resolution (case-insensitive unless the session
     * says otherwise), returning the ACTUAL column name. */
@@ -278,9 +294,20 @@ object TemporalJoins {
     val reserved = "__ltu" +: "__rt" +: "__rtu" +: keyNames
     require(!(left.columns ++ rColsN).exists(reserved.contains),
       s"asofJoinNative: column names ${reserved.mkString(", ")} are reserved")
+    val eq = nameEq(spark)
+    // a matchedTime that resolves against an existing left column (or a
+    // duplicated rightCols entry) would otherwise surface later as an
+    // opaque ambiguous-reference AnalysisException from the final select
+    require(!left.columns.exists(eq(_, matchedTime)),
+      s"asofJoinNative: matchedTime '$matchedTime' collides with a left " +
+        "column; pass a different matchedTime")
+    require(rColsN.distinct.size == rColsN.size,
+      s"asofJoinNative: duplicate rightCols entries: ${
+        rColsN.diff(rColsN.distinct).distinct.mkString(", ")}")
 
     val outNames = rColsN.map(c =>
-      if (left.columns.contains(c)) c + "_right" else c)
+      if (left.columns.exists(eq(_, c)) || eq(c, matchedTime)) c + "_right"
+      else c)
 
     val keyTypes = commonKeyTypes(left, right, byL, byR, by)
     val lDerived = leftKeyDerived(left, byL, keyTypes)

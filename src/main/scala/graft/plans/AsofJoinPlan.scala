@@ -129,32 +129,55 @@ object PushFilterThroughAsofJoin extends Rule[LogicalPlan]
   * nothing unused. */
 object PruneAsofJoinColumns extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // Project directly over the node, and Project over the residual
+    // Filter that PushFilterThroughAsofJoin leaves above the join (e.g.
+    // filter(rv > 0.5).select(...)): without the Filter variant, unused
+    // wide columns still flow through both exchanges/sorts. The Filter's
+    // own references count as used so its predicate stays bound.
     case p @ Project(projList, aj: AsofJoin) =>
-      prune(p, projList, aj.left, aj.right,
-        aj.leftKeys, Seq(aj.leftTimeUs),
-        aj.rightKeys, Seq(aj.rightTimeUs),
-        aj.carryAttrs, aj.rightCarry,
-        (l, r, carry, attrs) =>
-          aj.copy(left = l, right = r, rightCarry = carry,
-            carryAttrs = attrs))
+      pruneAsof(p, projList, AttributeSet(Nil), aj, identity)
+    case p @ Project(projList, Filter(cond, aj: AsofJoin)) =>
+      pruneAsof(p, projList, cond.references, aj, Filter(cond, _))
     case p @ Project(projList, ij: IntervalJoin) =>
-      prune(p, projList, ij.left, ij.right,
-        ij.leftKeys, Seq(ij.leftTimeUs),
-        ij.rightKeys, Seq(ij.rightStartUs, ij.rightEndUs),
-        ij.payloadAttrs, ij.rightPayload,
-        (l, r, pay, attrs) =>
-          ij.copy(left = l, right = r, rightPayload = pay,
-            payloadAttrs = attrs))
+      pruneInterval(p, projList, AttributeSet(Nil), ij, identity)
+    case p @ Project(projList, Filter(cond, ij: IntervalJoin)) =>
+      pruneInterval(p, projList, cond.references, ij, Filter(cond, _))
   }
 
+  private def pruneAsof(p: Project, projList: Seq[NamedExpression],
+      extraUsed: AttributeSet, aj: AsofJoin,
+      wrap: LogicalPlan => LogicalPlan): LogicalPlan =
+    prune(p, projList, extraUsed, aj.left, aj.right,
+      aj.leftKeys, Seq(aj.leftTimeUs),
+      aj.rightKeys, Seq(aj.rightTimeUs),
+      aj.carryAttrs, aj.rightCarry,
+      (l, r, carry, attrs) =>
+        aj.copy(left = l, right = r, rightCarry = carry,
+          carryAttrs = attrs),
+      wrap)
+
+  private def pruneInterval(p: Project, projList: Seq[NamedExpression],
+      extraUsed: AttributeSet, ij: IntervalJoin,
+      wrap: LogicalPlan => LogicalPlan): LogicalPlan =
+    prune(p, projList, extraUsed, ij.left, ij.right,
+      ij.leftKeys, Seq(ij.leftTimeUs),
+      ij.rightKeys, Seq(ij.rightStartUs, ij.rightEndUs),
+      ij.payloadAttrs, ij.rightPayload,
+      (l, r, pay, attrs) =>
+        ij.copy(left = l, right = r, rightPayload = pay,
+          payloadAttrs = attrs),
+      wrap)
+
   private def prune(p: Project, projList: Seq[NamedExpression],
+      extraUsed: AttributeSet,
       left: LogicalPlan, right: LogicalPlan,
       leftKeys: Seq[Expression], leftAux: Seq[Expression],
       rightKeys: Seq[Expression], rightAux: Seq[Expression],
       carryAttrs: Seq[Attribute], carries: Seq[Expression],
       rebuild: (LogicalPlan, LogicalPlan, Seq[Expression], Seq[Attribute])
-        => LogicalPlan): LogicalPlan = {
-    val used = AttributeSet(projList.flatMap(_.references))
+        => LogicalPlan,
+      wrap: LogicalPlan => LogicalPlan): LogicalPlan = {
+    val used = AttributeSet(projList.flatMap(_.references)) ++ extraUsed
     val lRequired = used ++
       AttributeSet((leftKeys ++ leftAux).flatMap(_.references))
     val keptLeft = left.output.filter(lRequired.contains)
@@ -172,7 +195,8 @@ object PruneAsofJoinColumns extends Rule[LogicalPlan] {
       val newRight =
         if (keptRight.size == right.output.size) right
         else Project(keptRight, right)
-      Project(projList, rebuild(newLeft, newRight, keptCarry, keptCarryAttrs))
+      Project(projList,
+        wrap(rebuild(newLeft, newRight, keptCarry, keptCarryAttrs)))
     }
   }
 }

@@ -172,6 +172,68 @@ class AsofJoinNativeSpec extends AnyFunSuite {
     assert(canon(narrow) === canon(expected))
   }
 
+  test("pruning fires through the residual Filter the pushdown leaves") {
+    import spark.implicits._
+    val l = (1 to 40).map(i => ((i % 4).toLong,
+      new Timestamp(1704067200000L + i * 1000L), i.toLong, s"w$i"))
+      .toDF("k", "t", "lid", "wide_l")
+    val r = (1 to 40).map(i => ((i % 4).toLong,
+      new Timestamp(1704067200000L + i * 1300L), i * 1.0, s"v$i"))
+      .toDF("k", "t", "rv", "wide_r")
+    val joined = TemporalJoins.asofJoinNative(l, r, Seq("k"), "t", "t",
+      Seq("rv", "wide_r"))
+    // rv is a carry column, so the filter stays ABOVE the join as a
+    // residual — exactly the shape that used to block pruning
+    val narrow = joined.filter(col("rv") > 0.5).select("k", "lid", "rv")
+    val opt = narrow.queryExecution.optimizedPlan
+    val aj = opt.collectFirst { case a: AsofJoin => a }.get
+    assert(!aj.left.output.exists(_.name == "wide_l"),
+      s"unused left column not pruned through the residual Filter:\n$opt")
+    assert(!aj.carryAttrs.exists(_.name == "wide_r"),
+      "unused carry not pruned through the residual Filter")
+    val expected = TemporalJoins.asofJoin(l, r, Seq("k"), "t", "t",
+      Seq("rv", "wide_r")).filter(col("rv") > 0.5).select("k", "lid", "rv")
+    assert(canon(narrow) === canon(expected))
+  }
+
+  test("matchedTime / duplicate rightCols collisions fail loudly") {
+    import spark.implicits._
+    val l = (1 to 10).map(i => (1L,
+      new Timestamp(1704067200000L + i * 1000L), i.toLong)).toDF("k", "t", "lid")
+    val r = (1 to 10).map(i => (1L,
+      new Timestamp(1704067200000L + i * 1000L), i * 1.0)).toDF("k", "t", "rv")
+    val e1 = intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoinNative(l, r, Seq("k"), "t", "t", Seq("rv"),
+        matchedTime = "lid")
+    }
+    assert(e1.getMessage.contains("matchedTime"))
+    // case-insensitive resolution: `LID` collides with left `lid`
+    val e2 = intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoinNative(l, r, Seq("k"), "t", "t", Seq("rv"),
+        matchedTime = "LID")
+    }
+    assert(e2.getMessage.contains("matchedTime"))
+    val e3 = intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoinNative(l, r, Seq("k"), "t", "t", Seq("rv", "rv"))
+    }
+    assert(e3.getMessage.contains("duplicate"))
+  }
+
+  test("case-differing right column still gets the _right rename") {
+    import spark.implicits._
+    val l = (1 to 10).map(i => (1L,
+      new Timestamp(1704067200000L + i * 1000L), i * 1.0))
+      .toDF("k", "t", "Val")
+    val r = (1 to 10).map(i => (1L,
+      new Timestamp(1704067200000L + i * 1000L), i * 2.0))
+      .toDF("k", "t", "val")
+    // composed form: right `val` must be renamed val_right (resolution is
+    // case-insensitive by default, so left Val vs right val IS ambiguous)
+    val out = TemporalJoins.asofJoin(l, r, Seq("k"), "t", "t", Seq("val"))
+    assert(out.columns.contains("val_right"), out.columns.mkString(","))
+    assert(out.select(col("Val"), col("val_right")).count() === 10)
+  }
+
   test("native point-in-time join: one spine exchange across chained steps") {
     import spark.implicits._
     val spine = (1 to 60).map(i => ((i % 6).toLong,
