@@ -1810,6 +1810,16 @@ object SparkEntry {
         IO.events(s, dir).filter(col("user_id") < OraclePins.FastDtwSubsetUsers),
         "dtw", Map("radius" -> OraclePins.FastDtwRadius.toDouble))
         .select(col("id_1"), col("id_2"), r6n(col("dtw")).as("dtw"))),
+    // degenerate-exactness oracle (VERDICT r9 ask #5): radius >= every
+    // series length makes fastDtw hit its base case and return DTW BY
+    // CONSTRUCTION, so the multiresolution entry point itself gets a
+    // hash row against the plain DTW oracle (the approximation quality
+    // at small radius stays invariant-spec'd in ElasticSpec)
+    "ts_pairwise_fastdtw_exact" -> ((s, dir) =>
+      Distances.pairwise(
+        IO.events(s, dir).filter(expr(ElasticOracle.SeriesFilter)),
+        "dtw", Map("radius" -> 1000000.0))
+        .select(col("id_1"), col("id_2"), r6n(col("dtw")).as("dtw"))),
     "ts_pairwise_dtw_multi" -> ((s, dir) =>
       Distances.pairwiseMulti(
         IO.events(s, dir).filter(expr(ElasticOracle.SeriesFilter))
@@ -2315,6 +2325,21 @@ object SparkEntry {
           numPartitions = 4)
         .select(col("query_id"), col("neighbor_id"),
           r6n(col("cosine")).as("cosine"), col("rank"))
+    }),
+
+    // hash-oracled HNSW subset (VERDICT r9 ask #4): on a pinned 60-vector
+    // base split over 2 partition-local graphs, efSearch = 64 >= every
+    // partition's node count makes the layer-0 beam exhaustive — each
+    // partition returns its EXACT local top-k and the global merge
+    // (cosine desc, neighbor_id) is exact brute-force top-k by
+    // construction, so the deterministic graph search gets a full hash
+    // row against the brute SQL oracle (recall leg already measures 1.0)
+    "emb_knn_hnsw_sub" -> ((s, dir) => {
+      val emb = IO.embeddings(s, dir).filter(col("vec_id") < 60)
+      Similarity.hnswTopK(emb, emb.filter(col("vec_id") < 20), k = 3,
+          efSearch = 64, numPartitions = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
     }),
 
     // IVFADC — the missing 100 TB ANN composition (VERDICT r6 ask #3):
@@ -3289,7 +3314,8 @@ object SparkEntry {
       ("ts_pairwise_itakura" -> ElasticOracle.sql("itakura", outCol = "dtw")) +
       ("ts_pairwise_sakoe" -> ElasticOracle.sql("sakoe", outCol = "dtw")) +
       ("ts_pairwise_fastdtw_sub" ->
-        ElasticOracle.fastdtwSubSql(OraclePins.fastdtw))
+        ElasticOracle.fastdtwSubSql(OraclePins.fastdtw)) +
+      ("ts_pairwise_fastdtw_exact" -> ElasticOracle.sql("dtw"))
 
   // MinHash-LSH oracle body, shared by doc_minhash_lsh and the
   // doc_dedup_groups transitive-closure wrapper.
@@ -3891,6 +3917,19 @@ object SparkEntry {
         |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
         |  list_cosine_similarity(q.qv, c.embedding::DOUBLE[]) AS cosine
         |  FROM q JOIN embeddings c ON c.vec_id <> q.query_id),
+        |ranked AS (SELECT *, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+        |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // exhaustive-beam HNSW on the 60-vector base == brute-force top-k
+    "emb_knn_hnsw_sub" ->
+      """WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id < 60),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM b WHERE vec_id < 20),
+        |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |  list_cosine_similarity(q.qv, c.v) AS cosine
+        |  FROM q JOIN b c ON c.vec_id <> q.query_id),
         |ranked AS (SELECT *, row_number() OVER
         |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
         |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank
