@@ -151,21 +151,60 @@ object Foundation {
     * whole plan stays inside whole-stage codegen ([[graft.plans.Mix64]]
     * is a native expression). */
   def chronosEmbed(df: DataFrame, dim: Int = 16, seed: Long = 7L,
-      cfg: ChronosCfg = ChronosCfg())(implicit pc: PanelCols): DataFrame = {
+      cfg: ChronosCfg = ChronosCfg(),
+      weights: Option[DataFrame] = None)(implicit pc: PanelCols): DataFrame = {
     require(dim >= 1 && dim <= 4096, s"dim must be in [1, 4096], got $dim")
-    val seedC = DetRng.seedConst(seed)
-    val ctrBase = col("token_id").cast("long") * dim
-    val aggs = (0 until dim).map { j =>
-      round(avg(embEntry(ctrBase + j, seedC)), 6).as(s"emb_$j")
-    }
     // slim tokenize: the pool is order-independent, so skip
     // chronosTokenize's per-series row_number sort (and recon column) —
     // this path is scale window + bin arithmetic + ONE hash aggregate
-    df.select(pc.idCol, pc.targetCol)
+    val base = df.select(pc.idCol, pc.targetCol)
       .withColumn("scale", scaleCol(cfg))
       .withColumn("token_id", tokenCol(cfg))
-      .groupBy(pc.idCol).agg(aggs.head, aggs.tail: _*)
+    weights match {
+      case None =>
+        val seedC = DetRng.seedConst(seed)
+        val ctrBase = col("token_id").cast("long") * dim
+        val aggs = (0 until dim).map { j =>
+          round(avg(embEntry(ctrBase + j, seedC)), 6).as(s"emb_$j")
+        }
+        base.groupBy(pc.idCol).agg(aggs.head, aggs.tail: _*)
+      case Some(w) =>
+        // REAL-weights hook (closes the checkpoint honesty gap without
+        // egress): `w` is a token-embedding table (row = token_id,
+        // vec = dim doubles) loaded from a LOCAL file — e.g. a published
+        // Chronos encoder's token embeddings exported to plain parquet
+        // via [[loadTensorTable]]. Plan shape is unchanged except the
+        // counter-function table becomes a broadcast-joined real one;
+        // a token with no row (or a short vector) fails loudly rather
+        // than silently pooling nulls. The assert valve below catches a
+        // PARTIAL table per-row; a fully EMPTY table is caught here —
+        // empty-relation propagation would constant-fold the left join
+        // (and the valve with it) into silent all-null embeddings.
+        require(!w.isEmpty, "chronosEmbed: empty weight table")
+        val tbl = broadcast(w.select(col("row").cast("long").as("__wrow"),
+          col("vec").cast("array<double>").as("__wvec")))
+        val vec = when(assert_true(
+          col("__wvec").isNotNull && size(col("__wvec")) === dim,
+          concat(lit(s"chronosEmbed: weight table row missing or not dim=$dim for token_id "),
+            col("token_id").cast("string"))).isNull, col("__wvec"))
+        val aggs = (0 until dim).map { j =>
+          round(avg(element_at(vec, j + 1)), 6).as(s"emb_$j")
+        }
+        base.join(tbl, col("token_id").cast("long") === col("__wrow"), "left")
+          .groupBy(pc.idCol).agg(aggs.head, aggs.tail: _*)
+    }
   }
+
+  /** Reads a local plain-parquet tensor store — rows `(name: string,
+    * row: long, vec: array<double>)` — and returns the `(row, vec)`
+    * table for one named tensor. The no-egress weight-loading hook: a
+    * user exports a published checkpoint's tensors to this layout once
+    * (any tool that writes parquet) and [[chronosEmbed]] /
+    * [[momentEmbed]] consume them in place of the DetRng surrogate. */
+  def loadTensorTable(spark: org.apache.spark.sql.SparkSession,
+      path: String, name: String): DataFrame =
+    spark.read.parquet(path).filter(col("name") === name)
+      .select(col("row"), col("vec"))
 
   /** MOMENT-style series embeddings (reference
     * `adapters/embeddings.py:130` `to_moment_embeddings`): instance-
@@ -192,21 +231,40 @@ object Foundation {
     * one per-series window (rounded 6dp so both engines bin
     * identically). No UDF, no broadcast, no driver step. */
   def momentEmbed(df: DataFrame, dim: Int = 8, patchLen: Int = 8,
-      seed: Long = 11L)(implicit pc: PanelCols): DataFrame = {
+      seed: Long = 11L,
+      weights: Option[DataFrame] = None)(implicit pc: PanelCols): DataFrame = {
     require(dim >= 1 && dim <= 4096, s"dim must be in [1, 4096], got $dim")
     require(patchLen >= 1, s"patchLen must be >= 1, got $patchLen")
     val seedC = DetRng.seedConst(seed)
     val mu = round(avg(pc.targetCol).over(pc.wAll), 6)
     val sd = round(coalesce(stddev(pc.targetCol).over(pc.wAll),
       lit(0.0)), 6)
-    val base = df
+    val base0 = df
       .withColumn("__pos", row_number().over(pc.w) - 1)
       .withColumn("__z", (pc.targetCol.cast("double") - mu) /
         when(sd > 0.0, sd).otherwise(lit(1.0)))
       .withColumn("__p", floor(col("__pos") / patchLen))
       .withColumn("__k", pmod(col("__pos"), lit(patchLen)).cast("long"))
+    // patch-projection entry (k, j): the DetRng surrogate table, or —
+    // via the same no-egress hook as [[chronosEmbed]] — a REAL projection
+    // loaded from a local tensor file (row = in-patch position k,
+    // vec = dim doubles), broadcast-joined (patchLen rows)
+    val (base, entry): (DataFrame, Int => Column) = weights match {
+      case None =>
+        (base0, j => embEntry(col("__k") * dim + j, seedC))
+      case Some(w) =>
+        require(!w.isEmpty, "momentEmbed: empty weight table")
+        val tbl = broadcast(w.select(col("row").cast("long").as("__wrow"),
+          col("vec").cast("array<double>").as("__wvec")))
+        val vec = when(assert_true(
+          col("__wvec").isNotNull && size(col("__wvec")) === dim,
+          concat(lit(s"momentEmbed: weight table row missing or not dim=$dim for patch position "),
+            col("__k").cast("string"))).isNull, col("__wvec"))
+        (base0.join(tbl, col("__k") === col("__wrow"), "left"),
+          j => element_at(vec, j + 1))
+    }
     val patchAggs = (0 until dim).map { j =>
-      sum(col("__z") * embEntry(col("__k") * dim + j, seedC)).as(s"__s_$j")
+      sum(col("__z") * entry(j)).as(s"__s_$j")
     }
     val softsign = (0 until dim).map { j =>
       val s = col(s"__s_$j")

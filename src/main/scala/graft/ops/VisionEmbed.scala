@@ -110,12 +110,52 @@ object VisionEmbed {
     }
   }
 
+  /** Loads conv + lin weights from a LOCAL plain-parquet tensor store
+    * (the same no-egress hook as `Foundation.loadTensorTable`): rows
+    * `(name: string, row: long, vec: array<double>)` with
+    * `name="conv"`: row = filter index f, vec = 9 doubles in
+    * (dr·3 + dc) order; `name="lin"`: row = output j, vec =
+    * nFilters·4 doubles. A user with real published CNN weights exports
+    * them to this layout once and gets real embeddings; missing rows or
+    * wrong widths fail loudly. */
+  def loadWeights(spark: org.apache.spark.sql.SparkSession, path: String,
+      nFilters: Int = DefaultFilters, embDim: Int = DefaultEmbDim)
+      : (Array[Array[Array[Double]]], Array[Array[Double]]) = {
+    val t = spark.read.parquet(path)
+    def tensor(name: String, rows: Int, width: Int): Array[Array[Double]] = {
+      val m = t.filter(col("name") === name)
+        .select(col("row").cast("long"), col("vec").cast("array<double>"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      Array.tabulate(rows) { r =>
+        val v = m.getOrElse(r.toLong, throw new IllegalArgumentException(
+          s"loadWeights: tensor '$name' missing row $r (expected $rows rows)"))
+        require(v.length == width,
+          s"loadWeights: tensor '$name' row $r has ${v.length} values, expected $width")
+        v
+      }
+    }
+    val convFlat = tensor("conv", nFilters, 9)
+    val conv = Array.tabulate(nFilters, 3, 3)((f, dr, dc) =>
+      convFlat(f)(dr * 3 + dc))
+    (conv, tensor("lin", embDim, nFilters * 4))
+  }
+
   /** id → emb_0..emb_{d−1} over the panel (rounded with the repo's
-    * 6-decimal + 1e-9-nudge discipline on both engines). */
+    * 6-decimal + 1e-9-nudge discipline on both engines).
+    * `weightsOverride` (e.g. from [[loadWeights]]) swaps the DetRng
+    * surrogate CNN for real loaded weights — plan shape unchanged. */
   def visionEmbeddings(df: DataFrame, nFilters: Int = DefaultFilters,
       embDim: Int = DefaultEmbDim, eps: Double = DefaultEps,
-      seed: Long = 42L)(implicit pc: PanelCols): DataFrame = {
-    val (conv, lin) = weights(nFilters, embDim, seed)
+      seed: Long = 42L,
+      weightsOverride: Option[(Array[Array[Array[Double]]], Array[Array[Double]])] = None)
+      (implicit pc: PanelCols): DataFrame = {
+    val (conv, lin) = weightsOverride.getOrElse(weights(nFilters, embDim, seed))
+    require(conv.length == nFilters && conv.forall(f =>
+        f.length == 3 && f.forall(_.length == 3)),
+      s"visionEmbeddings: conv weights must be $nFilters x 3 x 3")
+    require(lin.length == embDim && lin.forall(_.length == nFilters * 4),
+      s"visionEmbeddings: lin weights must be $embDim x ${nFilters * 4}")
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast((conv, lin))
     val embUdf = udf((ys: Seq[Double]) =>
