@@ -86,6 +86,76 @@ object Bayesian {
     KalmanOut(xf, pf, xp, pp, xs, ll)
   }
 
+  /** Linear-Gaussian filter + Durbin–Koopman state smoother (Durbin &
+    * Koopman 2012 §4.4.4, eq. 4.44) for scalar observations — the same
+    * smoothed means as [[kalmanSmooth]]'s RTS pass in exact arithmetic
+    * (KalmanDkSpec pins the agreement), but the backward recursion is
+    * matrix-VECTOR only:
+    *
+    *   r_T = 0;  r_{t−1} = Fᵀ r_t + Hᵀ (v_t/s_t − k_tᵀ (Fᵀ r_t))
+    *   α̂_t = xp_t + Pp_t r_{t−1}
+    *
+    * (k_t = Pp_t Hᵀ / s_t, the posterior gain; missing y_t drops the
+    * observation term: r_{t−1} = Fᵀ r_t). No covariance inverse at all —
+    * O(n²) per step vs the RTS gain's O(n³) LAPACK pinv, and, because
+    * every backward step is a short fixed-order linear fold, exactly the
+    * recursion `SeasonalKalmanOracle.bstsSeasonalDecompSql` replays in
+    * DuckDB (the pinv-SVD was the documented r9 oracle blocker). */
+  def kalmanSmoothDk(y: Array[Double], f: DenseMatrix[Double],
+      h: DenseMatrix[Double], q: DenseMatrix[Double], r: Double,
+      x0: DenseVector[Double], p0: DenseMatrix[Double]): KalmanOut = {
+    val t = y.length
+    val n = x0.length
+    val xf = new Array[DenseVector[Double]](t)
+    val pf = new Array[DenseMatrix[Double]](t)
+    val xp = new Array[DenseVector[Double]](t)
+    val pp = new Array[DenseMatrix[Double]](t)
+    val vs = new Array[Double](t)
+    val ss = new Array[Double](t)
+    var x = x0.copy
+    var p = p0.copy
+    var ll = 0.0
+    var i = 0
+    while (i < t) {
+      val xPred = f * x
+      val pPred = f * p * f.t + q
+      xp(i) = xPred; pp(i) = pPred
+      if (y(i).isNaN) { x = xPred; p = pPred; vs(i) = Double.NaN; ss(i) = 0.0 }
+      else {
+        val hx = h * xPred
+        val hph = h * pPred * h.t
+        val s = hph(0, 0) + r
+        val k = (pPred * h.t) / s
+        val innov = y(i) - hx(0)
+        vs(i) = innov; ss(i) = s
+        x = xPred + k(::, 0) * innov
+        p = pPred - k * h * pPred
+        ll += -0.5 * (math.log(2 * math.Pi * s) + innov * innov / s)
+      }
+      xf(i) = x.copy; pf(i) = p.copy
+      i += 1
+    }
+    val xs = new Array[DenseVector[Double]](t)
+    val hT = h.t(::, 0)
+    var rv = DenseVector.zeros[Double](n)
+    var j = t - 1
+    while (j >= 0) {
+      val u = f.t * rv
+      val rNew =
+        if (y(j).isNaN) u
+        else {
+          val pht: DenseMatrix[Double] = pp(j) * h.t
+          val k = pht(::, 0) / ss(j)
+          val c = vs(j) / ss(j) - (k dot u)
+          u + hT * c
+        }
+      xs(j) = xp(j) + pp(j) * rNew
+      rv = rNew
+      j -= 1
+    }
+    KalmanOut(xf, pf, xp, pp, xs, ll)
+  }
+
   // ── BSTS (bayesian/bsts.py:59-260) ──────────────────────────────────────
 
   /** Assemble (F, H, Q, r) for trend ∈ {level, local_linear} + optional
@@ -138,7 +208,11 @@ object Bayesian {
     val x0 = DenseVector.zeros[Double](n)
     if (y.nonEmpty) x0(0) = y(0)
     val p0 = DenseMatrix.eye[Double](n) * 10.0
-    val kr = kalmanSmooth(y, f, hm, q, r, x0, p0)
+    // DK smoother: same smoothed means as the RTS pass (exact
+    // arithmetic) with no per-step pinv — and SQL-replayable at ANY
+    // state dimension, which lifts the period-24 seasonal decomposition
+    // from rows-only to a full hash oracle
+    val kr = kalmanSmoothDk(y, f, hm, q, r, x0, p0)
     val level = kr.smoothed.map(_(0))
     val trendC =
       if (trend == "local_linear") kr.smoothed.map(_(1)) else Array.empty[Double]
