@@ -154,6 +154,101 @@ object SeasonalKalmanOracle {
        |JOIN d ON d.user_id = f.user_id""".stripMargin
   }
 
+  /** The measurement-update fold body WITH per-step history: the new
+    * posterior prefix `[x, PUpper]`, then the old history, then this
+    * step's stored record `[xp(n), PpUpper, v, s]` — the inputs the DK
+    * smoother's backward pass needs. */
+  private def filterStoreStep(sy: Sys): String = {
+    import sy._
+    val sl = stateLen(n)
+    def xp(i: Int) = s"pv[${i + 1}]"
+    def pp(i: Int, j: Int) = s"pv[${n + 1 + pIdx(n, i, j)}]"
+    def hp(j: Int) = s"(${pp(0, j)} + ${pp(2, j)})"
+    val sE = s"((${hp(0)} + ${hp(2)}) + ${dlit(rObs)})"
+    val kList = (0 until n).map(i => s"${hp(i)} / iv[2]").mkString("[", ", ", "]")
+    val xNew = (0 until n).map(i => s"(${xp(i)} + kv[${i + 1}] * iv[1])")
+    val pNew = for (i <- 0 until n; j <- i until n) yield
+      s"(${pp(i, j)} - ((kv[${i + 1}] * ${pp(0, j)}) + (kv[${i + 1}] * ${pp(2, j)})))"
+    s"""list_transform([${predictList(sy, "acc")}], pv ->
+       |  list_transform([[x[1] - (pv[1] + pv[3]), $sE]], iv ->
+       |    list_transform([$kList], kv ->
+       |      list_concat([${(xNew ++ pNew).mkString(",\n      ")}],
+       |        list_concat(acc[${sl + 1}:], list_concat(pv, [iv[1], iv[2]])))
+       |    )[1])[1])[1]""".stripMargin
+  }
+
+  /** One Durbin–Koopman backward step over the stored history (engine
+    * twin: `Bayesian.kalmanSmoothDk`):
+    * u = Fᵀr; k_i = (Pp(0,i)+Pp(2,i))/s; c = v/s − kᵀu;
+    * rNew = u + Hᵀc; smoothed = xp + Pp·rNew — matrix-VECTOR only, the
+    * recursion that made the 25-dim decomposition SQL-replayable (the
+    * RTS gain's LAPACK pinv was the r9 blocker). Appends
+    * (level, trend, seasonal-head) newest-first after the r prefix. */
+  private def smoothStoreStep(sy: Sys): String = {
+    import sy._
+    val sl = stateLen(n)
+    val recLen = sl + 2
+    val jj = s"(n - (x[1])::INT + 1)" // step index, descending T..1
+    def rec(k: Int) = s"f[($sl + ($jj - 1) * $recLen + $k)::INT]"
+    def xp(i: Int) = rec(i + 1)
+    def pp(i: Int, j: Int) = rec(n + 1 + pIdx(n, i, j))
+    val vE = rec(recLen - 1)
+    val sE = rec(recLen)
+    // u = Fᵀ r: column view of the sparse F
+    val cols = Array.fill(n)(Vector.empty[(Double, Int)])
+    for (r <- 0 until n; (c0, j) <- fRows(r)) cols(j) = cols(j) :+ ((c0, r))
+    def r(i: Int) = s"acc[${i + 1}]"
+    val uList = (0 until n).map(i =>
+      if (cols(i).isEmpty) "0.0::DOUBLE"
+      else lincomb(cols(i).map { case (c0, row) => (c0, r(row)) }))
+      .mkString("[", ",\n      ", "]")
+    val d = (0 until n).map(i =>
+      s"(((${pp(0, i)} + ${pp(2, i)}) / $sE) * uv[${i + 1}])")
+      .reduceLeft((a, b) => s"($a + $b)")
+    val cExpr = s"(($vE / $sE) - $d)"
+    def rNew(i: Int) =
+      if (i == 0 || i == 2) s"(uv[${i + 1}] + cv[1])" else s"uv[${i + 1}]"
+    def smooth(m: Int) = s"(${xp(m)} + ${
+      (0 until n).map(j => s"(${pp(m, j)} * ${rNew(j)})")
+        .reduceLeft((a, b) => s"($a + $b)")})"
+    val rList = (0 until n).map(rNew).mkString("[", ", ", "]")
+    s"""list_transform([$uList], uv ->
+       |  list_transform([[$cExpr]], cv ->
+       |    list_concat($rList,
+       |      list_concat(acc[${n + 1}:],
+       |        [${smooth(0)}, ${smooth(1)}, ${smooth(2)}]))
+       |  )[1])[1]""".stripMargin
+  }
+
+  /** ts_bsts_seasonal: the period-24 (n = 25) seasonal smoother
+    * DECOMPOSITION replay — forward filter fold storing per-step
+    * `[xp, PpUpper, v, s]` records, then a DK backward fold emitting
+    * (level, trend, seasonal) rows newest-first. */
+  def bstsSeasonalDecompSql(period: Int, sigmaObs: Double = 1.0,
+      sigmaLevel: Double = 0.1, sigmaTrend: Double = 0.01,
+      sigmaSeasonal: Double = 0.01): String = {
+    val sy = sys(period, sigmaObs, sigmaLevel, sigmaTrend, sigmaSeasonal)
+    val n = sy.n
+    s"""WITH s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs,
+       |  count(*)::INT AS n FROM events GROUP BY user_id),
+       |st AS (SELECT user_id, n, list_reduce(
+       |    list_prepend(${initList(sy)},
+       |      list_transform(vs, v -> [v::DOUBLE])),
+       |    (acc, x) -> ${filterStoreStep(sy)}) AS f
+       |  FROM s),
+       |sm AS (SELECT user_id, n, list_reduce(
+       |    list_prepend([${Seq.fill(n)("0.0::DOUBLE").mkString(", ")}],
+       |      list_transform(generate_series(1, n), i -> [i::DOUBLE])),
+       |    (acc, x) -> ${smoothStoreStep(sy)}) AS sv
+       |  FROM st),
+       |o AS (SELECT user_id, ts, row_number() OVER ($W) AS rn FROM events)
+       |SELECT o.user_id, o.ts,
+       |  round(m.sv[($n + 3*(m.n - o.rn) + 1)::INT] + 1e-9, 6) AS level,
+       |  round(m.sv[($n + 3*(m.n - o.rn) + 2)::INT] + 1e-9, 6) AS trend,
+       |  round(m.sv[($n + 3*(m.n - o.rn) + 3)::INT] + 1e-9, 6) AS seasonal
+       |FROM o JOIN sm m USING (user_id)""".stripMargin
+  }
+
   /** ts_causal_impact_s4: the causal machinery (pre/post split at the
     * 80th-percentile timestamp, counterfactual propagation, pointwise +
     * cumulative effects) with the SEASONAL state — the same tail as the

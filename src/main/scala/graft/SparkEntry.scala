@@ -865,8 +865,8 @@ object SparkEntry {
 
     "ts_bsts_seasonal" -> ((s, dir) =>
       BayesianOps.bstsDecompose(IO.events(s, dir), seasonal = Some(24))
-        .select(col("user_id"), col("ts"), r6(col("level")).as("level"),
-          r6(col("trend")).as("trend"), r6(col("seasonal")).as("seasonal"))),
+        .select(col("user_id"), col("ts"), r6n(col("level")).as("level"),
+          r6n(col("trend")).as("trend"), r6n(col("seasonal")).as("seasonal"))),
 
     // period-4 seasonal-STATE twins (VERDICT r7 ask #5): the 5-dim
     // filter + forward propagation replay fully in SQL (generated
@@ -1172,10 +1172,10 @@ object SparkEntry {
       val cut = ev.selectExpr("percentile(unix_micros(cast(ts as timestamp)), 0.8) as c")
         .head().getDouble(0).toLong
       Causal.causalImpact(ev, new java.sql.Timestamp(cut / 1000L), seasonal = Some(24))
-        .select(col("user_id"), col("ts"), r6(col("observed")).as("observed"),
-          r6(col("counterfactual")).as("counterfactual"),
-          r6(col("point_effect")).as("point_effect"),
-          r6(col("cum_effect")).as("cum_effect"))
+        .select(col("user_id"), col("ts"), r6n(col("observed")).as("observed"),
+          r6n(col("counterfactual")).as("counterfactual"),
+          r6n(col("point_effect")).as("point_effect"),
+          r6n(col("cum_effect")).as("cum_effect"))
     }),
 
     // oracled local_linear variant: the seasonal-24 default above carries
@@ -3443,7 +3443,14 @@ object SparkEntry {
       rowLevel = true),
     "ts_causal_impact_ll" -> DetOracles.causalImpactLlSql,
     "ts_bsts_s4_fc" -> SeasonalKalmanOracle.bstsSeasonalFcSql(period = 4, h = 8),
+    // period-24 smoother decomposition (r10): replayable now that the
+    // engine smoother is the DK matrix-vector recursion — the RTS
+    // gain's LAPACK pinv was the r9 blocker
+    "ts_bsts_seasonal" -> SeasonalKalmanOracle.bstsSeasonalDecompSql(24),
     "ts_causal_impact_s4" -> SeasonalKalmanOracle.causalImpactSeasonalSql(period = 4),
+    // period-24 production default (r10): the 25-dim filter replay was
+    // always generatable; runtime was the only question, and it gates fine
+    "ts_causal_impact" -> SeasonalKalmanOracle.causalImpactSeasonalSql(period = 24),
     "ts_bsts_fc" -> DetOracles.bstsFcSql(h = 7),
     "ts_bsts_decomp" -> DetOracles.bstsDecompSql,
     "emb_knn_lsh" -> AnnOracle.lshTopKSql(dim = 64, bits = 6, probes = 8, k = 3),
