@@ -52,8 +52,6 @@ object TextOps {
   def ratio(matchedLen: Column, total: Column): Column =
     when(total > 0, matchedLen.cast("double") / total.cast("double")).otherwise(0.0)
 
-  private def countMatches(text: Column, regex: String): Column =
-    length(text) - length(regexp_replace(text, regex, ""))
 
   /** Heuristic quality metrics per document: length, token count, mean word
     * length, punctuation / digit / uppercase / whitespace ratios, and a
@@ -63,10 +61,15 @@ object TextOps {
     val t = col(textCol)
     val n = length(t)
     val toks = tokenCount(t)
-    val punct = countMatches(t, "[\\p{Punct}]")
-    val digits = countMatches(t, "[0-9]")
-    val uppers = countMatches(t, "[A-Z]")
-    val spaces = countMatches(t, "\\s")
+    // single byte walk for all four class counts (native codegen
+    // expression; CSE collapses the repeated subtree to one evaluation)
+    // — the regexp_replace formulation materialized a replaced COPY of
+    // the document per class; semantics pinned equal in CharClassSpec
+    val cc = graft.plans.CharClassCounts(t)
+    val punct = element_at(cc, 1)
+    val digits = element_at(cc, 2)
+    val uppers = element_at(cc, 3)
+    val spaces = element_at(cc, 4)
     df.withColumn("n_chars", n.cast("long"))
       .withColumn("n_tokens", toks.cast("long"))
       .withColumn("mean_word_len",
