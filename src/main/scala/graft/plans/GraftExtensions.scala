@@ -126,6 +126,14 @@ object GraftFunctions {
           requireArity("graft_simhash", args, 1)
           SimhashExpr(args.head)
         }),
+      (FunctionIdentifier("graft_char_class_counts"),
+        info(classOf[CharClassCounts], "graft_char_class_counts",
+          "graft_char_class_counts(text) - one-pass array<bigint> of " +
+            "[punct, digit, upper, space] ASCII-class counts."),
+        (args: Seq[Expression]) => {
+          requireArity("graft_char_class_counts", args, 1)
+          CharClassCounts(args.head)
+        }),
       (FunctionIdentifier("graft_kn_bigrams"),
         info(classOf[KnBigramsExpr], "graft_kn_bigrams",
           "graft_kn_bigrams(text, buckets) - adjacent word-bucket bigram " +

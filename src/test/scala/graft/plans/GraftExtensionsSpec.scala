@@ -95,6 +95,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(nullSig == viaSql(""))
   }
 
+  test("graft_char_class_counts matches the Column API") {
+    import spark.implicits._
+    Seq("Hello, World! 123", "ümlaut Ω 😀", "")
+      .toDF("t").createOrReplaceTempView("cc_in")
+    val viaSql = spark.sql(
+      "SELECT t, graft_char_class_counts(t) AS c FROM cc_in")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val viaCol = spark.table("cc_in")
+      .select(col("t"), CharClassCounts(col("t")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql == viaCol)
+    assert(viaSql("Hello, World! 123") == Seq(2L, 3L, 2L, 2L))
+    val nullOut = spark.sql(
+      "SELECT graft_char_class_counts(CAST(NULL AS STRING)) AS c")
+      .collect()(0).isNullAt(0)
+    assert(nullOut)
+  }
+
   test("graft_kn_bigrams packs the shared walk losslessly") {
     import spark.implicits._
     Seq("alpha beta gamma alpha").toDF("t").createOrReplaceTempView("kb_in")
