@@ -73,4 +73,34 @@ object Layout {
       .sortWithinPartitions("__zkey")
       .drop("__zkey")
   }
+
+  /** Bucketed persistence — the OTHER layout lever beside [[zorderBy]]:
+    * Z-order buys file-skipping on range predicates; BUCKETING buys
+    * exchange-free equi-joins and aggregations on the bucket keys.
+    * Writes `df` as a Spark bucketed table (`bucketBy` + optional
+    * in-bucket `sortBy`), so every downstream join/groupBy on `keys`
+    * between co-bucketed tables runs with ZERO shuffles (spec-pinned).
+    *
+    * The 100 TB use: persist the incremental-dedup tier's signature /
+    * fingerprint STORES bucketed by their join key — each ingest batch
+    * then shuffles only ITSELF (one small exchange to the store's
+    * bucketing), never the accumulated corpus state; re-bucketing a
+    * 100 TB store per batch is exactly the cost this removes.
+    *
+    * `path` makes it an external table (data at the given location);
+    * without it the session's warehouse dir is used. Bucket pruning and
+    * shuffle-free reads need `spark.sql.sources.bucketing.enabled`
+    * (default true). */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+      nBuckets: Int, sortCols: Seq[String] = Nil,
+      path: Option[String] = None, mode: String = "overwrite"): Unit = {
+    require(keys.nonEmpty, "writeBucketed: no bucket keys")
+    require(nBuckets >= 1, "writeBucketed: nBuckets must be >= 1")
+    var w = df.write.mode(mode)
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+    val sorts = if (sortCols.nonEmpty) sortCols else keys
+    w = w.sortBy(sorts.head, sorts.tail: _*)
+    path.foreach(p => w = w.option("path", p))
+    w.format("parquet").saveAsTable(table)
+  }
 }

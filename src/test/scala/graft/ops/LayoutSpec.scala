@@ -63,6 +63,48 @@ class LayoutSpec extends AnyFunSuite {
       s"z-order ($zx,$zy) should beat single-column sort ($sx,$sy≈127)")
   }
 
+  test("writeBucketed: co-bucketed join and agg run with ZERO exchanges") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bkt").toString
+    val store = (1 to 2000).map(i => (i.toLong % 97, i.toLong, s"sig$i"))
+      .toDF("fp", "doc_id", "sig")
+    val batch = (1 to 100).map(i => (i.toLong % 97, i.toLong + 10000))
+      .toDF("fp", "new_id")
+    Layout.writeBucketed(store, "bkt_store", Seq("fp"), nBuckets = 8,
+      path = Some(s"$dir/store"))
+    Layout.writeBucketed(batch, "bkt_batch", Seq("fp"), nBuckets = 8,
+      path = Some(s"$dir/batch"))
+    val oldThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the join exercises the bucketed SMJ path
+      // (a BroadcastExchange is not a shuffle, but it also isn't the
+      // co-located plan this layout exists to produce)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_store")
+        .join(spark.table("bkt_batch"), "fp")
+      joined.collect()
+      val jPlan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!jPlan.contains("Exchange"),
+        s"co-bucketed equi-join must not shuffle:\n$jPlan")
+      // aggregation on the bucket key: no exchange either
+      val agg = spark.table("bkt_store").groupBy("fp")
+        .agg(count(lit(1)).as("n"))
+      agg.collect()
+      val aPlan = agg.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!aPlan.contains("Exchange"),
+        s"bucket-key aggregation must not shuffle:\n$aPlan")
+      // values are the plain join's
+      val expect = store.join(batch, "fp").count()
+      assert(joined.count() === expect)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+      spark.sql("DROP TABLE IF EXISTS bkt_store")
+      spark.sql("DROP TABLE IF EXISTS bkt_batch")
+    }
+  }
+
   test("zorderRank: linear-bin rank is deterministic and bounded") {
     import spark.implicits._
     val df = Seq(0.0, 1.0, 2.5, 9.9, 10.0).toDF("v")
