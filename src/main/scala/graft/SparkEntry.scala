@@ -2342,6 +2342,24 @@ object SparkEntry {
           round(col("cosine"), 4).as("cosine"), col("rank"))
     }),
 
+    // MMR diversity re-rank (r10): brute top-10 per query → greedy
+    // λ·rel − (1−λ)·maxsim selection of 5. rel is rounded 6dp on BOTH
+    // engines so the greedy's dominant input is bit-identical; the
+    // oracle replays the same first-max-of-the-id-sorted-list rule in a
+    // DuckDB list fold.
+    "emb_mmr_rerank" -> ((s, dir) => {
+      val emb = IO.embeddings(s, dir)
+      val topk = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 10)
+        .select(col("query_id"), col("neighbor_id").as("cand_id"),
+          r6n(col("cosine")).as("rel"))
+      val withVec = topk.join(
+        emb.select(col("vec_id").as("cand_id"), col("embedding")), "cand_id")
+      Similarity.mmrRerank(withVec, k = 5, lambda = 0.7)
+        .select(col("query_id"), col("cand_id"),
+          col("mmr_rank").cast("long").as("mmr_rank"),
+          r6n(col("mmr_score")).as("mmr_score"))
+    }),
+
     // IVFADC — the missing 100 TB ANN composition (VERDICT r6 ask #3):
     // coarse cells prune the corpus, residual PQ codes shortlist it,
     // exact cosine re-ranks the shortlist (Jégou §V-D); the scan side
@@ -3928,6 +3946,51 @@ object SparkEntry {
         |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
         |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank
         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // greedy MMR fold replay: candidates = brute top-10 (rel rounded
+    // 6dp like the engine); fold picks argmax λ·rel − (1−λ)·maxsim via
+    // first-position-of-max over the id-sorted candidate list (exactly
+    // the engine's ascending-scan strict-> rule); scores re-derived per
+    // step from the selected prefix
+    "emb_mmr_rerank" -> {
+      val score = (accRef: String) =>
+        s"""CASE WHEN list_contains($accRef, i) THEN -1e308
+           |ELSE 0.7 * cs[i].rel - 0.3 * coalesce(list_max(
+           |  list_transform($accRef, s2 ->
+           |    list_cosine_similarity(cs[i].emb, cs[s2].emb))), 0.0) END"""
+          .stripMargin
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id < 20),
+         |scored AS (SELECT q.query_id, c.vec_id AS cand_id,
+         |  round(list_cosine_similarity(q.qv, c.embedding::DOUBLE[]) + 1e-9, 6) AS rel,
+         |  c.embedding::DOUBLE[] AS emb,
+         |  row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY list_cosine_similarity(q.qv, c.embedding::DOUBLE[]) DESC,
+         |      c.vec_id) AS rk
+         |  FROM q JOIN embeddings c ON c.vec_id <> q.query_id),
+         |cand AS (SELECT query_id,
+         |    list(struct_pack(id := cand_id, rel := rel, emb := emb)
+         |      ORDER BY cand_id) AS cs
+         |  FROM scored WHERE rk <= 10 GROUP BY query_id),
+         |picked AS (SELECT query_id, cs, list_reduce(
+         |    list_prepend([]::INT[],
+         |      list_transform(generate_series(1, 5), s -> [s::INT])),
+         |    (acc, x) -> list_append(acc,
+         |      list_position(
+         |        list_transform(generate_series(1, len(cs)), i -> ${score("acc")}),
+         |        list_max(
+         |        list_transform(generate_series(1, len(cs)), i -> ${score("acc")})))::INT
+         |    )) AS sel
+         |  FROM cand),
+         |o AS (SELECT query_id, cs, sel,
+         |    unnest(generate_series(1, len(sel))) AS t FROM picked)
+         |SELECT query_id, cs[sel[t]].id AS cand_id, t AS mmr_rank,
+         |  round(0.7 * cs[sel[t]].rel - 0.3 * coalesce(list_max(
+         |    list_transform(sel[1:(t-1)::INT], s2 ->
+         |      list_cosine_similarity(cs[sel[t]].emb, cs[s2].emb))), 0.0)
+         |    + 1e-9, 6) AS mmr_score
+         |FROM o""".stripMargin
+    },
 
     // exhaustive-beam HNSW on the 60-vector base == brute-force top-k
     "emb_knn_hnsw_sub" ->

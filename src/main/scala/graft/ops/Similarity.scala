@@ -51,6 +51,90 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** MMR diversity re-rank (maximal marginal relevance, Carbonell &
+    * Goldstein 1998) of a per-query candidate set — the step between
+    * ANN retrieval and consumption that trades pure relevance for
+    * coverage: greedily pick, `k` times,
+    * `argmax λ·rel − (1−λ)·max_{s∈S} cos(cand, s)`
+    * (first pick has no diversity term). The same greedy selects
+    * DIVERSE training examples from a near-duplicate-heavy candidate
+    * pool, so it earns its place in the curation tier, not just RAG.
+    *
+    * Determinism contract (shared with the SQL oracle): candidates
+    * iterate sorted by id; the ascending scan keeps the FIRST maximum,
+    * so exact score ties break toward the smaller id.
+    *
+    * Scale: one hash aggregation groups each query's ≤N candidates;
+    * the O(N²·k) greedy runs inside the group — queries distribute,
+    * no cross-query traffic, and N is the upstream top-k (small by
+    * construction). */
+  def mmrRerank(cands: DataFrame, k: Int, lambda: Double = 0.7,
+      queryCol: String = "query_id", idCol: String = "cand_id",
+      relCol: String = "rel", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "mmrRerank: k must be >= 1")
+    require(lambda >= 0.0 && lambda <= 1.0, "mmrRerank: lambda in [0, 1]")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val u = udf((cs: Seq[(Long, Double, Seq[Double])]) => {
+      // one struct list, not three parallel collect_lists (whose
+      // relative element order Spark does not guarantee to align)
+      val ids = cs.map(_._1); val rels = cs.map(_._2); val vecs = cs.map(_._3)
+      val ord = ids.indices.sortBy(ids).toArray
+      val id = ord.map(ids)
+      val rel = ord.map(rels)
+      val v = ord.map(i => vecs(i).toArray)
+      val n = id.length
+      val norm = v.map(a => math.sqrt(a.foldLeft(0.0)((s, x) => s + x * x)))
+      def cos(i: Int, j: Int): Double = {
+        var s = 0.0; var t = 0
+        val ai = v(i); val aj = v(j)
+        while (t < ai.length && t < aj.length) { s += ai(t) * aj(t); t += 1 }
+        val d = norm(i) * norm(j)
+        if (d > 0) s / d else 0.0
+      }
+      val picked = new Array[Boolean](n)
+      // -inf sentinel, NOT 0: max-similarity-to-selected is genuinely
+      // negative when every selected vector points away from the
+      // candidate, and MMR's penalty term must then REWARD it — a 0
+      // floor silently clamps the penalty (caught by the DuckDB oracle)
+      val maxSim = Array.fill(n)(Double.NegativeInfinity)
+      val out = Seq.newBuilder[(Long, Int, Double)]
+      var step = 1
+      val m = math.min(k, n)
+      while (step <= m) {
+        var best = -1
+        var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < n) {
+          if (!picked(i)) {
+            val sc =
+              if (step == 1) lambda * rel(i) // no selected set yet
+              else lambda * rel(i) - (1 - lambda) * maxSim(i)
+            if (sc > bestScore) { bestScore = sc; best = i }
+          }
+          i += 1
+        }
+        picked(best) = true
+        out += ((id(best), step, bestScore))
+        var j = 0
+        while (j < n) {
+          if (!picked(j)) { val c = cos(j, best); if (c > maxSim(j)) maxSim(j) = c }
+          j += 1
+        }
+        step += 1
+      }
+      out.result()
+    })
+    cands
+      .groupBy(col(queryCol))
+      .agg(collect_list(struct(col(idCol).cast("long"),
+        col(relCol).cast("double"),
+        col(vecCol).cast("array<double>"))).as("__c"))
+      .select(col(queryCol), explode(u(col("__c"))).as("__m"))
+      .select(col(queryCol), col("__m._1").as(idCol),
+        col("__m._2").as("mmr_rank"), col("__m._3").as("mmr_score"))
+  }
+
   /** HNSW top-k (graph ANN — [[graft.kernels.Hnsw]]): each corpus
     * partition builds its own deterministic small-world graph
     * (embarrassingly parallel, zero global state — the scale path: a
