@@ -98,6 +98,19 @@ object PlanAudit {
       Dedup.dupNgramCoverage(IO.documents(spark, dir).select("doc_id", "text")))
     audit("pack plan (expect ONE exchange on shard key)",
       Packing.packPlan(IO.documents(spark, dir), seqLen = 128, nShards = 8))
+    audit("pack execute (expect ONE exchange: (shard,seq) agg reuses the " +
+      "shard window partitioning; slices, never per-token rows)",
+      Packing.executePack(IO.documents(spark, dir), seqLen = 128, nShards = 8))
+    audit("mmr rerank (expect ONE grouped exchange; greedy inside the group)", {
+      val emb = IO.embeddings(spark, dir)
+      val topk = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < 10), k = 10)
+        .select(col("query_id"), col("neighbor_id").as("cand_id"),
+          col("cosine").as("rel"))
+      Similarity.mmrRerank(topk.join(
+        emb.select(col("vec_id").as("cand_id"), col("embedding")), "cand_id"),
+        k = 5)
+    })
     audit("temperature sample (expect broadcast plan join + group rank)",
       Sampling.temperatureSample(IO.documents(spark, dir), "source",
         "doc_id", budget = 300, alpha = 0.5))
