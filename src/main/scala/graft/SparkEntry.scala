@@ -575,6 +575,18 @@ object SparkEntry {
     "ts_pairwise_dtw" -> ((s, dir) =>
       pairwiseOracle(s, dir, "dtw")),
 
+    // matrix profile (r10, beyond-reference TS primitive): per-window
+    // z-normalized nearest-neighbor distance (STOMP in the engine; the
+    // oracle replays the direct O(n²m) definition — min over j is
+    // rounding-stable even where the engine's rolling QT differs by
+    // ulps). mp_idx stays spec-verified (argmin near-ties are not
+    // rounding-stable); the profile VALUES are the gate row.
+    "ts_matrix_profile" -> ((s, dir) =>
+      Advanced.matrixProfile(
+        IO.events(s, dir).filter(expr(ElasticOracle.SeriesFilter)), m = 8)
+        .select(col("user_id"), col("idx").cast("long").as("idx"),
+          r6n(col("mp")).as("mp"))),
+
     "ts_pairwise_sbd" -> ((s, dir) =>
       pairwiseOracle(s, dir, "sbd")),
 
@@ -3946,6 +3958,36 @@ object SparkEntry {
         |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
         |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank
         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // direct matrix-profile definition: per-window slices, stats from
+    // the same s2/m − mu² population formula, the shared flat-window
+    // conventions (flat↔flat = 0, flat↔moving = sqrt(2m)), exclusion
+    // |i−j| ≥ m/2
+    "ts_matrix_profile" ->
+      """WITH s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+        |  FROM events WHERE user_id < 60 GROUP BY user_id),
+        |w AS (SELECT user_id, vs, len(vs) - 7 AS nw FROM s WHERE len(vs) >= 12),
+        |ix AS (SELECT user_id, vs,
+        |    unnest(generate_series(1, nw))::INT AS i FROM w),
+        |st AS (SELECT user_id, i, vs[i:i+7] AS wv,
+        |    list_avg(vs[i:i+7]) AS mu,
+        |    sqrt(greatest(
+        |      list_inner_product(vs[i:i+7], vs[i:i+7]) / 8.0
+        |        - list_avg(vs[i:i+7]) ^ 2, 0.0)) AS sd
+        |  FROM ix),
+        |pair AS (SELECT a.user_id, a.i, list_inner_product(a.wv, b.wv) AS qt,
+        |    a.mu AS mui, a.sd AS sdi, b.mu AS muj, b.sd AS sdj
+        |  FROM st a JOIN st b
+        |    ON a.user_id = b.user_id AND abs(a.i - b.i) >= 4),
+        |dist AS (SELECT user_id, i,
+        |    CASE WHEN sdi <= 0 AND sdj <= 0 THEN 0.0
+        |         WHEN sdi <= 0 OR sdj <= 0 THEN 4.0
+        |         ELSE sqrt(greatest(
+        |           16.0 * (1.0 - (qt - 8.0 * mui * muj) / (8.0 * sdi * sdj)),
+        |           0.0)) END AS d
+        |  FROM pair)
+        |SELECT user_id, (i - 1)::BIGINT AS idx, round(min(d) + 1e-9, 6) AS mp
+        |FROM dist GROUP BY 1, 2""".stripMargin,
 
     // greedy MMR fold replay: candidates = brute top-10 (rel rounded
     // 6dp like the engine); fold picks argmax λ·rel − (1−λ)·maxsim via

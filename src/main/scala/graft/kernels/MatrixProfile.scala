@@ -1,0 +1,123 @@
+package graft.kernels
+
+/** Matrix profile (Yeh et al. 2016, ICDM "Matrix Profile I"): for every
+  * length-`m` subsequence of a series, the z-normalized Euclidean
+  * distance to its nearest non-trivial neighbor within the same series —
+  * THE primitive behind motif discovery (low profile values) and
+  * discord/anomaly detection (high values).
+  *
+  * [[stomp]] is the O(n²) STOMP recursion (Zhu et al. 2016: the dot
+  * product QT(i, j) updates diagonally in O(1)), [[brute]] the
+  * O(n²·m) direct definition both the spec and the DuckDB oracle
+  * replay. Trivial matches are excluded by |i − j| < m/2 (the standard
+  * exclusion zone). Distances use
+  *   d²(i, j) = 2m · (1 − (QT − m·μᵢ·μⱼ) / (m·σᵢ·σⱼ)),
+  * clamped at 0 (rounding can push the correlation a ulp past 1);
+  * flat windows (σ = 0): two flat windows are identical after
+  * z-normalization (d = 0); flat-vs-moving is maximally uncorrelated
+  * (d² = 2m) — the convention both implementations and the oracle
+  * share.
+  *
+  * Scale: one series' profile is a single grouped-kernel call — series
+  * distribute across the cluster, nothing crosses series boundaries. */
+object MatrixProfile {
+
+  /** Sliding means and standard deviations (population) of all
+    * length-m windows, via prefix sums. */
+  private def slidingStats(xs: Array[Double], m: Int)
+      : (Array[Double], Array[Double]) = {
+    val n = xs.length - m + 1
+    val mu = new Array[Double](n)
+    val sd = new Array[Double](n)
+    var s = 0.0; var s2 = 0.0
+    var i = 0
+    while (i < xs.length) {
+      s += xs(i); s2 += xs(i) * xs(i)
+      if (i >= m) { s -= xs(i - m); s2 -= xs(i - m) * xs(i - m) }
+      if (i >= m - 1) {
+        val j = i - m + 1
+        mu(j) = s / m
+        val v = s2 / m - mu(j) * mu(j)
+        sd(j) = if (v > 0) math.sqrt(v) else 0.0
+      }
+      i += 1
+    }
+    (mu, sd)
+  }
+
+  private def distSq(qt: Double, m: Int, mui: Double, sdi: Double,
+      muj: Double, sdj: Double): Double = {
+    if (sdi <= 0 && sdj <= 0) 0.0
+    else if (sdi <= 0 || sdj <= 0) 2.0 * m
+    else {
+      val corr = (qt - m * mui * muj) / (m * sdi * sdj)
+      math.max(0.0, 2.0 * m * (1.0 - corr))
+    }
+  }
+
+  /** Direct O(n²·m) definition — the oracle-shaped reference. */
+  def brute(xs: Array[Double], m: Int): (Array[Double], Array[Int]) = {
+    require(m >= 2, s"matrix profile: window m must be >= 2, got $m")
+    val n = xs.length - m + 1
+    require(n >= 2, s"matrix profile: series of ${xs.length} has < 2 windows of $m")
+    val (mu, sd) = slidingStats(xs, m)
+    val excl = math.max(1, m / 2)
+    val mp = Array.fill(n)(Double.PositiveInfinity)
+    val mpi = Array.fill(n)(-1)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < n) {
+        if (math.abs(i - j) >= excl) {
+          var qt = 0.0
+          var k = 0
+          while (k < m) { qt += xs(i + k) * xs(j + k); k += 1 }
+          val d = math.sqrt(distSq(qt, m, mu(i), sd(i), mu(j), sd(j)))
+          if (d < mp(i)) { mp(i) = d; mpi(i) = j }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    (mp, mpi)
+  }
+
+  /** STOMP: the same profile in O(n²) — QT along each diagonal updates
+    * as QT(i, j) = QT(i−1, j−1) − x(i−1)·x(j−1) + x(i+m−1)·x(j+m−1).
+    * Values equal [[brute]] to float noise (accumulation order differs);
+    * the argmin uses strict `<` over ascending j, so ties keep the
+    * smallest neighbor index, like brute. */
+  def stomp(xs: Array[Double], m: Int): (Array[Double], Array[Int]) = {
+    require(m >= 2, s"matrix profile: window m must be >= 2, got $m")
+    val n = xs.length - m + 1
+    require(n >= 2, s"matrix profile: series of ${xs.length} has < 2 windows of $m")
+    val (mu, sd) = slidingStats(xs, m)
+    val excl = math.max(1, m / 2)
+    val mp = Array.fill(n)(Double.PositiveInfinity)
+    val mpi = Array.fill(n)(-1)
+    // lexicographic (d, j) minimum: the diagonal walk feeds row j its
+    // candidates in DESCENDING index order, so a bare strict `<` would
+    // keep the larger index on exact ties where brute keeps the smaller
+    def consider(i: Int, j: Int, d: Double): Unit =
+      if (d < mp(i) || (d == mp(i) && j < mpi(i))) { mp(i) = d; mpi(i) = j }
+    // walk each diagonal once (j − i = const ≥ excl), updating QT in O(1)
+    var diag = excl
+    while (diag < n) {
+      var qt = 0.0
+      var k = 0
+      while (k < m) { qt += xs(k) * xs(diag + k); k += 1 }
+      var i = 0
+      var j = diag
+      while (j < n) {
+        if (i > 0)
+          qt += xs(i + m - 1) * xs(j + m - 1) - xs(i - 1) * xs(j - 1)
+        val d = math.sqrt(distSq(qt, m, mu(i), sd(i), mu(j), sd(j)))
+        consider(i, j, d) // symmetric: the pair serves both windows
+        consider(j, i, d)
+        i += 1; j += 1
+      }
+      diag += 1
+    }
+    (mp, mpi)
+  }
+}

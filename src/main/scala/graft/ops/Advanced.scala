@@ -94,4 +94,26 @@ object Advanced {
       .select(pc.idCol, expr("__ts[__i]").as(pc.time),
         col("__s._1").as("regime"), col("__s._2").as("regime_prob"))
   }
+
+  /** Matrix profile per series ([[graft.kernels.MatrixProfile]], STOMP):
+    * one row per length-`m` window — `[id, <time of window start>, idx,
+    * mp, mp_idx]` where `mp` is the z-normalized distance to the
+    * window's nearest non-trivial neighbor and `mp_idx` that neighbor's
+    * start index. Low mp = motif, high mp = discord (the per-series
+    * anomaly primitive). Grouped kernel: series distribute, O(n²)
+    * inside the group, nothing crosses series. */
+  def matrixProfile(df: DataFrame, m: Int)(implicit pc: PanelCols): DataFrame = {
+    val u = udf((ys: Seq[Double]) =>
+      if (ys.length < m + math.max(1, m / 2)) Seq.empty[(Int, Double, Int)]
+      else {
+        val (mp, mpi) = graft.kernels.MatrixProfile.stomp(ys.toArray, m)
+        mp.indices.map(i => (i, mp(i), mpi(i)))
+      })
+    Panel.grouped(df)
+      .select(pc.idCol, col("ts").as("__ts"), u(col("ys")).as("__r"))
+      .select(pc.idCol, explode(col("__r")).as("__s"), col("__ts"))
+      .select(pc.idCol, expr("__ts[__s._1]").as(pc.time),
+        col("__s._1").as("idx"), col("__s._2").as("mp"),
+        col("__s._3").as("mp_idx"))
+  }
 }

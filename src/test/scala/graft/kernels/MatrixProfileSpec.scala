@@ -1,0 +1,61 @@
+package graft.kernels
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** STOMP == brute (the oracle-shaped direct definition) on random
+  * series; planted motifs surface as near-zero profile values pointing
+  * at each other; flat-window conventions; discord = the planted
+  * anomaly. */
+class MatrixProfileSpec extends AnyFunSuite {
+
+  private def rng(n: Int, seed: Long): Array[Double] = {
+    var s = DetRng.seedConst(seed)
+    Array.tabulate(n)(i => DetRng.uniform(s, i.toLong) * 4 - 2)
+  }
+
+  test("stomp equals brute on random series (several m)") {
+    for (m <- Seq(4, 8, 16); n <- Seq(40, 97)) {
+      val xs = rng(n, 1000 + m + n)
+      val (bm, bi) = MatrixProfile.brute(xs, m)
+      val (sm, si) = MatrixProfile.stomp(xs, m)
+      assert(bm.length === sm.length)
+      bm.indices.foreach { i =>
+        assert(math.abs(bm(i) - sm(i)) < 1e-8, s"m=$m n=$n i=$i")
+        assert(bi(i) === si(i), s"m=$m n=$n i=$i mp=${bm(i)}")
+      }
+    }
+  }
+
+  test("planted motif pair: near-zero profile, indices point at each other") {
+    val xs = rng(120, 7)
+    val motif = Array.tabulate(10)(k => math.sin(k / 1.5) * 3)
+    // plant at 20 and 80 (far beyond the exclusion zone)
+    motif.indices.foreach { k => xs(20 + k) = motif(k); xs(80 + k) = motif(k) }
+    val (mp, mpi) = MatrixProfile.stomp(xs, 10)
+    assert(mp(20) < 1e-9 && mp(80) < 1e-9)
+    assert(mpi(20) === 80 && mpi(80) === 20)
+    // the planted anomaly: a spike makes its window the discord (max mp)
+    val ys = rng(120, 9)
+    ys(60) += 25.0
+    val (mp2, _) = MatrixProfile.stomp(ys, 8)
+    val discord = mp2.indices.maxBy(mp2)
+    assert(discord >= 53 && discord <= 60, s"discord window $discord")
+  }
+
+  test("flat windows: flat-vs-flat is 0, flat-vs-moving is sqrt(2m)") {
+    val xs = Array.fill(12)(5.0) ++ Array.tabulate(12)(i => math.sin(i.toDouble)) ++
+      Array.fill(12)(7.0)
+    val m = 6
+    val (mp, mpi) = MatrixProfile.brute(xs, m)
+    // window 0 (flat at 5) matches window 30 (flat at 7) at distance 0
+    assert(mp(0) === 0.0)
+    assert(math.abs(xs(mpi(0)) - xs(mpi(0) + m - 1)) < 1e-12) // neighbor is flat
+    val (sm, si) = MatrixProfile.stomp(xs, m)
+    mp.indices.foreach(i => assert(math.abs(mp(i) - sm(i)) < 1e-8 && mpi(i) === si(i)))
+  }
+
+  test("guards: short series and tiny windows fail loudly") {
+    intercept[IllegalArgumentException](MatrixProfile.stomp(rng(30, 1), 1))
+    intercept[IllegalArgumentException](MatrixProfile.stomp(rng(5, 2), 5))
+  }
+}
