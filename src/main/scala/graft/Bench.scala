@@ -530,6 +530,10 @@ object Bench {
         ("mann_kendall_panel",
           () => mat(Changepoint.mannKendall(synthPanel(spark, 1000, 1000))),
           () => mat(Changepoint.mannKendall(synthPanel(spark, 10000, 1000)))),
+        // per-series O(n²) kernel at fixed length → linear in series
+        ("matrix_profile",
+          () => mat(Advanced.matrixProfile(synthPanel(spark, 1000, 200), m = 8)),
+          () => mat(Advanced.matrixProfile(synthPanel(spark, 10000, 200), m = 8))),
         ("ets_panel",
           () => mat(ForecastBaselines.multiForecast(synthPanel(spark, 1000, 1000),
             h = 12, Seq("ses" -> (ys => graft.kernels.Ets.ses(ys, 0.3, 12))))),
