@@ -116,4 +116,24 @@ object Advanced {
         col("__s._1").as("idx"), col("__s._2").as("mp"),
         col("__s._3").as("mp_idx"))
   }
+
+  /** Top-`k` discords per series: the windows FARTHEST from everything
+    * else in their own series — [[matrixProfile]]'s anomaly reading.
+    * Ranking uses the 6-dp-rounded profile (descending, window index
+    * ascending on ties): rounding first makes the rank reproducible
+    * across engines — ulp-level mp differences between the STOMP
+    * recursion and a direct replay cannot flip it. */
+  def discords(df: DataFrame, m: Int, k: Int = 3)
+      (implicit pc: PanelCols): DataFrame = {
+    require(k >= 1, "discords: k must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pc.idCol)
+      .orderBy(col("__rmp").desc, col("idx"))
+    matrixProfile(df, m)
+      .withColumn("__rmp", round(col("mp") + 1e-9, 6))
+      .withColumn("discord_rank", row_number().over(w))
+      .filter(col("discord_rank") <= k)
+      .select(pc.idCol, col(pc.time), col("idx"),
+        col("__rmp").as("mp"), col("discord_rank"))
+  }
 }
