@@ -66,6 +66,8 @@ object syntax {
     def cusum(): DataFrame = Changepoint.cusum(df)
     def pelt(cost: String = "mean"): DataFrame = Changepoint.pelt(df, cost)
     def mannKendall(): DataFrame = Changepoint.mannKendall(df)
+    def matrixProfile(m: Int): DataFrame = Advanced.matrixProfile(df, m)
+    def discords(m: Int, k: Int = 3): DataFrame = Advanced.discords(df, m, k)
 
     // forecasting
     def naive(h: Int): DataFrame = ForecastBaselines.naive(df, h)
