@@ -587,6 +587,16 @@ object SparkEntry {
         .select(col("user_id"), col("idx").cast("long").as("idx"),
           r6n(col("mp")).as("mp"))),
 
+    // pattern search (distance profile): top-3 closest z-norm matches of
+    // a fixed triangle pattern per series — the pattern's values are
+    // exact-in-binary integers so both engines parse identical doubles
+    "ts_pattern_search" -> ((s, dir) =>
+      Advanced.patternSearch(
+        IO.events(s, dir).filter(expr(ElasticOracle.SeriesFilter)),
+        pattern = Array(0.0, 1.0, 2.0, 3.0, 2.0, 1.0, 0.0, -1.0), k = 3)
+        .select(col("user_id"), col("idx").cast("long").as("idx"),
+          col("dist"), col("match_rank").cast("long").as("match_rank"))),
+
     // top-3 discords per series: rank over the ROUNDED profile so the
     // ordering is reproducible across engines (ties → window index)
     "ts_discords" -> ((s, dir) =>
@@ -3997,6 +4007,39 @@ object SparkEntry {
         |  FROM pair)
         |SELECT user_id, (i - 1)::BIGINT AS idx, round(min(d) + 1e-9, 6) AS mp
         |FROM dist GROUP BY 1, 2""".stripMargin,
+
+    // distance-profile replay: the same window stats; query stats from
+    // the identical literal list; rank ascending on the rounded distance
+    "ts_pattern_search" ->
+      """WITH s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+        |  FROM events WHERE user_id < 60 GROUP BY user_id),
+        |w AS (SELECT user_id, vs, len(vs) - 7 AS nw FROM s WHERE len(vs) >= 8),
+        |ix AS (SELECT user_id, vs,
+        |    unnest(generate_series(1, nw))::INT AS i FROM w),
+        |st AS (SELECT user_id, i, vs[i:i+7] AS wv,
+        |    list_avg(vs[i:i+7]) AS mu,
+        |    sqrt(greatest(
+        |      list_inner_product(vs[i:i+7], vs[i:i+7]) / 8.0
+        |        - list_avg(vs[i:i+7]) ^ 2, 0.0)) AS sd
+        |  FROM ix),
+        |qs AS (SELECT qv, list_avg(qv) AS qmu,
+        |    sqrt(greatest(list_inner_product(qv, qv) / 8.0
+        |      - list_avg(qv) ^ 2, 0.0)) AS qsd
+        |  FROM (SELECT [0.0,1.0,2.0,3.0,2.0,1.0,0.0,-1.0]::DOUBLE[] AS qv)),
+        |d AS (SELECT user_id, i,
+        |    CASE WHEN sd <= 0 AND qsd <= 0 THEN 0.0
+        |         WHEN sd <= 0 OR qsd <= 0 THEN 4.0
+        |         ELSE sqrt(greatest(
+        |           16.0 * (1.0 - (list_inner_product(wv, qv) - 8.0 * mu * qmu)
+        |             / (8.0 * sd * qsd)), 0.0)) END AS dist
+        |  FROM st, qs),
+        |r AS (SELECT user_id, (i - 1)::BIGINT AS idx,
+        |    round(dist + 1e-9, 6) AS dist,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY round(dist + 1e-9, 6), i) AS match_rank
+        |  FROM d)
+        |SELECT user_id, idx, dist, match_rank FROM r
+        |WHERE match_rank <= 3""".stripMargin,
 
     // the MP oracle + a rank over the rounded profile (desc, idx asc)
     "ts_discords" ->

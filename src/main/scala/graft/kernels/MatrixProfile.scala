@@ -82,6 +82,39 @@ object MatrixProfile {
     (mp, mpi)
   }
 
+  /** Distance profile (the MASS computation, direct form): z-normalized
+    * Euclidean distance of ONE query pattern `q` against every length-
+    * |q| window of `xs` — the pattern-search primitive ("where does
+    * this shape occur?"). Same distance formula and flat-window
+    * conventions as the self-join profile; no exclusion zone (the query
+    * is external). O(n·m) direct dot products — exactly what the SQL
+    * oracle replays (MASS's FFT convolution would differ by ulps for
+    * zero asymptotic benefit at typical m). */
+  def distanceProfile(xs: Array[Double], q: Array[Double]): Array[Double] = {
+    val m = q.length
+    require(m >= 2, s"distance profile: query length must be >= 2, got $m")
+    require(xs.length >= m,
+      s"distance profile: series of ${xs.length} shorter than query $m")
+    val n = xs.length - m + 1
+    val (mu, sd) = slidingStats(xs, m)
+    var qs = 0.0; var qs2 = 0.0
+    var k = 0
+    while (k < m) { qs += q(k); qs2 += q(k) * q(k); k += 1 }
+    val qmu = qs / m
+    val qv = qs2 / m - qmu * qmu
+    val qsd = if (qv > 0) math.sqrt(qv) else 0.0
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var qt = 0.0
+      k = 0
+      while (k < m) { qt += xs(i + k) * q(k); k += 1 }
+      out(i) = math.sqrt(distSq(qt, m, mu(i), sd(i), qmu, qsd))
+      i += 1
+    }
+    out
+  }
+
   /** STOMP: the same profile in O(n²) — QT along each diagonal updates
     * as QT(i, j) = QT(i−1, j−1) − x(i−1)·x(j−1) + x(i+m−1)·x(j+m−1).
     * Values equal [[brute]] to float noise (accumulation order differs);

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.core.{Panel, PanelCols}
-import graft.kernels.{Garch, Hmm, Rocket}
+import graft.kernels.{Garch, Hmm, MatrixProfile, Rocket}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -106,7 +106,7 @@ object Advanced {
     val u = udf((ys: Seq[Double]) =>
       if (ys.length < m + math.max(1, m / 2)) Seq.empty[(Int, Double, Int)]
       else {
-        val (mp, mpi) = graft.kernels.MatrixProfile.stomp(ys.toArray, m)
+        val (mp, mpi) = MatrixProfile.stomp(ys.toArray, m)
         mp.indices.map(i => (i, mp(i), mpi(i)))
       })
     Panel.grouped(df)
@@ -115,6 +115,39 @@ object Advanced {
       .select(pc.idCol, expr("__ts[__s._1]").as(pc.time),
         col("__s._1").as("idx"), col("__s._2").as("mp"),
         col("__s._3").as("mp_idx"))
+  }
+
+  /** Pattern search: the top-`k` closest matches of one query `pattern`
+    * in every series — the distance profile ([[graft.kernels.
+    * MatrixProfile.distanceProfile]], z-normalized so matches are
+    * shape-matches regardless of level/scale) ranked ascending on the
+    * 6-dp-rounded distance (window index on ties — reproducible across
+    * engines like [[discords]]). The pattern broadcasts inside the UDF
+    * closure; each series' scan is narrow — 100 TB of panels search in
+    * one grouped pass. */
+  def patternSearch(df: DataFrame, pattern: Array[Double], k: Int = 3)
+      (implicit pc: PanelCols): DataFrame = {
+    require(k >= 1, "patternSearch: k must be >= 1")
+    val m = pattern.length
+    val u = udf((ys: Seq[Double]) =>
+      if (ys.length < m) Seq.empty[(Int, Double)]
+      else {
+        val d = MatrixProfile.distanceProfile(ys.toArray, pattern)
+        d.indices.map(i => (i, d(i)))
+      })
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pc.idCol)
+      .orderBy(col("__rd"), col("idx"))
+    Panel.grouped(df)
+      .select(pc.idCol, col("ts").as("__ts"), u(col("ys")).as("__r"))
+      .select(pc.idCol, explode(col("__r")).as("__s"), col("__ts"))
+      .select(pc.idCol, expr("__ts[__s._1]").as(pc.time),
+        col("__s._1").as("idx"), col("__s._2").as("dist"))
+      .withColumn("__rd", round(col("dist") + 1e-9, 6))
+      .withColumn("match_rank", row_number().over(w))
+      .filter(col("match_rank") <= k)
+      .select(pc.idCol, col(pc.time), col("idx"),
+        col("__rd").as("dist"), col("match_rank"))
   }
 
   /** Top-`k` discords per series: the windows FARTHEST from everything

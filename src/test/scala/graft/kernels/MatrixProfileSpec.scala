@@ -54,6 +54,27 @@ class MatrixProfileSpec extends AnyFunSuite {
     mp.indices.foreach(i => assert(math.abs(mp(i) - sm(i)) < 1e-8 && mpi(i) === si(i)))
   }
 
+  test("distance profile: planted pattern found at ~0; scale/level invariant") {
+    val xs = rng(100, 11)
+    val q = Array.tabulate(8)(k => math.cos(k / 1.3) * 2)
+    // plant a SCALED + SHIFTED copy at 40: z-norm must still see dist 0
+    q.indices.foreach(k => xs(40 + k) = q(k) * 3.5 + 10.0)
+    val d = MatrixProfile.distanceProfile(xs, q)
+    assert(d.length === 93)
+    assert(d(40) < 1e-7, s"planted match dist ${d(40)}")
+    assert(d.indices.minBy(d) === 40)
+    // direct check of one non-match against the formula via brute on a
+    // concatenated series is overkill; check symmetry vs self instead:
+    val self = MatrixProfile.distanceProfile(q, q)
+    assert(self.length === 1 && self(0) < 1e-12)
+    // flat query vs moving window = sqrt(2m); flat vs flat = 0
+    val flatQ = Array.fill(8)(3.0)
+    val mixed = Array.fill(8)(9.0) ++ Array.tabulate(8)(i => math.sin(i.toDouble))
+    val fd = MatrixProfile.distanceProfile(mixed, flatQ)
+    assert(fd(0) === 0.0)
+    assert(math.abs(fd(8) - math.sqrt(16.0)) < 1e-12)
+  }
+
   test("guards: short series and tiny windows fail loudly") {
     intercept[IllegalArgumentException](MatrixProfile.stomp(rng(30, 1), 1))
     intercept[IllegalArgumentException](MatrixProfile.stomp(rng(5, 2), 5))
