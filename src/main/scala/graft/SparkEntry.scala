@@ -597,6 +597,15 @@ object SparkEntry {
         .select(col("user_id"), col("idx").cast("long").as("idx"),
           col("dist"), col("match_rank").cast("long").as("match_rank"))),
 
+    // top-3 motifs per series (lowest rounded profile = most-repeated
+    // shape — the dual reading of the same profile)
+    "ts_motifs" -> ((s, dir) =>
+      Advanced.motifs(
+        IO.events(s, dir).filter(expr(ElasticOracle.SeriesFilter)),
+        m = 8, k = 3)
+        .select(col("user_id"), col("idx").cast("long").as("idx"),
+          col("mp"), col("motif_rank").cast("long").as("motif_rank"))),
+
     // top-3 discords per series: rank over the ROUNDED profile so the
     // ordering is reproducible across engines (ties → window index)
     "ts_discords" -> ((s, dir) =>
@@ -4040,6 +4049,39 @@ object SparkEntry {
         |  FROM d)
         |SELECT user_id, idx, dist, match_rank FROM r
         |WHERE match_rank <= 3""".stripMargin,
+
+    // the MP oracle + ascending rank over the rounded profile
+    "ts_motifs" ->
+      """WITH s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+        |  FROM events WHERE user_id < 60 GROUP BY user_id),
+        |w AS (SELECT user_id, vs, len(vs) - 7 AS nw FROM s WHERE len(vs) >= 12),
+        |ix AS (SELECT user_id, vs,
+        |    unnest(generate_series(1, nw))::INT AS i FROM w),
+        |st AS (SELECT user_id, i, vs[i:i+7] AS wv,
+        |    list_avg(vs[i:i+7]) AS mu,
+        |    sqrt(greatest(
+        |      list_inner_product(vs[i:i+7], vs[i:i+7]) / 8.0
+        |        - list_avg(vs[i:i+7]) ^ 2, 0.0)) AS sd
+        |  FROM ix),
+        |pair AS (SELECT a.user_id, a.i, list_inner_product(a.wv, b.wv) AS qt,
+        |    a.mu AS mui, a.sd AS sdi, b.mu AS muj, b.sd AS sdj
+        |  FROM st a JOIN st b
+        |    ON a.user_id = b.user_id AND abs(a.i - b.i) >= 4),
+        |dist AS (SELECT user_id, i,
+        |    CASE WHEN sdi <= 0 AND sdj <= 0 THEN 0.0
+        |         WHEN sdi <= 0 OR sdj <= 0 THEN 4.0
+        |         ELSE sqrt(greatest(
+        |           16.0 * (1.0 - (qt - 8.0 * mui * muj) / (8.0 * sdi * sdj)),
+        |           0.0)) END AS d
+        |  FROM pair),
+        |mp AS (SELECT user_id, (i - 1)::BIGINT AS idx,
+        |    round(min(d) + 1e-9, 6) AS mp
+        |  FROM dist GROUP BY 1, 2),
+        |rk AS (SELECT user_id, idx, mp, row_number() OVER
+        |    (PARTITION BY user_id ORDER BY mp, idx) AS motif_rank
+        |  FROM mp)
+        |SELECT user_id, idx, mp, motif_rank FROM rk
+        |WHERE motif_rank <= 3""".stripMargin,
 
     // the MP oracle + a rank over the rounded profile (desc, idx asc)
     "ts_discords" ->

@@ -150,6 +150,24 @@ object Advanced {
         col("__rd").as("dist"), col("match_rank"))
   }
 
+  /** Top-`k` motifs per series — the dual of [[discords]]: the windows
+    * CLOSEST to their nearest neighbor (lowest profile = most-repeated
+    * shape). Same reproducible ranking: 6-dp-rounded profile ascending,
+    * window index on ties. */
+  def motifs(df: DataFrame, m: Int, k: Int = 3)
+      (implicit pc: PanelCols): DataFrame = {
+    require(k >= 1, "motifs: k must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pc.idCol)
+      .orderBy(col("__rmp"), col("idx"))
+    matrixProfile(df, m)
+      .withColumn("__rmp", round(col("mp") + 1e-9, 6))
+      .withColumn("motif_rank", row_number().over(w))
+      .filter(col("motif_rank") <= k)
+      .select(pc.idCol, col(pc.time), col("idx"),
+        col("__rmp").as("mp"), col("motif_rank"))
+  }
+
   /** Top-`k` discords per series: the windows FARTHEST from everything
     * else in their own series — [[matrixProfile]]'s anomaly reading.
     * Ranking uses the 6-dp-rounded profile (descending, window index

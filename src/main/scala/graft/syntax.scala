@@ -68,6 +68,7 @@ object syntax {
     def mannKendall(): DataFrame = Changepoint.mannKendall(df)
     def matrixProfile(m: Int): DataFrame = Advanced.matrixProfile(df, m)
     def discords(m: Int, k: Int = 3): DataFrame = Advanced.discords(df, m, k)
+    def motifs(m: Int, k: Int = 3): DataFrame = Advanced.motifs(df, m, k)
     def patternSearch(pattern: Array[Double], k: Int = 3): DataFrame =
       Advanced.patternSearch(df, pattern, k)
 
