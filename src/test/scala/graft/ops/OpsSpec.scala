@@ -68,6 +68,21 @@ class OpsSpec extends AnyFunSuite {
     assert(twoSeries.pts.naive(2).count() == 4)
   }
 
+  test("df.pts matrix-profile family sugar delegates to Advanced") {
+    import graft.syntax._
+    import spark.implicits._
+    val panel = (for (id <- Seq("a", "b"); t <- 0 until 30) yield
+      (id, t, math.sin(t / 3.0) * 5 + (if (t == 20) 30.0 else 0.0)))
+      .toDF("unique_id", "ds", "y")
+    val viaNs = panel.pts.matrixProfile(m = 4)
+    val direct = Advanced.matrixProfile(panel, m = 4)
+    assert(viaNs.columns.toSeq == direct.columns.toSeq)
+    assert(viaNs.exceptAll(direct).count() == 0)
+    assert(panel.pts.discords(m = 4, k = 2).count() == 4)
+    assert(panel.pts.motifs(m = 4, k = 2).count() == 4)
+    assert(panel.pts.patternSearch(Array(0.0, 1.0, 2.0, 1.0), k = 1).count() == 2)
+  }
+
   test("df.corpus namespace chains and matches the operator objects") {
     import graft.syntax._
     import spark.implicits._
