@@ -587,6 +587,18 @@ object SparkEntry {
         .select(col("user_id"), col("idx").cast("long").as("idx"),
           r6n(col("mp")).as("mp"))),
 
+    // complexity features (r10): permutation entropy (Bandt-Pompe m=3,
+    // stable ordinal ranks — pure comparison counting) + SampEn(2, 16)
+    // (absolute Chebyshev tolerance: 16 is exact in binary and both
+    // counts are integer comparisons, so the oracle replays bit-for-bit;
+    // only the final -Σ p·ln p / -ln(A/B) is float, absorbed by r6n)
+    "ts_complexity" -> ((s, dir) =>
+      Diagnostics.complexity(
+        IO.events(s, dir).filter(expr(ElasticOracle.SeriesFilter)),
+        m = 3, sampM = 2, sampR = 16.0)
+        .select(col("user_id"), r6n(col("perm_entropy")).as("perm_entropy"),
+          r6n(col("sample_entropy")).as("sample_entropy"))),
+
     // pattern search (distance profile): top-3 closest z-norm matches of
     // a fixed triangle pattern per series — the pattern's values are
     // exact-in-binary integers so both engines parse identical doubles
@@ -4016,6 +4028,41 @@ object SparkEntry {
         |  FROM pair)
         |SELECT user_id, (i - 1)::BIGINT AS idx, round(min(d) + 1e-9, 6) AS mp
         |FROM dist GROUP BY 1, 2""".stripMargin,
+
+    // ordinal-pattern + template-pair counting replay: every decision is
+    // an exact comparison of the same doubles; stable ranks use <= for
+    // earlier-position equals (j=0 strict, j>0 gets = from k<j)
+    "ts_complexity" ->
+      """WITH o AS (SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id < 60),
+        |tri AS (SELECT a.user_id, a.rn AS i,
+        |    a.value AS x1, b.value AS x2, c.value AS x3
+        |  FROM o a JOIN o b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+        |           JOIN o c ON c.user_id = a.user_id AND c.rn = a.rn + 2),
+        |codes AS (SELECT user_id,
+        |    ((x2 < x1)::INT + (x3 < x1)::INT)
+        |    + 3 * ((x1 <= x2)::INT + (x3 < x2)::INT)
+        |    + 9 * ((x1 <= x3)::INT + (x2 <= x3)::INT) AS code
+        |  FROM tri),
+        |pcnt AS (SELECT user_id, code, count(*)::DOUBLE AS c
+        |  FROM codes GROUP BY 1, 2),
+        |pn AS (SELECT user_id, sum(c) AS n FROM pcnt GROUP BY 1),
+        |pe AS (SELECT pcnt.user_id,
+        |    -sum((c / n) * ln(c / n)) / ln(6.0) AS pe
+        |  FROM pcnt JOIN pn USING (user_id) GROUP BY 1),
+        |pairs AS (SELECT a.user_id,
+        |    greatest(abs(a.x1 - b.x1), abs(a.x2 - b.x2)) AS dm,
+        |    greatest(abs(a.x1 - b.x1), abs(a.x2 - b.x2),
+        |      abs(a.x3 - b.x3)) AS d3
+        |  FROM tri a JOIN tri b ON a.user_id = b.user_id AND b.i > a.i),
+        |se AS (SELECT user_id, sum((dm <= 16.0)::INT) AS b_,
+        |    sum((d3 <= 16.0)::INT) AS a_
+        |  FROM pairs GROUP BY 1)
+        |SELECT pe.user_id, round(pe.pe + 1e-9, 6) AS perm_entropy,
+        |  CASE WHEN se.a_ > 0 AND se.b_ > 0
+        |    THEN round(-ln(se.a_::DOUBLE / se.b_) + 1e-9, 6) END AS sample_entropy
+        |FROM pe JOIN se USING (user_id)""".stripMargin,
 
     // distance-profile replay: the same window stats; query stats from
     // the identical literal list; rank ascending on the rounded distance

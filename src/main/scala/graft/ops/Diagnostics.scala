@@ -38,4 +38,22 @@ object Diagnostics {
       .select(pc.idCol, element_at(col("__qp"), 1).as("q_stat"),
         element_at(col("__qp"), 2).as("p_value"))
   }
+
+  /** `[id, perm_entropy, sample_entropy]` complexity features
+    * ([[graft.kernels.Entropy]]). SampEn's tolerance is ABSOLUTE
+    * (see the kernel note); a NaN SampEn (no matching templates)
+    * surfaces as null. */
+  def complexity(df: DataFrame, m: Int = 3, sampM: Int = 2,
+      sampR: Double = 0.5)(implicit pc: PanelCols): DataFrame = {
+    val uT = udf((ys: Seq[Double]) => {
+      val xs = ys.toArray
+      val se = graft.kernels.Entropy.sampleEntropy(xs, sampM, sampR)
+      (graft.kernels.Entropy.permutationEntropy(xs, m),
+        if (se.isNaN) None else Some(se))
+    })
+    Panel.grouped(df)
+      .select(pc.idCol, uT(col("ys")).as("__c"))
+      .select(pc.idCol, col("__c._1").as("perm_entropy"),
+        col("__c._2").as("sample_entropy"))
+  }
 }

@@ -63,6 +63,8 @@ object syntax {
     def acf(maxLag: Int): DataFrame = Diagnostics.acf(df, maxLag)
     def pacf(maxLag: Int): DataFrame = Diagnostics.pacf(df, maxLag)
     def ljungBox(maxLag: Int): DataFrame = Diagnostics.ljungBox(df, maxLag)
+    def complexity(m: Int = 3, sampM: Int = 2, sampR: Double = 0.5): DataFrame =
+      Diagnostics.complexity(df, m, sampM, sampR)
     def cusum(): DataFrame = Changepoint.cusum(df)
     def pelt(cost: String = "mean"): DataFrame = Changepoint.pelt(df, cost)
     def mannKendall(): DataFrame = Changepoint.mannKendall(df)
