@@ -627,6 +627,30 @@ object SparkEntry {
         .select(col("user_id"), col("idx").cast("long").as("idx"),
           col("mp"), col("discord_rank").cast("long").as("discord_rank"))),
 
+    // the distributed long-series path (r11): diagonal-block STOMP +
+    // min(struct) merge — same oracle as ts_matrix_profile (blocked ≡
+    // monolithic bit-exactly; the spec pins the unrounded equality,
+    // this row pins it against the independent DuckDB replay)
+    "ts_matrix_profile_blocked" -> ((s, dir) =>
+      Advanced.matrixProfileBlocked(
+        IO.events(s, dir).filter(expr(ElasticOracle.SeriesFilter)),
+        m = 8, numBlocks = 4)
+        .select(col("user_id"), col("idx").cast("long").as("idx"),
+          r6n(col("mp")).as("mp"))),
+
+    // AB-join profile (r11): for each window of a user's CLICK series,
+    // the nearest window of the same user's PURCHASE series (no
+    // exclusion zone — distinct series). Values hash-checked; the
+    // argmin stays spec-verified like ts_matrix_profile.
+    "ts_mp_abjoin" -> ((s, dir) => {
+      val e = IO.events(s, dir).filter(expr(ElasticOracle.SeriesFilter))
+      Advanced.mpAbJoin(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"), m = 6)
+        .select(col("user_id"), col("idx").cast("long").as("idx"),
+          r6n(col("mp")).as("mp"))
+    }),
+
     "ts_pairwise_sbd" -> ((s, dir) =>
       pairwiseOracle(s, dir, "sbd")),
 
@@ -3462,6 +3486,35 @@ object SparkEntry {
        |SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
        |FROM cand WHERE bit_count(xor(sa, sb)) <= 7""".stripMargin
 
+  /** One DuckDB truth for both matrix-profile plan shapes (monolithic
+    * STOMP and the diagonal-block distributed path): the direct O(n²m)
+    * pair-join definition at m = 8 over the 60-series subset. */
+  private val MpSelfJoinOracle: String =
+    """WITH s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+      |  FROM events WHERE user_id < 60 GROUP BY user_id),
+      |w AS (SELECT user_id, vs, len(vs) - 7 AS nw FROM s WHERE len(vs) >= 12),
+      |ix AS (SELECT user_id, vs,
+      |    unnest(generate_series(1, nw))::INT AS i FROM w),
+      |st AS (SELECT user_id, i, vs[i:i+7] AS wv,
+      |    list_avg(vs[i:i+7]) AS mu,
+      |    sqrt(greatest(
+      |      list_inner_product(vs[i:i+7], vs[i:i+7]) / 8.0
+      |        - list_avg(vs[i:i+7]) ^ 2, 0.0)) AS sd
+      |  FROM ix),
+      |pair AS (SELECT a.user_id, a.i, list_inner_product(a.wv, b.wv) AS qt,
+      |    a.mu AS mui, a.sd AS sdi, b.mu AS muj, b.sd AS sdj
+      |  FROM st a JOIN st b
+      |    ON a.user_id = b.user_id AND abs(a.i - b.i) >= 4),
+      |dist AS (SELECT user_id, i,
+      |    CASE WHEN sdi <= 0 AND sdj <= 0 THEN 0.0
+      |         WHEN sdi <= 0 OR sdj <= 0 THEN 4.0
+      |         ELSE sqrt(greatest(
+      |           16.0 * (1.0 - (qt - 8.0 * mui * muj) / (8.0 * sdi * sdj)),
+      |           0.0)) END AS d
+      |  FROM pair)
+      |SELECT user_id, (i - 1)::BIGINT AS idx, round(min(d) + 1e-9, 6) AS mp
+      |FROM dist GROUP BY 1, 2""".stripMargin
+
   def oracleSql: Map[String, String] = elasticOracles ++ Map(
     "ts_theta_fc" -> ForecastOracle.thetaSql,
     "ts_var_fc" -> ForecastOracle.varSql,
@@ -4003,27 +4056,47 @@ object SparkEntry {
     // the same s2/m − mu² population formula, the shared flat-window
     // conventions (flat↔flat = 0, flat↔moving = sqrt(2m)), exclusion
     // |i−j| ≥ m/2
-    "ts_matrix_profile" ->
-      """WITH s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs
-        |  FROM events WHERE user_id < 60 GROUP BY user_id),
-        |w AS (SELECT user_id, vs, len(vs) - 7 AS nw FROM s WHERE len(vs) >= 12),
-        |ix AS (SELECT user_id, vs,
-        |    unnest(generate_series(1, nw))::INT AS i FROM w),
-        |st AS (SELECT user_id, i, vs[i:i+7] AS wv,
-        |    list_avg(vs[i:i+7]) AS mu,
+    "ts_matrix_profile" -> MpSelfJoinOracle,
+
+    // the distributed diagonal-block path replays the SAME direct
+    // definition: one DuckDB truth, two Spark plan shapes (blocked ≡
+    // monolithic is additionally pinned bit-exact in the spec)
+    "ts_matrix_profile_blocked" -> MpSelfJoinOracle,
+
+    // AB-join direct definition (m=6): windows of the click series ×
+    // windows of the purchase series per user, NO exclusion zone, same
+    // distance formula/flat conventions (2m = 12); min over the ref side
+    "ts_mp_abjoin" ->
+      """WITH qa AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+        |  FROM events WHERE user_id < 60 AND event_type = 'click'
+        |  GROUP BY user_id),
+        |qb AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+        |  FROM events WHERE user_id < 60 AND event_type = 'purchase'
+        |  GROUP BY user_id),
+        |ia AS (SELECT user_id, vs, unnest(generate_series(1, len(vs) - 5))::INT AS i
+        |  FROM qa WHERE len(vs) >= 6),
+        |ib AS (SELECT user_id, vs, unnest(generate_series(1, len(vs) - 5))::INT AS j
+        |  FROM qb WHERE len(vs) >= 6),
+        |sa AS (SELECT user_id, i, vs[i:i+5] AS wv,
+        |    list_avg(vs[i:i+5]) AS mu,
         |    sqrt(greatest(
-        |      list_inner_product(vs[i:i+7], vs[i:i+7]) / 8.0
-        |        - list_avg(vs[i:i+7]) ^ 2, 0.0)) AS sd
-        |  FROM ix),
+        |      list_inner_product(vs[i:i+5], vs[i:i+5]) / 6.0
+        |        - list_avg(vs[i:i+5]) ^ 2, 0.0)) AS sd
+        |  FROM ia),
+        |sb AS (SELECT user_id, j, vs[j:j+5] AS wv,
+        |    list_avg(vs[j:j+5]) AS mu,
+        |    sqrt(greatest(
+        |      list_inner_product(vs[j:j+5], vs[j:j+5]) / 6.0
+        |        - list_avg(vs[j:j+5]) ^ 2, 0.0)) AS sd
+        |  FROM ib),
         |pair AS (SELECT a.user_id, a.i, list_inner_product(a.wv, b.wv) AS qt,
         |    a.mu AS mui, a.sd AS sdi, b.mu AS muj, b.sd AS sdj
-        |  FROM st a JOIN st b
-        |    ON a.user_id = b.user_id AND abs(a.i - b.i) >= 4),
+        |  FROM sa a JOIN sb b ON a.user_id = b.user_id),
         |dist AS (SELECT user_id, i,
         |    CASE WHEN sdi <= 0 AND sdj <= 0 THEN 0.0
-        |         WHEN sdi <= 0 OR sdj <= 0 THEN 4.0
+        |         WHEN sdi <= 0 OR sdj <= 0 THEN sqrt(12.0)
         |         ELSE sqrt(greatest(
-        |           16.0 * (1.0 - (qt - 8.0 * mui * muj) / (8.0 * sdi * sdj)),
+        |           12.0 * (1.0 - (qt - 6.0 * mui * muj) / (6.0 * sdi * sdj)),
         |           0.0)) END AS d
         |  FROM pair)
         |SELECT user_id, (i - 1)::BIGINT AS idx, round(min(d) + 1e-9, 6) AS mp

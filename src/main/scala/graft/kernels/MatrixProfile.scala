@@ -121,11 +121,31 @@ object MatrixProfile {
     * the argmin uses strict `<` over ascending j, so ties keep the
     * smallest neighbor index, like brute. */
   def stomp(xs: Array[Double], m: Int): (Array[Double], Array[Int]) = {
+    val n = xs.length - m + 1
+    stompDiagBlock(xs, m, math.max(1, m / 2), n)
+  }
+
+  /** Partial STOMP over the diagonal range `[diagLo, diagHi)` only
+    * (diag = j − i; the full profile is `diagLo = excl, diagHi = n`).
+    * Windows no diagonal in the range touches stay
+    * `(+Infinity, -1)` — the caller's merge drops or min-combines them.
+    *
+    * The distributed contract: each diagonal's QT recursion is seeded
+    * independently (one O(m) dot product at i = 0), so a partial block
+    * computes BIT-IDENTICAL distances to the same diagonal inside the
+    * monolithic walk, and the per-window combine rule is the
+    * order-independent lexicographic (d, j) minimum — merging block
+    * partials with `min(struct(d, j))` reproduces the monolithic
+    * profile exactly, not just to rounding. */
+  def stompDiagBlock(xs: Array[Double], m: Int, diagLo: Int, diagHi: Int)
+      : (Array[Double], Array[Int]) = {
     require(m >= 2, s"matrix profile: window m must be >= 2, got $m")
     val n = xs.length - m + 1
     require(n >= 2, s"matrix profile: series of ${xs.length} has < 2 windows of $m")
-    val (mu, sd) = slidingStats(xs, m)
     val excl = math.max(1, m / 2)
+    require(diagLo >= excl, s"matrix profile: diagLo $diagLo inside exclusion $excl")
+    require(diagHi <= n, s"matrix profile: diagHi $diagHi past $n windows")
+    val (mu, sd) = slidingStats(xs, m)
     val mp = Array.fill(n)(Double.PositiveInfinity)
     val mpi = Array.fill(n)(-1)
     // lexicographic (d, j) minimum: the diagonal walk feeds row j its
@@ -134,8 +154,8 @@ object MatrixProfile {
     def consider(i: Int, j: Int, d: Double): Unit =
       if (d < mp(i) || (d == mp(i) && j < mpi(i))) { mp(i) = d; mpi(i) = j }
     // walk each diagonal once (j − i = const ≥ excl), updating QT in O(1)
-    var diag = excl
-    while (diag < n) {
+    var diag = diagLo
+    while (diag < diagHi) {
       var qt = 0.0
       var k = 0
       while (k < m) { qt += xs(k) * xs(diag + k); k += 1 }
@@ -150,6 +170,76 @@ object MatrixProfile {
         i += 1; j += 1
       }
       diag += 1
+    }
+    (mp, mpi)
+  }
+
+  /** Splits the admissible diagonal domain `[excl, n)` into up to
+    * `numBlocks` contiguous ranges of ~equal PAIR count (diagonal
+    * `diag` holds `n − diag` pairs, so equal-width ranges would load
+    * the first block quadratically heavier). Returns `(lo, hi)` pairs
+    * covering the domain exactly, without overlap. */
+  def diagRanges(n: Int, m: Int, numBlocks: Int): Seq[(Int, Int)] = {
+    val excl = math.max(1, m / 2)
+    require(numBlocks >= 1, s"matrix profile: numBlocks must be >= 1, got $numBlocks")
+    if (excl >= n) return Seq.empty
+    val total = (excl until n).map(d => (n - d).toLong).sum
+    val target = math.max(1L, total / numBlocks)
+    val out = Seq.newBuilder[(Int, Int)]
+    var made = 0
+    var lo = excl
+    var acc = 0L
+    var d = excl
+    while (d < n) {
+      acc += n - d
+      val isLast = d == n - 1
+      if ((acc >= target && made + 1 < numBlocks) || isLast) {
+        out += ((lo, d + 1)); made += 1; lo = d + 1; acc = 0L
+      }
+      d += 1
+    }
+    out.result()
+  }
+
+  /** AB-join profile (Yeh et al. 2016 §IV, the join counterpart of the
+    * self-join profile): for every length-`m` window of `a`, the
+    * z-normalized distance to its nearest window of `b` — and the
+    * neighbor's index. No exclusion zone (the series are distinct);
+    * same distance formula and flat-window conventions; argmin is the
+    * lexicographic (d, j) minimum like [[stomp]]. O(nA·nB) via the same
+    * per-diagonal QT recursion, each diagonal of the CROSS matrix
+    * seeded with one O(m) dot product. */
+  def abJoin(a: Array[Double], b: Array[Double], m: Int)
+      : (Array[Double], Array[Int]) = {
+    require(m >= 2, s"ab-join: window m must be >= 2, got $m")
+    require(a.length >= m, s"ab-join: query series of ${a.length} has no window of $m")
+    require(b.length >= m, s"ab-join: reference series of ${b.length} has no window of $m")
+    val nA = a.length - m + 1
+    val nB = b.length - m + 1
+    val (muA, sdA) = slidingStats(a, m)
+    val (muB, sdB) = slidingStats(b, m)
+    val mp = Array.fill(nA)(Double.PositiveInfinity)
+    val mpi = Array.fill(nA)(-1)
+    def consider(i: Int, j: Int, d: Double): Unit =
+      if (d < mp(i) || (d == mp(i) && j < mpi(i))) { mp(i) = d; mpi(i) = j }
+    // cross-matrix diagonals: offset c = j − i ∈ (−nA, nB)
+    var c = -(nA - 1)
+    while (c < nB) {
+      var i = math.max(0, -c)
+      var j = i + c
+      var qt = 0.0
+      var k = 0
+      while (k < m) { qt += a(i + k) * b(j + k); k += 1 }
+      var first = true
+      while (i < nA && j < nB) {
+        if (!first)
+          qt += a(i + m - 1) * b(j + m - 1) - a(i - 1) * b(j - 1)
+        first = false
+        consider(i, j,
+          math.sqrt(distSq(qt, m, muA(i), sdA(i), muB(j), sdB(j))))
+        i += 1; j += 1
+      }
+      c += 1
     }
     (mp, mpi)
   }

@@ -11,6 +11,13 @@ import org.apache.spark.sql.functions._
   */
 object Advanced {
 
+  /** Default per-task series-length valve for the monolithic
+    * [[matrixProfile]] (and per-task pair bound for [[mpAbJoin]]):
+    * 65536 points ≈ 2×10⁹ window pairs ≈ seconds on one core. Past it,
+    * [[matrixProfileBlocked]] distributes one series' O(n²) across the
+    * cluster. */
+  val MpMaxLen: Int = 1 << 16
+
   /** ROCKET features `rocket_0..rocket_{2n-1}` per series (reference
     * features/rocket.py:22-133): one row per series, PPV+max per kernel.
     * The seeded kernel bank is generated once on the driver and broadcast
@@ -101,18 +108,118 @@ object Advanced {
     * window's nearest non-trivial neighbor and `mp_idx` that neighbor's
     * start index. Low mp = motif, high mp = discord (the per-series
     * anomaly primitive). Grouped kernel: series distribute, O(n²)
-    * inside the group, nothing crosses series. */
-  def matrixProfile(df: DataFrame, m: Int)(implicit pc: PanelCols): DataFrame = {
+    * inside the group, nothing crosses series.
+    *
+    * Length valve: the per-series O(n²) runs inside ONE task, so an
+    * unexpectedly long series is a silent scale-killer — `maxLen`
+    * (default [[MpMaxLen]] = 65536 ≈ 2×10⁹ pairs, seconds on one core)
+    * fails loud instead; [[matrixProfileBlocked]] is the distributed
+    * long-series path. */
+  def matrixProfile(df: DataFrame, m: Int, maxLen: Int = MpMaxLen)(
+      implicit pc: PanelCols): DataFrame = {
     val u = udf((ys: Seq[Double]) =>
       if (ys.length < m + math.max(1, m / 2)) Seq.empty[(Int, Double, Int)]
       else {
+        require(ys.length <= maxLen,
+          s"matrixProfile: series of ${ys.length} points exceeds maxLen=" +
+            s"$maxLen — STOMP is O(n²) inside one task; use " +
+            "matrixProfileBlocked for long series (or raise maxLen " +
+            "deliberately)")
         val (mp, mpi) = MatrixProfile.stomp(ys.toArray, m)
-        mp.indices.map(i => (i, mp(i), mpi(i)))
+        // windows with no admissible neighbor (series shorter than
+        // m - 1 + 2·excl leave interior windows with every |i-j| < excl)
+        // carry mp = +Inf / mp_idx = -1: drop them — the pair-join
+        // oracle produces no row for them, and a discord ranking must
+        // never surface an Infinity window as the top anomaly
+        mp.indices.collect { case i if mpi(i) >= 0 => (i, mp(i), mpi(i)) }
       })
     Panel.grouped(df)
       .select(pc.idCol, col("ts").as("__ts"), u(col("ys")).as("__r"))
       .select(pc.idCol, explode(col("__r")).as("__s"), col("__ts"))
       .select(pc.idCol, expr("__ts[__s._1]").as(pc.time),
+        col("__s._1").as("idx"), col("__s._2").as("mp"),
+        col("__s._3").as("mp_idx"))
+  }
+
+  /** Distributed matrix profile for LONG series — the same profile as
+    * [[matrixProfile]], computed as `numBlocks` independent diagonal
+    * blocks per series so one series' O(n²) spreads across the cluster
+    * instead of sitting in one task (the length axis [[matrixProfile]]'s
+    * `maxLen` valve guards).
+    *
+    * Plan: group once → explode each series into its balanced diagonal
+    * ranges ([[graft.kernels.MatrixProfile.diagRanges]] — equal PAIR
+    * count, not equal width) → repartition on (id, block) so blocks of
+    * one series land on different cores → each block runs the STOMP
+    * recursion over its own diagonals (each diagonal's QT seed is one
+    * O(m) dot product, so block values are BIT-identical to the
+    * monolithic walk) → per-window `min(struct(mp, mp_idx))` merge (the
+    * lexicographic (d, j) rule, order-independent) → time join.
+    * Exactness is spec-pinned: blocked ≡ monolithic on the unrounded
+    * profile, not just to 6dp.
+    *
+    * Cost note: the explode ships `numBlocks` copies of each series
+    * through one shuffle (8·n·numBlocks bytes/series) — at n = 10⁷ and
+    * 32 blocks that is ~2.5 GB moved once to distribute ~5×10¹³ pair
+    * ops, the right trade everywhere past [[MpMaxLen]]. */
+  def matrixProfileBlocked(df: DataFrame, m: Int, numBlocks: Int = 32)(
+      implicit pc: PanelCols): DataFrame = {
+    require(numBlocks >= 1, "matrixProfileBlocked: numBlocks must be >= 1")
+    val excl = math.max(1, m / 2)
+    val rangesU = udf((len: Int) =>
+      if (len < m + excl) Seq.empty[(Int, Int)]
+      else MatrixProfile.diagRanges(len - m + 1, m, numBlocks))
+    val partU = udf((ys: Seq[Double], lo: Int, hi: Int) => {
+      val (mp, mpi) = MatrixProfile.stompDiagBlock(ys.toArray, m, lo, hi)
+      mp.indices.collect { case i if mpi(i) >= 0 => (i, mp(i), mpi(i)) }
+    })
+    val g = Panel.grouped(df).select(pc.idCol, col("ts").as("__ts"), col("ys"))
+    val times = g.select(pc.idCol,
+      posexplode(col("__ts")).as(Seq("idx", pc.time)))
+    val prof = g
+      .select(pc.idCol, col("ys"),
+        explode(rangesU(size(col("ys")))).as("__b"))
+      .repartition(pc.idCol, col("__b._1"))
+      .select(pc.idCol,
+        explode(partU(col("ys"), col("__b._1"), col("__b._2"))).as("__s"))
+      .groupBy(pc.idCol, col("__s._1").as("idx"))
+      .agg(min(struct(col("__s._2").as("mp"),
+        col("__s._3").as("mp_idx"))).as("__m"))
+    prof.join(times, Seq(pc.id, "idx"))
+      .select(pc.idCol, col(pc.time), col("idx"),
+        col("__m.mp").as("mp"), col("__m.mp_idx").as("mp_idx"))
+  }
+
+  /** AB-join matrix profile (Yeh et al. 2016 §IV): for every window of
+    * the QUERY panel's series, the z-normalized distance to the nearest
+    * window of the REFERENCE panel's series with the same id — "where
+    * does each stretch of A occur in B?", the cross-series companion of
+    * [[matrixProfile]] (no exclusion zone: the series are distinct).
+    * Output `[id, <time of window start>, idx, mp, mp_idx]` with
+    * `mp_idx` the reference window index. One grouped pass per panel +
+    * an id-equi join; the O(nA·nB) kernel runs per id in tasks —
+    * `maxLen` bounds the per-task pair count like [[matrixProfile]]'s
+    * valve. Ids present in only one panel drop (inner join): there is
+    * no profile without both sides. */
+  def mpAbJoin(query: DataFrame, ref: DataFrame, m: Int,
+      maxLen: Int = MpMaxLen)(implicit pc: PanelCols): DataFrame = {
+    val u = udf((a: Seq[Double], b: Seq[Double]) =>
+      if (a.length < m || b.length < m) Seq.empty[(Int, Double, Int)]
+      else {
+        require(a.length.toLong * b.length <= maxLen.toLong * maxLen,
+          s"mpAbJoin: ${a.length}×${b.length} window pairs exceed " +
+            s"maxLen²=$maxLen² in one task — split the reference panel " +
+            "(or raise maxLen deliberately)")
+        val (mp, mpi) = MatrixProfile.abJoin(a.toArray, b.toArray, m)
+        mp.indices.map(i => (i, mp(i), mpi(i)))
+      })
+    val q = Panel.grouped(query)
+      .select(pc.idCol, col("ts").as("__qts"), col("ys").as("__qys"))
+    val r = Panel.grouped(ref).select(pc.idCol, col("ys").as("__rys"))
+    q.join(r, Seq(pc.id))
+      .select(pc.idCol, col("__qts"),
+        explode(u(col("__qys"), col("__rys"))).as("__s"))
+      .select(pc.idCol, expr("__qts[__s._1]").as(pc.time),
         col("__s._1").as("idx"), col("__s._2").as("mp"),
         col("__s._3").as("mp_idx"))
   }

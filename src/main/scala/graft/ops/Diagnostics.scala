@@ -45,14 +45,23 @@ object Diagnostics {
     * surfaces as null. */
   def complexity(df: DataFrame, m: Int = 3, sampM: Int = 2,
       sampR: Double = 0.5)(implicit pc: PanelCols): DataFrame = {
-    val uT = udf((ys: Seq[Double]) => {
-      val xs = ys.toArray
-      val se = graft.kernels.Entropy.sampleEntropy(xs, sampM, sampR)
-      (graft.kernels.Entropy.permutationEntropy(xs, m),
-        if (se.isNaN) None else Some(se))
-    })
+    // too-short series DROP (no row), mirroring the oracle's shape: the
+    // SQL replay's pe⋈se inner join emits nothing when the series has
+    // no ordinal window (len < m) or fewer than two SampEn templates
+    // (len < sampM + 2) — without this guard one 3-point series would
+    // throw the kernels' require() and fail the whole job
+    val uT = udf((ys: Seq[Double]) =>
+      if (ys.length < m || ys.length < sampM + 2)
+        None
+      else {
+        val xs = ys.toArray
+        val se = graft.kernels.Entropy.sampleEntropy(xs, sampM, sampR)
+        Some((graft.kernels.Entropy.permutationEntropy(xs, m),
+          if (se.isNaN) None else Some(se)))
+      })
     Panel.grouped(df)
       .select(pc.idCol, uT(col("ys")).as("__c"))
+      .filter(col("__c").isNotNull)
       .select(pc.idCol, col("__c._1").as("perm_entropy"),
         col("__c._2").as("sample_entropy"))
   }

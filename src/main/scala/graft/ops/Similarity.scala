@@ -114,6 +114,11 @@ object Similarity {
           }
           i += 1
         }
+        // all-NaN candidate scores leave best = -1 (NaN > x is false
+        // for every x, including -Infinity): stop with the picks made
+        // so far instead of indexing picked(-1)
+        if (best < 0) { step = m + 1 }
+        else {
         picked(best) = true
         out += ((id(best), step, bestScore))
         var j = 0
@@ -122,6 +127,7 @@ object Similarity {
           j += 1
         }
         step += 1
+        }
       }
       out.result()
     })

@@ -79,4 +79,82 @@ class MatrixProfileSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](MatrixProfile.stomp(rng(30, 1), 1))
     intercept[IllegalArgumentException](MatrixProfile.stomp(rng(5, 2), 5))
   }
+
+  test("diagRanges: exact disjoint cover of [excl, n), pair-balanced") {
+    for (n <- Seq(5, 37, 200); m <- Seq(4, 8); b <- Seq(1, 3, 7, 64)) {
+      val excl = math.max(1, m / 2)
+      val rs = MatrixProfile.diagRanges(n, m, b)
+      if (excl >= n) assert(rs.isEmpty)
+      else {
+        // disjoint, contiguous, exact cover
+        assert(rs.head._1 === excl && rs.last._2 === n)
+        rs.sliding(2).foreach {
+          case Seq((_, h1), (l2, _)) => assert(h1 === l2)
+          case _ =>
+        }
+        assert(rs.size <= b)
+        // pair balance: no block more than ~2x the ideal share (the
+        // last diagonal granularity bounds the overshoot)
+        if (rs.size == b && b > 1) {
+          val total = (excl until n).map(d => (n - d).toLong).sum
+          val loads = rs.map { case (lo, hi) =>
+            (lo until hi).map(d => (n - d).toLong).sum }
+          assert(loads.max <= 2 * total / b + (n - excl),
+            s"n=$n m=$m b=$b loads=$loads")
+        }
+      }
+    }
+  }
+
+  test("diagonal blocks merge to the monolithic profile bit-exactly") {
+    for (n <- Seq(40, 97); m <- Seq(4, 8); b <- Seq(2, 5)) {
+      val xs = rng(n, 500 + n + m + b)
+      val (fm, fi) = MatrixProfile.stomp(xs, m)
+      val nw = n - m + 1
+      val merged = Array.fill(nw)(Double.PositiveInfinity)
+      val mergedI = Array.fill(nw)(-1)
+      MatrixProfile.diagRanges(nw, m, b).foreach { case (lo, hi) =>
+        val (pm, pi) = MatrixProfile.stompDiagBlock(xs, m, lo, hi)
+        pm.indices.foreach { i =>
+          // lexicographic (d, j) min — the op's min(struct) merge rule
+          if (pm(i) < merged(i) ||
+              (pm(i) == merged(i) && pi(i) >= 0 && pi(i) < mergedI(i))) {
+            merged(i) = pm(i); mergedI(i) = pi(i)
+          }
+        }
+      }
+      fm.indices.foreach { i =>
+        assert(fm(i) === merged(i), s"n=$n m=$m b=$b i=$i (bit-exact)")
+        assert(fi(i) === mergedI(i), s"n=$n m=$m b=$b i=$i idx")
+      }
+    }
+  }
+
+  test("abJoin equals the direct cross definition; planted copy at 0") {
+    val m = 6
+    for ((na, nb, seed) <- Seq((30, 45, 21L), (50, 18, 22L))) {
+      val a = rng(na, seed)
+      val b = rng(nb, seed + 100)
+      val (mp, mpi) = MatrixProfile.abJoin(a, b, m)
+      val nA = na - m + 1; val nB = nb - m + 1
+      assert(mp.length === nA)
+      // direct replay via distanceProfile (independent O(n·m) path)
+      var i = 0
+      while (i < nA) {
+        val d = MatrixProfile.distanceProfile(b, a.slice(i, i + m))
+        val best = d.indices.minBy(j => (d(j), j))
+        assert(math.abs(mp(i) - d(best)) < 1e-8, s"i=$i")
+        // argmin may differ only on float-noise ties
+        if (mpi(i) != best)
+          assert(math.abs(d(mpi(i)) - d(best)) < 1e-8, s"i=$i tie")
+        i += 1
+      }
+      // no exclusion zone: planting a's window 10 inside b must hit 0
+      val b2 = b.clone()
+      Array.copy(a, 10, b2, 5, m)
+      val (mp2, mpi2) = MatrixProfile.abJoin(a, b2, m)
+      // sqrt of the rolling-QT residual: exact-zero only to float noise
+      assert(mp2(10) < 1e-6 && mpi2(10) === 5)
+    }
+  }
 }

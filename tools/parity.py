@@ -32,7 +32,13 @@ def canonical(df: pd.DataFrame) -> pd.DataFrame:
             if v is None or pd.isna(v):
                 return "\x00NULL"
         except (TypeError, ValueError):
-            pass  # array-valued cell: str() it below
+            pass  # array-valued cell: handled element-wise below
+        # element-wise for list/ndarray cells: numpy's str() elides long
+        # arrays with '...', which would canonicalize two arrays equal
+        # when they differ only in the elided middle
+        if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
+            return "[" + ",".join(_canon(x) for x in
+                                  (v.tolist() if hasattr(v, "tolist") else v)) + "]"
         return str(v)
     out = pd.DataFrame(index=df.index)
     for c in df.columns:
