@@ -2026,6 +2026,47 @@ object SparkEntry {
           "prev_orderkey")
     }),
 
+    // the SQL front door (r11): the SAME native as-of operator reached
+    // purely through spark.sql text — the graft_asof TVF resolves the
+    // two views through the session catalog and returns the identical
+    // analyzed AsofJoin plan the Scala API builds. Shares the backward
+    // oracle with both other plan shapes: one DuckDB truth, THREE front
+    // doors (composed window, native Scala API, SQL TVF).
+    "ts_asof_sql" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val e = IO.events(s, dir)
+      e.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+        .createOrReplaceTempView("graft_sql_asof_l")
+      e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+        .createOrReplaceTempView("graft_sql_asof_r")
+      s.sql(
+        """SELECT user_id, event_id, ts, asof_ts, click_id, click_value
+          |FROM graft_asof('graft_sql_asof_l', 'graft_sql_asof_r',
+          |  'user_id', 'ts', 'ts', 'click_id,click_value')""".stripMargin)
+    }),
+
+    // the interval-join SQL front door: graft_range_join TVF over the
+    // native sort-merge sweep, same oracle as the other two range shapes
+    "ts_range_sql" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val e = IO.events(s, dir)
+      e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 1 DAY")).as("w_end"))
+        .createOrReplaceTempView("graft_sql_range_r")
+      e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+        .createOrReplaceTempView("graft_sql_range_l")
+      s.sql(
+        """SELECT user_id, click_id, error_id
+          |FROM graft_range_join('graft_sql_range_l', 'graft_sql_range_r',
+          |  'user_id', 'ts', 'w_start', 'w_end')""".stripMargin)
+    }),
+
     // the same range-join semantics on the whole-operator tier
     // (IntervalJoinExec sort-merge sweep — no interval explosion, no
     // bucketUs; plans/IntervalJoinPlan.scala), same oracle as the
@@ -3515,6 +3556,27 @@ object SparkEntry {
       |SELECT user_id, (i - 1)::BIGINT AS idx, round(min(d) + 1e-9, 6) AS mp
       |FROM dist GROUP BY 1, 2""".stripMargin
 
+  /** One DuckDB ASOF truth for all three backward-join front doors
+    * (composed window form, native Scala API, SQL TVF). */
+  private val AsofBackwardOracle: String =
+    """WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+      |     r AS (SELECT user_id, ts, event_id AS click_id, value AS click_value
+      |           FROM events WHERE event_type = 'click')
+      |SELECT l.user_id, l.event_id, l.ts, r.ts AS asof_ts, r.click_id, r.click_value
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
+
+  /** One DuckDB truth for all three range-join shapes (bucketed
+    * explosion, native sweep, SQL TVF). */
+  private val RangeJoinOracle: String =
+    """WITH err AS (SELECT user_id, event_id AS error_id, ts AS w_start,
+      |                    ts + INTERVAL 1 DAY AS w_end
+      |             FROM events WHERE event_type = 'error'),
+      |     clk AS (SELECT user_id, event_id AS click_id, ts
+      |             FROM events WHERE event_type = 'click')
+      |SELECT c.user_id, c.click_id, e.error_id
+      |FROM clk c JOIN err e ON c.user_id = e.user_id
+      |  AND c.ts >= e.w_start AND c.ts < e.w_end""".stripMargin
+
   def oracleSql: Map[String, String] = elasticOracles ++ Map(
     "ts_theta_fc" -> ForecastOracle.thetaSql,
     "ts_var_fc" -> ForecastOracle.varSql,
@@ -4526,12 +4588,7 @@ object SparkEntry {
 
     // ── temporal joins & sessionization (round-9): DuckDB has native
     // ASOF JOIN, making these first-class hash oracles ──────────────────
-    "ts_asof_backward" ->
-      """WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
-        |     r AS (SELECT user_id, ts, event_id AS click_id, value AS click_value
-        |           FROM events WHERE event_type = 'click')
-        |SELECT l.user_id, l.event_id, l.ts, r.ts AS asof_ts, r.click_id, r.click_value
-        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "ts_asof_backward" -> AsofBackwardOracle,
 
     "ts_asof_tolerance" ->
       """WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
@@ -4582,14 +4639,10 @@ object SparkEntry {
         |FROM orders l ASOF LEFT JOIN r
         |  ON l.o_custkey = r.o_custkey AND l.o_orderdate > r.o_orderdate""".stripMargin,
 
-    // the native-tier twins share the composed forms' oracles verbatim —
-    // one DuckDB truth, two Spark plan shapes
-    "ts_asof_native_backward" ->
-      """WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
-        |     r AS (SELECT user_id, ts, event_id AS click_id, value AS click_value
-        |           FROM events WHERE event_type = 'click')
-        |SELECT l.user_id, l.event_id, l.ts, r.ts AS asof_ts, r.click_id, r.click_value
-        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    // the native-tier twin and the SQL-TVF front door share the composed
+    // form's oracle verbatim — one DuckDB truth, three Spark plan shapes
+    "ts_asof_native_backward" -> AsofBackwardOracle,
+    "ts_asof_sql" -> AsofBackwardOracle,
 
     "ts_asof_native_nearest" ->
       """WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
@@ -4616,25 +4669,10 @@ object SparkEntry {
         |FROM orders l ASOF LEFT JOIN r
         |  ON l.o_custkey = r.o_custkey AND l.o_orderdate > r.o_orderdate""".stripMargin,
 
-    "ts_range_join_native" ->
-      """WITH err AS (SELECT user_id, event_id AS error_id, ts AS w_start,
-        |                    ts + INTERVAL 1 DAY AS w_end
-        |             FROM events WHERE event_type = 'error'),
-        |     clk AS (SELECT user_id, event_id AS click_id, ts
-        |             FROM events WHERE event_type = 'click')
-        |SELECT c.user_id, c.click_id, e.error_id
-        |FROM clk c JOIN err e ON c.user_id = e.user_id
-        |  AND c.ts >= e.w_start AND c.ts < e.w_end""".stripMargin,
+    "ts_range_join_native" -> RangeJoinOracle,
 
-    "ts_range_join" ->
-      """WITH err AS (SELECT user_id, event_id AS error_id, ts AS w_start,
-        |                    ts + INTERVAL 1 DAY AS w_end
-        |             FROM events WHERE event_type = 'error'),
-        |     clk AS (SELECT user_id, event_id AS click_id, ts
-        |             FROM events WHERE event_type = 'click')
-        |SELECT c.user_id, c.click_id, e.error_id
-        |FROM clk c JOIN err e ON c.user_id = e.user_id
-        |  AND c.ts >= e.w_start AND c.ts < e.w_end""".stripMargin,
+    "ts_range_join" -> RangeJoinOracle,
+    "ts_range_sql" -> RangeJoinOracle,
 
     "ts_sessionize" ->
       """WITH o AS (SELECT user_id, ts, event_id, value,

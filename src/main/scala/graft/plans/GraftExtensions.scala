@@ -31,10 +31,22 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   - `graft_kn_bigrams(text, buckets)` → array<bigint> — adjacent
   *     word-bucket bigram pairs packed as bv·buckets+bw (buckets a
   *     foldable int).
+  *
+  * Registered TABLE functions (FROM-clause TVFs — the whole-operator
+  * SQL front door; arguments are literals, table args are view/table
+  * names resolved through the session catalog):
+  *   - `graft_asof(left, right, by_csv, left_time, right_time,
+  *     carry_csv[, direction[, tolerance_us[, allow_exact]]])` — the
+  *     native [[AsofJoin]] sort-merge operator.
+  *   - `graft_range_join(left, right, by_csv, left_time, start_col,
+  *     end_col[, inclusive_end])` — the native [[IntervalJoin]] sweep.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptions.foreach(ext.injectFunction)
+    // the whole-operator SQL front door: FROM-clause TVFs building the
+    // same analyzed plans as the Scala API (graft_asof, graft_range_join)
+    GraftFunctions.tableDescriptions.foreach(ext.injectTableFunction)
     // whole-operator tier: the AsofJoin logical node's planner strategy
     // and its left-filter pushdown rule (live-session path:
     // GraftPlanning.ensure)
@@ -53,6 +65,10 @@ object GraftFunctions {
     val reg = GraftRegistryBridge.functionRegistry(spark)
     descriptions.foreach { case (id, info, builder) =>
       reg.registerFunction(id, info, builder)
+    }
+    val treg = GraftRegistryBridge.tableFunctionRegistry(spark)
+    tableDescriptions.foreach { case (id, info, builder) =>
+      treg.registerFunction(id, info, builder)
     }
   }
 
@@ -141,5 +157,112 @@ object GraftFunctions {
         (args: Seq[Expression]) => {
           requireArity("graft_kn_bigrams", args, 2)
           KnBigramsExpr(args.head, intArg("graft_kn_bigrams", 2, args(1)))
+        }))
+
+  // ── table-valued functions: the whole-operator SQL front door ──────
+  // A pure-`spark.sql` user reaches the native AsofJoin/IntervalJoin
+  // plan nodes through a FROM-clause TVF: table arguments are view/
+  // table NAMES (resolved through the session catalog at analysis
+  // time), list arguments are comma-separated column names, and the
+  // result is the SAME analyzed plan the Scala API builds — one
+  // operator, two front doors.
+
+  private def strArg(name: String, pos: Int, e: Expression): String = {
+    require(e.foldable,
+      s"$name argument $pos must be a string literal, got ${e.sql}")
+    e.eval() match {
+      case null => throw new IllegalArgumentException(
+        s"$name argument $pos must not be null")
+      case s => s.toString
+    }
+  }
+
+  private def csvArg(name: String, pos: Int, e: Expression): Seq[String] = {
+    val parts = strArg(name, pos, e).split(",").map(_.trim).filter(_.nonEmpty)
+    require(parts.nonEmpty,
+      s"$name argument $pos must name at least one column")
+    parts.toSeq
+  }
+
+  private def longArg(name: String, pos: Int, e: Expression): Long = {
+    require(e.foldable,
+      s"$name argument $pos must be an integer literal, got ${e.sql}")
+    e.eval() match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case other => throw new IllegalArgumentException(
+        s"$name argument $pos must be an integer literal, got $other")
+    }
+  }
+
+  private def boolArg(name: String, pos: Int, e: Expression): Boolean = {
+    require(e.foldable,
+      s"$name argument $pos must be a boolean literal, got ${e.sql}")
+    e.eval() match {
+      case b: Boolean => b
+      case other => throw new IllegalArgumentException(
+        s"$name argument $pos must be a boolean literal, got $other")
+    }
+  }
+
+  /** TVF builders shared by `injectTableFunction` and the live-session
+    * [[register]] path, like [[descriptions]] for scalar expressions. */
+  val tableDescriptions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
+    Seq(
+      (FunctionIdentifier("graft_asof"),
+        info(classOf[AsofJoin], "graft_asof",
+          "graft_asof(left, right, by_csv, left_time, right_time, " +
+            "carry_csv[, direction[, tolerance_us[, allow_exact]]]) - " +
+            "native as-of join over two views/tables; direction " +
+            "backward|forward|nearest (default backward)."),
+        (args: Seq[Expression]) => {
+          val n = "graft_asof"
+          require(args.size >= 6 && args.size <= 9,
+            s"$n expects 6 to 9 arguments " +
+              "(left, right, by_csv, left_time, right_time, carry_csv" +
+              "[, direction[, tolerance_us[, allow_exact]]]), got " +
+              args.size)
+          val spark = org.apache.spark.sql.SparkSession.active
+          val out = graft.ops.TemporalJoins.asofJoinNative(
+            spark.table(strArg(n, 1, args(0))),
+            spark.table(strArg(n, 2, args(1))),
+            csvArg(n, 3, args(2)),
+            strArg(n, 4, args(3)),
+            strArg(n, 5, args(4)),
+            csvArg(n, 6, args(5)),
+            direction =
+              if (args.size > 6) strArg(n, 7, args(6)) else "backward",
+            toleranceUs =
+              if (args.size > 7) Some(longArg(n, 8, args(7))) else None,
+            allowExactMatches =
+              if (args.size > 8) boolArg(n, 9, args(8)) else true)
+          org.apache.spark.sql.GraftPlanBridge.analyzed(out)
+        }),
+      (FunctionIdentifier("graft_range_join"),
+        info(classOf[IntervalJoin], "graft_range_join",
+          "graft_range_join(left, right, by_csv, left_time, start_col, " +
+            "end_col[, inclusive_end]) - native interval join: left rows " +
+            "against right [start, end) windows (sort-merge sweep, no " +
+            "interval explosion)."),
+        (args: Seq[Expression]) => {
+          val n = "graft_range_join"
+          require(args.size >= 6 && args.size <= 7,
+            s"$n expects 6 or 7 arguments (left, right, by_csv, " +
+              "left_time, start_col, end_col[, inclusive_end]), got " +
+              args.size)
+          val spark = org.apache.spark.sql.SparkSession.active
+          val out = graft.ops.TemporalJoins.rangeJoinNative(
+            spark.table(strArg(n, 1, args(0))),
+            spark.table(strArg(n, 2, args(1))),
+            csvArg(n, 3, args(2)),
+            strArg(n, 4, args(3)),
+            strArg(n, 5, args(4)),
+            strArg(n, 6, args(5)),
+            inclusiveEnd =
+              if (args.size > 6) boolArg(n, 7, args(6)) else false)
+          org.apache.spark.sql.GraftPlanBridge.analyzed(out)
         }))
 }

@@ -10,4 +10,11 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 object GraftRegistryBridge {
   def functionRegistry(spark: SparkSession): FunctionRegistry =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+
+  /** The table-valued-function registry (the `range(...)`-style FROM
+    * clause surface) — the live-session registration path for the
+    * engine's whole-operator TVFs (`graft_asof`, `graft_range_join`). */
+  def tableFunctionRegistry(spark: SparkSession)
+      : org.apache.spark.sql.catalyst.analysis.TableFunctionRegistry =
+    spark.asInstanceOf[classic.SparkSession].sessionState.tableFunctionRegistry
 }

@@ -135,6 +135,82 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e2.getMessage.toLowerCase.contains("foldable"))
   }
 
+  test("graft_asof TVF equals the Scala API on every argument form") {
+    import spark.implicits._
+    graft.plans.GraftPlanning.ensure(spark)
+    val l = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 150L, "c"))
+      .toDF("uid", "t", "tag")
+    val r = Seq((1L, 90L, 1.0), (1L, 100L, 2.0), (1L, 180L, 3.0),
+      (2L, 250L, 4.0)).toDF("uid", "t", "price")
+    l.createOrReplaceTempView("asof_tvf_l")
+    r.createOrReplaceTempView("asof_tvf_r")
+    def viaSql(extra: String): Set[Seq[Any]] =
+      spark.sql("SELECT uid, t, tag, price FROM graft_asof(" +
+          s"'asof_tvf_l', 'asof_tvf_r', 'uid', 't', 't', 'price'$extra)")
+        .collect().map(_.toSeq).toSet
+    def viaApi(dir: String, tol: Option[Long], exact: Boolean): Set[Seq[Any]] =
+      graft.ops.TemporalJoins.asofJoinNative(l, r, Seq("uid"), "t", "t",
+          Seq("price"), direction = dir, toleranceUs = tol,
+          allowExactMatches = exact)
+        .select("uid", "t", "tag", "price").collect().map(_.toSeq).toSet
+    assert(viaSql("") === viaApi("backward", None, exact = true))
+    assert(viaSql(", 'forward'") === viaApi("forward", None, exact = true))
+    assert(viaSql(", 'nearest', 30") ===
+      viaApi("nearest", Some(30L), exact = true))
+    assert(viaSql(", 'backward', 1000, false") ===
+      viaApi("backward", Some(1000L), exact = false))
+  }
+
+  test("graft_range_join TVF equals the Scala API") {
+    import spark.implicits._
+    graft.plans.GraftPlanning.ensure(spark)
+    // (1, 20) sits exactly on w1's END boundary: excluded under the
+    // default [s, e), included with inclusive_end = true
+    val l = Seq((1L, 10L, "e1"), (1L, 25L, "e2"), (1L, 20L, "e4"),
+      (2L, 5L, "e3")).toDF("uid", "t", "ev")
+    val r = Seq((1L, 0L, 20L, "w1"), (1L, 20L, 30L, "w2"), (2L, 50L, 60L, "w3"))
+      .toDF("uid", "s", "e", "w")
+    l.createOrReplaceTempView("range_tvf_l")
+    r.createOrReplaceTempView("range_tvf_r")
+    val viaSql = spark.sql(
+      """SELECT uid, t, ev, w FROM graft_range_join(
+        |  'range_tvf_l', 'range_tvf_r', 'uid', 't', 's', 'e')""".stripMargin)
+      .collect().map(_.toSeq).toSet
+    val viaApi = graft.ops.TemporalJoins.rangeJoinNative(
+        l, r, Seq("uid"), "t", "s", "e")
+      .select("uid", "t", "ev", "w").collect().map(_.toSeq).toSet
+    assert(viaSql === viaApi)
+    assert(viaSql.nonEmpty)
+    // inclusive_end flips the boundary row in both front doors alike
+    val incSql = spark.sql(
+      """SELECT uid, t, ev, w FROM graft_range_join(
+        |  'range_tvf_l', 'range_tvf_r', 'uid', 't', 's', 'e', true)"""
+        .stripMargin).collect().map(_.toSeq).toSet
+    val incApi = graft.ops.TemporalJoins.rangeJoinNative(
+        l, r, Seq("uid"), "t", "s", "e", inclusiveEnd = true)
+      .select("uid", "t", "ev", "w").collect().map(_.toSeq).toSet
+    assert(incSql === incApi && incSql.size > viaSql.size)
+  }
+
+  test("TVF argument errors fail loud at analysis") {
+    import spark.implicits._
+    Seq((1L, 1L)).toDF("k", "t").createOrReplaceTempView("tvf_err_l")
+    Seq((1L, 1L, 9L, "v")).toDF("k", "t", "s", "v")
+      .createOrReplaceTempView("tvf_err_r")
+    val e1 = intercept[Exception](
+      spark.sql("SELECT * FROM graft_asof('tvf_err_l', 'tvf_err_r')")
+        .collect())
+    assert(e1.getMessage.contains("graft_asof"))
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_range_join(" +
+        "'tvf_err_l','tvf_err_r','k','t','t','s','x')").collect())
+    assert(e2.getMessage.toLowerCase.contains("boolean"))
+    val e3 = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_asof('no_such_view_xyz','tvf_err_r','k','t','t','v')")
+      .collect())
+    assert(e3.getMessage.toLowerCase.contains("no_such_view_xyz"))
+  }
+
   test("session built WITH the extensions class resolves the functions") {
     // reuse the shared SparkContext but force a genuinely NEW session:
     // BOTH the active and the default session must be cleared, or
@@ -158,6 +234,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(org.apache.spark.sql.GraftPlanBridge.plannerStrategies(fresh)
           .contains(GraftStrategy),
         "withExtensions did not inject the planner strategy")
+      // and the TVF front door resolves through injectTableFunction
+      import fresh.implicits._
+      Seq((1L, 10L), (1L, 20L)).toDF("k", "t")
+        .createOrReplaceTempView("tvf_l")
+      Seq((1L, 5L, "x"), (1L, 15L, "y")).toDF("k", "t", "v")
+        .createOrReplaceTempView("tvf_r")
+      val asof = fresh.sql(
+        "SELECT k, t, v FROM graft_asof('tvf_l', 'tvf_r', 'k', 't', 't', 'v')")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(asof === Set((1L, 10L, "x"), (1L, 20L, "y")))
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
