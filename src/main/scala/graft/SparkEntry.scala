@@ -206,6 +206,16 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("run_length"),
           r6n(col("changepoint_prob")).as("changepoint_prob"))),
 
+    // the truncated long-series form (r11): run-length hypotheses below
+    // 1e-12 posterior pruned each step — O(n·K) instead of O(n²), the
+    // same oracle (dropped mass < K·1e-12/step vanishes under 6-dp
+    // rounding, pinned exactly by the gate hash)
+    "ts_bocpd_pruned" -> ((s, dir) =>
+      Changepoint.bocpd(IO.events(s, dir), hazardRate = 200.0,
+          pruneThreshold = 1e-12)
+        .select(col("user_id"), col("ts"), col("run_length"),
+          r6n(col("changepoint_prob")).as("changepoint_prob"))),
+
     // ── forecasting ─────────────────────────────────────────────────────
     "ts_naive_fc" -> ((s, dir) =>
       ForecastBaselines.naive(IO.events(s, dir), h = 7)),
@@ -3624,6 +3634,7 @@ object SparkEntry {
     "ts_enbpi" -> ForecastOracle.enbpiSql,
     "ts_enbpi_oob" -> ForecastOracle.enbpiOobSql,
     "ts_bocpd" -> ForecastOracle.bocpdSql,
+    "ts_bocpd_pruned" -> ForecastOracle.bocpdSql,
     "ts_pipeline_boxcox_fc" -> ForecastOracle.pipelineBoxcoxSql,
     "ts_pipeline_fc" -> ForecastOracle.pipelineSql,
     "ts_kmedoids" -> ForecastOracle.kmedoidsSql,

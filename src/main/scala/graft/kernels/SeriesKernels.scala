@@ -384,11 +384,26 @@ object AcfKernels {
   * model with constant hazard 1/λ and Student-t predictive.
   * Semantics: reference polars_ts/changepoint/bocpd.py:11-157. */
 object Bocpd {
-  /** Per-row (run_length, changepoint_prob, is_changepoint). */
+  /** Per-row (run_length, changepoint_prob, is_changepoint).
+    *
+    * `pruneThreshold = 0` (default) keeps every run-length hypothesis —
+    * the exact Adams–MacKay recursion, O(n²) time/O(n) state, the form
+    * the DuckDB oracle replays bit-for-bit. A positive threshold drops
+    * hypotheses whose posterior falls below it after each normalization
+    * (the standard truncation from the reference implementation's
+    * lineage), bounding the state to O(K) and the scan to O(n·K) — the
+    * LONG-series form: at 1/hazard = 200 the surviving set is tens of
+    * hypotheses, so a 10⁶-point series streams in one task instead of
+    * dying quadratically. Posterior mass dropped per step is < K·ε and
+    * the kept vector is renormalized, so at ε ≤ 1e-12 the emitted
+    * 6-dp-rounded probabilities match the exact recursion. */
   def detect(data: Array[Double], hazardRate: Double = 200.0,
       muPrior: Double = 0.0, kappaPrior: Double = 1.0, alphaPrior: Double = 1.0,
-      betaPrior: Double = 1.0, threshold: Double = 0.5): Array[(Int, Double, Boolean)] = {
+      betaPrior: Double = 1.0, threshold: Double = 0.5,
+      pruneThreshold: Double = 0.0): Array[(Int, Double, Boolean)] = {
     require(hazardRate > 0, "hazard_rate must be positive")
+    require(pruneThreshold >= 0 && pruneThreshold < 1,
+      "prune threshold must be in [0, 1)")
     val h = 1.0 / hazardRate
     val n = data.length
     val out = new Array[(Int, Double, Boolean)](n)
@@ -397,6 +412,7 @@ object Bocpd {
     var alpha = Array(alphaPrior)
     var beta = Array(betaPrior)
     var rProbs = Array(1.0)
+    var runLens = Array(0)
     var t = 0
     while (t < n) {
       val x = data(t)
@@ -414,14 +430,17 @@ object Bocpd {
       }
       var cpProb = 0.0
       val newR = new Array[Double](len + 1)
+      val newRuns = new Array[Int](len + 1)
       i = 0
       while (i < len) {
         val rp = rProbs(i) * predProbs(i)
         newR(i + 1) = rp * (1.0 - h)
+        newRuns(i + 1) = runLens(i) + 1
         cpProb += rp * h
         i += 1
       }
       newR(0) = cpProb
+      newRuns(0) = 0
       var total = 0.0
       i = 0
       while (i < newR.length) { total += newR(i); i += 1 }
@@ -432,8 +451,7 @@ object Bocpd {
       var argmax = 0; var best = newR(0)
       i = 1
       while (i < newR.length) { if (newR(i) > best) { best = newR(i); argmax = i }; i += 1 }
-      out(t) = (argmax, newR(0), newR(0) > threshold)
-      rProbs = newR
+      out(t) = (newRuns(argmax), newR(0), newR(0) > threshold)
       val nm = new Array[Double](len + 1); val nk = new Array[Double](len + 1)
       val na = new Array[Double](len + 1); val nb = new Array[Double](len + 1)
       nm(0) = muPrior; nk(0) = kappaPrior; na(0) = alphaPrior; nb(0) = betaPrior
@@ -445,7 +463,39 @@ object Bocpd {
         nb(i + 1) = beta(i) + kappa(i) * (x - mu(i)) * (x - mu(i)) / (2.0 * (kappa(i) + 1.0))
         i += 1
       }
-      mu = nm; kappa = nk; alpha = na; beta = nb
+      if (pruneThreshold > 0) {
+        // truncate: keep r = 0 (index 0) plus every hypothesis at or
+        // above the threshold; compact in place and renormalize the
+        // survivors so the vector stays a distribution
+        var kept = 1
+        i = 1
+        while (i < newR.length) { if (newR(i) >= pruneThreshold) kept += 1; i += 1 }
+        val pR = new Array[Double](kept); val pRuns = new Array[Int](kept)
+        val pm = new Array[Double](kept); val pk = new Array[Double](kept)
+        val pa = new Array[Double](kept); val pb = new Array[Double](kept)
+        var w = 0
+        i = 0
+        while (i < newR.length) {
+          if (i == 0 || newR(i) >= pruneThreshold) {
+            pR(w) = newR(i); pRuns(w) = newRuns(i)
+            pm(w) = nm(i); pk(w) = nk(i); pa(w) = na(i); pb(w) = nb(i)
+            w += 1
+          }
+          i += 1
+        }
+        var keptSum = 0.0
+        i = 0
+        while (i < kept) { keptSum += pR(i); i += 1 }
+        if (keptSum > 0) {
+          i = 0
+          while (i < kept) { pR(i) /= keptSum; i += 1 }
+        }
+        rProbs = pR; runLens = pRuns
+        mu = pm; kappa = pk; alpha = pa; beta = pb
+      } else {
+        rProbs = newR; runLens = newRuns
+        mu = nm; kappa = nk; alpha = na; beta = nb
+      }
       t += 1
     }
     out

@@ -48,10 +48,12 @@ object Changepoint {
 
   /** BOCPD per-row outputs `[.., run_length, changepoint_prob,
     * is_changepoint]` (reference changepoint/bocpd.py:11-141). */
-  def bocpd(df: DataFrame, hazardRate: Double = 200.0, threshold: Double = 0.5)(
+  def bocpd(df: DataFrame, hazardRate: Double = 200.0, threshold: Double = 0.5,
+      pruneThreshold: Double = 0.0)(
       implicit pc: PanelCols): DataFrame = {
     val detectUdf = udf((ys: Seq[Double]) =>
-      Bocpd.detect(ys.toArray, hazardRate, threshold = threshold)
+      Bocpd.detect(ys.toArray, hazardRate, threshold = threshold,
+          pruneThreshold = pruneThreshold)
         .map { case (rl, p, is) => (rl, p, is) })
     Panel.grouped(df)
       .select(pc.idCol, col("ts").as("__ts"), detectUdf(col("ys")).as("__res"))

@@ -141,6 +141,37 @@ class SeriesKernelsSpec extends AnyFunSuite {
     assert(out(61)._1 < 5)
   }
 
+  test("bocpd: pruned recursion matches exact to 6dp, and stays O(n·K)") {
+    // noisy two-regime series: deterministic hash noise + a level shift
+    val y = Array.tabulate(400) { t =>
+      val noise = DetRng.uniform(DetRng.seedConst(77L), t.toLong) - 0.5
+      (if (t < 200) 0.0 else 8.0) + noise
+    }
+    val exact = Bocpd.detect(y, hazardRate = 200.0)
+    val pruned = Bocpd.detect(y, hazardRate = 200.0, pruneThreshold = 1e-12)
+    exact.indices.foreach { t =>
+      assert(exact(t)._1 == pruned(t)._1, s"run length t=$t")
+      assert(math.abs(exact(t)._2 - pruned(t)._2) < 1e-7,
+        s"cp prob t=$t ${exact(t)._2} vs ${pruned(t)._2}")
+      assert(exact(t)._3 == pruned(t)._3, s"flag t=$t")
+    }
+    // pruneThreshold = 0 is the EXACT recursion, bit-for-bit
+    val exact2 = Bocpd.detect(y, hazardRate = 200.0, pruneThreshold = 0.0)
+    exact.indices.foreach(t => assert(exact(t) == exact2(t)))
+    // the length story: 50k points with aggressive pruning completes in
+    // seconds (the untruncated recursion would be 2.5e9 hypothesis
+    // updates); wall-clock bound generous for CI noise
+    val long = Array.tabulate(50000) { t =>
+      DetRng.uniform(DetRng.seedConst(78L), t.toLong) +
+        (if ((t / 5000) % 2 == 0) 0.0 else 4.0)
+    }
+    val t0 = System.nanoTime()
+    val outL = Bocpd.detect(long, hazardRate = 200.0, pruneThreshold = 1e-8)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(outL.length == 50000)
+    assert(secs < 30.0, s"pruned bocpd took $secs s on 50k points")
+  }
+
   // ---- FFT forecast (reference polars_ts/models/baselines.py:181-255)
 
   test("fft forecast: extrapolates a pure cosine") {
