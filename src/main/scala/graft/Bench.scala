@@ -671,6 +671,42 @@ object Bench {
       out
     }
 
+    // ── length-axis scale proof (r11, VERDICT r10 ask #4) ─────────────
+    // The 10×/100× methodology above replicates series COUNT; these legs
+    // grow ONE series' LENGTH (1 series × L, 10L, 100L) — the axis the
+    // matrix-profile valve and the BOCPD prune exist for. Expected
+    // shapes: pelt (pruned) ~linear, ets O(n), mann-kendall O(n log n),
+    // bocpd-pruned O(n·K), matrix profile O(n²) WORK but distributed
+    // over diagonal blocks — its wall ratio measures work/parallelism,
+    // not a stall; completing at 100× at all is what the monolithic
+    // form cannot do.
+    val scaleLen: Seq[(String, Double, Double, Double)] =
+      if (!scaleProofOn) Seq.empty else {
+        def best2L(run: () => Unit): Double = {
+          val ts = Seq(timeOnce("scaleLen", run)._1, timeOnce("scaleLen", run)._1)
+            .filter(_ >= 0)
+          if (ts.isEmpty) -1.0 else ts.min
+        }
+        val lenSuite: Seq[(String, Int, Int => () => Unit)] = Seq(
+          ("pelt_len", 2000, len => () =>
+            mat(Changepoint.pelt(synthPanel(spark, 1, len), "mean"))),
+          ("ets_len", 10000, len => () =>
+            mat(ForecastBaselines.multiForecast(synthPanel(spark, 1, len),
+              h = 12, Seq("ses" -> (ys => graft.kernels.Ets.ses(ys, 0.3, 12)))))),
+          ("mann_kendall_len", 10000, len => () =>
+            mat(Changepoint.mannKendall(synthPanel(spark, 1, len)))),
+          ("bocpd_len", 2000, len => () =>
+            mat(Changepoint.bocpd(synthPanel(spark, 1, len),
+              pruneThreshold = 1e-8))),
+          ("matrix_profile_len", 1000, len => () =>
+            mat(Advanced.matrixProfileBlocked(synthPanel(spark, 1, len),
+              m = 16, numBlocks = 32))))
+        lenSuite.map { case (name, base, mk) =>
+          (name, best2L(mk(base)), best2L(mk(base * 10)),
+            best2L(mk(base * 100)))
+        }
+      }
+
     val loadEnd = loadAvg()
     val all = results ++ curation ++ neural ++ selection ++ media ++
       temporal ++ sketch
@@ -687,6 +723,13 @@ object Bench {
       "\"" + n + "\":{\"t1\":" + t1 + ",\"t10\":" + t10 +
         ",\"ratio\":" + f"$ratio%.2f" + "}"
     }.mkString("{", ",", "}")
+    val scaleLenJson = scaleLen.map { case (n, t1, t10, t100) =>
+      val r10 = if (t1 > 0 && t10 > 0) t10 / t1 else -1.0
+      val r100 = if (t1 > 0 && t100 > 0) t100 / t1 else -1.0
+      "\"" + n + "\":{\"t1\":" + t1 + ",\"t10\":" + t10 +
+        ",\"t100\":" + t100 + ",\"r10\":" + f"$r10%.2f" +
+        ",\"r100\":" + f"$r100%.2f" + "}"
+    }.mkString("{", ",", "}")
     val total = results.map(_.secs).filter(_ >= 0).sum
     val totalFull = total + curation.map(_.secs).filter(_ >= 0).sum
     val totalNeural = neural.map(_.secs).filter(_ >= 0).sum
@@ -695,13 +738,25 @@ object Bench {
     val totalTemporal = temporal.map(_.secs).filter(_ >= 0).sum
     val totalSketch = sketch.map(_.secs).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpus_,"iterations":$iters,"total_full":$totalFull,"total_neural":$totalNeural,"total_selection":$totalSelection,"total_media":$totalMedia,"total_temporal":$totalTemporal,"total_sketch":$totalSketch,"load":$loads,"load_start":$loadStart,"load_end":$loadEnd,"reruns":$reruns,"scale10x":$scaleJson,"sf":"$sfDir"}"""
-    // sentinel-prefixed line FIRST (unambiguous to scrape out of the sbt
-    // [info] noise that left BENCH_r05-r07 "parsed": null), then the bare
-    // JSON line (legacy scrape), then the file (robust path)
-    println(s"BENCH_JSON: $json")
-    println(json)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpus_,"iterations":$iters,"total_full":$totalFull,"total_neural":$totalNeural,"total_selection":$totalSelection,"total_media":$totalMedia,"total_temporal":$totalTemporal,"total_sketch":$totalSketch,"load":$loads,"load_start":$loadStart,"load_end":$loadEnd,"reruns":$reruns,"scale10x":$scaleJson,"scale_len":$scaleLenJson,"sf":"$sfDir"}"""
+    // bench_out.json carries the FULL artifact (per-query cpu/load,
+    // rerun adjudications, both scale sections) — the round's committed
+    // record and what COVERAGE.md quotes
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json)
+    // The DRIVER-facing line must fit the driver's 2000-char stdout
+    // tail together with sbt's trailing "[success] ..." line — r01–r10
+    // all landed "parsed": null because the full-precision line plus
+    // the sentinel copy never fit the window. Print ONE compact line
+    // (3-dp query values, no per-query cpu/load maps) LAST.
+    def f3(d: Double): String =
+      if (d < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val qsC = all.map(r => "\"" + r.name + "\":" + f3(r.secs))
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsC,"iterations":$iters,"total_full":${f3(totalFull)},"total_neural":${f3(totalNeural)},"total_selection":${f3(totalSelection)},"total_media":${f3(totalMedia)},"total_temporal":${f3(totalTemporal)},"total_sketch":${f3(totalSketch)},"detail":"bench_out.json","sf":"$sfDir"}"""
+    println(s"BENCH_JSON: $compact")
+    println(compact)
     spark.stop()
   }
 }

@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Estimated-input-size threshold (bytes) past which [[minhashLsh]]
+    * logs a pointer to the persisted-signature incremental pattern —
+    * the documented large-corpus default. */
+  val IncrementalHintBytes: Long = 1L << 30
+
   /** Exact dedup on normalized-text fingerprint: keeps the lowest-id doc
     * per group, appends `dup_count` (group size) and `is_duplicate`. */
   def exact(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -299,7 +304,19 @@ object Dedup {
     * candidates; candidates verified by estimated Jaccard
     * (signature agreement) >= threshold. Output: [id_a, id_b, jaccard_est]
     * with id_a < id_b. */
-  /** @param maxBucketSize skew valve: band buckets larger than this are
+  /** Large-corpus guidance: this one-shot form recomputes every
+    * signature from text on every run — correct at any size, but a
+    * GROWING corpus should not pay it repeatedly. The production
+    * default past ~1 GiB of input is the persisted-signature
+    * incremental pattern: [[minhashSignatures]] once per ingest batch
+    * (stored next to the corpus) + [[minhashLshIncremental]] per batch
+    * — measured at the 100× probe: 25.5× wall for full recompute vs
+    * 12.7× with persisted signatures (SCALE100, MinhashDeepProbe). A
+    * one-line warning fires when the input's estimated size crosses
+    * [[IncrementalHintBytes]], so the pattern is discoverable exactly
+    * when it starts to matter.
+    *
+    * @param maxBucketSize skew valve: band buckets larger than this are
     *   dropped before the candidate self-join — a degenerate bucket of B
     *   identical docs otherwise costs B² pairs (near-identical floods are
     *   exact dups, which [[exact]] catches at hash cost). Defaults ON at
@@ -311,6 +328,20 @@ object Dedup {
       shingleN: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.7, maxBucketSize: Option[Int] = Some(10000)): DataFrame = {
     val k = bands * rowsPerBand
+    // auto-hint: estimated plan size past the threshold → point at the
+    // incremental pattern (plan-time stats only; never triggers a job)
+    try {
+      val est = org.apache.spark.sql.GraftPlanBridge.analyzed(df)
+        .stats.sizeInBytes
+      if (est > IncrementalHintBytes)
+        System.err.println(
+          s"[graft.Dedup.minhashLsh] input estimated at $est bytes " +
+            s"(> $IncrementalHintBytes): one-shot LSH recomputes every " +
+            "signature from text each run. For a growing corpus, persist " +
+            "minhashSignatures() per ingest batch and dedup with " +
+            "minhashLshIncremental() — measured 2x cheaper at the 100x " +
+            "probe and O(batch), not O(corpus), per ingest.")
+    } catch { case _: Throwable => () }
     // cache lifetime note: the signatures feed the banding pass AND two
     // verification joins inside the RETURNED lazy plan, so this cache
     // cannot be unpersisted here (the caller hasn't run the plan yet).

@@ -171,7 +171,41 @@ object DeepScale {
       (name, t1, tN, ratio)
     }
 
-    val qs = (results ++ temporalResults).map { case (n, t1, tN, r) =>
+    // ── zipfian-skew leg (VERDICT r10 ask #7): 50% of all rows on ONE
+    // key, the rest across the normal key range — the asof exchange's
+    // hot-partition envelope MEASURED, not assumed. AQE's
+    // OptimizeSkewedJoin targets SortMergeJoinExec, not custom exec
+    // nodes, so the hot key is one task by construction; this leg
+    // records what that costs at `factor`× next to the uniform
+    // asof_native leg (same total rows, same operator, only the key
+    // distribution differs).
+    def zipfPanel(nSeries: Int, len: Int): DataFrame =
+      spark.range(nSeries.toLong * len).select(
+        when(pmod(xxhash64(col("id"), lit(7L)), lit(2)) === 0, lit(0L))
+          .otherwise((col("id") / len).cast("long")).as("user_id"),
+        timestamp_micros((col("id") % len) * 3600000000L +
+          lit(1704067200000000L)).cast("timestamp_ntz").as("ts"),
+        (sin(col("id") % len / lit(6.0)) * 10.0 +
+          pmod(xxhash64(col("id")), lit(1000)) / lit(1000.0)).as("value"))
+    zipfPanel(1000, 1000).write.mode("overwrite").parquet(s"$dir/zipf1")
+    zipfPanel(1000 * factor, 1000).write.mode("overwrite")
+      .parquet(s"$dir/zipfN")
+    val zipf1 = spark.read.parquet(s"$dir/zipf1")
+    val zipfN = spark.read.parquet(s"$dir/zipfN")
+    val skewResult = {
+      def run(p: DataFrame): Unit = { val (l, r) = asofSides(p)
+        mat(TemporalJoins.asofJoinNative(l, r, Seq("user_id"), "ts", "ts",
+          Seq("rv"))) }
+      val w = time(() => run(zipf1))
+      val t1 = math.min(w, time(() => run(zipf1)))
+      val tN = time(() => run(zipfN))
+      spark.sqlContext.clearCache()
+      val ratio = tN / t1
+      println(f"[deepscale] asof_native_skew  t1=$t1%.2f s  t$factor%d=$tN%.2f s  ratio=$ratio%.1f (linear=$factor%d)")
+      ("asof_native_skew", t1, tN, ratio)
+    }
+
+    val qs = (results ++ temporalResults :+ skewResult).map { case (n, t1, tN, r) =>
       s""""$n":{"t1":${f"$t1%.3f"},"t$factor":${f"$tN%.3f"},"ratio":${f"$r%.2f"}}"""
     }.mkString("{", ",", "}")
     val json = s"""{"factor":$factor,"rows1":$n1,"rowsN":$nN,"sf":"$sfDir","ops":$qs}"""
