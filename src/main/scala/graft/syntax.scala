@@ -67,8 +67,15 @@ object syntax {
       Diagnostics.complexity(df, m, sampM, sampR)
     def cusum(): DataFrame = Changepoint.cusum(df)
     def pelt(cost: String = "mean"): DataFrame = Changepoint.pelt(df, cost)
+    def bocpd(hazardRate: Double = 200.0, threshold: Double = 0.5,
+        pruneThreshold: Double = 0.0): DataFrame =
+      Changepoint.bocpd(df, hazardRate, threshold, pruneThreshold)
     def mannKendall(): DataFrame = Changepoint.mannKendall(df)
     def matrixProfile(m: Int): DataFrame = Advanced.matrixProfile(df, m)
+    def matrixProfileBlocked(m: Int, numBlocks: Int = 32): DataFrame =
+      Advanced.matrixProfileBlocked(df, m, numBlocks)
+    def mpAbJoin(ref: DataFrame, m: Int): DataFrame =
+      Advanced.mpAbJoin(df, ref, m)
     def discords(m: Int, k: Int = 3): DataFrame = Advanced.discords(df, m, k)
     def motifs(m: Int, k: Int = 3): DataFrame = Advanced.motifs(df, m, k)
     def patternSearch(pattern: Array[Double], k: Int = 3): DataFrame =

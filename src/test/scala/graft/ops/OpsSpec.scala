@@ -81,6 +81,15 @@ class OpsSpec extends AnyFunSuite {
     assert(panel.pts.discords(m = 4, k = 2).count() == 4)
     assert(panel.pts.motifs(m = 4, k = 2).count() == 4)
     assert(panel.pts.patternSearch(Array(0.0, 1.0, 2.0, 1.0), k = 1).count() == 2)
+    // r11 additions: blocked profile, AB-join, bocpd (incl. pruned form)
+    val viaBlk = panel.pts.matrixProfileBlocked(m = 4, numBlocks = 2)
+    assert(viaBlk.columns.toSeq == direct.columns.toSeq)
+    assert(viaBlk.exceptAll(direct).count() == 0)
+    val ref = panel.filter(col("ds") < 20)
+    val viaAb = panel.pts.mpAbJoin(ref, m = 4)
+    assert(viaAb.exceptAll(Advanced.mpAbJoin(panel, ref, m = 4)).count() == 0)
+    assert(panel.pts.bocpd(pruneThreshold = 1e-12).exceptAll(
+      Changepoint.bocpd(panel, pruneThreshold = 1e-12)).count() == 0)
   }
 
   test("df.corpus namespace chains and matches the operator objects") {
