@@ -2116,6 +2116,20 @@ object SparkEntry {
         .agg(min("ts").as("session_start"), max("ts").as("session_end"),
           count(lit(1)).as("n_events"), r6n(sum("value")).as("sum_value"))),
 
+    // sessionize through the SQL front door (r11): the graft_sessionize
+    // TVF + a plain SQL aggregation, same oracle as the Scala form
+    "ts_sessionize_sql" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      IO.events(s, dir).createOrReplaceTempView("graft_sql_sess")
+      s.sql(
+        """SELECT user_id, session_id, min(ts) AS session_start,
+          |  max(ts) AS session_end, count(*) AS n_events,
+          |  round(sum(value) + 1e-9, 6) AS sum_value
+          |FROM graft_sessionize('graft_sql_sess', 'user_id', 'ts',
+          |  21600000000, 'event_id')
+          |GROUP BY user_id, session_id""".stripMargin)
+    }),
+
     // interval×interval: overlapping 1-day activity windows of errors vs
     // purchases per user (both sides explode into 6h buckets; the
     // max-start-bucket residual keeps each pair exactly once)
@@ -3582,6 +3596,23 @@ object SparkEntry {
       |SELECT user_id, (i - 1)::BIGINT AS idx, round(min(d) + 1e-9, 6) AS mp
       |FROM dist GROUP BY 1, 2""".stripMargin
 
+  /** One DuckDB truth for both sessionize front doors (Scala API and
+    * the graft_sessionize SQL TVF). */
+  private val SessionizeOracle: String =
+    """WITH o AS (SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts - lag(ts) OVER w > INTERVAL 6 HOUR THEN 1 ELSE 0 END AS ns
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |     s AS (SELECT user_id, ts, value,
+      |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_id
+      |  FROM o)
+      |SELECT user_id, session_id, min(ts) AS session_start,
+      |  max(ts) AS session_end, count(*) AS n_events,
+      |  round(sum(value) + 1e-9, 6) AS sum_value
+      |FROM s GROUP BY 1, 2""".stripMargin
+
   /** One DuckDB ASOF truth for all three backward-join front doors
     * (composed window form, native Scala API, SQL TVF). */
   private val AsofBackwardOracle: String =
@@ -4723,20 +4754,8 @@ object SparkEntry {
     "ts_range_join" -> RangeJoinOracle,
     "ts_range_sql" -> RangeJoinOracle,
 
-    "ts_sessionize" ->
-      """WITH o AS (SELECT user_id, ts, event_id, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |         OR ts - lag(ts) OVER w > INTERVAL 6 HOUR THEN 1 ELSE 0 END AS ns
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |     s AS (SELECT user_id, ts, value,
-        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |      AS session_id
-        |  FROM o)
-        |SELECT user_id, session_id, min(ts) AS session_start,
-        |  max(ts) AS session_end, count(*) AS n_events,
-        |  round(sum(value) + 1e-9, 6) AS sum_value
-        |FROM s GROUP BY 1, 2""".stripMargin,
+    "ts_sessionize" -> SessionizeOracle,
+    "ts_sessionize_sql" -> SessionizeOracle,
 
     "ts_overlap_join" ->
       """WITH er AS (SELECT user_id, event_id AS error_id, ts AS es,

@@ -40,6 +40,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *     native [[AsofJoin]] sort-merge operator.
   *   - `graft_range_join(left, right, by_csv, left_time, start_col,
   *     end_col[, inclusive_end])` — the native [[IntervalJoin]] sweep.
+  *   - `graft_sessionize(table, by_csv, time_col, gap_us[,
+  *     tiebreak_csv])` — gap sessionization (adds `session_id`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -239,6 +241,27 @@ object GraftFunctions {
               if (args.size > 7) Some(longArg(n, 8, args(7))) else None,
             allowExactMatches =
               if (args.size > 8) boolArg(n, 9, args(8)) else true)
+          org.apache.spark.sql.GraftPlanBridge.analyzed(out)
+        }),
+      (FunctionIdentifier("graft_sessionize"),
+        info(classOf[AsofJoin], "graft_sessionize",
+          "graft_sessionize(table, by_csv, time_col, gap_us[, " +
+            "tiebreak_csv]) - gap sessionization: adds session_id per " +
+            "by-key (new session when the gap to the previous row " +
+            "exceeds gap_us microseconds)."),
+        (args: Seq[Expression]) => {
+          val n = "graft_sessionize"
+          require(args.size >= 4 && args.size <= 5,
+            s"$n expects 4 or 5 arguments (table, by_csv, time_col, " +
+              s"gap_us[, tiebreak_csv]), got ${args.size}")
+          val spark = org.apache.spark.sql.SparkSession.active
+          val out = graft.ops.TemporalJoins.sessionize(
+            spark.table(strArg(n, 1, args(0))),
+            csvArg(n, 2, args(1)),
+            strArg(n, 3, args(2)),
+            longArg(n, 4, args(3)),
+            tieBreak =
+              if (args.size > 4) csvArg(n, 5, args(4)) else Nil)
           org.apache.spark.sql.GraftPlanBridge.analyzed(out)
         }),
       (FunctionIdentifier("graft_range_join"),

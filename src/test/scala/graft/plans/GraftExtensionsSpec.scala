@@ -192,6 +192,29 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(incSql === incApi && incSql.size > viaSql.size)
   }
 
+  test("graft_sessionize TVF equals the Scala API") {
+    import spark.implicits._
+    val p = Seq((1L, 0L, 10.0), (1L, 100L, 11.0), (1L, 5000L, 12.0),
+      (2L, 0L, 20.0), (2L, 9000L, 21.0))
+      .toDF("uid", "__us", "v")
+      .withColumn("t", timestamp_micros(col("__us"))).drop("__us")
+    p.createOrReplaceTempView("sess_tvf_in")
+    val viaSql = spark.sql(
+      "SELECT uid, t, v, session_id FROM graft_sessionize(" +
+        "'sess_tvf_in', 'uid', 't', 1000)")
+      .collect().map(_.toSeq).toSet
+    val viaApi = graft.ops.TemporalJoins.sessionize(p, Seq("uid"), "t",
+        gapUs = 1000L)
+      .select("uid", "t", "v", "session_id").collect().map(_.toSeq).toSet
+    assert(viaSql === viaApi)
+    // gap semantics visible through the SQL door: 3 sessions for uid 1+2
+    val sess = spark.sql(
+      "SELECT uid, session_id FROM graft_sessionize(" +
+        "'sess_tvf_in', 'uid', 't', 1000) GROUP BY uid, session_id")
+      .count()
+    assert(sess === 4) // uid1: {0,100} + {5000}; uid2: {0} + {9000}
+  }
+
   test("TVF argument errors fail loud at analysis") {
     import spark.implicits._
     Seq((1L, 1L)).toDF("k", "t").createOrReplaceTempView("tvf_err_l")
