@@ -173,9 +173,16 @@ object Advanced {
       val (mp, mpi) = MatrixProfile.stompDiagBlock(ys.toArray, m, lo, hi)
       mp.indices.collect { case i if mpi(i) >= 0 => (i, mp(i), mpi(i)) }
     })
-    val g = Panel.grouped(df).select(pc.idCol, col("ts").as("__ts"), col("ys"))
-    val times = g.select(pc.idCol,
-      posexplode(col("__ts")).as(Seq("idx", pc.time)))
+    val g = Panel.grouped(df).select(pc.idCol, col("ys"))
+    // window-start times from the RAW panel (row_number over the same
+    // (time, tieBreak, value) order Panel.grouped sorts by) — re-deriving
+    // them from the grouped arrays would rebuild every series array a
+    // second time just to explode it back out
+    val ord = (pc.timeCol.asc +: pc.tieBreak.map(col(_).asc)) :+
+      pc.targetCol.asc
+    val times = df.select(pc.idCol, pc.timeCol,
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(pc.idCol).orderBy(ord: _*)) - 1).as("idx"))
     val prof = g
       .select(pc.idCol, col("ys"),
         explode(rangesU(size(col("ys")))).as("__b"))

@@ -232,6 +232,28 @@ object PlanAudit {
     audit("hll distinct sketch (expect register agg exchanges bounded at groups*2^b rows)",
       Sketches.hllDistinctSketch(IO.documents(spark, dir)))
 
+    // r11: the distributed long-series matrix profile — the block
+    // explode must repartition on (id, block) so one series' diagonal
+    // blocks land on different cores, then ONE merge agg + the time
+    // join; no broadcast of the series, no per-window shuffle
+    audit("matrix profile blocked (expect grouped pass + block repartition + merge agg)",
+      Advanced.matrixProfileBlocked(
+        ev.filter(col("user_id") < 20), m = 8, numBlocks = 4))
+    // r11: the SQL TVF front door must produce the SAME plan shape as
+    // the Scala API — AsofJoinExec with its two per-side exchanges,
+    // never a fallback join
+    audit("graft_asof TVF (expect AsofJoinExec, 2 per-side exchanges)", {
+      graft.plans.GraftFunctions.register(spark)
+      ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+        .createOrReplaceTempView("audit_asof_l")
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        .createOrReplaceTempView("audit_asof_r")
+      spark.sql("SELECT * FROM graft_asof('audit_asof_l', 'audit_asof_r'," +
+        " 'user_id', 'ts', 'ts', 'click_id')")
+    })
+
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(s"\nPLAN AUDIT FAILED — zero whole-stage codegen " +
