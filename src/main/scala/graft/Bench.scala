@@ -755,8 +755,11 @@ object Bench {
       .mkString("{", ",", "}")
     val compact =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsC,"iterations":$iters,"total_full":${f3(totalFull)},"total_neural":${f3(totalNeural)},"total_selection":${f3(totalSelection)},"total_media":${f3(totalMedia)},"total_temporal":${f3(totalTemporal)},"total_sketch":${f3(totalSketch)},"detail":"bench_out.json","sf":"$sfDir"}"""
-    println(s"BENCH_JSON: $compact")
-    println(compact)
     spark.stop()
+    // ONE copy, sentinel-prefixed, as the absolute last stdout line:
+    // r11 printed sentinel-then-bare (~2.8KB) and the sentinel was
+    // clipped out of the driver's 2000-char tail ("parsed": null).
+    // The single sentinel line (~1.2KB) + sbt's "[success]" line fit.
+    println(s"BENCH_JSON: $compact")
   }
 }

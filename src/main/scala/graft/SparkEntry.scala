@@ -2463,7 +2463,7 @@ object SparkEntry {
           Similarity.hnswTopK(emb, q, k = 3, numPartitions = 4), "hnsw"))
         .join(broadcast(thresholds), "method")
         .select(col("method"),
-          (floor(col("recall") * 20) / 20).as("recall_bucket"),
+          (floor(col("recall") * 20 + lit(1e-9)) / 20).as("recall_bucket"),
           col("threshold"), (col("recall") >= col("threshold")).as("pass"))
     }),
 
@@ -2664,7 +2664,7 @@ object SparkEntry {
         .agg(round(count(lit(1)) / lit(truth), 6).as("recall"))
         // asserted like emb_knn_recall (r11): pinned-threshold hash row
         .select(lit("cosine_near_dup").as("method"),
-          (floor(col("recall") * 20) / 20).as("recall_bucket"),
+          (floor(col("recall") * 20 + lit(1e-9)) / 20).as("recall_bucket"),
           lit(0.95).as("threshold"),
           (col("recall") >= 0.95).as("pass"))
     }),

@@ -179,7 +179,7 @@ object Advanced {
     // them from the grouped arrays would rebuild every series array a
     // second time just to explode it back out
     val ord = (pc.timeCol.asc +: pc.tieBreak.map(col(_).asc)) :+
-      pc.targetCol.asc
+      pc.targetCol.cast("double").asc
     val times = df.select(pc.idCol, pc.timeCol,
       (row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy(pc.idCol).orderBy(ord: _*)) - 1).as("idx"))

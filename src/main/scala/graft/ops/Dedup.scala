@@ -341,7 +341,7 @@ object Dedup {
             "minhashSignatures() per ingest batch and dedup with " +
             "minhashLshIncremental() — measured 2x cheaper at the 100x " +
             "probe and O(batch), not O(corpus), per ingest.")
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
     // cache lifetime note: the signatures feed the banding pass AND two
     // verification joins inside the RETURNED lazy plan, so this cache
     // cannot be unpersisted here (the caller hasn't run the plan yet).

@@ -355,6 +355,173 @@ object TemporalJoins {
         outNames.map(col): _*)
   }
 
+  /** Skew-resistant [[asofJoinNative]]: the explicit `saltBuckets`
+    * escape hatch for zipfian `by` keys, where one key holds a large
+    * share of BOTH sides and the sort-merge exec's hash clustering
+    * necessarily lands it in one task (AQE's OptimizeSkewedJoin only
+    * rewrites SortMergeJoinExec, never a custom node — the r11 scale
+    * probe measured the 50%-hot-key leg at 35× for a 100× scale-up vs
+    * 13× uniform).
+    *
+    * Shape: one map-side-combined stats pass over the key projections of
+    * both sides finds keys whose combined row share exceeds
+    * `hotKeyShare` (capped at `maxHotKeys`, null keys included). Cold
+    * keys run the plain native merge unchanged. Each hot key's time
+    * range `[min, max]` (from the same stats pass) is cut into
+    * `saltBuckets` equal-width slices and the merge re-keyed on
+    * `(by, slice)` — the hot key becomes `saltBuckets` independent
+    * tasks. Correctness across slice boundaries is restored by
+    * replicating boundary rows, NOT whole sides:
+    *
+    *  - backward/nearest: the rows of the last TWO distinct timestamps
+    *    per (key, slice) are replicated into every LATER slice. The
+    *    global at-or-before match of any probe is the last right row of
+    *    some earlier slice (nothing sits between it and the probe), and
+    *    strict mode's fallback is either the same slice's second-last
+    *    distinct timestamp or the last of an earlier one — both in the
+    *    replicated set. ≤ 2·saltBuckets tiny rows per (key, slice).
+    *  - forward/nearest: symmetric — the first two distinct timestamps
+    *    per (key, slice) replicate into every EARLIER slice (a probe's
+    *    at-or-after match in a later slice is that slice's head; equal
+    *    timestamps can never split across slices, so strictness never
+    *    reaches deeper than the second distinct timestamp).
+    *
+    * Equal-width slicing (not sampled quantiles) keeps the pre-pass one
+    * aggregation: for event-like data time is near-uniform, and a
+    * time-skewed key degrades toward the unsalted single task — never
+    * below it. Tolerance/exact-match/direction semantics are inherited
+    * bit-for-bit from the per-slice native merges (the candidate set
+    * per probe is provably identical to the global one). Output rows
+    * equal [[asofJoinNative]]'s on every input; output ORDER and
+    * partitioning do not (hot ∪ cold union) — re-sort downstream if
+    * order matters. With duplicate right (key, ts) rows the carried
+    * value is engine-arbitrary in both forms, same as [[asofJoin]].
+    *
+    * Reference surface: polars `join_asof` has no skew problem
+    * single-node; this is the distributed-engine counterpart knob. */
+  def asofJoinSalted(left: DataFrame, right: DataFrame, by: Seq[String],
+                     leftTime: String, rightTime: String,
+                     rightCols: Seq[String],
+                     direction: String = "backward",
+                     toleranceUs: Option[Long] = None,
+                     matchedTime: String = "asof_ts",
+                     allowExactMatches: Boolean = true,
+                     saltBuckets: Int = 32,
+                     hotKeyShare: Double = 0.05,
+                     maxHotKeys: Int = 64): DataFrame = {
+    require(saltBuckets >= 2, "asofJoinSalted: saltBuckets must be >= 2")
+    require(hotKeyShare > 0 && hotKeyShare <= 1,
+      "asofJoinSalted: hotKeyShare must be in (0, 1]")
+    require(maxHotKeys >= 1, "asofJoinSalted: maxHotKeys must be >= 1")
+    require(by.nonEmpty, "asofJoinSalted: empty `by`; supply keys")
+    val spark = left.sparkSession
+    val byL = by.map(resolveName(spark, left, _, "left"))
+    val byR = by.map(resolveName(spark, right, _, "right"))
+    val lTimeN = resolveName(spark, left, leftTime, "left")
+    val rTimeN = resolveName(spark, right, rightTime, "right")
+    val keyTypes = commonKeyTypes(left, right, byL, byR, by)
+    val B = saltBuckets.toLong
+    val helperNames = Seq("__gslice", "__gstu", "__gsdr", "__gscnt",
+      "__gsmn", "__gsmx", "__gsw") ++ by.indices.map(i => s"__gsk$i")
+    require(!(left.columns ++ right.columns).exists(helperNames.contains),
+      s"asofJoinSalted: column names ${helperNames.mkString(", ")} are reserved")
+
+    // ── stats pass: per-key combined count + time bounds, ONE shuffle
+    // (map-side combined; the aggregate is tiny — one row per key)
+    val lk = left.select(byL.indices.map(i =>
+      mergeKeyCol(byL(i), keyTypes(i)).as(s"__gsk$i")) :+
+      micros(left, lTimeN).as("__gstu"): _*)
+    val rk = right.select(byR.indices.map(i =>
+      mergeKeyCol(byR(i), keyTypes(i)).as(s"__gsk$i")) :+
+      micros(right, rTimeN).as("__gstu"): _*)
+    val stats = lk.unionByName(rk)
+      .groupBy(by.indices.map(i => col(s"__gsk$i")): _*)
+      .agg(count(lit(1)).as("__gscnt"), min("__gstu").as("__gsmn"),
+        max("__gstu").as("__gsmx"))
+      .persist()
+    val total = stats.agg(sum("__gscnt")).collect()(0).getLong(0)
+    val bounds = stats
+      .filter(col("__gscnt") >= lit(hotKeyShare * total) &&
+        col("__gsmn").isNotNull)
+      .orderBy(col("__gscnt").desc)
+      .limit(maxHotKeys)
+      .withColumn("__gsw",
+        greatest(lit(1L),
+          ceil((col("__gsmx") - col("__gsmn") + 1L) / lit(B.toDouble))
+            .cast("long")))
+      .cache()
+    val nHot = bounds.count()
+    stats.unpersist()
+    if (nHot == 0) {
+      bounds.unpersist()
+      return asofJoinNative(left, right, by, leftTime, rightTime,
+        rightCols, direction, toleranceUs, matchedTime, allowExactMatches)
+    }
+
+    // hot/cold split by broadcast (inner / anti) against the ≤ maxHotKeys
+    // bounds rows — null-safe so a hot NULL key is split out too
+    def hotCond(df: DataFrame, names: Seq[String]): Column =
+      by.indices.map(i =>
+        mergeKeyCol(names(i), keyTypes(i)) <=> col(s"__gsk$i"))
+        .reduce(_ && _)
+    val bcast = broadcast(bounds)
+    val leftHot = left.join(bcast, hotCond(left, byL), "inner")
+    val leftCold = left.join(bcast, hotCond(left, byL), "left_anti")
+    val rightHot = right.join(bcast, hotCond(right, byR), "inner")
+    val rightCold = right.join(bcast, hotCond(right, byR), "left_anti")
+
+    val boundCols = Seq("__gscnt", "__gsmn", "__gsmx", "__gsw") ++
+      by.indices.map(i => s"__gsk$i")
+    def sliceOf(tu: Column): Column =
+      least(lit(B - 1L), greatest(lit(0L),
+        floor((tu - col("__gsmn")) / col("__gsw").cast("double"))
+          .cast("long")))
+    val leftHotS = leftHot
+      .withColumn("__gslice", sliceOf(micros(left, lTimeN)))
+      .drop(boundCols: _*)
+
+    // right hot side: own slice + boundary-carry replication
+    val rHotBase = rightHot
+      .withColumn("__gstu", micros(right, rTimeN))
+      .filter(col("__gstu").isNotNull) // null-time right rows never match
+      .withColumn("__gslice", sliceOf(col("__gstu")))
+    val rPart = (byR.map(col) :+ col("__gslice"))
+    var rHotRep = rHotBase
+    if (direction != "forward") {
+      val wDesc = Window.partitionBy(rPart: _*).orderBy(col("__gstu").desc)
+      val lastTwo = rHotBase
+        .withColumn("__gsdr", dense_rank().over(wDesc))
+        .filter(col("__gsdr") <= 2).drop("__gsdr")
+        // sequence(a,b) with a>b counts DOWN in Spark — guard empty
+        .withColumn("__gslice",
+          explode(when(col("__gslice") < lit(B - 1L),
+            sequence(col("__gslice") + 1L, lit(B - 1L)))
+            .otherwise(array().cast("array<long>"))))
+      rHotRep = rHotRep.unionByName(lastTwo)
+    }
+    if (direction != "backward") {
+      val wAsc = Window.partitionBy(rPart: _*).orderBy(col("__gstu").asc)
+      val firstTwo = rHotBase
+        .withColumn("__gsdr", dense_rank().over(wAsc))
+        .filter(col("__gsdr") <= 2).drop("__gsdr")
+        .withColumn("__gslice",
+          explode(when(col("__gslice") > lit(0L),
+            sequence(lit(0L), col("__gslice") - 1L))
+            .otherwise(array().cast("array<long>"))))
+      rHotRep = rHotRep.unionByName(firstTwo)
+    }
+    val rightHotS = rHotRep.drop("__gstu").drop(boundCols: _*)
+
+    val cold = asofJoinNative(leftCold, rightCold, by, leftTime,
+      rightTime, rightCols, direction, toleranceUs, matchedTime,
+      allowExactMatches)
+    val hot = asofJoinNative(leftHotS, rightHotS, by :+ "__gslice",
+      leftTime, rightTime, rightCols, direction, toleranceUs,
+      matchedTime, allowExactMatches)
+      .drop("__gslice")
+    cold.unionByName(hot.select(cold.columns.map(col): _*))
+  }
+
   /** Feature-store point-in-time join: as-of join a spine (entity, time)
     * against several feature tables in sequence — the leakage-free
     * training-snapshot assembly (each feature value is the latest

@@ -86,30 +86,47 @@ object DeepScale {
 
     def mat(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    val ops: Seq[(String, DataFrame => Unit)] = Seq(
-      "minhash_lsh" -> (d => mat(Dedup.minhashLsh(d, threshold = 0.5))),
-      "line_dedup" -> (d => mat(Dedup.lineDedup(d))),
-      "kn_perplexity" -> (d => mat(TextOps.knPerplexity(d, buckets = 4096))),
-      "pack_execute" -> (d => mat(Packing.executePack(d, seqLen = 128,
-        nShards = 8))),
-      "curation_metrics" -> (d => mat(TextOps.curationMetrics(d))),
-      "cms_sketch" -> (d => mat(Sketches.cmsSketch(d))),
-      "hll_distinct" -> (d => mat(Sketches.hllDistinctSketch(d))))
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "minhash_lsh" -> (d => Dedup.minhashLsh(d, threshold = 0.5)),
+      "line_dedup" -> (d => Dedup.lineDedup(d)),
+      "kn_perplexity" -> (d => TextOps.knPerplexity(d, buckets = 4096)),
+      "pack_execute" -> (d => Packing.executePack(d, seqLen = 128,
+        nShards = 8)),
+      "curation_metrics" -> (d => TextOps.curationMetrics(d)),
+      "cms_sketch" -> (d => Sketches.cmsSketch(d)),
+      "hll_distinct" -> (d => Sketches.hllDistinctSketch(d)))
 
     def time(f: () => Unit): Double = {
       val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
     }
-    val results = ops.map { case (name, f) =>
-      val w = time(() => f(docs1)) // warm codegen/JIT on the small leg
-      val t1 = math.min(w, time(() => f(docs1)))
-      val tN = time(() => f(docsN))
+    /** One leg: timed noop-writes at 1× and N×, then UNTIMED counts for
+      * rows-out (VERDICT r11 #4: output-linear ops like group_dynamic
+      * must report ratio-per-output-row, not wall-ratio alone — a
+      * 147× wall ratio on 147× the output rows is linear, not super). */
+    case class Leg(name: String, t1: Double, tN: Double, ratio: Double,
+                   rows1: Long, rowsN: Long) {
+      def rowNorm: Double =
+        if (rows1 > 0 && rowsN > 0 && t1 > 0) (tN / rowsN) / (t1 / rows1)
+        else -1.0
+    }
+    def runLeg(name: String, small: => DataFrame, big: => DataFrame,
+               clear: Boolean = true): Leg = {
+      val w = time(() => mat(small)) // warm codegen/JIT on the small leg
+      val t1 = math.min(w, time(() => mat(small)))
+      val tN = time(() => mat(big))
+      val rows1 = small.count()
+      val rowsN = big.count()
       // internal caches (e.g. minhashLsh's signature cache) must not
       // leak memory pressure into the NEXT op's ratio — the probe's own
       // first run charged minhash 115 s where a clean run costs 61 s
-      spark.sqlContext.clearCache()
+      if (clear) spark.sqlContext.clearCache()
       val ratio = tN / t1
-      println(f"[deepscale] $name%-18s t1=$t1%.2f s  t$factor%d=$tN%.2f s  ratio=$ratio%.1f (linear=$factor%d)")
-      (name, t1, tN, ratio)
+      val leg = Leg(name, t1, tN, ratio, rows1, rowsN)
+      println(f"[deepscale] $name%-18s t1=$t1%.2f s  t$factor%d=$tN%.2f s  ratio=$ratio%.1f  rows=$rows1%d->$rowsN%d  rownorm=${leg.rowNorm}%.2f (linear=$factor%d)")
+      leg
+    }
+    val results = ops.map { case (name, f) =>
+      runLeg(name, f(docs1), f(docsN))
     }
     // ── temporal tier (VERDICT r9 ask #6): the r9 flagship operators'
     // 100-TB claim rested on one decade (the 10× legs) — extend it.
@@ -141,34 +158,28 @@ object DeepScale {
           3600000000L, lit(24)) === 0)
         .select(col("user_id"), col("ts").as("w_start"),
           (col("ts") + expr("INTERVAL 6 HOURS")).as("w_end"))
-    val temporalOps: Seq[(String, DataFrame => Unit)] = Seq(
+    val temporalOps: Seq[(String, DataFrame => DataFrame)] = Seq(
       "asof_join" -> (p => { val (l, r) = asofSides(p)
-        mat(TemporalJoins.asofJoin(l, r, Seq("user_id"), "ts", "ts", Seq("rv"))) }),
+        TemporalJoins.asofJoin(l, r, Seq("user_id"), "ts", "ts", Seq("rv")) }),
       "asof_native" -> (p => { val (l, r) = asofSides(p)
-        mat(TemporalJoins.asofJoinNative(l, r, Seq("user_id"), "ts", "ts", Seq("rv"))) }),
+        TemporalJoins.asofJoinNative(l, r, Seq("user_id"), "ts", "ts", Seq("rv")) }),
       "sessionize" -> (p =>
-        mat(TemporalJoins.sessionize(p, Seq("user_id"), "ts",
+        TemporalJoins.sessionize(p, Seq("user_id"), "ts",
             gapUs = 2L * 3600 * 1000000)
           .groupBy(col("user_id"), col("session_id"))
-          .agg(count(lit(1)).as("n_events")))),
+          .agg(count(lit(1)).as("n_events"))),
       "range_native" -> (p =>
-        mat(TemporalJoins.rangeJoinNative(p.select("user_id", "ts", "value"),
-          ivsOf(p), Seq("user_id"), "ts", "w_start", "w_end"))),
+        TemporalJoins.rangeJoinNative(p.select("user_id", "ts", "value"),
+          ivsOf(p), Seq("user_id"), "ts", "w_start", "w_end")),
       "group_dynamic" -> (p =>
-        mat(Resample.groupByDynamic(p, every = "30 minutes",
-          period = "2 hours"))),
+        Resample.groupByDynamic(p, every = "30 minutes",
+          period = "2 hours")),
       "zorder_layout" -> (p =>
-        mat(Layout.zorderBy(p.withColumn("hr",
+        Layout.zorderBy(p.withColumn("hr",
             expr("(unix_micros(cast(ts as timestamp)) div 3600000000) % 4096")),
-          Seq("user_id", "hr"), numFiles = 32, bits = 12))))
+          Seq("user_id", "hr"), numFiles = 32, bits = 12)))
     val temporalResults = temporalOps.map { case (name, f) =>
-      val w = time(() => f(panel1))
-      val t1 = math.min(w, time(() => f(panel1)))
-      val tN = time(() => f(panelN))
-      spark.sqlContext.clearCache()
-      val ratio = tN / t1
-      println(f"[deepscale] $name%-18s t1=$t1%.2f s  t$factor%d=$tN%.2f s  ratio=$ratio%.1f (linear=$factor%d)")
-      (name, t1, tN, ratio)
+      runLeg(name, f(panel1), f(panelN))
     }
 
     // ── zipfian-skew leg (VERDICT r10 ask #7): 50% of all rows on ONE
@@ -192,21 +203,25 @@ object DeepScale {
       .parquet(s"$dir/zipfN")
     val zipf1 = spark.read.parquet(s"$dir/zipf1")
     val zipfN = spark.read.parquet(s"$dir/zipfN")
-    val skewResult = {
-      def run(p: DataFrame): Unit = { val (l, r) = asofSides(p)
-        mat(TemporalJoins.asofJoinNative(l, r, Seq("user_id"), "ts", "ts",
-          Seq("rv"))) }
-      val w = time(() => run(zipf1))
-      val t1 = math.min(w, time(() => run(zipf1)))
-      val tN = time(() => run(zipfN))
-      spark.sqlContext.clearCache()
-      val ratio = tN / t1
-      println(f"[deepscale] asof_native_skew  t1=$t1%.2f s  t$factor%d=$tN%.2f s  ratio=$ratio%.1f (linear=$factor%d)")
-      ("asof_native_skew", t1, tN, ratio)
+    // asof_native_skew is the ENGINEERED path (asofJoinSalted: hot-key
+    // time-slice split, the r12 fix for the 35.2× r11 draw);
+    // asof_skew_unsalted keeps the raw single-task envelope measured so
+    // the delta stays visible round over round.
+    def skewLeg(name: String, salted: Boolean): Leg = {
+      def run(p: DataFrame): DataFrame = { val (l, r) = asofSides(p)
+        if (salted)
+          TemporalJoins.asofJoinSalted(l, r, Seq("user_id"), "ts", "ts",
+            Seq("rv"), saltBuckets = 32, hotKeyShare = 0.05)
+        else
+          TemporalJoins.asofJoinNative(l, r, Seq("user_id"), "ts", "ts",
+            Seq("rv")) }
+      runLeg(name, run(zipf1), run(zipfN))
     }
+    val skewResults = Seq(skewLeg("asof_native_skew", salted = true),
+      skewLeg("asof_skew_unsalted", salted = false))
 
-    val qs = (results ++ temporalResults :+ skewResult).map { case (n, t1, tN, r) =>
-      s""""$n":{"t1":${f"$t1%.3f"},"t$factor":${f"$tN%.3f"},"ratio":${f"$r%.2f"}}"""
+    val qs = (results ++ temporalResults ++ skewResults).map { leg =>
+      s""""${leg.name}":{"t1":${f"${leg.t1}%.3f"},"t$factor":${f"${leg.tN}%.3f"},"ratio":${f"${leg.ratio}%.2f"},"rows_out1":${leg.rows1},"rows_outN":${leg.rowsN},"ratio_rownorm":${f"${leg.rowNorm}%.2f"}}"""
     }.mkString("{", ",", "}")
     val json = s"""{"factor":$factor,"rows1":$n1,"rowsN":$nN,"sf":"$sfDir","ops":$qs}"""
     // the sentinel stdout line IS the result; the curated repo record
