@@ -114,4 +114,81 @@ object AutoArimaOracle {
        |  row_number() OVER (PARTITION BY user_id ORDER BY aicc, seq) AS rk FROM ai)
        |SELECT user_id, p, d, q FROM best WHERE rk = 1""".stripMargin
   }
+
+  /** Per-series pinned candidates at arbitrary order: (user_id,
+    * [(p, q, φ[1..maxOrd] zero-padded, θ[1..maxOrd] zero-padded, c)]). */
+  type CandPinsN = Seq[(Long, Seq[(Int, Int, Array[Double], Array[Double], Double)])]
+
+  /** ts_auto_arima_orders (full panel, maxP = maxQ = 3, r12): the
+    * [[ordersSql]] replay generalized to third-order candidates. The
+    * CSS recursion keeps Scala's accumulation order — c, then φᵢ terms
+    * ascending, then θⱼ terms ascending — with absent orders guarded to
+    * a +0.0 add, which is IEEE-identity for every quantity that reaches
+    * the squared-residual sum (sign-of-zero flips cannot survive e²).
+    * 16 candidates × 150 series of pinned fits; d-selection, AICc and
+    * the stable grid argmin all replay in SQL, same as the _sub twin. */
+  def ordersFullSql(pins: CandPinsN, maxOrd: Int = 3,
+      seriesFilter: String = "TRUE"): String = {
+    val coefCols = (1 to maxOrd).map(i => s"phi$i") ++
+      (1 to maxOrd).map(j => s"theta$j")
+    val candRows = pins.flatMap { case (u, cands) =>
+      cands.zipWithIndex.map { case ((p, q, phi, theta, c), seq) =>
+        val cs = (0 until maxOrd).map(i => dlit(phi.lift(i).getOrElse(0.0))) ++
+          (0 until maxOrd).map(j => dlit(theta.lift(j).getOrElse(0.0)))
+        s"($u::BIGINT, $seq::INT, $p::INT, $q::INT, ${cs.mkString(", ")}, ${dlit(c)})"
+      }
+    }.mkString(",\n  ")
+    val diff1 =
+      "list_transform(generate_series(1, len(vs) - 1), di -> vs[(di + 1)::INT] - vs[di::INT])"
+    val diff2 =
+      """list_transform(generate_series(1, len(vs) - 2), di ->
+        |    (vs[(di + 2)::INT] - vs[(di + 1)::INT]) - (vs[(di + 1)::INT] - vs[di::INT]))""".stripMargin
+    val phiTerms = (1 to maxOrd).map(i =>
+      s"(CASE WHEN p >= $i THEN phi$i * cur[((x2[1])::INT - $i)] ELSE 0.0::DOUBLE END)")
+    val thetaTerms = (1 to maxOrd).map(j =>
+      s"(CASE WHEN q >= $j THEN theta$j * ea[((x2[1])::INT - $j)] ELSE 0.0::DOUBLE END)")
+    val pred = (phiTerms ++ thetaTerms).foldLeft("cc")((a, t) => s"($a\n      + $t)")
+    val eFold =
+      s"""list_reduce(list_prepend([]::DOUBLE[],
+         |  list_transform(generate_series(1, len(cur)), t2 -> [t2::DOUBLE])),
+         |  (ea, x2) -> list_append(ea,
+         |    CASE WHEN (x2[1])::INT <= mm THEN 0.0::DOUBLE
+         |    ELSE cur[(x2[1])::INT] - $pred
+         |    END))""".stripMargin
+    val cssExpr =
+      s"""list_transform([$eFold], el ->
+         |  list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(generate_series(mm + 1, len(cur)), t3 ->
+         |      el[t3::INT] * el[t3::INT])), (ka, kb) -> ka + kb))[1]""".stripMargin
+    s"""WITH s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+       |  FROM events WHERE $seriesFilter GROUP BY user_id),
+       |dsel AS (SELECT user_id, vs,
+       |  CASE WHEN NOT (${kpssSql("vs")} > 0.463 AND len(vs) > 10) THEN 0
+       |       WHEN NOT (${kpssSql(diff1)} > 0.463 AND len(vs) - 1 > 10) THEN 1
+       |       ELSE 2 END AS d
+       |  FROM s),
+       |curd AS (SELECT user_id, d,
+       |  CASE WHEN d = 0 THEN vs WHEN d = 1 THEN $diff1 ELSE $diff2 END AS cur
+       |  FROM dsel),
+       |cand AS (SELECT * FROM (VALUES
+       |  $candRows
+       |) AS __c(user_id, seq, p, q, ${coefCols.mkString(", ")}, cc)),
+       |el AS (SELECT c.user_id, c.seq, c.p, c.q, cu.d, cu.cur,
+       |    greatest(c.p, c.q) AS mm, ${coefCols.map(c => s"c.$c").mkString(", ")}, c.cc
+       |  FROM cand c JOIN curd cu USING (user_id)
+       |  WHERE len(cu.cur) > greatest(c.p, c.q) + c.p + c.q + 4),
+       |cs AS (SELECT user_id, seq, p, q, d,
+       |    (len(cur) - mm)::DOUBLE AS neff, (p + q + 2)::DOUBLE AS kk,
+       |    $cssExpr AS css
+       |  FROM el),
+       |ai AS (SELECT user_id, seq, p, q, d,
+       |  CASE WHEN neff - kk - 1 > 0
+       |    THEN (neff * ln(greatest(css / neff, 1e-300)) + 2.0 * kk)
+       |      + ((2.0 * kk) * (kk + 1.0)) / (neff - kk - 1.0)
+       |    ELSE 'infinity'::DOUBLE END AS aicc
+       |  FROM cs),
+       |best AS (SELECT user_id, p, d, q,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY aicc, seq) AS rk FROM ai)
+       |SELECT user_id, p, d, q FROM best WHERE rk = 1""".stripMargin
+  }
 }

@@ -523,6 +523,82 @@ object ForecastOracle {
        |LEFT JOIN border b ON b.u = s.user_id""".stripMargin
   }
 
+  /** ts_dbscan_e2e (r12): full-panel DBSCAN replay. The subset oracle's
+    * transitive-closure recursive CTE materializes O(ncore²) (src, dst)
+    * pairs — measured 15 s at 60 series and super-linear in the core
+    * count — so the full-panel form computes the same core components
+    * with BOUNDED min-label propagation: `rounds` chained CTEs, each one
+    * hooking (min label over eps-neighbors incl. self) plus pointer
+    * jumping (label of the node my label points at, Shiloach-Vishkin
+    * style), each round one O(edges) join. Jumping doubles the effective
+    * propagation distance per round, so `rounds` = 24 covers any
+    * component shape at n ≤ 150 with a wide margin (2²⁴ ≫ n); a
+    * non-converged label could only surface as a gate hash MISMATCH,
+    * never a silent pass. Border/noise assignment and the
+    * discovery-order cluster numbering (dense_rank over each component's
+    * min core index) are unchanged from the subset oracle. */
+  def dbscanE2eSql(eps: Double, minPts: Int, rounds: Int = 24,
+      filter: String = "TRUE"): String = {
+    val sbdExpr =
+      """CASE WHEN sqrt(list_reduce(list_transform(va, v -> v*v), (x, y) -> x + y)) *
+        |          sqrt(list_reduce(list_transform(vb, v -> v*v), (x, y) -> x + y)) = 0.0
+        |  THEN 1.0::DOUBLE
+        |  ELSE 1.0::DOUBLE - list_max(
+        |    list_transform(generate_series(0, n + m - 2), k ->
+        |      list_reduce(
+        |        list_prepend(0.0::DOUBLE,
+        |          list_transform(generate_series(greatest(1, (k::INT - m + 1) + 1), least(n, m + (k::INT - m + 1))),
+        |            ii -> va[ii::INT] * vb[(ii - (k::INT - m + 1))::INT])),
+        |        (x, y) -> x + y)
+        |    )) / (sqrt(list_reduce(list_transform(va, v -> v*v), (x, y) -> x + y)) *
+        |          sqrt(list_reduce(list_transform(vb, v -> v*v), (x, y) -> x + y)))
+        |END""".stripMargin
+    val prop = (1 to rounds).map { i =>
+      val prev = s"l${i - 1}"
+      s"""h$i AS (SELECT e.ua AS u, min(l.lbl) AS lbl
+         |  FROM edges e JOIN $prev l ON l.u = e.ub GROUP BY e.ua),
+         |j$i AS (SELECT l1.u, l2.lbl
+         |  FROM $prev l1 JOIN coreids c2 ON c2.sidx = l1.lbl
+         |  JOIN $prev l2 ON l2.u = c2.u),
+         |l$i AS MATERIALIZED (SELECT h.u, least(h.lbl, j.lbl) AS lbl
+         |  FROM h$i h JOIN j$i j USING (u))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH s AS (
+       |  SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+       |  FROM events WHERE $filter GROUP BY user_id),
+       |si AS (SELECT user_id, row_number() OVER (ORDER BY user_id::VARCHAR) - 1 AS sidx FROM s),
+       |p AS (SELECT a.user_id AS u1, b.user_id AS u2, a.vs AS va, b.vs AS vb,
+       |  len(a.vs)::INT AS n, len(b.vs)::INT AS m
+       |  FROM s a JOIN s b ON a.user_id < b.user_id),
+       |dh AS MATERIALIZED (SELECT u1, u2, ($sbdExpr) AS d FROM p),
+       |sym AS MATERIALIZED (
+       |  SELECT u1 AS ua, u2 AS ub, d FROM dh
+       |  UNION ALL SELECT u2, u1, d FROM dh
+       |  UNION ALL SELECT user_id, user_id, 0.0::DOUBLE FROM s),
+       |core AS (SELECT ua AS u, count(*) >= $minPts AS is_core
+       |  FROM sym WHERE d <= $eps GROUP BY ua),
+       |coreids AS MATERIALIZED (SELECT c.u, s2.sidx FROM core c JOIN si s2 ON s2.user_id = c.u WHERE c.is_core),
+       |edges AS MATERIALIZED (SELECT y.ua, y.ub FROM sym y
+       |  JOIN coreids c1 ON c1.u = y.ua JOIN coreids c2 ON c2.u = y.ub
+       |  WHERE y.d <= $eps),
+       |l0 AS (SELECT u, sidx AS lbl FROM coreids),
+       |$prop,
+       |comp AS (SELECT u, lbl AS rep FROM l$rounds),
+       |clus AS (SELECT u, (dense_rank() OVER (ORDER BY rep) - 1)::INT AS cluster FROM comp),
+       |border AS (
+       |  SELECT y.ua AS u, min(cl.cluster) AS cluster
+       |  FROM sym y
+       |  JOIN coreids c2 ON c2.u = y.ub
+       |  JOIN clus cl ON cl.u = y.ub
+       |  LEFT JOIN coreids c1 ON c1.u = y.ua
+       |  WHERE y.d <= $eps AND c1.u IS NULL AND y.ua <> y.ub
+       |  GROUP BY y.ua)
+       |SELECT s.user_id, coalesce(cl.cluster, b.cluster, -1) AS cluster
+       |FROM s
+       |LEFT JOIN clus cl ON cl.u = s.user_id
+       |LEFT JOIN border b ON b.u = s.user_id""".stripMargin
+  }
+
   /** Shared CTE prefix: symmetric SBD distance table over the 60-series
     * subset (diag included) plus string-sort scan indexes and the
     * deterministic mod-3 labels used by the cluster-metric oracles. */
@@ -598,10 +674,11 @@ object ForecastOracle {
        |  ELSE (bk.bk / (3 - 1)) / (wk.wk / (dims.n - 3)) END) + 1e-9, 6) AS calinski_harabasz
        |FROM wk, bk, dims""".stripMargin
 
-  /** Mean silhouette + medoid Davies-Bouldin, one row. */
-  val clusterEvalSql: String =
-    s"""WITH $sbdSymPrefix,
-       |pairs AS (SELECT y.ua, y.ub, y.d, la.cluster AS ca, lb.cluster AS cb, sb.sidx AS sj
+  /** Mean silhouette + medoid Davies-Bouldin metric CTEs + final select,
+    * over CTEs `sym`, `si`, `lab` supplied by the caller's prefix (the
+    * mod-3 subset prefix, or the r12 PAM-replay chain). */
+  private val evalMetricSql: String =
+    s"""pairs AS (SELECT y.ua, y.ub, y.d, la.cluster AS ca, lb.cluster AS cb, sb.sidx AS sj
        |  FROM sym y JOIN lab la ON la.user_id = y.ua JOIN lab lb ON lb.user_id = y.ub
        |  JOIN si sb ON sb.user_id = y.ub
        |  WHERE y.ua <> y.ub),
@@ -632,6 +709,10 @@ object ForecastOracle {
        |SELECT round(sil.silhouette + 1e-9, 6) AS silhouette,
        |  round(db.davies_bouldin + 1e-9, 6) AS davies_bouldin
        |FROM sil, db""".stripMargin
+
+  /** Mean silhouette + medoid Davies-Bouldin, one row (mod-3 labels,
+    * 60-series subset). */
+  val clusterEvalSql: String = s"WITH $sbdSymPrefix,\n$evalMetricSql"
 
   /** Shortest-exact double literal for DuckDB: E-notation parses directly
     * as DOUBLE (approximate numeric literal), avoiding the DECIMAL
@@ -1149,11 +1230,19 @@ WHERE s2.t >= 1"""
   // distance matrix carried in the state so trial costs are folds in
   // the exact Scala accumulation order (a ds-table formulation made
   // DuckDB re-inline the SBD CTE every step: 295s -> 1s) ──────────────
-  val kmedoidsSql: String =
-"""
+  /** Greedy PAM swap-chain replay (k = 3) over the SBD matrix: recursive
+    * CTE whose accumulator is the flat matrix + 3 medoid slots; one
+    * (c, cand) swap evaluation per step, exactly Cluster.pam's loop
+    * order. `init` = the three starting medoid SIDX values (first-3 for
+    * the subset query; the pinned seeded-shuffle indexes for the r12
+    * full-panel twin). */
+  private def pamChainSql(filter: String, init: Seq[Int]): String = {
+    require(init.length == 3, "pamChainSql: k = 3 replay")
+    val Seq(i1, i2, i3) = init
+s"""
 WITH RECURSIVE s AS (
   SELECT user_id, list(value ORDER BY ts, event_id) AS vs
-  FROM events WHERE user_id < 60 GROUP BY user_id),
+  FROM events WHERE $filter GROUP BY user_id),
 si AS (SELECT user_id, (row_number() OVER (ORDER BY user_id::VARCHAR) - 1)::INT AS sidx FROM s),
 p AS (SELECT a.user_id AS u1, b.user_id AS u2, a.vs AS va, b.vs AS vb,
   len(a.vs)::INT AS n, len(b.vs)::INT AS m
@@ -1179,10 +1268,10 @@ sym AS (
 dmat AS (SELECT list(y.d ORDER BY sa.sidx, sb.sidx) AS dl, (SELECT count(*)::INT FROM s) AS nv
   FROM sym y JOIN si sa ON sa.user_id = y.ua JOIN si sb ON sb.user_id = y.ub),
 st AS (
-  SELECT 0 AS stepno, 0 AS m1, 1 AS m2, 2 AS m3,
+  SELECT 0 AS stepno, $i1 AS m1, $i2 AS m2, $i3 AS m3,
     list_reduce(list_prepend(0.0::DOUBLE,
       list_transform(generate_series(0, nv - 1), i ->
-        least(dl[(i*nv + (0))::INT + 1], dl[(i*nv + (1))::INT + 1], dl[(i*nv + (2))::INT + 1]))),
+        least(dl[(i*nv + ($i1))::INT + 1], dl[(i*nv + ($i2))::INT + 1], dl[(i*nv + ($i3))::INT + 1]))),
       (x, y) -> x + y) AS cost,
     0 AS c, 0 AS cand, false AS improved, 0 AS iter, false AS done, dl, nv
   FROM dmat
@@ -1213,15 +1302,45 @@ st AS (
     ) q1
   ) q2
 ),
-fin AS (SELECT * FROM st WHERE done ORDER BY stepno LIMIT 1)
-SELECT si.user_id,
-  CASE
-    WHEN f.dl[(si.sidx*f.nv + f.m1)::INT + 1] <= f.dl[(si.sidx*f.nv + f.m2)::INT + 1]
-     AND f.dl[(si.sidx*f.nv + f.m1)::INT + 1] <= f.dl[(si.sidx*f.nv + f.m3)::INT + 1] THEN 0
-    WHEN f.dl[(si.sidx*f.nv + f.m2)::INT + 1] <= f.dl[(si.sidx*f.nv + f.m3)::INT + 1] THEN 1
-    ELSE 2 END AS cluster
-FROM si CROSS JOIN fin f ORDER BY si.user_id
-"""
+fin AS (SELECT * FROM st WHERE done ORDER BY stepno LIMIT 1)"""
+  }
+
+  /** First-strict-min assignment of each point to its nearest final
+    * medoid (Cluster.pam's assignAll tie order). */
+  private val pamAssignCase: String =
+    """CASE
+      |    WHEN f.dl[(si.sidx*f.nv + f.m1)::INT + 1] <= f.dl[(si.sidx*f.nv + f.m2)::INT + 1]
+      |     AND f.dl[(si.sidx*f.nv + f.m1)::INT + 1] <= f.dl[(si.sidx*f.nv + f.m3)::INT + 1] THEN 0
+      |    WHEN f.dl[(si.sidx*f.nv + f.m2)::INT + 1] <= f.dl[(si.sidx*f.nv + f.m3)::INT + 1] THEN 1
+      |    ELSE 2 END""".stripMargin
+
+  def kmedoidsReplaySql(filter: String, init: Seq[Int]): String =
+    pamChainSql(filter, init) +
+      s"""
+         |SELECT si.user_id,
+         |  $pamAssignCase AS cluster
+         |FROM si CROSS JOIN fin f ORDER BY si.user_id
+         |""".stripMargin
+
+  val kmedoidsSql: String =
+    kmedoidsReplaySql(ElasticOracle.SeriesFilter, Seq(0, 1, 2))
+
+  /** ts_kmedoids_e2e (r12): full panel at the production seeded-shuffle
+    * init — the three pinned start indexes come from
+    * Cluster.pamDefaultInit over the same string-sorted id order
+    * (OraclePins.kmedoidsE2eInit); the entire swap chain replays. */
+  def kmedoidsE2eSql(init: Seq[Int]): String =
+    kmedoidsReplaySql("TRUE", init)
+
+  /** ts_cluster_eval_e2e (r12): the PAM replay above feeding the SAME
+    * silhouette/Davies-Bouldin metric folds the mod-3 ts_cluster_eval
+    * oracle replays — labels come from the swap chain instead of mod 3. */
+  def clusterEvalPamSql(init: Seq[Int]): String =
+    pamChainSql("TRUE", init) +
+      s""",
+         |lab AS (SELECT si.user_id, $pamAssignCase AS cluster
+         |  FROM si CROSS JOIN fin f),
+         |$evalMetricSql""".stripMargin
 
   // ── damped-trend Holt (Arima.dampedHoltForecast): the full Nelder-Mead
   // on (logit α, logit β) replays as a 3-phase fold per iteration —
@@ -1347,7 +1466,16 @@ FROM si CROSS JOIN fin f ORDER BY si.user_id
   // established, generalized to a 4-point simplex (24 slots). ──────────
   /** ARMA(1,1) oracle: pinned fitted-parameter replay when [[OraclePins]]
     * is populated (the gate path), full HR-init + NM replay otherwise. */
-  def armaSql: String = OraclePins.arma.map(armaSqlPinned).getOrElse(armaSqlFull)
+  def armaSql: String = OraclePins.arma
+    .map(armaSqlPinned(_, s"WHERE user_id < $NmSubsetUsers"))
+    .getOrElse(armaSqlFull)
+
+  /** ts_arma_fc_e2e: the full-panel twin, oracled from full-panel pins
+    * (r12; was rows-only — the NM fit runs in Scala at Verify time for
+    * all 150 series, DuckDB replays only the residual fold + forecast
+    * recursion, which is O(n) per series). */
+  def armaE2eSql(pins: Seq[(Long, Double, Double, Double)]): String =
+    armaSqlPinned(pins, "")
 
   /** ts_auto_arima replay with pinned per-series model selections
     * (Arima.autoFit → forecastArma → integrate): d-fold differencing,
@@ -1663,7 +1791,8 @@ FROM si CROSS JOIN fin f ORDER BY si.user_id
 
   /** Pinned variant: (φ, θ, c) fitted in Scala; SQL replays the residual
     * recursion (e_n) and the 7-step forecast recursion only. */
-  private def armaSqlPinned(pins: Seq[(Long, Double, Double, Double)]): String = {
+  private def armaSqlPinned(pins: Seq[(Long, Double, Double, Double)],
+                            filter: String): String = {
     val fcExprs = {
       var cur = "((cc + pp*vs[n]) + tt*elast)"
       (1 to 7).map { s =>
@@ -1676,7 +1805,7 @@ FROM si CROSS JOIN fin f ORDER BY si.user_id
     }
     s"""WITH ${pinsCte("pins", Seq("user_id", "pp", "tt", "cc"), rows)},
        |o AS (SELECT user_id, value, epoch_us(ts) AS us,
-       |  row_number() OVER ($W) AS rn FROM events WHERE user_id < $NmSubsetUsers),
+       |  row_number() OVER ($W) AS rn FROM events $filter),
        |v AS (SELECT user_id, list(value ORDER BY rn) AS vs, count(*)::INT AS n
        |  FROM o GROUP BY user_id),
        |best AS (SELECT user_id, vs, n, pp, tt, cc FROM v JOIN pins USING (user_id)),
@@ -2028,12 +2157,20 @@ FROM si CROSS JOIN fin f ORDER BY si.user_id
   // n-guards (min sf0.01 length is 49 < 51, so the guard is live). ─────
   /** auto-ETS oracle: pinned smoothing weights + model choice when
     * [[OraclePins]] is set, full golden-section + 2×NM replay otherwise. */
-  def autoEtsSql: String = OraclePins.autoEts.map(autoEtsSqlPinned).getOrElse(autoEtsSqlFull)
+  def autoEtsSql: String = OraclePins.autoEts
+    .map(autoEtsSqlPinned(_, s"WHERE user_id < $NmSubsetUsers"))
+    .getOrElse(autoEtsSqlFull)
+
+  /** ts_auto_ets_fc_e2e: full-panel twin from the `autoEtsFull` pins the
+    * SCUM oracle already computes (r12; was rows-only). */
+  def autoEtsE2eSql(pins: Seq[(Long, graft.kernels.Arima.AutoEtsFit)]): String =
+    autoEtsSqlPinned(pins, "")
 
   /** Pinned variant: SES α, Holt (α, β), HW (α, β, γ) and the AICc choice
     * fitted in Scala; SQL replays only the winner-relevant smoothing state
     * recursions (each one O(n) fold) and the 7-step forecast. */
-  private def autoEtsSqlPinned(pins: Seq[(Long, graft.kernels.Arima.AutoEtsFit)]): String = {
+  private def autoEtsSqlPinned(pins: Seq[(Long, graft.kernels.Arima.AutoEtsFit)],
+                               filter: String): String = {
     // 26-slot HW state fold [l, t, sea1..24] (legacy 27th SSE slot dropped
     // — selection is pinned, the SSE is no longer needed)
     val hwFoldP: String = {
@@ -2056,7 +2193,7 @@ FROM si CROSS JOIN fin f ORDER BY si.user_id
     }
     s"""WITH ${pinsCte("pins", Seq("user_id", "ch", "salpha", "ha", "hb", "wa", "wb", "wg"), rows)},
        |o AS (SELECT user_id, value, epoch_us(ts) AS us,
-       |  row_number() OVER ($W) AS rn FROM events WHERE user_id < $NmSubsetUsers),
+       |  row_number() OVER ($W) AS rn FROM events $filter),
        |v AS (SELECT user_id, list(value ORDER BY rn) AS vs, count(*)::INT AS n
        |  FROM o GROUP BY user_id),
        |av AS (SELECT user_id, vs, n,
@@ -2192,11 +2329,19 @@ FROM si CROSS JOIN fin f ORDER BY si.user_id
   // α+β<1 guard passes (σ² ≥ ω > 0 inductively), so the fold needs no
   // early exit. ────────────────────────────────────────────────────────
   /** GARCH(1,1) oracle: pinned MLE params when [[OraclePins]] is set. */
-  def garchSql: String = OraclePins.garch.map(garchSqlPinned).getOrElse(garchSqlFull)
+  def garchSql: String = OraclePins.garch
+    .map(garchSqlPinned(_, s"WHERE user_id < $NmSubsetUsers"))
+    .getOrElse(garchSqlFull)
+
+  /** ts_garch_e2e: full-panel twin from full-panel pins (r12; was
+    * rows-only). */
+  def garchE2eSql(pins: Seq[(Long, Double, Double, Double)]): String =
+    garchSqlPinned(pins, "")
 
   /** Pinned variant: (ω, α, β) fitted in Scala; SQL replays the returns
     * construction, in-sample σ² refold and the 5-step forecast only. */
-  private def garchSqlPinned(pins: Seq[(Long, Double, Double, Double)]): String = {
+  private def garchSqlPinned(pins: Seq[(Long, Double, Double, Double)],
+                             filter: String): String = {
     val sExprs = {
       var cur = "(om + al*rl[nr]*rl[nr] + be*sig2)"
       (1 to 5).map { s =>
@@ -2210,7 +2355,7 @@ FROM si CROSS JOIN fin f ORDER BY si.user_id
     }
     s"""WITH ${pinsCte("pins", Seq("user_id", "om", "al", "be"), rows)},
        |o AS (SELECT user_id, value, epoch_us(ts) AS us,
-       |  row_number() OVER ($W) AS rn FROM events WHERE user_id < $NmSubsetUsers),
+       |  row_number() OVER ($W) AS rn FROM events $filter),
        |v AS (SELECT user_id, list(value ORDER BY rn) AS vs, count(*)::INT AS n
        |  FROM o GROUP BY user_id),
        |r AS (SELECT user_id, n - 1 AS nr,

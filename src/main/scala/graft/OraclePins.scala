@@ -25,6 +25,10 @@ object OraclePins {
 
   /** (user_id, phi, theta, c) per NM-subset series. */
   @volatile var arma: Option[Seq[(Long, Double, Double, Double)]] = None
+  /** Full-panel ARMA fits for ts_arma_fc_e2e (r12). */
+  @volatile var armaFull: Option[Seq[(Long, Double, Double, Double)]] = None
+  /** Full-panel GARCH fits for ts_garch_e2e (r12). */
+  @volatile var garchFull: Option[Seq[(Long, Double, Double, Double)]] = None
   /** (user_id, fit) per NM-subset series. */
   @volatile var autoEts: Option[Seq[(Long, Arima.AutoEtsFit)]] = None
   /** (user_id, omega, alpha, beta) per NM-subset series. */
@@ -35,6 +39,8 @@ object OraclePins {
   @volatile var regime: Option[Seq[(Long, graft.kernels.Hmm.HmmParams)]] = None
   /** Flattened seeded isolation forest for the ts_iforest query. */
   @volatile var iforest: Option[DetOracles.IforestPin] = None
+  /** Production-default 100×256 forest for ts_iforest_e2e (r12). */
+  @volatile var iforestFull: Option[DetOracles.IforestPin] = None
   /** Minnesota prior precision diagonal for ts_bvar_minnesota_fc. */
   @volatile var bvarMinnesota: Option[Array[Double]] = None
   /** IVF coarse-quantizer centroids for emb_knn_ivf. */
@@ -78,6 +84,11 @@ object OraclePins {
   @volatile var bpe: Option[graft.ops.Bpe.Merges] = None
   /** Hashed-n-gram logistic quality classifier for doc_quality_classifier. */
   @volatile var textClassifier: Option[graft.ops.Selection.TextClassifierModel] = None
+  /** Seeded-shuffle PAM start indexes (string-sorted id order) for the
+    * ts_kmedoids_e2e / ts_cluster_eval_e2e full-panel swap-chain replays
+    * (r12) — the init is the ONLY non-replayable step; the whole greedy
+    * chain + metrics replay in SQL from these three ints. */
+  @volatile var kmedoidsE2eInit: Option[Array[Int]] = None
   /** CLARA winning medoid series ids (sorted-index cluster order) for
     * ts_clara. */
   @volatile var clara: Option[Array[String]] = None
@@ -96,6 +107,8 @@ object OraclePins {
   /** Candidate ARMA fits for the ts_auto_arima_orders_sub grid replay —
     * KPSS d-selection + AICc + argmin all replay in SQL. */
   @volatile var autoArimaCands: Option[AutoArimaOracle.CandPins] = None
+  /** Full-panel order-3 candidate fits for ts_auto_arima_orders (r12). */
+  @volatile var autoArimaCandsFull: Option[AutoArimaOracle.CandPinsN] = None
   /** Per-series MAP (logitα, level₀, logσ, α) for the
     * ts_bayesian_ets_intervals chain replay (subset series). */
   @volatile var bayesEtsChain: Option[Seq[(Long, Array[Double])]] = None
@@ -114,6 +127,10 @@ object OraclePins {
   /** DEC / IDEC encoder spec + centroids for ts_dec / ts_idec. */
   @volatile var dec: Option[graft.kernels.DeepModels.DeepFit] = None
   @volatile var idec: Option[graft.kernels.DeepModels.DeepFit] = None
+  /** DEC at [[DecE2eCfg]] for ts_dec_e2e (r12). */
+  @volatile var decE2e: Option[graft.kernels.DeepModels.DeepFit] = None
+  /** PatchTST at [[PatchTstE2eCfg]] for ts_patchtst_e2e (r12). */
+  @volatile var patchTstE2e: Option[graft.kernels.Transformer.PatchFit] = None
   /** Contrastive encoder spec + k-means centers for ts_contrastive. */
   @volatile var contrastive: Option[graft.kernels.DeepModels.DeepFit] = None
   /** Trained CNN classifier specs for ts_resnet/inception_classify. */
@@ -154,6 +171,10 @@ object OraclePins {
     * stays inside the per-query DuckDB budget. */
   val DecCfg = graft.kernels.DeepModels.DeepCfg(k = 3, embeddingDim = 4,
     nFilters = 4, pretrainEpochs = 8, finetuneEpochs = 5)
+  /** ts_dec_e2e's fuller-capacity config (r12: oracled like ts_dec —
+    * the forward-pass replay scales fine at 8 filters / 16 dims). */
+  val DecE2eCfg = graft.kernels.DeepModels.DeepCfg(k = 3, embeddingDim = 16,
+    nFilters = 8, pretrainEpochs = 15, finetuneEpochs = 8)
   val ContrastiveCfgPin = graft.kernels.DeepModels.ContrastiveCfg(k = 3,
     embeddingDim = 4, projectionDim = 4, nFilters = 4, maxEpochs = 8)
   val ResnetCfg = graft.kernels.DeepModels.ClassifierCfg(nFilters = 4, maxEpochs = 20)
@@ -172,6 +193,10 @@ object OraclePins {
     * bounded fit time and replay-SQL size. */
   val PatchTstCfg = graft.kernels.Transformer.PatchCfg(h = 6, inputSize = 32,
     patchLen = 8, dModel = 8, nHeads = 2, nLayers = 1, maxEpochs = 8)
+  /** ts_patchtst_e2e's fuller-capacity config (r12: oracled). */
+  val PatchTstE2eCfg = graft.kernels.Transformer.PatchCfg(h = 6,
+    inputSize = 32, patchLen = 8, dModel = 16, nHeads = 4, nLayers = 1,
+    maxEpochs = 15)
   /** Oracle-sized Time-LLM / LLM-PS configs (same replay-budget
     * discipline as PatchTstCfg; production defaults stay in the Cfg
     * case classes). */
@@ -253,6 +278,22 @@ object OraclePins {
       regime = Some(allSeries.filter(_._2.length >= 6)
         .map { case (u, ys) => (u, graft.kernels.Hmm.fitParams(ys, 2)) })
     }
+    // full-panel twins of the NM-subset pins (r12): the _e2e queries'
+    // oracles replay only the fitted-parameter recursions, so the panel
+    // size is a Scala-side fit cost, not a DuckDB one
+    pin("armaFull") {
+      armaFull = Some(allSeries.map { case (u, ys) =>
+        val f = Arima.fitArma(ys, 1, 1)
+        (u, f.phi(0), f.theta(0), f.c)
+      })
+    }
+    pin("garchFull") {
+      garchFull = Some(allSeries.map { case (u, ys) =>
+        val returns = ys.indices.drop(1).map(i => ys(i) - ys(i - 1)).toArray
+        val p = Garch.fitForecast(returns, 1)._1
+        (u, p(0), p(1), p(2))
+      })
+    }
     // iforest: same clean frame + params as the ts_iforest query
     pin("iforest") {
       val lagged = graft.ops.Features.lagFeatures(ev, Seq(1, 2))
@@ -261,6 +302,16 @@ object OraclePins {
         lagged.na.drop(featureCols), featureCols,
         nTrees = IforestTrees, psi = IforestPsi, sampleSize = 4096, seed = 42L)
       iforest = Some(flattenForest(trees, IforestPsi))
+    }
+    // ts_iforest_e2e: same clean frame at the op's production defaults
+    // (100 trees × ψ 256) — ~50k pinned node rows, all-relational replay
+    pin("iforestFull") {
+      val lagged = graft.ops.Features.lagFeatures(ev, Seq(1, 2))
+      val featureCols = Seq("value", "value_lag_1", "value_lag_2")
+      val (trees, effPsi) = graft.ops.Outliers.iforestFitTrees(
+        lagged.na.drop(featureCols), featureCols,
+        nTrees = 100, psi = 256, sampleSize = 4096, seed = 42L)
+      iforestFull = Some(flattenForest(trees, effPsi))
     }
     // Minnesota BVAR: the same daily event_type pivot the query builds
     pin("bvarMinnesota") {
@@ -377,6 +428,10 @@ object OraclePins {
     // the SAME full-panel SBD matrix the queries build; only the medoid
     // ids / condensed tree reach the oracle — distances and the EOM cut
     // replay in SQL
+      pin("kmedoidsE2eInit") {
+        kmedoidsE2eInit =
+          Some(graft.kernels.Cluster.pamDefaultInit(sm.length, 3))
+      }
       pin("clara") {
         clara = Some(graft.kernels.Cluster.clara(sm, k = 3, sampleSize = 40)._2.map(sids))
       }
@@ -427,6 +482,24 @@ object OraclePins {
         (u, cands)
       })
     }
+    // full-panel twin at the query's default maxP = maxQ = 3 grid (r12):
+    // 16 pinned candidate fits per series, ~1 s of Scala NM total
+    pin("autoArimaCandsFull") {
+      autoArimaCandsFull = Some(allSeries.map { case (u, ys) =>
+        val d = Arima.selectD(ys)
+        var cur = ys
+        for (_ <- 0 until d)
+          cur = Array.tabulate(cur.length - 1)(i => cur(i + 1) - cur(i))
+        val cands = for {
+          p <- 0 to 3
+          q <- 0 to 3
+          if cur.length > math.max(p, q) + p + q + 4
+          f <- (try Some(Arima.fitArma(cur, p, q))
+                catch { case _: Exception => None }).toSeq
+        } yield (p, q, f.phi, f.theta, f.c)
+        (u, cands)
+      })
+    }
     // MCMC chain init: the exact x0 the ts_mcmc_fc UDF builds per series
     // (subset) — mean/sd + OLS AR(2) fit; the MH chain replays in SQL
     pin("mcmcX0") {
@@ -454,12 +527,19 @@ object OraclePins {
       idec = Some(graft.kernels.DeepModels.decFit(xs, DecCfg, idec = true))
       contrastive = Some(graft.kernels.DeepModels.contrastiveFit(xs, ContrastiveCfgPin))
     }
+    pin("decE2e") {
+      val xs = graft.ops.DeepClustering.collectSeries(ev).map(_._2)
+      decE2e = Some(graft.kernels.DeepModels.decFit(xs, DecE2eCfg, idec = false))
+    }
     pin("nbeats") {
       val xs = graft.ops.DeepClustering.collectSeries(ev).map(_._2)
       nbeatsInterp = Some(graft.kernels.NBeats.fit(xs, NbeatsInterpCfg))
       nbeatsGeneric = Some(graft.kernels.NBeats.fit(xs, NbeatsGenericCfg))
       pin("patchTst") {
         patchTst = Some(graft.kernels.Transformer.patchFit(xs, PatchTstCfg))
+      }
+      pin("patchTstE2e") {
+        patchTstE2e = Some(graft.kernels.Transformer.patchFit(xs, PatchTstE2eCfg))
       }
       pin("llmForecast") {
         timeLlm = Some(graft.kernels.TimeLlm.fit(xs, TimeLlmCfg))

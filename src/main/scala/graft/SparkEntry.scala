@@ -695,11 +695,12 @@ object SparkEntry {
           r6n(col("davies_bouldin")).as("davies_bouldin"))
     }),
 
-    // ── full-panel e2e variants (rows-only): exercise the production
-    // defaults the oracle-subset queries pin down — seeded-shuffle PAM
-    // init, full 150-series pairwise cost, eps 0.35 DBSCAN, and the
-    // clusterer→metric integration path (metrics scored on real PAM
-    // labels, not synthetic ones) ───────────────────────────────────────
+    // ── full-panel e2e variants — r12: hash-gated. Production defaults
+    // the oracle-subset queries used to only smoke-run: seeded-shuffle
+    // PAM init (pinned via Cluster.pamDefaultInit), full 150-series
+    // pairwise SBD, eps 0.35 DBSCAN (bounded label-propagation replay),
+    // and the clusterer→metric integration path (metrics scored on real
+    // PAM labels) ────────────────────────────────────────────────────────
     "ts_kmedoids_e2e" -> ((s, dir) =>
       Clustering.kmedoids(IO.events(s, dir), k = 3, metric = "sbd")),
 
@@ -764,9 +765,9 @@ object SparkEntry {
         .select(col("user_id"), col("step"), col("ts"),
           r6n(col("y_hat")).as("y_hat"))),
 
-    // rows-only by design: an oracle would replay KPSS d-selection plus
-    // SIX CSS Nelder-Mead fits per series (d up to 5) — prototyped, but
-    // >8 min in DuckDB even on a 30-series subset, too slow for the gate
+    // r12: hash-gated via full-panel pinned candidate fits (the _sub
+    // mechanism at the production maxP = maxQ = 3 grid) — the NM search
+    // stays Scala-side, KPSS d-selection + AICc + argmin replay in SQL
     "ts_auto_arima_orders" -> ((s, dir) =>
       Advanced.autoArimaOrders(IO.events(s, dir))
         .select(col("user_id"), col("p"), col("d"), col("q"))),
@@ -1171,20 +1172,17 @@ object SparkEntry {
     "ts_vision_embed" -> ((s, dir) =>
       VisionEmbed.visionEmbeddings(IO.events(s, dir))),
 
-    // production twins at fuller configs (rows-only by design, like the
-    // other _e2e twins: the pinned queries above keep the architecture
-    // shape but bound fit time + replay-SQL size; these prove the
-    // larger-capacity path runs end-to-end)
+    // production twins at fuller configs — r12: hash-gated like their
+    // pinned siblings (the forward-pass replay scales fine at these
+    // capacities; configs shared via OraclePins so query fit and pin
+    // fit cannot drift)
     "ts_dec_e2e" -> ((s, dir) =>
       DeepClustering.decCluster(IO.events(s, dir), k = 3,
-        graft.kernels.DeepModels.DeepCfg(k = 3, embeddingDim = 16,
-          nFilters = 8, pretrainEpochs = 15, finetuneEpochs = 8))),
+        OraclePins.DecE2eCfg)),
 
     "ts_patchtst_e2e" -> ((s, dir) =>
       DeepForecast.patchTstForecast(IO.events(s, dir),
-        graft.kernels.Transformer.PatchCfg(h = 6, inputSize = 32,
-          patchLen = 8, dModel = 16, nHeads = 4, nLayers = 1,
-          maxEpochs = 15))),
+        OraclePins.PatchTstE2eCfg)),
 
     // N-BEATS global deep forecaster (dl/nbeats.py): interpretable
     // (trend + seasonality basis) and generic variants
@@ -1432,13 +1430,17 @@ object SparkEntry {
           r6n(sum(col("mean_path_len"))).as("path_sum"))
     }),
 
+    // r12: hash-gated like ts_iforest — exactly-replayable path sums at
+    // the PRODUCTION default 100×256 forest (full pinned node table;
+    // flag counts stay spec-covered: approx_percentile + pow are not
+    // engine-replayable)
     "ts_iforest_e2e" -> ((s, dir) => {
       val ev = Features.lagFeatures(IO.events(s, dir), Seq(1, 2))
       Outliers.isolationForestDetect(ev,
         Seq("value", "value_lag_1", "value_lag_2"), contamination = 0.05)
         .groupBy(col("user_id"))
-        .agg(count(when(col("is_anomaly"), 1)).as("n_anomalies"),
-          count(lit(1)).as("n_rows"))
+        .agg(count(lit(1)).as("n_rows"),
+          r6n(sum(col("mean_path_len"))).as("path_sum"))
     }),
 
     "ts_quantile_fc" -> ((s, dir) => {
@@ -3671,6 +3673,9 @@ object SparkEntry {
     "ts_kmedoids" -> ForecastOracle.kmedoidsSql,
     "ts_calinski" -> ForecastOracle.calinskiSql,
     "ts_cluster_eval" -> ForecastOracle.clusterEvalSql,
+    // r12: full-panel DBSCAN via bounded min-label propagation (the
+    // closure CTE of the subset oracle is super-linear in core count)
+    "ts_dbscan_e2e" -> ForecastOracle.dbscanE2eSql(eps = 0.35, minPts = 3),
     "ts_granger" -> ForecastOracle.grangerSql,
     "ts_bayes_anomaly" -> DetOracles.bayesAnomalySql,
     "ts_enkf" -> StochOracle.enkfSql(q = 1e-3, r = 1.0, nEnsemble = 30, seed = 42L,
@@ -3704,6 +3709,12 @@ object SparkEntry {
     // these have no standalone NM/tree replay fallback)
     OraclePins.regime.map(p => "ts_regime" -> DetOracles.regimeSql(p)) ++
     OraclePins.iforest.map(p => "ts_iforest" -> DetOracles.iforestSql(p)) ++
+    OraclePins.iforestFull.map(p =>
+      "ts_iforest_e2e" -> DetOracles.iforestSql(p)) ++
+    OraclePins.kmedoidsE2eInit.map(init =>
+      "ts_kmedoids_e2e" -> ForecastOracle.kmedoidsE2eSql(init.toSeq)) ++
+    OraclePins.kmedoidsE2eInit.map(init =>
+      "ts_cluster_eval_e2e" -> ForecastOracle.clusterEvalPamSql(init.toSeq)) ++
     OraclePins.bvarMinnesota.map(v =>
       "ts_bvar_minnesota_fc" -> ForecastOracle.bvarMinnesotaSql(v)) ++
     OraclePins.ivfCenters.map(c =>
@@ -3740,6 +3751,14 @@ object SparkEntry {
       "ts_quantile_fc" -> ForecastOracle.quantileFcSql(p)) ++
     OraclePins.autoArima.map(p =>
       "ts_auto_arima" -> ForecastOracle.autoArimaSqlPinned(p)) ++
+    // full-panel e2e twins (r12): same pinned replay shape as their
+    // NM-subset siblings, pins fitted over the whole panel
+    OraclePins.armaFull.map(p =>
+      "ts_arma_fc_e2e" -> ForecastOracle.armaE2eSql(p)) ++
+    OraclePins.garchFull.map(p =>
+      "ts_garch_e2e" -> ForecastOracle.garchE2eSql(p)) ++
+    OraclePins.autoEtsFull.map(p =>
+      "ts_auto_ets_fc_e2e" -> ForecastOracle.autoEtsE2eSql(p)) ++
     (for {
       a <- OraclePins.autoArima; e <- OraclePins.autoEtsFull; c <- OraclePins.ces
     } yield "ts_scum_fc" -> ForecastOracle.scumSqlPinned(a, e, c)) ++
@@ -3748,6 +3767,10 @@ object SparkEntry {
     OraclePins.rocket.map { case (ml, cls, cf) =>
       "ts_rocket_classify" -> ForecastOracle.rocketClassifySql(ml, cls, cf) } ++
     OraclePins.dec.map(f => "ts_dec" -> NeuralOracle.clusterAssignSql(f)) ++
+    OraclePins.decE2e.map(f =>
+      "ts_dec_e2e" -> NeuralOracle.clusterAssignSql(f)) ++
+    OraclePins.patchTstE2e.map(f =>
+      "ts_patchtst_e2e" -> NeuralOracle.patchTstSql(f)) ++
     OraclePins.idec.map(f => "ts_idec" -> NeuralOracle.clusterAssignSql(f)) ++
     OraclePins.contrastive.map(f =>
       "ts_contrastive" -> NeuralOracle.clusterAssignSql(f)) ++
@@ -3850,6 +3873,8 @@ object SparkEntry {
       h = 5, p = 2, nSamples = 200, burnIn = 100, coverage = 0.9, seed = 42L)) ++
     OraclePins.autoArimaCands.map(pins =>
       "ts_auto_arima_orders_sub" -> AutoArimaOracle.ordersSql(pins)) ++
+    OraclePins.autoArimaCandsFull.map(pins =>
+      "ts_auto_arima_orders" -> AutoArimaOracle.ordersFullSql(pins)) ++
     OraclePins.bayesEtsChain.map(pins =>
       "ts_bayesian_ets_intervals" -> StochOracle.bayesianEtsIntervalsSql(pins,
         h = 5, nSamples = 100, coverage = 0.9, seed = 42L)) ++

@@ -16,6 +16,15 @@ object Cluster {
   /** PAM k-medoids: greedy best-swap loop from seeded random init
     * (reference clustering/kmedoids.py:134-253, src/kmedoids.rs:19-160).
     * Returns (labels, medoid indices). Deterministic for a given seed. */
+  /** The default PAM init: seeded shuffle of the point indexes, first k,
+    * sorted. Exposed so the pinned-init oracle replays (and OraclePins
+    * pins) exactly the indexes [[pam]] starts from — one definition, no
+    * drift. */
+  def pamDefaultInit(n: Int, k: Int, seed: Long = 42L): Array[Int] = {
+    val rng = new Random(seed)
+    rng.shuffle((0 until n).toVector).take(k).toArray.sorted
+  }
+
   def pam(dist: Array[Array[Double]], k: Int, seed: Long = 42L,
       maxIter: Int = 100, init: Option[Array[Int]] = None): (Array[Int], Array[Int]) = {
     val n = dist.length
@@ -23,11 +32,9 @@ object Cluster {
     init.foreach(a => require(a.length == k && a.distinct.length == k &&
       a.forall(i => i >= 0 && i < n),
       s"init must be $k distinct medoid indices in [0, $n), got ${a.mkString("[", ",", "]")}"))
-    val rng = new Random(seed)
     // explicit init (e.g. first-k) keeps the greedy swap chain free of
     // RNG so the oracle can replay it; default stays the seeded shuffle
-    var medoids = init.map(_.sorted)
-      .getOrElse(rng.shuffle((0 until n).toVector).take(k).toArray.sorted)
+    var medoids = init.map(_.sorted).getOrElse(pamDefaultInit(n, k, seed))
     def assignAll(): Array[Int] = Array.tabulate(n) { i =>
       var best = 0; var bd = Double.MaxValue
       var c = 0
