@@ -581,6 +581,17 @@ object Bench {
             emb1.filter(col("vec_id") < 20), k = 3, numPartitions = 32)),
           () => mat(Similarity.hnswTopK(emb10,
             emb10.filter(col("vec_id") < 20), k = 3, numPartitions = 32))),
+        // corpus×corpus HNSW (r12, VERDICT #7): EVERY row queries the
+        // whole corpus through the tiled-cogroup path — no driver
+        // collect on either side; queries scale 10× WITH the corpus, so
+        // work grows ~100× across the decade and the leg's ratio
+        // documents that quadratic contract explicitly (the knob for a
+        // bounded wall-clock at 1000 executors is corpusParts)
+        ("knn_hnsw_all",
+          () => mat(Similarity.hnswTopKAll(emb1, emb1, k = 3,
+            corpusParts = 8, queryBatches = 2)),
+          () => mat(Similarity.hnswTopKAll(emb10, emb10, k = 3,
+            corpusParts = 8, queryBatches = 2))),
         // temporal joins: one exchange on the by-key + window carry —
         // rows AND keys scale 10×, so the plan's contract is ~linear
         ("asof_join", () => mat(asofOnPanel(1000)),

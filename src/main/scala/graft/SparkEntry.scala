@@ -1504,6 +1504,53 @@ object SparkEntry {
           r6n(col("filtered")).as("filtered"),
           r6n(col("variance")).as("variance"))),
 
+    // streaming EnKF / particle-filter twins (r12: hash-gated — were
+    // spec-only): the batch fold IS the streamed math (shared init +
+    // stepDet, StreamingEnkfSpec/StreamingPfSpec pin stream ≡ batch);
+    // subsets sized to the per-series DuckDB replay cost
+    "ts_streaming_enkf" -> ((s, dir) =>
+      graft.streaming.StreamingOps.enkfBatch(s,
+        IO.events(s, dir).filter(col("user_id") < 5),
+        "user_id", "ts", "value", tieCol = Some("event_id"))
+        .select(col("uniqueId").cast("bigint").as("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          r6(col("filtered")).as("filtered"))),
+
+    "ts_streaming_pf" -> ((s, dir) =>
+      graft.streaming.StreamingOps.pfBatch(s,
+        IO.events(s, dir).filter(col("user_id") < 3),
+        "user_id", "ts", "value", nParticles = 200, sigmaLevel = 0.5,
+        sigmaObs = 1.0, tieCol = Some("event_id"))
+        .select(col("uniqueId").cast("bigint").as("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          r6(col("filtered")).as("filtered"), r6(col("ess")).as("ess"))),
+
+    // model registry round-trip (r12: hash-gated — was spec-only): log
+    // one run per event_type with its panel metric, read everything back
+    // through the registry, flag the best run — the (log → list → read →
+    // best) surface exercised end-to-end with a data-derived oracle
+    "ts_registry" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_registry")
+        .toString
+      val reg = new Registry(tmp)
+      val runs = IO.events(s, dir).groupBy("event_type")
+        .agg(avg("value").as("m"), count(lit(1)).as("n"))
+        .collect().map(r =>
+          (r.getString(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
+      runs.foreach { case (t, m, n) =>
+        reg.logRun("events_models", t,
+          Map("event_type" -> t, "n_rows" -> n), Map("avg_value" -> m))
+      }
+      val best = reg.bestRun("events_models", "avg_value")
+        .getOrElse(sys.error("ts_registry: no best run"))._1
+      import s.implicits._
+      reg.listRuns("events_models").map { run =>
+        val m = reg.readMetrics("events_models", run)("avg_value")
+        (run, m, run == best)
+      }.toDF("run", "__m", "is_best")
+        .select(col("run"), r6n(col("__m")).as("avg_value"), col("is_best"))
+    }),
+
     "ts_streaming_window" -> ((s, dir) =>
       graft.streaming.StreamingOps.windowBatch(s, IO.events(s, dir),
         "user_id", "ts", "value", windowSize = 24, tieCol = Some("event_id"))
@@ -2163,6 +2210,78 @@ object SparkEntry {
           Seq("user_id"), "error_id_start", "error_id_end",
           "purchase_id_start", "purchase_id_end")
         .select("user_id", "error_id", "purchase_id")
+    }),
+
+    // the overlap SQL front door (r12): graft_overlap_join TVF over the
+    // two-sweep native decomposition, same oracle as the other two forms
+    "ts_overlap_sql" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val e = IO.events(s, dir)
+      def win(t: String, idAs: String) = e.filter(col("event_type") === t)
+        .select(col("user_id"), col("event_id").as(idAs),
+          col("ts").as(s"${idAs}_start"),
+          (col("ts") + expr("INTERVAL 1 DAY")).as(s"${idAs}_end"))
+      win("error", "error_id").createOrReplaceTempView("graft_sql_ov_l")
+      win("purchase", "purchase_id").createOrReplaceTempView("graft_sql_ov_r")
+      s.sql(
+        """SELECT user_id, error_id, purchase_id
+          |FROM graft_overlap_join('graft_sql_ov_l', 'graft_sql_ov_r',
+          |  'user_id', 'error_id_start', 'error_id_end',
+          |  'purchase_id_start', 'purchase_id_end')""".stripMargin)
+    }),
+
+    // feature-store point-in-time join (r12: hash-gated — was spec-only):
+    // purchase spine against TWO feature tables in sequence on the
+    // whole-operator tier; AsofJoinExec reports outputPartitioning =
+    // left, so step 2 reuses step 1's exchange
+    "ts_pit_join" -> ((s, dir) => {
+      val e = IO.events(s, dir)
+      val spine = e.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value").as("click_value"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("value").as("error_value"))
+      TemporalJoins.pointInTimeJoin(spine, Seq("user_id"), "ts",
+        Seq((clicks, "ts", Seq("click_value"), None),
+          (errors, "ts", Seq("error_value"), None)), native = true)
+    }),
+
+    // the same two-step PIT through the SQL front door: chained
+    // graft_pit_join TVF calls (step 1's output registered as a view),
+    // same oracle as the Scala form
+    "ts_pit_sql" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val e = IO.events(s, dir)
+      e.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+        .createOrReplaceTempView("graft_sql_pit_spine")
+      e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value").as("click_value"))
+        .createOrReplaceTempView("graft_sql_pit_clicks")
+      e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("value").as("error_value"))
+        .createOrReplaceTempView("graft_sql_pit_errors")
+      s.sql(
+        """SELECT * FROM graft_pit_join('graft_sql_pit_spine',
+          |  'graft_sql_pit_clicks', 'user_id', 'ts', 'ts',
+          |  'click_value')""".stripMargin)
+        .createOrReplaceTempView("graft_sql_pit_step1")
+      s.sql(
+        """SELECT * FROM graft_pit_join('graft_sql_pit_step1',
+          |  'graft_sql_pit_errors', 'user_id', 'ts', 'ts',
+          |  'error_value', NULL, 1)""".stripMargin)
+    }),
+
+    // group_by_dynamic through the SQL front door (r12), same oracle as
+    // the Scala form
+    "ts_group_dynamic_sql" -> ((s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      IO.events(s, dir).createOrReplaceTempView("graft_sql_gd")
+      s.sql(
+        """SELECT user_id, ts, round(value, 6) AS value, n_obs
+          |FROM graft_group_dynamic('graft_sql_gd', 'user_id', 'ts',
+          |  'value', '30 minutes', '2 hours')""".stripMargin)
     }),
 
     // Morton interleave key for z-order layout clustering (the pure bit
@@ -3624,6 +3743,49 @@ object SparkEntry {
       |SELECT l.user_id, l.event_id, l.ts, r.ts AS asof_ts, r.click_id, r.click_value
       |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
 
+  /** One DuckDB truth for both group_by_dynamic forms (Scala, SQL TVF):
+    * window starts = every·k, membership start <= t < start + period →
+    * k in [floor((t-period)/every)+1, floor(t/every)] (µs arithmetic). */
+  private val GroupDynamicOracle: String =
+    """WITH e AS (SELECT user_id, value, epoch_us(ts) AS tu FROM events),
+      |k AS (SELECT user_id, value,
+      |    unnest(generate_series((tu - 7200000000) // 1800000000 + 1,
+      |                           tu // 1800000000)) AS kk FROM e)
+      |SELECT user_id, make_timestamp(kk * 1800000000) AS ts,
+      |  round(avg(value), 6) AS value, count(*) AS n_obs
+      |FROM k GROUP BY 1, 2""".stripMargin
+
+  /** One DuckDB truth for all three overlap-join shapes (bucketed
+    * explosion, native two-sweep, SQL TVF). */
+  private val OverlapJoinOracle: String =
+    """WITH er AS (SELECT user_id, event_id AS error_id, ts AS es,
+      |                   ts + INTERVAL 1 DAY AS ee
+      |            FROM events WHERE event_type = 'error'),
+      |     pu AS (SELECT user_id, event_id AS purchase_id, ts AS ps,
+      |                   ts + INTERVAL 1 DAY AS pe
+      |            FROM events WHERE event_type = 'purchase')
+      |SELECT er.user_id, er.error_id, pu.purchase_id
+      |FROM er JOIN pu ON er.user_id = pu.user_id
+      |  AND er.es < pu.pe AND pu.ps < er.ee""".stripMargin
+
+  /** One DuckDB truth for the two point-in-time forms (Scala fold of
+    * native as-ofs, chained graft_pit_join TVF): two ASOF LEFT JOINs. */
+  private val PitJoinOracle: String =
+    """WITH sp AS (SELECT user_id, event_id, ts FROM events
+      |            WHERE event_type = 'purchase'),
+      |     c AS (SELECT user_id, ts, value AS click_value FROM events
+      |           WHERE event_type = 'click'),
+      |     er AS (SELECT user_id, ts, value AS error_value FROM events
+      |            WHERE event_type = 'error'),
+      |     s1 AS (SELECT sp.user_id, sp.event_id, sp.ts,
+      |              c.ts AS asof_ts_0, c.click_value
+      |            FROM sp ASOF LEFT JOIN c
+      |              ON sp.user_id = c.user_id AND sp.ts >= c.ts)
+      |SELECT s1.user_id, s1.event_id, s1.ts, s1.asof_ts_0, s1.click_value,
+      |  er.ts AS asof_ts_1, er.error_value
+      |FROM s1 ASOF LEFT JOIN er
+      |  ON s1.user_id = er.user_id AND s1.ts >= er.ts""".stripMargin
+
   /** One DuckDB truth for all three range-join shapes (bucketed
     * explosion, native sweep, SQL TVF). */
   private val RangeJoinOracle: String =
@@ -3680,6 +3842,21 @@ object SparkEntry {
     "ts_bayes_anomaly" -> DetOracles.bayesAnomalySql,
     "ts_enkf" -> StochOracle.enkfSql(q = 1e-3, r = 1.0, nEnsemble = 30, seed = 42L,
       seriesFilter = "user_id < 20"),
+    // streaming twins (r12): the same per-row stepDet replay at the
+    // twin queries' subsets
+    "ts_streaming_enkf" -> StochOracle.enkfSql(q = 1e-3, r = 1.0,
+      nEnsemble = 30, seed = 42L, seriesFilter = "user_id < 5"),
+    "ts_streaming_pf" -> StochOracle.particleSql(nParticles = 200,
+      sigmaLevel = 0.5, sigmaObs = 1.0, resampleThreshold = 0.5,
+      seed = 42L, seriesFilter = "user_id < 3"),
+    // registry round-trip: run = event_type, metric = panel mean value,
+    // best = ascending-metric argmin (Registry.bestRun)
+    "ts_registry" ->
+      """WITH m AS (SELECT event_type AS run, avg(value) AS m
+        |           FROM events GROUP BY 1)
+        |SELECT run, round(m + 1e-9, 6) AS avg_value,
+        |  m = (SELECT min(m) FROM m) AS is_best
+        |FROM m""".stripMargin,
     "ts_particle" -> StochOracle.particleSql(nParticles = 200, sigmaLevel = 0.5,
       sigmaObs = 1.0, resampleThreshold = 0.5, seed = 42L,
       seriesFilter = "user_id < 6"),
@@ -4011,14 +4188,8 @@ object SparkEntry {
 
     // window starts = every·k, membership start <= t < start + period →
     // k in [floor((t-period)/every)+1, floor(t/every)] (µs arithmetic)
-    "ts_group_dynamic" ->
-      """WITH e AS (SELECT user_id, value, epoch_us(ts) AS tu FROM events),
-        |k AS (SELECT user_id, value,
-        |    unnest(generate_series((tu - 7200000000) // 1800000000 + 1,
-        |                           tu // 1800000000)) AS kk FROM e)
-        |SELECT user_id, make_timestamp(kk * 1800000000) AS ts,
-        |  round(avg(value), 6) AS value, count(*) AS n_obs
-        |FROM k GROUP BY 1, 2""".stripMargin,
+    "ts_group_dynamic" -> GroupDynamicOracle,
+    "ts_group_dynamic_sql" -> GroupDynamicOracle,
 
     "ts_json_props" ->
       """SELECT user_id, event_type,
@@ -4782,27 +4953,11 @@ object SparkEntry {
     "ts_sessionize" -> SessionizeOracle,
     "ts_sessionize_sql" -> SessionizeOracle,
 
-    "ts_overlap_join" ->
-      """WITH er AS (SELECT user_id, event_id AS error_id, ts AS es,
-        |                   ts + INTERVAL 1 DAY AS ee
-        |            FROM events WHERE event_type = 'error'),
-        |     pu AS (SELECT user_id, event_id AS purchase_id, ts AS ps,
-        |                   ts + INTERVAL 1 DAY AS pe
-        |            FROM events WHERE event_type = 'purchase')
-        |SELECT er.user_id, er.error_id, pu.purchase_id
-        |FROM er JOIN pu ON er.user_id = pu.user_id
-        |  AND er.es < pu.pe AND pu.ps < er.ee""".stripMargin,
-
-    "ts_overlap_join_native" ->
-      """WITH er AS (SELECT user_id, event_id AS error_id, ts AS es,
-        |                   ts + INTERVAL 1 DAY AS ee
-        |            FROM events WHERE event_type = 'error'),
-        |     pu AS (SELECT user_id, event_id AS purchase_id, ts AS ps,
-        |                   ts + INTERVAL 1 DAY AS pe
-        |            FROM events WHERE event_type = 'purchase')
-        |SELECT er.user_id, er.error_id, pu.purchase_id
-        |FROM er JOIN pu ON er.user_id = pu.user_id
-        |  AND er.es < pu.pe AND pu.ps < er.ee""".stripMargin,
+    "ts_overlap_join" -> OverlapJoinOracle,
+    "ts_overlap_join_native" -> OverlapJoinOracle,
+    "ts_overlap_sql" -> OverlapJoinOracle,
+    "ts_pit_join" -> PitJoinOracle,
+    "ts_pit_sql" -> PitJoinOracle,
 
     // Morton fold replayed bit by bit (generated, so oracle and operator
     // share the same interleave layout by construction)

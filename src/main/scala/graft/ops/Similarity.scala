@@ -194,6 +194,75 @@ object Similarity {
         col("cosine"), col("rank"))
   }
 
+  /** Fully distributed HNSW top-k (r12, VERDICT #7): neither side
+    * collects to the driver — the corpus×corpus path [[hnswTopK]]'s
+    * bounded-broadcast contract cannot serve.
+    *
+    * Tiled cogroup: corpus rows hash to `corpusParts` graph shards and
+    * replicate across `queryBatches` tiles; query rows hash to a batch
+    * and replicate across all shards. Each (shard, batch) task builds
+    * its shard's deterministic graph (same sorted ids per batch ⇒ the
+    * SAME graph in every batch tile, so results merge consistently) and
+    * ef-searches its query slice; one |queries|·k-per-shard window rank
+    * merges shard-local top-k exactly like [[hnswTopK]].
+    *
+    * Cost model (n corpus, Q queries, P shards, B batches): shuffle
+    * n·B + Q·P rows; per-task memory n/P graph + Q/B queries; graph
+    * build CPU × B. B = 1 (default) never rebuilds but holds all
+    * queries per task — raise B when Q is itself corpus-scale so the
+    * per-task query slice stays bounded; the shuffled-bytes optimum is
+    * B ≈ Q·P/n. Keep [[hnswTopK]] for bounded query batches (zero query
+    * shuffle, zero rebuilds). */
+  def hnswTopKAll(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+      efConstruction: Int = 64, efSearch: Int = 48, corpusParts: Int = 0,
+      queryBatches: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(queryBatches >= 1, "hnswTopKAll: queryBatches must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val params = graft.kernels.Hnsw.Params(m, efConstruction)
+    val P = if (corpusParts > 0) corpusParts
+      else spark.sessionState.conf.numShufflePartitions
+    val B = queryBatches
+    val c2 = corpus
+      .select(col(idCol).cast("long").as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__pid", pmod(xxhash64(col("__id")), lit(P.toLong)))
+      .withColumn("__qb",
+        explode(sequence(lit(0L), lit(B - 1L))))
+      .as[(Long, Array[Double], Long, Long)]
+    val q2 = queries
+      .select(col(idCol).cast("long").as("__qid"),
+        col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__qb", pmod(xxhash64(col("__qid")), lit(B.toLong)))
+      .withColumn("__pid",
+        explode(sequence(lit(0L), lit(P - 1L))))
+      .as[(Long, Array[Double], Long, Long)]
+    val local = c2.groupByKey(r => (r._3, r._4))
+      .cogroup(q2.groupByKey(r => (r._4, r._3))) { case (_, cIt, qIt) =>
+        val rows = cIt.map(r => (r._1, r._2)).toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val (ids, vecs) = rows.unzip
+          val ix = graft.kernels.Hnsw.build(ids, vecs, params)
+          qIt.flatMap { case (qid, qv, _, _) =>
+            graft.kernels.Hnsw.search(ix, qv, k + 1,
+                math.max(efSearch, k + 1))
+              .iterator.filter(_._1 != qid).take(k)
+              .map { case (nid, cos) => (qid, nid, cos) }
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cosine")
+    local
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
   /** Seeded Gaussian hyperplanes, row-major fill order. The single source
     * for [[hyperplaneBucket]] and [[lshTopK]] — and for AnnOracle, which
     * inlines these exact doubles as SQL literals so DuckDB replays the

@@ -42,6 +42,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *     end_col[, inclusive_end])` — the native [[IntervalJoin]] sweep.
   *   - `graft_sessionize(table, by_csv, time_col, gap_us[,
   *     tiebreak_csv])` — gap sessionization (adds `session_id`).
+  *   - `graft_overlap_join(left, right, by_csv, l_start, l_end,
+  *     r_start, r_end)` — interval×interval overlap (two sweeps).
+  *   - `graft_pit_join(spine, feature, by_csv, spine_time, feature_time,
+  *     cols_csv[, tolerance_us[, step_index]])` — one point-in-time
+  *     feature step (chain via temp views; matched time →
+  *     `asof_ts_<step_index>`).
+  *   - `graft_group_dynamic(table, id_col, time_col, value_col, every,
+  *     period[, offset[, agg]])` — sliding dynamic group-by.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -286,6 +294,87 @@ object GraftFunctions {
             strArg(n, 6, args(5)),
             inclusiveEnd =
               if (args.size > 6) boolArg(n, 7, args(6)) else false)
+          org.apache.spark.sql.GraftPlanBridge.analyzed(out)
+        }),
+      (FunctionIdentifier("graft_overlap_join"),
+        info(classOf[IntervalJoin], "graft_overlap_join",
+          "graft_overlap_join(left, right, by_csv, left_start, left_end, " +
+            "right_start, right_end) - interval x interval overlap join " +
+            "on the whole-operator tier (two IntervalJoinExec sweeps, " +
+            "exactly-once decomposition, no bucket explosion)."),
+        (args: Seq[Expression]) => {
+          val n = "graft_overlap_join"
+          require(args.size == 7,
+            s"$n expects 7 arguments (left, right, by_csv, left_start, " +
+              s"left_end, right_start, right_end), got ${args.size}")
+          val spark = org.apache.spark.sql.SparkSession.active
+          val out = graft.ops.TemporalJoins.overlapJoinNative(
+            spark.table(strArg(n, 1, args(0))),
+            spark.table(strArg(n, 2, args(1))),
+            csvArg(n, 3, args(2)),
+            strArg(n, 4, args(3)),
+            strArg(n, 5, args(4)),
+            strArg(n, 6, args(5)),
+            strArg(n, 7, args(6)))
+          org.apache.spark.sql.GraftPlanBridge.analyzed(out)
+        }),
+      (FunctionIdentifier("graft_pit_join"),
+        info(classOf[AsofJoin], "graft_pit_join",
+          "graft_pit_join(spine, feature, by_csv, spine_time, " +
+            "feature_time, cols_csv[, tolerance_us[, step_index]]) - one " +
+            "leakage-free point-in-time step on the whole-operator tier " +
+            "(the matched timestamp lands in asof_ts_<step_index>; chain " +
+            "calls through temp views for multi-table feature stores - " +
+            "AsofJoinExec reports outputPartitioning = left, so chained " +
+            "steps reuse one exchange)."),
+        (args: Seq[Expression]) => {
+          val n = "graft_pit_join"
+          require(args.size >= 6 && args.size <= 8,
+            s"$n expects 6 to 8 arguments (spine, feature, by_csv, " +
+              "spine_time, feature_time, cols_csv[, tolerance_us" +
+              s"[, step_index]]), got ${args.size}")
+          val spark = org.apache.spark.sql.SparkSession.active
+          val idx = if (args.size > 7) intArg(n, 8, args(7)) else 0
+          // a literal NULL tolerance means "no tolerance" (lets callers
+          // reach the trailing step_index positionally)
+          val tol =
+            if (args.size > 6 && args(6).foldable &&
+                args(6).eval() != null) Some(longArg(n, 7, args(6)))
+            else None
+          val out = graft.ops.TemporalJoins.asofJoinNative(
+            spark.table(strArg(n, 1, args(0))),
+            spark.table(strArg(n, 2, args(1))),
+            csvArg(n, 3, args(2)),
+            strArg(n, 4, args(3)),
+            strArg(n, 5, args(4)),
+            csvArg(n, 6, args(5)),
+            toleranceUs = tol,
+            matchedTime = s"asof_ts_$idx")
+          org.apache.spark.sql.GraftPlanBridge.analyzed(out)
+        }),
+      (FunctionIdentifier("graft_group_dynamic"),
+        info(classOf[AsofJoin], "graft_group_dynamic",
+          "graft_group_dynamic(table, id_col, time_col, value_col, " +
+            "every, period[, offset[, agg]]) - polars group_by_dynamic: " +
+            "sliding `period` windows every `every` (Spark native " +
+            "window(), one map-side-combined shuffle); agg " +
+            "mean|sum|min|max|count (default mean). Output (id, time = " +
+            "window start, value, n_obs)."),
+        (args: Seq[Expression]) => {
+          val n = "graft_group_dynamic"
+          require(args.size >= 6 && args.size <= 8,
+            s"$n expects 6 to 8 arguments (table, id_col, time_col, " +
+              s"value_col, every, period[, offset[, agg]]), got ${args.size}")
+          val spark = org.apache.spark.sql.SparkSession.active
+          implicit val pc: graft.core.PanelCols = graft.core.PanelCols(
+            strArg(n, 2, args(1)), strArg(n, 3, args(2)),
+            strArg(n, 4, args(3)))
+          val out = graft.ops.Resample.groupByDynamic(
+            spark.table(strArg(n, 1, args(0))),
+            every = strArg(n, 5, args(4)),
+            period = strArg(n, 6, args(5)),
+            offset = if (args.size > 6) strArg(n, 7, args(6)) else "0 seconds",
+            agg = if (args.size > 7) strArg(n, 8, args(7)) else "mean")
           org.apache.spark.sql.GraftPlanBridge.analyzed(out)
         }))
 }

@@ -424,6 +424,60 @@ object StreamingOps {
     }.toDF()
   }
 
+  /** Batch twin of [[streamingEnkf]] (r12: the gate query for the
+    * streaming ensemble fold — same init + stepDet per row, same
+    * (ts, tie) order, so it IS the streamed math over batch data; the
+    * DuckDB oracle is the ts_enkf replay at this query's subset). */
+  def enkfBatch(spark: SparkSession, df: DataFrame, idCol: String,
+      tsCol: String, yCol: String, q: Double = 1e-3, r: Double = 1.0,
+      nEnsemble: Int = 30, seed: Long = 42L,
+      tieCol: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("string").as("uniqueId"),
+      col(tsCol).cast("timestamp").as("ts"), col(yCol).cast("double").as("y"),
+      tieCol.map(c => col(c).cast("long")).getOrElse(lit(0L)).as("tie"))
+      .as[Obs]
+    val sc = graft.kernels.DetRng.seedConst(seed)
+    ds.groupByKey(_.uniqueId).flatMapGroups { (id, rows) =>
+      var ens: Array[Double] = null
+      var t = 0L
+      rows.toSeq.sortBy(o => (o.ts.getTime, o.tie)).map { o =>
+        if (ens == null)
+          ens = graft.kernels.Bayesian.enkfInitEnsemble(o.y, nEnsemble, sc)
+        val (e2, m, v) = graft.kernels.Bayesian.enkfStepDet(ens, o.y, t, q, r, sc)
+        ens = e2; t += 1
+        EnkfOutput(id, o.ts, o.y, m, v)
+      }.iterator
+    }.toDF()
+  }
+
+  /** Batch twin of [[streamingParticleFilter]] (r12 gate query; the
+    * DuckDB oracle is the ts_particle replay at this query's subset). */
+  def pfBatch(spark: SparkSession, df: DataFrame, idCol: String,
+      tsCol: String, yCol: String, nParticles: Int = 200,
+      sigmaLevel: Double = 1.0, sigmaObs: Double = 1.0,
+      resampleThreshold: Double = 0.5, seed: Long = 42L,
+      tieCol: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("string").as("uniqueId"),
+      col(tsCol).cast("timestamp").as("ts"), col(yCol).cast("double").as("y"),
+      tieCol.map(c => col(c).cast("long")).getOrElse(lit(0L)).as("tie"))
+      .as[Obs]
+    val sc = graft.kernels.DetRng.seedConst(seed)
+    ds.groupByKey(_.uniqueId).flatMapGroups { (id, rows) =>
+      var parts: Array[Double] = null
+      var t = 0L
+      rows.toSeq.sortBy(o => (o.ts.getTime, o.tie)).map { o =>
+        if (parts == null)
+          parts = graft.kernels.Bayesian.pfInitParticles(o.y, nParticles, sc)
+        val (p2, m, v, ess) = graft.kernels.Bayesian.pfStepDet(
+          parts, o.y, t, sigmaLevel, sigmaObs, resampleThreshold, sc)
+        parts = p2; t += 1
+        PfOutput(id, o.ts, o.y, m, v, ess)
+      }.iterator
+    }.toDF()
+  }
+
   case class Doc(docId: Long, ts: Timestamp, text: String)
 
   /** Streaming exact dedup for a document firehose: fingerprint each doc

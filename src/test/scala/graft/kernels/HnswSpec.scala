@@ -111,4 +111,35 @@ class HnswSpec extends AnyFunSuite {
     assert(inter.toDouble / truth >= 0.9,
       s"operator recall ${inter.toDouble / truth} < 0.9")
   }
+
+  test("hnswTopKAll at one shard equals the bounded-batch operator") {
+    val emb = graft.core.IO.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 10)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .sortBy(x => (x._1, x._3)).toSeq
+    val bounded = canon(Similarity.hnswTopK(emb, q, k = 3, numPartitions = 1))
+    val all = canon(Similarity.hnswTopKAll(emb, q, k = 3, corpusParts = 1))
+    assert(all === bounded,
+      "one shard = one graph: both paths must search identically")
+  }
+
+  test("hnswTopKAll: query batching is invisible; corpus x corpus runs") {
+    val emb = graft.core.IO.embeddings(spark, "/root/testdata/sf0.001")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .sortBy(x => (x._1, x._3)).toSeq
+    // corpus x corpus: the whole table queries itself, nothing on the
+    // driver — the path hnswTopK's bounded-broadcast contract excludes
+    val b1 = canon(Similarity.hnswTopKAll(emb, emb, k = 3,
+      corpusParts = 4, queryBatches = 1))
+    val b3 = canon(Similarity.hnswTopKAll(emb, emb, k = 3,
+      corpusParts = 4, queryBatches = 3))
+    assert(b1 === b3,
+      "per-shard graphs are batch-invariant, so results must be too")
+    val n = emb.count()
+    assert(b1.map(_._1).distinct.size.toLong === n,
+      "every corpus row must be answered as a query")
+    assert(b1.forall(x => x._1 != x._2), "self-matches excluded")
+  }
 }

@@ -215,6 +215,76 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sess === 4) // uid1: {0,100} + {5000}; uid2: {0} + {9000}
   }
 
+  test("graft_overlap_join TVF equals the Scala API") {
+    import spark.implicits._
+    def win(rows: Seq[(Long, Long, Long, Long)]) = rows
+      .toDF("uid", "id", "__s", "__e")
+      .withColumn("ws", timestamp_micros(col("__s")))
+      .withColumn("we", timestamp_micros(col("__e")))
+      .drop("__s", "__e")
+    val l = win(Seq((1L, 1L, 0L, 100L), (1L, 2L, 50L, 150L),
+      (2L, 3L, 0L, 10L)))
+    val r = win(Seq((1L, 10L, 90L, 120L), (1L, 11L, 200L, 300L),
+      (2L, 12L, 5L, 8L)))
+    l.createOrReplaceTempView("ov_tvf_l")
+    r.createOrReplaceTempView("ov_tvf_r")
+    val viaSql = spark.sql(
+      "SELECT uid, id, id_right FROM graft_overlap_join('ov_tvf_l', " +
+        "'ov_tvf_r', 'uid', 'ws', 'we', 'ws', 'we')")
+      .collect().map(_.toSeq).toSet
+    val viaApi = graft.ops.TemporalJoins.overlapJoinNative(l, r, Seq("uid"),
+        "ws", "we", "ws", "we")
+      .select("uid", "id", "id_right").collect().map(_.toSeq).toSet
+    assert(viaSql === viaApi)
+    assert(viaSql === Set(Seq(1L, 1L, 10L), Seq(1L, 2L, 10L),
+      Seq(2L, 3L, 12L)))
+  }
+
+  test("graft_pit_join TVF chains two steps like pointInTimeJoin") {
+    import spark.implicits._
+    val spine = Seq((1L, 100L), (1L, 200L)).toDF("uid", "__us")
+      .withColumn("t", timestamp_micros(col("__us"))).drop("__us")
+    val f1 = Seq((1L, 90L, 1.5), (1L, 150L, 2.5)).toDF("uid", "__us", "a")
+      .withColumn("t", timestamp_micros(col("__us"))).drop("__us")
+    val f2 = Seq((1L, 50L, 9.0)).toDF("uid", "__us", "b")
+      .withColumn("t", timestamp_micros(col("__us"))).drop("__us")
+    spine.createOrReplaceTempView("pit_tvf_spine")
+    f1.createOrReplaceTempView("pit_tvf_f1")
+    f2.createOrReplaceTempView("pit_tvf_f2")
+    spark.sql("SELECT * FROM graft_pit_join('pit_tvf_spine', 'pit_tvf_f1', " +
+        "'uid', 't', 't', 'a')")
+      .createOrReplaceTempView("pit_tvf_s1")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_pit_join('pit_tvf_s1', 'pit_tvf_f2', " +
+        "'uid', 't', 't', 'b', NULL, 1)")
+      .select("uid", "t", "a", "b").collect().map(_.toSeq).toSet
+    val viaApi = graft.ops.TemporalJoins.pointInTimeJoin(spine, Seq("uid"),
+        "t", Seq((f1, "t", Seq("a"), None), (f2, "t", Seq("b"), None)),
+        native = true)
+      .select("uid", "t", "a", "b").collect().map(_.toSeq).toSet
+    assert(viaSql === viaApi)
+    assert(viaApi.map(s => (s(2), s(3))) ===
+      Set((1.5, 9.0), (2.5, 9.0))) // latest at-or-before per step
+  }
+
+  test("graft_group_dynamic TVF equals the Scala API") {
+    import spark.implicits._
+    val p = Seq((1L, 0L, 1.0), (1L, 60L * 1000000L, 3.0),
+      (2L, 30L * 1000000L, 5.0))
+      .toDF("uid", "__us", "v")
+      .withColumn("t", timestamp_micros(col("__us"))).drop("__us")
+    p.createOrReplaceTempView("gd_tvf_in")
+    implicit val pc: graft.core.PanelCols = graft.core.PanelCols("uid", "t", "v")
+    val viaSql = spark.sql(
+      "SELECT uid, t, v, n_obs FROM graft_group_dynamic('gd_tvf_in', " +
+        "'uid', 't', 'v', '30 seconds', '1 minute')")
+      .collect().map(_.toSeq).toSet
+    val viaApi = graft.ops.Resample.groupByDynamic(p,
+        every = "30 seconds", period = "1 minute")
+      .select("uid", "t", "v", "n_obs").collect().map(_.toSeq).toSet
+    assert(viaSql === viaApi)
+  }
+
   test("TVF argument errors fail loud at analysis") {
     import spark.implicits._
     Seq((1L, 1L)).toDF("k", "t").createOrReplaceTempView("tvf_err_l")
