@@ -329,8 +329,10 @@ object Dedup {
       threshold: Double = 0.7, maxBucketSize: Option[Int] = Some(10000)): DataFrame = {
     val k = bands * rowsPerBand
     // auto-hint: estimated plan size past the threshold → point at the
-    // incremental pattern (plan-time stats only; never triggers a job)
-    try {
+    // incremental pattern (plan-time stats only; never triggers a job).
+    // -Dgraft.mh.noprobe switches it off — the A/B knob the r12 drift
+    // adjudication probe (tools/MinhashAbProbe) flips between runs.
+    if (!sys.props.get("graft.mh.noprobe").contains("true")) try {
       val est = org.apache.spark.sql.GraftPlanBridge.analyzed(df)
         .stats.sizeInBytes
       if (est > IncrementalHintBytes)
@@ -349,10 +351,14 @@ object Dedup {
     // storage, recomputed if evicted. Pipelines that run many dedup
     // passes in one session should persist signatures explicitly via
     // [[minhashSignatures]] instead (the incremental-state pattern).
-    val sigs = df
+    // -Dgraft.mh.nocache drops the in-plan cache (A/B knob: the triple
+    // use then recomputes the signature pass per consumer)
+    val sigs0 = df
       .select(col(idCol).as("__id"),
         minhashSigFromText(col(textCol), shingleN, k).as("__sig"))
-      .cache()
+    val sigs =
+      if (sys.props.get("graft.mh.nocache").contains("true")) sigs0
+      else sigs0.cache()
     val banded0 = sigs.select(col("__id"), posexplode(
       array((0 until bands).map(b =>
         packedBandKey(col("__sig"), b, rowsPerBand)): _*))
