@@ -104,6 +104,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      // AQE's byte-based partition coalescing is blind to CPU density:
+      // a grouped-panel kernel stage (PELT/ETS/DTW arrays — KBs of bytes,
+      // seconds of CPU) coalesces to a handful of partitions under the
+      // default 1m floor and strands most cores (r12, guide §2.2/§2.5).
+      // A 64k floor only binds when a shuffle stage is tiny in BYTES —
+      // exactly the CPU-dense case; production-sized shuffles exceed any
+      // floor and are untouched. Env-overridable, not core-count-tuned.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

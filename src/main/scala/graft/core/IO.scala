@@ -19,7 +19,7 @@ object IO {
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.foldLeft(df) { (d, f) =>
+    val typed = df.schema.fields.foldLeft(df) { (d, f) =>
       if (f.dataType == LongType && f.name == "ts")
         // nanos long → µs → NTZ timestamp (truncation == DuckDB's read)
         d.withColumn(f.name,
@@ -31,7 +31,54 @@ object IO {
         d.withColumn(f.name, col(f.name).cast("timestamp_ntz"))
       else d
     }
+    // Scan-parallelism normalization (optimization guide §2.5: "one huge
+    // unsplittable file … repartition immediately after the read"). The
+    // testdata tables are single-row-group parquet files, and parquet is
+    // splittable only at row-group granularity — so every downstream
+    // stage up to the first exchange (filters, signature expressions,
+    // partial aggregations) otherwise runs as ONE task regardless of
+    // maxPartitionBytes (measured r12: q1_agg wall 1.26 s, cpu 3.0 s on
+    // 32 cores). Fires ONLY when the scan cannot feed the session's
+    // cores; a production multi-row-group / multi-file input yields
+    // parts >= parallelism and keeps its shuffle-free scan.
+    //
+    // Hash-partitioning on the table's high-cardinality id column, NOT
+    // round-robin: round-robin pays `sortBeforeRepartition` (a full
+    // binary sort of the scan task's rows — measured ~0.5 s of the
+    // single-task q1_agg scan), while a column hash is sort-free AND
+    // value-deterministic, so downstream seeded `.sample()` fits do not
+    // depend on the physical scan layout at all.
+    //
+    // `embeddings` is deliberately EXCLUDED: the ANN recall-audit gate
+    // rows assert recall buckets as pinned SQL literals, and the IVF
+    // coarse-quantizer sample + HNSW partition-local graphs are
+    // partition-layout-dependent — renormalizing a 2 k-row table buys no
+    // parallelism and could move recall across a 0.05 bucket boundary.
+    val parallelism = spark.sparkContext.defaultParallelism
+    val scanParts = df.rdd.getNumPartitions
+    val spreadKey = Map(
+      "lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
+      "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+      "part" -> "p_partkey", "events" -> "event_id",
+      "documents" -> "doc_id").get(name)
+    spreadKey match {
+      case Some(k) if scanParts * 4 <= parallelism =>
+        typed.repartition(NormalizedScanPartitions, col(k))
+      case _ => typed
+    }
   }
+
+  /** Partition count for the single-row-group normalization above. A
+    * FIXED constant, not `defaultParallelism`: hash(key) % N with fixed N
+    * gives the same physical row layout at local[4], local[8] and
+    * local[32], so per-series floating-point fold orders (unordered
+    * window/groupBy sums) do not shift with the session's core count —
+    * the driver re-runs the gate and bench at several core counts and a
+    * layout-dependent 6-dp rounding flip would read as a correctness
+    * regression. 32 saturates every local core count the driver uses;
+    * the constant only ever applies to pathological tiny inputs (the
+    * predicate above), never to production multi-row-group data. */
+  private val NormalizedScanPartitions = 32
 
   def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.core.PanelCols
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Classical seasonal decomposition + strength features (reference
@@ -27,20 +28,40 @@ object Decomposition {
       .withColumn("trend", trend)
       .withColumn("__detrended",
         if (model == "additive") y - col("trend") else y / col("trend"))
-    // seasonal = per-(id, phase) mean of detrended, re-centered per id
-    val phaseMeans = withTrend.groupBy(pc.idCol, col("__phase"))
-      .agg(avg(col("__detrended")).as("__pmean"))
-    val centered = phaseMeans
-      .withColumn("__smean", avg(col("__pmean")).over(pc.wAll))
+    // seasonal = per-(id, phase) mean of detrended, re-centered per id —
+    // as WINDOW aggregates over the SAME hash(id) exchange the trend
+    // window established (r12, guide §2.4 "two operations keyed the same
+    // way share one exchange"): HashPartitioning(id) satisfies the
+    // (id, phase) clustering, so the phase-mean window adds a sort but
+    // NO exchange, where the former groupBy(id, phase) + join-back shape
+    // cost a second full scan of the input, a second exchange, and a
+    // broadcast join (2 scans + 2 exchanges → 1 scan + 1 exchange; at
+    // 100 TB that halves both I/O and shuffle for every decomposition
+    // pass). Fold orders are pinned by the ordered frames, so results
+    // are independent of the physical input layout.
+    val wPhase = Window.partitionBy(pc.idCol, col("__phase"))
+      .orderBy(pc.orderCols: _*)
+    val wPhaseAll = wPhase.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wId = Window.partitionBy(pc.idCol)
+    // one representative row per (id, phase): re-centering must weight
+    // each PHASE once, not each row (phases with more rows would
+    // otherwise overweight the per-id seasonal mean)
+    val staged = withTrend
+      .withColumn("__pmean", avg(col("__detrended")).over(wPhaseAll))
+      .withColumn("__ph1", row_number().over(wPhase) === 1)
+    val out = staged
+      .withColumn("__smean",
+        sum(when(col("__ph1"), col("__pmean"))).over(wId) /
+          count(when(col("__ph1") && col("__pmean").isNotNull, lit(1)))
+            .over(wId))
       .withColumn("seasonal",
         if (model == "additive") col("__pmean") - col("__smean")
         else col("__pmean") / col("__smean"))
-      .select(pc.idCol, col("__phase"), col("seasonal"))
-    val out = withTrend.join(centered, Seq(pc.id, "__phase"))
       .withColumn("resid",
         if (model == "additive") col("__detrended") - col("seasonal")
         else col("__detrended") / col("seasonal"))
-      .drop("__phase", "__detrended")
+      .drop("__phase", "__detrended", "__pmean", "__ph1", "__smean")
     if (anomalyK > 0.0)
       out.withColumn("is_anomaly",
         abs(col("resid")) > lit(anomalyK) * stddev_samp(col("resid")).over(pc.wAll))

@@ -90,8 +90,21 @@ object Distances {
         df.select(pc.idCol).distinct().limit(BroadcastSeriesLimit + 1).count() <=
           BroadcastSeriesLimit
       }
+    // Broadcast-join parallelism (guide §1.2 step 1 + §2.5): the grouped
+    // panel is a few hundred KB after the groupBy, so AQE's partition
+    // coalescing folds the join's streamed side to ONE partition — and
+    // the O(n·m)-per-pair DP kernel then runs on one core (measured r12:
+    // pairwise_dtw_band_500x100 wall 2.42 s, cpu 5.24 s on 32 cores).
+    // An explicit round-robin repartition of the streamed side is exempt
+    // from AQE coalescing and costs one tiny exchange of ≤
+    // BroadcastSeriesLimit grouped rows; pair work then spreads across
+    // every core. The non-broadcast path (> 10⁴ series) carries enough
+    // bytes that AQE keeps its parallelism — left unchanged.
+    val left =
+      if (doBroadcast) g.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      else g
     val right = if (doBroadcast) broadcast(g) else g
-    val joined = g.as("a").join(right.as("b"), col(s"a.${pc.id}") < col(s"b.${pc.id}"))
+    val joined = left.as("a").join(right.as("b"), col(s"a.${pc.id}") < col(s"b.${pc.id}"))
     val pruned = if (useLb) {
       val lbUdf = udf((a: Array[Double], env: Array[Double]) =>
         Elastic.lbKeogh(a, env))
@@ -131,7 +144,11 @@ object Distances {
     val g = df.groupBy(pc.idCol)
       .agg(sort_array(collect_list(struct(fields: _*))).as("__pts"))
       .select(pc.idCol, col("__pts.__v").as("vs"))
-    g.as("a").join(broadcast(g).as("b"), col(s"a.${pc.id}") < col(s"b.${pc.id}"))
+    // same streamed-side repartition as [[pairwise]]: without it AQE
+    // coalesces the small grouped panel to one partition and the
+    // multivariate DP kernel runs serially
+    g.repartition(df.sparkSession.sparkContext.defaultParallelism).as("a")
+      .join(broadcast(g).as("b"), col(s"a.${pc.id}") < col(s"b.${pc.id}"))
       .select(col(s"a.${pc.id}").as("id_1"), col(s"b.${pc.id}").as("id_2"),
         dist(col("a.vs"), col("b.vs")).as(metric))
   }
@@ -145,7 +162,11 @@ object Distances {
     val kernel = univariate(metric)
     val dist = udf((a: Array[Double], b: Array[Double]) =>
       kernel(a, b, params))
-    val gl = Panel.grouped(left).select(pc.idCol.as("id_1"), col("ys").as("__ys1"))
+    val gl = Panel.grouped(left)
+      .select(pc.idCol.as("id_1"), col("ys").as("__ys1"))
+      // streamed-side repartition, as in [[pairwise]]: keeps the per-pair
+      // kernel parallel when the grouped left panel is AQE-coalesced small
+      .repartition(left.sparkSession.sparkContext.defaultParallelism)
     val gr = Panel.grouped(right).select(pc.idCol.as("id_2"), col("ys").as("__ys2"))
     val all = gl.join(broadcast(gr), col("id_1") =!= col("id_2"))
       .select(col("id_1"), col("id_2"), dist(col("__ys1"), col("__ys2")).as(metric))

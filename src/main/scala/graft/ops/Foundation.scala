@@ -65,7 +65,16 @@ object Foundation {
     * a flip needs the mean within an ulp of a 0.5e-6 edge, the repo's
     * accepted measure-zero class). */
   private def scaleCol(cfg: ChronosCfg)(implicit pc: PanelCols): Column = {
-    val m = round(avg(abs(pc.targetCol)).over(pc.wAll), 6)
+    // ordered unbounded frame, NOT pc.wAll: an unordered window sums in
+    // partition-arrival order, which depends on the upstream physical
+    // layout (the r12 scan-parallelism normalization flipped 49 recon
+    // values at the 6-dp edge through exactly this). Summing in
+    // (time, tieBreak) order is layout-independent and matches both the
+    // oracle's file-order fold (events are time-ordered per series) and
+    // the kernel's meanAbsScale walk. The sort is shared with the
+    // row_number window in [[chronosTokenize]] — no extra exchange/sort.
+    val m = round(avg(abs(pc.targetCol)).over(
+      pc.w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)), 6)
     when(m > 0.0, m).otherwise(lit(1.0))
   }
 
@@ -155,9 +164,12 @@ object Foundation {
       weights: Option[DataFrame] = None)(implicit pc: PanelCols): DataFrame = {
     require(dim >= 1 && dim <= 4096, s"dim must be in [1, 4096], got $dim")
     // slim tokenize: the pool is order-independent, so skip
-    // chronosTokenize's per-series row_number sort (and recon column) —
-    // this path is scale window + bin arithmetic + ONE hash aggregate
-    val base = df.select(pc.idCol, pc.targetCol)
+    // chronosTokenize's per-series row_number (and recon column) — this
+    // path is scale window + bin arithmetic + ONE hash aggregate. The
+    // time/tieBreak columns ride along (dropped by the groupBy) because
+    // scaleCol folds |y| in time order for layout independence.
+    val base = df.select(
+        (Seq(pc.idCol, pc.timeCol) ++ pc.tieBreak.map(col) :+ pc.targetCol): _*)
       .withColumn("scale", scaleCol(cfg))
       .withColumn("token_id", tokenCol(cfg))
     weights match {

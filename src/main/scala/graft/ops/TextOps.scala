@@ -173,7 +173,15 @@ object TextOps {
     val toks = df.select(col(idCol),
         explode(split(lower(col(textCol)), "[^\\p{L}]+")).as("__tok"))
       .filter(col("__tok") =!= "")
+    // localCheckpoint pins the type-count table (≤ vocabulary rows, far
+    // smaller than the corpus) so the total-count job and the top-K vocab
+    // job replay from the materialized aggregate instead of each
+    // re-running the corpus tokenize (same pattern as knPerplexity's cbg
+    // checkpoint — r12, guide §1.2 "don't compute things twice"): 3
+    // corpus passes → 2 (the scoring join below re-tokenizes once more,
+    // the minimum without caching a corpus-sized frame).
     val counts = toks.groupBy("__tok").agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint()
     val totalRow = counts.agg(sum("__cnt")).collect()(0)
     // sum over zero rows is null — surface the real problem, not an NPE
     require(!totalRow.isNullAt(0),
