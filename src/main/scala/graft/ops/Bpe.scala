@@ -59,7 +59,7 @@ object Bpe {
 
   private def splitWords(text: String): Array[String] =
     if (text == null) Array.empty
-    else text.trim.split("\\s+").filter(_.nonEmpty)
+    else TextOps.WsRe.split(text.trim).filter(_.nonEmpty)
 
   /** Learn a merge table on a bounded stable sample of the corpus.
     * Deterministic: hash-ordered oversample → limit (unbiased on sorted /

@@ -30,7 +30,7 @@ object Decontam {
     val u = udf((s: String) => {
       if (s == null) Array.empty[String]
       else {
-        val words = s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val words = TextOps.WsRe.split(s.trim.toLowerCase).filter(_.nonEmpty)
         if (words.length < n) Array.empty[String]
         else {
           val out = new Array[String](words.length - n + 1)

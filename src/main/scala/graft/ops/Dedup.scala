@@ -181,7 +181,7 @@ object Dedup {
         .as("__dups"))
     val rebuild = udf((text: String, dups: Seq[Int]) => {
       val words = if (text == null) Array.empty[String]
-        else text.trim.split("\\s+").filter(_.nonEmpty)
+        else TextOps.WsRe.split(text.trim).filter(_.nonEmpty)
       val drop = new Array[Boolean](words.length)
       if (dups != null && dups.nonEmpty) {
         var i = 0
@@ -264,7 +264,7 @@ object Dedup {
   private val hashedShinglesUdf = udf((text: String, n: Int) => {
     if (text == null) Array.empty[Long]
     else {
-      val norm = text.trim.toLowerCase.replaceAll("\\s+", " ")
+      val norm = TextOps.WsRe.matcher(text.trim.toLowerCase).replaceAll(" ")
       val p = 2147483647L
       val seen = new java.util.HashSet[Long]()
       val out = scala.collection.mutable.ArrayBuffer.empty[Long]

@@ -50,7 +50,7 @@ object Selection {
   private[graft] def gramBucketsUdf(buckets: Int) = udf((s: String) => {
     if (s == null) Array.empty[Int]
     else {
-      val ws = s.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+      val ws = TextOps.NonLetterRe.split(s.toLowerCase).filter(_.nonEmpty)
       val out = new Array[Int](ws.length + math.max(ws.length - 1, 0))
       def b(g: String): Int = {
         val x = TextOps.fnv64(g) % buckets

@@ -77,12 +77,24 @@ object Sketches {
     * the ≤ depth·width sketch — broadcast-sized by construction. */
   def cmsTokenEstimates(df: DataFrame, depth: Int = 4, width: Int = 512,
       textCol: String = "text"): DataFrame = {
-    val sk = cmsSketch(df, depth, width, textCol)
+    // r12: the sketch is DERIVED from the exact count table instead of a
+    // second corpus tokenize (cmsSketch(df) re-scanned + re-hashed every
+    // token INSTANCE; counter addition is associative, so grouping the
+    // per-token exact counts by (row, slot) yields the identical sketch
+    // while hashing each DISTINCT token once). One tokenize pass total:
+    // the vocab-sized aggregate is localCheckpoint()ed (the knPerplexity
+    // count-table pattern — ReuseExchange does NOT dedupe the broadcast
+    // build side's subtree under AQE, measured 3× CPU without it) so the
+    // sketch derivation, the probe side, and heavy-hitters' total all
+    // replay from the materialized ≤|vocab|-row table. Values are
+    // bit-identical, so every CMS oracle row is unchanged.
     val exact = tokens(df, textCol).groupBy("token")
       .agg(count(lit(1)).as("exact"))
+      .localCheckpoint()
     val probes = exact.select(col("token"), col("exact"),
       posexplode(array((0 until depth).map(i =>
         cmsSlot(i, col("token"), width)): _*)).as(Seq("row", "slot")))
+    val sk = probes.groupBy("row", "slot").agg(sum("exact").as("cnt"))
     probes.join(broadcast(sk), Seq("row", "slot"))
       .groupBy("token", "exact")
       .agg(min("cnt").as("est"))

@@ -12,6 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Precompiled per-row tokenizer patterns. `String.split`/`replaceAll`
+    * with a multi-char regex delegate to `Pattern.compile(regex)` on EVERY
+    * invocation — one regex compile per document on the per-row kernel
+    * paths (minhash/simhash normalize, bigram/gram tokenize, repetition
+    * metrics). `Pattern.split(s)` and `matcher(s).replaceAll(r)` are the
+    * exact implementations those String methods call (limit 0, same
+    * trailing-empty removal), so values are bit-identical. */
+  private[graft] val WsRe = java.util.regex.Pattern.compile("\\s+")
+  private[graft] val NonLetterRe = java.util.regex.Pattern.compile("[^\\p{L}]+")
+
   /** Whitespace token count (split on runs of whitespace). */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, 0)
@@ -106,7 +116,7 @@ object TextOps {
     val u = udf((text: String) => {
       if (text == null) "und"
       else {
-        val words = text.toLowerCase.split("[^\\p{L}]+")
+        val words = NonLetterRe.split(text.toLowerCase)
         val hits = new Array[Int](langs.length)
         var i = 0
         while (i < words.length) {
@@ -450,25 +460,39 @@ object TextOps {
         expr(s"__p DIV $buckets").cast("int").as("__bv"),
         pmod(col("__p"), lit(buckets.toLong)).cast("int").as("__bw"))
 
-  /** The per-document bigram-bucket walk itself — shared verbatim by the
-    * batch pair builder and the streaming scorer so the two can never
-    * drift. */
-  private[graft] def knBigramWalk(s: String, buckets: Int): Array[(Int, Int)] = {
-    if (s == null) Array.empty[(Int, Int)]
+  /** The per-document bigram-bucket walk, PACKED form: adjacent
+    * word-bucket pairs as `bv · buckets + bw` longs (both in
+    * [0, buckets), so the pack is lossless). This is the single walk
+    * definition — the batch expression ([[graft.plans.KnBigramsExpr]])
+    * emits these longs directly (no boxed tuple array on the corpus-wide
+    * tokenize pass) and the tuple wrapper below unpacks for the
+    * streaming scorer, so the two can never drift. */
+  private[graft] def knBigramWalkPacked(s: String, buckets: Int): Array[Long] = {
+    if (s == null) Array.empty[Long]
     else {
-      val ws = s.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
-      if (ws.length < 2) Array.empty[(Int, Int)]
+      val ws = NonLetterRe.split(s.toLowerCase).filter(_.nonEmpty)
+      if (ws.length < 2) Array.empty[Long]
       else {
-        val bs = new Array[Int](ws.length)
+        val bs = new Array[Long](ws.length)
         var i = 0
         while (i < ws.length) {
           val x = fnv64(ws(i)) % buckets
-          bs(i) = (if (x < 0) x + buckets else x).toInt
+          bs(i) = if (x < 0) x + buckets else x
           i += 1
         }
-        Array.tabulate(ws.length - 1)(j => (bs(j), bs(j + 1)))
+        val out = new Array[Long](ws.length - 1)
+        var j = 0
+        while (j < out.length) { out(j) = bs(j) * buckets + bs(j + 1); j += 1 }
+        out
       }
     }
+  }
+
+  /** Tuple view of [[knBigramWalkPacked]] (streaming scorer/spec use). */
+  private[graft] def knBigramWalk(s: String, buckets: Int): Array[(Int, Int)] = {
+    val packed = knBigramWalkPacked(s, buckets)
+    Array.tabulate(packed.length)(j =>
+      ((packed(j) / buckets).toInt, (packed(j) % buckets).toInt))
   }
 
   /** 64-bit FNV-1a rolling fingerprint of normalized text (lowercased,
@@ -583,7 +607,7 @@ object TextOps {
     val topNgram = udf((text: String, n: Int) => {
       if (text == null) 0.0
       else {
-        val words = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val words = WsRe.split(text.trim.toLowerCase).filter(_.nonEmpty)
         val total = words.map(_.length).sum
         if (total == 0 || words.length < n) 0.0
         else {

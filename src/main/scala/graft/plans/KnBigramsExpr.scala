@@ -61,20 +61,13 @@ case class KnBigramsExpr(child: Expression, buckets: Int)
 
 object KnBigramsExpr {
 
-  /** Called from generated code: the shared walk, packed to longs. */
+  /** Called from generated code: the shared walk, already packed —
+    * no boxed tuple array between the walk and the unsafe array. */
   def compute(s: UTF8String, buckets: Int): ArrayData = {
-    val pairs = graft.ops.TextOps.knBigramWalk(
+    val packed = graft.ops.TextOps.knBigramWalkPacked(
       if (s == null) null else s.toString, buckets)
-    if (pairs.isEmpty) new GenericArrayData(Array.empty[Long])
-    else {
-      val out = new Array[Long](pairs.length)
-      var i = 0
-      while (i < pairs.length) {
-        out(i) = pairs(i)._1.toLong * buckets + pairs(i)._2
-        i += 1
-      }
-      UnsafeArrayData.fromPrimitiveArray(out)
-    }
+    if (packed.isEmpty) new GenericArrayData(Array.empty[Long])
+    else UnsafeArrayData.fromPrimitiveArray(packed)
   }
 
   def apply(c: Column, buckets: Int): Column =

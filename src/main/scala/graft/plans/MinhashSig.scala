@@ -70,27 +70,65 @@ object MinhashSigExpr {
   private val P = 2147483647L
 
   /** Called from generated code. Null/absent text → the all-MaxValue
-    * sentinel signature (matches the replaced UDF). */
+    * sentinel signature (matches the replaced UDF).
+    *
+    * r12 CPU-kernel tuning, all value-identical (guide §1.2 step 2):
+    * the whitespace-collapse pattern is precompiled (String.replaceAll
+    * re-compiled it per document); the distinct-shingle guard is a
+    * primitive open-addressing table (java.util.HashSet boxed one Long
+    * per distinct shingle); and the k-permutation inner loop reduces
+    * `(a·m + b) mod P` by the Mersenne identity (P = 2³¹−1, so
+    * x ≡ (x >> 31) + (x & P), twice, then one conditional subtract —
+    * exactly the hardware `%` result for any x < 2⁶², and
+    * a·m + b < P² + P < 2⁶²). */
   def compute(s: UTF8String, n: Int, k: Int,
       as: Array[Long], bs: Array[Long]): ArrayData = {
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
     if (s != null) {
       // identical normalization chain to the UDF (String semantics)
-      val norm = s.toString.trim.toLowerCase.replaceAll("\\s+", " ")
-      val seen = new java.util.HashSet[Long]()
-      var i = 0
+      val norm = graft.ops.TextOps.WsRe
+        .matcher(s.toString.trim.toLowerCase).replaceAll(" ")
       val last = math.max(norm.length - n, 0)
+      // distinct-shingle set: values are in [0, P), so -1 marks empty.
+      // Sized to ≥ 2× the max insert count (`last + 1` positions) — load
+      // factor ≤ 0.5, probes can't cycle. Docs past 16M chars fall back
+      // to the boxed set rather than allocate a >256 MiB table up front.
+      val useOpen = last + 1 <= (1 << 24)
+      var bits = 4
+      while (useOpen && (1 << bits) < (last + 1) * 2) bits += 1
+      val mask = (1 << bits) - 1
+      val table = if (useOpen) {
+        val t = new Array[Long](1 << bits)
+        java.util.Arrays.fill(t, -1L)
+        t
+      } else null
+      val boxed = if (useOpen) null else new java.util.HashSet[Long]()
+      var i = 0
       while (i <= last) {
         var h = 0xcbf29ce484222325L
         var j = i
         val end = math.min(i + n, norm.length)
         while (j < end) { h ^= norm.charAt(j); h *= 1099511628211L; j += 1 }
         val m = ((h % P) + P) % P
-        if (seen.add(m)) {
+        var fresh = false
+        if (useOpen) {
+          var idx = ((m * 0x9E3779B97F4A7C15L) >>> 40).toInt & mask
+          var probing = true
+          while (probing) {
+            val cur = table(idx)
+            if (cur == -1L) { table(idx) = m; fresh = true; probing = false }
+            else if (cur == m) probing = false
+            else idx = (idx + 1) & mask
+          }
+        } else fresh = boxed.add(m)
+        if (fresh) {
           var t = 0
           while (t < k) {
-            val v = (as(t) * m + bs(t)) % P
+            var v = as(t) * m + bs(t)
+            v = (v >> 31) + (v & P)
+            v = (v >> 31) + (v & P)
+            if (v >= P) v -= P
             if (v < mins(t)) mins(t) = v
             t += 1
           }

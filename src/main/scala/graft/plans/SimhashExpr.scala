@@ -57,7 +57,8 @@ object SimhashExpr {
     val text = if (s == null) null else s.toString
     val norm =
       if (text == null) ""
-      else text.trim.toLowerCase.replaceAll("\\s+", " ")
+      // precompiled pattern — String.replaceAll re-compiles per document
+      else graft.ops.TextOps.WsRe.matcher(text.trim.toLowerCase).replaceAll(" ")
     val toks = norm.split(" ", -1)
     val votes = new Array[Int](64)
     var ti = 0

@@ -626,7 +626,7 @@ object StreamingOps {
   private def gramFold(text: String, buckets: Int,
       weightOf: Int => Double): (Double, Long) = {
     if (text == null) return (0.0, 0L)
-    val ws = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+    val ws = graft.ops.TextOps.NonLetterRe.split(text.toLowerCase).filter(_.nonEmpty)
     def bucketOf(g: String): Int = {
       val x = graft.ops.TextOps.fnv64(g) % buckets
       (if (x < 0) x + buckets else x).toInt
