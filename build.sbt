@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked stdout passes through UNPREFIXED: the bench/driver contract is a
+// bare one-line JSON as the final stdout line, and sbt's default
+// LoggedOutput strategy would decorate it into `[info] {...}` — which is
+// why the driver parsed neither r11's nor r12's bench ("parsed": null in
+// both artifacts). StdoutOutput pipes the forked JVM's stdout straight
+// through. (sbt's own GC monitor [warn] line is disabled in .jvmopts for
+// the same reason: nothing may trail the JSON line but sbt's [success].)
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

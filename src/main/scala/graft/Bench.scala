@@ -98,23 +98,45 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
-      // AQE's byte-based partition coalescing is blind to CPU density:
-      // a grouped-panel kernel stage (PELT/ETS/DTW arrays — KBs of bytes,
-      // seconds of CPU) coalesces to a handful of partitions under the
-      // default 1m floor and strands most cores (r12, guide §2.2/§2.5).
-      // A 64k floor only binds when a shuffle stage is tiny in BYTES —
-      // exactly the CPU-dense case; production-sized shuffles exceed any
-      // floor and are untouched. Env-overridable, not core-count-tuned.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+    // engine defaults (UTC, AQE coalesce floor) come from ONE shared
+    // source — graft.core.GraftSession — so the bench measures exactly
+    // the configuration Verify and library users run (r12 verdict #7)
+    val spark = graft.core.GraftSession.withEngineDefaults(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory",
+          sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // ── cold-scan tier (r12 verdict ask #8) ──────────────────────────
+    // Timed BEFORE any base-table cache exists, so every leg pays the
+    // real parquet scan + decode (+ the IO.table normalization exchange
+    // where it fires) — the cost the cached tiers below deliberately
+    // exclude from their steady-state numbers. Reported as its own
+    // `total_cold` field + per-leg `cold_scan_*` entries; kept OUT of
+    // `value`/`total_full` so those stay round-over-round comparable.
+    val coldIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3")
+      .toInt.max(1)
+    // absorb first-action JVM/codegen startup on a table outside the tier
+    try spark.read.parquet(s"$sfDir/nation.parquet")
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+    val coldTables = Seq("lineitem", "events", "orders", "documents",
+      "embeddings")
+    val cold: Seq[(String, Double)] = coldTables.map { t =>
+      val ts = (1 to coldIters).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { mat(IO.table(spark, sfDir, t)); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] cold_scan_$t failed: ${e.getMessage}")
+            false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }.filter(_ >= 0).sorted
+      (s"cold_scan_$t", if (ts.isEmpty) -1.0 else ts(ts.size / 2))
+    }
 
     val events = IO.events(spark, sfDir).cache()
     events.count() // pin the scan
@@ -730,6 +752,15 @@ object Bench {
     val loadEnd = loadAvg()
     val all = results ++ curation ++ neural ++ selection ++ media ++
       temporal ++ sketch
+    // ambient-load summary for the driver-facing line (r12 verdict ask
+    // #9): per-leg before/after loads live in bench_out.json's `load`
+    // map; the compact line carries start/end/max so a contaminated draw
+    // is visible inside the 2000-char stdout tail the driver keeps
+    val loadMax = (all.flatMap(r => Seq(r.loadBefore, r.loadAfter)) ++
+      Seq(loadStart, loadEnd)).max
+    val coldJson = cold.map { case (n, s) => "\"" + n + "\":" + s }
+      .mkString("{", ",", "}")
+    val totalCold = cold.map(_._2).filter(_ >= 0).sum
     val qs = all.map(r => "\"" + r.name + "\":" + r.secs).mkString("{", ",", "}")
     val cpus_ = all.map(r => "\"" + r.name + "\":" + r.cpuSecs)
       .mkString("{", ",", "}")
@@ -758,7 +789,7 @@ object Bench {
     val totalTemporal = temporal.map(_.secs).filter(_ >= 0).sum
     val totalSketch = sketch.map(_.secs).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpus_,"iterations":$iters,"total_full":$totalFull,"total_neural":$totalNeural,"total_selection":$totalSelection,"total_media":$totalMedia,"total_temporal":$totalTemporal,"total_sketch":$totalSketch,"load":$loads,"load_start":$loadStart,"load_end":$loadEnd,"reruns":$reruns,"scale10x":$scaleJson,"scale_len":$scaleLenJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpus_,"iterations":$iters,"total_full":$totalFull,"total_neural":$totalNeural,"total_selection":$totalSelection,"total_media":$totalMedia,"total_temporal":$totalTemporal,"total_sketch":$totalSketch,"cold":$coldJson,"total_cold":$totalCold,"load":$loads,"load_start":$loadStart,"load_end":$loadEnd,"load_max":$loadMax,"reruns":$reruns,"scale10x":$scaleJson,"scale_len":$scaleLenJson,"sf":"$sfDir"}"""
     // bench_out.json carries the FULL artifact (per-query cpu/load,
     // rerun adjudications, both scale sections) — the round's committed
     // record and what COVERAGE.md quotes
@@ -771,15 +802,20 @@ object Bench {
     def f3(d: Double): String =
       if (d < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val qsC = all.map(r => "\"" + r.name + "\":" + f3(r.secs))
+    // existing cached-tier legs keep their names and values; cold legs
+    // are ADDED entries (driver contract: additions only)
+    val qsC = (all.map(r => "\"" + r.name + "\":" + f3(r.secs)) ++
+      cold.map { case (n, s) => "\"" + n + "\":" + f3(s) })
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsC,"iterations":$iters,"total_full":${f3(totalFull)},"total_neural":${f3(totalNeural)},"total_selection":${f3(totalSelection)},"total_media":${f3(totalMedia)},"total_temporal":${f3(totalTemporal)},"total_sketch":${f3(totalSketch)},"detail":"bench_out.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsC,"iterations":$iters,"total_full":${f3(totalFull)},"total_neural":${f3(totalNeural)},"total_selection":${f3(totalSelection)},"total_media":${f3(totalMedia)},"total_temporal":${f3(totalTemporal)},"total_sketch":${f3(totalSketch)},"total_cold":${f3(totalCold)},"load_start":$loadStart,"load_end":$loadEnd,"load_max":$loadMax,"detail":"bench_out.json","sf":"$sfDir"}"""
     spark.stop()
-    // ONE copy, sentinel-prefixed, as the absolute last stdout line:
-    // r11 printed sentinel-then-bare (~2.8KB) and the sentinel was
-    // clipped out of the driver's 2000-char tail ("parsed": null).
-    // The single sentinel line (~1.2KB) + sbt's "[success]" line fit.
-    println(s"BENCH_JSON: $compact")
+    // The compact JSON is the absolute last stdout line, BARE (r12
+    // verdict ask #2): sbt no longer decorates it — build.sbt sets
+    // outputStrategy := StdoutOutput for forked runs — and sbt's GC
+    // monitor [warn] line is disabled in .jvmopts, so only sbt's own
+    // "[success]" line follows inside the driver's 2000-char tail.
+    println(compact)
+    System.out.flush()
   }
 }

@@ -54,15 +54,27 @@ object IO {
     // coarse-quantizer sample + HNSW partition-local graphs are
     // partition-layout-dependent — renormalizing a 2 k-row table buys no
     // parallelism and could move recall across a 0.05 bucket boundary.
+    // r13: ALSO gated on input bytes (r12 verdict "Next round" #1). Below
+    // ~128 KB a single-task scan decodes in single-digit milliseconds and
+    // the exchange costs strictly more than it buys — yet the r12
+    // unconditional form charged that exchange to every one of the 822
+    // sf0.001 gate tests and all 322 Verify queries, material wall-time
+    // under co-tenant load. The floor keeps normalization exactly where
+    // it pays: CPU-dense work over >=100k-row single-row-group files
+    // (every sf0.1 bench table clears it; every sf0.001 table is under
+    // it). Env-overridable, size-based — not tuned to any core count.
     val parallelism = spark.sparkContext.defaultParallelism
     val scanParts = df.rdd.getNumPartitions
+    val scanBytes = df.queryExecution.analyzed.stats.sizeInBytes
+    val minBytes = BigInt(sys.env.getOrElse(
+      "SPARK_GRAFT_SCAN_NORM_MIN_BYTES", "131072"))
     val spreadKey = Map(
       "lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
       "customer" -> "c_custkey", "supplier" -> "s_suppkey",
       "part" -> "p_partkey", "events" -> "event_id",
       "documents" -> "doc_id").get(name)
     spreadKey match {
-      case Some(k) if scanParts * 4 <= parallelism =>
+      case Some(k) if scanParts * 4 <= parallelism && scanBytes >= minBytes =>
         typed.repartition(NormalizedScanPartitions, col(k))
       case _ => typed
     }

@@ -16,6 +16,28 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Operator-internal scan spread for the EXACT scoring paths (r12
+    * verdict ask #3). The embeddings table is deliberately excluded from
+    * `IO.table`'s scan normalization because the sampled quantizer fits
+    * (`ivfCentroids`, `Embeddings.pqFit`) are partition-layout-dependent
+    * through seeded per-partition Bernoulli sampling — re-laying-out
+    * their input would move the pinned recall buckets. But the scoring
+    * passes BELOW a fitted/broadcast model are per-row deterministic
+    * (cosine, argmin cell, hyperplane signs) or exact aggregations
+    * (max, count, ranks with full tie-breaks), so their VALUES are
+    * layout-independent and their single-row-group scans can be spread
+    * without touching any fit input. Same guard as IO.table (fires only
+    * when the scan cannot feed the session's cores) and the same FIXED
+    * 32-partition hash layout, so physical layout — hence nothing at
+    * all, for these exact ops — varies with the core count. NEVER apply
+    * this to a frame that feeds a sampled fit. */
+  private def spread(df: DataFrame, key: String): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 4 <= parallelism)
+      df.repartition(32, col(key))
+    else df
+  }
+
   /** Cosine similarity between two double array columns. Implemented as a
     * primitive-array Scala UDF: the equivalent higher-order-function
     * expression (`aggregate`/`zip_with`) allocates per element and sits
@@ -39,8 +61,10 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("__cv"))
+    // spread the streamed corpus side: every corpus row pays |queries|
+    // cosine kernels below — CPU-dense, value-exact (r13)
+    val c = spread(corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv")), "neighbor_id")
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
     scored
@@ -330,8 +354,10 @@ object Similarity {
     val nearestCell = udf((v: Array[Double]) => nearestCellIdx(v, bc.value))
     val probeCells = udf((v: Array[Double]) =>
       probeCellIds(v, bc.value, nprobe))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).cast("array<double>").as("__cv"))
+    // scoring copy only — the sampled ivfCentroids fit above reads the
+    // caller's `corpus` frame untouched (r13)
+    val c = spread(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("__cv")), "neighbor_id")
       .withColumn("__cell", nearestCell(col("__cv")))
     val q = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("__qv"))
@@ -459,8 +485,9 @@ object Similarity {
       }
       acc
     })
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-        cellAndCodes(col(vecCol).cast("array<double>")).as("__cc"))
+    val c = spread(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("__cv0")), "neighbor_id")
+      .select(col("neighbor_id"), cellAndCodes(col("__cv0")).as("__cc"))
       .select(col("neighbor_id"), col("__cc._1").as("__cell"),
         col("__cc._2").as("__codes"))
     val q = queries.select(col(idCol).as("query_id"),
@@ -474,8 +501,8 @@ object Similarity {
           .orderBy(col("adc"), col("neighbor_id"))))
       .filter(col("__ar") <= rerank)
       .select(col("query_id"), col("neighbor_id"), col("__qv"))
-    val vecs = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("__cv"))
+    val vecs = spread(corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv")), "neighbor_id")
     broadcast(shortlist).join(vecs, Seq("neighbor_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
       .withColumn("rank", row_number().over(
@@ -521,7 +548,10 @@ object Similarity {
   def semDedup(df: DataFrame, centers: Array[Array[Double]],
       threshold: Double = 0.95, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val v = assignCells(df, centers, idCol, vecCol)
+    // spread below the (already-fitted, broadcast) quantizer: the
+    // within-cell pair cosines are the n·(n/k) CPU term and the mark
+    // aggregation is an exact max — value-identical at any layout (r13)
+    val v = spread(assignCells(df, centers, idCol, vecCol), "__id")
     val marks = v.as("a").join(v.as("b"),
         col("a.cell") === col("b.cell") && col("a.__id") < col("b.__id"))
       .withColumn("__cos", cosine(col("a.__v"), col("b.__v")))
@@ -559,7 +589,9 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val vNew = assignCells(newDf, centers, idCol, vecCol)
     val vOld = existingState.select(col("__id"), col("cell"), col("__v"))
-    val all = vNew.unionByName(vOld)
+    // spread the heavy (existing ∪ new) probe side — exact-max marks,
+    // value-identical at any layout (r13)
+    val all = spread(vNew.unionByName(vOld), "__id")
     val marks = all.as("a").join(vNew.as("b"),
         col("a.cell") === col("b.cell") && col("a.__id") < col("b.__id"))
       .withColumn("__cos", cosine(col("a.__v"), col("b.__v")))
@@ -647,7 +679,10 @@ object Similarity {
         else dot / (math.sqrt(na) * math.sqrt(nb))
       (best, cos)
     })
-    val scored = df
+    // spread below the (already-fitted, broadcast) prototypes: the
+    // assign+cosine map is per-row deterministic and the histogram is
+    // integer counts — value-identical at any layout (r13)
+    val scored = spread(df, idCol)
       .withColumn("__p", assign(col(vecCol).cast("array<double>")))
       .select(col(idCol), col("__p._1").as("cell"),
         col("__p._2").as("proto_cos"))
@@ -683,8 +718,8 @@ object Similarity {
   def cosineNearDup(df: DataFrame, threshold: Double = 0.95, bits: Int = 8,
       dim: Int = 64, seed: Long = 42L, idCol: String = "vec_id",
       vecCol: String = "embedding", tables: Int = 2): DataFrame = {
-    val v = df.select(col(idCol).as("__id"),
-      col(vecCol).cast("array<double>").as("__v"))
+    val v = spread(df.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v")), "__id")
     val cands = (0 until tables).map { t =>
       val vt = v.select(col("__id"),
         hyperplaneBucket(col("__v"), dim, bits, seed + t).as("__bucket"))
@@ -740,8 +775,8 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"))
       .withColumn("__bucket", explode(qBucketsUdf(col("__qv"))))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("__cv"))
+    val c = spread(corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv")), "neighbor_id")
       .withColumn("__bucket", bucket(col("__cv")))
     c.join(broadcast(q), Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))

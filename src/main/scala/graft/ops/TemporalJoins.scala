@@ -103,6 +103,15 @@ object TemporalJoins {
     require(rightCols.nonEmpty, "asofJoin: no right columns to carry")
     toleranceUs.foreach(t => require(t >= 0, "asofJoin: negative tolerance"))
 
+    // hot-key handling is the default here too (r13): the union+window
+    // carry funnels a hot `by` key into ONE window partition exactly like
+    // the native merge does — above the size floor, route through the
+    // detect-and-slice path (spec-pinned row-equal to this form; row
+    // ORDER differs, as documented on asofJoinSalted)
+    if (autoSaltEligible(left, right))
+      return asofJoinSalted(left, right, by, leftTime, rightTime, rightCols,
+        direction, toleranceUs, matchedTime, allowExactMatches)
+
     val eq = nameEq(left.sparkSession)
     val outNames = rightCols.map(c =>
       if (left.columns.exists(eq(_, c))) c + "_right" else c)
@@ -173,6 +182,40 @@ object TemporalJoins {
   // rangeJoinNative): name resolution under the session's
   // case-sensitivity, and merge-key derivation (tightest-common-type
   // cast + float NaN/-0.0 normalization) ──────────────────────────────
+
+  // ── default skew handling (r13, r12 verdict ask #4) ─────────────────
+  // Hot-key routing is now the DEFAULT on asofJoin/asofJoinNative, not an
+  // opt-in: when the combined plan-time size estimate of the two sides
+  // clears `graft.asof.autoSalt.minBytes`, the call routes through
+  // [[asofJoinSalted]], whose one stats pass detects keys holding ≥ 5% of
+  // all rows and time-slices them (falling through to the plain merge
+  // when nothing is hot — the stats pass is then the only cost). Below
+  // the floor the plain plan runs untouched: a sub-floor input fits a
+  // single task comfortably even when fully skewed, so detection would
+  // cost more than the worst case it prevents. The floor compares
+  // COMPRESSED plan estimates (parquet file bytes for scans), so 16 MB
+  // corresponds to roughly 10⁷ rows of narrow panel data — the scale
+  // where a 50%-hot key is several seconds of single-task merge.
+  // Calibration probe (r13, see OPTIMIZATION_r13.md): the sf0.1 bench
+  // events sides estimate 1.8 MB (plain path kept), the sf0.01 gate
+  // 0.2 MB (plain), the 10×-scale 10⁷-row panels 320 MB (detect), a
+  // 10⁸-row zipfian parquet panel ~72 MB (detect). Session-conf knobs
+  // (no rebuild needed to flip them):
+  //   graft.asof.autoSalt          on/off            (default true)
+  //   graft.asof.autoSalt.minBytes detection floor   (default 16 MB)
+  private val AutoSaltMinBytesDefault: Long = 16L * 1024 * 1024
+
+  private def autoSaltEligible(left: DataFrame, right: DataFrame): Boolean = {
+    val spark = left.sparkSession
+    if (!spark.conf.get("graft.asof.autoSalt", "true").toBoolean) false
+    else try {
+      import org.apache.spark.sql.GraftPlanBridge
+      val minBytes = BigInt(spark.conf.get("graft.asof.autoSalt.minBytes",
+        AutoSaltMinBytesDefault.toString))
+      GraftPlanBridge.analyzed(left).stats.sizeInBytes +
+        GraftPlanBridge.analyzed(right).stats.sizeInBytes >= minBytes
+    } catch { case scala.util.control.NonFatal(_) => false }
+  }
 
   /** Name equality under the session's `spark.sql.caseSensitive` —
     * the comparison every collision/rename decision must use, because
@@ -269,6 +312,27 @@ object TemporalJoins {
                      direction: String = "backward",
                      toleranceUs: Option[Long] = None,
                      matchedTime: String = "asof_ts",
+                     allowExactMatches: Boolean = true): DataFrame =
+    // hot-key handling is the default, not an opt-in (r13): above the
+    // size floor, detect-and-slice via asofJoinSalted (pure fall-through
+    // to the plain merge when no key is hot); below it, the plain plan
+    if (autoSaltEligible(left, right))
+      asofJoinSalted(left, right, by, leftTime, rightTime, rightCols,
+        direction, toleranceUs, matchedTime, allowExactMatches)
+    else
+      asofJoinNativePlain(left, right, by, leftTime, rightTime, rightCols,
+        direction, toleranceUs, matchedTime, allowExactMatches)
+
+  /** The plain (no skew detection) whole-operator merge —
+    * [[asofJoinSalted]]'s building block and [[asofJoinNative]]'s
+    * below-floor path. */
+  private def asofJoinNativePlain(
+                     left: DataFrame, right: DataFrame, by: Seq[String],
+                     leftTime: String, rightTime: String,
+                     rightCols: Seq[String],
+                     direction: String = "backward",
+                     toleranceUs: Option[Long] = None,
+                     matchedTime: String = "asof_ts",
                      allowExactMatches: Boolean = true): DataFrame = {
     import org.apache.spark.sql.GraftPlanBridge
     import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
@@ -355,13 +419,15 @@ object TemporalJoins {
         outNames.map(col): _*)
   }
 
-  /** Skew-resistant [[asofJoinNative]]: the explicit `saltBuckets`
-    * escape hatch for zipfian `by` keys, where one key holds a large
-    * share of BOTH sides and the sort-merge exec's hash clustering
-    * necessarily lands it in one task (AQE's OptimizeSkewedJoin only
-    * rewrites SortMergeJoinExec, never a custom node — the r11 scale
-    * probe measured the 50%-hot-key leg at 35× for a 100× scale-up vs
-    * 13× uniform).
+  /** Skew-resistant [[asofJoinNative]] for zipfian `by` keys, where one
+    * key holds a large share of BOTH sides and the sort-merge exec's
+    * hash clustering necessarily lands it in one task (AQE's
+    * OptimizeSkewedJoin only rewrites SortMergeJoinExec, never a custom
+    * node — the r11 scale probe measured the 50%-hot-key leg at 35× for
+    * a 100× scale-up vs 13× uniform). Since r13 this is the DEFAULT
+    * routing target of [[asofJoin]]/[[asofJoinNative]] above the
+    * `graft.asof.autoSalt.minBytes` plan-estimate floor — calling it
+    * directly only bypasses the floor and pins the salt parameters.
     *
     * Shape: one map-side-combined stats pass over the key projections of
     * both sides finds keys whose combined row share exceeds
@@ -454,7 +520,7 @@ object TemporalJoins {
     stats.unpersist()
     if (nHot == 0) {
       bounds.unpersist()
-      return asofJoinNative(left, right, by, leftTime, rightTime,
+      return asofJoinNativePlain(left, right, by, leftTime, rightTime,
         rightCols, direction, toleranceUs, matchedTime, allowExactMatches)
     }
 
@@ -512,10 +578,10 @@ object TemporalJoins {
     }
     val rightHotS = rHotRep.drop("__gstu").drop(boundCols: _*)
 
-    val cold = asofJoinNative(leftCold, rightCold, by, leftTime,
+    val cold = asofJoinNativePlain(leftCold, rightCold, by, leftTime,
       rightTime, rightCols, direction, toleranceUs, matchedTime,
       allowExactMatches)
-    val hot = asofJoinNative(leftHotS, rightHotS, by :+ "__gslice",
+    val hot = asofJoinNativePlain(leftHotS, rightHotS, by :+ "__gslice",
       leftTime, rightTime, rightCols, direction, toleranceUs,
       matchedTime, allowExactMatches)
       .drop("__gslice")

@@ -53,14 +53,13 @@ object OptBench {
     val iters = sys.env.getOrElse("OPT_ITERS", "5").toInt.max(1)
     val explainDir = sys.env.get("OPT_EXPLAIN_DIR")
     val tag = sys.env.getOrElse("OPT_TAG", "before")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+    val spark = graft.core.GraftSession.withEngineDefaults(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory",
+          sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -6,12 +6,13 @@ import org.scalatest.funsuite.AnyFunSuite
 
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .appName("graft-test")
+    // same engine defaults as Bench/Verify (one config source of truth)
+    val s = graft.core.GraftSession.withEngineDefaults(
+      SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .appName("graft-test"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -143,6 +143,56 @@ class AsofJoinSaltedSpec extends AnyFunSuite {
     assert(strict.collect().forall(_.getAs[Double]("rv") === 4.0))
   }
 
+  // ── r13: skew handling is the DEFAULT path, not an opt-in ───────────
+  test("auto-routing: asofJoinNative detects and slices with no opt-in") {
+    spark.conf.set("graft.asof.autoSalt.minBytes", "0")
+    try {
+      val auto = TemporalJoins.asofJoinNative(lZipf, rZipf, Seq("k"), "t",
+        "t", Seq("rv"))
+      // routed: the detect-and-slice two-branch union (hot + cold)
+      assert(auto.queryExecution.optimizedPlan.collect {
+        case p if p.nodeName == "AsofJoin" => p
+      }.size === 2)
+      spark.conf.set("graft.asof.autoSalt", "false")
+      val plain = try TemporalJoins.asofJoinNative(lZipf, rZipf, Seq("k"),
+        "t", "t", Seq("rv"))
+      finally spark.conf.set("graft.asof.autoSalt", "true")
+      assert(plain.queryExecution.optimizedPlan.collect {
+        case p if p.nodeName == "AsofJoin" => p
+      }.size === 1)
+      assert(canon(auto) === canon(plain))
+    } finally spark.conf.unset("graft.asof.autoSalt.minBytes")
+  }
+
+  test("auto-routing: the composed asofJoin routes above the floor too") {
+    spark.conf.set("graft.asof.autoSalt.minBytes", "0")
+    try {
+      val auto = TemporalJoins.asofJoin(lZipf, rZipf, Seq("k"), "t", "t",
+        Seq("rv"))
+      assert(auto.queryExecution.optimizedPlan.collect {
+        case p if p.nodeName == "AsofJoin" => p
+      }.size === 2, "composed form must route through the sliced merge")
+      spark.conf.set("graft.asof.autoSalt", "false")
+      val plain = try TemporalJoins.asofJoin(lZipf, rZipf, Seq("k"), "t",
+        "t", Seq("rv"))
+      finally spark.conf.set("graft.asof.autoSalt", "true")
+      assert(plain.queryExecution.optimizedPlan.collect {
+        case p if p.nodeName == "AsofJoin" => p
+      }.isEmpty, "opt-out composed form keeps the window carry")
+      assert(canon(auto) === canon(plain))
+    } finally spark.conf.unset("graft.asof.autoSalt.minBytes")
+  }
+
+  test("below the detection floor the plain single-node plan is kept") {
+    // default floor (16 MB) vs a KB-scale fixture: no routing, no stats
+    // pass — the plan is the unchanged single AsofJoin merge
+    val df = TemporalJoins.asofJoinNative(lZipf, rZipf, Seq("k"), "t", "t",
+      Seq("rv"))
+    assert(df.queryExecution.optimizedPlan.collect {
+      case p if p.nodeName == "AsofJoin" => p
+    }.size === 1)
+  }
+
   test("hot key splits into multiple merge partitions (the point)") {
     import spark.implicits._
     val l = (1 to 2000).map(i => (1L, ts(i * 1000L), i.toLong))
