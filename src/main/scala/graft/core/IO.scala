@@ -64,7 +64,9 @@ object IO {
     // (every sf0.1 bench table clears it; every sf0.001 table is under
     // it). Env-overridable, size-based — not tuned to any core count.
     val parallelism = spark.sparkContext.defaultParallelism
-    val scanParts = df.rdd.getNumPartitions
+    // row-group-accurate where it can be (see effectiveScanUnits): a
+    // big single-row-group file reports inflated split counts
+    val scanParts = effectiveScanUnits(df).getOrElse(df.rdd.getNumPartitions)
     val scanBytes = df.queryExecution.analyzed.stats.sizeInBytes
     val minBytes = BigInt(sys.env.getOrElse(
       "SPARK_GRAFT_SCAN_NORM_MIN_BYTES", "131072"))
@@ -79,6 +81,31 @@ object IO {
       case _ => typed
     }
   }
+
+  /** Effective parallelism of a file scan: parquet is splittable only at
+    * row-group granularity, so a single-row-group file BIGGER than
+    * `maxPartitionBytes` still reports many split-partitions while every
+    * row lands in the one task holding the row-group start — the split
+    * count lies (measured r13, tools/SpreadScaleProbe: a 1.3 GB 1-RG
+    * file read as "11 partitions" ran its scan stage at parallelism
+    * 1.0). When the scan has few files, read the footers and count the
+    * actual row groups; plenty-of-files scans and non-file plans return
+    * None (the split count is honest there). Plan-time footer reads
+    * only — never a Spark job. */
+  def effectiveScanUnits(df: org.apache.spark.sql.DataFrame): Option[Int] =
+    try {
+      val files = df.inputFiles
+      if (files.isEmpty || files.length > 8) None
+      else {
+        val conf = df.sparkSession.sessionState.newHadoopConf()
+        Some(files.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRowGroups.size finally r.close()
+        }.sum)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Partition count for the single-row-group normalization above. A
     * FIXED constant, not `defaultParallelism`: hash(key) % N with fixed N

@@ -26,15 +26,34 @@ object Similarity {
     * (cosine, argmin cell, hyperplane signs) or exact aggregations
     * (max, count, ranks with full tie-breaks), so their VALUES are
     * layout-independent and their single-row-group scans can be spread
-    * without touching any fit input. Same guard as IO.table (fires only
-    * when the scan cannot feed the session's cores) and the same FIXED
-    * 32-partition hash layout, so physical layout — hence nothing at
-    * all, for these exact ops — varies with the core count. NEVER apply
-    * this to a frame that feeds a sampled fit. */
+    * without touching any fit input. Same firing guard as IO.table (only
+    * when the scan cannot feed the session's cores) but a
+    * BYTES-PROPORTIONAL width (~256 KB of estimated input per task,
+    * capped at the session parallelism), NOT IO.table's fixed 32: every
+    * Spark task carries a fixed CPU cost (hash-aggregate page
+    * allocation, per-task codegen instances — measured 40–120 ms/task on
+    * this box, tools/SpreadProbe: an 8 k-row aggregate cost 0.8 cpu-s at
+    * 1 partition, 1.35 at 8, 5.8 at 32), so a width the data cannot
+    * amortize burns more CPU than the kernel it parallelizes. IO.table
+    * keeps its fixed width because its consumers include
+    * layout-SENSITIVE float folds; these exact ops do not, so the width
+    * is free to follow the data. NEVER apply this to a frame that feeds
+    * a sampled fit. */
   private def spread(df: DataFrame, key: String): DataFrame = {
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 4 <= parallelism)
-      df.repartition(32, col(key))
+    val spark = df.sparkSession
+    val parallelism = spark.sparkContext.defaultParallelism
+    val parts = try {
+      val est = org.apache.spark.sql.GraftPlanBridge.analyzed(df)
+        .stats.sizeInBytes
+      (est / (256L * 1024)).min(parallelism).toInt
+    } catch { case scala.util.control.NonFatal(_) => 0 }
+    // row-group-accurate scan width (graft.core.IO.effectiveScanUnits):
+    // a single-row-group file bigger than maxPartitionBytes reports many
+    // split-partitions while delivering every row to one task
+    val units = graft.core.IO.effectiveScanUnits(df)
+      .getOrElse(df.rdd.getNumPartitions)
+    if (parts >= 2 && units * 4 <= parallelism)
+      df.repartition(parts, col(key))
     else df
   }
 

@@ -207,7 +207,10 @@ object TemporalJoins {
 
   private def autoSaltEligible(left: DataFrame, right: DataFrame): Boolean = {
     val spark = left.sparkSession
-    if (!spark.conf.get("graft.asof.autoSalt", "true").toBoolean) false
+    // the salted path's stats pass is a batch collect — never route a
+    // streaming frame (micro-batch embedders keep the plain plan)
+    if (left.isStreaming || right.isStreaming) false
+    else if (!spark.conf.get("graft.asof.autoSalt", "true").toBoolean) false
     else try {
       import org.apache.spark.sql.GraftPlanBridge
       val minBytes = BigInt(spark.conf.get("graft.asof.autoSalt.minBytes",
