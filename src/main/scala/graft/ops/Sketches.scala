@@ -74,9 +74,22 @@ object Sketches {
     * exact count for audit: est = min over rows of the hashed counter —
     * the CMS guarantee is est ≥ exact (never undercounts) with
     * overshoot ≤ εN w.h.p. The probe join is |vocab|·depth rows against
-    * the ≤ depth·width sketch — broadcast-sized by construction. */
+    * the ≤ depth·width sketch — broadcast-sized by construction.
+    *
+    * Note (r13, advisor): constructing this DataFrame triggers a Spark
+    * job eagerly — the vocab count table is `localCheckpoint()`ed so one
+    * tokenize pass serves the sketch, the probes and the totals — and
+    * checkpointed blocks are not recomputable on executor loss (rebuild
+    * the frame if that happens). Same contract as [[TextOps
+    * .knPerplexity]]'s count table. */
   def cmsTokenEstimates(df: DataFrame, depth: Int = 4, width: Int = 512,
       textCol: String = "text"): DataFrame = {
+    // same domain contract cmsSketch enforced before the r12 one-pass
+    // rewrite bypassed it: depth 0 must throw, not yield an empty frame,
+    // and width 1 must throw, not degenerate every estimate to N
+    require(depth >= 1 && width >= 2,
+      s"cmsTokenEstimates: depth >= 1 and width >= 2 required, " +
+        s"got depth=$depth width=$width")
     // r12: the sketch is DERIVED from the exact count table instead of a
     // second corpus tokenize (cmsSketch(df) re-scanned + re-hashed every
     // token INSTANCE; counter addition is associative, so grouping the

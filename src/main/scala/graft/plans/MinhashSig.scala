@@ -92,9 +92,12 @@ object MinhashSigExpr {
       val last = math.max(norm.length - n, 0)
       // distinct-shingle set: values are in [0, P), so -1 marks empty.
       // Sized to ≥ 2× the max insert count (`last + 1` positions) — load
-      // factor ≤ 0.5, probes can't cycle. Docs past 16M chars fall back
-      // to the boxed set rather than allocate a >256 MiB table up front.
-      val useOpen = last + 1 <= (1 << 24)
+      // factor ≤ 0.5, probes can't cycle. Docs past 4M chars fall back
+      // to the boxed set rather than pre-allocate a big table: the table
+      // is sized by POSITION count, not distinct count, so the cap bounds
+      // the worst-case allocation at 8M longs = 64 MiB per concurrent
+      // task (r12 advisor: the old 16M-char cap allowed 256 MiB spikes).
+      val useOpen = last + 1 <= (1 << 22)
       var bits = 4
       while (useOpen && (1 << bits) < (last + 1) * 2) bits += 1
       val mask = (1 << bits) - 1
